@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Relational/engine layer: the query surface Polars gives the
+  * reference (select/filter/group_by/agg/join/sort/window), expressed
+  * as headline TPC-H-style plans. These are the bench drivers.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style filtered group-agg. Scale notes: single scan,
+    * partial (map-side) aggregation on 6 grouping values, filter and
+    * 7-column projection pushed to the parquet scan.
+    */
+  val qAgg: Q = Q(
+    "q_agg",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 6) AS sum_qty,
+             round(sum(l_extendedprice), 6) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+    """),
+  )
+
+  /** Multi-way join + agg (Q5 flavor): revenue per nation. The dim
+    * chain region->nation->customer/supplier is tiny at any SF and is
+    * broadcast; only the orders<->lineitem join shuffles, on the join
+    * key both sides already share.
+    */
+  val qJoinAgg: Q = Q(
+    "q_join_agg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+    },
+    Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    """),
+  )
+
+  /** Partitioned window: per-customer order rank + running spend.
+    * Partition key = o_custkey, so the sort is per-partition after one
+    * hash shuffle — no global sort at any scale.
+    */
+  val qWindow: Q = Q(
+    "q_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("order_seq"),
+          round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
+            .as("running_spend"),
+        )
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS order_seq,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """),
+  )
+
+  /** Top-k per group: 3 highest-value orders per priority class. */
+  val qTopK: Q = Q(
+    "q_topk",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) WHERE rk <= 3
+    """),
+  )
+
+  val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK)
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local pre-commit correctness check, mirroring the driver's protocol:
+run each oracle SQL in DuckDB against the sf tables, compare with the
+Spark result parquet that graft.Verify dumped.
+
+usage: check.py [sfdir] [outdir] [query ...]
+(defaults: /root/testdata/sf0.01 /tmp/verify, all queries)
+"""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify"
+    only = set(sys.argv[3:])
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        spark_glob = os.path.join(outdir, name, "*.parquet")
+        if not glob.glob(spark_glob):
+            print(f"  MISSING spark output: {name}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet('{spark_glob}')").fetch_df()
+            want = con.execute(oracles[name]).fetch_df()
+        except Exception as e:
+            print(f"  ERROR {name}: {e}")
+            n_fail += 1
+            continue
+        ok, msg = compare(got, want)
+        if ok:
+            n_pass += 1
+            print(f"  ok   {name} ({len(want)} rows)")
+        else:
+            n_fail += 1
+            print(f"  FAIL {name}: {msg}")
+    print(f"[check] pass={n_pass} fail={n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+def compare(got, want):
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        return False, f"schema mismatch: spark={gc} oracle={wc}"
+    if len(got) != len(want):
+        return False, f"rowcount mismatch: spark={len(got)} oracle={len(want)}"
+    got = got[gc].sort_values(gc).reset_index(drop=True)
+    want = want[wc].sort_values(wc).reset_index(drop=True)
+    for c in gc:
+        for i, (a, b) in enumerate(zip(got[c], want[c])):
+            if not cell_eq(a, b):
+                return False, f"col {c} row {i}: spark={a!r} oracle={b!r}"
+    return True, ""
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    except (TypeError, ValueError):
+        pass
+    if (a is None) != (b is None):
+        # pandas NaN for missing
+        fa = isinstance(a, float) and math.isnan(a)
+        fb = isinstance(b, float) and math.isnan(b)
+        return (a is None or fa) and (b is None or fb)
+    return str(a) == str(b)
+
+if __name__ == "__main__":
+    main()
