@@ -17,7 +17,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads
+    * via the nanosAsLong legacy flag (as Long nanos since epoch) —
+    * set lazily so it also holds under a driver-owned session.
+    * Downstream code treats ts as Long nanos; `tsSeconds` converts.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,152 @@
+package graft.prep
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Fitted scaling transforms (reference: utils/numerical_transformer.py
+  * SCALING_STRATEGIES). Each is a pure column expression + exact
+  * inverse; fitted parameters are plain doubles broadcast inside the
+  * expression tree, so transform/inverse stay inside whole-stage
+  * codegen at any scale.
+  */
+sealed trait Scaler {
+  def transform(c: Column): Column
+  def inverse(c: Column): Column
+}
+
+/** Min-max to [0,1] ("normalize", numerical_transformer.py:140-145). */
+final case class MinMaxScaler(min: Double, max: Double) extends Scaler {
+  private val range = max - min
+  def transform(c: Column): Column = (c - lit(min)) / lit(range)
+  def inverse(c: Column): Column   = c * lit(range) + lit(min)
+}
+
+/** Z-score ("standardize", numerical_transformer.py:146-151). */
+final case class StandardScaler(mean: Double, std: Double) extends Scaler {
+  def transform(c: Column): Column = (c - lit(mean)) / lit(std)
+  def inverse(c: Column): Column   = c * lit(std) + lit(mean)
+}
+
+/** Equal-frequency binning into `boundaries.size + 1` bins (polars
+  * `qcut` / sklearn KBinsDiscretizer(strategy="quantile") analog,
+  * numerical_transformer.py:168-174). Boundaries are the fitted
+  * k/n-quantiles; bin(x) = #{b : b < x}, i.e. left-closed bins.
+  * The when-chain is branch-per-boundary — fine for codegen at the
+  * typical n_bins <= 100.
+  */
+final case class KBinsScaler(boundaries: Seq[Double]) extends Scaler {
+  def transform(c: Column): Column =
+    boundaries.map(b => when(c > lit(b), 1).otherwise(0)).reduce(_ + _).cast("int")
+  /** qcut has no exact inverse; reconstruct the bin's midpoint. */
+  def inverse(c: Column): Column = {
+    val mids = midpoints
+    mids.zipWithIndex.foldLeft(lit(mids.last): Column) { case (acc, (m, i)) =>
+      when(c === lit(i), lit(m)).otherwise(acc)
+    }
+  }
+  private def midpoints: Seq[Double] = {
+    if (boundaries.isEmpty) Seq(0.0)
+    else {
+      val lo = boundaries.head - (boundaries.last - boundaries.head).max(1.0)
+      val hi = boundaries.last + (boundaries.last - boundaries.head).max(1.0)
+      (lo +: boundaries).zip(boundaries :+ hi).map { case (a, b) => (a + b) / 2 }
+    }
+  }
+}
+
+/** Quantile transform against a fitted quantile grid (sklearn
+  * QuantileTransformer analog, numerical_transformer.py:152-167).
+  * `grid(k)` is the k/(n-1)-quantile of the fit data; transform maps
+  * x to its interpolated CDF position in [0,1] ("uniform") and
+  * optionally through the normal inverse CDF ("normal").
+  *
+  * Scale note: unlike a percent_rank window (global sort of the
+  * transformed data), the grid makes transform a pure per-row
+  * expression — the 100 TB path. The grid itself is one
+  * `percentile`/`percentile_approx` aggregate at fit time.
+  */
+final case class QuantileGridScaler(grid: IndexedSeq[Double], normal: Boolean = false)
+    extends Scaler {
+  require(grid.size >= 2, "quantile grid needs >= 2 points")
+  private val n = grid.size
+
+  def transform(c: Column): Column = {
+    // piecewise-linear CDF: for x in [grid(i), grid(i+1)) ->
+    // (i + frac) / (n-1); clamp outside the grid.
+    val segs = (0 until n - 1).map { i =>
+      val lo = grid(i); val hi = grid(i + 1)
+      val frac =
+        if (hi > lo) (c - lit(lo)) / lit(hi - lo) else lit(0.0)
+      (lit(i.toDouble) + frac) / lit((n - 1).toDouble)
+    }
+    val uniform = (0 until n - 1).reverse.foldLeft(lit(1.0): Column) { (acc, i) =>
+      when(c < lit(grid(i + 1)), segs(i)).otherwise(acc)
+    }
+    val clamped = when(c <= lit(grid.head), 0.0)
+      .when(c >= lit(grid.last), 1.0)
+      .otherwise(uniform)
+    if (normal) Probit(clamped) else clamped
+  }
+
+  def inverse(c: Column): Column = {
+    val u = if (normal) Probit.cdf(c) else c
+    val pos = u * lit((n - 1).toDouble)
+    val segs = (0 until n - 1).map { i =>
+      lit(grid(i)) + (pos - lit(i.toDouble)) * lit(grid(i + 1) - grid(i))
+    }
+    val interp = (0 until n - 1).reverse.foldLeft(lit(grid.last): Column) { (acc, i) =>
+      when(pos < lit((i + 1).toDouble), segs(i)).otherwise(acc)
+    }
+    when(u <= 0.0, grid.head).when(u >= 1.0, grid.last).otherwise(interp)
+  }
+}
+
+/** Inverse normal CDF (probit) and normal CDF as pure column
+  * arithmetic — Acklam's rational approximation (~1.15e-9 relative
+  * error) and the Abramowitz–Stegun erf-based CDF. Keeps
+  * quantile->normal scaling inside codegen: no UDF.
+  */
+object Probit {
+  // Acklam coefficients.
+  private val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02, -3.066479806614716e+01,
+    2.506628277459239e+00)
+  private val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+  private val cc = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00, 4.374664141464968e+00,
+    2.938163982698783e+00)
+  private val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00)
+  private val pLow  = 0.02425
+  private val pHigh = 1 - pLow
+  private val eps   = 1e-7
+
+  private def poly(coeffs: Seq[Double], x: Column): Column =
+    coeffs.tail.foldLeft(lit(coeffs.head): Column)((acc, k) => acc * x + lit(k))
+
+  /** probit(p) for p in (0,1); input clipped to [1e-7, 1-1e-7]
+    * (SURVEY §3) so transformed extremes stay finite.
+    */
+  def apply(p0: Column): Column = {
+    val p = least(greatest(p0, lit(eps)), lit(1 - eps))
+    val qLow  = sqrt(lit(-2.0) * log(p))
+    val xLow  = poly(cc, qLow) / (poly(d, qLow) * qLow + lit(1.0))
+    val qMid  = p - lit(0.5)
+    val r     = qMid * qMid
+    val xMid  = poly(a, r) * qMid / (poly(b, r) * r + lit(1.0))
+    val qHigh = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val xHigh = -(poly(cc, qHigh) / (poly(d, qHigh) * qHigh + lit(1.0)))
+    when(p < lit(pLow), xLow).when(p > lit(pHigh), xHigh).otherwise(xMid)
+  }
+
+  /** Standard normal CDF via erf (A&S 7.1.26, |err| < 1.5e-7). */
+  def cdf(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * abs(x) / sqrt(lit(2.0)))
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) + t *
+      (lit(1.421413741) + t * (lit(-1.453152027) + t * lit(1.061405429)))))
+    val erf = lit(1.0) - poly * exp(-x * x / lit(2.0))
+    val half = erf / lit(2.0)
+    when(x >= 0, lit(0.5) + half).otherwise(lit(0.5) - half)
+  }
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.prep._
+
+/** Numerical-transformer coverage (SURVEY §2.1 rows 4-14).
+  * Testdata has no nulls/infs, so each query injects them
+  * deterministically (key % k) in BOTH the Spark plan and the oracle.
+  */
+object NumPrepQueries {
+
+  /** events.value with nulls punched in at event_id%7==0. */
+  private def nulledEvents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"),
+    )
+
+  private val nulledEventsSql =
+    "SELECT event_id, user_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events"
+
+  /** customer.c_acctbal with nulls at c_custkey%7==0. */
+  private def nulledCustomer(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")).as("v"),
+    )
+
+  private val nulledCustomerSql =
+    "SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS v FROM customer"
+
+  // ---------------------------------------------------------------- §2.1/4
+  val replaceInf: Q = Q(
+    "replace_inf",
+    (s, dir) => {
+      val dirty = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("event_id") % 5 === 0, lit(Double.PositiveInfinity))
+          .when(col("event_id") % 5 === 1, lit(Double.NegativeInfinity))
+          .when(col("event_id") % 5 === 2, lit(Double.NaN))
+          .otherwise(col("value")).as("dirty"),
+      )
+      dirty.select(col("event_id"),
+        round(NumericalTransformer.replaceInf(col("dirty")), 6).as("clean"))
+    },
+    Some("""
+      SELECT event_id,
+             round(CASE WHEN isinf(dirty) OR isnan(dirty) OR dirty > 1e308 OR dirty < -1e308
+                        THEN NULL ELSE dirty END, 6) AS clean
+      FROM (SELECT event_id,
+                   CASE WHEN event_id % 5 = 0 THEN 'inf'::DOUBLE
+                        WHEN event_id % 5 = 1 THEN '-inf'::DOUBLE
+                        WHEN event_id % 5 = 2 THEN 'nan'::DOUBLE
+                        ELSE value END AS dirty
+            FROM events)
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.1/5
+  val fillMean: Q = Q(
+    "fill_mean",
+    (s, dir) => {
+      val df = nulledCustomer(s, dir)
+      val stats = NumericalTransformer.fit(df, Seq("v"))
+      df.select(col("c_custkey"),
+        round(NumericalTransformer.fill(col("v"), FillStrategy.Mean, stats("v")), 6)
+          .as("filled"))
+    },
+    Some(s"""
+      SELECT c_custkey, round(coalesce(v, avg(v) OVER ()), 6) AS filled
+      FROM ($nulledCustomerSql)
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.1/6
+  val fillConsts: Q = Q(
+    "fill_minmax_zero_one_value",
+    (s, dir) => {
+      val df = nulledEvents(s, dir)
+      val stats = NumericalTransformer.fit(df, Seq("v"))
+      import FillStrategy._
+      df.select(
+        col("event_id"),
+        round(NumericalTransformer.fill(col("v"), Min, stats("v")), 6).as("filled_min"),
+        round(NumericalTransformer.fill(col("v"), Max, stats("v")), 6).as("filled_max"),
+        round(NumericalTransformer.fill(col("v"), Zero, stats("v")), 6).as("filled_zero"),
+        round(NumericalTransformer.fill(col("v"), One, stats("v")), 6).as("filled_one"),
+        round(NumericalTransformer.fill(col("v"), Value(42.5), stats("v")), 6).as("filled_value"),
+      )
+    },
+    Some(s"""
+      SELECT event_id,
+             round(coalesce(v, min(v) OVER ()), 6) AS filled_min,
+             round(coalesce(v, max(v) OVER ()), 6) AS filled_max,
+             round(coalesce(v, 0.0), 6) AS filled_zero,
+             round(coalesce(v, 1.0), 6) AS filled_one,
+             round(coalesce(v, 42.5), 6) AS filled_value
+      FROM ($nulledEventsSql)
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/7-8
+  val fillForward: Q = Q(
+    "fill_forward",
+    (s, dir) => {
+      val df = nulledEvents(s, dir)
+      val w = NumericalTransformer.seriesWindow(Seq(col("user_id")), Seq(col("event_id")))
+      df.select(col("event_id"), col("user_id"),
+        round(NumericalTransformer.forwardFill(col("v"), w), 6).as("filled"))
+    },
+    Some(s"""
+      SELECT event_id, user_id,
+             round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+      FROM ($nulledEventsSql)
+    """),
+  )
+
+  val fillBackward: Q = Q(
+    "fill_backward",
+    (s, dir) => {
+      val df = nulledEvents(s, dir)
+      val w = NumericalTransformer.seriesWindow(Seq(col("user_id")), Seq(col("event_id")))
+      df.select(col("event_id"), col("user_id"),
+        round(NumericalTransformer.backwardFill(col("v"), w), 6).as("filled"))
+    },
+    Some(s"""
+      SELECT event_id, user_id,
+             round(first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS filled
+      FROM ($nulledEventsSql)
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.1/9
+  val fillInterpolate: Q = Q(
+    "fill_interpolate",
+    (s, dir) => {
+      val df = nulledEvents(s, dir)
+      val w = NumericalTransformer.seriesWindow(Seq(col("user_id")), Seq(col("event_id")))
+      df.select(col("event_id"), col("user_id"),
+        round(NumericalTransformer.interpolate(col("v"), w), 6).as("filled"))
+    },
+    Some(s"""
+      WITH base AS ($nulledEventsSql),
+      p1 AS (
+        SELECT event_id, user_id, v,
+               row_number() OVER w AS rn,
+               CASE WHEN v IS NOT NULL THEN row_number() OVER w END AS rn_of
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      ),
+      p2 AS (
+        SELECT event_id, user_id, v, rn,
+               last_value(v IGNORE NULLS) OVER back AS prev_v,
+               last_value(rn_of IGNORE NULLS) OVER back AS prev_i,
+               first_value(v IGNORE NULLS) OVER fwd AS next_v,
+               first_value(rn_of IGNORE NULLS) OVER fwd AS next_i
+        FROM p1
+        WINDOW back AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      )
+      SELECT event_id, user_id,
+             round(coalesce(v, prev_v + (next_v - prev_v) * (rn - prev_i) / (next_i - prev_i)), 6)
+               AS filled
+      FROM p2
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/10-11
+  val scaleNormalize: Q = Q(
+    "scale_normalize",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      val st = NumericalTransformer.fit(df, Seq("v"))("v")
+      val sc = MinMaxScaler(st.min, st.max)
+      // transform -> inverse must round-trip; emit both.
+      df.select(col("c_custkey"),
+        round(sc.transform(col("v")), 6).as("scaled"),
+        round(sc.inverse(sc.transform(col("v"))), 4).as("roundtrip"))
+    },
+    Some("""
+      SELECT c_custkey,
+             round((c_acctbal - min(c_acctbal) OVER ()) /
+                   (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS scaled,
+             round(c_acctbal, 4) AS roundtrip
+      FROM customer
+    """),
+  )
+
+  val scaleStandardize: Q = Q(
+    "scale_standardize",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      val st = NumericalTransformer.fit(df, Seq("v"))("v")
+      val sc = StandardScaler(st.mean, st.std)
+      df.select(col("c_custkey"),
+        round(sc.transform(col("v")), 6).as("scaled"),
+        round(sc.inverse(sc.transform(col("v"))), 4).as("roundtrip"))
+    },
+    Some("""
+      SELECT c_custkey,
+             round((c_acctbal - avg(c_acctbal) OVER ()) / (stddev_samp(c_acctbal) OVER ()), 6)
+               AS scaled,
+             round(c_acctbal, 4) AS roundtrip
+      FROM customer
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/12
+  /** Exact rank-based quantile->uniform (the fit==transform special
+    * case of QuantileTransformer). Scale path is the fitted-grid
+    * QuantileGridScaler (see scale_kbins for grid fitting); the rank
+    * window here is a distributed range-partitioned sort.
+    */
+  val scaleQuantileUniform: Q = Q(
+    "scale_quantile_uniform",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+        .select(col("c_custkey"), round(percent_rank().over(w), 6).as("q"))
+    },
+    Some("""
+      SELECT c_custkey, round(percent_rank() OVER (ORDER BY c_acctbal), 6) AS q
+      FROM customer
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/14
+  val scaleKBins: Q = Q(
+    "scale_kbins",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      val probs = (1 until 10).map(_ / 10.0)
+      val st = NumericalTransformer.fit(df, Seq("v"), quantileProbs = probs)("v")
+      val sc = KBinsScaler(st.quantiles)
+      df.select(col("c_custkey"), sc.transform(col("v")).as("bin"))
+    },
+    Some("""
+      WITH b AS (SELECT unnest(quantile_cont(c_acctbal, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS bv
+                 FROM customer)
+      SELECT c_custkey, (SELECT count(*) FROM b WHERE b.bv < c.c_acctbal)::INT AS bin
+      FROM customer c
+    """),
+  )
+
+  val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
+    fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
+    scaleQuantileUniform, scaleKBins)
+}

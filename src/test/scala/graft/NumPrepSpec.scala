@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.prep._
+
+class NumPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("replaceInf nulls out inf/nan, keeps finite") {
+    val df = Seq(1.0, Double.PositiveInfinity, Double.NaN, -2.5, Double.NegativeInfinity)
+      .toDF("x")
+    val got = df.select(NumericalTransformer.replaceInf($"x").as("x")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(1.0), None, None, Some(-2.5), None))
+  }
+
+  test("fit computes min/max/mean/std and quantiles in one pass") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val st = NumericalTransformer.fit(df, Seq("x"), quantileProbs = Seq(0.5))("x")
+    assert(st.min == 1.0 && st.max == 100.0)
+    assert(math.abs(st.mean - 50.5) < 1e-9)
+    assert(st.quantiles.head == 50.5)
+  }
+
+  test("fill strategies") {
+    val df = Seq(Some(2.0), None, Some(4.0)).toDF("x")
+    val st = NumericalTransformer.fit(df, Seq("x"))("x")
+    val got = df.select(
+      NumericalTransformer.fill($"x", FillStrategy.Mean, st).as("m"),
+      NumericalTransformer.fill($"x", FillStrategy.Zero, st).as("z"),
+      NumericalTransformer.fill($"x", FillStrategy.Value(9.0), st).as("v"),
+    ).collect()
+    assert(got(1).getDouble(0) == 3.0 && got(1).getDouble(1) == 0.0 && got(1).getDouble(2) == 9.0)
+  }
+
+  test("interpolate fills between knowns, leaves leading/trailing nulls") {
+    val df = Seq((1, None: Option[Double]), (2, Some(10.0)), (3, None), (4, None),
+      (5, Some(40.0)), (6, None)).toDF("i", "x")
+    val w = NumericalTransformer.seriesWindow(Seq(lit(1)), Seq($"i"))
+    val got = df.select($"i", NumericalTransformer.interpolate($"x", w).as("x"))
+      .orderBy($"i").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(got.toSeq == Seq(None, Some(10.0), Some(20.0), Some(30.0), Some(40.0), None))
+  }
+
+  test("scalers round-trip") {
+    val mm = MinMaxScaler(10, 110)
+    val zs = StandardScaler(5, 2)
+    val df = Seq(10.0, 35.0, 110.0).toDF("x")
+    val got = df.select(
+      mm.inverse(mm.transform($"x")).as("a"),
+      zs.inverse(zs.transform($"x")).as("b")).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+    val sc = df.select(mm.transform($"x")).as[Double].collect()
+    assert(sc.toSeq == Seq(0.0, 0.25, 1.0))
+  }
+
+  test("kbins assigns equal-frequency bins") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val st = NumericalTransformer.fit(df, Seq("x"), quantileProbs = Seq(0.25, 0.5, 0.75))("x")
+    val sc = KBinsScaler(st.quantiles)
+    val counts = df.select(sc.transform($"x").as("b")).groupBy("b").count()
+      .orderBy("b").as[(Int, Long)].collect()
+    assert(counts.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    counts.foreach { case (_, n) => assert(n >= 24 && n <= 26) }
+  }
+
+  test("quantile grid scaler maps fit data ~uniform and round-trips") {
+    val data = (1 to 200).map(i => math.pow(i.toDouble, 2))
+    val df = data.toDF("x")
+    val probs = (0 to 32).map(_ / 32.0)
+    val st = NumericalTransformer.fit(df, Seq("x"), quantileProbs = probs)("x")
+    val sc = QuantileGridScaler(st.quantiles.toIndexedSeq)
+    val u = df.select(sc.transform($"x").as("u")).as[Double].collect()
+    assert(u.forall(v => v >= 0 && v <= 1))
+    assert(math.abs(u.sum / u.length - 0.5) < 0.02)
+    val rt = df.select(sc.inverse(sc.transform($"x")).as("r")).as[Double].collect()
+    data.zip(rt).foreach { case (orig, r) => assert(math.abs(orig - r) < 1e-6 * orig.max(1.0)) }
+  }
+
+  test("probit ∘ cdf ≈ identity") {
+    val df = Seq(-3.0, -1.0, 0.0, 0.5, 2.5).toDF("x")
+    val got = df.select(Probit(Probit.cdf($"x")).as("y")).as[Double].collect()
+    Seq(-3.0, -1.0, 0.0, 0.5, 2.5).zip(got).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-4, s"$x -> $y")
+    }
+  }
+}
