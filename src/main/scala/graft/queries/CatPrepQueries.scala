@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.prep._
+
+/** Feature-inference / selection / categorical / datetime coverage
+  * (SURVEY §2.1 rows 1-3 and 15-21).
+  */
+object CatPrepQueries {
+
+  // ---------------------------------------------------------------- §2.1/1
+  val inferTypes: Q = Q(
+    "infer_types",
+    (s, dir) => {
+      val schema = Tables.customer(s, dir).schema
+      import s.implicits._
+      FeatureTypes.infer(schema).map { case (c, t) => (c, t.name) }.toDF("col", "ftype")
+    },
+    Some("""
+      SELECT column_name AS col,
+             CASE WHEN column_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT',
+                                       'FLOAT','DOUBLE','DECIMAL') THEN 'numerical'
+                  WHEN column_type = 'VARCHAR' THEN 'categorical'
+                  WHEN column_type = 'BOOLEAN' THEN 'boolean'
+                  WHEN column_type LIKE 'TIMESTAMP%' OR column_type = 'DATE' THEN 'datetime'
+                  ELSE 'other' END AS ftype
+      FROM (DESCRIBE customer)
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.1/2
+  val selectFeatures: Q = Q(
+    "select_features",
+    (s, dir) => {
+      val aug = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_acctbal"), col("c_name"), col("c_mktsegment"),
+        lit(1.0).as("const_num"),
+        lit("x").as("const_cat"),
+        when(col("c_custkey") % 1000 === 0, "rare").otherwise("common").as("dom_cat"),
+      )
+      val model = FeatureSelector.fit(aug,
+        numericalCols = Seq("c_acctbal", "const_num"),
+        categoricalCols = Seq("c_name", "c_mktsegment", "const_cat", "dom_cat"),
+        catLabelsThreshold = 0.02)
+      val cols = Seq("c_acctbal", "const_num", "c_name", "c_mktsegment", "const_cat", "dom_cat")
+      import s.implicits._
+      cols.map(c => (c, model.dropped.getOrElse(c, "kept"))).toDF("col", "status")
+    },
+    Some("""
+      WITH aug AS (
+        SELECT c_custkey, c_acctbal, c_name, c_mktsegment,
+               1.0 AS const_num, 'x' AS const_cat,
+               CASE WHEN c_custkey % 1000 = 0 THEN 'rare' ELSE 'common' END AS dom_cat
+        FROM customer)
+      SELECT 'c_acctbal' AS col,
+             CASE WHEN min(c_acctbal) = max(c_acctbal) THEN 'single value' ELSE 'kept' END AS status
+      FROM aug
+      UNION ALL
+      SELECT 'const_num',
+             CASE WHEN min(const_num) = max(const_num) THEN 'single value' ELSE 'kept' END
+      FROM aug
+      UNION ALL
+      SELECT 'c_name',
+             CASE WHEN count(*) <= 1 THEN 'single value'
+                  WHEN max(cnt) >= 0.98 * sum(cnt) THEN 'dominant label >= 98%'
+                  ELSE 'kept' END
+      FROM (SELECT count(*) AS cnt FROM aug GROUP BY c_name)
+      UNION ALL
+      SELECT 'c_mktsegment',
+             CASE WHEN count(*) <= 1 THEN 'single value'
+                  WHEN max(cnt) >= 0.98 * sum(cnt) THEN 'dominant label >= 98%'
+                  ELSE 'kept' END
+      FROM (SELECT count(*) AS cnt FROM aug GROUP BY c_mktsegment)
+      UNION ALL
+      SELECT 'const_cat',
+             CASE WHEN count(*) <= 1 THEN 'single value'
+                  WHEN max(cnt) >= 0.98 * sum(cnt) THEN 'dominant label >= 98%'
+                  ELSE 'kept' END
+      FROM (SELECT count(*) AS cnt FROM aug GROUP BY const_cat)
+      UNION ALL
+      SELECT 'dom_cat',
+             CASE WHEN count(*) <= 1 THEN 'single value'
+                  WHEN max(cnt) >= 0.98 * sum(cnt) THEN 'dominant label >= 98%'
+                  ELSE 'kept' END
+      FROM (SELECT count(*) AS cnt FROM aug GROUP BY dom_cat)
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.1/3
+  val shrinkLabels: Q = Q(
+    "shrink_labels",
+    (s, dir) => {
+      val df = Tables.part(s, dir)
+      val model = CategoricalTransformer.fit(df, Seq("p_brand"), threshold = 0.0395)
+      df.select(
+        col("p_partkey"),
+        CategoricalTransformer.shrink(col("p_brand"), model("p_brand")).as("shrunk"),
+        CategoricalTransformer.cleanNulls(
+          when(col("p_partkey") % 11 === 0, "").otherwise(col("p_brand"))).as("none_norm"),
+      )
+    },
+    Some("""
+      WITH counts AS (SELECT p_brand, count(*) AS cnt FROM part GROUP BY 1),
+           tot AS (SELECT count(*) AS total FROM part)
+      SELECT p_partkey,
+             CASE WHEN cnt < 0.0395 * total THEN 'other' ELSE part.p_brand END AS shrunk,
+             CASE WHEN p_partkey % 11 = 0 THEN 'None' ELSE part.p_brand END AS none_norm
+      FROM part JOIN counts ON part.p_brand = counts.p_brand, tot
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/15
+  val oneHot: Q = Q(
+    "onehot",
+    (s, dir) => {
+      val df = Tables.documents(s, dir)
+      val model = CategoricalTransformer.fit(df, Seq("lang"), threshold = 0.01)
+      df.select(col("doc_id") +: CategoricalTransformer.oneHot("lang", model("lang")): _*)
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS lang_de,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_en,
+             CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS lang_es,
+             CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS lang_fr,
+             CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS lang_zh
+      FROM documents
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/16
+  val oneHotRoundtrip: Q = Q(
+    "onehot_roundtrip",
+    (s, dir) => {
+      val df = Tables.documents(s, dir)
+      val model = CategoricalTransformer.fit(df, Seq("lang"), threshold = 0.01)
+      val encoded = df.select(
+        col("doc_id") +: CategoricalTransformer.oneHot("lang", model("lang")): _*)
+      encoded.select(col("doc_id"),
+        CategoricalTransformer.noneToNull(
+          CategoricalTransformer.inverseOneHot("lang", model("lang"))).as("lang"))
+    },
+    Some("SELECT doc_id, lang FROM documents"),
+  )
+
+  // -------------------------------------------------------------- §2.1/17
+  val labelEncode: Q = Q(
+    "label_encode",
+    (s, dir) => {
+      val df = Tables.customer(s, dir)
+      val classes = CategoricalTransformer.fitLabelEncoder(df, "c_mktsegment")
+      df.select(
+        col("c_custkey"),
+        CategoricalTransformer.labelEncode(col("c_mktsegment"), classes).as("y"),
+        CategoricalTransformer.labelDecode(
+          CategoricalTransformer.labelEncode(col("c_mktsegment"), classes), classes)
+          .as("decoded"),
+      )
+    },
+    Some("""
+      SELECT c_custkey, (dense_rank() OVER (ORDER BY c_mktsegment) - 1)::INT AS y,
+             c_mktsegment AS decoded
+      FROM customer
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/18
+  val targetRegression: Q = Q(
+    "target_regression",
+    (s, dir) => {
+      val df = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice").as("v"))
+      val st = NumericalTransformer.fit(df, Seq("v"))("v")
+      val sc = MinMaxScaler(st.min, st.max)
+      df.select(col("o_orderkey"),
+        round(sc.transform(col("v")), 6).as("y"),
+        round(sc.inverse(sc.transform(col("v"))), 4).as("roundtrip"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             round((o_totalprice - min(o_totalprice) OVER ()) /
+                   (max(o_totalprice) OVER () - min(o_totalprice) OVER ()), 6) AS y,
+             round(o_totalprice, 4) AS roundtrip
+      FROM orders
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/19
+  val datetimeEpoch: Q = Q(
+    "datetime_epoch",
+    (s, dir) => {
+      val df = Tables.orders(s, dir).select(col("o_orderkey"),
+        DatetimeTransformer.toEpochSeconds(col("o_orderdate")).as("e"))
+      val st = NumericalTransformer.fit(df, Seq("e"))("e")
+      val sc = MinMaxScaler(st.min, st.max)
+      df.select(col("o_orderkey"),
+        round(sc.transform(col("e")), 6).as("scaled"),
+        DatetimeTransformer.fromEpochSeconds(sc.inverse(sc.transform(col("e")))).as("rt"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             round((epoch(o_orderdate) - min(epoch(o_orderdate)) OVER ()) /
+                   (max(epoch(o_orderdate)) OVER () - min(epoch(o_orderdate)) OVER ()), 6)
+               AS scaled,
+             o_orderdate AS rt
+      FROM orders
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/20
+  val datetimeInfer: Q = Q(
+    "datetime_infer",
+    (s, dir) => {
+      val strings = Tables.orders(s, dir).select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("s"))
+      val fmt = DatetimeTransformer.detectFormat(strings, "s")
+        .getOrElse(sys.error("no datetime format detected"))
+      strings.select(col("o_orderkey"), DatetimeTransformer.parse(col("s"), fmt).as("parsed"))
+    },
+    Some("""
+      SELECT o_orderkey, strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS parsed
+      FROM orders
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/21
+  val boolToInt: Q = Q(
+    "bool_to_int",
+    (s, dir) => {
+      val df = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_returnflag") === "R").as("b"))
+      df.select(col("l_orderkey"), col("l_linenumber"),
+        col("b").cast("int").as("b_int"),
+        col("b").cast("int").cast("boolean").as("b_rt"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b_int,
+             l_returnflag = 'R' AS b_rt
+      FROM lineitem
+    """),
+  )
+
+  val all: Seq[Q] = Seq(inferTypes, selectFeatures, shrinkLabels, oneHot,
+    oneHotRoundtrip, labelEncode, targetRegression, datetimeEpoch,
+    datetimeInfer, boolToInt)
+}
