@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    RelationalQueries.all ++ NumPrepQueries.all ++ CatPrepQueries.all
+    RelationalQueries.all ++ NumPrepQueries.all ++ CatPrepQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

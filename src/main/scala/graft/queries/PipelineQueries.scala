@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.prep._
+
+/** Full Preprocessor orchestration coverage (SURVEY §2.1 rows 22-24):
+  * fit -> transform composed over selection + shrink + fill + scale +
+  * one-hot, and the transform -> inverse_transform round trip
+  * (reference: tests/test_preprocessor.py, tests/test_inverse_transform.py).
+  */
+object PipelineQueries {
+
+  /** customer with deterministic nulls injected (TESTDATA has none):
+    * acctbal null every 7th key, mktsegment empty every 11th, plus a
+    * boolean feature.
+    */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      col("c_nationkey"),
+      when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
+        .as("c_acctbal"),
+      when(col("c_custkey") % 11 === 0, lit("")).otherwise(col("c_mktsegment"))
+        .as("c_mktsegment"),
+      (col("c_custkey") % 2 === 0).as("is_even"),
+    )
+
+  private val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  // -------------------------------------------------------------- §2.1/22
+  val prepPipeline: Q = Q(
+    "prep_pipeline",
+    (s, dir) => {
+      val df = base(s, dir)
+      val model = Preprocessor.fit(df, PrepConfig(
+        excludedCols = Seq("c_custkey"),
+        scaling = Scaling.Standardize,
+        numFillNull = FillStrategy.Mean))
+      val outs = Seq(
+        col("c_custkey"),
+        round(col("c_nationkey"), 6).as("c_nationkey"),
+        round(col("c_acctbal"), 6).as("c_acctbal"),
+        col("is_even"),
+      ) ++ (segs :+ "None").map(v => col(s"c_mktsegment_$v"))
+      model.transform(df).select(outs: _*)
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT c_custkey,
+               c_nationkey::DOUBLE AS nat,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 11 = 0 THEN 'None' ELSE c_mktsegment END AS seg,
+               CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS is_even
+        FROM customer),
+      st AS (
+        SELECT avg(nat) m_n, stddev_samp(nat) s_n,
+               avg(bal) m_a, stddev_samp(bal) s_a
+        FROM b)
+      SELECT c_custkey,
+             round((nat - m_n) / s_n, 6) AS c_nationkey,
+             round((coalesce(bal, m_a) - m_a) / s_a, 6) AS c_acctbal,
+             is_even,
+             ${(segs :+ "None").map(v =>
+               s"CASE WHEN seg = '$v' THEN 1 ELSE 0 END AS c_mktsegment_$v")
+               .mkString(",\n             ")}
+      FROM b, st
+    """),
+  )
+
+  // -------------------------------------------------------------- §2.1/23
+  val prepRoundtrip: Q = Q(
+    "prep_roundtrip",
+    (s, dir) => {
+      val df = base(s, dir)
+      // fill="none" exercises the sentinel path: nulls survive the
+      // round trip (numerical_transformer.py:80-96, 241-269)
+      val model = Preprocessor.fit(df, PrepConfig(
+        excludedCols = Seq("c_custkey"),
+        scaling = Scaling.Standardize,
+        numFillNull = FillStrategy.None_))
+      model.inverseTransform(model.transform(df)).select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        round(col("c_acctbal"), 4).as("c_acctbal"),
+        col("c_mktsegment"),
+        col("is_even"),
+      )
+    },
+    Some("""
+      SELECT c_custkey,
+             c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE round(c_acctbal, 4) END AS c_acctbal,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+             c_custkey % 2 = 0 AS is_even
+      FROM customer
+    """),
+  )
+
+  val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip)
+}

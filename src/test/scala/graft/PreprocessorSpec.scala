@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.prep._
+
+class PreprocessorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, 10.0, "a", true, "2021-01-01"),
+    (2L, 20.0, "a", false, "2021-01-02"),
+    (3L, Double.PositiveInfinity, "b", true, "2021-01-03"),
+    (4L, 40.0, "b", false, "2021-01-04"),
+    (5L, 50.0, "a", true, "2021-01-05"),
+  ).toDF("id", "v", "c", "b", "d")
+
+  test("fit infers types, detects string datetime, keeps features") {
+    val m = Preprocessor.fit(fixture, PrepConfig(excludedCols = Seq("id")))
+    assert(m.numericalFeatures == Seq("v"))
+    assert(m.categoricalFeatures == Seq("c"))
+    assert(m.datetimeFeatures == Seq("d"))
+    assert(m.booleanFeatures == Seq("b"))
+    assert(m.datetimeFormats("d") == "yyyy-MM-dd")
+  }
+
+  test("transform scales, one-hots, casts bool; inf -> null -> fill") {
+    val m = Preprocessor.fit(fixture, PrepConfig(
+      excludedCols = Seq("id"),
+      scaling = Scaling.Normalize,
+      numFillNull = FillStrategy.Mean))
+    val out = m.transform(fixture)
+    assert(out.columns.toSeq == Seq("id", "v", "b", "d", "c_a", "c_b"))
+    val rows = out.orderBy("id").collect()
+    // v: inf -> null -> mean(10,20,40,50)=30 -> (30-10)/40 = 0.5
+    assert(math.abs(rows(2).getDouble(1) - 0.5) < 1e-9)
+    assert(rows(0).getDouble(1) == 0.0 && rows(4).getDouble(1) == 1.0)
+    assert(rows(0).getInt(2) == 1 && rows(1).getInt(2) == 0)
+    // d: epoch min-max scaled to [0,1]
+    assert(rows(0).getDouble(3) == 0.0 && rows(4).getDouble(3) == 1.0)
+    assert(rows(0).getInt(4) == 1 && rows(2).getInt(5) == 1)
+  }
+
+  test("round trip restores values, categories, bools and datetime strings") {
+    val m = Preprocessor.fit(fixture, PrepConfig(
+      excludedCols = Seq("id"),
+      scaling = Scaling.Standardize,
+      numFillNull = FillStrategy.None_))
+    val rt = m.inverseTransform(m.transform(fixture)).orderBy("id").collect()
+    assert(rt.map(_.getString(2)).toSeq == Seq("a", "a", "b", "b", "a"))
+    assert(rt.map(_.getBoolean(3)).toSeq == Seq(true, false, true, false, true))
+    assert(rt.map(_.getString(4)).toSeq ==
+      Seq("2021-01-01", "2021-01-02", "2021-01-03", "2021-01-04", "2021-01-05"))
+    assert(math.abs(rt(0).getDouble(1) - 10.0) < 1e-6)
+    assert(rt(2).isNullAt(1)) // inf -> null -> sentinel -> null
+  }
+
+  test("classification target is label-encoded and inverts") {
+    val df = fixture.withColumn("y", concat(lit("cls"), ($"id" % 2).cast("string")))
+    val m = Preprocessor.fit(df, PrepConfig(
+      excludedCols = Seq("id"),
+      mlTask = Some(MlTask.Classification),
+      targetColumn = Some("y")))
+    val enc = m.transform(df).select("y").as[Int].collect().toSeq
+    assert(enc == Seq(1, 0, 1, 0, 1))
+    val dec = m.inverseTransform(m.transform(df)).select("y").as[String].collect().toSeq
+    assert(dec == Seq("cls1", "cls0", "cls1", "cls0", "cls1"))
+  }
+
+  test("regression target normalizes to [0,1] and inverts") {
+    val df = fixture.withColumn("y", $"id".cast("double") * 10)
+    val m = Preprocessor.fit(df, PrepConfig(
+      excludedCols = Seq("id"),
+      mlTask = Some(MlTask.Regression),
+      targetColumn = Some("y")))
+    val enc = m.transform(df).select("y").as[Double].collect().toSeq
+    assert(enc == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    val dec = m.inverseTransform(m.transform(df)).select("y").as[Double].collect().toSeq
+    assert(dec == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+  }
+
+  test("single-value and dominant columns are dropped end to end") {
+    val df = (1 to 200).map(i =>
+      (i.toLong, i.toDouble, 7.0, if (i <= 199) "dom" else "rare", if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "v", "konst", "dom", "ok")
+    val m = Preprocessor.fit(df, PrepConfig(excludedCols = Seq("id")))
+    assert(m.dropped.keySet == Set("konst", "dom"))
+    val out = m.transform(df)
+    assert(!out.columns.contains("konst") && !out.columns.exists(_.startsWith("dom")))
+    assert(out.columns.toSeq == Seq("id", "v", "ok_x", "ok_y"))
+  }
+
+  test("get_features_sizes reports numerical count and dummy widths") {
+    val m = Preprocessor.fit(fixture, PrepConfig(excludedCols = Seq("id")))
+    val (numSizes, catSizes) = m.getFeaturesSizes
+    assert(numSizes == Seq(1))
+    assert(catSizes == Seq(2)) // c -> {a, b}
+    assert(m.getNumericalFeatures == Seq("v"))
+    assert(m.getCategoricalFeatures == Seq("c"))
+  }
+
+  test("ordered fill strategies flow through the pipeline per series") {
+    val df = Seq(
+      ("s1", 1L, Some(1.0)), ("s1", 2L, None), ("s1", 3L, Some(3.0)),
+      ("s2", 1L, None), ("s2", 2L, Some(5.0)),
+    ).toDF("sk", "t", "v")
+    val m = Preprocessor.fit(df, PrepConfig(
+      excludedCols = Seq("sk", "t"),
+      seriesKey = Some("sk"), timeId = Some("t"),
+      orderedFill = Some("interpolate")))
+    val out = m.transform(df).orderBy("sk", "t").collect()
+    assert(out(1).getDouble(2) == 2.0)  // interpolated
+    assert(out(3).isNullAt(2))          // leading null stays null
+  }
+}
