@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** tsfresh-style per-series time-series features
+  * (reference: preprocessor.py:558-638 `extract_ts_features`, which
+  * delegates to tsfresh `extract_features`; definitions follow
+  * tsfresh's feature_calculators).
+  *
+  * Scale design: every feature set is ONE `groupBy(seriesKey)` — hash
+  * shuffle on the series key with map-side partial aggregation. The
+  * order-dependent features (changes, autocorrelation, trend) first
+  * apply a window partitioned BY THE SAME KEY, so the subsequent
+  * groupBy reuses the exchange — one shuffle total, never a global
+  * sort. Std/var are population (ddof=0) to match tsfresh/numpy.
+  */
+object TsFeatures {
+
+  /** count/mean/std/min/max/sum/median/abs_energy
+    * (tsfresh: length, mean, standard_deviation, minimum, maximum,
+    * sum_values, median, abs_energy).
+    */
+  def basic(df: DataFrame, seriesKey: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(col(seriesKey)).agg(
+      count(v).as("n"),
+      avg(v).as("mean_v"),
+      stddev_pop(v).as("std_v"),
+      min(v).as("min_v"),
+      max(v).as("max_v"),
+      sum(v).as("sum_v"),
+      percentile(v, lit(0.5)).as("median_v"),
+      sum(v * v).as("abs_energy"),
+    )
+  }
+
+  /** mean_abs_change, mean_change, lag-1 autocorrelation (tsfresh
+    * definitions: mean(|x_{i+1}-x_i|), (x_n-x_1)/(n-1), and
+    * sum((x_t-mu)(x_{t+1}-mu)) / ((n-1) * var_pop)).
+    */
+  def change(df: DataFrame, seriesKey: String, orderCols: Seq[String], valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(seriesKey))
+    val v = col(valueCol)
+    val withLag = df.select(
+      col(seriesKey), v.as("v"),
+      lag(v, 1).over(w).as("prev"),
+      avg(v).over(wAll).as("mu"),
+    )
+    // try_divide: single-point series (n-1 = 0) and constant series
+    // (var_pop = 0) yield null, matching tsfresh's NaN
+    withLag.groupBy(col(seriesKey)).agg(
+      avg(abs(col("v") - col("prev"))).as("mean_abs_change"),
+      try_divide(sum(col("v") - col("prev")), count(lit(1)) - 1).as("mean_change"),
+      try_divide(sum((col("v") - col("mu")) * (col("prev") - col("mu"))),
+        (count(lit(1)) - 1) * var_pop(col("v"))).as("autocorr_lag1"),
+    )
+  }
+
+  /** Linear-trend slope/intercept of value over the 0-based row index
+    * within the series (tsfresh linear_trend over range(len)).
+    */
+  def trend(df: DataFrame, seriesKey: String, orderCols: Seq[String], valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val indexed = df.select(
+      col(seriesKey), col(valueCol).as("v"),
+      (row_number().over(w) - 1).cast("double").as("idx"),
+    )
+    indexed.groupBy(col(seriesKey)).agg(
+      regr_slope(col("v"), col("idx")).as("trend_slope"),
+      regr_intercept(col("v"), col("idx")).as("trend_intercept"),
+    )
+  }
+
+  /** Tumbling-window resample: bucket by `widthNanos` over a
+    * nanosecond-epoch timestamp column, aggregate per (series, bucket).
+    * One shuffle on the composite key.
+    */
+  def resample(df: DataFrame, seriesKey: String, tsNanosCol: String,
+               valueCol: String, widthNanos: Long): DataFrame = {
+    val bucket = floor(col(tsNanosCol) / lit(widthNanos)).as("bucket")
+    df.groupBy(col(seriesKey), bucket).agg(
+      count(lit(1)).as("n"),
+      avg(col(valueCol)).as("mean_v"),
+      sum(col(valueCol)).as("sum_v"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v"),
+    )
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TsFeatures
+
+class TsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // series A: 1,2,4,8 ; series B: 5,5
+  private def df = Seq(
+    ("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 4.0), ("A", 4L, 8.0),
+    ("B", 1L, 5.0), ("B", 2L, 5.0),
+  ).toDF("sk", "t", "v")
+
+  test("basic features match hand-computed values") {
+    val r = TsFeatures.basic(df, "sk", "v").orderBy("sk").collect()
+    val a = r(0)
+    assert(a.getLong(1) == 4)                       // n
+    assert(a.getDouble(2) == 3.75)                  // mean
+    assert(math.abs(a.getDouble(3) - math.sqrt((1 - 3.75) * (1 - 3.75) // std_pop
+      + (2 - 3.75) * (2 - 3.75) + (4 - 3.75) * (4 - 3.75) + (8 - 3.75) * (8 - 3.75)) / 2) < 1e-9)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 8.0)
+    assert(a.getDouble(6) == 15.0)                  // sum
+    assert(a.getDouble(7) == 3.0)                   // median (2+4)/2
+    assert(a.getDouble(8) == 1 + 4 + 16 + 64)       // abs_energy
+  }
+
+  test("change features: mean_abs_change, mean_change, autocorr") {
+    val r = TsFeatures.change(df, "sk", Seq("t"), "v").orderBy("sk").collect()
+    val a = r(0)
+    assert(math.abs(a.getDouble(1) - (1 + 2 + 4) / 3.0) < 1e-9)   // mean_abs_change
+    assert(math.abs(a.getDouble(2) - (8 - 1) / 3.0) < 1e-9)       // mean_change
+    // autocorr_lag1 = sum((x_t-mu)(x_{t+1}-mu)) / ((n-1)*var_pop)
+    val mu = 3.75
+    val varp = ((1 - mu) * (1 - mu) + (2 - mu) * (2 - mu) + (4 - mu) * (4 - mu) + (8 - mu) * (8 - mu)) / 4
+    val cov = (2 - mu) * (1 - mu) + (4 - mu) * (2 - mu) + (8 - mu) * (4 - mu)
+    assert(math.abs(a.getDouble(3) - cov / (3 * varp)) < 1e-9)
+  }
+
+  test("trend: exact line recovers slope/intercept") {
+    val lin = Seq(("A", 1L, 3.0), ("A", 2L, 5.0), ("A", 3L, 7.0)).toDF("sk", "t", "v")
+    val r = TsFeatures.trend(lin, "sk", Seq("t"), "v").collect()(0)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-9)
+  }
+
+  test("resample buckets by width and aggregates") {
+    val e = Seq(("A", 0L, 1.0), ("A", 5L, 3.0), ("A", 10L, 10.0)).toDF("sk", "ts", "v")
+    val r = TsFeatures.resample(e, "sk", "ts", "v", 10L).orderBy("bucket").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(2) == 2 && r(0).getDouble(3) == 2.0)  // bucket 0: {1,3}
+    assert(r(1).getLong(2) == 1 && r(1).getDouble(5) == 10.0) // bucket 1: {10}
+  }
+}
