@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     RelationalQueries.all ++ NumPrepQueries.all ++ CatPrepQueries.all ++
-      PipelineQueries.all ++ TsQueries.all
+      PipelineQueries.all ++ TsQueries.all ++ DedupQueries.all ++
+      TextQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

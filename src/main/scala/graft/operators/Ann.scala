@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.3 rows 34-36).
+  *
+  * Scale design: brute-force top-k BROADCASTS the (small) query side —
+  * the corpus streams once, no shuffle of the big side; per-query
+  * ranking is a window over (query, sim). The LSH path replaces the
+  * corpus scan with a bucket join on random-hyperplane signatures:
+  * L tables x b bits, shuffle keyed on (table, bucket) — bounded
+  * buckets, candidates verified exactly.
+  */
+object Ann {
+
+  /** Σ a_i*b_i as a pure fold expression (codegen, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All pairs (id_a < id_b) with cosine >= threshold. Exact pairwise —
+    * the oracle-parity path (broadcast nested-loop on the smaller side);
+    * at 100 TB use the [[lshTopK]] bucket join instead.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    // spread the pairwise compute across cores: single-row-group
+    // parquet would otherwise pin the nested-loop join to one task
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).repartition(par, col("id"))
+    val withNorm = v.select(col("id"), col("v"), norm(col("v")).as("nrm"))
+    withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector: broadcast the
+    * query side, stream the corpus, window-rank per query.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("cv")).repartition(par, col("nn_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id"))
+    scored.select(col("query_id"), col("nn_id"), col("cosine"),
+      row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic Rademacher (+-1) hyperplanes: table t, bit j,
+    * dim d -> sign from a seeded driver-side PRNG, shipped as a literal.
+    */
+  private def planes(tables: Int, bits: Int, dims: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dims)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Bucket id per LSH table: `bits` sign bits of hyperplane dots. */
+  def lshBuckets(vec: Column, tables: Int, bits: Int, dims: Int, seed: Long = 7L): Column = {
+    val ps = planes(tables, bits, dims, seed)
+    array((0 until tables).map { t =>
+      val bucket = (0 until bits).map { j =>
+        val plane = typedLit(ps(t)(j).toSeq)
+        when(dot(vec, plane) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share a bucket in any
+    * of `tables` hyperplane tables; exact cosine + window rank on the
+    * (deduplicated) candidates. Recall grows with `tables`, cost with
+    * bucket occupancy (~n / 2^bits per table).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, tables: Int = 16, bits: Int = 4, dims: Int = 64,
+              seed: Long = 7L): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    def banded(df: DataFrame, idAs: String, vAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vAs))
+        .repartition(par, col(idAs))
+        .select(col(idAs), col(vAs),
+          explode(lshBuckets(col(vAs), tables, bits, dims, seed)).as("bk"))
+        .select(col(idAs), col(vAs), col("bk.tbl"), col("bk.bucket"))
+    val c = banded(corpus, "nn_id", "cv")
+    val q = banded(queries, "query_id", "qv")
+    val cands = c.join(q,
+      c("tbl") === q("tbl") && c("bucket") === q("bucket") &&
+        col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "nn_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id"))
+    cands.select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("nn_id"), col("cosine"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+}

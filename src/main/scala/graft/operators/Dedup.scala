@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale text pipelines (SURVEY §2.3):
+  * exact (hash groupBy), MinHash+LSH, SimHash+Hamming bands, and exact
+  * blocked n-gram Jaccard.
+  *
+  * Scale design:
+  *  - exact dedup: one groupBy on the content hash — balanced shuffle
+  *    keys (md5), map-side partial min.
+  *  - MinHash: signatures are pure column expressions (no shuffle);
+  *    the LSH band join shuffles on (band, bandHash) — bounded bucket
+  *    sizes make the candidate verify O(candidates), never O(n²).
+  *  - SimHash: one explode+groupBy per doc (map-side partials), then
+  *    the same band-join pattern on 16-bit sub-signatures.
+  */
+object Dedup {
+
+  /** Whitespace word shingles of `k` consecutive words, distinct.
+    * Pure expression: split + transform over an index sequence.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val words = split(text, " ")
+    // guard: sequence(0, negative) would produce a DESCENDING range
+    val grams = transform(
+      sequence(lit(0), size(words) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*),
+    )
+    when(size(words) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** Normalized text for near-exact dedup: lowercase, collapse
+    * whitespace runs, trim.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Keep-first exact dedup: group on md5(keyExpr), survivor = min id.
+    * Returns (idCol, content_hash).
+    */
+  def exact(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
+    df.groupBy(md5(keyExpr).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("content_hash"))
+
+  /** MinHash signature: `numPerms` permutations h_j(s) = (a_j*x + b_j)
+    * mod p over xxhash64 shingle values; sig_j = min over shingles.
+    * One array traversal per permutation — zero shuffle.
+    */
+  private val MersennePrime = (1L << 61) - 1
+  private def permCoeffs(numPerms: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerms)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** Base shingle hashes: xxhash64 reduced to 30 bits (so a*x below
+    * stays within a signed Long — ANSI mode throws on overflow).
+    * Hash each shingle ONCE; the permutations reuse this column.
+    */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(1L << 30)))
+
+  /** MinHash signature over pre-hashed shingles: sig_j =
+    * min over h of (a_j*h + b_j) mod p. a reduced to 32 bits.
+    */
+  def minhashSignature(hashes: Column, numPerms: Int = 128, seed: Long = 42L): Column = {
+    val coeffs = permCoeffs(numPerms, seed)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(hashes,
+        h => pmod(h * lit(a % (1L << 32)) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** LSH band keys from a signature: `numBands` bands of
+    * sig.length/numBands rows each; key = xxhash64 of the band slice
+    * (xxhash64 hashes arrays natively). Explodes to one row per
+    * (doc, band).
+    */
+  def lshBands(sig: Column, numBands: Int, numPerms: Int): Column = {
+    val rows = numPerms / numBands
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rows + 1, rows)).as("band_hash"))
+    }: _*)
+  }
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle -> signature -> band buckets ->
+    * bucket self-join (id_a < id_b) -> exact-Jaccard verify >= threshold.
+    * Output: (id_a, id_b, jaccard).
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerms: Int = 128, numBands: Int = 32,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    // repartition BEFORE the expensive signature projection: small
+    // parquet inputs arrive as one row-group partition, and signature
+    // generation is the per-row hot spot. The exchange also stops
+    // CollapseProject from inlining (= re-evaluating) the shingle
+    // array into the signature expression.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .repartition(par, col("id"))
+    // hs and sig live in separate projections: each is expensive and
+    // consumed many times downstream, so CollapseProject keeps them
+    // materialized instead of inlining (SPARK-36718 cost check).
+    val banded = sh
+      .select(col("id"), col("sh"), shingleHashes(col("sh")).as("hs"))
+      .select(col("id"), col("sh"),
+        minhashSignature(col("hs"), numPerms, seed).as("sig"))
+      .select(col("id"), col("sh"),
+        explode(lshBands(col("sig"), numBands, numPerms)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.band_hash"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact blocked n-gram Jaccard: explode shingles, self-join within
+    * `blockCols` on the shingle (never a cross join), count
+    * intersections, derive Jaccard from fitted set sizes.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], shingleK: Int, threshold: Double): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol).as("id") +: blockCols.map(col) :+
+        wordShingles(col(textCol), shingleK).as("sh"): _*)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val exploded = sh.select(col("id") +: blockCols.map(col) :+
+      explode(col("sh")).as("s"): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.s") === col("b.s") && col("a.id") < col("b.id"))(_ && _)
+    val inter = exploded.as("a").join(exploded.as("b"), joinCond)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash as 4 x 16-bit band values (avoids 64-bit sign overflow,
+    * bands double as the LSH keys). Per word w and global bit position
+    * p: contribute +1 if bit p of xxhash64(w) is set else -1; band bit
+    * set iff the sum is >= 0. Weighted by term frequency via
+    * explode+groupBy (map-side partials).
+    */
+  def simhashBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val words = df.select(col(idCol).as("id"), col(textCol))
+      .repartition(par, col("id"))
+      .select(col("id"), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+    val h = xxhash64(col("w"))
+    val bandAggs = (0 until 4).map { band =>
+      val bits = (0 until 16).map { r =>
+        val p = band * 16 + r
+        val contrib = when(shiftright(h, p).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
+        when(sum(contrib) >= 0, lit(1L << r)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).cast("long").as(s"band$band")
+    }
+    words.groupBy(col("id")).agg(bandAggs.head, bandAggs.tail: _*)
+  }
+
+  /** Hamming distance between two simhash band quadruples. */
+  def hammingDist(aBands: Seq[Column], bBands: Seq[Column]): Column =
+    aBands.zip(bBands).map { case (a, b) => bit_count(a.bitwiseXOR(b)) }
+      .reduce(_ + _)
+
+  /** SimHash near-dup pairs: candidates share at least one 16-bit band
+    * value; verified by full Hamming distance <= maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashBands(df, idCol, textCol)
+    val bandCols = (0 until 4).map(b => s"band$b")
+    val banded = sigs.select(col("id") +: bandCols.map(col) :+
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"band$b").as("bv"))): _*)).as("bk"): _*)
+      .select(col("id") +: bandCols.map(col) :+ col("bk.band") :+ col("bk.bv"): _*)
+    val joined = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDist(bandCols.map(c => col(s"a.$c")), bandCols.map(c => col(s"b.$c")))
+          .as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+    joined.where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2.3 row 41): media ride along
+  * as opaque `binary` columns with typed metadata; decode /
+  * feature-extract runs batched per partition.
+  *
+  * The decode kernel itself is a STUB — image/audio codecs aren't in
+  * this container — but everything Spark-side is real: schema, typed
+  * Dataset, partition-batched execution (the `mapPartitions` shape a
+  * vectorized/Arrow UDF would use), and deterministic fake features so
+  * tests can assert the plumbing end to end.
+  */
+object Multimodal {
+
+  /** A media blob + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String,          // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,        // stands in for the decoded-content digest
+      feat_mean: Double,     // stands in for a pooled feature vector
+      batch_size: Int,       // size of the partition batch it rode in
+  )
+
+  /** Deterministic stand-in for a real decoder: in production this is
+    * the codec call (e.g. JPEG decode -> HxWx3 tensor); here it digests
+    * the bytes so results are stable and assertable.
+    */
+  def stubDecode(bytes: Array[Byte]): (Long, Double) = {
+    var crc = 0L
+    var i = 0
+    while (i < bytes.length) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
+    val mean = if (bytes.isEmpty) 0.0
+               else bytes.iterator.map(b => (b & 0xff).toDouble).sum / bytes.length
+    (crc, mean)
+  }
+
+  /** Batched per-partition decode: drains the partition in
+    * `batchSize`-record chunks (the batch shape an Arrow-based decode
+    * UDF would see), runs the kernel per record, emits features.
+    * Narrow — no shuffle; partition count = upstream file splits.
+    */
+  def decodeFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (crc, mean) = stubDecode(r.bytes)
+          MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, crc, mean, batch.size)
+        }
+      }
+    }
+  }
+
+  /** Synthesize a media table from documents: text bytes stand in for
+    * the blob; metadata derived deterministically. Real pipelines read
+    * (path, bytes) from `spark.read.format("binaryFile")` or parquet
+    * with a binary column — the downstream plumbing is identical.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      (col("doc_id") % 640 + 1).cast("int").as("width"),
+      (col("doc_id") % 480 + 1).cast("int").as("height"),
+      when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"),
+    ).as[MediaRecord]
+  }
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Ann, Dedup}
+
+/** Deduplication + similarity coverage (SURVEY §2.3 rows 29-36).
+  * TESTDATA documents are all-distinct, so every dedup query injects
+  * duplicates deterministically (copies at doc_id+100000) in BOTH the
+  * Spark plan and the oracle SQL.
+  */
+object DedupQueries {
+
+  /** documents ∪ exact copies of every 10th doc. */
+  private def dupedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val dupedDocsSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0"""
+
+  /** documents ∪ case/whitespace variants of every 10th doc. */
+  private def messyDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  ")).as("text")))
+  }
+
+  private val messyDocsSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, '  ' || upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0"""
+
+  /** documents ∪ near-dup copies (3 words appended) of every 10th doc. */
+  private def nearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker words")).as("text")))
+  }
+
+  private val nearDupDocsSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, text || ' tail marker words' FROM documents WHERE doc_id % 10 = 0"""
+
+  // ---------------------------------------------------------------- §2.3/29
+  val dedupExact: Q = Q(
+    "dedup_exact",
+    (s, dir) => Dedup.exact(dupedDocs(s, dir), "doc_id", col("text")),
+    Some(s"""
+      SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+      FROM ($dupedDocsSql) GROUP BY md5(text)
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.3/30
+  val dedupExactNorm: Q = Q(
+    "dedup_exact_norm",
+    (s, dir) => Dedup.exact(messyDocs(s, dir), "doc_id",
+      Dedup.normalizeText(col("text"))),
+    Some(s"""
+      SELECT min(doc_id) AS doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM ($messyDocsSql) GROUP BY 2
+    """),
+  )
+
+  /** Exact-Jaccard SQL over word 3-gram shingle sets — the oracle for
+    * the MinHash+LSH path (candidate recall is ~1 at J >= 0.9 with
+    * 128 perms / 32 bands).
+    */
+  private def exactJaccardSql(corpusSql: String, k: Int, threshold: Double) = s"""
+    WITH corpus AS ($corpusSql),
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+      SELECT doc_id, s
+      FROM words,
+           unnest(list_distinct(CASE WHEN len(ws) < $k THEN []::VARCHAR[]
+             ELSE list_transform(range(1, len(ws) - ${k - 2}),
+                  i -> array_to_string(ws[i:i+${k - 1}], ' ')) END)) AS t(s)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $threshold
+  """
+
+  // ---------------------------------------------------------------- §2.3/31
+  val dedupMinhash: Q = Q(
+    "dedup_minhash",
+    (s, dir) => Dedup.minhashPairs(nearDupDocs(s, dir), "doc_id", "text",
+      shingleK = 3, numPerms = 128, numBands = 32, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+    Some(exactJaccardSql(nearDupDocsSql, 3, 0.8)),
+  )
+
+  // ---------------------------------------------------------------- §2.3/32
+  val dedupNgramJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val dup = d.unionAll(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" tail marker words")).as("text"), col("lang")))
+      Dedup.ngramJaccardPairs(dup, "doc_id", "text",
+        blockCols = Seq("lang"), shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' tail marker words', lang
+        FROM documents WHERE doc_id % 10 = 0),
+      words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM corpus),
+      sh AS (
+        SELECT doc_id, lang, s
+        FROM words,
+             unnest(list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(ws[i:i+2], ' ')) END)) AS t(s)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM pairs
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.3/33
+  /** SimHash pairs: xxhash64 is engine-specific, so this is a
+    * rows-only check for the driver plus the behavioral spec in
+    * DedupSpec (injected near-dups collide, distinct docs don't).
+    */
+  val dedupSimhash: Q = Q(
+    "dedup_simhash",
+    (s, dir) => Dedup.simhashPairs(nearDupDocs(s, dir), "doc_id", "text",
+      maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming")),
+    None,
+  )
+
+  // ---------------------------------------------------------------- §2.3/34
+  val dedupEmbedding: Q = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dup = e.unionAll(e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v")))
+      Ann.cosinePairs(dup, "vec_id", "v", threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.01)
+        FROM embeddings WHERE vec_id % 20 = 0),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.3/35
+  val knnBruteforce: Q = Q(
+    "knn_bruteforce",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.where(col("vec_id") < 20)
+      Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nn_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id != q.vec_id),
+      ranked AS (
+        SELECT query_id, nn_id, round(cosine, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id)
+                 AS rank
+        FROM scored)
+      SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 5
+    """),
+  )
+
+  // ---------------------------------------------------------------- §2.3/36
+  /** LSH ANN: bucket assignment depends on engine-side seeded planes —
+    * rows-only for the driver; AnnSpec asserts recall vs brute force.
+    */
+  val knnLsh: Q = Q(
+    "knn_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.where(col("vec_id") < 20)
+      Ann.lshTopK(e, queries, "vec_id", "embedding", k = 5,
+        tables = 16, bits = 4, dims = 64)
+        .select(col("query_id"), col("nn_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    },
+    None,
+  )
+
+  val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash,
+    dedupNgramJaccard, dedupSimhash, dedupEmbedding, knnBruteforce, knnLsh)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine expressions") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val r = df.select(Ann.dot($"a", $"b"), Ann.cosine($"a", $"b")).collect()
+    assert(r(0).getDouble(0) == 0.0 && math.abs(r(0).getDouble(1)) < 1e-12)
+    assert(r(1).getDouble(0) == 2.0 && math.abs(r(1).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("cosinePairs finds only the near-identical pair") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.99, 0.1, 0.0)), (3L, Seq(0.0, 1.0, 0.0)),
+    ).toDF("id", "v")
+    val pairs = Ann.cosinePairs(df, "id", "v", 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+  }
+
+  test("brute-force top-k ranks by cosine, excludes self") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val out = Ann.bruteForceTopK(e, e.where($"vec_id" < 5), "vec_id", "embedding", 3)
+    val rows = out.collect()
+    assert(rows.length == 15) // 5 queries x 3
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh top-k achieves reasonable recall vs brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where($"vec_id" < 10)
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(e, q, "vec_id", "embedding", 5, tables = 16, bits = 4)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}

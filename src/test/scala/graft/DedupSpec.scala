@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "a completely different document about spark and large scale data"),
+    (3L, "the quick brown fox jumps over the lazy dog again and often"),
+  ).toDF("id", "text")
+
+  test("wordShingles produces distinct k-grams; short text -> empty") {
+    val sh = base.select(Dedup.wordShingles($"text", 3).as("sh"))
+      .where($"sh".isNotNull).collect()
+    assert(sh(0).getSeq[String](0).size == 10) // 12 words -> 10 trigrams
+    val short = Seq("one two").toDF("text")
+      .select(Dedup.wordShingles($"text", 3)).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup keeps first id per identical content") {
+    val df = base.unionAll(Seq((10L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text"))
+    val out = Dedup.exact(df, "id", $"text").orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("minhash pairs finds the near-dup pair, not the unrelated one") {
+    val pairs = Dedup.minhashPairs(base, "id", "text",
+      shingleK = 2, numPerms = 128, numBands = 32, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 3L)
+    // 11 distinct bigrams each, 10 shared: J = 10/12
+    assert(math.abs(pairs(0).getDouble(2) - 10.0 / 12.0) < 1e-9)
+  }
+
+  test("ngram jaccard matches hand-computed value with blocking") {
+    val blocked = base.withColumn("grp", lit("x"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "id", "text",
+      Seq("grp"), shingleK = 2, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(math.abs(pairs(0).getDouble(2) - 10.0 / 12.0) < 1e-9)
+  }
+
+  test("simhash: near-dups collide within hamming budget, unrelated don't") {
+    val pairs = Dedup.simhashPairs(base, "id", "text", maxHamming = 8).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+    assert(!pairs.exists(r => r.getLong(1) == 2L || r.getLong(0) == 2L))
+  }
+
+  test("simhash bands are 16-bit values") {
+    val sigs = Dedup.simhashBands(base, "id", "text").collect()
+    sigs.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < 65536))
+    }
+  }
+}

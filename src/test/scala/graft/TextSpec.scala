@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("token counts: whitespace, regex, char estimate") {
+    val df = Seq("the quick brown fox", "hello, world! 42").toDF("t")
+    val r = df.select(
+      TextAnalysis.wsTokens($"t"),
+      TextAnalysis.regexTokens($"t"),
+      TextAnalysis.charEstimateTokens($"t")).collect()
+    assert(r(0).getInt(0) == 4 && r(0).getInt(1) == 4)
+    assert(r(1).getInt(0) == 3)
+    assert(r(1).getInt(1) == 5) // hello , world ! 42
+    assert(r(0).getLong(2) == math.ceil(19 / 4.0).toLong)
+  }
+
+  test("quality signals on a known sentence") {
+    val df = Seq("the cat, the hat!").toDF("t")
+    val r = df.select(
+      TextAnalysis.punctRatio($"t"),
+      TextAnalysis.stopwordRatio($"t"),
+      TextAnalysis.meanWordLen($"t"),
+      TextAnalysis.alphaRatio($"t")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 2.0 / 17) < 1e-9)   // , and !
+    assert(math.abs(r.getDouble(1) - 2.0 / 4) < 1e-9)    // the, the
+    assert(math.abs(r.getDouble(2) - 14.0 / 4) < 1e-9)   // chars in ws-words
+    assert(math.abs(r.getDouble(3) - 12.0 / 17) < 1e-9)
+  }
+
+  test("langId picks the language with most markers; ties -> code order") {
+    val df = Seq("der hund und die katze ist hier", "the dog and the cat is here")
+      .toDF("t")
+    val r = df.select(TextAnalysis.langId($"t")).collect()
+    assert(r(0).getStruct(0).getString(0) == "de")
+    assert(r(1).getStruct(0).getString(0) == "en")
+  }
+
+  test("winnowCount: deterministic, bounded by gram count, 0 for short text") {
+    val df = Seq("abcdefghijklmnop", "abc").toDF("t")
+    val r = df.select(TextAnalysis.winnowCount($"t", 5, 4)).collect()
+    val n = r(0).getInt(0)
+    assert(n >= 1 && n <= 12) // 12 5-grams
+    assert(r(1).getInt(0) == 0)
+    val r2 = df.select(TextAnalysis.winnowCount($"t", 5, 4)).collect()
+    assert(r2(0).getInt(0) == n)
+  }
+}
