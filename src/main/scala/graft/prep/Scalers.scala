@@ -140,6 +140,27 @@ object Probit {
     when(p < lit(pLow), xLow).when(p > lit(pHigh), xHigh).otherwise(xMid)
   }
 
+  /** The same probit as ANSI SQL (DuckDB-compatible), generated from
+    * the same coefficients — the oracle for quantile->normal queries.
+    * `p` is a SQL expression for the (unclipped) uniform input.
+    */
+  def sql(p: String): String = {
+    def poly(coeffs: Seq[Double], x: String): String =
+      coeffs.tail.foldLeft(s"(${coeffs.head})")((acc, k) => s"($acc * $x + ($k))")
+    val pc = s"least(greatest($p, $eps), ${1 - eps})"
+    s"""(CASE
+       |  WHEN $pc < $pLow THEN
+       |    (${poly(cc, s"sqrt(-2.0 * ln($pc))")}) /
+       |    ((${poly(d, s"sqrt(-2.0 * ln($pc))")}) * sqrt(-2.0 * ln($pc)) + 1.0)
+       |  WHEN $pc > $pHigh THEN
+       |    -((${poly(cc, s"sqrt(-2.0 * ln(1.0 - $pc))")}) /
+       |      ((${poly(d, s"sqrt(-2.0 * ln(1.0 - $pc))")}) * sqrt(-2.0 * ln(1.0 - $pc)) + 1.0))
+       |  ELSE
+       |    (${poly(a, s"(($pc - 0.5) * ($pc - 0.5))")}) * ($pc - 0.5) /
+       |    ((${poly(b, s"(($pc - 0.5) * ($pc - 0.5))")}) * (($pc - 0.5) * ($pc - 0.5)) + 1.0)
+       |END)""".stripMargin
+  }
+
   /** Standard normal CDF via erf (A&S 7.1.26, |err| < 1.5e-7). */
   def cdf(x: Column): Column = {
     val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * abs(x) / sqrt(lit(2.0)))

@@ -210,22 +210,42 @@ object NumPrepQueries {
     """),
   )
 
-  // -------------------------------------------------------------- §2.1/12
+  // ----------------------------------------------------------- §2.1/12-13
   /** Exact rank-based quantile->uniform (the fit==transform special
-    * case of QuantileTransformer). Scale path is the fitted-grid
-    * QuantileGridScaler (see scale_kbins for grid fitting); the rank
-    * window here is a distributed range-partitioned sort.
+    * case of QuantileTransformer), via the distributed
+    * [[graft.operators.Rank]] range-partitioned sort — never a
+    * single-partition global window. Scale alternative for
+    * fit-then-transform: the fitted-grid QuantileGridScaler.
     */
   val scaleQuantileUniform: Q = Q(
     "scale_quantile_uniform",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
-        .select(col("c_custkey"), round(percent_rank().over(w), 6).as("q"))
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      graft.operators.Rank.withPercentRank(df, "v", "q")
+        .select(col("c_custkey"), round(col("q"), 6).as("q"))
     },
     Some("""
       SELECT c_custkey, round(percent_rank() OVER (ORDER BY c_acctbal), 6) AS q
       FROM customer
+    """),
+  )
+
+  /** Quantile->normal(0,1): percent-rank composed with the Acklam
+    * probit (pure column arithmetic, no UDF); the oracle replays the
+    * identical rational approximation in SQL via [[Probit.sql]].
+    */
+  val scaleQuantileNormal: Q = Q(
+    "scale_quantile_normal",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      graft.operators.Rank.withPercentRank(df, "v", "q")
+        .select(col("c_custkey"), round(Probit(col("q")), 6).as("z"))
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT c_custkey, percent_rank() OVER (ORDER BY c_acctbal) AS q
+        FROM customer)
+      SELECT c_custkey, round(${Probit.sql("q")}, 6) AS z FROM r
     """),
   )
 
@@ -249,5 +269,5 @@ object NumPrepQueries {
 
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
-    scaleQuantileUniform, scaleKBins)
+    scaleQuantileUniform, scaleQuantileNormal, scaleKBins)
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Rank
+
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed percent_rank equals the window percent_rank, incl. ties") {
+    val df = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 8.0, 3.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Rank.withPercentRank(df, "v", "pr")
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    val want = df.select($"id", percent_rank().over(Window.orderBy($"v")).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == want)
+  }
+
+  test("single row ranks 0.0") {
+    val df = Seq((1L, 42.0)).toDF("id", "v")
+    val r = Rank.withPercentRank(df, "v", "pr").select("pr").as[Double].collect()
+    assert(r.toSeq == Seq(0.0))
+  }
+
+  test("rank is correct at 10k rows (AQE may coalesce small outputs)") {
+    val df = spark.range(10000).select($"id",
+      (($"id" * 2654435761L) % 10007).cast("double").as("v"))
+    val ranked = Rank.withPercentRank(df, "v", "pr")
+    val minMax = ranked.agg(min("pr"), max("pr")).head()
+    assert(minMax.getDouble(0) == 0.0 && minMax.getDouble(1) == 1.0)
+    // spot-check: pr of value v == (#smaller)/(n-1)
+    val some = ranked.where($"v" === 5000.0).select("pr").as[Double].head()
+    val smaller = df.where($"v" < 5000.0).count()
+    assert(math.abs(some - smaller.toDouble / 9999) < 1e-12)
+  }
+}
