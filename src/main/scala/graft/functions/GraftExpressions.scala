@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for graft's numeric hot paths.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`,
+  * `transform` + `array_min`) evaluate INTERPRETED with per-element
+  * boxing — measured 10-100x slower than these whole-stage-codegen
+  * loops over primitive `ArrayData` on the dedup/ANN benchmarks.
+  */
+
+/** Σ a(i)*b(i) over two double arrays — one codegen'd loop, no
+  * intermediate array, no boxing. Null if either side is null;
+  * truncates to the shorter length.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: the block may be inlined several times per method
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHash {
+  /** 2^61 - 1; (a*h + b) mod p stays positive within a signed Long for
+    * a < 2^32, h < 2^30, b < p.
+    */
+  val MersennePrime: Long = (1L << 61) - 1
+
+  /** Seeded permutation coefficients — the single source of truth for
+    * both the expression and any re-implementation.
+    */
+  def coeffs(numPerms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val pairs = Seq.fill(numPerms)((
+      math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+    (pairs.map(p => p._1 % (1L << 32)).toArray, pairs.map(_._2).toArray)
+  }
+}
+
+/** Full MinHash signature in ONE pass over the pre-hashed shingle
+  * array: for each element h, update all `numPerms` running minima of
+  * (a_j*h + b_j) mod p. Replaces `numPerms` separate
+  * `array_min(transform(...))` traversals (interpreted, boxed) with a
+  * single codegen'd nested loop over primitive longs.
+  */
+case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+
+  private lazy val (as, bs) = MinHash.coeffs(numPerms, seed)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numPerms) {
+        val x = (as(j) * h + bs(j)) % MinHash.MersennePrime
+        if (x < mins(j)) mins(j) = x
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$numPerms];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $numPerms; $j++) {
+         |    long $x = ($asRef[$j] * $h + $bsRef[$j]) % ${MinHash.MersennePrime}L;
+         |    if ($x < $mins[$j]) $mins[$j] = $x;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Distinct word k-gram shingles in ONE pass: split on single spaces
+  * (same Java-regex path as Spark's `split`), join k consecutive words,
+  * first-occurrence-distinct — semantically identical to
+  * `array_distinct(transform(sequence(...), concat_ws(" ", ...)))`
+  * but without per-shingle expression interpretation.
+  * CodegenFallback: the eval body is already a tight loop; only the
+  * per-ROW dispatch is interpreted.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1)
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Column-level entry points + SQL registration. */
+object GraftFunctions {
+
+  def wordShingles(text: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhashSignature(hashes: Column, numPerms: Int = 128, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSignature(
+      ColumnBridge.expression(hashes), numPerms, seed))
+
+  /** Register `graft_dot` / `graft_minhash` for SQL use on a live
+    * session (same builders an `SparkSessionExtensions.injectFunction`
+    * would install).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        val numPerms = children.lift(1).map(_.eval(null).toString.toInt).getOrElse(128)
+        val seed = children.lift(2).map(_.eval(null).toString.toLong).getOrElse(42L)
+        MinHashSignature(children.head, numPerms, seed)
+      })
+  }
+}

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Σ a_i*b_i as a pure fold expression (codegen, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ a_i*b_i — the codegen'd [[graft.functions.DotProduct]]
+    * expression (a fold via zip_with+aggregate evaluates interpreted
+    * and boxes every element).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -18,19 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace word shingles of `k` consecutive words, distinct.
-    * Pure expression: split + transform over an index sequence.
+  /** Whitespace word shingles of `k` consecutive words, distinct —
+    * the single-pass [[graft.functions.WordShingles]] expression.
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val words = split(text, " ")
-    // guard: sequence(0, negative) would produce a DESCENDING range
-    val grams = transform(
-      sequence(lit(0), size(words) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j + 1)): _*),
-    )
-    when(size(words) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(grams))
-  }
+  def wordShingles(text: Column, k: Int): Column =
+    graft.functions.GraftFunctions.wordShingles(text, k)
 
   /** Normalized text for near-exact dedup: lowercase, collapse
     * whitespace runs, trim.
@@ -46,34 +38,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("content_hash"))
 
-  /** MinHash signature: `numPerms` permutations h_j(s) = (a_j*x + b_j)
-    * mod p over xxhash64 shingle values; sig_j = min over shingles.
-    * One array traversal per permutation — zero shuffle.
-    */
-  private val MersennePrime = (1L << 61) - 1
-  private def permCoeffs(numPerms: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPerms)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
-      math.abs(rnd.nextLong()) % MersennePrime))
-  }
-
-  /** Base shingle hashes: xxhash64 reduced to 30 bits (so a*x below
-    * stays within a signed Long — ANSI mode throws on overflow).
-    * Hash each shingle ONCE; the permutations reuse this column.
+  /** Base shingle hashes: xxhash64 reduced to 30 bits (so a*x in the
+    * signature stays within a signed Long — ANSI mode throws on
+    * overflow). Hash each shingle ONCE; the permutations reuse this
+    * column.
     */
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => pmod(xxhash64(s), lit(1L << 30)))
 
   /** MinHash signature over pre-hashed shingles: sig_j =
-    * min over h of (a_j*h + b_j) mod p. a reduced to 32 bits.
+    * min over h of (a_j*h + b_j) mod p — the codegen'd
+    * [[graft.functions.MinHashSignature]] single-pass expression.
     */
-  def minhashSignature(hashes: Column, numPerms: Int = 128, seed: Long = 42L): Column = {
-    val coeffs = permCoeffs(numPerms, seed)
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(hashes,
-        h => pmod(h * lit(a % (1L << 32)) + lit(b), lit(MersennePrime))))
-    }: _*)
-  }
+  def minhashSignature(hashes: Column, numPerms: Int = 128, seed: Long = 42L): Column =
+    graft.functions.GraftFunctions.minhashSignature(hashes, numPerms, seed)
 
   /** LSH band keys from a signature: `numBands` bands of
     * sig.length/numBands rows each; key = xxhash64 of the band slice
@@ -108,30 +86,33 @@ object Dedup {
     // CollapseProject from inlining (= re-evaluating) the shingle
     // array into the signature expression.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("sh"))
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-      .repartition(par, col("id"))
     // hs and sig live in separate projections: each is expensive and
     // consumed many times downstream, so CollapseProject keeps them
     // materialized instead of inlining (SPARK-36718 cost check).
+    // Band rows carry ONLY (id, band, hash) — shuffling the shingle
+    // arrays through the 32-way band explode would move ~32x the
+    // document payload; the arrays rejoin just for candidate verify.
     val banded = sh
       .select(col("id"), col("sh"), shingleHashes(col("sh")).as("hs"))
-      .select(col("id"), col("sh"),
-        minhashSignature(col("hs"), numPerms, seed).as("sig"))
-      .select(col("id"), col("sh"),
-        explode(lshBands(col("sig"), numBands, numPerms)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.band_hash"))
-    val cands = banded.as("a")
+      .select(col("id"), minhashSignature(col("hs"), numPerms, seed).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), numBands, numPerms)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+    val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    candIds
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
