@@ -175,11 +175,65 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of the whitespace words of a document, emitted as
+  * 4 x 16-bit band values (the LSH keys): per word occurrence w and
+  * bit p, contribute +1 if bit p of xxhash64(w) is set else -1
+  * (term-frequency weighted); band bit is set iff its sum >= 0.
+  * One narrow pass per row — no explode, no shuffle.
+  */
+case class SimHashBands(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.numBytes() > 0) {
+        val h = XxHash64Function.hash(w, StringType, 42L)
+        var p = 0
+        while (p < 64) {
+          if (((h >>> p) & 1L) == 1L) counts(p) += 1 else counts(p) -= 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var value = 0L
+      var r = 0
+      while (r < 16) {
+        if (counts(b * 16 + r) >= 0) value |= (1L << r)
+        r += 1
+      }
+      bands(b) = value
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBands =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
 
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+
+  def simhashBands(text: Column): Column =
+    ColumnBridge.column(SimHashBands(ColumnBridge.expression(text)))
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(

@@ -145,27 +145,18 @@ object Dedup {
   }
 
   /** SimHash as 4 x 16-bit band values (avoids 64-bit sign overflow,
-    * bands double as the LSH keys). Per word w and global bit position
-    * p: contribute +1 if bit p of xxhash64(w) is set else -1; band bit
-    * set iff the sum is >= 0. Weighted by term frequency via
-    * explode+groupBy (map-side partials).
+    * bands double as the LSH keys) — the one-pass
+    * [[graft.functions.SimHashBands]] expression: a narrow projection,
+    * no explode/groupBy shuffle at any scale.
     */
   def simhashBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val words = df.select(col(idCol).as("id"), col(textCol))
+    df.select(col(idCol).as("id"), col(textCol))
       .repartition(par, col("id"))
-      .select(col("id"), explode(split(col(textCol), " ")).as("w"))
-      .where(col("w") =!= "")
-    val h = xxhash64(col("w"))
-    val bandAggs = (0 until 4).map { band =>
-      val bits = (0 until 16).map { r =>
-        val p = band * 16 + r
-        val contrib = when(shiftright(h, p).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
-        when(sum(contrib) >= 0, lit(1L << r)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _).cast("long").as(s"band$band")
-    }
-    words.groupBy(col("id")).agg(bandAggs.head, bandAggs.tail: _*)
+      .select(col("id"),
+        graft.functions.GraftFunctions.simhashBands(col(textCol)).as("sig"))
+      .select(col("id") +: (0 until 4).map(b =>
+        element_at(col("sig"), b + 1).as(s"band$b")): _*)
   }
 
   /** Hamming distance between two simhash band quadruples. */

@@ -60,16 +60,21 @@ object CategoricalTransformer {
 
   /** Fit rare-label models for all columns in one job.
     * Only rows with share >= threshold are ever collected.
+    * `knownTotal`/`knownVc` let an orchestrator share the row count
+    * and the (cached) value-counts frame instead of recomputing them.
     */
   def fit(
       df: DataFrame,
       cols: Seq[String],
       threshold: Double,
       maxCategories: Int = 1024,
+      knownTotal: Option[Double] = None,
+      knownVc: Option[DataFrame] = None,
   ): Map[String, CatColModel] = {
     if (cols.isEmpty) return Map.empty
-    val total = df.count().toDouble
-    val vc = valueCounts(df, cols).cache()
+    val total = knownTotal.getOrElse(df.count().toDouble)
+    val vc = knownVc.map(_.filter(col("feature").isin(cols: _*)))
+      .getOrElse(valueCounts(df, cols).cache())
     try {
       val keepRows = vc
         .filter(col("cnt") >= lit(threshold) * lit(total))
@@ -94,7 +99,7 @@ object CategoricalTransformer {
         // rare shrink only when the column has >2 distinct labels
         c -> CatColModel(keep, hasRare = nRare > 0 && nDistinct > 2, hasNone = nNone > 0)
       }.toMap
-    } finally vc.unpersist()
+    } finally if (knownVc.isEmpty) vc.unpersist()
   }
 
   /** Dummy columns `col_value` over the fit-time registry; unseen

@@ -24,19 +24,27 @@ final case class SelectionModel(
 object FeatureSelector {
   val DominantShare = 0.98
 
+  /** `knownNumStats` lets the orchestrator share its single stats pass
+    * instead of re-aggregating; the categorical value counts are
+    * computed once here and shared with the rare-label fit.
+    */
   def fit(
       df: DataFrame,
       numericalCols: Seq[String],
       categoricalCols: Seq[String],
       catLabelsThreshold: Double,
       maxCategories: Int = 1024,
+      knownNumStats: Option[Map[String, NumColStats]] = None,
   ): SelectionModel = {
     val total = df.count().toDouble
     val dropped = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    val vcOpt =
+      if (categoricalCols.isEmpty) None
+      else Some(CategoricalTransformer.valueCounts(df, categoricalCols).cache())
+
     // categorical: distinct count + dominant share in one pass
-    if (categoricalCols.nonEmpty) {
-      val vc = CategoricalTransformer.valueCounts(df, categoricalCols)
+    vcOpt.foreach { vc =>
       val stats = vc.groupBy("feature")
         .agg(count(lit(1)).as("n_distinct"), max(col("cnt")).as("max_cnt"))
         .collect()
@@ -48,14 +56,16 @@ object FeatureSelector {
     }
     // numerical: single-value = min == max (or all null)
     if (numericalCols.nonEmpty) {
-      val st = NumericalTransformer.fit(df, numericalCols)
+      val st = knownNumStats.getOrElse(NumericalTransformer.fit(df, numericalCols))
       numericalCols.foreach { c =>
         val s = st(c)
         if (s.min.isNaN || s.min == s.max) dropped(c) = "single value"
       }
     }
     val keptCats = categoricalCols.filterNot(dropped.contains)
-    val catModels = CategoricalTransformer.fit(df, keptCats, catLabelsThreshold, maxCategories)
+    val catModels = CategoricalTransformer.fit(df, keptCats, catLabelsThreshold,
+      maxCategories, knownTotal = Some(total), knownVc = vcOpt)
+    vcOpt.foreach(_.unpersist())
     SelectionModel(dropped.toMap, catModels)
   }
 }

@@ -259,13 +259,8 @@ object Preprocessor {
     categorical = categorical.filterNot(datetimeFormats.contains)
     datetime = datetime ++ datetimeFormats.keys.toSeq.sorted
 
-    // Feature selection: single-value + dominant drops, rare-label models.
-    val selection = FeatureSelector.fit(df, numerical, categorical,
-      config.catLabelsThreshold, config.maxCategories)
-    numerical   = numerical.filterNot(selection.dropped.contains)
-    categorical = categorical.filterNot(selection.dropped.contains)
-
-    // One stats pass over numerical + datetime-epoch columns.
+    // ONE stats pass over numerical + datetime-epoch columns (also
+    // feeds the selector's single-value check — no second aggregation).
     val quantileProbs = config.scaling match {
       case Scaling.Quantile(n, _) => (0 until n).map(i => i.toDouble / (n - 1))
       case Scaling.KBins(n)       => (1 until n).map(i => i.toDouble / n)
@@ -278,10 +273,18 @@ object Preprocessor {
             .getOrElse(col(c))
           DatetimeTransformer.toEpochSeconds(ts).as(c)
         }: _*)
-    val statCols = numerical ++ datetime
+    val allStatCols = numerical ++ datetime
     val numStats =
-      if (statCols.isEmpty) Map.empty[String, NumColStats]
-      else NumericalTransformer.fit(epochified, statCols, quantileProbs, config.approxQuantiles)
+      if (allStatCols.isEmpty) Map.empty[String, NumColStats]
+      else NumericalTransformer.fit(epochified, allStatCols, quantileProbs, config.approxQuantiles)
+
+    // Feature selection: single-value + dominant drops, rare-label models.
+    val selection = FeatureSelector.fit(df, numerical, categorical,
+      config.catLabelsThreshold, config.maxCategories,
+      knownNumStats = if (numerical.isEmpty) None else Some(numStats))
+    numerical   = numerical.filterNot(selection.dropped.contains)
+    categorical = categorical.filterNot(selection.dropped.contains)
+    val statCols = numerical ++ datetime
 
     val scalers: Map[String, Scaler] = config.scaling match {
       case Scaling.None_ => Map.empty
