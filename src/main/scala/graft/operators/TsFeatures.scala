@@ -74,6 +74,38 @@ object TsFeatures {
     )
   }
 
+  /** Distribution-shape features (tsfresh: skewness/kurtosis computed
+    * here as POPULATION moments via explicit power sums,
+    * count_above_mean / count_below_mean, first/last by time, range).
+    * Window for the per-series mean + one groupBy on the same key —
+    * the exchange is reused, one shuffle total.
+    */
+  def dist(df: DataFrame, seriesKey: String, orderCols: Seq[String], valueCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col(seriesKey))
+    val v = col(valueCol)
+    val withMu = df.select(
+      col(seriesKey), v.as("v"),
+      struct(orderCols.map(col): _*).as("ord"),
+      avg(v).over(wAll).as("mu"),
+    )
+    val m1 = avg(col("v"))
+    val m2 = avg(col("v") * col("v"))
+    val m3 = avg(col("v") * col("v") * col("v"))
+    val m4 = avg(col("v") * col("v") * col("v") * col("v"))
+    val varPop = m2 - m1 * m1
+    withMu.groupBy(col(seriesKey)).agg(
+      try_divide(m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1,
+        pow(varPop, 1.5)).as("skewness"),
+      (try_divide(m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 - lit(3) * m1 * m1 * m1 * m1,
+        varPop * varPop) - lit(3)).as("kurtosis"),
+      sum(when(col("v") > col("mu"), 1L).otherwise(0L)).as("count_above_mean"),
+      sum(when(col("v") < col("mu"), 1L).otherwise(0L)).as("count_below_mean"),
+      min_by(col("v"), col("ord")).as("first_v"),
+      max_by(col("v"), col("ord")).as("last_v"),
+      (max(col("v")) - min(col("v"))).as("range_v"),
+    )
+  }
+
   /** Tumbling-window resample: bucket by `widthNanos` over a
     * nanosecond-epoch timestamp column, aggregate per (series, bucket).
     * One shuffle on the composite key.

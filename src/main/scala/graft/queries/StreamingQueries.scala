@@ -21,5 +21,45 @@ object StreamingQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(streamWindow)
+  /** Stateful sessionization (30-min gap): streaming append mode emits
+    * exactly the CLOSED sessions — the oracle reproduces gap/cumsum
+    * sessionization and drops each user's final (still-open) session.
+    */
+  val streamSessionize: Q = Q(
+    "stream_sessionize",
+    (s, dir) => {
+      val gap = 30L * 60 * 1000 * 1000 * 1000
+      import org.apache.spark.sql.functions._
+      // DuckDB reads the nanos timestamps at microsecond precision;
+      // truncate for hash parity (session semantics unchanged)
+      val events = StreamOps.eventsStream(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+      StreamOps.runToBatch(s, StreamOps.sessionize(events, gap).toDF(),
+        mode = "append")
+        .select(col("user_id"), col("start_ns"), col("end_ns"), col("n"),
+          round(col("sum_v"), 6).as("sum_v"))
+    },
+    Some("""
+      WITH s AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
+      m AS (
+        SELECT user_id, ts_ns, value,
+               CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns)
+                         > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        FROM s),
+      c AS (
+        SELECT user_id, ts_ns, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m),
+      g AS (
+        SELECT user_id, sess_id, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
+               count(*) AS n, round(sum(value), 6) AS sum_v
+        FROM c GROUP BY 1, 2),
+      mx AS (SELECT user_id, max(end_ns) AS max_end FROM g GROUP BY 1)
+      SELECT g.user_id, g.start_ns, g.end_ns, g.n, g.sum_v
+      FROM g JOIN mx ON g.user_id = mx.user_id AND g.end_ns < mx.max_end
+    """),
+  )
+
+  val all: Seq[Q] = Seq(streamWindow, streamSessionize)
 }

@@ -90,6 +90,50 @@ object TsQueries {
     """),
   )
 
+  // --------------------------------------------------------------- §2.2/27b
+  val tsDist: Q = Q(
+    "ts_features_dist",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      val f = TsFeatures.dist(e, "user_id", Seq("ts"), "value")
+      f.select(col("user_id"),
+        round(col("skewness"), 6).as("skewness"),
+        round(col("kurtosis"), 6).as("kurtosis"),
+        col("count_above_mean"), col("count_below_mean"),
+        round(col("first_v"), 6).as("first_v"),
+        round(col("last_v"), 6).as("last_v"),
+        round(col("range_v"), 6).as("range_v"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id,
+               avg(value) AS m1, avg(value*value) AS m2,
+               avg(value*value*value) AS m3,
+               avg(value*value*value*value) AS m4
+        FROM events GROUP BY user_id),
+      mu AS (SELECT user_id, avg(value) AS mu FROM events GROUP BY user_id),
+      cnts AS (
+        SELECT e.user_id,
+               sum(CASE WHEN e.value > mu.mu THEN 1 ELSE 0 END) AS count_above_mean,
+               sum(CASE WHEN e.value < mu.mu THEN 1 ELSE 0 END) AS count_below_mean,
+               arg_min(e.value, e.ts) AS first_v,
+               arg_max(e.value, e.ts) AS last_v,
+               max(e.value) - min(e.value) AS range_v
+        FROM events e JOIN mu ON e.user_id = mu.user_id
+        GROUP BY e.user_id)
+      SELECT m.user_id,
+             round((m3 - 3*m1*m2 + 2*m1*m1*m1) / pow(m2 - m1*m1, 1.5), 6) AS skewness,
+             round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) /
+                   ((m2 - m1*m1) * (m2 - m1*m1)) - 3, 6) AS kurtosis,
+             count_above_mean, count_below_mean,
+             round(first_v, 6) AS first_v,
+             round(last_v, 6) AS last_v,
+             round(range_v, 6) AS range_v
+      FROM m JOIN cnts ON m.user_id = cnts.user_id
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.2/28
   val tsResample: Q = Q(
     "ts_resample",
@@ -114,5 +158,5 @@ object TsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsResample)
+  val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsResample)
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY §2.4 row 46): the same
   * tumbling-window aggregation the batch engine runs, expressed as
@@ -45,18 +45,83 @@ object StreamOps {
         floor(unix_timestamp(col("window.start")) / 3600).as("bucket"),
         col("event_type"), col("n"), col("sum_v"))
 
-  /** Drain every available microbatch into a memory sink (complete
-    * mode) and return the final result table.
+  /** Drain every available microbatch into a memory sink and return
+    * the final result table.
     */
-  def runToBatch(s: SparkSession, streamDf: DataFrame): DataFrame = {
+  def runToBatch(s: SparkSession, streamDf: DataFrame,
+                 mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_${System.nanoTime()}"
     val q = streamDf.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.table(name)
+  }
+
+  final case class SessionEvent(user_id: Long, ts_ns: Long, value: Double)
+  final case class SessionState(start_ns: Long, end_ns: Long, n: Long, sum_v: Double)
+  final case class Session(user_id: Long, start_ns: Long, end_ns: Long,
+                           n: Long, sum_v: Double)
+
+  /** Stateful sessionization: per-user custom state via
+    * `flatMapGroupsWithState` — a session closes after `gapNanos` of
+    * inactivity and is emitted; the open session stays in state across
+    * microbatches. State per key is a handful of scalars — bounded by
+    * the live-user cardinality, the canonical Structured Streaming
+    * state shape.
+    */
+  def sessionize(events: DataFrame, gapNanos: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("value").cast("double").as("value")).as[SessionEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          val evs = it.toSeq.sortBy(_.ts_ns)
+          val out = scala.collection.mutable.ListBuffer.empty[Session]
+          var cur = state.getOption
+          evs.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ns - s.end_ns <= gapNanos =>
+                cur = Some(SessionState(s.start_ns, e.ts_ns, s.n + 1, s.sum_v + e.value))
+              case Some(s) =>
+                out += Session(uid, s.start_ns, s.end_ns, s.n, s.sum_v)
+                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch-equivalent sessionization (gap boundaries via lag + running
+    * sum per user) for the equivalence spec; includes the final open
+    * session, which streaming append-mode does not emit.
+    */
+  def sessionizeBatch(events: DataFrame, gapNanos: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .select(col("user_id"), col("ts").cast("long").as("ts_ns"), col("value"))
+      .withColumn("new_sess",
+        when(col("ts_ns") - lag(col("ts_ns"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))) > gapNanos, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"),
+        count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .drop("sess_id")
   }
 }
