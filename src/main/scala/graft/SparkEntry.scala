@@ -13,7 +13,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     RelationalQueries.all ++ NumPrepQueries.all ++ CatPrepQueries.all ++
       PipelineQueries.all ++ TsQueries.all ++ DedupQueries.all ++
-      TextQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all
+      TextQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
+      SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

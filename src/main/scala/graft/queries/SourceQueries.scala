@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.sources.IO
+
+/** Source/sink coverage: write-read round trips through CSV, JSON and
+  * partitioned parquet must reproduce the original table exactly
+  * (oracle = the original table in DuckDB).
+  */
+object SourceQueries {
+
+  private def tmp(name: String) = s"/tmp/graft_io/$name"
+
+  // CSV sink -> CSV source (explicit schema, header)
+  val csvRoundtrip: Q = Q(
+    "source_csv_roundtrip",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val path = tmp("docs_csv")
+      IO.writeCsv(d, path)
+      IO.readCsv(s, path, d.schema)
+    },
+    Some("SELECT doc_id, lang, source, n_chars FROM documents"),
+  )
+
+  // JSON sink -> JSON source
+  val jsonRoundtrip: Q = Q(
+    "source_json_roundtrip",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = tmp("docs_json")
+      IO.writeJson(d, path)
+      IO.readJson(s, path, d.schema)
+    },
+    Some("SELECT doc_id, lang, n_chars FROM documents"),
+  )
+
+  /** Partitioned parquet sink, read back with a partition filter —
+    * the scan must prune to the lang=en directory (partition pruning,
+    * not a full-table filter).
+    */
+  val sinkPartitioned: Q = Q(
+    "sink_parquet_partitioned",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"), col("lang"))
+      val path = tmp("docs_part")
+      IO.writeParquet(d, path, partitionBy = Seq("lang"))
+      IO.readParquet(s, path)
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("n_chars"))
+    },
+    Some("SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"),
+  )
+
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned)
+}

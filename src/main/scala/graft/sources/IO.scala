@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File sources/sinks. Everything rides Spark's DataSource V2 file
+  * formats, so column pruning, predicate/partition pruning, and split
+  * planning come from Catalyst. Always pass an explicit schema when
+  * reading text formats at scale — schema inference is a full extra
+  * pass over the data.
+  */
+object IO {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}
