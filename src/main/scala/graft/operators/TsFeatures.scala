@@ -106,6 +106,82 @@ object TsFeatures {
     )
   }
 
+  /** The full feature matrix in ONE pass (reference:
+    * preprocessor.py:558-638 `extract_ts_features` / tsfresh
+    * `extract_features`): window-enrich (lag, series mean, index) on
+    * the series key, then a single groupBy on the SAME key computes
+    * every feature — the groupBy reuses the window's hash exchange, so
+    * the whole matrix costs one shuffle.
+    */
+  def extract(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+              valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(seriesKey))
+    val enriched = df.select(
+      col(seriesKey), col(valueCol).as("v"),
+      struct(orderCols.map(col): _*).as("ord"),
+      lag(col(valueCol), 1).over(w).as("prev"),
+      avg(col(valueCol)).over(wAll).as("mu"),
+      (row_number().over(w) - 1).cast("double").as("idx"),
+    )
+    val v = col("v")
+    val m1 = avg(v); val m2 = avg(v * v); val m3 = avg(v * v * v)
+    val m4 = avg(v * v * v * v)
+    val varPop = m2 - m1 * m1
+    enriched.groupBy(col(seriesKey)).agg(
+      count(v).as("n"),
+      avg(v).as("mean_v"),
+      stddev_pop(v).as("std_v"),
+      min(v).as("min_v"),
+      max(v).as("max_v"),
+      sum(v).as("sum_v"),
+      percentile(v, lit(0.5)).as("median_v"),
+      sum(v * v).as("abs_energy"),
+      avg(abs(v - col("prev"))).as("mean_abs_change"),
+      try_divide(sum(v - col("prev")), count(lit(1)) - 1).as("mean_change"),
+      try_divide(sum((v - col("mu")) * (col("prev") - col("mu"))),
+        (count(lit(1)) - 1) * var_pop(v)).as("autocorr_lag1"),
+      regr_slope(v, col("idx")).as("trend_slope"),
+      regr_intercept(v, col("idx")).as("trend_intercept"),
+      try_divide(m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1,
+        pow(varPop, 1.5)).as("skewness"),
+      (try_divide(m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 - lit(3) * m1 * m1 * m1 * m1,
+        varPop * varPop) - lit(3)).as("kurtosis"),
+      sum(when(v > col("mu"), 1L).otherwise(0L)).as("count_above_mean"),
+      sum(when(v < col("mu"), 1L).otherwise(0L)).as("count_below_mean"),
+      min_by(v, col("ord")).as("first_v"),
+      max_by(v, col("ord")).as("last_v"),
+      (max(v) - min(v)).as("range_v"),
+    )
+  }
+
+  /** Relevance filter (reference: `extract_relevant_features` —
+    * tsfresh keeps features significantly associated with the target).
+    * Pearson |corr(feature, y)| >= minAbsCorr, computed for ALL
+    * features in one aggregation over the joined (features ⋈ labels)
+    * frame. Returns (feature, corr, kept) — constant-vs-target
+    * features (corr undefined) are dropped.
+    */
+  def featureRelevance(features: DataFrame, labels: DataFrame, seriesKey: String,
+                       labelCol: String, minAbsCorr: Double): DataFrame = {
+    val featCols = features.columns.filterNot(_ == seriesKey).toSeq
+    val joined = features.join(labels, seriesKey)
+    val corrRow = joined.agg(
+      featCols.map(c => corr(col(c).cast("double"), col(labelCol).cast("double")).as(c)).head,
+      featCols.map(c => corr(col(c).cast("double"), col(labelCol).cast("double")).as(c)).tail: _*,
+    ).head()
+    val spark = features.sparkSession
+    import spark.implicits._
+    featCols.map { c =>
+      val r = corrRow.getAs[Any](c) match {
+        case null                        => None
+        case d: java.lang.Double if d.isNaN => None
+        case d: java.lang.Double         => Some(d.toDouble)
+      }
+      (c, r, r.exists(x => math.abs(x) >= minAbsCorr))
+    }.toDF("feature", "corr", "kept")
+  }
+
   /** Tumbling-window resample: bucket by `widthNanos` over a
     * nanosecond-epoch timestamp column, aggregate per (series, bucket).
     * One shuffle on the composite key.

@@ -134,6 +134,100 @@ object TsQueries {
     """),
   )
 
+  // --------------------------------------------------------------- §2.2/27c
+  /** (feature name, SQL aggregate over the window-enriched CTE) —
+    * mirrors TsFeatures.extract exactly; `n`/counts stay unrounded.
+    */
+  private val featSql: Seq[(String, String)] = Seq(
+    "n" -> "count(v)",
+    "mean_v" -> "round(avg(v), 6)",
+    "std_v" -> "round(stddev_pop(v), 6)",
+    "min_v" -> "round(min(v), 6)",
+    "max_v" -> "round(max(v), 6)",
+    "sum_v" -> "round(sum(v), 6)",
+    "median_v" -> "round(median(v), 6)",
+    "abs_energy" -> "round(sum(v*v), 6)",
+    "mean_abs_change" -> "round(avg(abs(v - prev)), 6)",
+    "mean_change" -> "round(sum(v - prev) / (count(*) - 1), 6)",
+    "autocorr_lag1" ->
+      "round(sum((v - mu) * (prev - mu)) / ((count(*) - 1) * var_pop(v)), 6)",
+    "trend_slope" -> "round(regr_slope(v, idx), 6)",
+    "trend_intercept" -> "round(regr_intercept(v, idx), 6)",
+    "skewness" -> ("round((avg(v*v*v) - 3*avg(v)*avg(v*v) + 2*avg(v)*avg(v)*avg(v)) / " +
+      "pow(avg(v*v) - avg(v)*avg(v), 1.5), 6)"),
+    "kurtosis" -> ("round((avg(v*v*v*v) - 4*avg(v)*avg(v*v*v) + 6*avg(v)*avg(v)*avg(v*v) " +
+      "- 3*avg(v)*avg(v)*avg(v)*avg(v)) / " +
+      "((avg(v*v) - avg(v)*avg(v)) * (avg(v*v) - avg(v)*avg(v))) - 3, 6)"),
+    "count_above_mean" -> "sum(CASE WHEN v > mu THEN 1 ELSE 0 END)",
+    "count_below_mean" -> "sum(CASE WHEN v < mu THEN 1 ELSE 0 END)",
+    "first_v" -> "round(arg_min(v, ts), 6)",
+    "last_v" -> "round(arg_max(v, ts), 6)",
+    "range_v" -> "round(max(v) - min(v), 6)",
+  )
+
+  private val enrichedCte = """
+      WITH e AS (
+        SELECT user_id, ts, value AS v,
+               lag(value) OVER w AS prev,
+               avg(value) OVER (PARTITION BY user_id) AS mu,
+               (row_number() OVER w - 1)::DOUBLE AS idx
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts))"""
+
+  private def roundedExtract(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val f = TsFeatures.extract(e, "user_id", Seq("ts"), "value")
+    f.select(col("user_id") +: featSql.map { case (name, _) =>
+      if (name == "n" || name.startsWith("count_")) col(name)
+      else round(col(name), 6).as(name)
+    }: _*)
+  }
+
+  /** The full tsfresh-style feature matrix in one shuffle. */
+  val tsExtract: Q = Q(
+    "ts_features_extract",
+    (s, dir) => roundedExtract(s, dir),
+    Some(s"""
+      $enrichedCte
+      SELECT user_id,
+             ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
+      FROM e GROUP BY user_id
+    """),
+  )
+
+  /** Relevance filtering vs a per-series target (error-event count):
+    * |Pearson corr| >= 0.1 keeps a feature (reference:
+    * extract_relevant_features' significance filtering).
+    */
+  val tsRelevant: Q = Q(
+    "ts_features_relevant",
+    (s, dir) => {
+      val labels = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"))
+      val rel = TsFeatures.featureRelevance(
+        roundedExtract(s, dir), labels, "user_id", "y", minAbsCorr = 0.1)
+      rel.select(col("feature"), round(col("corr"), 6).as("corr"), col("kept"))
+    },
+    Some {
+      val corrRows = featSql.map { case (n, _) =>
+        s"""SELECT '$n' AS feature, round(corr($n, y), 6) AS corr,
+            coalesce(abs(corr($n, y)) >= 0.1, false) AS kept FROM fy"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      $enrichedCte,
+      f AS (
+        SELECT user_id,
+               ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n               ")}
+        FROM e GROUP BY user_id),
+      lab AS (
+        SELECT user_id, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id),
+      fy AS (SELECT f.*, lab.y FROM f JOIN lab ON f.user_id = lab.user_id)
+      $corrRows
+      """
+    },
+  )
+
   // ---------------------------------------------------------------- §2.2/28
   val tsResample: Q = Q(
     "ts_resample",
@@ -158,5 +252,5 @@ object TsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsResample)
+  val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsRelevant, tsResample)
 }
