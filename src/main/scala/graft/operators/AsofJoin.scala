@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: each left row picks the most recent right row (by
+  * `tsCol`) at or before its own timestamp, within the same key.
+  *
+  * Spark has no native as-of join; the naive formulation is a range
+  * join (per-key cross product + filter + window) that explodes on
+  * dense keys. This is the union+window formulation instead: tag both
+  * sides, ONE hash shuffle + per-key sort over the union, carry the
+  * last-seen right payload forward, keep the left rows. Cost is
+  * O(|L|+|R|) shuffled once — the same shape at any scale.
+  */
+object AsofJoin {
+
+  /** @param leftCols  left columns to carry through
+    * @param rightCols right payload columns, emitted with `prefix`
+    *                  (null when no right row precedes the left row)
+    */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      leftCols: Seq[String], rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+
+    val lTagged = left.select(
+      col(keyCol), col(tsCol).as("__ts"), lit(1).as("__src"),
+      struct(leftCols.map(col): _*).as("__l"))
+    val rTagged = right.select(
+      col(keyCol), col(tsCol).as("__ts"), lit(0).as("__src"),
+      struct(rightCols.map(col): _*).as("__r"))
+    // right rows (__src=0) sort before left rows at equal ts -> the
+    // "at or before" semantics are inclusive
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__src") === 1)
+      .select(
+        col(keyCol) +: col("__ts").as(tsCol) +:
+          (leftCols.map(c => col(s"__l.$c").as(c)) ++
+            rightCols.map(c => col(s"__match.$c").as(s"$prefix$c"))): _*)
+  }
+}
