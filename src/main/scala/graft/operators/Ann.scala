@@ -71,6 +71,54 @@ object Ann {
     Array.fill(tables, bits, dims)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nCells` centroids (sampled
+    * deterministically from the corpus — every k-th vector by id
+    * order), each corpus vector assigned to its nearest centroid (one
+    * broadcast of the centroid table, cosine via the codegen dot);
+    * queries probe their `nProbe` nearest cells and rank exactly
+    * within them. Shuffle is one hash join on cell id; per-query cost
+    * is ~nProbe/nCells of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val c = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("cv")).repartition(par, col("nn_id"))
+
+    // deterministic coarse centroids: hash-sampled corpus vectors
+    // (no global sort/window — a filter + small limit at any scale)
+    val n = c.count()
+    val step = math.max(1L, n / nCells)
+    val centroids = c.where(pmod(xxhash64(col("nn_id")), lit(step)) === 0)
+      .orderBy(col("nn_id")).limit(nCells)
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toSeq)
+    require(centroids.nonEmpty, "no centroids sampled")
+    val centArr = typedLit(centroids.toSeq)
+
+    def nearestCells(vec: Column, take: Int): Column = {
+      // scores over the (small, literal) centroid table; top `take`
+      // cell indices by cosine
+      val scored = transform(centArr, (cent, i) =>
+        struct((dot(vec, cent) / (norm(vec) * norm(cent))).as("s"), i.as("cell")))
+      slice(reverse(array_sort(scored)), 1, take)
+    }
+
+    val assigned = c.withColumn("cell",
+      element_at(nearestCells(col("cv"), 1), 1).getField("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe", explode(nearestCells(col("qv"), nProbe)))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id"))
+    assigned.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("nn_id"), col("cosine"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /** Bucket id per LSH table: `bits` sign bits of hyperplane dots. */
   def lshBuckets(vec: Column, tables: Int, bits: Int, dims: Int, seed: Long = 7L): Column = {
     val ps = planes(tables, bits, dims, seed)

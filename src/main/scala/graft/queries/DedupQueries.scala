@@ -229,6 +229,22 @@ object DedupQueries {
     None,
   )
 
+  // ---------------------------------------------------------------- §2.3/36b
+  /** IVF ANN: centroid sampling is engine-side — rows-only for the
+    * driver; AnnSpec asserts recall vs brute force.
+    */
+  val knnIvf: Q = Q(
+    "knn_ivf",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.where(col("vec_id") < 20)
+      Ann.ivfTopK(e, queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("nn_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    },
+    None,
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash,
-    dedupNgramJaccard, dedupSimhash, dedupEmbedding, knnBruteforce, knnLsh)
+    dedupNgramJaccard, dedupSimhash, dedupEmbedding, knnBruteforce, knnLsh, knnIvf)
 }

@@ -37,6 +37,18 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf top-k achieves reasonable recall vs brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where($"vec_id" < 10)
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", 5, nCells = 8, nProbe = 4)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"ivf recall $recall too low")
+  }
+
   test("lsh top-k achieves reasonable recall vs brute force") {
     val sf = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, sf)
