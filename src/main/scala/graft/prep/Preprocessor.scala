@@ -37,6 +37,12 @@ final case class PrepConfig(
     excludedCols: Seq[String] = Nil,
     timeId: Option[String] = None,
     seriesKey: Option[String] = None,
+    /** Columns whose null share EXCEEDS this are dropped. The
+      * reference validates the parameter but never applies it
+      * (preprocessor.py:126-127); graft applies the documented
+      * semantics. Default 0.999 keeps everything but all-null columns.
+      */
+    missingValuesThreshold: Double = 0.999,
     scaling: Scaling = Scaling.None_,
     numFillNull: FillStrategy = FillStrategy.Mean,
     orderedFill: Option[String] = None, // "forward" | "backward" | "interpolate"
@@ -236,6 +242,8 @@ object Preprocessor {
   def fit(df: DataFrame, config: PrepConfig = PrepConfig()): PrepModel = {
     require(config.catLabelsThreshold >= 0 && config.catLabelsThreshold <= 1,
       "Invalid value for cat_labels_threshold")
+    require(config.missingValuesThreshold >= 0 && config.missingValuesThreshold <= 1,
+      "Invalid value for missing_values_threshold")
     config.targetColumn.foreach(t => require(df.columns.contains(t),
       "The target column is not present in the dataset"))
     config.excludedCols.foreach(c => require(df.columns.contains(c),
@@ -258,6 +266,28 @@ object Preprocessor {
     }.toMap
     categorical = categorical.filterNot(datetimeFormats.contains)
     datetime = datetime ++ datetimeFormats.keys.toSeq.sorted
+
+    // Missing-share drop (one narrow agg over the feature columns).
+    val featureCols = numerical ++ categorical ++ datetime ++ boolean
+    val missingDropped: Map[String, String] =
+      if (featureCols.isEmpty) Map.empty
+      else {
+        val aggs = count(lit(1)).as("__n") +:
+          featureCols.map(c => count(col(c)).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val total = row.getAs[Long]("__n").toDouble
+        if (total == 0) Map.empty
+        else featureCols.flatMap { c =>
+          val nullShare = 1.0 - row.getAs[Long](c) / total
+          if (nullShare > config.missingValuesThreshold)
+            Some(c -> f"missing share > ${config.missingValuesThreshold}")
+          else None
+        }.toMap
+      }
+    numerical   = numerical.filterNot(missingDropped.contains)
+    categorical = categorical.filterNot(missingDropped.contains)
+    datetime    = datetime.filterNot(missingDropped.contains)
+    val booleanKept = boolean.filterNot(missingDropped.contains)
 
     // ONE stats pass over numerical + datetime-epoch columns (also
     // feeds the selector's single-value check — no second aggregation).
@@ -312,8 +342,8 @@ object Preprocessor {
       case _ => (None, None)
     }
 
-    new PrepModel(config, schema, numerical, categorical, datetime, boolean,
-      selection.dropped, selection.catModels, numStats, scalers,
+    new PrepModel(config, schema, numerical, categorical, datetime, booleanKept,
+      missingDropped ++ selection.dropped, selection.catModels, numStats, scalers,
       datetimeFormats, targetClasses, targetRange)
   }
 }

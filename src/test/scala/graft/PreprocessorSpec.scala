@@ -78,6 +78,19 @@ class PreprocessorSpec extends SparkSpec {
     assert(dec == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
   }
 
+  test("columns beyond the missing-values threshold are dropped") {
+    val df = Seq(
+      (1L, Some(1.0), Option.empty[String]), (2L, Some(2.0), None),
+      (3L, None, None), (4L, None, None), (5L, None, None),
+    ).toDF("id", "mostly_null", "all_null")
+    val m = Preprocessor.fit(df, PrepConfig(
+      excludedCols = Seq("id"), missingValuesThreshold = 0.9))
+    assert(m.dropped.keySet == Set("all_null"))   // 100% > 90%; 60% kept
+    val strict = Preprocessor.fit(df, PrepConfig(
+      excludedCols = Seq("id"), missingValuesThreshold = 0.5))
+    assert(strict.dropped.contains("mostly_null") && strict.dropped.contains("all_null"))
+  }
+
   test("single-value and dominant columns are dropped end to end") {
     val df = (1 to 200).map(i =>
       (i.toLong, i.toDouble, 7.0, if (i <= 199) "dom" else "rare", if (i % 2 == 0) "x" else "y"))
