@@ -111,6 +111,21 @@ object CategoricalTransformer {
     m.categories.map(v => when(c === lit(v), 1).otherwise(0).as(s"${colName}_$v"))
   }
 
+  /** `unseen_labels="error"` (preprocessor.py:73-75): like [[oneHot]],
+    * but an input label outside the fit-time registry fails the job
+    * (in-plan `raise_error` — no extra validation pass).
+    */
+  def oneHotStrict(colName: String, m: CatColModel): Seq[Column] = {
+    val c = shrink(col(colName), m)
+    val known = c.isin(m.categories: _*)
+    oneHot(colName, m).zipWithIndex.map { case (dummy, i) =>
+      if (i > 0) dummy
+      else when(!known, raise_error(concat(
+        lit(s"unseen label in $colName: "), c)).cast("int"))
+        .otherwise(dummy).as(s"${colName}_${m.categories.head}")
+    }
+  }
+
   /** Reconstruct the category from its dummy columns
     * (categorical_transformer.py:72-118): the last dummy equal to 1
     * wins, matching the reference's fold.

@@ -50,6 +50,10 @@ final case class PrepConfig(
     targetColumn: Option[String] = None,
     maxCategories: Int = 1024,
     approxQuantiles: Boolean = false,
+    /** "ignore": unseen labels one-hot to all zeros; "error": the job
+      * fails on an unseen label (preprocessor.py unseen_labels).
+      */
+    unseenLabels: String = "ignore",
 )
 
 /** The fitted preprocessing model: a handful of driver-side doubles,
@@ -142,7 +146,8 @@ final class PrepModel(
       case c                                    => col(c)
     }
     val dummies = originalOrder(categoricalFeatures).flatMap { c =>
-      CategoricalTransformer.oneHot(c, catModels(c))
+      if (config.unseenLabels == "error") CategoricalTransformer.oneHotStrict(c, catModels(c))
+      else CategoricalTransformer.oneHot(c, catModels(c))
     }
     df.select(plain ++ dummies: _*)
   }

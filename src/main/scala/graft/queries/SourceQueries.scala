@@ -55,5 +55,19 @@ object SourceQueries {
     Some("SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"),
   )
 
-  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned)
+  // ORC sink -> ORC source (DuckDB can't read ORC; the oracle is the
+  // original table, which the round trip must reproduce)
+  val orcRoundtrip: Q = Q(
+    "source_orc_roundtrip",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = tmp("docs_orc")
+      IO.writeOrc(d, path)
+      IO.readOrc(s, path)
+    },
+    Some("SELECT doc_id, lang, n_chars FROM documents"),
+  )
+
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, sinkPartitioned)
 }

@@ -34,4 +34,10 @@ object IO {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

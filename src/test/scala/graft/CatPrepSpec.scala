@@ -52,6 +52,19 @@ class CatPrepSpec extends SparkSpec {
     assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 0)  // z unseen
   }
 
+  test("oneHotStrict raises on unseen labels, passes on known ones") {
+    val fitDf = Seq("a", "a", "b").toDF("x")
+    val m = CategoricalTransformer.fit(fitDf, Seq("x"), threshold = 0.0)
+    val ok = fitDf.select(CategoricalTransformer.oneHotStrict("x", m("x")): _*).collect()
+    assert(ok.length == 3)
+    val bad = Seq("a", "z").toDF("x")
+    val e = intercept[Exception] {
+      bad.select(CategoricalTransformer.oneHotStrict("x", m("x")): _*).collect()
+    }
+    assert(e.getMessage.contains("unseen label") ||
+      Option(e.getCause).exists(_.getMessage.contains("unseen label")))
+  }
+
   test("label encoder is sorted-distinct and round-trips") {
     val df = Seq("pear", "apple", "pear", "fig").toDF("x")
     val classes = CategoricalTransformer.fitLabelEncoder(df, "x")
