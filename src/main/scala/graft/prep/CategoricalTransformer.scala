@@ -14,6 +14,12 @@ final case class CatColModel(
     keep: Seq[String],
     hasRare: Boolean,
     hasNone: Boolean,
+    /** Serialized bloom filter over ALL fit-time labels (built only
+      * when strict unseen-label checking is requested): bounded bytes
+      * regardless of the rare tail's cardinality; no false negatives
+      * for inserted labels, so fit-time labels never false-raise.
+      */
+    bloom: Option[Array[Byte]] = None,
 ) {
   def categories: Seq[String] =
     (keep ++ (if (hasRare) Seq("other") else Nil) ++ (if (hasNone) Seq("None") else Nil))
@@ -70,11 +76,21 @@ object CategoricalTransformer {
       maxCategories: Int = 1024,
       knownTotal: Option[Double] = None,
       knownVc: Option[DataFrame] = None,
+      buildBloom: Boolean = false,
+      bloomItems: Long = 1000000L,
+      bloomBits: Long = 8388608L,
   ): Map[String, CatColModel] = {
     if (cols.isEmpty) return Map.empty
     val total = knownTotal.getOrElse(df.count().toDouble)
     val vc = knownVc.map(_.filter(col("feature").isin(cols: _*)))
       .getOrElse(valueCounts(df, cols).cache())
+    val blooms: Map[String, Array[Byte]] =
+      if (!buildBloom) Map.empty
+      else vc.filter(col("value").isNotNull && col("value") =!= "" && col("value") =!= " ")
+        .groupBy("feature")
+        .agg(org.apache.spark.sql.graft.ColumnBridge
+          .bloomFilterAgg(col("value"), bloomItems, bloomBits).as("bf"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
     try {
       val keepRows = vc
         .filter(col("cnt") >= lit(threshold) * lit(total))
@@ -97,7 +113,8 @@ object CategoricalTransformer {
         require(keep.size <= maxCategories,
           s"column $c keeps ${keep.size} categories > maxCategories=$maxCategories")
         // rare shrink only when the column has >2 distinct labels
-        c -> CatColModel(keep, hasRare = nRare > 0 && nDistinct > 2, hasNone = nNone > 0)
+        c -> CatColModel(keep, hasRare = nRare > 0 && nDistinct > 2,
+          hasNone = nNone > 0, bloom = blooms.get(c))
       }.toMap
     } finally if (knownVc.isEmpty) vc.unpersist()
   }
@@ -112,17 +129,27 @@ object CategoricalTransformer {
   }
 
   /** `unseen_labels="error"` (preprocessor.py:73-75): like [[oneHot]],
-    * but an input label outside the fit-time registry fails the job
-    * (in-plan `raise_error` — no extra validation pass).
+    * but a label never seen at fit fails the job via in-plan
+    * `raise_error` — no extra validation pass. "Seen" is the fit-time
+    * bloom filter (covers the rare tail the bounded keep set cannot),
+    * so fit-time rare labels do NOT raise even though they encode as
+    * "other"/all-zeros. The guard rides on EVERY dummy so column
+    * pruning cannot silently drop the check.
     */
   def oneHotStrict(colName: String, m: CatColModel): Seq[Column] = {
-    val c = shrink(col(colName), m)
-    val known = c.isin(m.categories: _*)
-    oneHot(colName, m).zipWithIndex.map { case (dummy, i) =>
-      if (i > 0) dummy
-      else when(!known, raise_error(concat(
-        lit(s"unseen label in $colName: "), c)).cast("int"))
-        .otherwise(dummy).as(s"${colName}_${m.categories.head}")
+    val raw = col(colName)
+    val isNone = raw.isNull || raw === "" || raw === " "
+    val unseen = m.bloom match {
+      case Some(bytes) =>
+        (isNone && lit(!m.hasNone)) ||
+          (!isNone && !org.apache.spark.sql.graft.ColumnBridge.bloomMightContain(bytes, raw))
+      case None => // no bloom fitted: fall back to the registry check
+        !shrink(raw, m).isin(m.categories: _*)
+    }
+    oneHot(colName, m).zip(m.categories).map { case (dummy, cat) =>
+      when(unseen, raise_error(concat(
+        lit(s"unseen label in $colName: "), coalesce(raw, lit("null")))).cast("int"))
+        .otherwise(dummy).as(s"${colName}_$cat")
     }
   }
 

@@ -35,6 +35,7 @@ object FeatureSelector {
       catLabelsThreshold: Double,
       maxCategories: Int = 1024,
       knownNumStats: Option[Map[String, NumColStats]] = None,
+      buildBloom: Boolean = false,
   ): SelectionModel = {
     val total = df.count().toDouble
     val dropped = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -64,7 +65,8 @@ object FeatureSelector {
     }
     val keptCats = categoricalCols.filterNot(dropped.contains)
     val catModels = CategoricalTransformer.fit(df, keptCats, catLabelsThreshold,
-      maxCategories, knownTotal = Some(total), knownVc = vcOpt)
+      maxCategories, knownTotal = Some(total), knownVc = vcOpt,
+      buildBloom = buildBloom)
     vcOpt.foreach(_.unpersist())
     SelectionModel(dropped.toMap, catModels)
   }

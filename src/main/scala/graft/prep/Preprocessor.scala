@@ -249,6 +249,8 @@ object Preprocessor {
       "Invalid value for cat_labels_threshold")
     require(config.missingValuesThreshold >= 0 && config.missingValuesThreshold <= 1,
       "Invalid value for missing_values_threshold")
+    require(Set("ignore", "error").contains(config.unseenLabels),
+      "Invalid value for unseen_labels (expected \"ignore\" or \"error\")")
     config.targetColumn.foreach(t => require(df.columns.contains(t),
       "The target column is not present in the dataset"))
     config.excludedCols.foreach(c => require(df.columns.contains(c),
@@ -316,7 +318,8 @@ object Preprocessor {
     // Feature selection: single-value + dominant drops, rare-label models.
     val selection = FeatureSelector.fit(df, numerical, categorical,
       config.catLabelsThreshold, config.maxCategories,
-      knownNumStats = if (numerical.isEmpty) None else Some(numStats))
+      knownNumStats = if (numerical.isEmpty) None else Some(numStats),
+      buildBloom = config.unseenLabels == "error")
     numerical   = numerical.filterNot(selection.dropped.contains)
     categorical = categorical.filterNot(selection.dropped.contains)
     val statCols = numerical ++ datetime

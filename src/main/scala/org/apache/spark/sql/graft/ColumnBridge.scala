@@ -11,4 +11,26 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Bloom filter aggregate over xxhash64(value) — the same internal
+    * pair Spark's runtime row-level filters use, so build and probe
+    * hash identically.
+    */
+  def bloomFilterAgg(value: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.functions.xxhash64
+    column(new BloomFilterAggregate(
+      expression(xxhash64(value)), Literal(estimatedItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** might_contain probe against a fit-time serialized bloom filter. */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.functions.xxhash64
+    import org.apache.spark.sql.types.BinaryType
+    column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), expression(xxhash64(value))))
+  }
 }

@@ -54,7 +54,7 @@ class CatPrepSpec extends SparkSpec {
 
   test("oneHotStrict raises on unseen labels, passes on known ones") {
     val fitDf = Seq("a", "a", "b").toDF("x")
-    val m = CategoricalTransformer.fit(fitDf, Seq("x"), threshold = 0.0)
+    val m = CategoricalTransformer.fit(fitDf, Seq("x"), threshold = 0.0, buildBloom = true)
     val ok = fitDf.select(CategoricalTransformer.oneHotStrict("x", m("x")): _*).collect()
     assert(ok.length == 3)
     val bad = Seq("a", "z").toDF("x")
@@ -63,6 +63,38 @@ class CatPrepSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unseen label") ||
       Option(e.getCause).exists(_.getMessage.contains("unseen label")))
+  }
+
+  test("oneHotStrict: brand-new label raises even when rare labels shrink to other") {
+    // 50a/49b/1c at 2%: c is rare -> hasRare, categories [a,b,other]
+    val vals = Seq.fill(50)("a") ++ Seq.fill(49)("b") ++ Seq("c")
+    val m = CategoricalTransformer.fit(vals.toDF("x"), Seq("x"),
+      threshold = 0.02, buildBloom = true)("x")
+    assert(m.hasRare && m.categories == Seq("a", "b", "other"))
+    // fit-time rare label c: encodes as other, must NOT raise
+    val okRows = Seq("a", "c").toDF("x")
+      .select(CategoricalTransformer.oneHotStrict("x", m): _*).orderBy(col("x_a").desc)
+      .collect()
+    assert(okRows(1).getInt(2) == 1) // c -> x_other
+    // a label never seen at fit MUST raise despite the other-bucket
+    val e = intercept[Exception] {
+      Seq("zzz").toDF("x").select(CategoricalTransformer.oneHotStrict("x", m): _*).collect()
+    }
+    assert(e.getMessage.contains("unseen label") ||
+      Option(e.getCause).exists(_.getMessage.contains("unseen label")))
+  }
+
+  test("oneHotStrict: fit-time rare label with 2 distinct values does not raise") {
+    // 99a/1b at 2%: hasRare=false (<=2 distinct), categories ["a"] only
+    val vals = Seq.fill(99)("a") ++ Seq("b")
+    val m = CategoricalTransformer.fit(vals.toDF("x"), Seq("x"),
+      threshold = 0.02, buildBloom = true)("x")
+    assert(!m.hasRare && m.categories == Seq("a"))
+    // re-transforming the training data must not raise; b -> all zeros
+    val rows = vals.toDF("x")
+      .select(col("x") +: CategoricalTransformer.oneHotStrict("x", m): _*)
+      .where(col("x") === "b").collect()
+    assert(rows.length == 1 && rows(0).getInt(1) == 0)
   }
 
   test("label encoder is sorted-distinct and round-trips") {
