@@ -26,6 +26,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // fail at analysis time rather than reading non-double array data
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName requires array<double> arguments, " +
+      s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -237,7 +250,8 @@ object GraftFunctions {
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
 
   def minhashSignature(hashes: Column, numPerms: Int = 128, seed: Long = 42L): Column =
     ColumnBridge.column(MinHashSignature(
@@ -252,7 +266,9 @@ object GraftFunctions {
     registry.registerFunction(
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      (children: Seq[Expression]) => DotProduct(
+        org.apache.spark.sql.catalyst.expressions.Cast(children(0), ArrayType(DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Cast(children(1), ArrayType(DoubleType))))
     registry.registerFunction(
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
