@@ -144,6 +144,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: label propagation to
+    * the component minimum (each doc's canonical survivor). Iterative
+    * min-label joins — the small-graph formulation; components in
+    * dedup graphs are tiny (dup chains), so convergence is a handful
+    * of iterations, each one hash join + groupBy on the node id.
+    * Returns (id, canonical).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val msgs = edges.join(labels, edges("b") === labels("id"))
+        .select(col("a").as("id"), col("label"))
+        .unionAll(labels)
+      val next = msgs.groupBy("id").agg(min("label").as("label")).cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("canonical"))
+  }
+
   /** SimHash as 4 x 16-bit band values (avoids 64-bit sign overflow,
     * bands double as the LSH keys) — the one-pass
     * [[graft.functions.SimHashBands]] expression: a narrow projection,

@@ -229,6 +229,33 @@ object DedupQueries {
     None,
   )
 
+  // ---------------------------------------------------------------- §2.3/31b
+  /** Pairs -> clusters -> canonical survivor per doc: connected
+    * components over the MinHash near-dup pairs; the oracle computes
+    * the transitive closure of the exact-Jaccard pairs recursively.
+    */
+  val dedupClusters: Q = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.minhashPairs(nearDupDocs(s, dir), "doc_id", "text",
+        shingleK = 3, numPerms = 128, numBands = 32, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("canonical"))
+    },
+    Some(s"""
+      WITH RECURSIVE p AS (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+      SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.3/36b
   /** IVF ANN: centroid sampling is engine-side — rows-only for the
     * driver; AnnSpec asserts recall vs brute force.
@@ -245,6 +272,6 @@ object DedupQueries {
     None,
   )
 
-  val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash,
+  val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupNgramJaccard, dedupSimhash, dedupEmbedding, knnBruteforce, knnLsh, knnIvf)
 }

@@ -52,6 +52,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 2L || r.getLong(0) == 2L))
   }
 
+  test("connected components label chains to the min id") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash bands are 16-bit values") {
     val sigs = Dedup.simhashBands(base, "id", "text").collect()
     sigs.foreach { r =>
