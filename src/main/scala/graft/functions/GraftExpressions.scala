@@ -102,6 +102,16 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case dt => TypeCheckFailure(
+        s"$prettyName requires array<bigint> input, got ${dt.simpleString}")
+    }
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -168,6 +178,14 @@ case class WordShingles(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
     val n = words.length
@@ -202,6 +220,14 @@ case class SimHashBands(child: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  }
 
   override def nullSafeEval(v: Any): Any = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
