@@ -160,15 +160,18 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors;
+      // the self row carries the old label so convergence needs no
+      // extra join — just a filter on the aggregated frame
       val msgs = edges.join(labels, edges("b") === labels("id"))
-        .select(col("a").as("id"), col("label"))
-        .unionAll(labels)
-      val next = msgs.groupBy("id").agg(min("label").as("label")).cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count()
+        .select(col("a").as("id"), col("label"), lit(false).as("self"))
+        .unionAll(labels.withColumn("self", lit(true)))
+      val next = msgs.groupBy("id").agg(
+        min("label").as("label"),
+        max(when(col("self"), col("label"))).as("old")).cache()
+      val changed = next.where(col("label") < col("old")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }
