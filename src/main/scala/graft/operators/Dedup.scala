@@ -75,6 +75,12 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: shingle -> signature -> band buckets ->
     * bucket self-join (id_a < id_b) -> exact-Jaccard verify >= threshold.
     * Output: (id_a, id_b, jaccard).
+    *
+    * Run [[exact]] dedup FIRST at scale: identical documents all land
+    * in the same band buckets, and a viral duplicate (one text x 1M
+    * copies) makes that bucket's self-join quadratic. With exact dups
+    * removed, bucket sizes are bounded by genuine near-dup cluster
+    * sizes and the band join stays balanced.
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,

@@ -87,4 +87,15 @@ class NumPrepSpec extends SparkSpec {
       assert(math.abs(x - y) < 1e-4, s"$x -> $y")
     }
   }
+
+  test("approx quantile boundaries track exact ones at moderate n") {
+    val df = Tables.customer(spark, sf).select(org.apache.spark.sql.functions.col("c_acctbal").as("v"))
+    val probs = (1 until 10).map(_ / 10.0)
+    val exact = NumericalTransformer.fit(df, Seq("v"), probs)("v").quantiles
+    val approx = NumericalTransformer.fit(df, Seq("v"), probs, approxQuantiles = true)("v").quantiles
+    val range = exact.last - exact.head
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 0.05 * range, s"approx $a too far from exact $e")
+    }
+  }
 }
