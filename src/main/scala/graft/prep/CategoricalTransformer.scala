@@ -166,6 +166,36 @@ object CategoricalTransformer {
   def noneToNull(c: Column): Column =
     when(c === "None", lit(null)).otherwise(c)
 
+  /** Smoothed target-mean encoding: category -> (n*catMean +
+    * k*globalMean)/(n + k). Fit is ONE aggregation collecting a
+    * bounded category->double map; transform is a literal-map lookup
+    * (broadcast inside the expression, no join). Unseen categories
+    * fall back to the global mean.
+    */
+  final case class TargetMeanModel(means: Map[String, Double], globalMean: Double) {
+    def encode(c: Column): Column = {
+      val m = map(means.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      coalesce(element_at(m, c.cast("string")), lit(globalMean))
+    }
+  }
+
+  def fitTargetMeanEncoder(
+      df: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 10.0, maxCategories: Int = 1024): TargetMeanModel = {
+    val rows = df.groupBy(col(catCol).cast("string").as("k"))
+      .agg(avg(col(targetCol)).as("m"), count(col(targetCol)).as("n"))
+      .limit(maxCategories + 1).collect()
+    require(rows.length <= maxCategories,
+      s"column $catCol exceeds maxCategories=$maxCategories")
+    val gRow = df.agg(avg(col(targetCol))).head()
+    val g = if (gRow.isNullAt(0)) 0.0 else gRow.getDouble(0)
+    val means = rows.filter(!_.isNullAt(0)).map { r =>
+      val (m, n) = (r.getDouble(1), r.getLong(2))
+      r.getString(0) -> (n * m + smoothing * g) / (n + smoothing)
+    }.toMap
+    TargetMeanModel(means, g)
+  }
+
   /** sklearn-LabelEncoder analog: sorted distinct -> 0..k-1
     * (preprocessor.py:184-188). Bounded distinct collect; the mapping
     * rides into the plan as a literal map (no join).

@@ -241,7 +241,32 @@ object CatPrepQueries {
     """),
   )
 
+  // -------------------------------------------------------------- §2.1/17b
+  /** Smoothed target-mean encoding of c_mktsegment against c_acctbal
+    * (k=10 prior toward the global mean).
+    */
+  val targetMeanEncode: Q = Q(
+    "target_mean_encode",
+    (s, dir) => {
+      val df = Tables.customer(s, dir)
+      val model = CategoricalTransformer.fitTargetMeanEncoder(
+        df, "c_mktsegment", "c_acctbal", smoothing = 10.0)
+      df.select(col("c_custkey"),
+        round(model.encode(col("c_mktsegment")), 6).as("enc"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment, avg(c_acctbal) AS m, count(c_acctbal) AS n
+        FROM customer GROUP BY 1),
+      gm AS (SELECT avg(c_acctbal) AS gmean FROM customer)
+      SELECT c_custkey,
+             round((g.n * g.m + 10.0 * gm.gmean) / (g.n + 10.0), 6) AS enc
+      FROM customer
+      JOIN g USING (c_mktsegment), gm
+    """),
+  )
+
   val all: Seq[Q] = Seq(inferTypes, selectFeatures, shrinkLabels, oneHot,
-    oneHotRoundtrip, labelEncode, targetRegression, datetimeEpoch,
-    datetimeInfer, boolToInt)
+    oneHotRoundtrip, labelEncode, targetMeanEncode, targetRegression,
+    datetimeEpoch, datetimeInfer, boolToInt)
 }

@@ -106,6 +106,18 @@ class CatPrepSpec extends SparkSpec {
     assert(rt.toSeq == Seq("pear", "apple", "pear", "fig"))
   }
 
+  test("target-mean encoding: smoothed means, unseen -> global mean") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0)).toDF("c", "y")
+    val m = CategoricalTransformer.fitTargetMeanEncoder(df, "c", "y", smoothing = 1.0)
+    val g = (10.0 + 20.0 + 100.0) / 3
+    assert(math.abs(m.means("a") - (2 * 15.0 + g) / 3) < 1e-9)
+    assert(math.abs(m.means("b") - (1 * 100.0 + g) / 2) < 1e-9)
+    val enc = Seq("a", "zz").toDF("c")
+      .select(m.encode(col("c"))).as[Double].collect()
+    assert(math.abs(enc(0) - m.means("a")) < 1e-9)
+    assert(math.abs(enc(1) - g) < 1e-9) // unseen -> global mean
+  }
+
   test("feature selector drops single-value and dominant columns") {
     val df = (1 to 200).map(i =>
       (i, 1.0, if (i <= 199) "dom" else "rare", if (i % 2 == 0) "x" else "y"))
