@@ -31,7 +31,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt wraps program stdout in "[info] ..." which defeats line-level
+    // JSON parsing — emit to a file too (driver can read either)
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }
 }

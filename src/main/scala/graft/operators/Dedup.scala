@@ -150,19 +150,26 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Connected components over near-dup pairs: label propagation to
-    * the component minimum (each doc's canonical survivor). Iterative
-    * min-label joins — the small-graph formulation; components in
-    * dedup graphs are tiny (dup chains), so convergence is a handful
-    * of iterations, each one hash join + groupBy on the node id.
+  /** Connected components over near-dup pairs: min-label propagation
+    * with pointer doubling (each node adopts the min label among itself
+    * and its neighbors, then chases label→label-of-label), so deep dup
+    * chains converge in O(log diameter) rounds, not O(diameter).
+    *
+    * Scale notes: `localCheckpoint` per iteration materializes the
+    * labels and TRUNCATES lineage — without it the plan doubles every
+    * round and at 100× scale the re-analyzed/re-optimized plan tree
+    * dominates. Non-convergence RAISES: a silently-truncated propagation
+    * returns canonical ids that look valid but split real components.
     * Returns (id, canonical).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // one materialization of the (expensive) upstream pair plan; the
+    // loop then re-reads executor-local blocks, never the minhash DAG
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -172,16 +179,25 @@ object Dedup {
       val msgs = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("label"), lit(false).as("self"))
         .unionAll(labels.withColumn("self", lit(true)))
-      val next = msgs.groupBy("id").agg(
+      val mins = msgs.groupBy("id").agg(
         min("label").as("label"),
-        max(when(col("self"), col("label"))).as("old")).cache()
+        max(when(col("self"), col("label"))).as("old"))
+      // pointer doubling: follow the adopted label's own label, halving
+      // the remaining chain depth every round
+      val next = mins.as("x")
+        .join(labels.as("l"), col("x.label") === col("l.id"), "left")
+        .select(col("x.id"),
+          least(col("x.label"), coalesce(col("l.label"), col("x.label"))).as("label"),
+          col("x.old"))
+        .localCheckpoint()
       val changed = next.where(col("label") < col("old")).limit(1).count()
-      labels.unpersist()
       labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter too large — raise maxIter)")
     labels.select(col("id"), col("label").as("canonical"))
   }
 

@@ -74,8 +74,8 @@ object TsFeatures {
     )
   }
 
-  /** Distribution-shape features (tsfresh: skewness/kurtosis computed
-    * here as POPULATION moments via explicit power sums,
+  /** Distribution-shape features (tsfresh: population skewness/kurtosis
+    * via central moments around the per-series mean,
     * count_above_mean / count_below_mean, first/last by time, range).
     * Window for the per-series mean + one groupBy on the same key —
     * the exchange is reused, one shuffle total.
@@ -88,16 +88,18 @@ object TsFeatures {
       struct(orderCols.map(col): _*).as("ord"),
       avg(v).over(wAll).as("mu"),
     )
-    val m1 = avg(col("v"))
-    val m2 = avg(col("v") * col("v"))
-    val m3 = avg(col("v") * col("v") * col("v"))
-    val m4 = avg(col("v") * col("v") * col("v") * col("v"))
-    val varPop = m2 - m1 * m1
+    // Central moments around the windowed-in per-series mean: raw power
+    // sums avg(v^4) - 4*avg(v)*avg(v^3) + ... cancel catastrophically when
+    // |mean| >> std, and distributed partial-agg order then diverges from a
+    // sequential engine at 6 dp. avg((v-mu)^k) keeps magnitudes small and
+    // the result order-stable.
+    val d = col("v") - col("mu")
+    val c2 = avg(d * d)
+    val c3 = avg(d * d * d)
+    val c4 = avg(d * d * d * d)
     withMu.groupBy(col(seriesKey)).agg(
-      try_divide(m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1,
-        pow(varPop, 1.5)).as("skewness"),
-      (try_divide(m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 - lit(3) * m1 * m1 * m1 * m1,
-        varPop * varPop) - lit(3)).as("kurtosis"),
+      try_divide(c3, pow(c2, 1.5)).as("skewness"),
+      (try_divide(c4, c2 * c2) - lit(3)).as("kurtosis"),
       sum(when(col("v") > col("mu"), 1L).otherwise(0L)).as("count_above_mean"),
       sum(when(col("v") < col("mu"), 1L).otherwise(0L)).as("count_below_mean"),
       min_by(col("v"), col("ord")).as("first_v"),
@@ -125,9 +127,11 @@ object TsFeatures {
       (row_number().over(w) - 1).cast("double").as("idx"),
     )
     val v = col("v")
-    val m1 = avg(v); val m2 = avg(v * v); val m3 = avg(v * v * v)
-    val m4 = avg(v * v * v * v)
-    val varPop = m2 - m1 * m1
+    // central moments around the windowed mu — see dist() for why
+    val d = v - col("mu")
+    val c2 = avg(d * d)
+    val c3 = avg(d * d * d)
+    val c4 = avg(d * d * d * d)
     enriched.groupBy(col(seriesKey)).agg(
       count(v).as("n"),
       avg(v).as("mean_v"),
@@ -143,10 +147,8 @@ object TsFeatures {
         (count(lit(1)) - 1) * var_pop(v)).as("autocorr_lag1"),
       regr_slope(v, col("idx")).as("trend_slope"),
       regr_intercept(v, col("idx")).as("trend_intercept"),
-      try_divide(m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1,
-        pow(varPop, 1.5)).as("skewness"),
-      (try_divide(m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 - lit(3) * m1 * m1 * m1 * m1,
-        varPop * varPop) - lit(3)).as("kurtosis"),
+      try_divide(c3, pow(c2, 1.5)).as("skewness"),
+      (try_divide(c4, c2 * c2) - lit(3)).as("kurtosis"),
       sum(when(v > col("mu"), 1L).otherwise(0L)).as("count_above_mean"),
       sum(when(v < col("mu"), 1L).otherwise(0L)).as("count_below_mean"),
       min_by(v, col("ord")).as("first_v"),
@@ -189,12 +191,22 @@ object TsFeatures {
   def resample(df: DataFrame, seriesKey: String, tsNanosCol: String,
                valueCol: String, widthNanos: Long): DataFrame = {
     val bucket = floor(col(tsNanosCol) / lit(widthNanos)).as("bucket")
+    // sum/mean ride an exact decimal(18,6) sum: double summation is
+    // order-dependent, and distributed partial aggregation can flip the
+    // 6-dp-rounded result vs a sequential engine on rounding-boundary
+    // buckets. The decimal sum is exact → order-independent; mean is the
+    // exact sum divided by n in double (identical inputs on both sides).
+    val dec = sum(col(valueCol).cast("decimal(18,6)"))
     df.groupBy(col(seriesKey), bucket).agg(
       count(lit(1)).as("n"),
-      avg(col(valueCol)).as("mean_v"),
-      sum(col(valueCol)).as("sum_v"),
+      dec.as("sum_dec"),
       min(col(valueCol)).as("min_v"),
       max(col(valueCol)).as("max_v"),
+    ).select(
+      col(seriesKey), col("bucket"), col("n"),
+      (col("sum_dec").cast("double") / col("n")).as("mean_v"),
+      col("sum_dec").cast("double").as("sum_v"),
+      col("min_v"), col("max_v"),
     )
   }
 }

@@ -143,8 +143,14 @@ object CategoricalTransformer {
       case Some(bytes) =>
         (isNone && lit(!m.hasNone)) ||
           (!isNone && !org.apache.spark.sql.graft.ColumnBridge.bloomMightContain(bytes, raw))
-      case None => // no bloom fitted: fall back to the registry check
-        !shrink(raw, m).isin(m.categories: _*)
+      case None =>
+        // no bloom fitted: test the RAW label against the fit-time keep
+        // set. Testing the shrunk value would never fire when hasRare —
+        // shrink maps any unseen label to "other", which is in
+        // `categories`. Without a bloom the rare tail is unknowable, so
+        // fit-time rare labels raise too (over-raising beats silently
+        // encoding brand-new labels as "other").
+        (isNone && lit(!m.hasNone)) || (!isNone && !raw.isin(m.keep: _*))
     }
     oneHot(colName, m).zip(m.categories).map { case (dummy, cat) =>
       when(unseen, raise_error(concat(

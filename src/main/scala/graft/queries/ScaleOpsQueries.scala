@@ -26,7 +26,9 @@ object ScaleOpsQueries {
         leftCols = Seq("event_id"), rightCols = Seq("ts", "value"), prefix = "err_")
         .select(
           col("event_id"), col("user_id"),
-          (col("err_ts") / 1000).cast("long").as("err_ts_us"),
+          // integer division: `/` would cast the nanos Long (~2^60, above
+          // double's 2^53 exact range) to double and land on the wrong µs
+          expr("err_ts div 1000").as("err_ts_us"),
           round(col("err_value"), 6).as("err_value"))
     },
     Some("""

@@ -106,31 +106,27 @@ object TsQueries {
         round(col("range_v"), 6).as("range_v"))
     },
     Some("""
-      WITH m AS (
+      WITH mu AS (SELECT user_id, avg(value) AS mu FROM events GROUP BY user_id),
+      dd AS (
+        SELECT e.user_id, e.ts, e.value AS v, mu.mu AS mu, e.value - mu.mu AS d
+        FROM events e JOIN mu ON e.user_id = mu.user_id),
+      c AS (
         SELECT user_id,
-               avg(value) AS m1, avg(value*value) AS m2,
-               avg(value*value*value) AS m3,
-               avg(value*value*value*value) AS m4
-        FROM events GROUP BY user_id),
-      mu AS (SELECT user_id, avg(value) AS mu FROM events GROUP BY user_id),
-      cnts AS (
-        SELECT e.user_id,
-               sum(CASE WHEN e.value > mu.mu THEN 1 ELSE 0 END) AS count_above_mean,
-               sum(CASE WHEN e.value < mu.mu THEN 1 ELSE 0 END) AS count_below_mean,
-               arg_min(e.value, e.ts) AS first_v,
-               arg_max(e.value, e.ts) AS last_v,
-               max(e.value) - min(e.value) AS range_v
-        FROM events e JOIN mu ON e.user_id = mu.user_id
-        GROUP BY e.user_id)
-      SELECT m.user_id,
-             round((m3 - 3*m1*m2 + 2*m1*m1*m1) / pow(m2 - m1*m1, 1.5), 6) AS skewness,
-             round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) /
-                   ((m2 - m1*m1) * (m2 - m1*m1)) - 3, 6) AS kurtosis,
+               avg(d*d) AS c2, avg(d*d*d) AS c3, avg(d*d*d*d) AS c4,
+               sum(CASE WHEN v > mu THEN 1 ELSE 0 END) AS count_above_mean,
+               sum(CASE WHEN v < mu THEN 1 ELSE 0 END) AS count_below_mean,
+               arg_min(v, ts) AS first_v,
+               arg_max(v, ts) AS last_v,
+               max(v) - min(v) AS range_v
+        FROM dd GROUP BY user_id)
+      SELECT user_id,
+             round(c3 / pow(c2, 1.5), 6) AS skewness,
+             round(c4 / (c2 * c2) - 3, 6) AS kurtosis,
              count_above_mean, count_below_mean,
              round(first_v, 6) AS first_v,
              round(last_v, 6) AS last_v,
              round(range_v, 6) AS range_v
-      FROM m JOIN cnts ON m.user_id = cnts.user_id
+      FROM c
     """),
   )
 
@@ -153,11 +149,12 @@ object TsQueries {
       "round(sum((v - mu) * (prev - mu)) / ((count(*) - 1) * var_pop(v)), 6)",
     "trend_slope" -> "round(regr_slope(v, idx), 6)",
     "trend_intercept" -> "round(regr_intercept(v, idx), 6)",
-    "skewness" -> ("round((avg(v*v*v) - 3*avg(v)*avg(v*v) + 2*avg(v)*avg(v)*avg(v)) / " +
-      "pow(avg(v*v) - avg(v)*avg(v), 1.5), 6)"),
-    "kurtosis" -> ("round((avg(v*v*v*v) - 4*avg(v)*avg(v*v*v) + 6*avg(v)*avg(v)*avg(v*v) " +
-      "- 3*avg(v)*avg(v)*avg(v)*avg(v)) / " +
-      "((avg(v*v) - avg(v)*avg(v)) * (avg(v*v) - avg(v)*avg(v))) - 3, 6)"),
+    // central moments around the window-enriched mu (order-stable at 6 dp;
+    // mirrors TsFeatures.extract's avg((v-mu)^k))
+    "skewness" -> ("round(avg((v-mu)*(v-mu)*(v-mu)) / " +
+      "pow(avg((v-mu)*(v-mu)), 1.5), 6)"),
+    "kurtosis" -> ("round(avg((v-mu)*(v-mu)*(v-mu)*(v-mu)) / " +
+      "(avg((v-mu)*(v-mu)) * avg((v-mu)*(v-mu))) - 3, 6)"),
     "count_above_mean" -> "sum(CASE WHEN v > mu THEN 1 ELSE 0 END)",
     "count_below_mean" -> "sum(CASE WHEN v < mu THEN 1 ELSE 0 END)",
     "first_v" -> "round(arg_min(v, ts), 6)",
@@ -244,8 +241,8 @@ object TsQueries {
       SELECT user_id,
              floor(epoch_ns(ts) / 3600000000000) AS bucket,
              count(*) AS n,
-             round(avg(value), 6) AS mean_v,
-             round(sum(value), 6) AS sum_v,
+             round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_v,
+             round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS sum_v,
              round(min(value), 6) AS min_v,
              round(max(value), 6) AS max_v
       FROM events GROUP BY 1, 2

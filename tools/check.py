@@ -71,7 +71,10 @@ def cell_eq(a, b):
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
-            return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+            # EXACT compare — the driver hash-compares values exactly, so any
+            # tolerance here makes local green a lie (round-1 lesson: 4 driver
+            # hash-fails that this check called passing at 1e-9).
+            return fa == fb
     except (TypeError, ValueError):
         pass
     if (a is None) != (b is None):
