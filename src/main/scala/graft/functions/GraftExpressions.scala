@@ -207,10 +207,15 @@ case class WordShingles(child: Expression, k: Int)
 }
 
 /** 64-bit SimHash of the whitespace words of a document, emitted as
-  * 4 x 16-bit band values (the LSH keys): per word occurrence w and
-  * bit p, contribute +1 if bit p of xxhash64(w) is set else -1
-  * (term-frequency weighted); band bit is set iff its sum >= 0.
-  * One narrow pass per row — no explode, no shuffle.
+  * 4 x 16-bit band values (the LSH keys): per word occurrence w, band b
+  * takes the 16-bit value of hex chars [4b, 4b+4) of md5(w); bit r
+  * contributes +1 if set else -1 (term-frequency weighted); the band's
+  * bit is set iff its sum >= 0. One narrow pass per row — no explode,
+  * no shuffle.
+  *
+  * md5 (not xxhash64) is deliberate: every SQL engine computes the
+  * identical digest, so an external oracle can replay signature, band
+  * join, and Hamming verification exactly (see DedupQueries).
   */
 case class SimHashBands(child: Expression)
     extends UnaryExpression
@@ -230,18 +235,26 @@ case class SimHashBands(child: Expression)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
     val counts = new Array[Int](64)
+    val md = SimHashBands.digest.get()
     var i = 0
     while (i < words.length) {
       val w = words(i)
       if (w.numBytes() > 0) {
-        val h = XxHash64Function.hash(w, StringType, 42L)
-        var p = 0
-        while (p < 64) {
-          if (((h >>> p) & 1L) == 1L) counts(p) += 1 else counts(p) -= 1
-          p += 1
+        md.reset()
+        val h = md.digest(w.getBytes)
+        var b = 0
+        while (b < 4) {
+          // hex chars [4b, 4b+4) of the digest = bytes 2b, 2b+1
+          val v16 = ((h(2 * b) & 0xff) << 8) | (h(2 * b + 1) & 0xff)
+          var r = 0
+          while (r < 16) {
+            if (((v16 >>> r) & 1) == 1) counts(b * 16 + r) += 1
+            else counts(b * 16 + r) -= 1
+            r += 1
+          }
+          b += 1
         }
       }
       i += 1
@@ -263,6 +276,14 @@ case class SimHashBands(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashBands =
     copy(child = newChild)
+}
+
+object SimHashBands {
+  /** MD5 instances are stateful and not thread-safe — one per task thread. */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 /** Column-level entry points + SQL registration. */

@@ -63,12 +63,19 @@ object Ann {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic Rademacher (+-1) hyperplanes: table t, bit j,
-    * dim d -> sign from a seeded driver-side PRNG, shipped as a literal.
+  /** Deterministic Rademacher (+-1) hyperplanes: sign(t,j,d) = parity
+    * of the first hex char of md5("seed:t:j:d"). md5 (not a JVM PRNG)
+    * so ANY engine can replay bucket assignment bit-for-bit — the
+    * DuckDB oracles for knn_lsh / dedup_embedding regenerate these
+    * planes in SQL.
     */
-  private def planes(tables: Int, bits: Int, dims: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits, dims)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  private[graft] def planes(tables: Int, bits: Int, dims: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dims) { (t, j, d) =>
+      md.reset()
+      val h = md.digest(s"$seed:$t:$j:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+    }
   }
 
   /** IVF-style ANN: a coarse quantizer of `nCells` centroids (sampled
@@ -87,10 +94,13 @@ object Ann {
       col(vecCol).cast("array<double>").as("cv")).repartition(par, col("nn_id"))
 
     // deterministic coarse centroids: hash-sampled corpus vectors
-    // (no global sort/window — a filter + small limit at any scale)
+    // (no global sort/window — a filter + small limit at any scale).
+    // The sampling hash is the first 16 bits of md5(id-as-string) so an
+    // external oracle can replay centroid selection exactly.
     val n = c.count()
     val step = math.max(1L, n / nCells)
-    val centroids = c.where(pmod(xxhash64(col("nn_id")), lit(step)) === 0)
+    val sel = conv(substring(md5(col("nn_id").cast("string")), 1, 4), 16, 10).cast("long")
+    val centroids = c.where(pmod(sel, lit(step)) === 0)
       .orderBy(col("nn_id")).limit(nCells)
       .select(col("cv")).collect().map(_.getSeq[Double](0).toSeq)
     require(centroids.nonEmpty, "no centroids sampled")
@@ -117,6 +127,38 @@ object Ann {
       .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
       .select(col("query_id"), col("nn_id"), col("cosine"), row_number().over(w).as("rank"))
       .where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed near-dup pairs — the scale path for
+    * embedding-cosine dedup (the all-pairs [[cosinePairs]] is O(n²) and
+    * exists only as an oracle/baseline). Band rows carry (id, tbl,
+    * bucket) ONLY; vectors rejoin for the exact-cosine verify, so the
+    * band shuffle never moves the embedding payload. At the configured
+    * 16 tables x 4 bits, a >= 0.9-cosine pair (angle <= 26°) misses all
+    * 16 tables with probability < 1e-6 — recall is exact-equal to the
+    * all-pairs result at any realistic SF.
+    */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, tables: Int = 16, bits: Int = 4,
+                     dims: Int = 64, seed: Long = 7L): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).repartition(par, col("id"))
+    val withNorm = v.select(col("id"), col("v"), norm(col("v")).as("nrm"))
+    val banded = v
+      .select(col("id"), explode(lshBuckets(col("v"), tables, bits, dims, seed)).as("bk"))
+      .select(col("id"), col("bk.tbl"), col("bk.bucket"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(withNorm.as("x"), col("id_a") === col("x.id"))
+      .join(withNorm.as("y"), col("id_b") === col("y.id"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+      .where(col("cosine") >= threshold)
   }
 
   /** Bucket id per LSH table: `bits` sign bits of hyperplane dots. */

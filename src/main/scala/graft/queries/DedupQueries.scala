@@ -148,19 +148,65 @@ object DedupQueries {
   )
 
   // ---------------------------------------------------------------- §2.3/33
-  /** SimHash pairs: xxhash64 is engine-specific, so this is a
-    * rows-only check for the driver plus the behavioral spec in
-    * DedupSpec (injected near-dups collide, distinct docs don't).
+  /** hex-nibble value of char `pos` (1-based SQL expr) of column h. */
+  private def hv(pos: String) =
+    s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+
+  /** SimHash pairs, fully oracle-checked: the signature hashes words
+    * with md5 (engine-portable, unlike xxhash64), so DuckDB replays
+    * signature construction, band join, and Hamming verification
+    * bit-for-bit from the source table.
     */
   val dedupSimhash: Q = Q(
     "dedup_simhash",
     (s, dir) => Dedup.simhashPairs(nearDupDocs(s, dir), "doc_id", "text",
       maxHamming = 3)
-      .select(col("id_a"), col("id_b"), col("hamming")),
-    None,
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming")),
+    Some(s"""
+      WITH corpus AS ($nearDupDocsSql),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+      tw AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
+      cnt AS (SELECT doc_id, count(*) AS n FROM tw GROUP BY 1),
+      tb AS (
+        SELECT doc_id, b.b AS band,
+               ((${hv("4*b.b+1")}*16 + ${hv("4*b.b+2")})*16 + ${hv("4*b.b+3")})*16
+                 + ${hv("4*b.b+4")} AS v16
+        FROM tw, range(4) b(b)),
+      bits AS (
+        SELECT doc_id, band, r.r AS bit, sum((v16 >> r.r) & 1) AS ones
+        FROM tb, range(16) r(r) GROUP BY 1, 2, 3),
+      sig AS (
+        SELECT bits.doc_id, band,
+               sum(CASE WHEN 2*ones >= cnt.n THEN (1::BIGINT << bit) ELSE 0 END) AS bv
+        FROM bits JOIN cnt ON bits.doc_id = cnt.doc_id GROUP BY 1, 2),
+      sigs AS (
+        SELECT doc_id,
+               max(CASE WHEN band = 0 THEN bv END) AS band0,
+               max(CASE WHEN band = 1 THEN bv END) AS band1,
+               max(CASE WHEN band = 2 THEN bv END) AS band2,
+               max(CASE WHEN band = 3 THEN bv END) AS band3
+        FROM sig GROUP BY 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT id_a, id_b,
+               (bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
+              + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)))::BIGINT
+                 AS hamming
+        FROM cand JOIN sigs x ON id_a = x.doc_id JOIN sigs y ON id_b = y.doc_id)
+      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """),
   )
 
   // ---------------------------------------------------------------- §2.3/34
+  /** Embedding near-dup: the REGISTERED plan is the LSH-bucketed pair
+    * generation (no nested-loop join at any SF); the oracle is the
+    * exact all-pairs SQL — identical output because a >= 0.9-cosine
+    * pair escapes all 16 hyperplane tables with probability < 1e-6.
+    */
   val dedupEmbedding: Q = Q(
     "dedup_embedding",
     (s, dir) => {
@@ -169,7 +215,8 @@ object DedupQueries {
       val dup = e.unionAll(e.where(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("v"), x => x + lit(0.01)).as("v")))
-      Ann.cosinePairs(dup, "vec_id", "v", threshold = 0.9)
+      Ann.lshCosinePairs(dup, "vec_id", "v", threshold = 0.9,
+        tables = 16, bits = 4, dims = 64)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     },
     Some("""
@@ -213,8 +260,11 @@ object DedupQueries {
   )
 
   // ---------------------------------------------------------------- §2.3/36
-  /** LSH ANN: bucket assignment depends on engine-side seeded planes —
-    * rows-only for the driver; AnnSpec asserts recall vs brute force.
+  /** LSH ANN, fully oracle-checked: the hyperplanes are md5-derived
+    * (sign(t,j,d) = parity of the first hex char of md5("7:t:j:d")), so
+    * DuckDB regenerates the planes, replays bucket assignment, and
+    * ranks the same candidate set exactly. AnnSpec additionally asserts
+    * recall vs brute force.
     */
   val knnLsh: Q = Q(
     "knn_lsh",
@@ -226,7 +276,38 @@ object DedupQueries {
         .select(col("query_id"), col("nn_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
     },
-    None,
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      planes AS (
+        SELECT t.t AS t, j.j AS j, d.d AS d,
+               CASE WHEN (strpos('0123456789abcdef',
+                      substr(md5('7:' || t.t || ':' || j.j || ':' || d.d), 1, 1)) - 1) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS sgn
+        FROM range(16) t(t), range(4) j(j), range(64) d(d)),
+      dots AS (
+        SELECT e.vec_id, p.t, p.j, sum(p.sgn * e.v[p.d + 1]) AS dp
+        FROM e CROSS JOIN planes p GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT vec_id, t, sum(CASE WHEN dp >= 0 THEN (1 << j) ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id
+        FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 20 AND c.vec_id != q.vec_id),
+      scored AS (
+        SELECT cand.query_id, cand.nn_id,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        FROM cand
+        JOIN n a ON cand.query_id = a.vec_id
+        JOIN n b ON cand.nn_id = b.vec_id),
+      ranked AS (
+        SELECT query_id, nn_id, round(cosine, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id)
+                 AS rank
+        FROM scored)
+      SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 5
+    """),
   )
 
   // ---------------------------------------------------------------- §2.3/31b
@@ -257,8 +338,11 @@ object DedupQueries {
   )
 
   // ---------------------------------------------------------------- §2.3/36b
-  /** IVF ANN: centroid sampling is engine-side — rows-only for the
-    * driver; AnnSpec asserts recall vs brute force.
+  /** IVF ANN, fully oracle-checked: centroid sampling keys on the
+    * first 16 bits of md5(vec_id-as-string), so DuckDB replays centroid
+    * selection, cell assignment (argmax cosine, ties to the higher cell
+    * — matching the reversed array_sort), probing, and in-cell ranking
+    * exactly. AnnSpec additionally asserts recall vs brute force.
     */
   val knnIvf: Q = Q(
     "knn_ivf",
@@ -269,7 +353,53 @@ object DedupQueries {
         .select(col("query_id"), col("nn_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
     },
-    None,
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      h AS (
+        SELECT vec_id, v, md5(vec_id::VARCHAR) AS hx FROM e),
+      sel AS (
+        SELECT vec_id, v,
+               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+        FROM h),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        FROM sel
+        WHERE h16 % greatest(1, (SELECT count(*) FROM e) // 16) = 0
+        ORDER BY vec_id LIMIT 16),
+      cc AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      scores AS (
+        SELECT n.vec_id, cc.cell,
+               list_dot_product(n.v, cc.cv) / (n.nrm * cc.cnrm) AS s
+        FROM n CROSS JOIN cc),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+          FROM scores) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+          FROM scores WHERE vec_id < 20) WHERE rn <= 4),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS nn_id
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE a.vec_id != p.query_id),
+      scored AS (
+        SELECT c.query_id, c.nn_id,
+               list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS cosine
+        FROM cand c JOIN n q ON c.query_id = q.vec_id JOIN n x ON c.nn_id = x.vec_id),
+      ranked AS (
+        SELECT query_id, nn_id, round(cosine, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id)
+                 AS rank
+        FROM scored)
+      SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 5
+    """),
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
