@@ -237,7 +237,7 @@ case class SimHashBands(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
     val counts = new Array[Int](64)
-    val md = SimHashBands.digest.get()
+    val md = SimHashBands.md5()
     var i = 0
     while (i < words.length) {
       val w = words(i)
@@ -284,6 +284,202 @@ object SimHashBands {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  private[functions] def md5(): java.security.MessageDigest = digest.get()
+}
+
+/** Mean word length: sum of token char counts / max(token count, 1),
+  * tokens = regex-\s+ split of the space-trimmed text (identical to
+  * `aggregate(split(trim(text),"\\s+"), ...) / greatest(size, 1)`, which
+  * evaluates interpreted with per-element boxing). One pass per row.
+  */
+case class MeanWordLen(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_mean_word_len"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .trim().toString.split("\\s+", -1)
+    var total = 0L
+    var i = 0
+    while (i < words.length) {
+      total += words(i).codePointCount(0, words(i).length)
+      i += 1
+    }
+    total.toDouble / math.max(words.length, 1)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MeanWordLen =
+    copy(child = newChild)
+}
+
+/** Fraction of whitespace tokens of lower(trim(text)) that fall in a
+  * fixed marker set (stopword ratio, language-marker score). Replaces
+  * `size(filter(words, isin(...)))/greatest(size(words),1)` — the
+  * interpreted-HOF formulation. One pass, set lookups via a HashSet.
+  */
+case class MarkerRatio(child: Expression, markers: Seq[String])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val set = markers.toSet
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_marker_ratio"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.trim().toString.split("\\s+", -1)
+    var hits = 0
+    var i = 0
+    while (i < words.length) {
+      if (set.contains(words(i))) hits += 1
+      i += 1
+    }
+    hits.toDouble / math.max(words.length, 1)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerRatio =
+    copy(child = newChild)
+}
+
+/** Marker-stopword language ID in ONE pass: tokenize lower(trim(text))
+  * once, count hits per language marker set, return the arg-max
+  * (first language in declaration order wins ties) as
+  * struct(lang, score). Equivalent to the greatest+when-chain over
+  * per-language MarkerRatio columns but tokenizes once, not |langs|
+  * times.
+  */
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val sets = langs.map { case (_, ms) => ms.toSet }.toArray
+  private val codes = langs.map(_._1).toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_langid"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.trim().toString.split("\\s+", -1)
+    val hits = new Array[Int](sets.length)
+    var i = 0
+    while (i < words.length) {
+      var l = 0
+      while (l < sets.length) {
+        if (sets(l).contains(words(i))) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    val n = math.max(words.length, 1).toDouble
+    var best = 0
+    var l = 1
+    while (l < hits.length) {
+      if (hits(l) > hits(best)) best = l // strict: first max wins ties
+      l += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(codes(best)),
+      hits(best) / n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint count (Schleimer et al., MOSS) in ONE pass:
+  * md5 each char k-gram, per window of `w` consecutive grams keep the
+  * lexicographic-min hex digest, count distinct selections. Replaces
+  * the nested transform/array_min/slice formulation (interpreted, one
+  * md5 Expression eval per char position). Hex-lexicographic min ==
+  * unsigned-byte-lexicographic min on the raw digest.
+  */
+case class WinnowCountExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1 && w >= 1)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_winnow_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val cps = s.codePoints().toArray
+    val nGrams = cps.length - (k - 1)
+    if (nGrams <= 0) return 0
+    val md = SimHashBands.md5()
+    val grams = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      grams(i) = md.digest(
+        new String(cps, i, k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val nWindows = math.max(nGrams - (w - 1), 1)
+    val seen = new java.util.HashSet[java.nio.ByteBuffer]()
+    i = 0
+    while (i < nWindows) {
+      var min = grams(i)
+      var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) {
+        if (lessThan(grams(j), min)) min = grams(j)
+        j += 1
+      }
+      seen.add(java.nio.ByteBuffer.wrap(min))
+      i += 1
+    }
+    seen.size()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowCountExpr =
+    copy(child = newChild)
 }
 
 /** Column-level entry points + SQL registration. */
@@ -291,6 +487,18 @@ object GraftFunctions {
 
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+
+  def meanWordLen(text: Column): Column =
+    ColumnBridge.column(MeanWordLen(ColumnBridge.expression(text)))
+
+  def markerRatio(text: Column, markers: Seq[String]): Column =
+    ColumnBridge.column(MarkerRatio(ColumnBridge.expression(text), markers))
+
+  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text), langs))
+
+  def winnowCount(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowCountExpr(ColumnBridge.expression(text), k, w))
 
   def simhashBands(text: Column): Column =
     ColumnBridge.column(SimHashBands(ColumnBridge.expression(text)))

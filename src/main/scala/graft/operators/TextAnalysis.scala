@@ -35,17 +35,16 @@ object TextAnalysis {
 
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "in", "and", "is", "it", "for")
 
-  def stopwordRatio(text: Column): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    size(filter(words, w => w.isin(Stopwords: _*))).cast("double") /
-      greatest(size(words), lit(1)).cast("double")
-  }
+  /** One-pass codegen-friendly expressions (graft.functions): the
+    * `filter`/`aggregate` higher-order-function formulations evaluate
+    * interpreted with per-element boxing (SURVEY §8) — wrong for a
+    * per-document hot path.
+    */
+  def stopwordRatio(text: Column): Column =
+    graft.functions.GraftFunctions.markerRatio(text, Stopwords)
 
-  def meanWordLen(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-      greatest(size(words), lit(1)).cast("double")
-  }
+  def meanWordLen(text: Column): Column =
+    graft.functions.GraftFunctions.meanWordLen(text)
 
   def alphaRatio(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double") /
@@ -64,39 +63,25 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"),
   )
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val words = split(trim(lower(text)), "\\s+")
-    val n = greatest(size(words), lit(1)).cast("double")
+  def langScores(text: Column): Seq[(String, Column)] =
     LangMarkers.map { case (lang, markers) =>
-      lang -> (size(filter(words, w => w.isin(markers: _*))).cast("double") / n)
+      lang -> graft.functions.GraftFunctions.markerRatio(text, markers)
     }
-  }
 
   /** (language, score) with the highest marker score; first language in
-    * code order wins ties.
+    * code order wins ties. One tokenization pass over the text for all
+    * languages (graft_langid expression).
     */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val lang = scores.reverse.foldLeft(lit(scores.last._1)) { case (acc, (l, s)) =>
-      when(s === best, lit(l)).otherwise(acc)
-    }
-    struct(lang.as("lang"), best.as("score"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.GraftFunctions.langId(text, LangMarkers)
 
   /** Winnowing fingerprint count (Schleimer et al., MOSS): md5 each
     * char k-gram, take the window minimum over `w` consecutive
     * k-grams (lexicographic on the hex — stable across engines), count
-    * distinct selected fingerprints. Pure nested array expressions.
+    * distinct selected fingerprints. One-pass expression — the nested
+    * transform/array_min/slice formulation evaluated one interpreted
+    * md5 Expression per char position.
     */
-  def winnowCount(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val nGrams = greatest(length(text) - (k - 1), lit(0))
-    val grams = transform(sequence(lit(1), nGrams),
-      i => md5(text.substr(i, lit(k))))
-    // at least one window; slice clamps at the array end for short texts
-    val nWindows = greatest(nGrams - (w - 1), lit(1))
-    val selected = transform(sequence(lit(0), nWindows - 1),
-      i => array_min(slice(grams, i + 1, lit(w))))
-    when(nGrams <= 0, lit(0)).otherwise(size(array_distinct(selected)))
-  }
+  def winnowCount(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.GraftFunctions.winnowCount(text, k, w)
 }

@@ -110,22 +110,51 @@ object TsFeatures {
 
   /** The full feature matrix in ONE pass (reference:
     * preprocessor.py:558-638 `extract_ts_features` / tsfresh
-    * `extract_features`): window-enrich (lag, series mean, index) on
-    * the series key, then a single groupBy on the SAME key computes
-    * every feature — the groupBy reuses the window's hash exchange, so
-    * the whole matrix costs one shuffle.
+    * `extract_features`): window-enrich (lags/lead, series stats, row
+    * index, above/below-mean run lengths) on the series key, then a
+    * single groupBy on the SAME key computes every feature — all
+    * windows share one (partition, order), so the groupBy reuses the
+    * window's hash exchange and the whole 32-feature matrix costs ONE
+    * shuffle.
+    *
+    * Calculators follow tsfresh feature_calculators: the round-1 set
+    * plus quantiles, abs max, cid_ce, number_peaks(1),
+    * longest_strike_above/below_mean (run lengths via rn minus the last
+    * non-qualifying rn — no extra partition key, no second shuffle),
+    * energy_ratio chunk 0 of 10, first_location_of_maximum,
+    * last_location_of_minimum, ratio_beyond_r_sigma(1),
+    * mean_second_derivative_central.
     */
   def extract(df: DataFrame, seriesKey: String, orderCols: Seq[String],
               valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
     val wAll = Window.partitionBy(col(seriesKey))
-    val enriched = df.select(
-      col(seriesKey), col(valueCol).as("v"),
-      struct(orderCols.map(col): _*).as("ord"),
-      lag(col(valueCol), 1).over(w).as("prev"),
-      avg(col(valueCol)).over(wAll).as("mu"),
-      (row_number().over(w) - 1).cast("double").as("idx"),
-    )
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    // order columns ride along so the second window stage (run lengths)
+    // can still sort by them; dropped before the aggregation
+    val enriched0 = df.select(
+      (col(seriesKey) +: orderCols.map(col)) ++ Seq(
+        col(valueCol).as("v"),
+        struct(orderCols.map(col): _*).as("ord"),
+        lag(col(valueCol), 1).over(w).as("prev"),
+        lag(col(valueCol), 2).over(w).as("prev2"),
+        lead(col(valueCol), 1).over(w).as("nxt"),
+        avg(col(valueCol)).over(wAll).as("mu"),
+        stddev_pop(col(valueCol)).over(wAll).as("sd"),
+        max(col(valueCol)).over(wAll).as("mx"),
+        min(col(valueCol)).over(wAll).as("mn"),
+        count(col(valueCol)).over(wAll).as("cnt"),
+        row_number().over(w).as("rn"),
+        (row_number().over(w) - 1).cast("double").as("idx"),
+      ): _*)
+    // run length ending at each row: rn minus the last rn that BROKE
+    // the run (same window partition+order — the sort is reused)
+    val enriched = enriched0
+      .withColumn("alen", col("rn") - coalesce(
+        last(when(!(col("v") > col("mu")), col("rn")), ignoreNulls = true).over(back), lit(0)))
+      .withColumn("blen", col("rn") - coalesce(
+        last(when(!(col("v") < col("mu")), col("rn")), ignoreNulls = true).over(back), lit(0)))
+      .drop(orderCols: _*)
     val v = col("v")
     // central moments around the windowed mu — see dist() for why
     val d = v - col("mu")
@@ -154,34 +183,83 @@ object TsFeatures {
       min_by(v, col("ord")).as("first_v"),
       max_by(v, col("ord")).as("last_v"),
       (max(v) - min(v)).as("range_v"),
+      percentile(v, lit(0.25)).as("q25"),
+      percentile(v, lit(0.75)).as("q75"),
+      max(abs(v)).as("abs_max"),
+      sqrt(sum((v - col("prev")) * (v - col("prev")))).as("cid_ce"),
+      sum(when(v > col("prev") && v > col("nxt"), 1L).otherwise(0L)).as("n_peaks"),
+      coalesce(max(when(v > col("mu"), col("alen"))), lit(0)).as("strike_above"),
+      coalesce(max(when(v < col("mu"), col("blen"))), lit(0)).as("strike_below"),
+      try_divide(sum(when(col("idx") * 10 < col("cnt"), v * v).otherwise(lit(0.0))),
+        sum(v * v)).as("energy_ratio_c0"),
+      try_divide(min(when(v === col("mx"), col("idx"))), count(v)).as("first_loc_max"),
+      try_divide(max(when(v === col("mn"), col("idx"))) + 1, count(v)).as("last_loc_min"),
+      try_divide(sum(when(abs(v - col("mu")) > col("sd"), 1L).otherwise(0L)),
+        count(v)).as("ratio_beyond_1sigma"),
+      avg((v - lit(2) * col("prev") + col("prev2")) / 2).as("mean_2nd_derivative"),
     )
   }
 
-  /** Relevance filter (reference: `extract_relevant_features` —
-    * tsfresh keeps features significantly associated with the target).
-    * Pearson |corr(feature, y)| >= minAbsCorr, computed for ALL
-    * features in one aggregation over the joined (features ⋈ labels)
-    * frame. Returns (feature, corr, kept) — constant-vs-target
-    * features (corr undefined) are dropped.
+  /** Two-sided p-value for the Pearson-correlation significance test,
+    * via the normal approximation of the t statistic
+    * t = r*sqrt((n-2)/(1-r²)): p = 2·(1-Φ(|t|)) with Φ from the
+    * Abramowitz & Stegun 26.2.17 rational approximation. Pure
+    * elementary arithmetic so an external SQL oracle can replay the
+    * identical formula (same Horner order).
+    */
+  def corrPValue(r: Double, n: Long): Double = {
+    val t = r * math.sqrt((n - 2).toDouble / math.max(1.0 - r * r, 1e-300))
+    val at = math.abs(t)
+    val k = 1.0 / (1.0 + 0.2316419 * at)
+    val poly = k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 +
+      k * (-1.821255978 + k * 1.330274429))))
+    val pdf = math.exp(-at * at / 2) / math.sqrt(2 * math.Pi)
+    2.0 * pdf * poly
+  }
+
+  /** Relevance filter (reference: `extract_relevant_features` — tsfresh
+    * runs a per-feature hypothesis test and controls the false
+    * discovery rate with Benjamini–Hochberg). Per feature: Pearson
+    * corr vs the target and its significance p-value ([[corrPValue]]);
+    * BH keeps the `k*` smallest p-values where k* = max{i : p_(i) <=
+    * i·alpha/m} (ties ranked by (p, feature) for determinism). When NO
+    * feature survives, falls back to keeping everything — mirroring the
+    * reference's extract_features fallback (preprocessor.py:634-638).
+    *
+    * ONE aggregation over the joined frame computes every correlation +
+    * the row count; the test itself is O(features) driver-side
+    * arithmetic. Returns (feature, corr, p_value, kept).
     */
   def featureRelevance(features: DataFrame, labels: DataFrame, seriesKey: String,
-                       labelCol: String, minAbsCorr: Double): DataFrame = {
+                       labelCol: String, alpha: Double = 0.05): DataFrame = {
     val featCols = features.columns.filterNot(_ == seriesKey).toSeq
     val joined = features.join(labels, seriesKey)
-    val corrRow = joined.agg(
-      featCols.map(c => corr(col(c).cast("double"), col(labelCol).cast("double")).as(c)).head,
-      featCols.map(c => corr(col(c).cast("double"), col(labelCol).cast("double")).as(c)).tail: _*,
-    ).head()
+    val aggs = featCols.map(c =>
+      corr(col(c).cast("double"), col(labelCol).cast("double")).as(c)) :+
+      count(lit(1)).as("__n")
+    val row = joined.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    val rs: Seq[(String, Option[Double])] = featCols.map { c =>
+      c -> (row.getAs[Any](c) match {
+        case null                           => None
+        case d: java.lang.Double if d.isNaN => None
+        case d: java.lang.Double            => Some(d.toDouble)
+      })
+    }
+    val withP = rs.map { case (c, r) => (c, r, r.map(corrPValue(_, n))) }
+    val defined = withP.collect { case (c, _, Some(p)) => (c, p) }
+      .sortBy { case (c, p) => (p, c) }
+    val m = defined.size
+    val kStar = defined.zipWithIndex
+      .collect { case ((_, p), i) if p <= (i + 1) * alpha / m => i + 1 }
+      .lastOption.getOrElse(0)
+    val keptNames: Set[String] =
+      if (kStar == 0) withP.map(_._1).toSet // fallback: keep ALL features
+      else defined.take(kStar).map(_._1).toSet
     val spark = features.sparkSession
     import spark.implicits._
-    featCols.map { c =>
-      val r = corrRow.getAs[Any](c) match {
-        case null                        => None
-        case d: java.lang.Double if d.isNaN => None
-        case d: java.lang.Double         => Some(d.toDouble)
-      }
-      (c, r, r.exists(x => math.abs(x) >= minAbsCorr))
-    }.toDF("feature", "corr", "kept")
+    withP.map { case (c, r, p) => (c, r, p, keptNames.contains(c)) }
+      .toDF("feature", "corr", "p_value", "kept")
   }
 
   /** Tumbling-window resample: bucket by `widthNanos` over a

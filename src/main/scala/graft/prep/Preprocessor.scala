@@ -122,12 +122,26 @@ final class PrepModel(
         }
     }
 
-  private def datetimeExpr(c: String): Column = {
+  private def rawEpoch(c: String): Column = {
     val ts = datetimeFormats.get(c)
       .map(f => DatetimeTransformer.parse(col(c), f))
       .getOrElse(col(c))
-    val epoch = DatetimeTransformer.toEpochSeconds(ts)
-    scalers.get(c).map(_.transform(epoch)).getOrElse(epoch)
+    DatetimeTransformer.toEpochSeconds(ts)
+  }
+
+  private def datetimeExpr(c: String): Column = {
+    // Null interpolation after epoch conversion, rows ordered by the
+    // FIRST datetime feature (reference: datetime_transformer.py:99-101
+    // sorts by datetime_features[0], then `.interpolate()` each column).
+    // The window partitions by seriesKey when configured — REQUIRED at
+    // scale; without one this is a single global sorted partition,
+    // matching the reference's single-node semantics.
+    val epoch = rawEpoch(c)
+    val w = NumericalTransformer.seriesWindow(
+      config.seriesKey.toSeq.map(col),
+      Seq(rawEpoch(originalOrder(datetimeFeatures).head)))
+    val interp = NumericalTransformer.interpolate(epoch, w)
+    scalers.get(c).map(_.transform(interp)).getOrElse(interp)
   }
 
   /** Transform: datetime -> scaled epoch; numerical -> inf-clean, fill,

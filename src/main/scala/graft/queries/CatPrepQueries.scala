@@ -266,7 +266,67 @@ object CatPrepQueries {
     """),
   )
 
+  // -------------------------------------------------------------- §2.1/20b
+  /** Datetime null interpolation inside the Preprocessor transform
+    * (reference: datetime_transformer.py:99-101 — sort by the first
+    * datetime column, epoch-convert, linear-interpolate nulls, scale).
+    * Fixture: events with d1 = ts (complete, the sort key) and d2 =
+    * ts+1h with every 7th value nulled; seriesKey = user_id partitions
+    * the interpolation window (the scale path).
+    */
+  val datetimeInterpolate: Q = Q(
+    "datetime_interpolate",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("d1"),
+        when(col("event_id") % 7 === 0, lit(null).cast("timestamp"))
+          .otherwise(timestamp_micros(expr("ts div 1000") + lit(3600000000L))).as("d2"))
+      val model = Preprocessor.fit(ev, PrepConfig(
+        seriesKey = Some("user_id"),
+        excludedCols = Seq("user_id", "event_id"),
+        scaling = Scaling.Normalize))
+      model.transform(ev).select(col("user_id"), col("event_id"),
+        round(col("d1"), 6).as("d1"), round(col("d2"), 6).as("d2"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) / 1000000.0 AS e1,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE (epoch_us(ts) + 3600000000) / 1000000.0 END AS e2
+        FROM events),
+      st AS (
+        SELECT min(e1) AS min1, max(e1) AS max1,
+               min(e2) AS min2, max(e2) AS max2 FROM base),
+      p1 AS (
+        SELECT user_id, event_id, e1, e2,
+               row_number() OVER w AS rn,
+               CASE WHEN e2 IS NOT NULL THEN row_number() OVER w END AS rn_of
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY e1)),
+      p2 AS (
+        SELECT user_id, event_id, e1, rn,
+               coalesce(e2,
+                 last_value(e2 IGNORE NULLS) OVER back
+                 + (first_value(e2 IGNORE NULLS) OVER fwd
+                    - last_value(e2 IGNORE NULLS) OVER back)
+                   * (rn - last_value(rn_of IGNORE NULLS) OVER back)
+                   / (first_value(rn_of IGNORE NULLS) OVER fwd
+                      - last_value(rn_of IGNORE NULLS) OVER back)) AS e2i
+        FROM p1
+        WINDOW back AS (PARTITION BY user_id ORDER BY e1
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY user_id ORDER BY e1
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, event_id,
+             round((e1 - st.min1) / (st.max1 - st.min1), 6) AS d1,
+             round((e2i - st.min2) / (st.max2 - st.min2), 6) AS d2
+      FROM p2, st
+    """),
+  )
+
   val all: Seq[Q] = Seq(inferTypes, selectFeatures, shrinkLabels, oneHot,
     oneHotRoundtrip, labelEncode, targetMeanEncode, targetRegression,
-    datetimeEpoch, datetimeInfer, boolToInt)
+    datetimeEpoch, datetimeInfer, datetimeInterpolate, boolToInt)
 }

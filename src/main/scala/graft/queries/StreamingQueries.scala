@@ -22,8 +22,12 @@ object StreamingQueries {
   )
 
   /** Stateful sessionization (30-min gap): streaming append mode emits
-    * exactly the CLOSED sessions — the oracle reproduces gap/cumsum
-    * sessionization and drops each user's final (still-open) session.
+    * the gap-CLOSED sessions plus sessions closed by EVENT-TIME TIMEOUT
+    * — after the data is drained the watermark settles at
+    * max(event time) - 1h, and any open session with end + gap strictly
+    * below it times out, emits, and evicts its state. The oracle
+    * reproduces gap/cumsum sessionization and applies the identical
+    * closed-or-timed-out predicate.
     */
   val streamSessionize: Q = Q(
     "stream_sessionize",
@@ -55,9 +59,12 @@ object StreamingQueries {
         SELECT user_id, sess_id, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
                count(*) AS n, round(sum(value), 6) AS sum_v
         FROM c GROUP BY 1, 2),
-      mx AS (SELECT user_id, max(end_ns) AS max_end FROM g GROUP BY 1)
+      mx AS (SELECT user_id, max(end_ns) AS max_end FROM g GROUP BY 1),
+      wm AS (SELECT max(ts_ns) // 1000000 - 3600000 AS wm_ms FROM s)
       SELECT g.user_id, g.start_ns, g.end_ns, g.n, g.sum_v
-      FROM g JOIN mx ON g.user_id = mx.user_id AND g.end_ns < mx.max_end
+      FROM g JOIN mx ON g.user_id = mx.user_id CROSS JOIN wm
+      WHERE g.end_ns < mx.max_end
+         OR g.end_ns // 1000000 + 1800000 < wm.wm_ms
     """),
   )
 

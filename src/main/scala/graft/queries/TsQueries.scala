@@ -160,22 +160,59 @@ object TsQueries {
     "first_v" -> "round(arg_min(v, ts), 6)",
     "last_v" -> "round(arg_max(v, ts), 6)",
     "range_v" -> "round(max(v) - min(v), 6)",
+    // round-2 tier (tsfresh feature_calculators)
+    "q25" -> "round(quantile_cont(v, 0.25), 6)",
+    "q75" -> "round(quantile_cont(v, 0.75), 6)",
+    "abs_max" -> "round(max(abs(v)), 6)",
+    "cid_ce" -> "round(sqrt(sum((v - prev) * (v - prev))), 6)",
+    "n_peaks" -> "sum(CASE WHEN v > prev AND v > nxt THEN 1 ELSE 0 END)",
+    "strike_above" -> "coalesce(max(CASE WHEN v > mu THEN alen END), 0)",
+    "strike_below" -> "coalesce(max(CASE WHEN v < mu THEN blen END), 0)",
+    "energy_ratio_c0" ->
+      "round(sum(CASE WHEN idx * 10 < cnt THEN v * v ELSE 0 END) / sum(v * v), 6)",
+    "first_loc_max" -> "round(min(CASE WHEN v = mx THEN idx END) / count(v), 6)",
+    "last_loc_min" -> "round((max(CASE WHEN v = mn THEN idx END) + 1) / count(v), 6)",
+    "ratio_beyond_1sigma" ->
+      "round(sum(CASE WHEN abs(v - mu) > sd THEN 1 ELSE 0 END)::DOUBLE / count(v), 6)",
+    "mean_2nd_derivative" -> "round(avg((v - 2 * prev + prev2) / 2), 6)",
   )
 
+  /** integral feature columns that skip the 6-dp rounding */
+  private val intFeats =
+    Set("n", "count_above_mean", "count_below_mean", "n_peaks",
+      "strike_above", "strike_below")
+
   private val enrichedCte = """
-      WITH e AS (
+      WITH e0 AS (
         SELECT user_id, ts, value AS v,
                lag(value) OVER w AS prev,
-               avg(value) OVER (PARTITION BY user_id) AS mu,
+               lag(value, 2) OVER w AS prev2,
+               lead(value) OVER w AS nxt,
+               avg(value) OVER pa AS mu,
+               stddev_pop(value) OVER pa AS sd,
+               max(value) OVER pa AS mx,
+               min(value) OVER pa AS mn,
+               count(value) OVER pa AS cnt,
+               row_number() OVER w AS rn,
                (row_number() OVER w - 1)::DOUBLE AS idx
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts))"""
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+               pa AS (PARTITION BY user_id)),
+      e AS (
+        SELECT e0.*,
+               rn - coalesce(last_value(CASE WHEN NOT (v > mu) THEN rn END IGNORE NULLS)
+                 OVER wb, 0) AS alen,
+               rn - coalesce(last_value(CASE WHEN NOT (v < mu) THEN rn END IGNORE NULLS)
+                 OVER wb, 0) AS blen
+        FROM e0
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
 
   private def roundedExtract(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
     val f = TsFeatures.extract(e, "user_id", Seq("ts"), "value")
     f.select(col("user_id") +: featSql.map { case (name, _) =>
-      if (name == "n" || name.startsWith("count_")) col(name)
+      if (intFeats(name)) col(name)
       else round(col(name), 6).as(name)
     }: _*)
   }
@@ -193,8 +230,10 @@ object TsQueries {
   )
 
   /** Relevance filtering vs a per-series target (error-event count):
-    * |Pearson corr| >= 0.1 keeps a feature (reference:
-    * extract_relevant_features' significance filtering).
+    * per-feature Pearson significance test + Benjamini–Hochberg FDR at
+    * alpha=0.05, with the reference's keep-everything fallback when no
+    * feature survives (preprocessor.py:629-638). The oracle replays the
+    * identical normal-approximation p-value arithmetic and BH cutoff.
     */
   val tsRelevant: Q = Q(
     "ts_features_relevant",
@@ -202,13 +241,13 @@ object TsQueries {
       val labels = Tables.events(s, dir).groupBy(col("user_id"))
         .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"))
       val rel = TsFeatures.featureRelevance(
-        roundedExtract(s, dir), labels, "user_id", "y", minAbsCorr = 0.1)
-      rel.select(col("feature"), round(col("corr"), 6).as("corr"), col("kept"))
+        roundedExtract(s, dir), labels, "user_id", "y", alpha = 0.05)
+      rel.select(col("feature"), round(col("corr"), 6).as("corr"),
+        round(col("p_value"), 6).as("p_value"), col("kept"))
     },
     Some {
       val corrRows = featSql.map { case (n, _) =>
-        s"""SELECT '$n' AS feature, round(corr($n, y), 6) AS corr,
-            coalesce(abs(corr($n, y)) >= 0.1, false) AS kept FROM fy"""
+        s"SELECT '$n' AS feature, corr($n, y) AS r FROM fy"
       }.mkString("\n      UNION ALL\n      ")
       s"""
       $enrichedCte,
@@ -219,8 +258,32 @@ object TsQueries {
       lab AS (
         SELECT user_id, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
         FROM events GROUP BY user_id),
-      fy AS (SELECT f.*, lab.y FROM f JOIN lab ON f.user_id = lab.user_id)
-      $corrRows
+      fy AS (SELECT f.*, lab.y FROM f JOIN lab ON f.user_id = lab.user_id),
+      nn AS (SELECT count(*) AS n FROM fy),
+      c AS ($corrRows),
+      pv0 AS (
+        SELECT feature, r,
+               abs(r * sqrt((nn.n - 2) / greatest(1.0 - r * r, 1e-300))) AS at
+        FROM c, nn WHERE r IS NOT NULL AND NOT isnan(r)),
+      pv1 AS (SELECT feature, r, at, 1.0 / (1.0 + 0.2316419 * at) AS k FROM pv0),
+      pv AS (
+        SELECT feature, r,
+               2.0 * (exp(-at * at / 2) / sqrt(2 * pi())) *
+               (k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 +
+                 k * (-1.821255978 + k * 1.330274429))))) AS p
+        FROM pv1),
+      ranked AS (
+        SELECT feature, p, row_number() OVER (ORDER BY p, feature) AS rk FROM pv),
+      mm AS (SELECT count(*) AS m FROM pv),
+      ks AS (
+        SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / mm.m THEN rk END), 0) AS k
+        FROM ranked, mm)
+      SELECT c.feature,
+             round(c.r, 6) AS corr,
+             round(ranked.p, 6) AS p_value,
+             CASE WHEN (SELECT k FROM ks) = 0 THEN true
+                  ELSE coalesce(ranked.rk <= (SELECT k FROM ks), false) END AS kept
+      FROM c LEFT JOIN ranked ON c.feature = ranked.feature
       """
     },
   )

@@ -68,38 +68,65 @@ object StreamOps {
 
   /** Stateful sessionization: per-user custom state via
     * `flatMapGroupsWithState` — a session closes after `gapNanos` of
-    * inactivity and is emitted; the open session stays in state across
-    * microbatches. State per key is a handful of scalars — bounded by
-    * the live-user cardinality, the canonical Structured Streaming
-    * state shape.
+    * inactivity and is emitted. State per key is a handful of scalars —
+    * bounded by the LIVE-user cardinality because idle users' open
+    * sessions close by EVENT-TIME TIMEOUT: once the watermark passes
+    * session end + gap the session is emitted and its state REMOVED.
+    * (With NoTimeout, state would grow with total-ever-seen users — a
+    * slow OOM on an unbounded stream.)
+    *
+    * The event-time column is built with integer microsecond arithmetic
+    * (`timestamp_micros(ts div 1000)`), never a double round-trip, so
+    * the watermark — and therefore exactly WHICH sessions time out — is
+    * deterministic and replayable by an external oracle.
     */
-  def sessionize(events: DataFrame, gapNanos: Long): Dataset[Session] = {
+  def sessionize(events: DataFrame, gapNanos: Long,
+                 watermarkDelay: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapMs = gapNanos / 1000000L
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
-      col("value").cast("double").as("value")).as[SessionEvent]
+      col("value").cast("double").as("value"),
+      timestamp_micros(expr("cast(ts as long) div 1000")).as("tse"))
+      .withWatermark("tse", watermarkDelay)
+      .as[SessionEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, it, state) =>
-          val evs = it.toSeq.sortBy(_.ts_ns)
-          val out = scala.collection.mutable.ListBuffer.empty[Session]
-          var cur = state.getOption
-          evs.foreach { e =>
-            cur match {
-              case Some(s) if e.ts_ns - s.end_ns <= gapNanos =>
-                cur = Some(SessionState(s.start_ns, e.ts_ns, s.n + 1, s.sum_v + e.value))
-              case Some(s) =>
-                out += Session(uid, s.start_ns, s.end_ns, s.n, s.sum_v)
-                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, e.value))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.start_ns, s.end_ns, s.n, s.sum_v))
+          } else {
+            // per-microbatch buffer+sort: bounded by one user's events in
+            // ONE microbatch, not the stream
+            val evs = it.toSeq.sortBy(_.ts_ns)
+            val out = scala.collection.mutable.ListBuffer.empty[Session]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ns - s.end_ns <= gapNanos =>
+                  cur = Some(SessionState(s.start_ns, e.ts_ns, s.n + 1, s.sum_v + e.value))
+                case Some(s) =>
+                  out += Session(uid, s.start_ns, s.end_ns, s.n, s.sum_v)
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes end + gap; Spark requires
+              // a timeout strictly beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.end_ns / 1000000L + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 

@@ -111,6 +111,25 @@ class PreprocessorSpec extends SparkSpec {
     assert(m.getCategoricalFeatures == Seq("c"))
   }
 
+  test("datetime nulls interpolate in transform, ordered by the first datetime column") {
+    // reference: datetime_transformer.py:99-101 — sort by
+    // datetime_features[0], epoch-convert, interpolate, scale
+    val df = Seq(
+      ("s1", "2021-01-01 00:00:00", Some("2021-01-01 06:00:00")),
+      ("s1", "2021-01-02 00:00:00", None),
+      ("s1", "2021-01-03 00:00:00", Some("2021-01-03 06:00:00")),
+      ("s1", "2021-01-04 00:00:00", None), // trailing null stays null
+    ).toDF("sk", "d1", "d2")
+      .select(col("sk"), to_timestamp(col("d1")).as("d1"), to_timestamp(col("d2")).as("d2"))
+    val m = Preprocessor.fit(df, PrepConfig(
+      excludedCols = Seq("sk"), seriesKey = Some("sk")))
+    val out = m.transform(df).orderBy("d1").collect()
+    val expectedMid = // midpoint of the 01-01T06 and 01-03T06 epochs
+      (out(0).getDouble(2) + out(2).getDouble(2)) / 2
+    assert(math.abs(out(1).getDouble(2) - expectedMid) < 1e-6)
+    assert(out(3).isNullAt(2))
+  }
+
   test("ordered fill strategies flow through the pipeline per series") {
     val df = Seq(
       ("s1", 1L, Some(1.0)), ("s1", 2L, None), ("s1", 3L, Some(3.0)),

@@ -4,22 +4,63 @@ import graft.streaming.StreamOps
 
 class StreamingSpec extends SparkSpec {
 
-  test("stateful sessionization emits exactly the closed sessions") {
+  test("stateful sessionization emits closed sessions and times out idle ones") {
     val gap = 30L * 60 * 1000 * 1000 * 1000 // 30 min in ns
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.sessionize(StreamOps.eventsStream(spark, sf), gap).toDF(),
       mode = "append")
       .collect().map(_.toSeq).toSet
     val batchAll = StreamOps.sessionizeBatch(Tables.events(spark, sf), gap)
-    // streaming append mode holds back each user's final open session
+    // append mode emits gap-closed sessions immediately; each user's
+    // final open session emits iff it TIMES OUT under the final
+    // watermark (max event time - 1h delay)
     val lastEnd = batchAll.groupBy("user_id")
       .agg(org.apache.spark.sql.functions.max("end_ns").as("end_ns"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val closed = batchAll.collect().map(_.toSeq)
-      .filterNot(r => lastEnd.contains((r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])))
-      .toSet
+    val wmMs = Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.expr("max(cast(ts as long) div 1000000)"))
+      .head().getLong(0) - 3600000L
+    val rows = batchAll.collect().map(_.toSeq)
+    val expected = rows.filter { r =>
+      val uid = r(0).asInstanceOf[Long]
+      val end = r(2).asInstanceOf[Long]
+      !lastEnd.contains((uid, end)) || end / 1000000L + 30 * 60 * 1000L < wmMs
+    }.toSet
     assert(streamed.nonEmpty)
-    assert(streamed == closed)
+    assert(streamed == expected)
+    // at least one session must have closed via timeout, not gap
+    assert(streamed.size > rows.size - lastEnd.size)
+  }
+
+  test("idle sessions time out, emit, and evict their state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.sessionize(df, gapNanos = 60L * 1000000000L,
+        watermarkDelay = "1 second").toDF()
+      .writeStream.format("memory").queryName("evict_test")
+      .outputMode("append").start()
+    try {
+      // non-zero base: an event at exactly epoch 0 ties the initial
+      // watermark and is dropped as late
+      mem.addData((1L, 1000L * 1000000000L, 1.0), (1L, 1001L * 1000000000L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("evict_test").count() == 0) // open session held
+      mem.addData((2L, 7200L * 1000000000L, 1.0)) // 2h later -> watermark jumps
+      q.processAllAvailable()
+      // the timeout fires in the no-data microbatch AFTER the watermark
+      // advances — poll briefly rather than racing it
+      def emitted(): Boolean = spark.table("evict_test").collect()
+        .exists(r => r.getLong(0) == 1L && r.getLong(3) == 2L)
+      val deadline = System.currentTimeMillis + 15000
+      while (!emitted() && System.currentTimeMillis < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      // user 1's session closed by timeout: emitted with both events merged
+      assert(emitted())
+    } finally q.stop()
   }
 
   test("streaming window agg equals the batch aggregation") {
