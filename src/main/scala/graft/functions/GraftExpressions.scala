@@ -482,6 +482,113 @@ case class WinnowCountExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** All LSH hyperplane buckets in ONE pass over the vector: for table t,
+  * bucket = Σ_j [dot(plane_{t,j}, v) >= 0] << j, emitted as
+  * array<struct<tbl,bucket>> ready to explode. Replaces tables×bits
+  * separate DotProduct expressions against typedLit planes — same
+  * signs, same md5-derived planes, ~tables×bits fewer expression
+  * dispatches per row.
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int,
+                             dims: Int, planesFlat: Array[Double])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tbl", IntegerType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckSuccess
+      case dt => TypeCheckFailure(
+        s"$prettyName requires array<double> input, got ${dt.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dims)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dims
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += planesFlat(base + d) * arr.getDouble(d); d += 1 }
+        if (s >= 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(t) = org.apache.spark.sql.catalyst.InternalRow(t, bucket)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+/** Top-`take` IVF cells for a vector against a driver-side centroid
+  * table, in ONE pass: cosine vs every centroid, ranked desc with ties
+  * to the HIGHER cell index (matching slice(reverse(array_sort(..)))
+  * over struct(s, cell)). Returns array<struct<s,cell>>. Replaces the
+  * interpreted `transform` over a typedLit centroid array.
+  */
+case class TopCells(child: Expression, centroids: Array[Array[Double]], take: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private lazy val centNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", DoubleType, nullable = true),
+    StructField("cell", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_top_cells"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckSuccess
+      case dt => TypeCheckFailure(
+        s"$prettyName requires array<double> input, got ${dt.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val nv = arr.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < nv) { val x = arr.getDouble(i); vv += x * x; i += 1 }
+    val vNorm = math.sqrt(vv)
+    val scored = Array.tabulate(centroids.length) { c =>
+      val cent = centroids(c)
+      val n = math.min(nv, cent.length)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += arr.getDouble(d) * cent(d); d += 1 }
+      (s / (vNorm * centNorms(c)), c)
+    }
+    // desc by score, ties to the higher cell — the reversed asc sort
+    val top = scored.sortBy { case (s, c) => (-s, -c) }.take(take)
+    new GenericArrayData(top.map { case (s, c) =>
+      org.apache.spark.sql.catalyst.InternalRow(s, c)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
 
@@ -500,6 +607,16 @@ object GraftFunctions {
   def winnowCount(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowCountExpr(ColumnBridge.expression(text), k, w))
 
+  def hyperplaneBuckets(vec: Column, tables: Int, bits: Int, dims: Int,
+                        planes: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(vec.cast("array<double>")), tables, bits, dims,
+      planes.flatten.flatten))
+
+  def topCells(vec: Column, centroids: Array[Array[Double]], take: Int): Column =
+    ColumnBridge.column(TopCells(
+      ColumnBridge.expression(vec.cast("array<double>")), centroids, take))
+
   def simhashBands(text: Column): Column =
     ColumnBridge.column(SimHashBands(ColumnBridge.expression(text)))
 
@@ -512,25 +629,53 @@ object GraftFunctions {
     ColumnBridge.column(MinHashSignature(
       ColumnBridge.expression(hashes), numPerms, seed))
 
-  /** Register `graft_dot` / `graft_minhash` for SQL use on a live
-    * session (same builders an `SparkSessionExtensions.injectFunction`
-    * would install).
+  /** Register every graft function for SQL use on a live session (the
+    * same builders [[GraftExtensions]] installs via
+    * `SparkSessionExtensions.injectFunction`).
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(
-        org.apache.spark.sql.catalyst.expressions.Cast(children(0), ArrayType(DoubleType)),
-        org.apache.spark.sql.catalyst.expressions.Cast(children(1), ArrayType(DoubleType))))
-    registry.registerFunction(
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (children: Seq[Expression]) => {
-        val numPerms = children.lift(1).map(_.eval(null).toString.toInt).getOrElse(128)
-        val seed = children.lift(2).map(_.eval(null).toString.toLong).getOrElse(42L)
-        MinHashSignature(children.head, numPerms, seed)
-      })
+    builders.foreach { case (name, (info, builder)) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
   }
+
+  /** (name -> (info, builder)) for every SQL-exposed graft function. */
+  val builders: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = {
+    def info(cls: Class[_], name: String) = new ExpressionInfo(cls.getName, name)
+    def intArg(children: Seq[Expression], i: Int, default: Int): Int =
+      children.lift(i).map(_.eval(null).toString.toInt).getOrElse(default)
+    def longArg(children: Seq[Expression], i: Int, default: Long): Long =
+      children.lift(i).map(_.eval(null).toString.toLong).getOrElse(default)
+    Seq(
+      "graft_dot" -> (info(classOf[DotProduct], "graft_dot"),
+        (children: Seq[Expression]) => DotProduct(
+          org.apache.spark.sql.catalyst.expressions.Cast(children(0), ArrayType(DoubleType)),
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1), ArrayType(DoubleType)))),
+      "graft_minhash" -> (info(classOf[MinHashSignature], "graft_minhash"),
+        (children: Seq[Expression]) => MinHashSignature(children.head,
+          intArg(children, 1, 128), longArg(children, 2, 42L))),
+      "graft_word_shingles" -> (info(classOf[WordShingles], "graft_word_shingles"),
+        (children: Seq[Expression]) => WordShingles(children.head, intArg(children, 1, 3))),
+      "graft_simhash" -> (info(classOf[SimHashBands], "graft_simhash"),
+        (children: Seq[Expression]) => SimHashBands(children.head)),
+      "graft_mean_word_len" -> (info(classOf[MeanWordLen], "graft_mean_word_len"),
+        (children: Seq[Expression]) => MeanWordLen(children.head)),
+      "graft_winnow_count" -> (info(classOf[WinnowCountExpr], "graft_winnow_count"),
+        (children: Seq[Expression]) => WinnowCountExpr(children.head,
+          intArg(children, 1, 5), intArg(children, 2, 4))),
+    )
+  }
+}
+
+/** `SparkSessionExtensions` hook: enable every graft SQL function via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * idiomatic injection point for a deployed cluster, equivalent to
+  * calling [[GraftFunctions.register]] on a live session.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }

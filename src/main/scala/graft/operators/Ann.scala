@@ -102,17 +102,13 @@ object Ann {
     val sel = conv(substring(md5(col("nn_id").cast("string")), 1, 4), 16, 10).cast("long")
     val centroids = c.where(pmod(sel, lit(step)) === 0)
       .orderBy(col("nn_id")).limit(nCells)
-      .select(col("cv")).collect().map(_.getSeq[Double](0).toSeq)
+      .select(col("cv")).collect().map(_.getSeq[Double](0).toArray)
     require(centroids.nonEmpty, "no centroids sampled")
-    val centArr = typedLit(centroids.toSeq)
 
-    def nearestCells(vec: Column, take: Int): Column = {
-      // scores over the (small, literal) centroid table; top `take`
-      // cell indices by cosine
-      val scored = transform(centArr, (cent, i) =>
-        struct((dot(vec, cent) / (norm(vec) * norm(cent))).as("s"), i.as("cell")))
-      slice(reverse(array_sort(scored)), 1, take)
-    }
+    // one TopCells pass per vector (cosine vs every centroid, ranked
+    // desc, ties to the higher cell) — not an interpreted `transform`
+    def nearestCells(vec: Column, take: Int): Column =
+      graft.functions.GraftFunctions.topCells(vec, centroids, take)
 
     val assigned = c.withColumn("cell",
       element_at(nearestCells(col("cv"), 1), 1).getField("cell"))
@@ -161,17 +157,14 @@ object Ann {
       .where(col("cosine") >= threshold)
   }
 
-  /** Bucket id per LSH table: `bits` sign bits of hyperplane dots. */
-  def lshBuckets(vec: Column, tables: Int, bits: Int, dims: Int, seed: Long = 7L): Column = {
-    val ps = planes(tables, bits, dims, seed)
-    array((0 until tables).map { t =>
-      val bucket = (0 until bits).map { j =>
-        val plane = typedLit(ps(t)(j).toSeq)
-        when(dot(vec, plane) >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }: _*)
-  }
+  /** Bucket ids for ALL LSH tables — `bits` sign bits of hyperplane
+    * dots per table — as one [[graft.functions.HyperplaneBuckets]]
+    * pass (tables×bits separate dot expressions would each re-read the
+    * vector).
+    */
+  def lshBuckets(vec: Column, tables: Int, bits: Int, dims: Int, seed: Long = 7L): Column =
+    graft.functions.GraftFunctions.hyperplaneBuckets(
+      vec, tables, bits, dims, planes(tables, bits, dims, seed))
 
   /** LSH-bucketed approximate top-k: candidates share a bucket in any
     * of `tables` hyperplane tables; exact cosine + window rank on the

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash: signatures are pure column expressions (no shuffle);
   *    the LSH band join shuffles on (band, bandHash) — bounded bucket
   *    sizes make the candidate verify O(candidates), never O(n²).
-  *  - SimHash: one explode+groupBy per doc (map-side partials), then
-  *    the same band-join pattern on 16-bit sub-signatures.
+  *  - SimHash: a one-pass signature expression (md5 word hashes —
+  *    engine-portable, so the oracle replays it), then the same
+  *    band-join pattern on 16-bit sub-signatures.
   */
 object Dedup {
 

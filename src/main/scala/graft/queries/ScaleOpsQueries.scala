@@ -72,5 +72,68 @@ object ScaleOpsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAsof, qAggSalted)
+  /** Range (point-in-interval) join with NO equi key: 50 overlapping
+    * value intervals derived from the fit-time min/max; the registered
+    * plan is the bucketed equi-join (one hash shuffle + residual), not
+    * the broadcast-nested-loop Spark would pick for the bare range
+    * predicate. Oracle: DuckDB's native non-equi join.
+    */
+  val qRangeJoin: Q = Q(
+    "q_range_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val r = e.agg(min(col("value")), max(col("value"))).head()
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      val width = (mx - mn) / 50
+      val iv = s.range(50).select(col("id").as("k"),
+        (lit(mn) + col("id") * lit(width)).as("lo"),
+        (lit(mn) + (col("id") + 2) * lit(width)).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(e, "value", iv, "lo", "hi", width)
+        .select(col("event_id"), col("k"))
+    },
+    Some("""
+      WITH st AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      iv AS (
+        SELECT k, mn + k * ((mx - mn) / 50) AS lo,
+               mn + (k + 2) * ((mx - mn) / 50) AS hi
+        FROM range(50) t(k), st)
+      SELECT e.event_id, iv.k
+      FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+    """),
+  )
+
+  /** Bucketed-table co-located join: both sides written bucketed on the
+    * join key (16 buckets), so the sort-merge join runs with NO shuffle
+    * exchange on either side — the pre-partitioning pattern for a fact
+    * table joined repeatedly on the same key at 100 TB. Oracle: the
+    * plain join + aggregation.
+    */
+  val qBucketedJoin: Q = Q(
+    "q_bucketed_join",
+    (s, dir) => {
+      val wh = "/tmp/graft_bucketed"
+      s.sql("DROP TABLE IF EXISTS g_lineitem_b")
+      s.sql("DROP TABLE IF EXISTS g_orders_b")
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").option("path", s"$wh/l")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("g_lineitem_b")
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").option("path", s"$wh/o")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_orders_b")
+      s.table("g_lineitem_b")
+        .join(s.table("g_orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") % 100).as("cust_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+    },
+    Some("""
+      SELECT o_custkey % 100 AS cust_bucket, count(*) AS n,
+             round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(qAsof, qAggSalted, qRangeJoin, qBucketedJoin)
 }

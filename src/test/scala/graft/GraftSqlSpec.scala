@@ -17,4 +17,29 @@ class GraftSqlSpec extends SparkSpec {
       SELECT user_id, count(*) AS n FROM events GROUP BY 1""").count()
     assert(sessions > 0)
   }
+
+  test("the full graft function surface is callable from SQL") {
+    Graft.registerAll(spark, sf)
+    val row = spark.sql("""
+      SELECT size(graft_word_shingles('a b c d', 3))           AS n_shingles,
+             size(graft_minhash(array(1L, 2L, 3L), 16))        AS n_sig,
+             size(graft_simhash('hello world hello'))          AS n_bands,
+             graft_mean_word_len('ab cd efg')                  AS mwl,
+             graft_winnow_count('abcdefghij', 5, 4)            AS wc
+    """).head()
+    assert(row.getInt(0) == 2)    // "a b c", "b c d"
+    assert(row.getInt(1) == 16)
+    assert(row.getInt(2) == 4)
+    assert(math.abs(row.getDouble(3) - 7.0 / 3) < 1e-12)
+    assert(row.getInt(4) > 0)
+  }
+
+  test("GraftExtensions injects the same functions via spark.sql.extensions") {
+    // applying the extensions hook must register cleanly; the builder
+    // list is shared with registerAll, so SQL behavior is identical
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    assert(graft.functions.GraftFunctions.builders.map(_._1).distinct.size ==
+      graft.functions.GraftFunctions.builders.size)
+  }
 }

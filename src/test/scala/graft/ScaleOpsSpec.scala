@@ -34,6 +34,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bucketed range join equals the naive range join, without a nested loop") {
+    val points = Seq(0.5, 1.5, 2.5, 7.9, 10.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val iv = Seq((0L, 0.0, 2.0), (1L, 1.0, 8.0), (2L, 9.5, 20.0))
+      .toDF("k", "lo", "hi")
+    val bucketed = graft.operators.RangeJoin
+      .pointInInterval(points, "v", iv, "lo", "hi", bucketWidth = 2.0)
+    val got = bucketed.select("id", "k").collect().map(_.toSeq).toSet
+    val naive = points.join(iv, $"v" >= $"lo" && $"v" < $"hi")
+      .select("id", "k").collect().map(_.toSeq).toSet
+    assert(got == naive && got.nonEmpty)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range join must not fall back to a nested loop")
+  }
+
+  test("bucketed-table join runs without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS spec_l_b")
+    spark.sql("DROP TABLE IF EXISTS spec_o_b")
+    Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+      .write.mode("overwrite").option("path", "/tmp/graft_bucketed_spec/l")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("spec_l_b")
+    Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .write.mode("overwrite").option("path", "/tmp/graft_bucketed_spec/o")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("spec_o_b")
+    // at test SF Spark would broadcast the small side (hiding the
+    // bucketing); disable it to surface the sort-merge path a fact-fact
+    // join takes at scale
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("spec_l_b")
+        .join(spark.table("spec_o_b"), $"l_orderkey" === $"o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("salted partials spread each key over many salt buckets") {
     val df = Tables.lineitem(spark, sf)
       .select($"l_returnflag", $"l_quantity",
