@@ -234,9 +234,15 @@ object TsFeatures {
                        labelCol: String, alpha: Double = 0.05): DataFrame = {
     val featCols = features.columns.filterNot(_ == seriesKey).toSeq
     val joined = features.join(labels, seriesKey)
-    val aggs = featCols.map(c =>
-      corr(col(c).cast("double"), col(labelCol).cast("double")).as(c)) :+
-      count(lit(1)).as("__n")
+    // Pearson r as try_divide(covar_samp, sx*sy) rather than corr():
+    // under ANSI, corr() THROWS on a zero-variance side (constant
+    // feature or constant target) where this yields null — and the
+    // oracle mirrors the identical formula
+    val y = col(labelCol).cast("double")
+    val aggs = featCols.map { c =>
+      val x = col(c).cast("double")
+      try_divide(covar_samp(x, y), stddev_samp(x) * stddev_samp(y)).as(c)
+    } :+ count(lit(1)).as("__n")
     val row = joined.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Long]("__n")
     val rs: Seq[(String, Option[Double])] = featCols.map { c =>

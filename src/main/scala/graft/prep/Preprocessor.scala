@@ -258,6 +258,29 @@ final class PrepModel(
   */
 object Preprocessor {
 
+  /** Reference: preprocessor.py:558-638 `extract_ts_features(data, y,
+    * time, column_id)` — extract the tsfresh-style feature matrix per
+    * series, keep the features significantly associated with `y`
+    * (per-feature test + Benjamini–Hochberg inside
+    * [[graft.operators.TsFeatures.featureRelevance]]), and fall back to
+    * ALL features when none survive (the reference's extract_features
+    * fallback). Returns the filtered per-series feature matrix, series
+    * key first.
+    *
+    * `labels` must carry (columnId, labelCol) one row per series.
+    */
+  def extractTsFeatures(df: DataFrame, labels: DataFrame, columnId: String,
+                        timeCol: String, valueCol: String,
+                        labelCol: String = "y", alpha: Double = 0.05): DataFrame = {
+    val feats = graft.operators.TsFeatures.extract(df, columnId, Seq(timeCol), valueCol)
+    val rel = graft.operators.TsFeatures
+      .featureRelevance(feats, labels, columnId, labelCol, alpha)
+    val kept = rel.where(org.apache.spark.sql.functions.col("kept"))
+      .select("feature").collect().map(_.getString(0)).toSeq
+    val ordered = feats.columns.filter(c => c != columnId && kept.contains(c)).toSeq
+    feats.select((columnId +: ordered).map(org.apache.spark.sql.functions.col): _*)
+  }
+
   def fit(df: DataFrame, config: PrepConfig = PrepConfig()): PrepModel = {
     require(config.catLabelsThreshold >= 0 && config.catLabelsThreshold <= 1,
       "Invalid value for cat_labels_threshold")

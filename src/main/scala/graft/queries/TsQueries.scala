@@ -247,7 +247,9 @@ object TsQueries {
     },
     Some {
       val corrRows = featSql.map { case (n, _) =>
-        s"SELECT '$n' AS feature, corr($n, y) AS r FROM fy"
+        s"""SELECT '$n' AS feature,
+            covar_samp($n, y) / nullif(stddev_samp($n) * stddev_samp(y), 0) AS r
+            FROM fy"""
       }.mkString("\n      UNION ALL\n      ")
       s"""
       $enrichedCte,

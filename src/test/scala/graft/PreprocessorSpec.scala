@@ -111,6 +111,24 @@ class PreprocessorSpec extends SparkSpec {
     assert(m.getCategoricalFeatures == Seq("c"))
   }
 
+  test("extractTsFeatures keeps y-associated features, falls back to all") {
+    // 12 series whose level tracks y perfectly; BH must keep the level
+    // features (mean/sum/min/...) and the matrix stays per-series
+    val rows = for { s <- 1 to 12; i <- 0 to 9 } yield (s.toLong, i.toLong, s * 1.0 + i % 3)
+    val df = rows.toDF("uid", "t", "v")
+    val labels = (1 to 12).map(s => (s.toLong, s.toDouble)).toDF("uid", "y")
+    val out = Preprocessor.extractTsFeatures(df, labels, "uid", "t", "v")
+    assert(out.columns.head == "uid")
+    assert(out.columns.contains("mean_v"))
+    assert(!out.columns.contains("n")) // constant per series -> never kept
+    assert(out.count() == 12)
+    // constant labels: no feature is testable -> reference fallback
+    // returns ALL features (preprocessor.py:634-638)
+    val const = (1 to 12).map(s => (s.toLong, 1.0)).toDF("uid", "y")
+    val all = Preprocessor.extractTsFeatures(df, const, "uid", "t", "v")
+    assert(all.columns.length == 33) // uid + all 32 calculators
+  }
+
   test("datetime nulls interpolate in transform, ordered by the first datetime column") {
     // reference: datetime_transformer.py:99-101 — sort by
     // datetime_features[0], epoch-convert, interpolate, scale
