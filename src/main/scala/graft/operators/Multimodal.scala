@@ -64,6 +64,43 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving resize planning for image records: the real
+    * pixel work happens in the decode kernel; the PLAN (scale factor,
+    * output dims) is pure column arithmetic — this is the half a
+    * resize pipeline keeps in the engine, so partition pruning and
+    * predicate pushdown still see plain columns. floor (not round)
+    * keeps the arithmetic identical across engines.
+    */
+  def resizeDims(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media.where(col("kind") === "image")
+      .select(col("media_id"), col("width"), col("height"),
+        least(lit(targetW.toDouble) / col("width"),
+          lit(targetH.toDouble) / col("height")).as("scale"))
+      .select(col("media_id"), col("width"), col("height"),
+        greatest(floor(col("width") * col("scale")), lit(1)).cast("int").as("out_w"),
+        greatest(floor(col("height") * col("scale")), lit(1)).cast("int").as("out_h"))
+
+  /** Frame sampling for video records: one output row per sampled
+    * frame — the row-expansion shape of a real frame extractor — with a
+    * deterministic md5 frame fingerprint over (bytes, frame index) in
+    * place of the decoded frame. Pure explode + column expressions: no
+    * UDF, no shuffle, and an external engine can replay the
+    * fingerprints exactly.
+    */
+  def frameSample(media: DataFrame, bytesPerFrame: Int = 100,
+                  maxFrames: Int = 10): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("bytes"),
+        least(floor(length(col("bytes")) / bytesPerFrame), lit(maxFrames))
+          .cast("int").as("n_frames"))
+      .where(col("n_frames") > 0)
+      .select(col("media_id"), col("bytes"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        md5(concat(col("bytes"),
+          encode(concat(lit(":"), col("frame_idx").cast("string")), "UTF-8")))
+          .as("frame_fp"))
+
   /** Synthesize a media table from documents: text bytes stand in for
     * the blob; metadata derived deterministically. Real pipelines read
     * (path, bytes) from `spark.read.format("binaryFile")` or parquet

@@ -38,4 +38,21 @@ object Skew {
     }
     partial.groupBy(keyCols.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Skew-resistant equi-join: salt the (big, skewed) probe side with a
+    * deterministic hash of `uniqueCol` and replicate the small build
+    * side once per salt bucket, so one hot key's rows spread over
+    * `saltBuckets` reduce tasks instead of piling onto one. The join on
+    * (key, salt) returns exactly the plain-join result; build-side cost
+    * is |small| × saltBuckets rows — use for genuinely small dims, or
+    * AQE skew-join for fact-fact.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 uniqueCol: String, saltBuckets: Int = 64): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(uniqueCol)), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -30,5 +30,58 @@ object MultimodalQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(multimodalMeta)
+  /** Resize planning for image records: aspect-preserving output dims
+    * as pure column arithmetic (floor semantics — identical across
+    * engines).
+    */
+  val multimodalResize: Q = Q(
+    "multimodal_resize",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.resizeDims(media.toDF(), targetW = 224, targetH = 224)
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 640 + 1)::INT AS width,
+               (doc_id % 480 + 1)::INT AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      sc AS (
+        SELECT media_id, width, height,
+               least(224.0 / width, 224.0 / height) AS scale
+        FROM media)
+      SELECT media_id, width, height,
+             greatest(floor(width * scale), 1)::INT AS out_w,
+             greatest(floor(height * scale), 1)::INT AS out_h
+      FROM sc
+    """),
+  )
+
+  /** Frame sampling for video records: row-per-frame explode with an
+    * md5 fingerprint over (bytes, frame index) — the oracle replays it
+    * because the media bytes are the UTF-8 document text.
+    */
+  val multimodalFrames: Q = Q(
+    "multimodal_frames",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.frameSample(media.toDF(), bytesPerFrame = 100, maxFrames = 10)
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+      f AS (
+        SELECT media_id, text,
+               least(floor(strlen(text) / 100), 10)::INT AS nf
+        FROM media),
+      idx AS (
+        SELECT media_id, text, unnest(range(nf)) AS frame_idx
+        FROM f WHERE nf > 0)
+      SELECT media_id, frame_idx,
+             md5(text || ':' || frame_idx::VARCHAR) AS frame_fp
+      FROM idx
+    """),
+  )
+
+  val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames)
 }

@@ -135,5 +135,30 @@ object ScaleOpsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAsof, qAggSalted, qRangeJoin, qBucketedJoin)
+  /** Skew-salted join on the 3-value l_returnflag key: probe side
+    * salted 64 ways, 3-row dim replicated per salt — result equals the
+    * plain join (the oracle).
+    */
+  val qJoinSalted: Q = Q(
+    "q_join_salted",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("uk"))
+      val dim = l.select(col("l_returnflag")).distinct()
+        .withColumn("flag_code", ascii(col("l_returnflag")))
+      Skew.saltedJoin(l, dim, "l_returnflag", "uk")
+        .groupBy(col("l_returnflag"), col("flag_code"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT DISTINCT l_returnflag, ascii(l_returnflag) AS flag_code FROM lineitem)
+      SELECT l.l_returnflag, d.flag_code, count(*) AS n,
+             round(sum(l.l_quantity), 4) AS sum_qty
+      FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+      GROUP BY 1, 2
+    """),
+  )
+
+  val all: Seq[Q] = Seq(qAsof, qAggSalted, qRangeJoin, qBucketedJoin, qJoinSalted)
 }

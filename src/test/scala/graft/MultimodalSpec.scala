@@ -28,4 +28,18 @@ class MultimodalSpec extends SparkSpec {
       assert(f.n_bytes == byId(f.media_id).bytes.length)
     }
   }
+  test("resize plan and frame sampling are deterministic and bounded") {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf)).toDF()
+    val rs = Multimodal.resizeDims(media, 224, 224).collect()
+    assert(rs.nonEmpty)
+    assert(rs.forall(r => r.getInt(3) <= 224 && r.getInt(4) <= 224 &&
+      r.getInt(3) >= 1 && r.getInt(4) >= 1))
+    val fr = Multimodal.frameSample(media, 100, 10)
+    val counts = fr.groupBy("media_id").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) <= 10))
+    // identical input -> identical fingerprints (pure expressions)
+    val a = fr.collect().map(_.toSeq).toSet
+    val b = Multimodal.frameSample(media, 100, 10).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

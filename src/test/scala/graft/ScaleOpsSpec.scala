@@ -74,6 +74,19 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("salted join equals the plain join exactly") {
+    val big = Tables.lineitem(spark, sf).select($"l_returnflag", $"l_quantity",
+      ($"l_orderkey" * 8 + $"l_linenumber").as("uk"))
+    val dim = big.select($"l_returnflag").distinct()
+      .withColumn("code", ascii($"l_returnflag"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag").agg(count(lit(1)), sum($"l_quantity"))
+        .collect().map(_.toSeq).toSet
+    val salted = agg(graft.operators.Skew.saltedJoin(big, dim, "l_returnflag", "uk"))
+    val plain = agg(big.join(dim, Seq("l_returnflag")))
+    assert(salted == plain && salted.nonEmpty)
+  }
+
   test("salted partials spread each key over many salt buckets") {
     val df = Tables.lineitem(spark, sf)
       .select($"l_returnflag", $"l_quantity",
