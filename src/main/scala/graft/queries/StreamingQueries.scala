@@ -68,5 +68,19 @@ object StreamingQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(streamWindow, streamSessionize)
+  /** Streaming exact dedup on (user_id, event_type): append mode emits
+    * each key's first occurrence — the emitted KEY SET equals batch
+    * DISTINCT (the survivor row itself would depend on arrival order,
+    * so only keys are emitted).
+    */
+  val streamDedup: Q = Q(
+    "stream_dedup",
+    (s, dir) => StreamOps.runToBatch(s,
+      StreamOps.dedupStream(StreamOps.eventsStream(s, dir),
+        Seq("user_id", "event_type")),
+      mode = "append"),
+    Some("SELECT DISTINCT user_id, event_type FROM events"),
+  )
+
+  val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup)
 }

@@ -45,6 +45,20 @@ object StreamOps {
         floor(unix_timestamp(col("window.start")) / 3600).as("bucket"),
         col("event_type"), col("n"), col("sum_v"))
 
+  /** Streaming exact dedup: emit the FIRST occurrence of each key
+    * combination, state = one entry per distinct key. Correct for
+    * BOUNDED key domains (here user × event_type); for unbounded
+    * content keys use `dropDuplicatesWithinWatermark` so state evicts —
+    * at the price of only-within-window dedup semantics.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("tse", timestamp_micros(expr("cast(ts as long) div 1000")))
+      .withWatermark("tse", watermarkDelay)
+      .dropDuplicates(keys)
+      .select(keys.map(col): _*)
+
   /** Drain every available microbatch into a memory sink and return
     * the final result table.
     */

@@ -63,6 +63,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup emits exactly the batch-distinct key set") {
+    val streamed = StreamOps.runToBatch(spark,
+      StreamOps.dedupStream(StreamOps.eventsStream(spark, sf),
+        Seq("user_id", "event_type")),
+      mode = "append").collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
