@@ -337,6 +337,63 @@ object DedupQueries {
     """),
   )
 
+  // ---------------------------------------------------------------- §2.3/31c
+  /** The COMPOSED dedup pipeline, exactly as the operator scaladoc
+    * mandates for scale: exact dedup FIRST (so viral exact duplicates
+    * cannot make LSH band buckets quadratic), MinHash near-dup pairs
+    * over the exact survivors, connected components, and the final
+    * keep-list = canonical representatives plus untouched docs.
+    * Corpus: exact copies of every 10th doc AND near-dup variants of
+    * every 20th, so both stages do real work.
+    */
+  val dedupPipeline: Q = Q(
+    "dedup_pipeline",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionAll(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionAll(d.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" tail marker words")).as("text")))
+      val exactSurvivors = Dedup.exact(corpus, "doc_id", col("text"))
+        .select(col("doc_id"))
+        .join(corpus, "doc_id")
+      val pairs = Dedup.minhashPairs(exactSurvivors, "doc_id", "text",
+        shingleK = 3, numPerms = 128, numBands = 32, threshold = 0.8)
+      val canon = Dedup.connectedComponents(pairs)
+      exactSurvivors.select(col("doc_id"))
+        .join(canon, col("doc_id") === col("id"), "left")
+        .where(col("canonical").isNull || col("canonical") === col("doc_id"))
+        .select(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text || ' tail marker words'
+        FROM documents WHERE doc_id % 20 = 0),
+      surv AS (
+        SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+      sc AS (SELECT c.doc_id, c.text FROM corpus c JOIN surv USING (doc_id)),
+      p AS (${exactJaccardSql("SELECT doc_id, text FROM sc", 3, 0.8)}),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+      canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+      SELECT sc.doc_id
+      FROM sc LEFT JOIN canon ON sc.doc_id = canon.id
+      WHERE canon.canonical IS NULL OR canon.canonical = sc.doc_id
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.3/36b
   /** IVF ANN, fully oracle-checked: centroid sampling keys on the
     * first 16 bits of md5(vec_id-as-string), so DuckDB replays centroid
@@ -403,5 +460,6 @@ object DedupQueries {
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
-    dedupNgramJaccard, dedupSimhash, dedupEmbedding, knnBruteforce, knnLsh, knnIvf)
+    dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
+    knnBruteforce, knnLsh, knnIvf)
 }
