@@ -163,12 +163,24 @@ object Dedup {
     * returns canonical ids that look valid but split real components.
     * Returns (id, canonical).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverThreshold: Long = 4L * 1000 * 1000): DataFrame = {
     // one materialization of the (expensive) upstream pair plan; the
     // loop then re-reads executor-local blocks, never the minhash DAG
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint()
+    // Adaptive small-graph fast path: a dedup-pair graph is usually
+    // TINY relative to the corpus (near-dup pairs, not documents). When
+    // the edge list fits comfortably on the driver, a union-find there
+    // beats launching 3+ distributed jobs per label-propagation round —
+    // the same runtime-adaptivity AQE applies to join strategies. The
+    // distributed loop below remains the path for genuinely large pair
+    // graphs.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val edgeCount = edges.count()
+    if (longIds && edgeCount <= driverThreshold) return driverSideCC(edges)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
@@ -200,6 +212,37 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter iterations " +
         "(component diameter too large — raise maxIter)")
     labels.select(col("id"), col("label").as("canonical"))
+  }
+
+  /** Driver-side union-find over a collected edge list (the adaptive
+    * small-graph path of [[connectedComponents]]): path-halving find +
+    * union-by-min so every root is its component's minimum id.
+    */
+  private def driverSideCC(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = rows.iterator.map(_.getLong(0)).toArray.distinct
+    import spark.implicits._
+    nodes.map(n => (n, find(n))).toSeq.toDF("id", "canonical")
   }
 
   /** SimHash as 4 x 16-bit band values (avoids 64-bit sign overflow,

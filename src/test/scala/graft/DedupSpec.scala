@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("driver-side and distributed CC paths agree on a deep chain") {
+    import spark.implicits._
+    // diameter-40 chain exercises pointer doubling in the distributed
+    // loop; driverThreshold = 0 forces it, the default takes union-find
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast.values.toSet == Set(1L) && fast.size == 40)
+  }
+
   test("simhash bands are 16-bit values") {
     val sigs = Dedup.simhashBands(base, "id", "text").collect()
     sigs.foreach { r =>
