@@ -232,8 +232,12 @@ object TsFeatures {
     */
   def featureRelevance(features: DataFrame, labels: DataFrame, seriesKey: String,
                        labelCol: String, alpha: Double = 0.05): DataFrame = {
-    val featCols = features.columns.filterNot(_ == seriesKey).toSeq
-    val joined = features.join(labels, seriesKey)
+    // the feature matrix is one row per SERIES (tiny next to the input)
+    // but expensive to produce (window + agg over every event) —
+    // materialize it once instead of recomputing per downstream action
+    val feats = features.localCheckpoint()
+    val featCols = feats.columns.filterNot(_ == seriesKey).toSeq
+    val joined = feats.join(labels, seriesKey)
     // Pearson r as try_divide(covar_samp, sx*sy) rather than corr():
     // under ANSI, corr() THROWS on a zero-variance side (constant
     // feature or constant target) where this yields null — and the

@@ -272,7 +272,10 @@ object Preprocessor {
   def extractTsFeatures(df: DataFrame, labels: DataFrame, columnId: String,
                         timeCol: String, valueCol: String,
                         labelCol: String = "y", alpha: Double = 0.05): DataFrame = {
+    // per-series matrix: tiny rows, expensive plan — materialize once
+    // for the relevance pass AND the final projection
     val feats = graft.operators.TsFeatures.extract(df, columnId, Seq(timeCol), valueCol)
+      .localCheckpoint()
     val rel = graft.operators.TsFeatures
       .featureRelevance(feats, labels, columnId, labelCol, alpha)
     val kept = rel.where(org.apache.spark.sql.functions.col("kept"))
