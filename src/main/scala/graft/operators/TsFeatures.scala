@@ -197,7 +197,34 @@ object TsFeatures {
       try_divide(sum(when(abs(v - col("mu")) > col("sd"), 1L).otherwise(0L)),
         count(v)).as("ratio_beyond_1sigma"),
       avg((v - lit(2) * col("prev") + col("prev2")) / 2).as("mean_2nd_derivative"),
+      // tier 3: nonlinearity / dynamics calculators over the same lags
+      avg(v * col("prev") * col("prev2")).as("c3"),
+      avg(v * v * col("prev") - col("prev") * col("prev2") * col("prev2"))
+        .as("time_reversal_asym"),
+      sum(when((v > col("mu")) =!= (col("prev") > col("mu")), 1L).otherwise(0L))
+        .as("n_crossings_mean"),
+      try_divide(sum((v - col("mu")) * (col("prev2") - col("mu"))),
+        (count(lit(1)) - 2) * var_pop(v)).as("autocorr_lag2"),
+      binnedEntropy(v, col("mn"), col("mx"), bins = 10).as("binned_entropy"),
     )
+  }
+
+  /** tsfresh binned_entropy(max_bins): -Σ p_b·ln(p_b) over an
+    * equal-width histogram of [min, max]. Ten conditional sums inside
+    * the SAME aggregation — no extra grouping, no extra shuffle. A
+    * constant series (min == max) lands every value in bin 0 →
+    * entropy 0, matching tsfresh.
+    */
+  private def binnedEntropy(v: Column, mn: Column, mx: Column, bins: Int): Column = {
+    val bin = when(mx > mn,
+      least(floor((v - mn) / ((mx - mn) / bins)), lit(bins - 1))).otherwise(lit(0))
+    val n = count(v)
+    val terms = (0 until bins).map { b =>
+      val c = sum(when(bin === b, 1L).otherwise(0L))
+      val p = c.cast("double") / n
+      when(c > 0, -p * log(p)).otherwise(lit(0.0))
+    }
+    terms.reduce(_ + _)
   }
 
   /** Two-sided p-value for the Pearson-correlation significance test,

@@ -175,12 +175,30 @@ object TsQueries {
     "ratio_beyond_1sigma" ->
       "round(sum(CASE WHEN abs(v - mu) > sd THEN 1 ELSE 0 END)::DOUBLE / count(v), 6)",
     "mean_2nd_derivative" -> "round(avg((v - 2 * prev + prev2) / 2), 6)",
+    // tier 3
+    "c3" -> "round(avg(v * prev * prev2), 6)",
+    "time_reversal_asym" -> "round(avg(v * v * prev - prev * prev2 * prev2), 6)",
+    "n_crossings_mean" -> "sum(CASE WHEN (v > mu) != (prev > mu) THEN 1 ELSE 0 END)",
+    "autocorr_lag2" ->
+      "round(sum((v - mu) * (prev2 - mu)) / ((count(*) - 2) * var_pop(v)), 6)",
+    "binned_entropy" -> s"round(${binnedEntropySql(10)}, 6)",
   )
+
+  /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
+    * IDENTICAL left-associated term sum the Spark aggregation uses.
+    */
+  private def binnedEntropySql(bins: Int): String = {
+    val bin = s"(CASE WHEN mx > mn THEN least(floor((v - mn) / ((mx - mn) / $bins)), ${bins - 1}) ELSE 0 END)"
+    (0 until bins).map { b =>
+      val c = s"sum(CASE WHEN $bin = $b THEN 1 ELSE 0 END)"
+      s"(CASE WHEN $c > 0 THEN (-($c::DOUBLE / count(v))) * ln($c::DOUBLE / count(v)) ELSE 0.0 END)"
+    }.mkString(" + ")
+  }
 
   /** integral feature columns that skip the 6-dp rounding */
   private val intFeats =
     Set("n", "count_above_mean", "count_below_mean", "n_peaks",
-      "strike_above", "strike_below")
+      "strike_above", "strike_below", "n_crossings_mean")
 
   private val enrichedCte = """
       WITH e0 AS (

@@ -126,7 +126,10 @@ class PreprocessorSpec extends SparkSpec {
     // returns ALL features (preprocessor.py:634-638)
     val const = (1 to 12).map(s => (s.toLong, 1.0)).toDF("uid", "y")
     val all = Preprocessor.extractTsFeatures(df, const, "uid", "t", "v")
-    assert(all.columns.length == 33) // uid + all 32 calculators
+    // uid + every calculator (don't pin the count — the matrix grows)
+    val full = graft.operators.TsFeatures.extract(df, "uid", Seq("t"), "v")
+    assert(all.columns.length == full.columns.length)
+    assert(all.columns.length > 30)
   }
 
   test("datetime nulls interpolate in transform, ordered by the first datetime column") {
