@@ -303,6 +303,26 @@ object TsFeatures {
     * nanosecond-epoch timestamp column, aggregate per (series, bucket).
     * One shuffle on the composite key.
     */
+  /** Sliding-window resample via Spark's native `window()` (width /
+    * slide): one shuffle on (series, window); each event lands in
+    * width/slide windows. Same exact-decimal sum/mean stabilization as
+    * [[resample]]. Emits the window start as epoch seconds.
+    */
+  def resampleSliding(df: DataFrame, seriesKey: String, tsNanosCol: String,
+                      valueCol: String, width: String, slide: String): DataFrame = {
+    val tse = timestamp_micros(expr(s"cast($tsNanosCol as long) div 1000"))
+    val dec = sum(col(valueCol).cast("decimal(18,6)"))
+    df.groupBy(col(seriesKey), window(tse, width, slide).as("w"))
+      .agg(count(lit(1)).as("n"), dec.as("sum_dec"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+      .select(col(seriesKey),
+        unix_timestamp(col("w.start")).as("w_start"),
+        col("n"),
+        (col("sum_dec").cast("double") / col("n")).as("mean_v"),
+        col("sum_dec").cast("double").as("sum_v"),
+        col("min_v"), col("max_v"))
+  }
+
   def resample(df: DataFrame, seriesKey: String, tsNanosCol: String,
                valueCol: String, widthNanos: Long): DataFrame = {
     val bucket = floor(col(tsNanosCol) / lit(widthNanos)).as("bucket")

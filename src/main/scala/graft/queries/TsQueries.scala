@@ -332,5 +332,35 @@ object TsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsRelevant, tsResample)
+  // --------------------------------------------------------------- §2.2/28b
+  /** Sliding-window resample (2h window, 1h slide — every event lands
+    * in exactly two windows) via Spark's native `window()`; the oracle
+    * regenerates window membership with an explicit range(2) explode.
+    */
+  val tsResampleSliding: Q = Q(
+    "ts_resample_sliding",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      TsFeatures.resampleSliding(e, "user_id", "ts", "value", "2 hours", "1 hour")
+        .select(col("user_id"), col("w_start"), col("n"),
+          round(col("mean_v"), 6).as("mean_v"),
+          round(col("sum_v"), 6).as("sum_v"),
+          round(col("min_v"), 6).as("min_v"),
+          round(col("max_v"), 6).as("max_v"))
+    },
+    Some("""
+      SELECT user_id,
+             (epoch_us(ts) // 3600000000 - i.i) * 3600 AS w_start,
+             count(*) AS n,
+             round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_v,
+             round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS sum_v,
+             round(min(value), 6) AS min_v,
+             round(max(value), 6) AS max_v
+      FROM events, range(2) i(i)
+      GROUP BY 1, 2
+    """),
+  )
+
+  val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsRelevant,
+    tsResample, tsResampleSliding)
 }

@@ -50,4 +50,11 @@ class TsSpec extends SparkSpec {
     assert(r(0).getLong(2) == 2 && r(0).getDouble(3) == 2.0)  // bucket 0: {1,3}
     assert(r(1).getLong(2) == 1 && r(1).getDouble(5) == 10.0) // bucket 1: {10}
   }
+  test("sliding resample assigns every event to exactly width/slide windows") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf).select(col("user_id"), col("ts"), col("value"))
+    val out = graft.operators.TsFeatures.resampleSliding(
+      e, "user_id", "ts", "value", "2 hours", "1 hour")
+    assert(out.agg(sum("n")).head().getLong(0) == 2 * e.count())
+  }
 }
