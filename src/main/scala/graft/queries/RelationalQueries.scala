@@ -1,4 +1,5 @@
 package graft.queries
+// (pivot/unpivot coverage lives at the bottom of this registry)
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -125,5 +126,57 @@ object RelationalQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK)
+  /** Pivot (polars `pivot` / reference's wide encodings): events to one
+    * row per user with a count column per event_type. The value set is
+    * PASSED explicitly — at scale, never let pivot run its implicit
+    * distinct-collect job over the key domain.
+    */
+  val qPivot: Q = Q(
+    "q_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+    },
+    Some("""
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      FROM events GROUP BY user_id
+    """),
+  )
+
+  /** Unpivot (polars `melt`): lineitem measure columns to long form —
+    * a pure narrow projection+explode, no shuffle.
+    */
+  val qUnpivot: Q = Q(
+    "q_unpivot",
+    (s, dir) => Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "metric", valueColumnName = "value")
+      .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+        round(col("value"), 6).as("value")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             round(l_quantity, 6) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             round(l_extendedprice, 6) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount',
+             round(l_discount, 6) FROM lineitem
+    """),
+  )
+
+  val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot)
 }
