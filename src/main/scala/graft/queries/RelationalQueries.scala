@@ -178,5 +178,20 @@ object RelationalQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot)
+  /** ROLLUP hierarchy totals (flag, status) -> (flag) -> grand total:
+    * one shuffle, Spark expands grouping sets map-side.
+    */
+  val qRollup: Q = Q(
+    "q_rollup",
+    (s, dir) => Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """),
+  )
+
+  val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup)
 }
