@@ -44,4 +44,33 @@ object AsofJoin {
           (leftCols.map(c => col(s"__l.$c").as(c)) ++
             rightCols.map(c => col(s"__match.$c").as(s"$prefix$c"))): _*)
   }
+
+  /** Forward as-of: each left row picks the EARLIEST right row at or
+    * after its timestamp — the mirrored union+window (first non-null
+    * over the FOLLOWING frame; left rows sort before right rows at
+    * equal ts so "at or after" stays inclusive). Same single-shuffle
+    * cost shape as [[asof]].
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      leftCols: Seq[String], rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+
+    val lTagged = left.select(
+      col(keyCol), col(tsCol).as("__ts"), lit(0).as("__src"),
+      struct(leftCols.map(col): _*).as("__l"))
+    val rTagged = right.select(
+      col(keyCol), col(tsCol).as("__ts"), lit(1).as("__src"),
+      struct(rightCols.map(col): _*).as("__r"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__src"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__src") === 0)
+      .select(
+        col(keyCol) +: col("__ts").as(tsCol) +:
+          (leftCols.map(c => col(s"__l.$c").as(c)) ++
+            rightCols.map(c => col(s"__match.$c").as(s"$prefix$c"))): _*)
+  }
 }

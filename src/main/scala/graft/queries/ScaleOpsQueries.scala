@@ -41,6 +41,35 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Forward as-of: for every click, the EARLIEST error at or after it
+    * (same user). DuckDB's ASOF JOIN takes the mirrored inequality
+    * natively.
+    */
+  val qAsofForward: Q = Q(
+    "q_asof_forward",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.asofForward(clicks, errors, "user_id", "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("ts", "value"), prefix = "err_")
+        .select(
+          col("event_id"), col("user_id"),
+          expr("err_ts div 1000").as("err_ts_us"),
+          round(col("err_value"), 6).as("err_value"))
+    },
+    Some("""
+      SELECT l.event_id, l.user_id,
+             epoch_us(r.ts) AS err_ts_us,
+             round(r.value, 6) AS err_value
+      FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+    """),
+  )
+
   /** Q1-style aggregation over the 6-key l_returnflag/l_linestatus
     * space, two-stage salted — identical result to the plain groupBy,
     * but the first shuffle fans each hot key over 64 salt buckets.
@@ -160,5 +189,6 @@ object ScaleOpsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAsof, qAggSalted, qRangeJoin, qBucketedJoin, qJoinSalted)
+  val all: Seq[Q] = Seq(qAsof, qAsofForward, qAggSalted, qRangeJoin,
+    qBucketedJoin, qJoinSalted)
 }

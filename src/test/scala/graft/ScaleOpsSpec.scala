@@ -20,6 +20,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(3).getString(2) == "d" && out(3).isNullAt(3))
   }
 
+  test("forward asof picks earliest right at-or-after, null when none") {
+    val left = Seq(("u1", 10L, "a"), ("u1", 20L, "b"), ("u2", 9L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(("u1", 10L, 1.0), ("u1", 15L, 2.0), ("u3", 1L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = AsofJoin.asofForward(left, right, "k", "ts", Seq("tag"), Seq("v"))
+      .orderBy("k", "ts").collect()
+    // u1@10 -> right@10 (inclusive); u1@20 -> none; u2@9 -> none
+    assert(out(0).getString(2) == "a" && out(0).getDouble(3) == 1.0)
+    assert(out(1).getString(2) == "b" && out(1).isNullAt(3))
+    assert(out(2).getString(2) == "c" && out(2).isNullAt(3))
+  }
+
   test("salted agg equals plain groupBy exactly") {
     val df = Tables.lineitem(spark, sf)
       .select($"l_returnflag", $"l_quantity",
