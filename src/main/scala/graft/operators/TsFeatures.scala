@@ -209,6 +209,24 @@ object TsFeatures {
     )
   }
 
+  /** Multi-column extraction (the reference/tsfresh shape: features
+    * for EVERY value column of the frame): one [[extract]] per column,
+    * features prefixed `<col>_`, joined on the series key. Each column
+    * costs one shuffle; the joins are tiny (one row per series). For
+    * very wide frames the optimization path is a single widened
+    * aggregation, but column-at-a-time keeps every calculator shared
+    * with the singly-columned (oracle-checked) path.
+    */
+  def extractMulti(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "no value columns to extract")
+    valueCols.map { vc =>
+      val f = extract(df, seriesKey, orderCols, vc)
+      f.select(col(seriesKey) +:
+        f.columns.filterNot(_ == seriesKey).map(c => col(c).as(s"${vc}_$c")): _*)
+    }.reduce(_.join(_, seriesKey))
+  }
+
   /** tsfresh binned_entropy(max_bins): -Σ p_b·ln(p_b) over an
     * equal-width histogram of [min, max]. Ten conditional sums inside
     * the SAME aggregation — no extra grouping, no extra shuffle. A

@@ -111,6 +111,19 @@ class PreprocessorSpec extends SparkSpec {
     assert(m.getCategoricalFeatures == Seq("c"))
   }
 
+  test("all-null column is dropped by the missing threshold, pipeline still runs") {
+    val df = Seq(
+      (1L, Some(1.0), "a"), (2L, None, "b"), (3L, Some(3.0), "a"),
+    ).toDF("id", "v", "c")
+      .withColumn("dead", lit(null).cast("double"))
+    val m = Preprocessor.fit(df, PrepConfig(
+      excludedCols = Seq("id"), scaling = Scaling.Normalize))
+    assert(m.dropped.contains("dead"))
+    val out = m.transform(df)
+    assert(!out.columns.contains("dead"))
+    assert(out.count() == 3)
+  }
+
   test("extractTsFeatures keeps y-associated features, falls back to all") {
     // 12 series whose level tracks y perfectly; BH must keep the level
     // features (mean/sum/min/...) and the matrix stays per-series

@@ -57,4 +57,20 @@ class TsSpec extends SparkSpec {
       e, "user_id", "ts", "value", "2 hours", "1 hour")
     assert(out.agg(sum("n")).head().getLong(0) == 2 * e.count())
   }
+  test("multi-column extraction prefixes per-column features and matches single runs") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"),
+        (col("value") * 2 + 1).as("v2"))
+    val multi = graft.operators.TsFeatures.extractMulti(
+      e, "user_id", Seq("ts"), Seq("value", "v2"))
+    assert(multi.columns.count(_.startsWith("value_")) ==
+      multi.columns.count(_.startsWith("v2_")))
+    val single = graft.operators.TsFeatures.extract(e, "user_id", Seq("ts"), "value")
+    val lhs = multi.select(col("user_id"), col("value_mean_v"), col("value_n"))
+      .collect().map(_.toSeq).toSet
+    val rhs = single.select(col("user_id"), col("mean_v"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(lhs == rhs)
+  }
 }
