@@ -28,15 +28,20 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // round to 3dp: the driver keeps only the TAIL of sbt's output, and a
+    // full-precision 71-query line (~3.8KB) overflows that buffer, cutting
+    // off the line's head and defeating the JSON parse (rounds 1-2:
+    // parsed=null). 3dp keeps the whole line well under ~2KB.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // sbt wraps program stdout in "[info] ..." which defeats line-level
-    // JSON parsing — emit to a file too (driver can read either)
-    println(line)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
+    // LAST line of program output so it sits at the very end of the tail
+    println(line)
   }
 }

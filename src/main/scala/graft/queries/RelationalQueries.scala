@@ -143,11 +143,11 @@ object RelationalQueries {
     },
     Some("""
       SELECT user_id,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
       FROM events GROUP BY user_id
     """),
   )

@@ -113,8 +113,8 @@ object TsQueries {
       c AS (
         SELECT user_id,
                avg(d*d) AS c2, avg(d*d*d) AS c3, avg(d*d*d*d) AS c4,
-               sum(CASE WHEN v > mu THEN 1 ELSE 0 END) AS count_above_mean,
-               sum(CASE WHEN v < mu THEN 1 ELSE 0 END) AS count_below_mean,
+               sum(CASE WHEN v > mu THEN 1 ELSE 0 END)::BIGINT AS count_above_mean,
+               sum(CASE WHEN v < mu THEN 1 ELSE 0 END)::BIGINT AS count_below_mean,
                arg_min(v, ts) AS first_v,
                arg_max(v, ts) AS last_v,
                max(v) - min(v) AS range_v
@@ -155,8 +155,8 @@ object TsQueries {
       "pow(avg((v-mu)*(v-mu)), 1.5), 6)"),
     "kurtosis" -> ("round(avg((v-mu)*(v-mu)*(v-mu)*(v-mu)) / " +
       "(avg((v-mu)*(v-mu)) * avg((v-mu)*(v-mu))) - 3, 6)"),
-    "count_above_mean" -> "sum(CASE WHEN v > mu THEN 1 ELSE 0 END)",
-    "count_below_mean" -> "sum(CASE WHEN v < mu THEN 1 ELSE 0 END)",
+    "count_above_mean" -> "sum(CASE WHEN v > mu THEN 1 ELSE 0 END)::BIGINT",
+    "count_below_mean" -> "sum(CASE WHEN v < mu THEN 1 ELSE 0 END)::BIGINT",
     "first_v" -> "round(arg_min(v, ts), 6)",
     "last_v" -> "round(arg_max(v, ts), 6)",
     "range_v" -> "round(max(v) - min(v), 6)",
@@ -165,7 +165,7 @@ object TsQueries {
     "q75" -> "round(quantile_cont(v, 0.75), 6)",
     "abs_max" -> "round(max(abs(v)), 6)",
     "cid_ce" -> "round(sqrt(sum((v - prev) * (v - prev))), 6)",
-    "n_peaks" -> "sum(CASE WHEN v > prev AND v > nxt THEN 1 ELSE 0 END)",
+    "n_peaks" -> "sum(CASE WHEN v > prev AND v > nxt THEN 1 ELSE 0 END)::BIGINT",
     "strike_above" -> "coalesce(max(CASE WHEN v > mu THEN alen END), 0)",
     "strike_below" -> "coalesce(max(CASE WHEN v < mu THEN blen END), 0)",
     "energy_ratio_c0" ->
@@ -178,7 +178,7 @@ object TsQueries {
     // tier 3
     "c3" -> "round(avg(v * prev * prev2), 6)",
     "time_reversal_asym" -> "round(avg(v * v * prev - prev * prev2 * prev2), 6)",
-    "n_crossings_mean" -> "sum(CASE WHEN (v > mu) != (prev > mu) THEN 1 ELSE 0 END)",
+    "n_crossings_mean" -> "sum(CASE WHEN (v > mu) != (prev > mu) THEN 1 ELSE 0 END)::BIGINT",
     "autocorr_lag2" ->
       "round(sum((v - mu) * (prev2 - mu)) / ((count(*) - 2) * var_pop(v)), 6)",
     "binned_entropy" -> s"round(${binnedEntropySql(10)}, 6)",
@@ -322,7 +322,7 @@ object TsQueries {
     },
     Some("""
       SELECT user_id,
-             floor(epoch_ns(ts) / 3600000000000) AS bucket,
+             floor(epoch_ns(ts) / 3600000000000)::BIGINT AS bucket,
              count(*) AS n,
              round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_v,
              round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS sum_v,

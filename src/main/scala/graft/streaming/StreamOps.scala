@@ -34,10 +34,14 @@ object StreamOps {
 
   /** Watermarked tumbling 1-hour window aggregation per event_type.
     * Works identically on a batch events DataFrame (batch equivalence).
+    * Event time comes from integer-microsecond arithmetic (`div 1000`),
+    * never a double nanos division — doubles round 2^60-scale nanos to
+    * multiples of 256ns (SURVEY §9), which would make watermark
+    * placement non-replayable.
     */
   def windowAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("tse", timestamp_seconds(col("ts") / lit(1e9)))
+      .withColumn("tse", timestamp_micros(expr("cast(ts as long) div 1000")))
       .withWatermark("tse", "1 hour")
       .groupBy(window(col("tse"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))

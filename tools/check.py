@@ -35,11 +35,15 @@ def main():
         try:
             got = con.execute(f"SELECT * FROM read_parquet('{spark_glob}')").fetch_df()
             want = con.execute(oracles[name]).fetch_df()
+            got_types = duck_types(con, f"SELECT * FROM read_parquet('{spark_glob}')")
+            want_types = duck_types(con, oracles[name])
         except Exception as e:
             print(f"  ERROR {name}: {e}")
             n_fail += 1
             continue
-        ok, msg = compare(got, want)
+        ok, msg = compare_types(got_types, want_types)
+        if ok:
+            ok, msg = compare(got, want)
         if ok:
             n_pass += 1
             print(f"  ok   {name} ({len(want)} rows)")
@@ -48,6 +52,36 @@ def main():
             print(f"  FAIL {name}: {msg}")
     print(f"[check] pass={n_pass} fail={n_fail}")
     sys.exit(1 if n_fail else 0)
+
+def duck_types(con, sql):
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+# The driver's hash is TYPE-SENSITIVE: DuckDB HUGEINT (sum of ints) or DOUBLE
+# (floor(), int/int) where Spark emits BIGINT hash-mismatches even when every
+# value is equal (round-2 lesson: 4 rows red for two driver rounds while the
+# value-blind local check said green). Plain int-width diffs (INT32 vs INT64)
+# occur in passing queries, so only cross-CLASS diffs are lethal.
+def type_class(t):
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return t
+
+def compare_types(got_types, want_types):
+    for c in sorted(set(got_types) & set(want_types)):
+        gcls, wcls = type_class(got_types[c]), type_class(want_types[c])
+        if gcls != wcls:
+            return False, (f"dtype mismatch col {c}: spark={got_types[c]} "
+                           f"oracle={want_types[c]} (driver hash is type-sensitive)")
+    return True, ""
 
 def compare(got, want):
     gc, wc = sorted(got.columns), sorted(want.columns)
