@@ -127,104 +127,163 @@ object TsFeatures {
     */
   def extract(df: DataFrame, seriesKey: String, orderCols: Seq[String],
               valueCol: String): DataFrame = {
-    val w = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
-    val wAll = Window.partitionBy(col(seriesKey))
-    val back = w.rowsBetween(Window.unboundedPreceding, 0)
-    // order columns ride along so the second window stage (run lengths)
-    // can still sort by them; dropped before the aggregation
-    val enriched0 = df.select(
-      (col(seriesKey) +: orderCols.map(col)) ++ Seq(
-        col(valueCol).as("v"),
-        struct(orderCols.map(col): _*).as("ord"),
-        lag(col(valueCol), 1).over(w).as("prev"),
-        lag(col(valueCol), 2).over(w).as("prev2"),
-        lead(col(valueCol), 1).over(w).as("nxt"),
-        avg(col(valueCol)).over(wAll).as("mu"),
-        stddev_pop(col(valueCol)).over(wAll).as("sd"),
-        max(col(valueCol)).over(wAll).as("mx"),
-        min(col(valueCol)).over(wAll).as("mn"),
-        count(col(valueCol)).over(wAll).as("cnt"),
-        row_number().over(w).as("rn"),
-        (row_number().over(w) - 1).cast("double").as("idx"),
-      ): _*)
-    // run length ending at each row: rn minus the last rn that BROKE
-    // the run (same window partition+order — the sort is reused)
-    val enriched = enriched0
-      .withColumn("alen", col("rn") - coalesce(
-        last(when(!(col("v") > col("mu")), col("rn")), ignoreNulls = true).over(back), lit(0)))
-      .withColumn("blen", col("rn") - coalesce(
-        last(when(!(col("v") < col("mu")), col("rn")), ignoreNulls = true).over(back), lit(0)))
-      .drop(orderCols: _*)
-    val v = col("v")
-    // central moments around the windowed mu — see dist() for why
-    val d = v - col("mu")
-    val c2 = avg(d * d)
-    val c3 = avg(d * d * d)
-    val c4 = avg(d * d * d * d)
-    enriched.groupBy(col(seriesKey)).agg(
-      count(v).as("n"),
-      avg(v).as("mean_v"),
-      stddev_pop(v).as("std_v"),
-      min(v).as("min_v"),
-      max(v).as("max_v"),
-      sum(v).as("sum_v"),
-      percentile(v, lit(0.5)).as("median_v"),
-      sum(v * v).as("abs_energy"),
-      avg(abs(v - col("prev"))).as("mean_abs_change"),
-      try_divide(sum(v - col("prev")), count(lit(1)) - 1).as("mean_change"),
-      try_divide(sum((v - col("mu")) * (col("prev") - col("mu"))),
-        (count(lit(1)) - 1) * var_pop(v)).as("autocorr_lag1"),
-      regr_slope(v, col("idx")).as("trend_slope"),
-      regr_intercept(v, col("idx")).as("trend_intercept"),
-      try_divide(c3, pow(c2, 1.5)).as("skewness"),
-      (try_divide(c4, c2 * c2) - lit(3)).as("kurtosis"),
-      sum(when(v > col("mu"), 1L).otherwise(0L)).as("count_above_mean"),
-      sum(when(v < col("mu"), 1L).otherwise(0L)).as("count_below_mean"),
-      min_by(v, col("ord")).as("first_v"),
-      max_by(v, col("ord")).as("last_v"),
-      (max(v) - min(v)).as("range_v"),
-      percentile(v, lit(0.25)).as("q25"),
-      percentile(v, lit(0.75)).as("q75"),
-      max(abs(v)).as("abs_max"),
-      sqrt(sum((v - col("prev")) * (v - col("prev")))).as("cid_ce"),
-      sum(when(v > col("prev") && v > col("nxt"), 1L).otherwise(0L)).as("n_peaks"),
-      coalesce(max(when(v > col("mu"), col("alen"))), lit(0)).as("strike_above"),
-      coalesce(max(when(v < col("mu"), col("blen"))), lit(0)).as("strike_below"),
-      try_divide(sum(when(col("idx") * 10 < col("cnt"), v * v).otherwise(lit(0.0))),
-        sum(v * v)).as("energy_ratio_c0"),
-      try_divide(min(when(v === col("mx"), col("idx"))), count(v)).as("first_loc_max"),
-      try_divide(max(when(v === col("mn"), col("idx"))) + 1, count(v)).as("last_loc_min"),
-      try_divide(sum(when(abs(v - col("mu")) > col("sd"), 1L).otherwise(0L)),
-        count(v)).as("ratio_beyond_1sigma"),
-      avg((v - lit(2) * col("prev") + col("prev2")) / 2).as("mean_2nd_derivative"),
-      // tier 3: nonlinearity / dynamics calculators over the same lags
-      avg(v * col("prev") * col("prev2")).as("c3"),
-      avg(v * v * col("prev") - col("prev") * col("prev2") * col("prev2"))
-        .as("time_reversal_asym"),
-      sum(when((v > col("mu")) =!= (col("prev") > col("mu")), 1L).otherwise(0L))
-        .as("n_crossings_mean"),
-      try_divide(sum((v - col("mu")) * (col("prev2") - col("mu"))),
-        (count(lit(1)) - 2) * var_pop(v)).as("autocorr_lag2"),
-      binnedEntropy(v, col("mn"), col("mx"), bins = 10).as("binned_entropy"),
-    )
+    val e = enrichedFrame(df, seriesKey, orderCols, Seq(valueCol))
+    val aggs = featureAggs(valueCol, identity)
+    e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Multi-column extraction (the reference/tsfresh shape: features
-    * for EVERY value column of the frame): one [[extract]] per column,
-    * features prefixed `<col>_`, joined on the series key. Each column
-    * costs one shuffle; the joins are tiny (one row per series). For
-    * very wide frames the optimization path is a single widened
-    * aggregation, but column-at-a-time keeps every calculator shared
-    * with the singly-columned (oracle-checked) path.
+    * for EVERY value column of the frame, reference
+    * preprocessor.py:558-638 extracts over the whole frame): ONE
+    * widened window enrichment + ONE groupBy computes all features for
+    * all value columns, `<col>_`-prefixed. All window specs share the
+    * series-key partitioning and the order-cols sort, and the groupBy
+    * reuses the same exchange — so an N-sensor frame costs exactly the
+    * same single shuffle as one sensor, not N shuffles + a join chain.
+    * Calculators are literally shared with the singly-columned
+    * (oracle-checked) [[extract]] path via [[featureAggs]].
     */
   def extractMulti(df: DataFrame, seriesKey: String, orderCols: Seq[String],
                    valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "no value columns to extract")
-    valueCols.map { vc =>
-      val f = extract(df, seriesKey, orderCols, vc)
-      f.select(col(seriesKey) +:
-        f.columns.filterNot(_ == seriesKey).map(c => col(c).as(s"${vc}_$c")): _*)
-    }.reduce(_.join(_, seriesKey))
+    val e = enrichedFrame(df, seriesKey, orderCols, valueCols)
+    val aggs = valueCols.flatMap(vc => featureAggs(vc, n => s"${vc}_$n"))
+    e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Window-enrichment stage shared by [[extract]]/[[extractMulti]]:
+    * per value column `vc` emits `vc__{v,prev,prev2,nxt,mu,sd,mx,mn,
+    * cnt,alen,blen}` plus shared `ord`/`rn`/`idx`. Every window spec
+    * partitions by the series key (the ordered ones all sort by the
+    * same order cols), so Spark plans ONE exchange + ONE sort no
+    * matter how many value columns ride through.
+    */
+  private def enrichedFrame(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                            valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(seriesKey))
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val shared = Seq(
+      struct(orderCols.map(col): _*).as("ord"),
+      row_number().over(w).as("rn"),
+      (row_number().over(w) - 1).cast("double").as("idx"))
+    val perCol = valueCols.flatMap { vc =>
+      val v = col(vc)
+      Seq(
+        v.as(s"${vc}__v"),
+        lag(v, 1).over(w).as(s"${vc}__prev"),
+        lag(v, 2).over(w).as(s"${vc}__prev2"),
+        lead(v, 1).over(w).as(s"${vc}__nxt"),
+        avg(v).over(wAll).as(s"${vc}__mu"),
+        stddev_pop(v).over(wAll).as(s"${vc}__sd"),
+        max(v).over(wAll).as(s"${vc}__mx"),
+        min(v).over(wAll).as(s"${vc}__mn"),
+        count(v).over(wAll).as(s"${vc}__cnt"),
+        sum(abs(v)).over(wAll).as(s"${vc}__sabs"))
+    }
+    // order columns ride along so the second window stage (run lengths)
+    // can still sort by them; dropped before the aggregation
+    val e0 = df.select(
+      (col(seriesKey) +: orderCols.map(col)) ++ shared ++ perCol: _*)
+    // run length ending at each row: rn minus the last rn that BROKE
+    // the run (same window partition+order — the sort is reused)
+    val withRuns = valueCols.foldLeft(e0) { (acc, vc) =>
+      acc
+        .withColumn(s"${vc}__alen", col("rn") - coalesce(
+          last(when(!(col(s"${vc}__v") > col(s"${vc}__mu")), col("rn")),
+            ignoreNulls = true).over(back), lit(0)))
+        .withColumn(s"${vc}__blen", col("rn") - coalesce(
+          last(when(!(col(s"${vc}__v") < col(s"${vc}__mu")), col("rn")),
+            ignoreNulls = true).over(back), lit(0)))
+        // running |v| mass for index_mass_quantile — same frame, sort reused
+        .withColumn(s"${vc}__cabs", sum(abs(col(s"${vc}__v"))).over(back))
+    }
+    withRuns.drop(orderCols: _*)
+  }
+
+  /** The 37 calculators over one value column of the enriched frame;
+    * `out` maps the canonical feature name to the output column name
+    * (identity for [[extract]], `<col>_`-prefix for [[extractMulti]]).
+    */
+  private def featureAggs(vc: String, out: String => String): Seq[Column] = {
+    def i(n: String) = col(s"${vc}__$n")
+    val v = i("v")
+    // central moments around the windowed mu — see dist() for why
+    val d = v - i("mu")
+    val c2 = avg(d * d)
+    val c3m = avg(d * d * d)
+    val c4 = avg(d * d * d * d)
+    // sample autocorrelations at lag 1/2 (tsfresh autocorrelation); the
+    // Durbin-Levinson step turns them into the lag-2 PARTIAL
+    // autocorrelation — pure arithmetic over aggregates, no extra pass
+    val ac1 = try_divide(sum((v - i("mu")) * (i("prev") - i("mu"))),
+      (count(lit(1)) - 1) * var_pop(v))
+    val ac2 = try_divide(sum((v - i("mu")) * (i("prev2") - i("mu"))),
+      (count(lit(1)) - 2) * var_pop(v))
+    // fixed-k Goertzel DFT term (tsfresh fft_coefficient abs): two
+    // trig-weighted sums per k — still one per-row expression, no FFT
+    def fftAbs(k: Int): Column = {
+      val arg = lit(2 * math.Pi * k) * col("idx") / i("cnt")
+      val re = sum(v * cos(arg))
+      val im = sum(v * sin(arg))
+      sqrt(re * re + im * im)
+    }
+    // tsfresh index_mass_quantile(q): relative index where the running
+    // |v| mass first reaches q of the total; (idx+1)/cnt is monotone in
+    // idx so min() picks the first qualifying row
+    def imq(q: Double): Column =
+      min(when(i("cabs") >= lit(q) * i("sabs"), (col("idx") + 1) / i("cnt")))
+    Seq(
+      count(v).as(out("n")),
+      avg(v).as(out("mean_v")),
+      stddev_pop(v).as(out("std_v")),
+      min(v).as(out("min_v")),
+      max(v).as(out("max_v")),
+      sum(v).as(out("sum_v")),
+      percentile(v, lit(0.5)).as(out("median_v")),
+      sum(v * v).as(out("abs_energy")),
+      avg(abs(v - i("prev"))).as(out("mean_abs_change")),
+      try_divide(sum(v - i("prev")), count(lit(1)) - 1).as(out("mean_change")),
+      ac1.as(out("autocorr_lag1")),
+      regr_slope(v, col("idx")).as(out("trend_slope")),
+      regr_intercept(v, col("idx")).as(out("trend_intercept")),
+      try_divide(c3m, pow(c2, 1.5)).as(out("skewness")),
+      (try_divide(c4, c2 * c2) - lit(3)).as(out("kurtosis")),
+      sum(when(v > i("mu"), 1L).otherwise(0L)).as(out("count_above_mean")),
+      sum(when(v < i("mu"), 1L).otherwise(0L)).as(out("count_below_mean")),
+      min_by(v, col("ord")).as(out("first_v")),
+      max_by(v, col("ord")).as(out("last_v")),
+      (max(v) - min(v)).as(out("range_v")),
+      percentile(v, lit(0.25)).as(out("q25")),
+      percentile(v, lit(0.75)).as(out("q75")),
+      max(abs(v)).as(out("abs_max")),
+      sqrt(sum((v - i("prev")) * (v - i("prev")))).as(out("cid_ce")),
+      sum(when(v > i("prev") && v > i("nxt"), 1L).otherwise(0L)).as(out("n_peaks")),
+      coalesce(max(when(v > i("mu"), i("alen"))), lit(0)).as(out("strike_above")),
+      coalesce(max(when(v < i("mu"), i("blen"))), lit(0)).as(out("strike_below")),
+      try_divide(sum(when(col("idx") * 10 < i("cnt"), v * v).otherwise(lit(0.0))),
+        sum(v * v)).as(out("energy_ratio_c0")),
+      try_divide(min(when(v === i("mx"), col("idx"))), count(v)).as(out("first_loc_max")),
+      try_divide(max(when(v === i("mn"), col("idx"))) + 1, count(v)).as(out("last_loc_min")),
+      try_divide(sum(when(abs(v - i("mu")) > i("sd"), 1L).otherwise(0L)),
+        count(v)).as(out("ratio_beyond_1sigma")),
+      avg((v - lit(2) * i("prev") + i("prev2")) / 2).as(out("mean_2nd_derivative")),
+      // tier 3: nonlinearity / dynamics calculators over the same lags
+      avg(v * i("prev") * i("prev2")).as(out("c3")),
+      avg(v * v * i("prev") - i("prev") * i("prev2") * i("prev2"))
+        .as(out("time_reversal_asym")),
+      sum(when((v > i("mu")) =!= (i("prev") > i("mu")), 1L).otherwise(0L))
+        .as(out("n_crossings_mean")),
+      ac2.as(out("autocorr_lag2")),
+      binnedEntropy(v, i("mn"), i("mx"), bins = 10).as(out("binned_entropy")),
+      // tier 4: spectral / partial-correlation / mass-location calculators
+      try_divide(ac2 - ac1 * ac1, lit(1) - ac1 * ac1).as(out("pacf_2")),
+      fftAbs(1).as(out("fft_abs_c1")),
+      fftAbs(2).as(out("fft_abs_c2")),
+      imq(0.25).as(out("imq_25")),
+      imq(0.5).as(out("imq_50")),
+      imq(0.75).as(out("imq_75")),
+    )
   }
 
   /** tsfresh binned_entropy(max_bins): -Σ p_b·ln(p_b) over an

@@ -134,6 +134,16 @@ object TsQueries {
   /** (feature name, SQL aggregate over the window-enriched CTE) —
     * mirrors TsFeatures.extract exactly; `n`/counts stay unrounded.
     */
+  private val ac1Sql = "sum((v - mu) * (prev - mu)) / ((count(*) - 1) * var_pop(v))"
+  private val ac2Sql = "sum((v - mu) * (prev2 - mu)) / ((count(*) - 2) * var_pop(v))"
+  private def fftAbsSql(k: Int): String = {
+    val re = s"sum(v * cos(2 * pi() * $k * idx / cnt))"
+    val im = s"sum(v * sin(2 * pi() * $k * idx / cnt))"
+    s"round(sqrt(($re) * ($re) + ($im) * ($im)), 6)"
+  }
+  private def imqSql(q: Double): String =
+    s"round(min(CASE WHEN cabs >= $q * sabs THEN (idx + 1) / cnt END), 6)"
+
   private val featSql: Seq[(String, String)] = Seq(
     "n" -> "count(v)",
     "mean_v" -> "round(avg(v), 6)",
@@ -145,8 +155,7 @@ object TsQueries {
     "abs_energy" -> "round(sum(v*v), 6)",
     "mean_abs_change" -> "round(avg(abs(v - prev)), 6)",
     "mean_change" -> "round(sum(v - prev) / (count(*) - 1), 6)",
-    "autocorr_lag1" ->
-      "round(sum((v - mu) * (prev - mu)) / ((count(*) - 1) * var_pop(v)), 6)",
+    "autocorr_lag1" -> s"round($ac1Sql, 6)",
     "trend_slope" -> "round(regr_slope(v, idx), 6)",
     "trend_intercept" -> "round(regr_intercept(v, idx), 6)",
     // central moments around the window-enriched mu (order-stable at 6 dp;
@@ -179,9 +188,18 @@ object TsQueries {
     "c3" -> "round(avg(v * prev * prev2), 6)",
     "time_reversal_asym" -> "round(avg(v * v * prev - prev * prev2 * prev2), 6)",
     "n_crossings_mean" -> "sum(CASE WHEN (v > mu) != (prev > mu) THEN 1 ELSE 0 END)::BIGINT",
-    "autocorr_lag2" ->
-      "round(sum((v - mu) * (prev2 - mu)) / ((count(*) - 2) * var_pop(v)), 6)",
+    "autocorr_lag2" -> s"round($ac2Sql, 6)",
     "binned_entropy" -> s"round(${binnedEntropySql(10)}, 6)",
+    // tier 4 (tsfresh partial_autocorrelation / fft_coefficient abs /
+    // index_mass_quantile) — Durbin-Levinson over the lag-1/2
+    // autocorrelations, fixed-k Goertzel terms, running-|v|-mass index
+    "pacf_2" ->
+      s"round((($ac2Sql) - ($ac1Sql) * ($ac1Sql)) / (1 - ($ac1Sql) * ($ac1Sql)), 6)",
+    "fft_abs_c1" -> fftAbsSql(1),
+    "fft_abs_c2" -> fftAbsSql(2),
+    "imq_25" -> imqSql(0.25),
+    "imq_50" -> imqSql(0.5),
+    "imq_75" -> imqSql(0.75),
   )
 
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
@@ -211,6 +229,7 @@ object TsQueries {
                max(value) OVER pa AS mx,
                min(value) OVER pa AS mn,
                count(value) OVER pa AS cnt,
+               sum(abs(value)) OVER pa AS sabs,
                row_number() OVER w AS rn,
                (row_number() OVER w - 1)::DOUBLE AS idx
         FROM events
@@ -221,7 +240,8 @@ object TsQueries {
                rn - coalesce(last_value(CASE WHEN NOT (v > mu) THEN rn END IGNORE NULLS)
                  OVER wb, 0) AS alen,
                rn - coalesce(last_value(CASE WHEN NOT (v < mu) THEN rn END IGNORE NULLS)
-                 OVER wb, 0) AS blen
+                 OVER wb, 0) AS blen,
+               sum(abs(v)) OVER wb AS cabs
         FROM e0
         WINDOW wb AS (PARTITION BY user_id ORDER BY ts
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
@@ -244,6 +264,90 @@ object TsQueries {
       SELECT user_id,
              ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
       FROM e GROUP BY user_id
+    """),
+  )
+
+  // --------------------------------------------------------------- §2.2/27d
+  /** Three sensor columns derived from events.value with EXACT IEEE
+    * arithmetic only (*, +, abs are correctly rounded everywhere, so
+    * both engines hold bit-identical doubles). events is the fixture
+    * because (user_id, ts) is unique — lineitem's l_linenumber has
+    * duplicate values per order in the synthetic data, and tie order
+    * under lag()/row_number() is engine-arbitrary.
+    */
+  private val multiVals = Seq("va", "vb", "vc")
+
+  /** One per-value-column copy of the window-enrichment CTE chain, with
+    * the CANONICAL intermediate names (v/prev/mu/...) so the shared
+    * `featSql` calculators apply verbatim.
+    */
+  private def multiSensorCte(vc: String): String = s"""
+      e0_$vc AS (
+        SELECT user_id AS k, ts, $vc AS v,
+               lag($vc) OVER w AS prev,
+               lag($vc, 2) OVER w AS prev2,
+               lead($vc) OVER w AS nxt,
+               avg($vc) OVER pa AS mu,
+               stddev_pop($vc) OVER pa AS sd,
+               max($vc) OVER pa AS mx,
+               min($vc) OVER pa AS mn,
+               count($vc) OVER pa AS cnt,
+               sum(abs($vc)) OVER pa AS sabs,
+               row_number() OVER w AS rn,
+               (row_number() OVER w - 1)::DOUBLE AS idx
+        FROM src
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+               pa AS (PARTITION BY user_id)),
+      e_$vc AS (
+        SELECT e0_$vc.*,
+               rn - coalesce(last_value(CASE WHEN NOT (v > mu) THEN rn END IGNORE NULLS)
+                 OVER wb, 0) AS alen,
+               rn - coalesce(last_value(CASE WHEN NOT (v < mu) THEN rn END IGNORE NULLS)
+                 OVER wb, 0) AS blen,
+               sum(abs(v)) OVER wb AS cabs
+        FROM e0_$vc
+        WINDOW wb AS (PARTITION BY k ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      f_$vc AS (
+        SELECT k,
+               ${featSql.map { case (n, sql) => s"$sql AS ${vc}_$n" }
+                 .mkString(",\n               ")}
+        FROM e_$vc GROUP BY k)"""
+
+  /** Multi-sensor extraction (reference preprocessor.py:558-638
+    * extracts over the WHOLE frame): the full 37-calculator matrix for
+    * every value column in ONE widened window+agg — same single
+    * shuffle as one sensor. The oracle replays one enrichment CTE per
+    * column (DuckDB has no such fusion) and joins the per-column
+    * matrices; degenerate series divide 0/0 → NULL on both engines
+    * (Spark try_divide; DuckDB division by zero is NULL).
+    */
+  val tsMulti: Q = Q(
+    "ts_features_multi",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("value").as("va"),
+        (col("value") * lit(0.5) + lit(3.25)).as("vb"),
+        abs(col("value")).as("vc"))
+      val f = TsFeatures.extractMulti(e, "user_id", Seq("ts"), multiVals)
+      f.select(col("user_id") +: multiVals.flatMap(vc => featSql.map { case (name, _) =>
+        val c = s"${vc}_$name"
+        if (intFeats(name)) col(c) else round(col(c), 6).as(c)
+      }): _*)
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT user_id, ts, value AS va,
+               value * 0.5::DOUBLE + 3.25::DOUBLE AS vb,
+               abs(value) AS vc
+        FROM events),
+      ${multiVals.map(multiSensorCte).mkString(",\n")}
+      SELECT k AS user_id,
+             ${multiVals.flatMap(vc => featSql.map { case (n, _) => s"${vc}_$n" })
+               .mkString(",\n             ")}
+      FROM f_va
+      JOIN f_vb USING (k)
+      JOIN f_vc USING (k)
     """),
   )
 
@@ -361,6 +465,6 @@ object TsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsRelevant,
-    tsResample, tsResampleSliding)
+  val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
+    tsRelevant, tsResample, tsResampleSliding)
 }

@@ -73,4 +73,16 @@ class TsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(lhs == rhs)
   }
+  test("multi-column extraction plans ONE shuffle for any number of columns") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"),
+        (col("value") * 2 + 1).as("v2"), abs(col("value")).as("v3"))
+    val multi = graft.operators.TsFeatures.extractMulti(
+      e, "user_id", Seq("ts"), Seq("value", "v2", "v3"))
+    val plan = multi.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"widened multi-column extraction must cost one shuffle, found $exchanges:\n$plan")
+  }
 }
