@@ -20,7 +20,8 @@ object Bench {
     catch { case _: Throwable => () }
     // min of two runs per query: JIT/GC noise in the shared JVM swings
     // single measurements by ~25%
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (SparkEntry.queries ++ SparkEntry.benchQueries)
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

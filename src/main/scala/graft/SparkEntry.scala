@@ -29,4 +29,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+
+  /** Bench-only entries: scale paths whose output depends on an
+    * approximation sketch (no deterministic oracle possible). Bench
+    * times queries ++ benchQueries; Verify dumps `queries` only, so
+    * these never produce a weaker rows-only correctness row.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scale_kbins_approx" -> (NumPrepQueries.kbinsApprox(_, _)),
+  )
 }

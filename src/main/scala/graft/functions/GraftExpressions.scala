@@ -226,6 +226,11 @@ case class SimHashBands(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_simhash"
 
+  // a wordless doc has NO signature (null), never the all-ones bands a
+  // 0>=0 vote would produce — empty docs must not bucket-join with each
+  // other (and SQL oracles' token CTEs drop them naturally)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
@@ -238,10 +243,12 @@ case class SimHashBands(child: Expression)
     val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
     val counts = new Array[Int](64)
     val md = SimHashBands.md5()
+    var nWords = 0
     var i = 0
     while (i < words.length) {
       val w = words(i)
       if (w.numBytes() > 0) {
+        nWords += 1
         md.reset()
         val h = md.digest(w.getBytes)
         var b = 0
@@ -259,6 +266,7 @@ case class SimHashBands(child: Expression)
       }
       i += 1
     }
+    if (nWords == 0) return null
     val bands = new Array[Long](4)
     var b = 0
     while (b < 4) {

@@ -130,9 +130,13 @@ object Ann {
     * exists only as an oracle/baseline). Band rows carry (id, tbl,
     * bucket) ONLY; vectors rejoin for the exact-cosine verify, so the
     * band shuffle never moves the embedding payload. At the configured
-    * 16 tables x 4 bits, a >= 0.9-cosine pair (angle <= 26°) misses all
-    * 16 tables with probability < 1e-6 — recall is exact-equal to the
-    * all-pairs result at any realistic SF.
+    * 16 tables x 4 bits, a pair AT cos = 0.9 (angle 26°) misses all 16
+    * tables with probability ≈ 5e-6 — small, but PROBABILISTIC: recall
+    * of pairs sitting near the threshold is not guaranteed, and at
+    * large SF with many borderline pairs an exact compare against the
+    * all-pairs result can differ. Checked fixtures should plant
+    * duplicates well above threshold (near-identical vectors, miss
+    * probability ≈ 0), as dedup_embedding's does.
     */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, tables: Int = 16, bits: Int = 4,

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** As-of join: each left row picks the most recent right row (by
   * `tsCol`) at or before its own timestamp, within the same key.
+  * Right rows sharing (key, ts) resolve to the GREATEST payload struct
+  * in both directions — a deterministic rule an external oracle can
+  * replay (DuckDB's native ASOF JOIN picks ties arbitrarily, so oracle
+  * fixtures must keep right (key, ts) unique or pre-dedup to max).
   *
   * Spark has no native as-of join; the naive formulation is a range
   * join (per-key cross product + filter + window) that explodes on
@@ -33,8 +37,12 @@ object AsofJoin {
       col(keyCol), col(tsCol).as("__ts"), lit(0).as("__src"),
       struct(rightCols.map(col): _*).as("__r"))
     // right rows (__src=0) sort before left rows at equal ts -> the
-    // "at or before" semantics are inclusive
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__src"))
+    // "at or before" semantics are inclusive; the payload struct is the
+    // final tiebreaker so right rows SHARING (key, ts) resolve
+    // deterministically (greatest payload wins — last() in sort order)
+    // instead of by partition layout
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__src"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.unionByName(rTagged, allowMissingColumns = true)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
@@ -63,7 +71,11 @@ object AsofJoin {
     val rTagged = right.select(
       col(keyCol), col(tsCol).as("__ts"), lit(1).as("__src"),
       struct(rightCols.map(col): _*).as("__r"))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__src"))
+    // __r DESCENDING so ties on (key, ts) resolve to the GREATEST
+    // payload here too (first() in sort order) — same deterministic
+    // pick as the backward direction
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__src"), col("__r").desc)
       .rowsBetween(0, Window.unboundedFollowing)
     lTagged.unionByName(rTagged, allowMissingColumns = true)
       .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))

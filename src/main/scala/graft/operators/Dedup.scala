@@ -164,7 +164,7 @@ object Dedup {
     * Returns (id, canonical).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          driverThreshold: Long = 4L * 1000 * 1000): DataFrame = {
+                          driverThreshold: Long = 1L * 1000 * 1000): DataFrame = {
     // one materialization of the (expensive) upstream pair plan; the
     // loop then re-reads executor-local blocks, never the minhash DAG
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
@@ -176,7 +176,9 @@ object Dedup {
     // beats launching 3+ distributed jobs per label-propagation round —
     // the same runtime-adaptivity AQE applies to join strategies. The
     // distributed loop below remains the path for genuinely large pair
-    // graphs.
+    // graphs. The 1M default is a BYTE budget, not a row count: edges
+    // collect as primitive (Long, Long) pairs (~48B boxed each ≈ 50MB),
+    // safe on a default 1-4GB driver with headroom for the app itself.
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val edgeCount = edges.count()
@@ -220,7 +222,11 @@ object Dedup {
     */
   private def driverSideCC(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val rows = edges.collect()
+    import spark.implicits._
+    // collect PRIMITIVE pairs, not Rows — a GenericRow costs hundreds
+    // of bytes; the driverThreshold byte budget assumes tuple encoding
+    val pairs = edges.select(col("a").cast("long").as("_1"),
+      col("b").cast("long").as("_2")).as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var x = x0
@@ -233,15 +239,13 @@ object Dedup {
       }
       x
     }
-    rows.foreach { r =>
-      val (a, b) = (r.getLong(0), r.getLong(1))
+    pairs.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) {
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
-    val nodes = rows.iterator.map(_.getLong(0)).toArray.distinct
-    import spark.implicits._
+    val nodes = pairs.iterator.map(_._1).toArray.distinct
     nodes.map(n => (n, find(n))).toSeq.toDF("id", "canonical")
   }
 
@@ -256,6 +260,8 @@ object Dedup {
       .repartition(par, col("id"))
       .select(col("id"),
         graft.functions.GraftFunctions.simhashBands(col(textCol)).as("sig"))
+      // wordless docs have no signature (null) — they must not pair up
+      .where(col("sig").isNotNull)
       .select(col("id") +: (0 until 4).map(b =>
         element_at(col("sig"), b + 1).as(s"band$b")): _*)
   }

@@ -144,13 +144,16 @@ object CategoricalTransformer {
         (isNone && lit(!m.hasNone)) ||
           (!isNone && !org.apache.spark.sql.graft.ColumnBridge.bloomMightContain(bytes, raw))
       case None =>
-        // no bloom fitted: test the RAW label against the fit-time keep
-        // set. Testing the shrunk value would never fire when hasRare —
-        // shrink maps any unseen label to "other", which is in
-        // `categories`. Without a bloom the rare tail is unknowable, so
-        // fit-time rare labels raise too (over-raising beats silently
-        // encoding brand-new labels as "other").
-        (isNone && lit(!m.hasNone)) || (!isNone && !raw.isin(m.keep: _*))
+        // without the bloom the rare tail is unknowable, so a keep-set
+        // test would raise on labels legitimately SEEN at fit —
+        // violating the reference's unseen_labels="error" contract
+        // (fit-time labels never error). Fail at wiring time instead:
+        // fit with buildBloom=true (Preprocessor does when
+        // unseenLabels == "error").
+        throw new IllegalStateException(
+          s"oneHotStrict($colName) requires the fit-time bloom filter: " +
+            """fit with buildBloom=true (unseenLabels="error") so """ +
+            "fit-time rare labels never raise")
     }
     oneHot(colName, m).zip(m.categories).map { case (dummy, cat) =>
       when(unseen, raise_error(concat(

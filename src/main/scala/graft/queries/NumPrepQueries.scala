@@ -267,6 +267,22 @@ object NumPrepQueries {
     """),
   )
 
+  /** The 100 TB fit path for kbins/quantile-grid scaling:
+    * `percentile_approx` (t-digest sketch — mergeable, bounded executor
+    * memory, no global sort) instead of the exact percentile. Its
+    * output depends on the sketch, so there is no deterministic DuckDB
+    * oracle — this runs as a BENCH-ONLY entry; `NumPrepSpec` pins the
+    * bin-assignment agreement against the exact path.
+    */
+  def kbinsApprox(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+    val probs = (1 until 10).map(_ / 10.0)
+    val st = NumericalTransformer.fit(df, Seq("v"), quantileProbs = probs,
+      approxQuantiles = true)("v")
+    val sc = KBinsScaler(st.quantiles)
+    df.select(col("c_custkey"), sc.transform(col("v")).as("bin"))
+  }
+
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
     scaleQuantileUniform, scaleQuantileNormal, scaleKBins)

@@ -82,5 +82,45 @@ object StreamingQueries {
     Some("SELECT DISTINCT user_id, event_type FROM events"),
   )
 
-  val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup)
+  /** hex-nibble value of char `pos` (1-based SQL expr) of column h. */
+  private def hv(pos: String) =
+    s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+
+  /** Streaming NEAR-dup dedup: SimHash band keys through
+    * `dropDuplicatesWithinWatermark` (bounded, watermark-evicted
+    * state). The emitted key set equals the batch DISTINCT band keys;
+    * the oracle replays the md5 signature construction bit-for-bit
+    * (same CTE shape as dedup_simhash).
+    */
+  val streamNeardup: Q = Q(
+    "stream_neardup",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      StreamOps.runToBatch(s,
+        StreamOps.neardupStream(StreamOps.docsStream(s, dir), "doc_id", "text"),
+        mode = "append")
+        .select(col("band").cast("long").as("band"), col("band_val"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tw AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
+      cnt AS (SELECT doc_id, count(*) AS n FROM tw GROUP BY 1),
+      tb AS (
+        SELECT doc_id, b.b AS band,
+               ((${hv("4*b.b+1")}*16 + ${hv("4*b.b+2")})*16 + ${hv("4*b.b+3")})*16
+                 + ${hv("4*b.b+4")} AS v16
+        FROM tw, range(4) b(b)),
+      bits AS (
+        SELECT doc_id, band, r.r AS bit, sum((v16 >> r.r) & 1) AS ones
+        FROM tb, range(16) r(r) GROUP BY 1, 2, 3),
+      sig AS (
+        SELECT bits.doc_id, band,
+               sum(CASE WHEN 2*ones >= cnt.n THEN (1::BIGINT << bit) ELSE 0 END) AS bv
+        FROM bits JOIN cnt ON bits.doc_id = cnt.doc_id GROUP BY 1, 2)
+      SELECT DISTINCT band, bv::BIGINT AS band_val FROM sig
+    """),
+  )
+
+  val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup)
 }

@@ -63,6 +63,45 @@ object StreamOps {
       .dropDuplicates(keys)
       .select(keys.map(col): _*)
 
+  /** File-source stream over the documents table (schema from a batch
+    * probe), for streaming text dedup.
+    */
+  def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming NEAR-dup dedup (SURVEY §7.11): each document explodes
+    * into its 4 SimHash 16-bit band keys and
+    * `dropDuplicatesWithinWatermark` passes only each band key's FIRST
+    * occurrence — a later doc whose every band was already seen (≈ a
+    * near-duplicate) emits nothing new. State holds one entry per
+    * distinct band key and the watermark EVICTS entries as event time
+    * advances, so state is bounded by the key rate within the horizon,
+    * not the stream's lifetime — the property exact `dropDuplicates`
+    * state lacks on an unbounded corpus.
+    *
+    * SimHash bands (md5-derived) rather than MinHash bands so an
+    * external SQL oracle replays the key set exactly; wordless docs
+    * have a null signature and contribute no keys on either engine.
+    * Event time derives from the doc id via integer microseconds
+    * (`+1` keeps id 0 off the initial watermark tie, which drops
+    * epoch-0 rows as late).
+    */
+  def neardupStream(docs: DataFrame, idCol: String, textCol: String,
+                    watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("tse", timestamp_micros(col(idCol).cast("long") + 1))
+      .select(col("tse"),
+        posexplode(graft.functions.GraftFunctions.simhashBands(col(textCol)))
+          .as(Seq("band", "band_val")))
+      .withWatermark("tse", watermarkDelay)
+      .dropDuplicatesWithinWatermark("band", "band_val")
+      .select(col("band"), col("band_val"))
+
   /** Drain every available microbatch into a memory sink and return
     * the final result table.
     */

@@ -74,6 +74,17 @@ class DedupSpec extends SparkSpec {
     assert(fast.values.toSet == Set(1L) && fast.size == 40)
   }
 
+  test("a graph just over the driver threshold stays distributed and correct") {
+    import spark.implicits._
+    // 40 pairs double to 80 directed edges; a threshold of 79 is one
+    // short, so the label-propagation loop (not the driver union-find)
+    // must run — and converge to the same single component
+    val pairs = (1L until 41L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, driverThreshold = 79).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == 41)
+  }
+
   test("simhash bands are 16-bit values") {
     val sigs = Dedup.simhashBands(base, "id", "text").collect()
     sigs.foreach { r =>

@@ -88,6 +88,21 @@ class NumPrepSpec extends SparkSpec {
     }
   }
 
+  test("approx-quantile kbins agrees with exact bins on ~all rows (the 100 TB fit default)") {
+    import org.apache.spark.sql.functions._
+    // at 100 TB the exact sort-based percentile is not an option — the
+    // t-digest path (bounded, mergeable sketch) is the default; this
+    // pins how much bin assignment can drift vs the exact fit
+    val approx = graft.queries.NumPrepQueries.kbinsApprox(spark, sf)
+    val exact = SparkEntry.queries("scale_kbins")(spark, sf)
+      .withColumnRenamed("bin", "bin_e")
+    val j = approx.join(exact, "c_custkey")
+    val total = j.count()
+    val agree = j.where(col("bin") === col("bin_e")).count()
+    assert(total > 0 && agree >= (total * 0.99).toLong,
+      s"approx kbins agreement $agree/$total below 99%")
+  }
+
   test("approx quantile boundaries track exact ones at moderate n") {
     val df = Tables.customer(spark, sf).select(org.apache.spark.sql.functions.col("c_acctbal").as("v"))
     val probs = (1 until 10).map(_ / 10.0)

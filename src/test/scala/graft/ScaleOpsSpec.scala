@@ -33,6 +33,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(2).getString(2) == "c" && out(2).isNullAt(3))
   }
 
+  test("asof ties on (key, ts) resolve deterministically to the greatest payload") {
+    val left = Seq(("u1", 10L, "a")).toDF("k", "ts", "tag")
+    // two right rows at the SAME (key, ts) with different payloads —
+    // both directions must pick the greatest payload struct, never the
+    // partition-layout-dependent one
+    val right = Seq(("u1", 10L, 1.0), ("u1", 10L, 2.0)).toDF("k", "ts", "v")
+    val back = AsofJoin.asof(left, right, "k", "ts", Seq("tag"), Seq("v")).collect()
+    val fwd = AsofJoin.asofForward(left, right, "k", "ts", Seq("tag"), Seq("v")).collect()
+    assert(back.head.getDouble(3) == 2.0)
+    assert(fwd.head.getDouble(3) == 2.0)
+  }
+
   test("salted agg equals plain groupBy exactly") {
     val df = Tables.lineitem(spark, sf)
       .select($"l_returnflag", $"l_quantity",

@@ -74,6 +74,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming near-dup emits exactly the batch-distinct simhash band key set") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.runToBatch(spark,
+      StreamOps.neardupStream(StreamOps.docsStream(spark, sf), "doc_id", "text"),
+      mode = "append").collect().map(_.toSeq).toSet
+    val batch = Tables.documents(spark, sf)
+      .select(posexplode(graft.functions.GraftFunctions.simhashBands(col("text")))
+        .as(Seq("band", "band_val")))
+      .distinct().collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("wordless docs have no simhash signature and emit no band keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "real words here"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhashBands(col("text")).as("sig"))
+    assert(sigs.where(col("sig").isNotNull).count() == 1)
+    // and the pair path never matches empty docs with each other
+    val pairs = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")
+    assert(pairs.count() == 0)
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
