@@ -115,6 +115,13 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // micro-batch accounting for bench attribution (GRAFT_STREAM_DEBUG=1)
+    if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+      q.recentProgress.foreach { p =>
+        System.err.println(s"[stream-debug] batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+      }
+    }
     s.table(name)
   }
 
