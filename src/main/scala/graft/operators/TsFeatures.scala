@@ -233,6 +233,24 @@ object TsFeatures {
     // idx so min() picks the first qualifying row
     def imq(q: Double): Column =
       min(when(i("cabs") >= lit(q) * i("sabs"), (col("idx") + 1) / i("cnt")))
+    // tsfresh permutation_entropy (dim 3, tau 1): each consecutive
+    // triple (prev2, prev, v) classifies into an ordering pattern by
+    // three <= comparisons (ties folded deterministically — the same
+    // comparisons replay in SQL); entropy over the pattern histogram.
+    // Bit combos that violate transitivity never occur; their zero
+    // counts contribute nothing.
+    val pid = when(i("prev2").isNotNull,
+      when(i("prev2") <= i("prev"), 4).otherwise(0) +
+        when(i("prev") <= v, 2).otherwise(0) +
+        when(i("prev2") <= v, 1).otherwise(0))
+    val permEntropy3 = {
+      val pn = count(i("prev2"))
+      (0 to 7).map { k =>
+        val c = sum(when(pid === k, 1L).otherwise(0L))
+        val p = c.cast("double") / pn
+        when(c > 0, -p * log(p)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+    }
     Seq(
       count(v).as(out("n")),
       avg(v).as(out("mean_v")),
@@ -283,6 +301,18 @@ object TsFeatures {
       imq(0.25).as(out("imq_25")),
       imq(0.5).as(out("imq_50")),
       imq(0.75).as(out("imq_75")),
+      // tier 5: ordinal-pattern entropy + shape/indicator calculators
+      // (tsfresh permutation_entropy, root_mean_square, variance,
+      // has_duplicate_max/min, large_standard_deviation r=0.25,
+      // symmetry_looking r=0.05)
+      permEntropy3.as(out("perm_entropy_3")),
+      sqrt(avg(v * v)).as(out("rms_v")),
+      var_pop(v).as(out("variance_v")),
+      (sum(when(v === i("mx"), 1L).otherwise(0L)) > 1).cast("int").as(out("has_dup_max")),
+      (sum(when(v === i("mn"), 1L).otherwise(0L)) > 1).cast("int").as(out("has_dup_min")),
+      (stddev_pop(v) > lit(0.25) * (max(v) - min(v))).cast("int").as(out("large_std")),
+      (abs(avg(v) - percentile(v, lit(0.5))) < lit(0.05) * (max(v) - min(v)))
+        .cast("int").as(out("symmetry_look")),
     )
   }
 

@@ -193,5 +193,59 @@ object RelationalQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup)
+  /** Grouped user-function apply (the reference's `group_by().apply`
+    * shape, [[graft.operators.GroupedApply]]): per-user imperative pass
+    * over ts-sorted events emitting running count / running sum /
+    * inter-event gap. The SAME result is window-expressible — which is
+    * exactly what the oracle uses — but the query exercises the
+    * imperative escape hatch: one shuffle, per-group sorted iterators,
+    * per-group state only.
+    */
+  val qGroupedApply: Q = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    Q(
+      "q_grouped_apply",
+      (s, dir) => {
+        // DuckDB reads the nanos timestamps at µs precision — truncate
+        // for hash parity (ordering unchanged: ts gaps are ≫ 1 µs)
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), expr("cast(ts as long) div 1000 * 1000").as("ts"),
+            col("value"))
+        graft.operators.GroupedApply(e, Seq("user_id"), Seq("ts"),
+          StructType(Seq(
+            StructField("user_id", LongType), StructField("ts", LongType),
+            StructField("run_n", LongType), StructField("cum_v", DoubleType),
+            StructField("gap_ns", LongType)))) { (key, it) =>
+          var n = 0L
+          var cum = 0.0
+          var prev = Long.MinValue
+          it.map { r =>
+            val ts = r.getLong(1)
+            n += 1
+            cum += r.getDouble(2)
+            val gap: Any = if (prev == Long.MinValue) null else ts - prev
+            prev = ts
+            // same decimal rounding as Spark's round() so the
+            // sequential JVM sum hashes equal to the SQL window cumsum
+            Row(key.getLong(0), ts, n,
+              BigDecimal(cum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble, gap)
+          }
+        }
+      },
+      Some("""
+        SELECT user_id, epoch_ns(ts) AS ts,
+               row_number() OVER w AS run_n,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING), 6) AS cum_v,
+               epoch_ns(ts) - lag(epoch_ns(ts)) OVER w AS gap_ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      """),
+    )
+  }
+
+  val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
+    qGroupedApply)
 }

@@ -121,5 +121,138 @@ object TextQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint)
+  // --------------------------------------------------------------- §2.3/41b
+  /** hex-nibble value of char `pos` (1-based SQL expr) of column h. */
+  private def hv(pos: String) =
+    s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+
+  /** The COMPOSED text-curation pipeline a training-data run actually
+    * executes, as ONE registered query: language-ID filter (keep
+    * predicted English) → quality filter (alpha ratio ≥ 0.8, ≥ 25
+    * whitespace tokens) → exact dedup on normalized text → SimHash
+    * near-dup connected-components survivor → (doc_id, ws_tokens)
+    * keep-list. Near-dup and exact copies are injected so every stage
+    * provably removes something. Each stage inherits its scale shape
+    * from its operator (narrow filters; one groupBy; banded self-join,
+    * never all-pairs; checkpointed CC). The oracle replays every stage
+    * — including the md5 SimHash — in one recursive SQL.
+    */
+  val textPipeline: Q = Q(
+    "text_pipeline",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionAll(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionAll(d.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" tail marker words")).as("text")))
+      val lid = TextAnalysis.langId(col("text"))
+      val kept = corpus
+        .withColumn("lang_pred", lid.getField("lang"))
+        .withColumn("alpha_ratio", TextAnalysis.alphaRatio(col("text")))
+        .withColumn("ws_tokens", TextAnalysis.wsTokens(col("text")))
+        .where(col("lang_pred") === "en" &&
+          col("alpha_ratio") >= 0.8 && col("ws_tokens") >= 25)
+        .select(col("doc_id"), col("text"), col("ws_tokens"))
+      val surv = Dedup.exact(
+        kept.select(col("doc_id"), Dedup.normalizeText(col("text")).as("ntext")),
+        "doc_id", col("ntext")).select("doc_id")
+      val sd = kept.join(surv, "doc_id")
+      val pairs = Dedup.simhashPairs(sd.select(col("doc_id"), col("text")),
+        "doc_id", "text", maxHamming = 3).select("id_a", "id_b")
+      val canon = Dedup.connectedComponents(pairs)
+      sd.select(col("doc_id"), col("ws_tokens"))
+        .join(canon, col("doc_id") === col("id"), "left")
+        .where(col("canonical").isNull || col("canonical") === col("doc_id"))
+        .select(col("doc_id"), col("ws_tokens"))
+    },
+    Some {
+      val scoreSql = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+        s"len(list_filter(words, x -> list_contains(${markers.map(m => s"'$m'").mkString("[", ",", "]")}, x)))::DOUBLE / greatest(len(words), 1) AS s_$lang"
+      }.mkString(",\n               ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val pick = langs.reverse.foldLeft(s"'${langs.last}'") { (acc, l) =>
+        s"CASE WHEN s_$l = $best THEN '$l' ELSE $acc END"
+      }
+      s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text || ' tail marker words'
+        FROM documents WHERE doc_id % 20 = 0),
+      w0 AS (
+        SELECT doc_id, text,
+               list_transform(regexp_extract_all(trim(text), '\\S+'), x -> lower(x))
+                 AS words,
+               len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE /
+                 greatest(length(text), 1) AS alpha_ratio
+        FROM corpus),
+      sc0 AS (
+        SELECT doc_id,
+               $scoreSql
+        FROM w0),
+      kept AS (
+        SELECT w0.doc_id, w0.text, w0.ws_tokens
+        FROM w0 JOIN sc0 USING (doc_id)
+        WHERE $pick = 'en' AND w0.alpha_ratio >= 0.8 AND w0.ws_tokens >= 25),
+      surv AS (
+        SELECT min(doc_id) AS doc_id FROM kept
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+      sd AS (SELECT k.doc_id, k.text, k.ws_tokens FROM kept k JOIN surv USING (doc_id)),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM sd),
+      tw AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
+      cnt AS (SELECT doc_id, count(*) AS n FROM tw GROUP BY 1),
+      tb AS (
+        SELECT doc_id, b.b AS band,
+               ((${hv("4*b.b+1")}*16 + ${hv("4*b.b+2")})*16 + ${hv("4*b.b+3")})*16
+                 + ${hv("4*b.b+4")} AS v16
+        FROM tw, range(4) b(b)),
+      bits AS (
+        SELECT doc_id, band, r.r AS bit, sum((v16 >> r.r) & 1) AS ones
+        FROM tb, range(16) r(r) GROUP BY 1, 2, 3),
+      sig AS (
+        SELECT bits.doc_id, band,
+               sum(CASE WHEN 2*ones >= cnt.n THEN (1::BIGINT << bit) ELSE 0 END) AS bv
+        FROM bits JOIN cnt ON bits.doc_id = cnt.doc_id GROUP BY 1, 2),
+      sigs AS (
+        SELECT doc_id,
+               max(CASE WHEN band = 0 THEN bv END) AS band0,
+               max(CASE WHEN band = 1 THEN bv END) AS band1,
+               max(CASE WHEN band = 2 THEN bv END) AS band2,
+               max(CASE WHEN band = 3 THEN bv END) AS band3
+        FROM sig GROUP BY 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      p AS (
+        SELECT id_a, id_b
+        FROM cand JOIN sigs x ON id_a = x.doc_id JOIN sigs y ON id_b = y.doc_id
+        WHERE bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
+            + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)) <= 3),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+      canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+      SELECT sd.doc_id, sd.ws_tokens
+      FROM sd LEFT JOIN canon ON sd.doc_id = canon.id
+      WHERE canon.canonical IS NULL OR canon.canonical = sd.doc_id
+      """
+    },
+  )
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
+    textPipeline)
 }

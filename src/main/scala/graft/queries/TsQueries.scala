@@ -144,6 +144,23 @@ object TsQueries {
   private def imqSql(q: Double): String =
     s"round(min(CASE WHEN cabs >= $q * sabs THEN (idx + 1) / cnt END), 6)"
 
+  /** ordering-pattern id of the (prev2, prev, v) triple — the same
+    * three <= comparisons the Spark expression folds into bits.
+    */
+  private val pidSql =
+    "(CASE WHEN prev2 IS NOT NULL THEN " +
+      "(CASE WHEN prev2 <= prev THEN 4 ELSE 0 END) + " +
+      "(CASE WHEN prev <= v THEN 2 ELSE 0 END) + " +
+      "(CASE WHEN prev2 <= v THEN 1 ELSE 0 END) END)"
+
+  /** -Σ p·ln(p) over the 8 pattern ids, identical left-associated term
+    * sum to the Spark aggregation (impossible ids count 0).
+    */
+  private val permEntropySql: String = (0 to 7).map { k =>
+    val c = s"sum(CASE WHEN $pidSql = $k THEN 1 ELSE 0 END)"
+    s"(CASE WHEN $c > 0 THEN (-($c::DOUBLE / count(prev2))) * ln($c::DOUBLE / count(prev2)) ELSE 0.0 END)"
+  }.mkString(" + ")
+
   private val featSql: Seq[(String, String)] = Seq(
     "n" -> "count(v)",
     "mean_v" -> "round(avg(v), 6)",
@@ -200,6 +217,17 @@ object TsQueries {
     "imq_25" -> imqSql(0.25),
     "imq_50" -> imqSql(0.5),
     "imq_75" -> imqSql(0.75),
+    // tier 5 (tsfresh permutation_entropy d=3 / root_mean_square /
+    // variance / has_duplicate_max|min / large_standard_deviation
+    // r=0.25 / symmetry_looking r=0.05)
+    "perm_entropy_3" -> s"round($permEntropySql, 6)",
+    "rms_v" -> "round(sqrt(avg(v*v)), 6)",
+    "variance_v" -> "round(var_pop(v), 6)",
+    "has_dup_max" -> "(sum(CASE WHEN v = mx THEN 1 ELSE 0 END) > 1)::INT",
+    "has_dup_min" -> "(sum(CASE WHEN v = mn THEN 1 ELSE 0 END) > 1)::INT",
+    "large_std" -> "(stddev_pop(v) > 0.25 * (max(v) - min(v)))::INT",
+    "symmetry_look" ->
+      "(abs(avg(v) - quantile_cont(v, 0.5)) < 0.05 * (max(v) - min(v)))::INT",
   )
 
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
@@ -216,7 +244,8 @@ object TsQueries {
   /** integral feature columns that skip the 6-dp rounding */
   private val intFeats =
     Set("n", "count_above_mean", "count_below_mean", "n_peaks",
-      "strike_above", "strike_below", "n_crossings_mean")
+      "strike_above", "strike_below", "n_crossings_mean",
+      "has_dup_max", "has_dup_min", "large_std", "symmetry_look")
 
   private val enrichedCte = """
       WITH e0 AS (
