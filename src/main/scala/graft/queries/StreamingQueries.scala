@@ -122,5 +122,28 @@ object StreamingQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup)
+  /** Stream-static broadcast enrichment + windowed aggregation: events
+    * enriched with the customer dimension, aggregated per (hour,
+    * market segment). Equals the batch join+group oracle.
+    */
+  val streamEnrich: Q = Q(
+    "stream_enrich",
+    (s, dir) => {
+      import graft.Tables
+      StreamOps.runToBatch(s,
+        StreamOps.enrichAgg(StreamOps.eventsStream(s, dir),
+          Tables.customer(s, dir), "c_custkey", "c_mktsegment"))
+    },
+    Some("""
+      SELECT floor(epoch_ns(ts) / 3600000000000)::BIGINT AS bucket,
+             c_mktsegment,
+             count(*) AS n,
+             round(sum(value), 6) AS sum_v
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2
+    """),
+  )
+
+  val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
+    streamEnrich)
 }

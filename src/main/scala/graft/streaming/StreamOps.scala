@@ -102,6 +102,26 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("band", "band_val")
       .select(col("band"), col("band_val"))
 
+  /** Stream-static enrichment: the event stream joins a BROADCAST
+    * static dimension (no shuffle of the stream, no state — the dim
+    * snapshot is re-broadcast per micro-batch), then aggregates per
+    * (hour window, dim attribute). The canonical "enrich the firehose
+    * with reference data" shape; at scale the stream side never
+    * repartitions for the join.
+    */
+  def enrichAgg(events: DataFrame, dim: DataFrame,
+                dimKeyCol: String, dimAttrCol: String): DataFrame =
+    events
+      .withColumn("tse", timestamp_micros(expr("cast(ts as long) div 1000")))
+      .withWatermark("tse", "1 hour")
+      .join(broadcast(dim.select(col(dimKeyCol), col(dimAttrCol))),
+        col("user_id") === col(dimKeyCol))
+      .groupBy(window(col("tse"), "1 hour"), col(dimAttrCol))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+      .select(
+        floor(unix_timestamp(col("window.start")) / 3600).as("bucket"),
+        col(dimAttrCol), col("n"), col("sum_v"))
+
   /** Drain every available microbatch into a memory sink and return
     * the final result table.
     */

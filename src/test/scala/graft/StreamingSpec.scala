@@ -98,6 +98,20 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.count() == 0)
   }
 
+  test("stream-static enrichment equals the batch join+agg and broadcasts the dim") {
+    val dim = Tables.customer(spark, sf)
+    val streamed = StreamOps.runToBatch(spark,
+      StreamOps.enrichAgg(StreamOps.eventsStream(spark, sf), dim,
+        "c_custkey", "c_mktsegment")).collect().map(_.toSeq).toSet
+    val batchDf = StreamOps.enrichAgg(Tables.events(spark, sf), dim,
+      "c_custkey", "c_mktsegment")
+    val batch = batchDf.collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // the stream side must not shuffle for the join
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
