@@ -149,6 +149,11 @@ object TextQueries {
           .select((col("doc_id") + 200000).as("doc_id"),
             concat(col("text"), lit(" tail marker words")).as("text")))
       val lid = TextAnalysis.langId(col("text"))
+      // materialize the curated subset ONCE: three downstream consumers
+      // (exact-dedup groupBy, survivor join, simhash stage) would each
+      // re-run the language-ID and quality expressions over the whole
+      // corpus otherwise — at 100 TB the filtered corpus is the thing
+      // you persist before dedup, not recompute per stage
       val kept = corpus
         .withColumn("lang_pred", lid.getField("lang"))
         .withColumn("alpha_ratio", TextAnalysis.alphaRatio(col("text")))
@@ -156,6 +161,7 @@ object TextQueries {
         .where(col("lang_pred") === "en" &&
           col("alpha_ratio") >= 0.8 && col("ws_tokens") >= 25)
         .select(col("doc_id"), col("text"), col("ws_tokens"))
+        .localCheckpoint()
       val surv = Dedup.exact(
         kept.select(col("doc_id"), Dedup.normalizeText(col("text")).as("ntext")),
         "doc_id", col("ntext")).select("doc_id")
