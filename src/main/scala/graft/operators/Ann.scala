@@ -86,6 +86,53 @@ object Ann {
     * within them. Shuffle is one hash join on cell id; per-query cost
     * is ~nProbe/nCells of the corpus.
     */
+  /** Deterministic coarse centroids: hash-sampled corpus vectors (no
+    * global sort/window — a filter + small limit at any scale). The
+    * sampling hash is the first 16 bits of md5(id-as-string) so an
+    * external oracle can replay centroid selection exactly. Driver
+    * state is bounded by nCells vectors.
+    */
+  def sampleCentroids(c: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int): Array[Array[Double]] = {
+    val n = c.count()
+    val step = math.max(1L, n / nCells)
+    val sel = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
+    val centroids = c.where(pmod(sel, lit(step)) === 0)
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty, "no centroids sampled")
+    centroids
+  }
+
+  /** One Lloyd (k-means) iteration over an embedding column — the IVF
+    * index TRAINING primitive: assign every vector to its nearest
+    * centroid (one codegen [[graft.functions.TopCells]] pass — cosine
+    * vs every centroid, ties to the higher cell), then recompute each
+    * cell's centroid as the per-dimension mean in ONE groupBy carrying
+    * `dims` sum columns. No explode: the shuffle moves nCells × (dims
+    * + 1) aggregates, never n × dims element rows. Sums ride exact
+    * decimal(18,6) so the distributed partial-agg order cannot drift
+    * from a sequential engine at 6 dp (SURVEY §9).
+    * Returns (cell, n, centroid array of per-dim means).
+    */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Double]], dims: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).repartition(par, col("id"))
+    val assigned = v.withColumn("cell",
+      element_at(graft.functions.GraftFunctions.topCells(col("v"), centroids, 1), 1)
+        .getField("cell"))
+    val sums = (0 until dims).map(d =>
+      sum(element_at(col("v"), d + 1).cast("decimal(18,6)")).as(s"s$d"))
+    val aggs = count(lit(1)).as("n") +: sums
+    assigned.groupBy(col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cell"), col("n"),
+        array((0 until dims).map(d =>
+          col(s"s$d").cast("double") / col("n")): _*).as("centroid"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
@@ -93,17 +140,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("cv")).repartition(par, col("nn_id"))
 
-    // deterministic coarse centroids: hash-sampled corpus vectors
-    // (no global sort/window — a filter + small limit at any scale).
-    // The sampling hash is the first 16 bits of md5(id-as-string) so an
-    // external oracle can replay centroid selection exactly.
-    val n = c.count()
-    val step = math.max(1L, n / nCells)
-    val sel = conv(substring(md5(col("nn_id").cast("string")), 1, 4), 16, 10).cast("long")
-    val centroids = c.where(pmod(sel, lit(step)) === 0)
-      .orderBy(col("nn_id")).limit(nCells)
-      .select(col("cv")).collect().map(_.getSeq[Double](0).toArray)
-    require(centroids.nonEmpty, "no centroids sampled")
+    val centroids = sampleCentroids(c, "nn_id", "cv", nCells)
 
     // one TopCells pass per vector (cosine vs every centroid, ranked
     // desc, ties to the higher cell) — not an interpreted `transform`

@@ -459,7 +459,61 @@ object DedupQueries {
     """),
   )
 
+  // ---------------------------------------------------------------- §2.3/36c
+  /** One k-means (Lloyd) iteration over the embeddings — IVF index
+    * training at scale: md5-sampled initial centroids (same replayable
+    * selection as knn_ivf), TopCells nearest-cell assignment, ONE
+    * groupBy recomputing all 64 per-dimension means on exact decimal
+    * sums. Output long-form (cell, n, dim, m) so the hash compare is
+    * schema-stable.
+    */
+  val kmeansStep: Q = Q(
+    "q_kmeans_step",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val c = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val centroids = Ann.sampleCentroids(c, "id", "cv", nCells = 16)
+      Ann.kmeansStep(e, "vec_id", "embedding", centroids, dims = 64)
+        .select(col("cell"), col("n"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))
+        .select(col("cell"), col("n"), col("dim"), round(col("m"), 6).as("m"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      h AS (
+        SELECT vec_id, v, md5(vec_id::VARCHAR) AS hx FROM e),
+      sel AS (
+        SELECT vec_id, v,
+               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+        FROM h),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        FROM sel
+        WHERE h16 % greatest(1, (SELECT count(*) FROM e) // 16) = 0
+        ORDER BY vec_id LIMIT 16),
+      cc AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      scores AS (
+        SELECT n.vec_id, cc.cell,
+               list_dot_product(n.v, cc.cv) / (n.nrm * cc.cnrm) AS s
+        FROM n CROSS JOIN cc),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+          FROM scores) WHERE rn = 1)
+      SELECT a.cell, count(*) AS n, d.d AS dim,
+             round(sum(e2.v[d.d + 1]::DECIMAL(18,6))::DOUBLE / count(*), 6) AS m
+      FROM assigned a JOIN e e2 USING (vec_id), range(64) d(d)
+      GROUP BY a.cell, d.d
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
-    knnBruteforce, knnLsh, knnIvf)
+    knnBruteforce, knnLsh, knnIvf, kmeansStep)
 }

@@ -49,6 +49,25 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall too low")
   }
 
+  test("k-means step assigns every vector once and improves assignment cosine") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val c = e.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("cv"))
+    val c0 = Ann.sampleCentroids(c, "id", "cv", nCells = 16)
+    def meanAssignCos(cents: Array[Array[Double]]): Double =
+      c.select(avg(element_at(
+        graft.functions.GraftFunctions.topCells($"cv", cents, 1), 1)
+        .getField("s"))).head().getDouble(0)
+    val stepped = Ann.kmeansStep(e, "vec_id", "embedding", c0, dims = 64)
+    assert(stepped.agg(sum("n")).head().getLong(0) == e.count())
+    val c1 = stepped.orderBy("cell").collect().map(_.getSeq[Double](2).toArray)
+    val (before, after) = (meanAssignCos(c0), meanAssignCos(c1))
+    // mean-of-cell update ≈ the spherical k-means M-step (cosine is
+    // centroid-norm invariant); allow a hair of non-monotonicity from
+    // unnormalized input norms
+    assert(after >= before - 1e-3, s"assignment cosine regressed: $before -> $after")
+  }
+
   test("lsh top-k achieves reasonable recall vs brute force") {
     val sf = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, sf)
