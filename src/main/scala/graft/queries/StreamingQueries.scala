@@ -144,6 +144,24 @@ object StreamingQueries {
     """),
   )
 
+  /** Stream-stream interval self-join: same-user event pairs within
+    * 2 hours, both sides watermarked (bounded join state). Equals the
+    * batch interval self-join oracle.
+    */
+  val streamIntervalJoin: Q = Q(
+    "stream_interval_join",
+    (s, dir) => StreamOps.runToBatch(s,
+      StreamOps.intervalSelfJoin(StreamOps.eventsStream(s, dir),
+        StreamOps.eventsStream(s, dir)),
+      mode = "append"),
+    Some("""
+      SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
+      FROM events a JOIN events b ON a.user_id = b.user_id
+       AND epoch_us(b.ts) > epoch_us(a.ts)
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 7200000000::BIGINT
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
-    streamEnrich)
+    streamEnrich, streamIntervalJoin)
 }

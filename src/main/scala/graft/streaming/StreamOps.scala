@@ -122,6 +122,32 @@ object StreamOps {
         floor(unix_timestamp(col("window.start")) / 3600).as("bucket"),
         col(dimAttrCol), col("n"), col("sum_v"))
 
+  /** Stream-stream INTERVAL self-join: pairs of events from the same
+    * user within `(0, gap]` of each other. Both sides carry watermarks
+    * and the join condition bounds right-side event time relative to
+    * the left, so the join STATE is watermark-evicted — the
+    * stream-stream join shape that stays bounded on an unbounded
+    * stream. Inner-join matches emit as found; the final table equals
+    * the batch interval self-join.
+    */
+  def intervalSelfJoin(left: DataFrame, right: DataFrame,
+                       gap: String = "2 hours",
+                       watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.select(col("user_id").as("l_uid"),
+      timestamp_micros(expr("cast(ts as long) div 1000")).as("l_tse"),
+      col("event_id").as("eid_a"))
+      .withWatermark("l_tse", watermarkDelay)
+    val r = right.select(col("user_id").as("r_uid"),
+      timestamp_micros(expr("cast(ts as long) div 1000")).as("r_tse"),
+      col("event_id").as("eid_b"))
+      .withWatermark("r_tse", watermarkDelay)
+    l.join(r,
+      col("l_uid") === col("r_uid") &&
+        col("r_tse") > col("l_tse") &&
+        col("r_tse") <= col("l_tse") + expr(s"interval $gap"))
+      .select(col("l_uid").as("user_id"), col("eid_a"), col("eid_b"))
+  }
+
   /** Drain every available microbatch into a memory sink and return
     * the final result table.
     */

@@ -112,6 +112,16 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("stream-stream interval self-join equals the batch interval join") {
+    val streamed = StreamOps.runToBatch(spark,
+      StreamOps.intervalSelfJoin(StreamOps.eventsStream(spark, sf),
+        StreamOps.eventsStream(spark, sf)),
+      mode = "append").collect().map(_.toSeq).toSet
+    val batch = StreamOps.intervalSelfJoin(Tables.events(spark, sf),
+      Tables.events(spark, sf)).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
