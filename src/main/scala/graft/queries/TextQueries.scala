@@ -259,6 +259,88 @@ object TextQueries {
     },
   )
 
+  // --------------------------------------------------------------- §2.3/41c
+  /** Deterministic train/val/test split (98/1/1) by md5 hash bucket of
+    * the doc id — the scale-correct split: no RNG state, no shuffle,
+    * reproducible on any engine/cluster layout, stable under
+    * re-partitioning (unlike `sample()`); a narrow projection.
+    */
+  val textHashSplit: Q = Q(
+    "text_hash_split",
+    (s, dir) => {
+      val b = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(b < 98, "train").when(b < 99, "val").otherwise("test").as("split"))
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN h16 % 100 < 98 THEN 'train'
+                  WHEN h16 % 100 < 99 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+        FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS hx FROM documents))
+    """),
+  )
+
+  /** Token-budget sequence packing: shard by hash (32-way parallelism),
+    * order within the shard, assign each doc to the pack its RUNNING
+    * token count lands in (512-token bins). The per-shard window is the
+    * packing loop a sequential packer runs, parallel across shards —
+    * the standard "pack documents into context windows" pre-training
+    * step, with zero driver state.
+    */
+  val textPack: Q = Q(
+    "text_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir).select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(32)).as("shard"),
+        TextAnalysis.wsTokens(col("text")).cast("long").as("tokens"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      t.withColumn("cum", sum(col("tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("tokens"),
+          expr("(cum - tokens) div 512").as("pack_id"))
+    },
+    Some("""
+      SELECT doc_id, doc_id % 32 AS shard,
+             len(regexp_extract_all(trim(text), '\S+')) AS tokens,
+             (sum(len(regexp_extract_all(trim(text), '\S+')))
+                OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING)
+              - len(regexp_extract_all(trim(text), '\S+')))::BIGINT // 512 AS pack_id
+      FROM documents
+    """),
+  )
+
+  /** Global vocabulary top-k: word counts + deterministic top-100
+    * (count desc, word asc). Spark plans orderBy+limit as
+    * TakeOrderedAndProject — per-partition partial top-k, no global
+    * sort, driver receives k rows.
+    */
+  val textVocab: Q = Q(
+    "text_vocab",
+    (s, dir) => Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(100),
+    Some("""
+      SELECT w, count(*) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w ORDER BY n DESC, w LIMIT 100
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    textPipeline)
+    textPipeline, textHashSplit, textPack, textVocab)
 }
