@@ -80,6 +80,21 @@ object Multimodal {
         greatest(floor(col("width") * col("scale")), lit(1)).cast("int").as("out_w"),
         greatest(floor(col("height") * col("scale")), lit(1)).cast("int").as("out_h"))
 
+  /** ViT-style patch-grid planning on top of [[resizeDims]]: pad the
+    * resized dims UP to the patch size multiple (ceil), emit the patch
+    * grid and token count (+1 CLS token). Pure column arithmetic —
+    * the planning stage a vision-tower ingest runs per image, with the
+    * decode itself behind the honest stub.
+    */
+  def patchPlan(media: DataFrame, targetW: Int, targetH: Int,
+                patch: Int = 16): DataFrame =
+    resizeDims(media, targetW, targetH)
+      .select(col("media_id"), col("out_w"), col("out_h"),
+        ceil(col("out_w").cast("double") / patch).cast("int").as("px"),
+        ceil(col("out_h").cast("double") / patch).cast("int").as("py"))
+      .select(col("media_id"), col("out_w"), col("out_h"), col("px"), col("py"),
+        (col("px") * col("py") + 1).as("vision_tokens"))
+
   /** Frame sampling for video records: one output row per sampled
     * frame — the row-expansion shape of a real frame extractor — with a
     * deterministic md5 frame fingerprint over (bytes, frame index) in

@@ -83,5 +83,41 @@ object MultimodalQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames)
+  /** ViT patch-grid planning: resize plan → ceil-padded patch grid →
+    * vision token count (+1 CLS). Pure column arithmetic over the
+    * image records.
+    */
+  val multimodalPatches: Q = Q(
+    "multimodal_patches",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.patchPlan(media.toDF(), targetW = 224, targetH = 224, patch = 16)
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 640 + 1)::INT AS width,
+               (doc_id % 480 + 1)::INT AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      sc AS (
+        SELECT media_id, width, height,
+               least(224.0 / width, 224.0 / height) AS scale
+        FROM media),
+      rd AS (
+        SELECT media_id,
+               greatest(floor(width * scale), 1)::INT AS out_w,
+               greatest(floor(height * scale), 1)::INT AS out_h
+        FROM sc),
+      pg AS (
+        SELECT media_id, out_w, out_h,
+               ceil(out_w::DOUBLE / 16)::INT AS px,
+               ceil(out_h::DOUBLE / 16)::INT AS py
+        FROM rd)
+      SELECT media_id, out_w, out_h, px, py, (px * py + 1)::INT AS vision_tokens
+      FROM pg
+    """),
+  )
+
+  val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames,
+    multimodalPatches)
 }
