@@ -133,6 +133,47 @@ object Ann {
           col(s"s$d").cast("double") / col("n")): _*).as("centroid"))
   }
 
+  /** IVF with the index ON DISK: the assignment table is written
+    * `partitionBy(cell)`, and a probe batch reads ONLY its probed
+    * cells via parquet partition pruning — at 100 TB the serving read
+    * is nProbe/nCells of the index, enforced by storage layout rather
+    * than a runtime filter. Probe cells collect on the driver
+    * (bounded by nCells) to prune statically. Same output as
+    * [[ivfTopK]]; only the physical access path differs.
+    */
+  def ivfTopKPartitioned(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, indexPath: String, k: Int,
+                         nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val c = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("cv")).repartition(par, col("nn_id"))
+    val centroids = sampleCentroids(c, "nn_id", "cv", nCells)
+    def nearestCells(vec: Column, take: Int): Column =
+      graft.functions.GraftFunctions.topCells(vec, centroids, take)
+    // repartition ON the cell before writing: one writer task per cell
+    // (16 files, not tasks × cells small files) — the layout a serving
+    // read wants anyway
+    c.withColumn("cell", element_at(nearestCells(col("cv"), 1), 1).getField("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe", explode(nearestCells(col("qv"), nProbe)))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+    // bounded collect (≤ nCells values) → static partition pruning
+    val probedCells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stored = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probedCells: _*))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id"))
+    stored.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("nn_id"), col("cosine"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession

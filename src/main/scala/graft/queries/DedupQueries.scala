@@ -513,7 +513,27 @@ object DedupQueries {
     """),
   )
 
+  // ---------------------------------------------------------------- §2.3/36d
+  /** IVF with the index ON DISK (partitionBy cell): the probe batch
+    * reads only its probed cells through parquet partition pruning —
+    * the serving layout where storage enforces the nProbe/nCells read
+    * fraction. Same semantics (and oracle) as knn_ivf; PushdownSpec
+    * asserts the pruned scan.
+    */
+  val knnIvfPruned: Q = Q(
+    "knn_ivf_pruned",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.where(col("vec_id") < 20)
+      Ann.ivfTopKPartitioned(e, queries, "vec_id", "embedding",
+        indexPath = "/tmp/graft_ivf_index", k = 5, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("nn_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    },
+    knnIvf.oracle,
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
-    knnBruteforce, knnLsh, knnIvf, kmeansStep)
+    knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned)
 }

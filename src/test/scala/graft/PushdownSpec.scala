@@ -41,6 +41,13 @@ class PushdownSpec extends SparkSpec {
     assert(s.contains("text") && !s.contains("source") && !s.contains("n_chars"), s)
   }
 
+  test("knn_ivf_pruned reads only probed index partitions") {
+    val idxScan = scanLines("knn_ivf_pruned").filter(_.contains("graft_ivf_index"))
+    assert(idxScan.nonEmpty)
+    val s = idxScan.mkString("\n")
+    assert(s.contains("PartitionFilters: [") && !s.contains("PartitionFilters: []"), s)
+  }
+
   test("partition-pruned sink read-back scans only the selected partition") {
     val s = scanLines("sink_parquet_partitioned").mkString("\n")
     // partition filters must be pushed as partition (not data) filters
