@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+// (dynamic-partition-pruning demo lives at the bottom of this registry)
 import graft.{Q, Tables}
 import graft.operators.{AsofJoin, Skew}
 
@@ -189,6 +190,47 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Dynamic partition pruning: the fact table is PARTITIONED on the
+    * join key; joining a small filtered dim makes Spark push a runtime
+    * subquery filter into the fact scan's PartitionFilters — only the
+    * dim-surviving partitions are read. At 100 TB this is the
+    * difference between scanning 2 event types and all of them, with
+    * zero query-author effort once the layout partitions on the key.
+    * The spec asserts `dynamicpruning` in the fact scan.
+    */
+  val qDppJoin: Q = Q(
+    "q_dpp_join",
+    (s, dir) => {
+      val path = "/tmp/graft_dpp_fact"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("cast(ts as long)").as("ts"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val fact = s.read.parquet(path)
+      // the dim must be a FILE source carrying a selective filter —
+      // DPP's PartitionPruning rule needs a surviving Filter node on
+      // the build side (a filtered LocalRelation constant-folds to
+      // nothing and never triggers the runtime subquery)
+      val dimPath = "/tmp/graft_dpp_dim"
+      s.createDataFrame(Seq(("click", 1.0), ("purchase", 5.0), ("error", -1.0)))
+        .toDF("etype", "weight")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath).where(col("weight") > 0)
+      fact.join(dim, col("event_type") === col("etype"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("weight")), 6).as("weighted_v"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             round(sum(value * CASE event_type WHEN 'click' THEN 1.0 ELSE 5.0 END), 6)
+               AS weighted_v
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAsof, qAsofForward, qAggSalted, qRangeJoin,
-    qBucketedJoin, qJoinSalted)
+    qBucketedJoin, qJoinSalted, qDppJoin)
 }

@@ -48,6 +48,13 @@ class PushdownSpec extends SparkSpec {
     assert(s.contains("PartitionFilters: [") && !s.contains("PartitionFilters: []"), s)
   }
 
+  test("q_dpp_join prunes fact partitions dynamically from the dim join") {
+    val factScan = scanLines("q_dpp_join").filter(_.contains("graft_dpp_fact"))
+    assert(factScan.nonEmpty)
+    val s = factScan.mkString("\n")
+    assert(s.contains("dynamicpruning"), s)
+  }
+
   test("partition-pruned sink read-back scans only the selected partition") {
     val s = scanLines("sink_parquet_partitioned").mkString("\n")
     // partition filters must be pushed as partition (not data) filters
