@@ -98,5 +98,49 @@ object PipelineQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip)
+  // -------------------------------------------------------------- §2.1/96
+  /** one oracle SELECT per profiled column (numeric vs string shape). */
+  private def profileSql(c: String, numeric: Boolean): String = {
+    val (minN, maxN, minS, maxS) =
+      if (numeric) (s"round(min($c)::DOUBLE, 6)", s"round(max($c)::DOUBLE, 6)",
+        "NULL::VARCHAR", "NULL::VARCHAR")
+      else ("NULL::DOUBLE", "NULL::DOUBLE", s"min($c)", s"max($c)")
+    s"""SELECT '$c' AS "column", count(*) AS n_rows,
+        count(*) - count($c) AS n_nulls,
+        count(DISTINCT $c) AS n_distinct,
+        $minN AS min_num, $maxN AS max_num, $minS AS min_str, $maxS AS max_str
+        FROM d"""
+  }
+
+  /** Column profiling ([[Profiler.profile]]): the pass every
+    * preprocessing run starts with — ONE aggregation for all columns'
+    * row/null/distinct counts and typed min/max. Exact distinct here
+    * (oracle-checkable); `approxDistinct = true` is the 100 TB sketch
+    * path.
+    */
+  val qProfile: Q = Q(
+    "q_profile",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")))
+      Profiler.profile(df,
+        Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .withColumn("min_num", round(col("min_num"), 6))
+        .withColumn("max_num", round(col("max_num"), 6))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer)
+      ${Seq(profileSql("c_custkey", numeric = true),
+            profileSql("c_nationkey", numeric = true),
+            profileSql("c_acctbal", numeric = true),
+            profileSql("c_mktsegment", numeric = false))
+          .mkString("\n      UNION ALL\n      ")}
+    """),
+  )
+
+  val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile)
 }

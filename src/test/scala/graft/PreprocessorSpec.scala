@@ -4,6 +4,25 @@ import org.apache.spark.sql.functions._
 import graft.prep._
 
 class PreprocessorSpec extends SparkSpec {
+
+  test("profiler counts nulls/distincts per column; approx path tracks exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a")))
+      .toDF("id", "s")
+    val p = Profiler.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 4 && p("id").getLong(2) == 0 &&
+      p("id").getLong(3) == 4 && p("id").getDouble(4) == 1.0)
+    assert(p("s").getLong(2) == 1 && p("s").getLong(3) == 2 &&
+      p("s").getString(7) == "b")
+    // the 100 TB sketch path stays within HLL++ tolerance of exact
+    val big = Tables.customer(spark, sf)
+    val exact = Profiler.profile(big, Seq("c_custkey")).head().getLong(3)
+    val approx = Profiler.profile(big, Seq("c_custkey"), approxDistinct = true)
+      .head().getLong(3)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"$approx vs $exact")
+  }
   import spark.implicits._
 
   private def fixture = Seq(
