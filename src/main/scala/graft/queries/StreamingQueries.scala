@@ -162,6 +162,25 @@ object StreamingQueries {
     """),
   )
 
+  /** Unwindowed complete-mode keyed profile over the stream — state is
+    * one row per user; equals the batch aggregation (and
+    * ts_features_basic's oracle shape).
+    */
+  val streamProfile: Q = Q(
+    "stream_ts_profile",
+    (s, dir) => StreamOps.runToBatch(s,
+      StreamOps.profileAgg(StreamOps.eventsStream(s, dir))),
+    Some("""
+      SELECT user_id, count(value) AS n,
+             round(avg(value), 6) AS mean_v,
+             round(stddev_pop(value), 6) AS std_v,
+             round(min(value), 6) AS min_v,
+             round(max(value), 6) AS max_v,
+             round(sum(value), 6) AS sum_v
+      FROM events GROUP BY user_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
-    streamEnrich, streamIntervalJoin)
+    streamEnrich, streamIntervalJoin, streamProfile)
 }

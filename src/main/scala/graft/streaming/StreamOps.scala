@@ -148,6 +148,22 @@ object StreamOps {
       .select(col("l_uid").as("user_id"), col("eid_a"), col("eid_b"))
   }
 
+  /** Streaming per-key profile: UNWINDOWED complete-mode aggregation —
+    * the running per-entity stats board (count/mean/std/min/max/sum)
+    * a monitoring pipeline maintains. State is one row per key
+    * (bounded by entity cardinality, not stream length); each
+    * micro-batch merges partial aggregates, so the final table equals
+    * the batch aggregation exactly.
+    */
+  def profileAgg(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
+      count(col("value")).as("n"),
+      round(avg(col("value")), 6).as("mean_v"),
+      round(stddev_pop(col("value")), 6).as("std_v"),
+      round(min(col("value")), 6).as("min_v"),
+      round(max(col("value")), 6).as("max_v"),
+      round(sum(col("value")), 6).as("sum_v"))
+
   /** Drain every available microbatch into a memory sink and return
     * the final result table.
     */
