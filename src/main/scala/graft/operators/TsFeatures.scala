@@ -179,7 +179,11 @@ object TsFeatures {
         max(v).over(wAll).as(s"${vc}__mx"),
         min(v).over(wAll).as(s"${vc}__mn"),
         count(v).over(wAll).as(s"${vc}__cnt"),
-        sum(abs(v)).over(wAll).as(s"${vc}__sabs"))
+        sum(abs(v)).over(wAll).as(s"${vc}__sabs"),
+        // first significant digit (null for 0/null values) — feeds
+        // benford_corr; a plain narrow expression, no window
+        when(abs(v) > 0,
+          floor(abs(v) / pow(lit(10.0), floor(log10(abs(v)))))).as(s"${vc}__bd"))
     }
     // order columns ride along so the second window stage (run lengths)
     // can still sort by them; dropped before the aggregation
@@ -251,6 +255,21 @@ object TsFeatures {
         when(c > 0, -p * log(p)).otherwise(lit(0.0))
       }.reduce(_ + _)
     }
+    // tsfresh benford_correlation: Pearson r between the observed
+    // first-significant-digit frequencies and Benford's law, via the
+    // 9-point shortcut r = (9·Σp·b − 1) / sqrt((9·Σp² − 1)·(9·Σb² − 1))
+    // (Σp = Σb = 1). The Benford constants are embedded as literals so
+    // the SQL oracle holds bit-identical doubles.
+    val benfordCorr = {
+      val cs = (1 to 9).map(d => sum(when(i("bd") === d, 1L).otherwise(0L)))
+      val nD = count(i("bd"))
+      val p = cs.map(_.cast("double") / nD)
+      val spb = p.zip(TsFeatures.BenfordP).map { case (pc, b) => pc * lit(b) }
+        .reduce(_ + _)
+      val sp2 = p.map(pc => pc * pc).reduce(_ + _)
+      try_divide(lit(9.0) * spb - 1,
+        sqrt((lit(9.0) * sp2 - 1) * lit(TsFeatures.BenfordDenom)))
+    }
     Seq(
       count(v).as(out("n")),
       avg(v).as(out("mean_v")),
@@ -313,8 +332,19 @@ object TsFeatures {
       (stddev_pop(v) > lit(0.25) * (max(v) - min(v))).cast("int").as(out("large_std")),
       (abs(avg(v) - percentile(v, lit(0.5))) < lit(0.05) * (max(v) - min(v)))
         .cast("int").as(out("symmetry_look")),
+      benfordCorr.as(out("benford_corr")),
     )
   }
+
+  /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9, and
+    * the constant (9·Σb² − 1) of the 9-point Pearson shortcut — shared
+    * with the SQL oracle as decimal literals (Double.toString
+    * round-trips to the identical double on both engines).
+    */
+  private[graft] val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+  private[graft] val BenfordDenom: Double =
+    9.0 * BenfordP.map(b => b * b).sum - 1.0
 
   /** tsfresh binned_entropy(max_bins): -Σ p_b·ln(p_b) over an
     * equal-width histogram of [min, max]. Ten conditional sums inside

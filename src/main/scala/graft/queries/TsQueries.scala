@@ -144,6 +144,20 @@ object TsQueries {
   private def imqSql(q: Double): String =
     s"round(min(CASE WHEN cabs >= $q * sabs THEN (idx + 1) / cnt END), 6)"
 
+  /** Pearson r vs Benford's law over the 9 first-digit frequencies —
+    * identical shortcut arithmetic and literal constants to the Spark
+    * aggregation (TsFeatures.BenfordP / BenfordDenom).
+    */
+  private val benfordSql: String = {
+    val cs = (1 to 9).map(d => s"sum(CASE WHEN bd = $d THEN 1 ELSE 0 END)")
+    val p = cs.map(c => s"($c::DOUBLE / count(bd))")
+    val spb = p.zip(graft.operators.TsFeatures.BenfordP)
+      .map { case (pc, b) => s"($pc * $b)" }.mkString(" + ")
+    val sp2 = p.map(pc => s"($pc * $pc)").mkString(" + ")
+    s"round((9.0 * ($spb) - 1) / sqrt((9.0 * ($sp2) - 1) * " +
+      s"${graft.operators.TsFeatures.BenfordDenom}), 6)"
+  }
+
   /** ordering-pattern id of the (prev2, prev, v) triple — the same
     * three <= comparisons the Spark expression folds into bits.
     */
@@ -228,6 +242,7 @@ object TsQueries {
     "large_std" -> "(stddev_pop(v) > 0.25 * (max(v) - min(v)))::INT",
     "symmetry_look" ->
       "(abs(avg(v) - quantile_cont(v, 0.5)) < 0.05 * (max(v) - min(v)))::INT",
+    "benford_corr" -> benfordSql,
   )
 
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
@@ -260,7 +275,9 @@ object TsQueries {
                count(value) OVER pa AS cnt,
                sum(abs(value)) OVER pa AS sabs,
                row_number() OVER w AS rn,
-               (row_number() OVER w - 1)::DOUBLE AS idx
+               (row_number() OVER w - 1)::DOUBLE AS idx,
+               CASE WHEN abs(value) > 0 THEN
+                 floor(abs(value) / pow(10.0, floor(log10(abs(value))))) END AS bd
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts),
                pa AS (PARTITION BY user_id)),
@@ -323,7 +340,9 @@ object TsQueries {
                count($vc) OVER pa AS cnt,
                sum(abs($vc)) OVER pa AS sabs,
                row_number() OVER w AS rn,
-               (row_number() OVER w - 1)::DOUBLE AS idx
+               (row_number() OVER w - 1)::DOUBLE AS idx,
+               CASE WHEN abs($vc) > 0 THEN
+                 floor(abs($vc) / pow(10.0, floor(log10(abs($vc))))) END AS bd
         FROM src
         WINDOW w AS (PARTITION BY user_id ORDER BY ts),
                pa AS (PARTITION BY user_id)),
