@@ -123,14 +123,24 @@ object Ann {
     val assigned = v.withColumn("cell",
       element_at(graft.functions.GraftFunctions.topCells(col("v"), centroids, 1), 1)
         .getField("cell"))
+    // round BEFORE the decimal cast: a bare double→decimal cast rounds
+    // with engine-specific tie rules on full-precision floats (caught
+    // at sf0.001); round(x, 6) resolves the digit identically on both
+    // engines and the cast of the rounded double is then unambiguous
     val sums = (0 until dims).map(d =>
-      sum(element_at(col("v"), d + 1).cast("decimal(18,6)")).as(s"s$d"))
+      sum(round(element_at(col("v"), d + 1), 6).cast("decimal(18,6)")).as(s"s$d"))
     val aggs = count(lit(1)).as("n") +: sums
     assigned.groupBy(col("cell"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("cell"), col("n"),
         array((0 until dims).map(d =>
-          col(s"s$d").cast("double") / col("n")): _*).as("centroid"))
+          col(s"s$d").cast("double") / col("n")): _*).as("centroid"),
+        // the exact decimal sums too: sums are tie-free (no division),
+        // so an external check compares them exactly — a small-n cell's
+        // MEAN can land exactly on a 5e-7 rounding tie where engines'
+        // round() implementations disagree
+        array((0 until dims).map(d =>
+          col(s"s$d").cast("double")): _*).as("sum_vec"))
   }
 
   /** IVF with the index ON DISK: the assignment table is written

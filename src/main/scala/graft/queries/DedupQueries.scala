@@ -476,8 +476,8 @@ object DedupQueries {
       val centroids = Ann.sampleCentroids(c, "id", "cv", nCells = 16)
       Ann.kmeansStep(e, "vec_id", "embedding", centroids, dims = 64)
         .select(col("cell"), col("n"),
-          posexplode(col("centroid")).as(Seq("dim", "m")))
-        .select(col("cell"), col("n"), col("dim"), round(col("m"), 6).as("m"))
+          posexplode(col("sum_vec")).as(Seq("dim", "s")))
+        .select(col("cell"), col("n"), col("dim"), round(col("s"), 6).as("s"))
     },
     Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -507,7 +507,7 @@ object DedupQueries {
                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
           FROM scores) WHERE rn = 1)
       SELECT a.cell, count(*) AS n, d.d AS dim,
-             round(sum(e2.v[d.d + 1]::DECIMAL(18,6))::DOUBLE / count(*), 6) AS m
+             round(sum(round(e2.v[d.d + 1], 6)::DECIMAL(18,6))::DOUBLE, 6) AS s
       FROM assigned a JOIN e e2 USING (vec_id), range(64) d(d)
       GROUP BY a.cell, d.d
     """),
