@@ -17,7 +17,7 @@ class PlanGuardSpec extends SparkSpec {
   private val intendedNestedLoop = Set("knn_bruteforce")
 
   test("no registered query plans a cartesian product or nested-loop join") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val offenders = (SparkEntry.queries ++ SparkEntry.benchQueries).toSeq.sortBy(_._1)
       .filterNot { case (name, _) => intendedNestedLoop(name) }
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
