@@ -246,6 +246,29 @@ object RelationalQueries {
     )
   }
 
+  /** Semi-structured JSON extraction (events.props is a JSON string —
+    * the data-lake variant-column shape): `get_json_object` path
+    * extraction stays inside codegen (no UDF, no full from_json parse
+    * when one field is needed), aggregated per event type.
+    */
+  val qJsonExtract: Q = Q(
+    "q_json_extract",
+    (s, dir) => Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k")),
+    Some("""
+      SELECT event_type,
+             count(json_extract(props, '$.k')) AS n,
+             sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+             round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k
+      FROM events GROUP BY event_type
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
-    qGroupedApply)
+    qGroupedApply, qJsonExtract)
 }
