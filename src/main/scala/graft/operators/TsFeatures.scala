@@ -49,11 +49,12 @@ object TsFeatures {
       lag(v, 1).over(w).as("prev"),
       avg(v).over(wAll).as("mu"),
     )
-    // try_divide: single-point series (n-1 = 0) and constant series
-    // (var_pop = 0) yield null, matching tsfresh's NaN
+    // micro means (ExactAgg): engine-portable at every SF; single-point
+    // series (no prev terms) and constant series (var_pop = 0) yield
+    // null, matching tsfresh's NaN
     withLag.groupBy(col(seriesKey)).agg(
-      avg(abs(col("v") - col("prev"))).as("mean_abs_change"),
-      try_divide(sum(col("v") - col("prev")), count(lit(1)) - 1).as("mean_change"),
+      ExactAgg.microAvg(abs(col("v") - col("prev"))).as("mean_abs_change"),
+      ExactAgg.microAvg(col("v") - col("prev")).as("mean_change"),
       try_divide(sum((col("v") - col("mu")) * (col("prev") - col("mu"))),
         (count(lit(1)) - 1) * var_pop(col("v"))).as("autocorr_lag1"),
     )
@@ -68,9 +69,13 @@ object TsFeatures {
       col(seriesKey), col(valueCol).as("v"),
       (row_number().over(w) - 1).cast("double").as("idx"),
     )
+    // closed-form fit from exact components (ExactAgg.trendFit) — not
+    // regr_slope/regr_intercept, whose moment accumulation differs
+    // between engines in the low bits
+    val (slope, intercept) = ExactAgg.trendFit(col("v"), col("idx"))
     indexed.groupBy(col(seriesKey)).agg(
-      regr_slope(col("v"), col("idx")).as("trend_slope"),
-      regr_intercept(col("v"), col("idx")).as("trend_intercept"),
+      slope.as("trend_slope"),
+      intercept.as("trend_intercept"),
     )
   }
 
@@ -237,6 +242,11 @@ object TsFeatures {
     // idx so min() picks the first qualifying row
     def imq(q: Double): Column =
       min(when(i("cabs") >= lit(q) * i("sabs"), (col("idx") + 1) / i("cnt")))
+    // engine-portable exact arithmetic (sf0.1 lessons — see ExactAgg):
+    // micro means for term averages whose true value can sit exactly on
+    // a rounding midpoint; closed-form trend from exact components
+    def microAvg(e: Column): Column = ExactAgg.microAvg(e)
+    val (trendSlope, trendIntercept) = ExactAgg.trendFit(v, col("idx"))
     // tsfresh permutation_entropy (dim 3, tau 1): each consecutive
     // triple (prev2, prev, v) classifies into an ordering pattern by
     // three <= comparisons (ties folded deterministically — the same
@@ -272,18 +282,19 @@ object TsFeatures {
     }
     Seq(
       count(v).as(out("n")),
-      avg(v).as(out("mean_v")),
+      microAvg(v).as(out("mean_v")),
       stddev_pop(v).as(out("std_v")),
       min(v).as(out("min_v")),
       max(v).as(out("max_v")),
       sum(v).as(out("sum_v")),
       percentile(v, lit(0.5)).as(out("median_v")),
       sum(v * v).as(out("abs_energy")),
-      avg(abs(v - i("prev"))).as(out("mean_abs_change")),
-      try_divide(sum(v - i("prev")), count(lit(1)) - 1).as(out("mean_change")),
+      microAvg(abs(v - i("prev"))).as(out("mean_abs_change")),
+      // count(v - prev) == n - 1, so the micro mean IS sum/(n-1)
+      microAvg(v - i("prev")).as(out("mean_change")),
       ac1.as(out("autocorr_lag1")),
-      regr_slope(v, col("idx")).as(out("trend_slope")),
-      regr_intercept(v, col("idx")).as(out("trend_intercept")),
+      trendSlope.as(out("trend_slope")),
+      trendIntercept.as(out("trend_intercept")),
       try_divide(c3m, pow(c2, 1.5)).as(out("skewness")),
       (try_divide(c4, c2 * c2) - lit(3)).as(out("kurtosis")),
       sum(when(v > i("mu"), 1L).otherwise(0L)).as(out("count_above_mean")),
@@ -304,10 +315,10 @@ object TsFeatures {
       try_divide(max(when(v === i("mn"), col("idx"))) + 1, count(v)).as(out("last_loc_min")),
       try_divide(sum(when(abs(v - i("mu")) > i("sd"), 1L).otherwise(0L)),
         count(v)).as(out("ratio_beyond_1sigma")),
-      avg((v - lit(2) * i("prev") + i("prev2")) / 2).as(out("mean_2nd_derivative")),
+      microAvg((v - lit(2) * i("prev") + i("prev2")) / 2).as(out("mean_2nd_derivative")),
       // tier 3: nonlinearity / dynamics calculators over the same lags
-      avg(v * i("prev") * i("prev2")).as(out("c3")),
-      avg(v * v * i("prev") - i("prev") * i("prev2") * i("prev2"))
+      microAvg(v * i("prev") * i("prev2")).as(out("c3")),
+      microAvg(v * v * i("prev") - i("prev") * i("prev2") * i("prev2"))
         .as(out("time_reversal_asym")),
       sum(when((v > i("mu")) =!= (i("prev") > i("mu")), 1L).otherwise(0L))
         .as(out("n_crossings_mean")),
@@ -326,7 +337,11 @@ object TsFeatures {
       // symmetry_looking r=0.05)
       permEntropy3.as(out("perm_entropy_3")),
       sqrt(avg(v * v)).as(out("rms_v")),
-      var_pop(v).as(out("variance_v")),
+      // population variance as the micro mean of (v-mu)² — var_pop's
+      // internal M2 accumulation differs between engines in the low
+      // bits (caught at sf0.1); d is engine-identical because the
+      // windowed mu is
+      microAvg(d * d).as(out("variance_v")),
       (sum(when(v === i("mx"), 1L).otherwise(0L)) > 1).cast("int").as(out("has_dup_max")),
       (sum(when(v === i("mn"), 1L).otherwise(0L)) > 1).cast("int").as(out("has_dup_min")),
       (stddev_pop(v) > lit(0.25) * (max(v) - min(v))).cast("int").as(out("large_std")),

@@ -10,6 +10,7 @@ import graft.{Q, Tables}
   * as headline TPC-H-style plans. These are the bench drivers.
   */
 object RelationalQueries {
+  import OracleExact.{decSumSql, microAvgSql}
 
   /** TPC-H Q1-style filtered group-agg. Scale notes: single scan,
     * partial (map-side) aggregation on 6 grouping values, filter and
@@ -18,25 +19,31 @@ object RelationalQueries {
   val qAgg: Q = Q(
     "q_agg",
     (s, dir) => {
+      import graft.operators.ExactAgg
+      // sums/means ride exact decimal/micro arithmetic (ExactAgg): at
+      // sf0.1+ the distributed double-sum order diverges from a
+      // sequential engine in the low bits and can cross a 6-dp
+      // rounding boundary
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 6).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(ExactAgg.decSum(col("l_quantity")), 6).as("sum_qty"),
+          round(ExactAgg.decSum(col("l_extendedprice")), 6).as("sum_base_price"),
+          round(ExactAgg.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+            .as("sum_disc_price"),
+          round(ExactAgg.microAvg(col("l_quantity")), 6).as("avg_qty"),
+          round(ExactAgg.microAvg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"),
         )
     },
-    Some("""
+    Some(s"""
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 6) AS sum_qty,
-             round(sum(l_extendedprice), 6) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-             round(avg(l_quantity), 6) AS avg_qty,
-             round(avg(l_discount), 6) AS avg_disc,
+             round(${decSumSql("l_quantity")}, 6) AS sum_qty,
+             round(${decSumSql("l_extendedprice")}, 6) AS sum_base_price,
+             round(${decSumSql("l_extendedprice * (1 - l_discount)")}, 6) AS sum_disc_price,
+             round(${microAvgSql("l_quantity")}, 6) AS avg_qty,
+             round(${microAvgSql("l_discount")}, 6) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -63,13 +70,14 @@ object RelationalQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+          round(graft.operators.ExactAgg.decSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
           count(lit(1)).as("n_items"),
         )
     },
-    Some("""
+    Some(s"""
       SELECT r_name, n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+             round(${decSumSql("l_extendedprice * (1 - l_discount)")}, 6) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey

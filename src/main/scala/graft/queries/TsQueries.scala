@@ -11,6 +11,16 @@ import graft.operators.TsFeatures
   */
 object TsQueries {
 
+  // exact closed-form trend components (mirror ExactAgg.trendFit) —
+  // defined FIRST: referenced by query vals below (object init order)
+  private val trendSxSql = "((count(v) * (count(v) - 1)) // 2)::DOUBLE"
+  private val trendSx2Sql =
+    "((count(v) * (count(v) - 1) * (count(v) * 2 - 1)) // 6)::DOUBLE"
+  private val trendSySql = "sum(v::DECIMAL(18,6))::DOUBLE"
+  private val trendSxySql = "sum((idx * v)::DECIMAL(28,6))::DOUBLE"
+
+  private def microAvgSql(e: String): String = OracleExact.microAvgSql(e)
+
   // ---------------------------------------------------------------- §2.2/25
   val tsBasic: Q = Q(
     "ts_features_basic",
@@ -51,15 +61,15 @@ object TsQueries {
         round(col("mean_change"), 6).as("mean_change"),
         round(col("autocorr_lag1"), 6).as("autocorr_lag1"))
     },
-    Some("""
+    Some(s"""
       WITH lagged AS (
         SELECT user_id, value AS v,
                lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
                avg(value) OVER (PARTITION BY user_id) AS mu
         FROM events)
       SELECT user_id,
-             round(avg(abs(v - prev)), 6) AS mean_abs_change,
-             round(sum(v - prev) / (count(*) - 1), 6) AS mean_change,
+             round(${microAvgSql("abs(v - prev)")}, 6) AS mean_abs_change,
+             round(${microAvgSql("v - prev")}, 6) AS mean_change,
              round(sum((v - mu) * (prev - mu)) / ((count(*) - 1) * var_pop(v)), 6)
                AS autocorr_lag1
       FROM lagged GROUP BY user_id
@@ -77,15 +87,19 @@ object TsQueries {
         round(col("trend_slope"), 6).as("trend_slope"),
         round(col("trend_intercept"), 6).as("trend_intercept"))
     },
-    Some("""
+    Some(s"""
       WITH indexed AS (
         SELECT user_id, value AS v,
                (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::DOUBLE
                  AS idx
         FROM events)
       SELECT user_id,
-             round(regr_slope(v, idx), 6) AS trend_slope,
-             round(regr_intercept(v, idx), 6) AS trend_intercept
+             round((count(v) * $trendSxySql - $trendSxSql * $trendSySql) /
+                   (count(v) * $trendSx2Sql - $trendSxSql * $trendSxSql), 6)
+               AS trend_slope,
+             round(($trendSySql - ((count(v) * $trendSxySql - $trendSxSql * $trendSySql) /
+                   (count(v) * $trendSx2Sql - $trendSxSql * $trendSxSql)) * $trendSxSql) /
+                   count(v), 6) AS trend_intercept
       FROM indexed GROUP BY user_id
     """),
   )
@@ -177,18 +191,26 @@ object TsQueries {
 
   private val featSql: Seq[(String, String)] = Seq(
     "n" -> "count(v)",
-    "mean_v" -> "round(avg(v), 6)",
+    "mean_v" -> s"round(${microAvgSql("v")}, 6)",
     "std_v" -> "round(stddev_pop(v), 6)",
     "min_v" -> "round(min(v), 6)",
     "max_v" -> "round(max(v), 6)",
     "sum_v" -> "round(sum(v), 6)",
     "median_v" -> "round(median(v), 6)",
     "abs_energy" -> "round(sum(v*v), 6)",
-    "mean_abs_change" -> "round(avg(abs(v - prev)), 6)",
-    "mean_change" -> "round(sum(v - prev) / (count(*) - 1), 6)",
+    "mean_abs_change" -> s"round(${microAvgSql("abs(v - prev)")}, 6)",
+    "mean_change" -> s"round(${microAvgSql("v - prev")}, 6)",
     "autocorr_lag1" -> s"round($ac1Sql, 6)",
-    "trend_slope" -> "round(regr_slope(v, idx), 6)",
-    "trend_intercept" -> "round(regr_intercept(v, idx), 6)",
+    // closed-form trend over the integer index (see TsFeatures): exact
+    // Σx/Σx² from n, decimal Σy/Σxy — engine-identical doubles, unlike
+    // regr_* whose moment accumulation differs in the low bits
+    "trend_slope" ->
+      (s"round((count(v) * $trendSxySql - $trendSxSql * $trendSySql) / " +
+        s"(count(v) * $trendSx2Sql - $trendSxSql * $trendSxSql), 6)"),
+    "trend_intercept" ->
+      (s"round(($trendSySql - ((count(v) * $trendSxySql - $trendSxSql * $trendSySql) / " +
+        s"(count(v) * $trendSx2Sql - $trendSxSql * $trendSxSql)) * $trendSxSql) / " +
+        "count(v), 6)"),
     // central moments around the window-enriched mu (order-stable at 6 dp;
     // mirrors TsFeatures.extract's avg((v-mu)^k))
     "skewness" -> ("round(avg((v-mu)*(v-mu)*(v-mu)) / " +
@@ -214,10 +236,11 @@ object TsQueries {
     "last_loc_min" -> "round((max(CASE WHEN v = mn THEN idx END) + 1) / count(v), 6)",
     "ratio_beyond_1sigma" ->
       "round(sum(CASE WHEN abs(v - mu) > sd THEN 1 ELSE 0 END)::DOUBLE / count(v), 6)",
-    "mean_2nd_derivative" -> "round(avg((v - 2 * prev + prev2) / 2), 6)",
+    "mean_2nd_derivative" -> s"round(${microAvgSql("(v - 2 * prev + prev2) / 2")}, 6)",
     // tier 3
-    "c3" -> "round(avg(v * prev * prev2), 6)",
-    "time_reversal_asym" -> "round(avg(v * v * prev - prev * prev2 * prev2), 6)",
+    "c3" -> s"round(${microAvgSql("v * prev * prev2")}, 6)",
+    "time_reversal_asym" ->
+      s"round(${microAvgSql("v * v * prev - prev * prev2 * prev2")}, 6)",
     "n_crossings_mean" -> "sum(CASE WHEN (v > mu) != (prev > mu) THEN 1 ELSE 0 END)::BIGINT",
     "autocorr_lag2" -> s"round($ac2Sql, 6)",
     "binned_entropy" -> s"round(${binnedEntropySql(10)}, 6)",
@@ -236,7 +259,7 @@ object TsQueries {
     // r=0.25 / symmetry_looking r=0.05)
     "perm_entropy_3" -> s"round($permEntropySql, 6)",
     "rms_v" -> "round(sqrt(avg(v*v)), 6)",
-    "variance_v" -> "round(var_pop(v), 6)",
+    "variance_v" -> s"round(${microAvgSql("(v - mu) * (v - mu)")}, 6)",
     "has_dup_max" -> "(sum(CASE WHEN v = mx THEN 1 ELSE 0 END) > 1)::INT",
     "has_dup_min" -> "(sum(CASE WHEN v = mn THEN 1 ELSE 0 END) > 1)::INT",
     "large_std" -> "(stddev_pop(v) > 0.25 * (max(v) - min(v)))::INT",

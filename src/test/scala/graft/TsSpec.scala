@@ -27,8 +27,10 @@ class TsSpec extends SparkSpec {
   test("change features: mean_abs_change, mean_change, autocorr") {
     val r = TsFeatures.change(df, "sk", Seq("t"), "v").orderBy("sk").collect()
     val a = r(0)
-    assert(math.abs(a.getDouble(1) - (1 + 2 + 4) / 3.0) < 1e-9)   // mean_abs_change
-    assert(math.abs(a.getDouble(2) - (8 - 1) / 3.0) < 1e-9)       // mean_change
+    // means run ExactAgg.microAvg (engine-portable 1e-6 quantization,
+    // half-up) — tolerance is the documented 5e-7 bound
+    assert(math.abs(a.getDouble(1) - (1 + 2 + 4) / 3.0) < 1e-6)   // mean_abs_change
+    assert(math.abs(a.getDouble(2) - (8 - 1) / 3.0) < 1e-6)       // mean_change
     // autocorr_lag1 = sum((x_t-mu)(x_{t+1}-mu)) / ((n-1)*var_pop)
     val mu = 3.75
     val varp = ((1 - mu) * (1 - mu) + (2 - mu) * (2 - mu) + (4 - mu) * (4 - mu) + (8 - mu) * (8 - mu)) / 4
