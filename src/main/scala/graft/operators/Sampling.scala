@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation. All
+  * selection derives from md5 of the row id: no RNG state, stable
+  * under any partitioning/re-run, and an external SQL engine replays
+  * the exact selection (the property `sample()` can never give).
+  */
+object Sampling {
+
+  /** First 16 bits of md5(id) as a 0..65535 bucket — the shared
+    * deterministic "randomness" (same construction the IVF centroid
+    * sampling and hash split use).
+    */
+  def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Class balancing: downsample every class to the MINORITY class
+    * size, keeping each class's lowest-hash rows — a deterministic,
+    * reproducible balanced corpus. One aggregation for the class
+    * counts (bounded by class cardinality), one per-class window rank
+    * on (hash, id). The per-class window shuffles on the class key; at
+    * extreme per-class row counts swap the exact rank for a hash
+    * THRESHOLD (keep iff bucket < 65536·m/n_class): same distribution,
+    * approximate size, no rank sort.
+    */
+  def balanceClasses(df: DataFrame, classCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    require(counts.nonEmpty, "no classes to balance")
+    val m = counts.map(_._2).min
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= m)
+      .drop("__rk")
+  }
+}

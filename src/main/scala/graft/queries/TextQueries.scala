@@ -341,6 +341,34 @@ object TextQueries {
     """),
   )
 
+  /** Deterministic class balancing ([[graft.operators.Sampling
+    * .balanceClasses]]): every language downsampled to the minority
+    * language's count by md5-hash rank — the balanced-multilingual-
+    * corpus step, reproducible under any partitioning. The oracle
+    * replays the hash ranks exactly.
+    */
+  val textBalance: Q = Q(
+    "text_balance",
+    (s, dir) => graft.operators.Sampling.balanceClasses(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      "lang", "doc_id"),
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+        FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS hx FROM documents)),
+      m AS (SELECT min(n) AS m FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
+      r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h16, doc_id) AS rk
+        FROM h)
+      SELECT doc_id, lang FROM r, m WHERE rk <= m.m
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    textPipeline, textHashSplit, textPack, textVocab)
+    textPipeline, textHashSplit, textPack, textVocab, textBalance)
 }

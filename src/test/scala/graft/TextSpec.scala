@@ -3,6 +3,19 @@ package graft
 import graft.operators.TextAnalysis
 
 class TextSpec extends SparkSpec {
+
+  test("class balancing equalizes every class at the minority size, deterministically") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val minN = docs.groupBy("lang").count()
+      .agg(min("count")).head().getLong(0)
+    val bal = graft.operators.Sampling.balanceClasses(docs, "lang", "doc_id")
+    val sizes = bal.groupBy("lang").count().collect().map(_.getLong(1)).toSet
+    assert(sizes == Set(minN))
+    // deterministic: a second run selects the identical rows
+    val again = graft.operators.Sampling.balanceClasses(docs, "lang", "doc_id")
+    assert(bal.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
