@@ -194,9 +194,18 @@ object TsFeatures {
     // can still sort by them; dropped before the aggregation
     val e0 = df.select(
       (col(seriesKey) +: orderCols.map(col)) ++ shared ++ perCol: _*)
+    // per-column |v|-descending rank (for mean_n_absolute_max): SAME
+    // partitioning, different sort order — Spark adds a Sort inside
+    // the partition, never a second Exchange (the single-shuffle spec
+    // still holds)
+    val withAbsRank = valueCols.foldLeft(e0) { (acc, vc) =>
+      val wAbs = Window.partitionBy(col(seriesKey))
+        .orderBy(abs(col(s"${vc}__v")).desc +: orderCols.map(col): _*)
+      acc.withColumn(s"${vc}__arn", row_number().over(wAbs))
+    }
     // run length ending at each row: rn minus the last rn that BROKE
     // the run (same window partition+order — the sort is reused)
-    val withRuns = valueCols.foldLeft(e0) { (acc, vc) =>
+    val withRuns = valueCols.foldLeft(withAbsRank) { (acc, vc) =>
       acc
         .withColumn(s"${vc}__alen", col("rn") - coalesce(
           last(when(!(col(s"${vc}__v") > col(s"${vc}__mu")), col("rn")),
@@ -348,6 +357,12 @@ object TsFeatures {
       (abs(avg(v) - percentile(v, lit(0.5))) < lit(0.05) * (max(v) - min(v)))
         .cast("int").as(out("symmetry_look")),
       benfordCorr.as(out("benford_corr")),
+      // tsfresh mean_n_absolute_max (n=3): mean of the 3 largest |v|
+      // via the |v|-desc rank column — series shorter than 3 yield
+      // null (tsfresh NaN)
+      when(count(v) >= 3,
+        sum(when(i("arn") <= 3, abs(v)).otherwise(lit(0.0))) / 3)
+        .as(out("mean_3_abs_max")),
     )
   }
 

@@ -266,6 +266,8 @@ object TsQueries {
     "symmetry_look" ->
       "(abs(avg(v) - quantile_cont(v, 0.5)) < 0.05 * (max(v) - min(v)))::INT",
     "benford_corr" -> benfordSql,
+    "mean_3_abs_max" -> ("round(CASE WHEN count(v) >= 3 THEN " +
+      "sum(CASE WHEN arn <= 3 THEN abs(v) ELSE 0.0 END) / 3 END, 6)"),
   )
 
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
@@ -300,9 +302,11 @@ object TsQueries {
                row_number() OVER w AS rn,
                (row_number() OVER w - 1)::DOUBLE AS idx,
                CASE WHEN abs(value) > 0 THEN
-                 floor(abs(value) / pow(10.0, floor(log10(abs(value))))) END AS bd
+                 floor(abs(value) / pow(10.0, floor(log10(abs(value))))) END AS bd,
+               row_number() OVER wa AS arn
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+               wa AS (PARTITION BY user_id ORDER BY abs(value) DESC, ts),
                pa AS (PARTITION BY user_id)),
       e AS (
         SELECT e0.*,
@@ -365,9 +369,11 @@ object TsQueries {
                row_number() OVER w AS rn,
                (row_number() OVER w - 1)::DOUBLE AS idx,
                CASE WHEN abs($vc) > 0 THEN
-                 floor(abs($vc) / pow(10.0, floor(log10(abs($vc))))) END AS bd
+                 floor(abs($vc) / pow(10.0, floor(log10(abs($vc))))) END AS bd,
+               row_number() OVER wa AS arn
         FROM src
         WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+               wa AS (PARTITION BY user_id ORDER BY abs($vc) DESC, ts),
                pa AS (PARTITION BY user_id)),
       e_$vc AS (
         SELECT e0_$vc.*,
