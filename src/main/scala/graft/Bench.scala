@@ -29,18 +29,35 @@ object Bench {
       }
       name -> times.min
     }
-    // round to 3dp: the driver keeps only the TAIL of sbt's output, and a
-    // full-precision 71-query line (~3.8KB) overflows that buffer, cutting
-    // off the line's head and defeating the JSON parse (rounds 1-2:
-    // parsed=null). 3dp keeps the whole line well under ~2KB.
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // The driver keeps only the TAIL (~2.25KB) of sbt's output; sbt's own
+    // trailing [success] lines eat ~100B of that. With 89+ queries even a
+    // 3dp full map (~2.4KB) loses its head and the parse fails (rounds
+    // 1-3: parsed=null). The stdout line therefore carries a HEADLINE
+    // subset — one representative per operator family plus every query
+    // over 1s — and the full per-query map goes to bench_out.json.
+    def fmt(v: Double, dp: Int): String = BigDecimal(v)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    val headline = Set(
+      "q_agg", "q_join_agg", "q_window", "q_topk",
+      "prep_pipeline", "scale_quantile_normal",
+      "dedup_exact", "dedup_minhash", "dedup_pipeline",
+      "knn_bruteforce", "knn_lsh", "knn_ivf",
+      "text_pipeline", "text_tokens",
+      "ts_features_extract", "ts_features_multi", "ts_resample",
+      "multimodal_frames",
+      "stream_window", "stream_sessionize", "stream_interval_join",
+      "q_kmeans_step")
+    val shown = results.filter { case (k, v) => headline(k) || v >= 1.0 }
+    val qs = shown.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // full-detail map (every query, 3dp) for local round-over-round diffs
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     spark.stop()
     // LAST line of program output so it sits at the very end of the tail
     println(line)

@@ -153,7 +153,10 @@ object StreamingQueries {
     (s, dir) => StreamOps.runToBatch(s,
       StreamOps.intervalSelfJoin(StreamOps.eventsStream(s, dir),
         StreamOps.eventsStream(s, dir)),
-      mode = "append"),
+      mode = "append",
+      // 4 state stores per partition (2 per join side); size the state
+      // partitioning to the drained state (~10^5 rows), not core count
+      statePartitions = Some(8)),
     Some("""
       SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
       FROM events a JOIN events b ON a.user_id = b.user_id

@@ -166,16 +166,33 @@ object StreamOps {
 
   /** Drain every available microbatch into a memory sink and return
     * the final result table.
+    *
+    * `statePartitions`: streaming STATE partitioning is frozen at query
+    * start from `spark.sql.shuffle.partitions` (it names the state-store
+    * directories, so it can never change under a checkpoint). Stateful
+    * operators pay a per-store per-batch commit (a stream-stream join
+    * runs FOUR stores per partition), so the right number tracks state
+    * SIZE, not core count — a local drain of ~10^5 rows wants far fewer
+    * stores than the batch shuffle width, while a 100 TB deployment
+    * sizes it to keep each store's state in executor memory. The conf is
+    * set for the duration of the query start and restored afterwards.
     */
   def runToBatch(s: SparkSession, streamDf: DataFrame,
-                 mode: String = "complete"): DataFrame = {
+                 mode: String = "complete",
+                 statePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_${System.nanoTime()}"
-    val q = streamDf.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    val q = try {
+      streamDf.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally {
+      if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
     // micro-batch accounting for bench attribution (GRAFT_STREAM_DEBUG=1)
     if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
