@@ -27,6 +27,21 @@ object Sampling {
     * THRESHOLD (keep iff bucket < 65536·m/n_class): same distribution,
     * approximate size, no rank sort.
     */
+  /** Stratified k-fold assignment: within each class, rows ranked by
+    * (hash bucket, id) deal round-robin into k folds, so every fold
+    * carries an equal (±1) share of every class — deterministic
+    * cross-validation splits with no RNG and no global shuffle beyond
+    * the per-class window. Replayable by rank arithmetic in SQL.
+    */
+  def stratifiedKFold(df: DataFrame, classCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    require(k > 1, s"k-fold needs k > 1, got $k")
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("fold",
+      pmod(row_number().over(w) - 1, lit(k)).cast("long"))
+  }
+
   def balanceClasses(df: DataFrame, classCol: String, idCol: String): DataFrame = {
     val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.get(0) -> r.getLong(1))

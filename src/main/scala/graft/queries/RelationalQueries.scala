@@ -201,6 +201,94 @@ object RelationalQueries {
     """),
   )
 
+  /** CUBE grouping sets: all 2^k subtotal combinations in ONE shuffle
+    * (Spark expands grouping sets map-side, same as ROLLUP) — the
+    * other polars `group_by` totals shape a reporting pipeline asks
+    * for.
+    */
+  val qCube: Q = Q(
+    "q_cube",
+    (s, dir) => Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """),
+  )
+
+  /** Time-based RANGE-frame sliding window: for every event, the
+    * count/sum of the SAME user's events in the trailing hour — the
+    * "activity in the last N minutes" feature a fraud/ranking pipeline
+    * computes per interaction. RANGE frames bound by VALUE (here ns on
+    * the event-time long), so irregular event spacing is handled
+    * without resampling; the window shuffles once on user_id, never
+    * globally. Frame sums ride exact decimals: a sliding frame is
+    * re-aggregated in engine-specific order (Spark incremental vs
+    * DuckDB segment tree), so double sums would drift in the low bits.
+    */
+  val qWindowRange: Q = Q(
+    "q_window_range",
+    (s, dir) => {
+      // DuckDB reads the nanos timestamps at µs precision — truncate so
+      // frame MEMBERSHIP (ts > t - 1h) decides identically on both engines
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+        .rangeBetween(-(hourNs - 1), 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as long) div 1000 * 1000").as("ts_ns"),
+          col("value"))
+        .select(col("user_id"), col("ts_ns"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(round(col("value"), 6).cast("decimal(28,6)")).over(w)
+            .cast("double").as("sum_1h"))
+    },
+    Some("""
+      SELECT user_id, epoch_ns(ts) AS ts_ns,
+             count(*) OVER w AS n_1h,
+             (sum(round(value, 6)::DECIMAL(28,6)) OVER w)::DOUBLE AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                   RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)
+    """),
+  )
+
+  /** BATCH sessionization (30-min gap) — the batch twin of
+    * `stream_sessionize`, including the still-open final session per
+    * user that streaming append mode cannot emit. Gap boundaries via
+    * lag + running sum per user: one shuffle on user_id, per-series
+    * window (never global), then the per-session aggregation.
+    */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    (s, dir) => {
+      val gap = 30L * 60 * 1000 * 1000 * 1000
+      // µs truncation for hash parity with DuckDB's timestamp reads
+      val events = Tables.events(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+      graft.streaming.StreamOps.sessionizeBatch(events, gap)
+        .select(col("user_id"), col("start_ns"), col("end_ns"), col("n"),
+          round(col("sum_v"), 6).as("sum_v"))
+    },
+    Some("""
+      WITH s AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
+      m AS (
+        SELECT user_id, ts_ns, value,
+               CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns)
+                         > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        FROM s),
+      c AS (
+        SELECT user_id, ts_ns, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m)
+      SELECT user_id, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
+             count(*) AS n, round(sum(value), 6) AS sum_v
+      FROM c GROUP BY user_id, sess_id
+    """),
+  )
+
   /** Grouped user-function apply (the reference's `group_by().apply`
     * shape, [[graft.operators.GroupedApply]]): per-user imperative pass
     * over ts-sorted events emitting running count / running sum /
@@ -278,5 +366,5 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
-    qGroupedApply, qJsonExtract)
+    qCube, qWindowRange, qSessionize, qGroupedApply, qJsonExtract)
 }

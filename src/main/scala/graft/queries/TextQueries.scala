@@ -369,6 +369,32 @@ object TextQueries {
     """),
   )
 
+  /** Stratified 5-fold split ([[graft.operators.Sampling
+    * .stratifiedKFold]]): every language contributes an equal (±1)
+    * share to each fold by hash-rank round-robin — the deterministic
+    * cross-validation counterpart of `text_hash_split`. The oracle
+    * replays the per-class rank arithmetic.
+    */
+  val textKfold: Q = Q(
+    "text_kfold",
+    (s, dir) => graft.operators.Sampling.stratifiedKFold(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", k = 5),
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+        FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS hx FROM documents))
+      SELECT doc_id, lang,
+             (row_number() OVER (PARTITION BY lang ORDER BY h16, doc_id) - 1) % 5
+               AS fold
+      FROM h
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    textPipeline, textHashSplit, textPack, textVocab, textBalance)
+    textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold)
 }

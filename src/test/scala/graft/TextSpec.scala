@@ -16,6 +16,22 @@ class TextSpec extends SparkSpec {
     val again = graft.operators.Sampling.balanceClasses(docs, "lang", "doc_id")
     assert(bal.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
   }
+  test("stratified k-fold deals every class evenly (±1) and is deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val k = 5
+    val folds = graft.operators.Sampling.stratifiedKFold(docs, "lang", "doc_id", k)
+    // every (class, fold) cell within 1 of the class's n/k
+    val bad = folds.groupBy("lang", "fold").count()
+      .groupBy("lang").agg(max("count").as("mx"), min("count").as("mn"))
+      .filter(col("mx") - col("mn") > 1).count()
+    assert(bad == 0L)
+    assert(folds.select("fold").distinct().count() == k)
+    // deterministic: identical assignment on a second run
+    val again = graft.operators.Sampling.stratifiedKFold(docs, "lang", "doc_id", k)
+    assert(folds.exceptAll(again).isEmpty && again.exceptAll(folds).isEmpty)
+  }
+
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
