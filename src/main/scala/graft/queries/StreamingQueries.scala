@@ -184,6 +184,42 @@ object StreamingQueries {
     """),
   )
 
+  /** Update-mode keyed profile (the 100 TB shape — see
+    * StreamOps.profileUpdate): per-key Welford/exact-microunit state via
+    * `mapGroupsWithState`, each micro-batch emitting only the touched
+    * keys' refreshed snapshots. The memory sink accumulates one snapshot
+    * per (key, batch); the final state per key is the max-n snapshot
+    * (n strictly increases per update). Mean/sum ride the ExactAgg
+    * integer-microunit mirrors, so the oracle replays them exactly;
+    * std is 6-dp like every std row.
+    */
+  val streamProfileUpdate: Q = Q(
+    "stream_profile_update",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val snap = StreamOps.runToBatch(s,
+        StreamOps.profileUpdate(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "update",
+        // 1 store/partition; size state partitioning to the drained
+        // state (~10^3 keys), not core count
+        statePartitions = Some(8))
+      val fields = snap.columns.filterNot(_ == "user_id").map(col)
+      snap.groupBy(col("user_id"))
+        .agg(max_by(struct(fields: _*), col("n")).as("s"))
+        .select(col("user_id") +: snap.columns.filterNot(_ == "user_id")
+          .map(c => col(s"s.$c").as(c)): _*)
+    },
+    Some(s"""
+      SELECT user_id, count(value) AS n,
+             round(${OracleExact.microAvgSql("value")}, 6) AS mean_v,
+             round(stddev_pop(value), 6) AS std_v,
+             min(value) AS min_v,
+             max(value) AS max_v,
+             ${OracleExact.decSumSql("value")} AS sum_v
+      FROM events GROUP BY user_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
-    streamEnrich, streamIntervalJoin, streamProfile)
+    streamEnrich, streamIntervalJoin, streamProfile, streamProfileUpdate)
 }

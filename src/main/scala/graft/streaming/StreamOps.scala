@@ -154,6 +154,13 @@ object StreamOps {
     * (bounded by entity cardinality, not stream length); each
     * micro-batch merges partial aggregates, so the final table equals
     * the batch aggregation exactly.
+    *
+    * SMALL-KEY-ONLY: complete mode retains AND RE-EMITS the entire
+    * per-key result table every micro-batch — fine at 10^3 keys, a
+    * driver/sink-side scale-killer at 100 TB key cardinality. The
+    * scale shape is [[profileUpdate]]: update-mode
+    * `mapGroupsWithState` Welford merges that emit only the keys
+    * touched by each batch.
     */
   def profileAgg(events: DataFrame): DataFrame =
     events.groupBy(col("user_id")).agg(
@@ -163,6 +170,90 @@ object StreamOps {
       round(min(col("value")), 6).as("min_v"),
       round(max(col("value")), 6).as("max_v"),
       round(sum(col("value")), 6).as("sum_v"))
+
+  final case class ProfileEvent(user_id: Long, ts_ns: Long, event_id: Long,
+                                value: Double)
+  /** Welford running state + exact integer-microunit accumulators
+    * (mirrors [[graft.operators.ExactAgg]]: `qMicros` is the microAvg
+    * numerator Σ round(v·1e6), `sumMicros` the decSum numerator
+    * Σ halfUp6(v)·1e6 — both order-free int64 sums).
+    */
+  final case class ProfileState(n: Long, mean: Double, m2: Double,
+                                mn: Double, mx: Double,
+                                sumMicros: Long, qMicros: Long)
+  final case class ProfileRow(user_id: Long, n: Long, mean_v: Double,
+                              std_v: Double, min_v: Double, max_v: Double,
+                              sum_v: Double)
+
+  /** Round a double to `dp` decimals exactly as Spark's `round()` does
+    * (HALF_UP over the shortest-decimal BigDecimal representation).
+    */
+  private def roundHalfUp(v: Double, dp: Int): Double =
+    if (v.isNaN || v.isInfinite) v
+    else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Update-mode streaming per-key profile — the 100 TB shape of
+    * [[profileAgg]]: per-key Welford merges via `mapGroupsWithState`,
+    * emitting ONLY the keys touched by each micro-batch (update mode)
+    * instead of re-emitting the whole result table (complete mode).
+    * State per key is seven scalars; sink traffic per batch is
+    * O(touched keys), not O(all keys ever seen).
+    *
+    * Engine-portable arithmetic (SURVEY §10): mean and sum accumulate
+    * exact int64 microunit sums mirroring `ExactAgg.microAvg` /
+    * `ExactAgg.decSum` — order-free, so the result is bit-identical to
+    * the batch formula and to a sequential oracle regardless of batch
+    * boundaries. Std rides the Welford (mean, M2) pair folded in
+    * (ts, event_id) order within each batch — deterministic given the
+    * batch sequence; compared at 6 dp like every std on the board
+    * (sqrt outputs don't sit on rounding midpoints).
+    */
+  def profileUpdate(events: DataFrame): Dataset[ProfileRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("event_id").cast("long").as("event_id"),
+      col("value").cast("double").as("value"))
+      .as[ProfileEvent]
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[ProfileState, ProfileRow](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          // deterministic fold order inside the batch: (ts, event_id)
+          val evs = it.toArray.sortBy(e => (e.ts_ns, e.event_id))
+          var s = state.getOption.getOrElse(
+            ProfileState(0L, 0.0, 0.0, Double.PositiveInfinity,
+              Double.NegativeInfinity, 0L, 0L))
+          evs.foreach { e =>
+            val v = e.value
+            val n1 = s.n + 1
+            val delta = v - s.mean
+            val mean1 = s.mean + delta / n1
+            val m21 = s.m2 + delta * (v - mean1)
+            s = ProfileState(n1, mean1, m21,
+              math.min(s.mn, v), math.max(s.mx, v),
+              // decSum term: halfUp-6dp quantization of v (Spark's
+              // double→decimal(28,6) cast), exact in micros
+              s.sumMicros + BigDecimal(v).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact,
+              // microAvg term: round(v * 1e6) — the same double product
+              // + HALF_UP the SQL mirror computes
+              s.qMicros + BigDecimal(v * 1e6).setScale(0,
+                BigDecimal.RoundingMode.HALF_UP).toLong)
+          }
+          state.update(s)
+          // half-up integer division (2q+n) div 2n — ExactAgg.microAvg
+          val meanMicro =
+            if (s.qMicros >= 0) (2 * s.qMicros + s.n) / (2 * s.n)
+            else -((-2 * s.qMicros + s.n) / (2 * s.n))
+          ProfileRow(uid, s.n,
+            roundHalfUp(meanMicro / 1e6, 6),
+            roundHalfUp(math.sqrt(math.max(s.m2, 0.0) / s.n), 6),
+            s.mn, s.mx,
+            s.sumMicros / 1e6)
+      }
+  }
 
   /** Drain every available microbatch into a memory sink and return
     * the final result table.

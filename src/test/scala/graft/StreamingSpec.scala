@@ -122,6 +122,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("update-mode Welford profile equals the batch exact-arithmetic aggregation") {
+    import org.apache.spark.sql.functions._
+    val snap = StreamOps.runToBatch(spark,
+      StreamOps.profileUpdate(StreamOps.eventsStream(spark, sf)).toDF(),
+      mode = "update")
+    // final state per key = the max-n snapshot
+    val fields = snap.columns.filterNot(_ == "user_id").map(col)
+    val streamed = snap.groupBy(col("user_id"))
+      .agg(max_by(struct(fields: _*), col("n")).as("s"))
+      .select(col("user_id") +: snap.columns.filterNot(_ == "user_id")
+        .map(c => col(s"s.$c").as(c)): _*)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sf).groupBy(col("user_id")).agg(
+      count(col("value")).as("n"),
+      round(graft.operators.ExactAgg.microAvg(col("value")), 6).as("mean_v"),
+      round(stddev_pop(col("value")), 6).as("std_v"),
+      min(col("value")).as("min_v"),
+      max(col("value")).as("max_v"),
+      graft.operators.ExactAgg.decSum(col("value")).as("sum_v"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("update-mode profile emits only touched keys per batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = StreamOps.profileUpdate(df).toDF()
+      .writeStream.format("memory").queryName("profile_update_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 1000L, 1L, 2.0), (2L, 1001L, 2L, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("profile_update_test").count() == 2)
+      // second batch touches ONLY key 1 → exactly one new snapshot
+      mem.addData((1L, 1002L, 3L, 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("profile_update_test").collect()
+      assert(rows.length == 3)
+      val k1 = rows.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      assert(k1.length == 1)
+      assert(k1.head.getDouble(2) == 4.0) // mean of 2, 6
+      assert(k1.head.getDouble(6) == 8.0) // exact micro sum
+    } finally q.stop()
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
