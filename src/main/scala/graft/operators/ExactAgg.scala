@@ -30,9 +30,21 @@ object ExactAgg {
   /** Half-up mean of terms quantized to integer microunits: exact
     * int64 arithmetic end-to-end. Assumes |term|·n·1e6 fits int64.
     */
-  def microAvg(e: Column): Column = {
-    val s = sum(round(e * lit(1e6), 0).cast("long"))
-    val n = count(e)
+  def microAvg(e: Column): Column =
+    microQuotient(sum(round(e * lit(1e6), 0).cast("long")), count(e))
+
+  /** [[microAvg]] as a WINDOW aggregate (e.g. the per-series mean that
+    * feeds central moments) — same exact int64 arithmetic, evaluated
+    * over `w` instead of a grouping.
+    */
+  def microAvgWindow(e: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    microQuotient(sum(round(e * lit(1e6), 0).cast("long")).over(w),
+      count(e).over(w))
+
+  /** Half-up s/n in pure int64 (shared by the grouped and windowed
+    * micro means), returned as double units.
+    */
+  private def microQuotient(s: Column, n: Column): Column = {
     // exact integer division a div b for non-negative a: a - pmod is a
     // multiple of b, so the double division is exact
     def intDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b

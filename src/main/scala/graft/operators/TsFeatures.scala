@@ -24,15 +24,19 @@ object TsFeatures {
     */
   def basic(df: DataFrame, seriesKey: String, valueCol: String): DataFrame = {
     val v = col(valueCol)
+    // mean/sum/abs_energy ride ExactAgg (integer-microunit mean, exact
+    // decimal sums): a plain double avg/sum is order-dependent AND can
+    // land exactly on a 5e-7 rounding midpoint where Spark and a
+    // sequential engine resolve the tie differently (SURVEY §10)
     df.groupBy(col(seriesKey)).agg(
       count(v).as("n"),
-      avg(v).as("mean_v"),
+      ExactAgg.microAvg(v).as("mean_v"),
       stddev_pop(v).as("std_v"),
       min(v).as("min_v"),
       max(v).as("max_v"),
-      sum(v).as("sum_v"),
+      ExactAgg.decSum(v).as("sum_v"),
       percentile(v, lit(0.5)).as("median_v"),
-      sum(v * v).as("abs_energy"),
+      ExactAgg.decSum(v * v).as("abs_energy"),
     )
   }
 
@@ -88,10 +92,15 @@ object TsFeatures {
   def dist(df: DataFrame, seriesKey: String, orderCols: Seq[String], valueCol: String): DataFrame = {
     val wAll = Window.partitionBy(col(seriesKey))
     val v = col(valueCol)
+    // the per-series mean is the INTEGER-MICROUNIT mean (ExactAgg):
+    // every deviation d = v - mu is then bit-identical on any engine
+    // replaying the same quantization, so the moment sums — and the
+    // v > mu / v < mu comparisons — can't flip on a low-bit mu
+    // difference (quantization error ≤ 5e-7, below the 6-dp output)
     val withMu = df.select(
       col(seriesKey), v.as("v"),
       struct(orderCols.map(col): _*).as("ord"),
-      avg(v).over(wAll).as("mu"),
+      ExactAgg.microAvgWindow(v, wAll).as("mu"),
     )
     // Central moments around the windowed-in per-series mean: raw power
     // sums avg(v^4) - 4*avg(v)*avg(v^3) + ... cancel catastrophically when

@@ -241,13 +241,17 @@ object RelationalQueries {
           col("value"))
         .select(col("user_id"), col("ts_ns"),
           count(lit(1)).over(w).as("n_1h"),
-          sum(round(col("value"), 6).cast("decimal(28,6)")).over(w)
+          // raw double → decimal(28,6) cast, the ExactAgg.decSum
+          // convention: both engines quantize the IDENTICAL double the
+          // same way, with no pre-round whose .5-boundary behavior
+          // could diverge between engines
+          sum(col("value").cast("decimal(28,6)")).over(w)
             .cast("double").as("sum_1h"))
     },
     Some("""
       SELECT user_id, epoch_ns(ts) AS ts_ns,
              count(*) OVER w AS n_1h,
-             (sum(round(value, 6)::DECIMAL(28,6)) OVER w)::DOUBLE AS sum_1h
+             (sum(value::DECIMAL(28,6)) OVER w)::DOUBLE AS sum_1h
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
                    RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)
@@ -267,11 +271,14 @@ object RelationalQueries {
       // µs truncation for hash parity with DuckDB's timestamp reads
       val events = Tables.events(s, dir)
         .withColumn("ts", expr("ts div 1000 * 1000"))
-      graft.streaming.StreamOps.sessionizeBatch(events, gap)
+      // the oracle-compared sum rides ExactAgg.decSum (order-free);
+      // sessionizeBatch's default double sum remains for the
+      // streaming-equivalence spec whose reference folds doubles
+      graft.streaming.StreamOps.sessionizeBatch(events, gap, exactSum = true)
         .select(col("user_id"), col("start_ns"), col("end_ns"), col("n"),
-          round(col("sum_v"), 6).as("sum_v"))
+          col("sum_v"))
     },
-    Some("""
+    Some(s"""
       WITH s AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
       m AS (
         SELECT user_id, ts_ns, value,
@@ -284,7 +291,7 @@ object RelationalQueries {
                                    ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM m)
       SELECT user_id, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
-             count(*) AS n, round(sum(value), 6) AS sum_v
+             count(*) AS n, ${OracleExact.decSumSql("value")} AS sum_v
       FROM c GROUP BY user_id, sess_id
     """),
   )

@@ -36,15 +36,15 @@ object TsQueries {
         round(col("median_v"), 6).as("median_v"),
         round(col("abs_energy"), 6).as("abs_energy"))
     },
-    Some("""
+    Some(s"""
       SELECT user_id, count(value) AS n,
-             round(avg(value), 6) AS mean_v,
+             round(${microAvgSql("value")}, 6) AS mean_v,
              round(stddev_pop(value), 6) AS std_v,
              round(min(value), 6) AS min_v,
              round(max(value), 6) AS max_v,
-             round(sum(value), 6) AS sum_v,
+             round(${OracleExact.decSumSql("value")}, 6) AS sum_v,
              round(median(value), 6) AS median_v,
-             round(sum(value * value), 6) AS abs_energy
+             round(${OracleExact.decSumSql("value * value")}, 6) AS abs_energy
       FROM events GROUP BY user_id
     """),
   )
@@ -119,8 +119,9 @@ object TsQueries {
         round(col("last_v"), 6).as("last_v"),
         round(col("range_v"), 6).as("range_v"))
     },
-    Some("""
-      WITH mu AS (SELECT user_id, avg(value) AS mu FROM events GROUP BY user_id),
+    Some(s"""
+      WITH mu AS (SELECT user_id, ${microAvgSql("value")} AS mu
+                  FROM events GROUP BY user_id),
       dd AS (
         SELECT e.user_id, e.ts, e.value AS v, mu.mu AS mu, e.value - mu.mu AS d
         FROM events e JOIN mu ON e.user_id = mu.user_id),

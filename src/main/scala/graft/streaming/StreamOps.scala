@@ -367,8 +367,15 @@ object StreamOps {
   /** Batch-equivalent sessionization (gap boundaries via lag + running
     * sum per user) for the equivalence spec; includes the final open
     * session, which streaming append-mode does not emit.
+    *
+    * `exactSum = true` aggregates sum_v via ExactAgg.decSum (exact
+    * decimal(28,6), order-free) for oracle-compared batch queries; the
+    * default double sum stays for the STREAMING-equivalence spec,
+    * whose reference (`sessionize`'s per-session fold) accumulates
+    * doubles.
     */
-  def sessionizeBatch(events: DataFrame, gapNanos: Long): DataFrame = {
+  def sessionizeBatch(events: DataFrame, gapNanos: Long,
+                      exactSum: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     events
@@ -382,7 +389,9 @@ object StreamOps {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("sess_id"))
       .agg(min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"),
-        count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        count(lit(1)).as("n"),
+        (if (exactSum) graft.operators.ExactAgg.decSum(col("value"))
+         else sum(col("value"))).as("sum_v"))
       .drop("sess_id")
   }
 }
