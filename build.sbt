@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output normally passes through sbt's logger,
+// which prefixes every line with "[info] " — that prefix (plus the
+// trailing "[success] Total time" line) is what broke the driver's
+// tail-parse of Bench's JSON line for four rounds (BENCH parsed:null).
+// StdoutOutput inherits the parent's stdout verbatim; showSuccess
+// drops the trailing success banner.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

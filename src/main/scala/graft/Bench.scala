@@ -19,15 +19,21 @@ object Bench {
     try SparkEntry.queries("stream_window")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
     // min of two runs per query: JIT/GC noise in the shared JVM swings
-    // single measurements by ~25%
+    // single measurements by ~25%. Per-query GC-time deltas (across
+    // both runs) are recorded so a slow outlier can be attributed to
+    // collector pressure instead of guessed at (round-4 noise cluster).
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results = (SparkEntry.queries ++ SparkEntry.benchQueries)
       .toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, (gcMillis() - gc0) / 1e3)
     }
     // The driver keeps only the TAIL (~2.25KB) of sbt's output; sbt's own
     // trailing [success] lines eat ~100B of that. With 89+ queries even a
@@ -47,15 +53,23 @@ object Bench {
       "multimodal_frames",
       "stream_window", "stream_sessionize", "stream_interval_join",
       "q_kmeans_step")
-    val shown = results.filter { case (k, v) => headline(k) || v >= 1.0 }
-    val qs = shown.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    // headline set + AT MOST the 10 slowest other queries: the stdout
+    // line must stay under the driver's ~2.25KB tail no matter how
+    // many queries regress or how large the SF is
+    val slowExtra = results.filter { case (k, v, _) => !headline(k) && v >= 1.0 }
+      .sortBy(-_._2).take(10).map(_._1).toSet
+    val shown = results.filter { case (k, _, _) => headline(k) || slowExtra(k) }
+    val qs = shown.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
-    // full-detail map (every query, 3dp) for local round-over-round diffs
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+    // full-detail maps (every query, 3dp, + per-query GC seconds) for
+    // local round-over-round diffs and noise attribution
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    val gcQs = results.map { case (k, _, g) => "\"" + k + "\":" + fmt(g, 3) }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"gc":$gcQs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     spark.stop()
