@@ -37,5 +37,7 @@ object SparkEntry {
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scale_kbins_approx" -> (NumPrepQueries.kbinsApprox(_, _)),
+    "text_pack_ffd" -> (TextQueries.packFFD(_, _)),
+    "stream_sessionize_rocksdb" -> (StreamingQueries.sessionizeRocksDB(_, _)),
   )
 }

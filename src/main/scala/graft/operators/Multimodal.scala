@@ -116,6 +116,38 @@ object Multimodal {
           encode(concat(lit(":"), col("frame_idx").cast("string")), "UTF-8")))
           .as("frame_fp"))
 
+  /** Audio window slicing for audio records: one output row per
+    * analysis window (winSamples long, hopSamples apart — the
+    * 25ms/10ms frame shape an ASR/feature front-end uses), with
+    * sample-offset and millisecond arithmetic as pure columns and an
+    * md5 fingerprint of the window's actual BYTE SLICE in place of
+    * the decoded PCM (the honest-stub convention). Only COMPLETE
+    * windows emit: n_win = (n_samples - winSamples) div hop + 1.
+    * Explode + column expressions — no UDF, no shuffle; an external
+    * engine replays the fingerprints from the same bytes.
+    */
+  def audioWindows(media: DataFrame, sampleBytes: Int = 2,
+                   winSamples: Int = 400, hopSamples: Int = 160,
+                   maxWindows: Int = 20): DataFrame =
+    media.where(col("kind") === "audio" && col("sample_rate") > 0)
+      .select(col("media_id"), col("bytes"), col("sample_rate"),
+        expr(s"length(bytes) div $sampleBytes").as("n_samples"))
+      .select(col("media_id"), col("bytes"), col("sample_rate"),
+        least(
+          when(col("n_samples") >= winSamples,
+            expr(s"(n_samples - $winSamples) div $hopSamples") + 1)
+            .otherwise(lit(0L)),
+          lit(maxWindows.toLong)).cast("int").as("n_win"))
+      .where(col("n_win") > 0)
+      .select(col("media_id"), col("bytes"), col("sample_rate"),
+        explode(sequence(lit(0), col("n_win") - 1)).as("win_idx"))
+      .select(col("media_id"), col("win_idx"),
+        (col("win_idx") * hopSamples).cast("long").as("start_sample"),
+        expr(s"cast(win_idx as bigint) * $hopSamples * 1000 div sample_rate")
+          .as("start_ms"),
+        md5(expr(s"substring(bytes, win_idx * ${hopSamples * sampleBytes} + 1, " +
+          s"${winSamples * sampleBytes})")).as("win_fp"))
+
   /** Synthesize a media table from documents: text bytes stand in for
     * the blob; metadata derived deterministically. Real pipelines read
     * (path, bytes) from `spark.read.format("binaryFile")` or parquet

@@ -194,6 +194,10 @@ object TsFeatures {
         min(v).over(wAll).as(s"${vc}__mn"),
         count(v).over(wAll).as(s"${vc}__cnt"),
         sum(abs(v)).over(wAll).as(s"${vc}__sabs"),
+        // per-series corridor bounds for change_quantiles(0.2, 0.8) —
+        // same unordered partition, so still no extra Exchange
+        percentile(v, lit(0.2)).over(wAll).as(s"${vc}__cql"),
+        percentile(v, lit(0.8)).over(wAll).as(s"${vc}__cqh"),
         // first significant digit (null for 0/null values) — feeds
         // benford_corr; a plain narrow expression, no window
         when(abs(v) > 0,
@@ -372,7 +376,44 @@ object TsFeatures {
       when(count(v) >= 3,
         sum(when(i("arn") <= 3, abs(v)).otherwise(lit(0.0))) / 3)
         .as(out("mean_3_abs_max")),
+      // tier 6: tsfresh change_quantiles(ql=0.2, qh=0.8, isabs=True,
+      // f_agg="mean") — mean |Δ| over consecutive pairs whose BOTH
+      // endpoints sit inside the per-series [q20, q80] corridor
+      // (window-enriched bounds); no qualifying pair → 0 like tsfresh
+      coalesce(microAvg(when(
+        i("prev").isNotNull &&
+          v >= i("cql") && v <= i("cqh") &&
+          i("prev") >= i("cql") && i("prev") <= i("cqh"),
+        abs(v - i("prev")))), lit(0.0)).as(out("change_q_20_80")),
+      // tsfresh fft_aggregated centroid/variance over the TRUNCATED
+      // k=0..8 magnitude spectrum (the same Goertzel term shape as
+      // fft_abs_c1/c2 — a full spectrum would need O(n) coefficients;
+      // the first 9 carry the low-frequency mass these summary
+      // moments describe, and the truncation is part of the feature's
+      // documented definition here)
+      fftAggCentroid(fftAbs, v).as(out("fft_agg_centroid")),
+      fftAggVariance(fftAbs, v).as(out("fft_agg_variance")),
     )
+  }
+
+  /** Truncated-spectrum (k=0..8) centroid Σk·|F_k| / Σ|F_k|; term
+    * order is the left-associated k-ascending chain the SQL oracle
+    * replays verbatim.
+    */
+  private def fftAggCentroid(fftAbs: Int => Column, v: Column): Column = {
+    val mass = (abs(sum(v)) +: (1 to 8).map(fftAbs)).reduce(_ + _)
+    val m1 = (1 to 8).map(k => fftAbs(k) * lit(k.toDouble)).reduce(_ + _)
+    try_divide(m1, mass)
+  }
+
+  /** Truncated-spectrum (k=0..8) spectral variance
+    * Σk²·|F_k| / Σ|F_k| − centroid².
+    */
+  private def fftAggVariance(fftAbs: Int => Column, v: Column): Column = {
+    val mass = (abs(sum(v)) +: (1 to 8).map(fftAbs)).reduce(_ + _)
+    val m2 = (1 to 8).map(k => fftAbs(k) * lit((k * k).toDouble)).reduce(_ + _)
+    val c = fftAggCentroid(fftAbs, v)
+    try_divide(m2, mass) - c * c
   }
 
   /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9, and
@@ -497,6 +538,55 @@ object TsFeatures {
         (col("sum_dec").cast("double") / col("n")).as("mean_v"),
         col("sum_dec").cast("double").as("sum_v"),
         col("min_v"), col("max_v"))
+  }
+
+  /** tsfresh sample_entropy (m=2, r=0.2·σ_pop): −ln(A/B) where B
+    * counts ordered template pairs i≠j whose m-length windows sit
+    * within Chebyshev distance r, and A the same for m+1. The pair
+    * count is inherently O(n²) PER SERIES (tsfresh pays the same), so
+    * it runs as a [[GroupedApply]]: one hash shuffle on the series
+    * key, per-group sorted iterator, per-group O(n²) double loop —
+    * never a cross-series product. At 100 TB the cost is bounded by
+    * the LONGEST series, not the table; series beyond ~10⁵ points
+    * should be windowed upstream (resample) first, which is how
+    * sample entropy is used in practice.
+    *
+    * B = 0 or A = 0 yields null (tsfresh nan/inf), mirrored by the
+    * oracle's CASE guard.
+    */
+  def sampleEntropy(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                    valueCol: String, rFactor: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("sample_entropy", DoubleType)))
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val xs = it.map(_.getDouble(vIdx)).toArray
+      val n = xs.length
+      val mean = xs.sum / n
+      val r = rFactor * math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+      var a = 0L
+      var b = 0L
+      var i = 0
+      while (i < n - 1) {
+        var j = 0
+        while (j < n - 1) {
+          if (j != i &&
+            math.abs(xs(i) - xs(j)) <= r && math.abs(xs(i + 1) - xs(j + 1)) <= r) {
+            b += 1
+            if (i < n - 2 && j < n - 2 && math.abs(xs(i + 2) - xs(j + 2)) <= r)
+              a += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val ent: Any =
+        if (a > 0 && b > 0) -math.log(a.toDouble / b) else null
+      Iterator.single(org.apache.spark.sql.Row(key.get(0), ent))
+    }
   }
 
   def resample(df: DataFrame, seriesKey: String, tsNanosCol: String,

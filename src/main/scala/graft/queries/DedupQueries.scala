@@ -410,16 +410,13 @@ object DedupQueries {
         .select(col("query_id"), col("nn_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
     },
-    Some("""
+    Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       h AS (
         SELECT vec_id, v, md5(vec_id::VARCHAR) AS hx FROM e),
       sel AS (
         SELECT vec_id, v,
-               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+               ${OracleExact.h16Sql("hx")} AS h16
         FROM h),
       cent AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -479,16 +476,13 @@ object DedupQueries {
           posexplode(col("sum_vec")).as(Seq("dim", "s")))
         .select(col("cell"), col("n"), col("dim"), round(col("s"), 6).as("s"))
     },
-    Some("""
+    Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       h AS (
         SELECT vec_id, v, md5(vec_id::VARCHAR) AS hx FROM e),
       sel AS (
         SELECT vec_id, v,
-               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+               ${OracleExact.h16Sql("hx")} AS h16
         FROM h),
       cent AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv

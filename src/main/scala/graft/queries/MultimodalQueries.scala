@@ -118,6 +118,47 @@ object MultimodalQueries {
     """),
   )
 
+  /** Audio window slicing: row-per-window explode (25ms window / 10ms
+    * hop at 16kHz, 2-byte samples — scaled to 100/40 samples here so
+    * the synthetic short-text "audio" actually yields windows) with
+    * sample-offset + millisecond
+    * arithmetic and an md5 fingerprint of the window's byte slice —
+    * replayable by the oracle because the media bytes are the ASCII
+    * document text.
+    */
+  val multimodalAudio: Q = Q(
+    "multimodal_audio",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.audioWindows(media.toDF(), sampleBytes = 2,
+        winSamples = 100, hopSamples = 40, maxWindows = 20)
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, text, 16000 AS sample_rate
+        FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT media_id, text, sample_rate,
+               strlen(text) // 2 AS n_samples
+        FROM media),
+      w AS (
+        SELECT media_id, text, sample_rate,
+               least(CASE WHEN n_samples >= 100
+                          THEN (n_samples - 100) // 40 + 1 ELSE 0 END,
+                     20)::INT AS n_win
+        FROM s),
+      idx AS (
+        SELECT media_id, text, sample_rate,
+               unnest(range(n_win))::INT AS win_idx
+        FROM w WHERE n_win > 0)
+      SELECT media_id, win_idx,
+             (win_idx * 40)::BIGINT AS start_sample,
+             (win_idx::BIGINT * 40 * 1000 // sample_rate) AS start_ms,
+             md5(substring(text, win_idx * 80 + 1, 200)) AS win_fp
+      FROM idx
+    """),
+  )
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames,
-    multimodalPatches)
+    multimodalPatches, multimodalAudio)
 }

@@ -17,4 +17,17 @@ private[queries] object OracleExact {
     s"((CASE WHEN $s >= 0 THEN (2 * $s + $n) // (2 * $n) " +
       s"ELSE -((-2 * $s + $n) // (2 * $n)) END) / 1000000.0)"
   }
+
+  /** First 16 bits of an md5 hex string as a 0..65535 integer —
+    * DuckDB mirror of [[graft.operators.Sampling.hashBucket]]
+    * (`conv(substring(md5(id), 1, 4), 16, 10)`). Single source of
+    * truth for every md5-bucket oracle (hash split, class balance,
+    * k-fold, …) so the nibble arithmetic cannot drift between them.
+    * `hx` must be an expression yielding the md5 hex string.
+    */
+  def h16Sql(hx: String): String =
+    s"((strpos('0123456789abcdef', substr($hx, 1, 1)) - 1) * 4096" +
+      s" + (strpos('0123456789abcdef', substr($hx, 2, 1)) - 1) * 256" +
+      s" + (strpos('0123456789abcdef', substr($hx, 3, 1)) - 1) * 16" +
+      s" + (strpos('0123456789abcdef', substr($hx, 4, 1)) - 1))"
 }

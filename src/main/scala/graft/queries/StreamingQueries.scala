@@ -220,6 +220,29 @@ object StreamingQueries {
     """),
   )
 
+  /** Bench-only: `stream_sessionize` with the RocksDB state store —
+    * the off-heap, incremental-checkpoint backend a long-running 100 TB
+    * streaming job runs (HDFS-backed stores keep all state as JVM heap
+    * objects and re-upload full snapshots; RocksDB spills to local SSD
+    * and checkpoints deltas). Same query, same result — the bench row
+    * exists so the backend claim carries a measured number next to the
+    * default-store `stream_sessionize` row. The provider conf is read
+    * at query START, so it is set for the duration of the drain and
+    * restored afterwards.
+    */
+  def sessionizeRocksDB(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try streamSessionize.run(s, dir)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamProfile, streamProfileUpdate)
 }

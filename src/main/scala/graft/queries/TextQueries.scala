@@ -274,17 +274,14 @@ object TextQueries {
         col("doc_id"),
         when(b < 98, "train").when(b < 99, "val").otherwise("test").as("split"))
     },
-    Some("""
+    Some(s"""
       SELECT doc_id,
              CASE WHEN h16 % 100 < 98 THEN 'train'
                   WHEN h16 % 100 < 99 THEN 'val'
                   ELSE 'test' END AS split
       FROM (
         SELECT doc_id,
-               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+               ${OracleExact.h16Sql("hx")} AS h16
         FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS hx FROM documents))
     """),
   )
@@ -352,13 +349,10 @@ object TextQueries {
     (s, dir) => graft.operators.Sampling.balanceClasses(
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
       "lang", "doc_id"),
-    Some("""
+    Some(s"""
       WITH h AS (
         SELECT doc_id, lang,
-               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+               ${OracleExact.h16Sql("hx")} AS h16
         FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS hx FROM documents)),
       m AS (SELECT min(n) AS m FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
       r AS (
@@ -380,13 +374,10 @@ object TextQueries {
     (s, dir) => graft.operators.Sampling.stratifiedKFold(
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
       "lang", "doc_id", k = 5),
-    Some("""
+    Some(s"""
       WITH h AS (
         SELECT doc_id, lang,
-               ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) AS h16
+               ${OracleExact.h16Sql("hx")} AS h16
         FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS hx FROM documents))
       SELECT doc_id, lang,
              (row_number() OVER (PARTITION BY lang ORDER BY h16, doc_id) - 1) % 5
@@ -394,6 +385,20 @@ object TextQueries {
       FROM h
     """),
   )
+
+  /** First-fit-decreasing packing over the same shard/token layout as
+    * `text_pack` ([[graft.operators.Packing.packFFD]]). Bench + spec
+    * coverage: the assignment depends on per-shard bin state, so it is
+    * not SQL-window expressible (no DuckDB oracle); PackingSpec
+    * asserts FFD waste ≤ running-sum waste on this same corpus.
+    */
+  def packFFD(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables.documents(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(32)).as("shard"),
+      TextAnalysis.wsTokens(col("text")).cast("long").as("tokens"))
+    graft.operators.Packing.packFFD(t, "doc_id", "tokens", "shard", capacity = 512L)
+  }
 
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold)

@@ -151,11 +151,23 @@ object TsQueries {
     */
   private val ac1Sql = "sum((v - mu) * (prev - mu)) / ((count(*) - 1) * var_pop(v))"
   private val ac2Sql = "sum((v - mu) * (prev2 - mu)) / ((count(*) - 2) * var_pop(v))"
-  private def fftAbsSql(k: Int): String = {
+  private def fftAbsRawSql(k: Int): String = {
     val re = s"sum(v * cos(2 * pi() * $k * idx / cnt))"
     val im = s"sum(v * sin(2 * pi() * $k * idx / cnt))"
-    s"round(sqrt(($re) * ($re) + ($im) * ($im)), 6)"
+    s"sqrt(($re) * ($re) + ($im) * ($im))"
   }
+  private def fftAbsSql(k: Int): String = s"round(${fftAbsRawSql(k)}, 6)"
+  // truncated-spectrum (k=0..8) aggregated moments — identical
+  // left-associated term chains to TsFeatures.fftAggCentroid/Variance
+  private val fftMassSql =
+    ("abs(sum(v))" +: (1 to 8).map(fftAbsRawSql)).map(t => s"($t)").mkString(" + ")
+  private val fftM1Sql =
+    (1 to 8).map(k => s"(${fftAbsRawSql(k)}) * ${k.toDouble}").mkString(" + ")
+  private val fftM2Sql =
+    (1 to 8).map(k => s"(${fftAbsRawSql(k)}) * ${(k * k).toDouble}").mkString(" + ")
+  private val fftCentroidSql = s"(($fftM1Sql) / ($fftMassSql))"
+  private val fftVarianceSql =
+    s"(($fftM2Sql) / ($fftMassSql) - $fftCentroidSql * $fftCentroidSql)"
   private def imqSql(q: Double): String =
     s"round(min(CASE WHEN cabs >= $q * sabs THEN (idx + 1) / cnt END), 6)"
 
@@ -269,6 +281,14 @@ object TsQueries {
     "benford_corr" -> benfordSql,
     "mean_3_abs_max" -> ("round(CASE WHEN count(v) >= 3 THEN " +
       "sum(CASE WHEN arn <= 3 THEN abs(v) ELSE 0.0 END) / 3 END, 6)"),
+    // tier 6: change_quantiles(0.2, 0.8, isabs, mean) over the
+    // window-enriched corridor bounds; fft_aggregated centroid/variance
+    // over the truncated k=0..8 spectrum
+    "change_q_20_80" -> s"round(coalesce(${microAvgSql(
+      "CASE WHEN prev IS NOT NULL AND v >= cql AND v <= cqh " +
+        "AND prev >= cql AND prev <= cqh THEN abs(v - prev) END")}, 0.0), 6)",
+    "fft_agg_centroid" -> s"round($fftCentroidSql, 6)",
+    "fft_agg_variance" -> s"round($fftVarianceSql, 6)",
   )
 
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
@@ -300,6 +320,8 @@ object TsQueries {
                min(value) OVER pa AS mn,
                count(value) OVER pa AS cnt,
                sum(abs(value)) OVER pa AS sabs,
+               quantile_cont(value, 0.2) OVER pa AS cql,
+               quantile_cont(value, 0.8) OVER pa AS cqh,
                row_number() OVER w AS rn,
                (row_number() OVER w - 1)::DOUBLE AS idx,
                CASE WHEN abs(value) > 0 THEN
@@ -367,6 +389,8 @@ object TsQueries {
                min($vc) OVER pa AS mn,
                count($vc) OVER pa AS cnt,
                sum(abs($vc)) OVER pa AS sabs,
+               quantile_cont($vc, 0.2) OVER pa AS cql,
+               quantile_cont($vc, 0.8) OVER pa AS cqh,
                row_number() OVER w AS rn,
                (row_number() OVER w - 1)::DOUBLE AS idx,
                CASE WHEN abs($vc) > 0 THEN
@@ -543,6 +567,49 @@ object TsQueries {
     """),
   )
 
+  /** tsfresh sample_entropy (m=2, r=0.2·σ_pop) per series via the
+    * GroupedApply escape hatch (inherently O(n²) PER SERIES — see
+    * TsFeatures.sampleEntropy). The oracle replays the ordered
+    * template-pair counting with a per-user self-join: B over m=2
+    * windows, A over m=3, −ln(A/B); A=0 or B=0 → null on both engines.
+    */
+  val tsSampleEntropy: Q = Q(
+    "ts_sample_entropy",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      TsFeatures.sampleEntropy(e, "user_id", Seq("ts"), "value")
+        .select(col("user_id"), round(col("sample_entropy"), 6).as("sample_entropy"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, value AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i
+        FROM events),
+      p AS (SELECT user_id, 0.2 * stddev_pop(v) AS r FROM x GROUP BY user_id),
+      t AS (
+        SELECT a.user_id, a.i, a.v AS v0, b.v AS v1, c.v AS v2
+        FROM x a
+        JOIN x b ON b.user_id = a.user_id AND b.i = a.i + 1
+        LEFT JOIN x c ON c.user_id = a.user_id AND c.i = a.i + 2),
+      cnt AS (
+        SELECT t1.user_id,
+               sum(CASE WHEN abs(t1.v0 - t2.v0) <= p.r
+                         AND abs(t1.v1 - t2.v1) <= p.r THEN 1 ELSE 0 END) AS b,
+               sum(CASE WHEN t1.v2 IS NOT NULL AND t2.v2 IS NOT NULL
+                         AND abs(t1.v0 - t2.v0) <= p.r
+                         AND abs(t1.v1 - t2.v1) <= p.r
+                         AND abs(t1.v2 - t2.v2) <= p.r THEN 1 ELSE 0 END) AS a
+        FROM t t1
+        JOIN t t2 ON t2.user_id = t1.user_id AND t2.i <> t1.i
+        JOIN p ON p.user_id = t1.user_id
+        GROUP BY t1.user_id)
+      SELECT user_id,
+             CASE WHEN a > 0 AND b > 0
+                  THEN round(-ln(a::DOUBLE / b), 6) END AS sample_entropy
+      FROM cnt
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
-    tsRelevant, tsResample, tsResampleSliding)
+    tsRelevant, tsResample, tsResampleSliding, tsSampleEntropy)
 }

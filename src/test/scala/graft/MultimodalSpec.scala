@@ -42,4 +42,31 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.frameSample(media, 100, 10).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("audio windows: complete windows only, correct offsets, sliced fingerprints") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf)).toDF()
+    val win = Multimodal.audioWindows(media, sampleBytes = 2,
+      winSamples = 100, hopSamples = 40, maxWindows = 20)
+    val rows = win.collect()
+    assert(rows.nonEmpty)
+    // offsets follow the hop grid; ms arithmetic is integer (40/16000 s = 2.5ms)
+    rows.foreach { r =>
+      val idx = r.getInt(1)
+      assert(r.getLong(2) == idx * 40L)
+      assert(r.getLong(3) == idx * 40L * 1000 / 16000)
+    }
+    // every window's fingerprint equals md5 of the exact byte slice
+    val byId = media.where(col("kind") === "audio").collect()
+      .map(m => m.getAs[Long]("media_id") -> m.getAs[Array[Byte]]("bytes")).toMap
+    rows.take(10).foreach { r =>
+      val bytes = byId(r.getLong(0))
+      val off = r.getInt(1) * 80
+      assert(off + 200 <= bytes.length) // complete windows only
+      val slice = bytes.slice(off, off + 200)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
+        .map("%02x".format(_)).mkString
+      assert(r.getString(4) == md)
+    }
+  }
 }

@@ -87,4 +87,34 @@ class TsSpec extends SparkSpec {
     assert(exchanges == 1,
       s"widened multi-column extraction must cost one shuffle, found $exchanges:\n$plan")
   }
+
+  test("sample entropy matches an independent naive template-pair count") {
+    def naive(xs: Array[Double]): Double = {
+      val n = xs.length
+      val mean = xs.sum / n
+      val r = 0.2 * math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+      def pairs(m: Int): Long = {
+        val temps = (0 to n - m).map(i => xs.slice(i, i + m))
+        temps.indices.map { i =>
+          temps.indices.count(j => j != i &&
+            temps(i).zip(temps(j)).map { case (p, q) => math.abs(p - q) }.max <= r).toLong
+        }.sum
+      }
+      -math.log(pairs(3).toDouble / pairs(2))
+    }
+    // near-periodic series: both m=2 and m=3 template matches exist
+    // (A=30, B=42), so the entropy is a finite -ln(A/B)
+    val xs = Array(1.0, 2.0, 1.0, 2.0, 1.05, 2.05, 0.95, 1.95, 1.0, 2.1, 0.9, 2.0)
+    val in = xs.zipWithIndex.map { case (v, i) => ("A", i.toLong, v) }.toSeq
+      .toDF("sk", "t", "v")
+    val got = TsFeatures.sampleEntropy(in, "sk", Seq("t"), "v").head()
+    assert(got.getString(0) == "A")
+    assert(math.abs(got.getDouble(1) - naive(xs)) < 1e-12)
+  }
+
+  test("sample entropy of a too-short series is null, not a crash") {
+    val in = Seq(("A", 1L, 1.0), ("A", 2L, 2.0)).toDF("sk", "t", "v")
+    val got = TsFeatures.sampleEntropy(in, "sk", Seq("t"), "v").head()
+    assert(got.isNullAt(1))
+  }
 }
