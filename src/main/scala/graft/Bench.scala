@@ -72,6 +72,10 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"gc":$gcQs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
+    // async shutdown noise (state-store maintenance threads WARN with a
+    // stack trace AFTER stop()) would land after the JSON line and push
+    // it out of the driver's tail — silence the logger before stopping
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     // LAST line of program output so it sits at the very end of the tail
     println(line)

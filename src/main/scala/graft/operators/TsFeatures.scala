@@ -393,6 +393,19 @@ object TsFeatures {
       // documented definition here)
       fftAggCentroid(fftAbs, v).as(out("fft_agg_centroid")),
       fftAggVariance(fftAbs, v).as(out("fft_agg_variance")),
+      // tier 7: cheap one-pass calculators (tsfresh
+      // absolute_sum_of_changes, variation_coefficient, quantile 0.1 /
+      // 0.9, first_location_of_minimum, last_location_of_maximum,
+      // number_crossing_m at m=0). The exact-decimal |Δ| sum and the
+      // microAvg denominator keep both engines bit-identical where a
+      // rounding tie could otherwise flip the 6-dp output.
+      ExactAgg.decSum(abs(v - i("prev"))).as(out("abs_sum_changes")),
+      try_divide(stddev_pop(v), microAvg(v)).as(out("variation_coeff")),
+      percentile(v, lit(0.1)).as(out("q10")),
+      percentile(v, lit(0.9)).as(out("q90")),
+      try_divide(min(when(v === i("mn"), col("idx"))), count(v)).as(out("first_loc_min")),
+      try_divide(max(when(v === i("mx"), col("idx"))) + 1, count(v)).as(out("last_loc_max")),
+      sum(when((v > 0) =!= (i("prev") > 0), 1L).otherwise(0L)).as(out("n_crossings_0")),
     )
   }
 
@@ -553,6 +566,11 @@ object TsFeatures {
     *
     * B = 0 or A = 0 yields null (tsfresh nan/inf), mirrored by the
     * oracle's CASE guard.
+    *
+    * The same pair loop also yields tsfresh approximate_entropy
+    * (ApEn, m=2, r=0.2·σ): per-template match counts INCLUDING self
+    * (+1 on the j≠i counts), Φ(m) = mean ln(C_i/(N−m+1)),
+    * ApEn = |Φ(2) − Φ(3)| — one extra column for free.
     */
   def sampleEntropy(df: DataFrame, seriesKey: String, orderCols: Seq[String],
                     valueCol: String, rFactor: Double = 0.2): DataFrame = {
@@ -561,7 +579,8 @@ object TsFeatures {
     val vIdx = in.schema.fieldIndex(valueCol)
     val keyField = in.schema(in.schema.fieldIndex(seriesKey))
     val outSchema = StructType(Seq(keyField.copy(nullable = false),
-      StructField("sample_entropy", DoubleType)))
+      StructField("sample_entropy", DoubleType),
+      StructField("approx_entropy", DoubleType)))
     GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
       val xs = it.map(_.getDouble(vIdx)).toArray
       val n = xs.length
@@ -569,6 +588,9 @@ object TsFeatures {
       val r = rFactor * math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
       var a = 0L
       var b = 0L
+      // per-template j≠i match counts for ApEn (self added as +1 below)
+      val c2 = new Array[Long](math.max(n - 1, 0))
+      val c3 = new Array[Long](math.max(n - 2, 0))
       var i = 0
       while (i < n - 1) {
         var j = 0
@@ -576,16 +598,26 @@ object TsFeatures {
           if (j != i &&
             math.abs(xs(i) - xs(j)) <= r && math.abs(xs(i + 1) - xs(j + 1)) <= r) {
             b += 1
-            if (i < n - 2 && j < n - 2 && math.abs(xs(i + 2) - xs(j + 2)) <= r)
+            c2(i) += 1
+            if (i < n - 2 && j < n - 2 && math.abs(xs(i + 2) - xs(j + 2)) <= r) {
               a += 1
+              c3(i) += 1
+            }
           }
           j += 1
         }
         i += 1
       }
-      val ent: Any =
+      val sampEn: Any =
         if (a > 0 && b > 0) -math.log(a.toDouble / b) else null
-      Iterator.single(org.apache.spark.sql.Row(key.get(0), ent))
+      val apEn: Any = if (n < 3) null else {
+        val n2 = n - 1 // m=2 template count
+        val n3 = n - 2 // m=3 template count
+        val phi2 = c2.map(c => math.log((c + 1).toDouble / n2)).sum / n2
+        val phi3 = c3.map(c => math.log((c + 1).toDouble / n3)).sum / n3
+        math.abs(phi2 - phi3)
+      }
+      Iterator.single(org.apache.spark.sql.Row(key.get(0), sampEn, apEn))
     }
   }
 

@@ -372,6 +372,81 @@ object RelationalQueries {
     """),
   )
 
+  /** CDC-style snapshot compaction: the LATEST event per user via
+    * `max_by` over the (ts, event_id) order struct — ONE aggregation
+    * with map-side partial combine, which at 100 TB beats the
+    * row_number()-window formulation (full per-key sort, no partial
+    * aggregation) that naive compaction jobs run. The oracle replays
+    * the same pick with a DESC row_number.
+    */
+  val qLatestByKey: Q = Q(
+    "q_latest_by_key",
+    (s, dir) => Tables.events(s, dir)
+      // µs truncation for hash parity with DuckDB's timestamp reads
+      .select(col("user_id"), expr("cast(ts as long) div 1000 * 1000").as("ts_ns"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts_ns"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts_ns"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.ts_ns").as("ts_ns"),
+        col("s.event_id").as("event_id"), col("s.event_type").as("event_type"),
+        round(col("s.value"), 6).as("value")),
+    Some("""
+      SELECT user_id, ts_ns, event_id, event_type, round(value, 6) AS value
+      FROM (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk
+        FROM events)
+      WHERE rk = 1
+    """),
+  )
+
+  /** Left SEMI join: customers with at least one URGENT order —
+    * existence check that never materializes order payload (the join
+    * emits left columns only, right side reduced to its key; at scale
+    * the semi join shuffles just the key column of the big side).
+    */
+  val qSemiJoin: Q = Q(
+    "q_semi_join",
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment")),
+    Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    """),
+  )
+
+  /** Left ANTI join: customers with NO urgent order — the
+    * "never-converted users" / orphan-detection shape; same
+    * key-only-shuffle property as the semi join.
+    */
+  val qAntiJoin: Q = Q(
+    "q_anti_join",
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment")),
+    Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
-    qCube, qWindowRange, qSessionize, qGroupedApply, qJsonExtract)
+    qCube, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
+    qLatestByKey, qSemiJoin, qAntiJoin)
 }

@@ -243,6 +243,35 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming vocabulary top-k: word counts over the document stream
+    * with complete-mode sort+limit — the "live vocabulary board" a
+    * tokenizer-training pipeline watches. State = one row per distinct
+    * word (bounded by vocabulary, not stream length); the final table
+    * equals the batch text_vocab oracle. Complete mode re-sorts per
+    * batch, which is exactly what a top-k board wants — the STATE
+    * stays per-word partial counts with map-side combine.
+    */
+  val streamVocab: Q = Q(
+    "stream_vocab",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      StreamOps.runToBatch(s,
+        StreamOps.docsStream(s, dir)
+          .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+          .where(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w"))
+          .limit(100))
+    },
+    Some("""
+      SELECT w, count(*) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w ORDER BY n DESC, w LIMIT 100
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
-    streamEnrich, streamIntervalJoin, streamProfile, streamProfileUpdate)
+    streamEnrich, streamIntervalJoin, streamProfile, streamProfileUpdate,
+    streamVocab)
 }

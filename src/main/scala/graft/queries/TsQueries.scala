@@ -289,6 +289,14 @@ object TsQueries {
         "AND prev >= cql AND prev <= cqh THEN abs(v - prev) END")}, 0.0), 6)",
     "fft_agg_centroid" -> s"round($fftCentroidSql, 6)",
     "fft_agg_variance" -> s"round($fftVarianceSql, 6)",
+    // tier 7
+    "abs_sum_changes" -> s"round(${OracleExact.decSumSql("abs(v - prev)")}, 6)",
+    "variation_coeff" -> s"round(stddev_pop(v) / ${microAvgSql("v")}, 6)",
+    "q10" -> "round(quantile_cont(v, 0.1), 6)",
+    "q90" -> "round(quantile_cont(v, 0.9), 6)",
+    "first_loc_min" -> "round(min(CASE WHEN v = mn THEN idx END) / count(v), 6)",
+    "last_loc_max" -> "round((max(CASE WHEN v = mx THEN idx END) + 1) / count(v), 6)",
+    "n_crossings_0" -> "sum(CASE WHEN (v > 0) != (prev > 0) THEN 1 ELSE 0 END)::BIGINT",
   )
 
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
@@ -305,7 +313,7 @@ object TsQueries {
   /** integral feature columns that skip the 6-dp rounding */
   private val intFeats =
     Set("n", "count_above_mean", "count_below_mean", "n_peaks",
-      "strike_above", "strike_below", "n_crossings_mean",
+      "strike_above", "strike_below", "n_crossings_mean", "n_crossings_0",
       "has_dup_max", "has_dup_min", "large_std", "symmetry_look")
 
   private val enrichedCte = """
@@ -578,8 +586,13 @@ object TsQueries {
     (s, dir) => {
       val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
       TsFeatures.sampleEntropy(e, "user_id", Seq("ts"), "value")
-        .select(col("user_id"), round(col("sample_entropy"), 6).as("sample_entropy"))
+        .select(col("user_id"),
+          round(col("sample_entropy"), 6).as("sample_entropy"),
+          round(col("approx_entropy"), 6).as("approx_entropy"))
     },
+    // Per-template counts (i≠j pairs) replay the Scala pair loop;
+    // ApEn adds the self-match back (+1) and averages ln(C_i/N_m)
+    // per template — Φ(2)/Φ(3) as in tsfresh approximate_entropy.
     Some("""
       WITH x AS (
         SELECT user_id, value AS v,
@@ -591,22 +604,34 @@ object TsQueries {
         FROM x a
         JOIN x b ON b.user_id = a.user_id AND b.i = a.i + 1
         LEFT JOIN x c ON c.user_id = a.user_id AND c.i = a.i + 2),
-      cnt AS (
-        SELECT t1.user_id,
+      percnt AS (
+        SELECT t1.user_id, t1.i, max(CASE WHEN t1.v2 IS NOT NULL THEN 1 ELSE 0 END) AS has3,
                sum(CASE WHEN abs(t1.v0 - t2.v0) <= p.r
-                         AND abs(t1.v1 - t2.v1) <= p.r THEN 1 ELSE 0 END) AS b,
+                         AND abs(t1.v1 - t2.v1) <= p.r THEN 1 ELSE 0 END) AS c2,
                sum(CASE WHEN t1.v2 IS NOT NULL AND t2.v2 IS NOT NULL
                          AND abs(t1.v0 - t2.v0) <= p.r
                          AND abs(t1.v1 - t2.v1) <= p.r
-                         AND abs(t1.v2 - t2.v2) <= p.r THEN 1 ELSE 0 END) AS a
+                         AND abs(t1.v2 - t2.v2) <= p.r THEN 1 ELSE 0 END) AS c3
         FROM t t1
         JOIN t t2 ON t2.user_id = t1.user_id AND t2.i <> t1.i
         JOIN p ON p.user_id = t1.user_id
-        GROUP BY t1.user_id)
+        GROUP BY t1.user_id, t1.i),
+      nn AS (
+        SELECT user_id, count(*) AS n2, sum(has3) AS n3
+        FROM percnt GROUP BY user_id),
+      agg AS (
+        SELECT percnt.user_id,
+               sum(c2) AS b, sum(c3) AS a,
+               sum(ln((c2 + 1)::DOUBLE / nn.n2)) / max(nn.n2) AS phi2,
+               sum(CASE WHEN has3 = 1
+                        THEN ln((c3 + 1)::DOUBLE / nn.n3) END) / max(nn.n3) AS phi3
+        FROM percnt JOIN nn ON nn.user_id = percnt.user_id
+        GROUP BY percnt.user_id)
       SELECT user_id,
              CASE WHEN a > 0 AND b > 0
-                  THEN round(-ln(a::DOUBLE / b), 6) END AS sample_entropy
-      FROM cnt
+                  THEN round(-ln(a::DOUBLE / b), 6) END AS sample_entropy,
+             CASE WHEN n3 > 0 THEN round(abs(phi2 - phi3), 6) END AS approx_entropy
+      FROM agg JOIN nn USING (user_id)
     """),
   )
 

@@ -110,11 +110,29 @@ class TsSpec extends SparkSpec {
     val got = TsFeatures.sampleEntropy(in, "sk", Seq("t"), "v").head()
     assert(got.getString(0) == "A")
     assert(math.abs(got.getDouble(1) - naive(xs)) < 1e-12)
+    // approximate entropy vs its own naive formulation (self-inclusive
+    // counts, per-template log mean)
+    def naiveApEn(xs: Array[Double]): Double = {
+      val n = xs.length
+      val mean = xs.sum / n
+      val r = 0.2 * math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+      def phi(m: Int): Double = {
+        val temps = (0 to n - m).map(i => xs.slice(i, i + m))
+        val cs = temps.indices.map { i =>
+          temps.indices.count(j =>
+            temps(i).zip(temps(j)).map { case (p, q) => math.abs(p - q) }.max <= r)
+        }
+        cs.map(c => math.log(c.toDouble / temps.size)).sum / temps.size
+      }
+      math.abs(phi(2) - phi(3))
+    }
+    assert(math.abs(got.getDouble(2) - naiveApEn(xs)) < 1e-12)
   }
 
   test("sample entropy of a too-short series is null, not a crash") {
     val in = Seq(("A", 1L, 1.0), ("A", 2L, 2.0)).toDF("sk", "t", "v")
     val got = TsFeatures.sampleEntropy(in, "sk", Seq("t"), "v").head()
     assert(got.isNullAt(1))
+    assert(got.isNullAt(2))
   }
 }
