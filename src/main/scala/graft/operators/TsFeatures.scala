@@ -406,7 +406,32 @@ object TsFeatures {
       try_divide(min(when(v === i("mn"), col("idx"))), count(v)).as(out("first_loc_min")),
       try_divide(max(when(v === i("mx"), col("idx"))) + 1, count(v)).as(out("last_loc_max")),
       sum(when((v > 0) =!= (i("prev") > 0), 1L).otherwise(0L)).as(out("n_crossings_0")),
+      // tier 8: AR(1) fit (tsfresh ar_coefficient k=1) — OLS of v on
+      // prev over the lag pairs, every moment an exact decimal sum so
+      // both engines hold bit-identical inputs to the closed form
+      ar1Slope(v, i("prev")).as(out("ar1_coeff")),
+      ar1Intercept(v, i("prev")).as(out("ar1_intercept")),
     )
+  }
+
+  /** OLS slope of v on its lag (AR(1) φ) from exact-decimal moment
+    * sums — the same engine-portability treatment as trendFit.
+    */
+  private def ar1Slope(v: Column, prev: Column): Column = {
+    val n = count(prev).cast("double")
+    val sx = sum(prev.cast("decimal(18,6)")).cast("double")
+    val sy = sum(when(prev.isNotNull, v).cast("decimal(18,6)")).cast("double")
+    val sxy = sum((prev * v).cast("decimal(28,6)")).cast("double")
+    val sx2 = sum((prev * prev).cast("decimal(28,6)")).cast("double")
+    try_divide(n * sxy - sx * sy, n * sx2 - sx * sx)
+  }
+
+  /** AR(1) intercept c = (Σy − φ·Σx)/n over the lag pairs. */
+  private def ar1Intercept(v: Column, prev: Column): Column = {
+    val n = count(prev).cast("double")
+    val sx = sum(prev.cast("decimal(18,6)")).cast("double")
+    val sy = sum(when(prev.isNotNull, v).cast("decimal(18,6)")).cast("double")
+    try_divide(sy - ar1Slope(v, prev) * sx, n)
   }
 
   /** Truncated-spectrum (k=0..8) centroid Σk·|F_k| / Σ|F_k|; term

@@ -271,7 +271,37 @@ object StreamingQueries {
     """),
   )
 
+  /** LEFT-OUTER stream-stream interval join: the inner pairs plus a
+    * null-padded row for every event that provably never got a
+    * same-user follow-up within 2h — "provably" = the watermark passed
+    * its join horizon (l + 2h < final watermark), which the oracle
+    * replays as an explicit NOT EXISTS + horizon predicate. Unmatched
+    * events still inside the horizon are withheld, the defining
+    * semantics of a streaming outer join.
+    */
+  val streamIntervalJoinOuter: Q = Q(
+    "stream_interval_join_outer",
+    (s, dir) => StreamOps.runToBatch(s,
+      StreamOps.intervalSelfJoin(StreamOps.eventsStream(s, dir),
+        StreamOps.eventsStream(s, dir), joinType = "left_outer"),
+      mode = "append",
+      statePartitions = Some(8)),
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+      wm AS (SELECT max(us) - 3600000000 AS wm_us FROM e)
+      SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
+      FROM e a JOIN e b ON a.user_id = b.user_id
+       AND b.us > a.us AND b.us <= a.us + 7200000000
+      UNION ALL
+      SELECT a.user_id, a.event_id AS eid_a, NULL::BIGINT AS eid_b
+      FROM e a CROSS JOIN wm
+      WHERE a.us + 7200000000 < wm.wm_us
+        AND NOT EXISTS (SELECT 1 FROM e b WHERE b.user_id = a.user_id
+                        AND b.us > a.us AND b.us <= a.us + 7200000000)
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamProfile, streamProfileUpdate,
-    streamVocab)
+    streamVocab, streamIntervalJoinOuter)
 }

@@ -168,6 +168,15 @@ object TsQueries {
   private val fftCentroidSql = s"(($fftM1Sql) / ($fftMassSql))"
   private val fftVarianceSql =
     s"(($fftM2Sql) / ($fftMassSql) - $fftCentroidSql * $fftCentroidSql)"
+  // AR(1) OLS moments (mirror TsFeatures.ar1Slope/ar1Intercept)
+  private val ar1SxSql = "sum(prev::DECIMAL(18,6))::DOUBLE"
+  private val ar1SySql =
+    "sum((CASE WHEN prev IS NOT NULL THEN v END)::DECIMAL(18,6))::DOUBLE"
+  private val ar1SlopeSql =
+    "(count(prev)::DOUBLE * sum((prev * v)::DECIMAL(28,6))::DOUBLE" +
+      s" - $ar1SxSql * $ar1SySql) / " +
+      "(count(prev)::DOUBLE * sum((prev * prev)::DECIMAL(28,6))::DOUBLE" +
+      s" - $ar1SxSql * $ar1SxSql)"
   private def imqSql(q: Double): String =
     s"round(min(CASE WHEN cabs >= $q * sabs THEN (idx + 1) / cnt END), 6)"
 
@@ -297,6 +306,10 @@ object TsQueries {
     "first_loc_min" -> "round(min(CASE WHEN v = mn THEN idx END) / count(v), 6)",
     "last_loc_max" -> "round((max(CASE WHEN v = mx THEN idx END) + 1) / count(v), 6)",
     "n_crossings_0" -> "sum(CASE WHEN (v > 0) != (prev > 0) THEN 1 ELSE 0 END)::BIGINT",
+    // tier 8: AR(1) OLS from exact-decimal moment sums
+    "ar1_coeff" -> s"round($ar1SlopeSql, 6)",
+    "ar1_intercept" ->
+      s"round(($ar1SySql - ($ar1SlopeSql) * $ar1SxSql) / count(prev)::DOUBLE, 6)",
   )
 
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
@@ -635,6 +648,56 @@ object TsQueries {
     """),
   )
 
+  /** Distinct/reoccurring-value features (tsfresh
+    * ratio_value_number_to_time_series_length, sum_of_reoccurring_
+    * values/data_points, percentage_of_reoccurring_*): these need a
+    * per-(series, value) pre-aggregation — a SECOND shuffle — so they
+    * ship as their own query instead of breaking the one-Exchange
+    * guarantee of `ts_features_extract`. Both shuffles partial-
+    * aggregate map-side; value equality on identical doubles is
+    * engine-portable, and the reoccurring sums ride exact decimals.
+    */
+  val tsCounts: Q = Q(
+    "ts_features_counts",
+    (s, dir) => {
+      val vc = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("value").as("v"))
+        .agg(count(lit(1)).as("c"))
+      vc.groupBy(col("user_id")).agg(
+        (count(lit(1)) / sum(col("c"))).as("ratio_value_number"),
+        sum(when(col("c") > 1, col("v")).cast("decimal(18,6)")).cast("double")
+          .as("sum_reocc_values"),
+        sum(when(col("c") > 1, col("v") * col("c")).cast("decimal(28,6)"))
+          .cast("double").as("sum_reocc_points"),
+        (sum(when(col("c") > 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("pct_reocc_values"),
+        (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum(col("c")))
+          .as("pct_reocc_points"))
+        .select(col("user_id"),
+          round(col("ratio_value_number"), 6).as("ratio_value_number"),
+          round(col("sum_reocc_values"), 6).as("sum_reocc_values"),
+          round(col("sum_reocc_points"), 6).as("sum_reocc_points"),
+          round(col("pct_reocc_values"), 6).as("pct_reocc_values"),
+          round(col("pct_reocc_points"), 6).as("pct_reocc_points"))
+    },
+    Some("""
+      WITH vc AS (
+        SELECT user_id, value AS v, count(*) AS c
+        FROM events GROUP BY 1, 2)
+      SELECT user_id,
+             round(count(*) / sum(c), 6) AS ratio_value_number,
+             round(sum((CASE WHEN c > 1 THEN v END)::DECIMAL(18,6))::DOUBLE, 6)
+               AS sum_reocc_values,
+             round(sum((CASE WHEN c > 1 THEN v * c END)::DECIMAL(28,6))::DOUBLE, 6)
+               AS sum_reocc_points,
+             round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+               AS pct_reocc_values,
+             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+               AS pct_reocc_points
+      FROM vc GROUP BY user_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
-    tsRelevant, tsResample, tsResampleSliding, tsSampleEntropy)
+    tsRelevant, tsResample, tsResampleSliding, tsSampleEntropy, tsCounts)
 }

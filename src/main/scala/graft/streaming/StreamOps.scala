@@ -130,9 +130,16 @@ object StreamOps {
     * stream. Inner-join matches emit as found; the final table equals
     * the batch interval self-join.
     */
+  /** `joinType = "left_outer"` additionally emits null-padded left
+    * rows once the watermark proves no future match is possible
+    * (watermark > left time + gap) — the "events that never got a
+    * follow-up" shape; unmatched rows inside the final watermark
+    * horizon are withheld, exactly like any streaming outer join.
+    */
   def intervalSelfJoin(left: DataFrame, right: DataFrame,
                        gap: String = "2 hours",
-                       watermarkDelay: String = "1 hour"): DataFrame = {
+                       watermarkDelay: String = "1 hour",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.select(col("user_id").as("l_uid"),
       timestamp_micros(expr("cast(ts as long) div 1000")).as("l_tse"),
       col("event_id").as("eid_a"))
@@ -144,7 +151,8 @@ object StreamOps {
     l.join(r,
       col("l_uid") === col("r_uid") &&
         col("r_tse") > col("l_tse") &&
-        col("r_tse") <= col("l_tse") + expr(s"interval $gap"))
+        col("r_tse") <= col("l_tse") + expr(s"interval $gap"),
+      joinType)
       .select(col("l_uid").as("user_id"), col("eid_a"), col("eid_b"))
   }
 

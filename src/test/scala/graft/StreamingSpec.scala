@@ -170,6 +170,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join = inner pairs + null padding for proven non-matches") {
+    val outer = StreamOps.runToBatch(spark,
+      StreamOps.intervalSelfJoin(StreamOps.eventsStream(spark, sf),
+        StreamOps.eventsStream(spark, sf), joinType = "left_outer"),
+      mode = "append").collect()
+    val inner = StreamOps.intervalSelfJoin(Tables.events(spark, sf),
+      Tables.events(spark, sf)).collect().map(_.toSeq).toSet
+    val (padded, matched) = outer.partition(_.isNullAt(2))
+    assert(matched.map(_.toSeq).toSet == inner)
+    assert(padded.nonEmpty) // horizon-cleared unmatched rows do emit
+    // a padded row's event must genuinely have no in-horizon pair
+    val matchedAs = inner.map(r => (r(0), r(1)))
+    padded.foreach(r => assert(!matchedAs.contains((r.get(0), r.get(1)))))
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
