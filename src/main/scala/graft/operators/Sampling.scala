@@ -53,4 +53,28 @@ object Sampling {
       .where(col("__rk") <= m)
       .drop("__rk")
   }
+
+  /** Hash-THRESHOLD class balancing — the extreme-cardinality variant
+    * [[balanceClasses]] documents: keep a row iff its 16-bit hash
+    * bucket < ⌊65536·m/n_class⌋. No per-class rank/window at all —
+    * one bounded class-count aggregation, a BROADCAST of #classes
+    * thresholds, and a narrow filter, so a class with 10¹⁰ rows never
+    * pays a per-class sort. Kept size is ≈ m per class (binomial
+    * around the target) rather than exactly m; membership stays
+    * deterministic and an external engine replays it exactly.
+    */
+  def balanceClassesThreshold(df: DataFrame, classCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    require(counts.nonEmpty, "no classes to balance")
+    val m = counts.map(_._2).min
+    val thresholds = counts.map { case (cls, n) =>
+      (cls.asInstanceOf[String], 65536L * m / n)
+    }.toSeq.toDF(classCol + "__t", "__thr")
+    df.join(broadcast(thresholds), col(classCol) === col(classCol + "__t"))
+      .where(hashBucket(col(idCol)) < col("__thr"))
+      .drop(classCol + "__t", "__thr")
+  }
 }

@@ -69,5 +69,19 @@ object SourceQueries {
     Some("SELECT doc_id, lang, n_chars FROM documents"),
   )
 
-  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, sinkPartitioned)
+  // line-oriented text sink -> text source (raw-corpus ingest shape);
+  // row order is sink-arbitrary, the driver compare sorts rows
+  val textRoundtrip: Q = Q(
+    "source_text_roundtrip",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("text"))
+      val path = tmp("docs_text")
+      IO.writeText(d, path)
+      IO.readText(s, path).select(col("value").as("text"))
+    },
+    Some("SELECT text FROM documents"),
+  )
+
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, sinkPartitioned,
+    textRoundtrip)
 }

@@ -386,6 +386,28 @@ object TextQueries {
     """),
   )
 
+  /** Hash-threshold class balancing ([[graft.operators.Sampling
+    * .balanceClassesThreshold]]) — the no-sort scale path: keep iff
+    * h16 < ⌊65536·m/n_class⌋; approximate per-class size, exact
+    * deterministic membership the oracle replays.
+    */
+  val textBalanceThreshold: Q = Q(
+    "text_balance_threshold",
+    (s, dir) => graft.operators.Sampling.balanceClassesThreshold(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      "lang", "doc_id"),
+    Some(s"""
+      WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      m AS (SELECT min(n) AS m FROM n),
+      h AS (
+        SELECT doc_id, lang, ${OracleExact.h16Sql("hx")} AS h16
+        FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS hx FROM documents))
+      SELECT h.doc_id, h.lang
+      FROM h JOIN n USING (lang) CROSS JOIN m
+      WHERE h16 < (65536 * m.m) // n.n
+    """),
+  )
+
   /** First-fit-decreasing packing over the same shard/token layout as
     * `text_pack` ([[graft.operators.Packing.packFFD]]). Bench + spec
     * coverage: the assignment depends on per-shard bin state, so it is
@@ -401,5 +423,6 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
-    textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold)
+    textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
+    textBalanceThreshold)
 }

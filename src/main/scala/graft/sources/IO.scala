@@ -40,4 +40,14 @@ object IO {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Line-oriented text source/sink (one string column). The raw-corpus
+    * ingest format: split-planned like any file source, no parsing at
+    * all. Rows must be newline-free — the sink writes one line per row.
+    */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
 }

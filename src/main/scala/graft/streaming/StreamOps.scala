@@ -303,6 +303,32 @@ object StreamOps {
     s.table(name)
   }
 
+  /** The idempotent foreachBatch writer: each micro-batch OVERWRITES
+    * its own batchId-named partition directory. On failure/restart
+    * Structured Streaming re-delivers the last uncommitted batch with
+    * the SAME batchId — the replay overwrites its previous (possibly
+    * partial) output instead of appending duplicates. This is the
+    * exactly-once file-sink recipe for non-transactional stores;
+    * exposed as a plain function so the replay property is directly
+    * spec-testable.
+    */
+  def idempotentBatchWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Drain a stream through the idempotent foreachBatch parquet sink
+    * (checkpointed — the batchId sequence survives restarts).
+    */
+  def runIdempotentSink(streamDf: DataFrame, outDir: String,
+                        checkpoint: String): Unit = {
+    val q = streamDf.writeStream
+      .foreachBatch(idempotentBatchWriter(outDir))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   final case class SessionEvent(user_id: Long, ts_ns: Long, value: Double)
   final case class SessionState(start_ns: Long, end_ns: Long, n: Long, sum_v: Double)
   final case class Session(user_id: Long, start_ns: Long, end_ns: Long,

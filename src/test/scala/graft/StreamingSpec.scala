@@ -185,6 +185,30 @@ class StreamingSpec extends SparkSpec {
     padded.foreach(r => assert(!matchedAs.contains((r.get(0), r.get(1)))))
   }
 
+  test("foreachBatch idempotent sink: replayed batch overwrites, never duplicates") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val stream = StreamOps.eventsStream(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    StreamOps.runIdempotentSink(stream, out, ckpt)
+    val once = spark.read.parquet(out)
+    val expected = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .collect().map(_.toSeq).toSet
+    assert(once.drop("batch_id").collect().map(_.toSeq).toSet == expected)
+    // simulate the failure-replay: re-deliver batch 0 to the SAME writer
+    // partition-column inference reads batch_id back as INT
+    val batchIds = once.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val replayed = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    StreamOps.idempotentBatchWriter(out)(replayed, batchIds.head)
+    val after = spark.read.parquet(out)
+    assert(after.count() == expected.size) // no duplicates
+    assert(after.drop("batch_id").collect().map(_.toSeq).toSet == expected)
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
