@@ -71,6 +71,45 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** NEAREST as-of: for every click, the error of the same user
+    * closest in time, either direction; exact distance ties resolve
+    * backward. DuckDB has no nearest ASOF, so the oracle ranks the
+    * per-user candidates by (|Δts|, direction) explicitly.
+    */
+  val qAsofNearest: Q = Q(
+    "q_asof_nearest",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.asofNearest(clicks, errors, "user_id", "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("ts", "value"), prefix = "err_")
+        .select(
+          col("event_id"), col("user_id"),
+          expr("err_ts div 1000").as("err_ts_us"),
+          round(col("err_value"), 6).as("err_value"))
+    },
+    Some("""
+      WITH l AS (SELECT user_id, epoch_ns(ts) AS lts, event_id
+                 FROM events WHERE event_type = 'click'),
+      r AS (SELECT user_id, epoch_ns(ts) AS rts, value
+            FROM events WHERE event_type = 'error'),
+      cand AS (
+        SELECT l.event_id, l.user_id, l.lts, r.rts, r.value,
+               row_number() OVER (PARTITION BY l.event_id
+                 ORDER BY abs(r.rts - l.lts),
+                          CASE WHEN r.rts <= l.lts THEN 0 ELSE 1 END) AS rk
+        FROM l JOIN r ON l.user_id = r.user_id)
+      SELECT l.event_id, l.user_id,
+             c.rts // 1000 AS err_ts_us,
+             round(c.value, 6) AS err_value
+      FROM l LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+        ON l.event_id = c.event_id
+    """),
+  )
+
   /** Q1-style aggregation over the 6-key l_returnflag/l_linestatus
     * space, two-stage salted — identical result to the plain groupBy,
     * but the first shuffle fans each hot key over 64 salt buckets.
@@ -231,6 +270,6 @@ object ScaleOpsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAsof, qAsofForward, qAggSalted, qRangeJoin,
+  val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAggSalted, qRangeJoin,
     qBucketedJoin, qJoinSalted, qDppJoin)
 }

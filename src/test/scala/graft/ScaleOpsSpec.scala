@@ -45,6 +45,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fwd.head.getDouble(3) == 2.0)
   }
 
+  test("nearest asof picks the closer side, breaks exact ties backward, one Exchange") {
+    val left = Seq(("u1", 10L, "a"), ("u1", 100L, "b"), ("u1", 26L, "c"), ("u2", 5L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(("u1", 8L, 1.0), ("u1", 40L, 2.0), ("u3", 1L, 9.0))
+      .toDF("k", "ts", "v")
+    val df = AsofJoin.asofNearest(left, right, "k", "ts", Seq("tag"), Seq("v"))
+    val out = df.orderBy("k", "ts").collect()
+    // u1@10 -> 8 (d=2) over 40 (d=30); u1@26 -> d=18 back vs d=14 fwd -> 40;
+    // u1@100 -> 40 (only backward); u2@5 -> none
+    assert(out(0).getString(2) == "a" && out(0).getDouble(3) == 1.0)
+    assert(out(1).getString(2) == "c" && out(1).getDouble(3) == 2.0)
+    assert(out(2).getString(2) == "b" && out(2).getDouble(3) == 2.0)
+    assert(out(3).getString(2) == "d" && out(3).isNullAt(3))
+    // exact tie (d=5 both sides) resolves BACKWARD
+    val tieL = Seq(("u1", 10L, "x")).toDF("k", "ts", "tag")
+    val tieR = Seq(("u1", 5L, 1.0), ("u1", 15L, 2.0)).toDF("k", "ts", "v")
+    val tie = AsofJoin.asofNearest(tieL, tieR, "k", "ts", Seq("tag"), Seq("v")).collect()
+    assert(tie.head.getDouble(3) == 1.0)
+    // both window passes ride ONE hash exchange (second sort is in-partition)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("salted agg equals plain groupBy exactly") {
     val df = Tables.lineitem(spark, sf)
       .select($"l_returnflag", $"l_quantity",
