@@ -27,6 +27,25 @@ final case class StandardScaler(mean: Double, std: Double) extends Scaler {
   def inverse(c: Column): Column   = c * lit(std) + lit(mean)
 }
 
+/** Median/IQR scaling (sklearn RobustScaler analog): outlier-robust
+  * centering — the fit stats are exact percentiles at small scale and
+  * the `percentile_approx` t-digest on the 100 TB path, like every
+  * quantile fit in this module.
+  */
+final case class RobustScaler(median: Double, q25: Double, q75: Double) extends Scaler {
+  private val iqr = q75 - q25
+  def transform(c: Column): Column = (c - lit(median)) / lit(iqr)
+  def inverse(c: Column): Column   = c * lit(iqr) + lit(median)
+}
+
+/** Max-absolute scaling to [-1,1] (sklearn MaxAbsScaler analog):
+  * preserves zero and sign — the sparse-data-friendly scaler.
+  */
+final case class MaxAbsScaler(maxAbs: Double) extends Scaler {
+  def transform(c: Column): Column = c / lit(maxAbs)
+  def inverse(c: Column): Column   = c * lit(maxAbs)
+}
+
 /** Equal-frequency binning into `boundaries.size + 1` bins (polars
   * `qcut` / sklearn KBinsDiscretizer(strategy="quantile") analog,
   * numerical_transformer.py:168-174). Boundaries are the fitted

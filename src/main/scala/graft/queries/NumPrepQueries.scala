@@ -210,6 +210,51 @@ object NumPrepQueries {
     """),
   )
 
+  /** Median/IQR scaling (sklearn RobustScaler): quantile fit stats,
+    * pure-expression transform + exact inverse round-trip.
+    */
+  val scaleRobust: Q = Q(
+    "scale_robust",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      val st = NumericalTransformer.fit(df, Seq("v"),
+        quantileProbs = Seq(0.25, 0.5, 0.75))("v")
+      val sc = RobustScaler(st.quantiles(1), st.quantiles(0), st.quantiles(2))
+      df.select(col("c_custkey"),
+        round(sc.transform(col("v")), 6).as("scaled"),
+        round(sc.inverse(sc.transform(col("v"))), 4).as("roundtrip"))
+    },
+    Some("""
+      SELECT c_custkey,
+             round((c_acctbal - quantile_cont(c_acctbal, 0.5) OVER ()) /
+                   (quantile_cont(c_acctbal, 0.75) OVER ()
+                    - quantile_cont(c_acctbal, 0.25) OVER ()), 6) AS scaled,
+             round(c_acctbal, 4) AS roundtrip
+      FROM customer
+    """),
+  )
+
+  /** Max-absolute scaling to [-1,1] (sklearn MaxAbsScaler): preserves
+    * zero and sign.
+    */
+  val scaleMaxAbs: Q = Q(
+    "scale_maxabs",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      val m = df.agg(max(abs(col("v")))).head().getDouble(0)
+      val sc = MaxAbsScaler(m)
+      df.select(col("c_custkey"),
+        round(sc.transform(col("v")), 6).as("scaled"),
+        round(sc.inverse(sc.transform(col("v"))), 4).as("roundtrip"))
+    },
+    Some("""
+      SELECT c_custkey,
+             round(c_acctbal / max(abs(c_acctbal)) OVER (), 6) AS scaled,
+             round(c_acctbal, 4) AS roundtrip
+      FROM customer
+    """),
+  )
+
   // ----------------------------------------------------------- §2.1/12-13
   /** Exact rank-based quantile->uniform (the fit==transform special
     * case of QuantileTransformer), via the distributed
@@ -285,5 +330,6 @@ object NumPrepQueries {
 
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
-    scaleQuantileUniform, scaleQuantileNormal, scaleKBins)
+    scaleRobust, scaleMaxAbs, scaleQuantileUniform, scaleQuantileNormal,
+    scaleKBins)
 }
