@@ -372,6 +372,35 @@ object RelationalQueries {
     """),
   )
 
+  /** Explicit GROUPING SETS through the SQL entry point (the
+    * rollup/cube generalization): per-flag totals, per-status totals,
+    * and the grand total in one pass — map-side grouping-set
+    * expansion, one shuffle, with grouping() flags disambiguating
+    * real NULLs from subtotal rows.
+    */
+  val qGroupingSets: Q = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 4) AS sum_qty,
+               grouping(l_returnflag) AS g_rf,
+               grouping(l_linestatus) AS g_ls
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      """)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 4) AS sum_qty,
+             grouping(l_returnflag) AS g_rf,
+             grouping(l_linestatus) AS g_ls
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """),
+  )
+
   /** CDC-style snapshot compaction: the LATEST event per user via
     * `max_by` over the (ts, event_id) order struct — ONE aggregation
     * with map-side partial combine, which at 100 TB beats the
@@ -447,6 +476,6 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
-    qCube, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
+    qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin)
 }
