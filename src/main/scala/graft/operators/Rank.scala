@@ -33,7 +33,7 @@ object Rank {
     val sorted = df.repartitionByRange(par, col(valueCol))
       .sortWithinPartitions(valueCol)
     val outSchema = sorted.schema.add("__seq", LongType, nullable = false)
-    val zipped = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val zipped = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
     }
     val seqDf = spark.createDataFrame(zipped, outSchema)

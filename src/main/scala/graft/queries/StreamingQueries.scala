@@ -203,11 +203,11 @@ object StreamingQueries {
         // 1 store/partition; size state partitioning to the drained
         // state (~10^3 keys), not core count
         statePartitions = Some(8))
-      val fields = snap.columns.filterNot(_ == "user_id").map(col)
+      val fields = snap.columns.filterNot(_ == "user_id").toIndexedSeq.map(col)
       snap.groupBy(col("user_id"))
         .agg(max_by(struct(fields: _*), col("n")).as("s"))
         .select(col("user_id") +: snap.columns.filterNot(_ == "user_id")
-          .map(c => col(s"s.$c").as(c)): _*)
+          .toIndexedSeq.map(c => col(s"s.$c").as(c)): _*)
     },
     Some(s"""
       SELECT user_id, count(value) AS n,
