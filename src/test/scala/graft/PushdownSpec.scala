@@ -61,4 +61,26 @@ class PushdownSpec extends SparkSpec {
     assert(s.contains("PartitionFilters: [") &&
       !s.contains("PartitionFilters: []"), s)
   }
+
+  test("q_latest_by_key compacts via partial max_by aggregation, not a window sort") {
+    val plan = SparkEntry.queries("q_latest_by_key")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the whole point vs the naive row_number formulation: map-side
+    // partial aggregation, no per-key Window
+    assert(plan.contains("partial_max_by") || plan.contains("max_by"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q_semi_join reads only the key and filter columns of orders") {
+    val s = scanLines("q_semi_join").filter(_.contains("orders")).mkString("\n")
+    assert(s.contains("o_custkey") && s.contains("o_orderpriority"), s)
+    assert(!s.contains("o_totalprice") && !s.contains("o_orderdate"), s)
+  }
+
+  test("q_grouping_sets expands grouping sets map-side (Expand, one shuffle)") {
+    val plan = SparkEntry.queries("q_grouping_sets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }
