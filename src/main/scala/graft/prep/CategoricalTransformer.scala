@@ -188,6 +188,30 @@ object CategoricalTransformer {
     }
   }
 
+  /** Frequency encoding: category → its relative frequency in the fit
+    * data (count/total). Unseen categories at transform time encode 0.
+    * Same bounded-collect/literal-map shape as the other encoders —
+    * no join at transform.
+    */
+  final case class FrequencyModel(freqs: Map[String, Double]) {
+    def encode(c: Column): Column = {
+      val m = map(freqs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      coalesce(element_at(m, c.cast("string")), lit(0.0))
+    }
+  }
+
+  def fitFrequencyEncoder(df: DataFrame, catCol: String,
+                          maxCategories: Int = 1024): FrequencyModel = {
+    val rows = df.groupBy(col(catCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .limit(maxCategories + 1).collect()
+    require(rows.length <= maxCategories,
+      s"column $catCol exceeds maxCategories=$maxCategories")
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    FrequencyModel(rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1) / total).toMap)
+  }
+
   def fitTargetMeanEncoder(
       df: DataFrame, catCol: String, targetCol: String,
       smoothing: Double = 10.0, maxCategories: Int = 1024): TargetMeanModel = {

@@ -266,6 +266,27 @@ object CatPrepQueries {
     """),
   )
 
+  // -------------------------------------------------------------- §2.1/17c
+  /** Frequency encoding of event_type: category → fit-data relative
+    * frequency, unseen → 0; bounded fit collect, literal-map
+    * transform (no join).
+    */
+  val freqEncode: Q = Q(
+    "freq_encode",
+    (s, dir) => {
+      val df = Tables.events(s, dir)
+      val model = CategoricalTransformer.fitFrequencyEncoder(df, "event_type")
+      df.select(col("event_id"),
+        round(model.encode(col("event_type")), 6).as("enc"))
+    },
+    Some("""
+      WITH f AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      t AS (SELECT count(*) AS t FROM events)
+      SELECT event_id, round(f.n / t.t, 6) AS enc
+      FROM events JOIN f USING (event_type), t
+    """),
+  )
+
   // -------------------------------------------------------------- §2.1/20b
   /** Datetime null interpolation inside the Preprocessor transform
     * (reference: datetime_transformer.py:99-101 — sort by the first
@@ -328,5 +349,6 @@ object CatPrepQueries {
 
   val all: Seq[Q] = Seq(inferTypes, selectFeatures, shrinkLabels, oneHot,
     oneHotRoundtrip, labelEncode, targetMeanEncode, targetRegression,
-    datetimeEpoch, datetimeInfer, datetimeInterpolate, boolToInt)
+    datetimeEpoch, datetimeInfer, datetimeInterpolate, boolToInt,
+    freqEncode)
 }
