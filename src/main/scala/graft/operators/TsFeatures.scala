@@ -195,9 +195,16 @@ object TsFeatures {
         count(v).over(wAll).as(s"${vc}__cnt"),
         sum(abs(v)).over(wAll).as(s"${vc}__sabs"),
         // per-series corridor bounds for change_quantiles(0.2, 0.8) —
-        // same unordered partition, so still no extra Exchange
-        percentile(v, lit(0.2)).over(wAll).as(s"${vc}__cql"),
-        percentile(v, lit(0.8)).over(wAll).as(s"${vc}__cqh"),
+        // same unordered partition, so still no extra Exchange.
+        // ROUNDED to 6 dp: engines interpolate quantiles with
+        // different formulas (lo + (hi-lo)·f vs lo·(1-f) + hi·f) whose
+        // results differ in the low bits exactly when lo == hi — i.e.
+        // when a DATA value sits on the quantile — which is where the
+        // corridor membership test v <= bound flips (caught at sf0.1);
+        // rounding both engines' bounds lands them on the identical
+        // double before any comparison
+        round(percentile(v, lit(0.2)).over(wAll), 6).as(s"${vc}__cql"),
+        round(percentile(v, lit(0.8)).over(wAll), 6).as(s"${vc}__cqh"),
         // first significant digit (null for 0/null values) — feeds
         // benford_corr; a plain narrow expression, no window
         when(abs(v) > 0,

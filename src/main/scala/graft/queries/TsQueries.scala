@@ -341,8 +341,8 @@ object TsQueries {
                min(value) OVER pa AS mn,
                count(value) OVER pa AS cnt,
                sum(abs(value)) OVER pa AS sabs,
-               quantile_cont(value, 0.2) OVER pa AS cql,
-               quantile_cont(value, 0.8) OVER pa AS cqh,
+               round(quantile_cont(value, 0.2) OVER pa, 6) AS cql,
+               round(quantile_cont(value, 0.8) OVER pa, 6) AS cqh,
                row_number() OVER w AS rn,
                (row_number() OVER w - 1)::DOUBLE AS idx,
                CASE WHEN abs(value) > 0 THEN
@@ -410,8 +410,8 @@ object TsQueries {
                min($vc) OVER pa AS mn,
                count($vc) OVER pa AS cnt,
                sum(abs($vc)) OVER pa AS sabs,
-               quantile_cont($vc, 0.2) OVER pa AS cql,
-               quantile_cont($vc, 0.8) OVER pa AS cqh,
+               round(quantile_cont($vc, 0.2) OVER pa, 6) AS cql,
+               round(quantile_cont($vc, 0.8) OVER pa, 6) AS cqh,
                row_number() OVER w AS rn,
                (row_number() OVER w - 1)::DOUBLE AS idx,
                CASE WHEN abs($vc) > 0 THEN
