@@ -301,7 +301,41 @@ object StreamingQueries {
     """),
   )
 
+  /** Streaming CDC compaction (update-mode twin of `q_latest_by_key`):
+    * per-key latest row via `mapGroupsWithState`, snapshots re-emitted
+    * only for keys a batch touches. The memory sink accumulates one
+    * snapshot per (key, batch); the final state is the max-(ts_ns,
+    * event_id) snapshot per key — same oracle as the batch compaction.
+    */
+  val streamLatestByKey: Q = Q(
+    "stream_latest_by_key",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val snap = StreamOps.runToBatch(s,
+        StreamOps.latestByKey(StreamOps.eventsStream(s, dir)
+          .withColumn("ts", expr("ts div 1000 * 1000"))).toDF(),
+        mode = "update", statePartitions = Some(8))
+      val fields = snap.columns.filterNot(_ == "user_id").toIndexedSeq.map(col)
+      snap.groupBy(col("user_id"))
+        .agg(max_by(struct(fields: _*),
+          struct(col("ts_ns"), col("event_id"))).as("s"))
+        .select(col("user_id"), col("s.ts_ns").as("ts_ns"),
+          col("s.event_id").as("event_id"),
+          col("s.event_type").as("event_type"),
+          round(col("s.value"), 6).as("value"))
+    },
+    Some("""
+      SELECT user_id, ts_ns, event_id, event_type, round(value, 6) AS value
+      FROM (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk
+        FROM events)
+      WHERE rk = 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamProfile, streamProfileUpdate,
-    streamVocab, streamIntervalJoinOuter)
+    streamVocab, streamIntervalJoinOuter, streamLatestByKey)
 }

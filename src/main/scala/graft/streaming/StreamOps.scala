@@ -303,6 +303,36 @@ object StreamOps {
     s.table(name)
   }
 
+  final case class KeyedEvent(user_id: Long, ts_ns: Long, event_id: Long,
+                              event_type: String, value: Double)
+
+  /** Streaming CDC compaction — the update-mode twin of the batch
+    * `q_latest_by_key`: per-key `mapGroupsWithState` keeps the single
+    * latest row by (ts, event_id) and re-emits a key's snapshot only
+    * when a batch delivers a newer row. State = one row per key;
+    * sink traffic per batch = O(touched keys). The "maintain a
+    * queryable latest-state table from a change stream" shape.
+    */
+  def latestByKey(events: DataFrame): Dataset[KeyedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type").cast("string").as("event_type"),
+      col("value").cast("double").as("value"))
+      .as[KeyedEvent]
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[KeyedEvent, KeyedEvent](GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val candidate = (state.getOption.iterator ++ it)
+            .maxBy(e => (e.ts_ns, e.event_id))
+          state.update(candidate)
+          candidate
+      }
+  }
+
   /** The idempotent foreachBatch writer: each micro-batch OVERWRITES
     * its own batchId-named partition directory. On failure/restart
     * Structured Streaming re-delivers the last uncommitted batch with

@@ -185,6 +185,31 @@ class StreamingSpec extends SparkSpec {
     padded.foreach(r => assert(!matchedAs.contains((r.get(0), r.get(1)))))
   }
 
+  test("streaming latest-by-key keeps only the newest row and emits touched keys") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = StreamOps.latestByKey(df).toDF()
+      .writeStream.format("memory").queryName("latest_key_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 100L, 1L, "a", 1.0), (1L, 200L, 2L, "b", 2.0),
+        (2L, 50L, 3L, "c", 3.0))
+      q.processAllAvailable()
+      val t1 = spark.table("latest_key_test").collect()
+      assert(t1.length == 2) // one snapshot per key
+      assert(t1.find(_.getLong(0) == 1L).get.getLong(2) == 2L) // newest row wins
+      // an OLDER row for key 1 must not regress the state; key 2 untouched
+      mem.addData((1L, 150L, 4L, "d", 4.0))
+      q.processAllAvailable()
+      val t2 = spark.table("latest_key_test").collect()
+      assert(t2.length == 3) // only key 1 re-emitted
+      val latest1 = t2.filter(_.getLong(0) == 1L).maxBy(r => (r.getLong(1), r.getLong(2)))
+      assert(latest1.getLong(2) == 2L) // still event 2, not the late event 4
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: replayed batch overwrites, never duplicates") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
