@@ -39,5 +39,13 @@ object SparkEntry {
     "scale_kbins_approx" -> (NumPrepQueries.kbinsApprox(_, _)),
     "text_pack_ffd" -> (TextQueries.packFFD(_, _)),
     "stream_sessionize_rocksdb" -> (StreamingQueries.sessionizeRocksDB(_, _)),
+    // LZ76 phrase counting is sequential per series — no SQL-window
+    // oracle exists; spec covers semantics (TsSpec hand-checked)
+    "ts_lempel_ziv" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.TsFeatures.lempelZiv(
+        graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", Seq("ts"), "value")
+    }),
   )
 }

@@ -653,6 +653,48 @@ object TsFeatures {
     }
   }
 
+  /** tsfresh lempel_ziv_complexity (bins=10): quantize the series to
+    * `bins` equal-width symbols (searchsorted-left against the bin
+    * upper edges, matching tsfresh), count LZ76 phrases over the
+    * symbol sequence, divide by length. The phrase scan is inherently
+    * SEQUENTIAL per series, so it runs as a [[GroupedApply]] (one
+    * shuffle on the key, per-group sorted iterator) and — unlike the
+    * other calculators — has no SQL-window oracle: coverage is
+    * bench + spec (hand-checked phrases + a naive reimplementation).
+    */
+  def lempelZiv(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                valueCol: String, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("lz_complexity", DoubleType)))
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val xs = it.map(_.getDouble(vIdx)).toArray
+      val n = xs.length
+      val mn = xs.min
+      val mx = xs.max
+      // tsfresh: bins upper edges linspace(min,max,bins+1)[1:];
+      // symbol = searchsorted(edges, x, side="left")
+      val edges = (1 to bins).map(j => mn + (mx - mn) * j / bins)
+      val seq = xs.map { x =>
+        val i = edges.indexWhere(_ >= x)
+        if (i < 0) bins - 1 else i
+      }
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Int]]
+      var ind = 0
+      var inc = 1
+      while (ind + inc <= n) {
+        val sub = seq.slice(ind, ind + inc).toSeq
+        if (seen.contains(sub)) inc += 1
+        else { seen += sub; ind += inc; inc = 1 }
+      }
+      Iterator.single(org.apache.spark.sql.Row(
+        key.get(0), seen.size.toDouble / n))
+    }
+  }
+
   def resample(df: DataFrame, seriesKey: String, tsNanosCol: String,
                valueCol: String, widthNanos: Long): DataFrame = {
     val bucket = floor(col(tsNanosCol) / lit(widthNanos)).as("bucket")

@@ -129,6 +129,40 @@ class TsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - naiveApEn(xs)) < 1e-12)
   }
 
+  test("lempel-ziv complexity matches hand-counted LZ76 phrases") {
+    // constant series: symbols all 0 -> phrases {0, 00, 000...}? LZ76 on
+    // 0,0,0,0: sub (0) new; (0) seen -> (0,0) new; (0) seen -> stops at
+    // n: phrases {0, 00} -> 2/4 = 0.5 — verify against an independent
+    // naive scan instead of hand-waving
+    def naive(seq: Array[Int]): Double = {
+      val phrases = scala.collection.mutable.ListBuffer.empty[List[Int]]
+      var i = 0
+      var l = 1
+      while (i + l <= seq.length) {
+        val cand = seq.slice(i, i + l).toList
+        if (phrases.contains(cand)) l += 1
+        else { phrases += cand; i += l; l = 1 }
+      }
+      phrases.size.toDouble / seq.length
+    }
+    import spark.implicits._
+    // two-symbol alternation plus a tail — nontrivial phrase structure
+    val xs = Array(0.0, 9.0, 0.0, 9.0, 9.0, 0.0, 0.0, 9.0, 0.0, 9.0)
+    val in = xs.zipWithIndex.map { case (v, i) => ("A", i.toLong, v) }.toSeq
+      .toDF("sk", "t", "v")
+    val got = TsFeatures.lempelZiv(in, "sk", Seq("t"), "v", bins = 10).head()
+    // symbols: 0.0 -> 0, 9.0 -> 10th edge... quantized identically for
+    // min/max endpoints, so the SYMBOL sequence is the 0/9 pattern
+    val edges = (1 to 10).map(j => 0.0 + (9.0 - 0.0) * j / 10)
+    val seq = xs.map(x => math.max(edges.indexWhere(_ >= x), 0))
+    assert(math.abs(got.getDouble(1) - naive(seq)) < 1e-12)
+    // constant series quantizes to one symbol, complexity is defined
+    val const = Seq(("B", 1L, 5.0), ("B", 2L, 5.0), ("B", 3L, 5.0), ("B", 4L, 5.0))
+      .toDF("sk", "t", "v")
+    val c = TsFeatures.lempelZiv(const, "sk", Seq("t"), "v").head()
+    assert(c.getDouble(1) == 0.5) // phrases {0, 00} over n=4
+  }
+
   test("sample entropy of a too-short series is null, not a crash") {
     val in = Seq(("A", 1L, 1.0), ("A", 2L, 2.0)).toDF("sk", "t", "v")
     val got = TsFeatures.sampleEntropy(in, "sk", Seq("t"), "v").head()
