@@ -142,5 +142,54 @@ object PipelineQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile)
+  /** COMPOSED "events → CV-ready training table" flow (the fourth
+    * composition flavor next to prep/text/dedup pipelines): per-user
+    * exact-arithmetic features (TsFeatures.basic) + label (error-event
+    * count, 0 for error-free users) + deterministic md5 5-fold
+    * assignment — one declarative plan: two per-user aggregations
+    * joined on the key plus a narrow hash projection, no RNG, no
+    * global sort, reproducible on any cluster layout.
+    */
+  val mlDataset: Q = Q(
+    "ml_dataset",
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+      val feats = graft.operators.TsFeatures.basic(
+        events.select(col("user_id"), col("value")), "user_id", "value")
+      val labels = events.where(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("label"))
+      feats.join(labels, Seq("user_id"), "left")
+        .select(col("user_id"), col("n"),
+          round(col("mean_v"), 6).as("mean_v"),
+          round(col("std_v"), 6).as("std_v"),
+          round(col("min_v"), 6).as("min_v"),
+          round(col("max_v"), 6).as("max_v"),
+          round(col("sum_v"), 6).as("sum_v"),
+          coalesce(col("label"), lit(0L)).as("label"),
+          pmod(graft.operators.Sampling.hashBucket(col("user_id")), lit(5))
+            .as("fold"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT user_id, count(value) AS n,
+               round(${OracleExact.microAvgSql("value")}, 6) AS mean_v,
+               round(stddev_pop(value), 6) AS std_v,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v,
+               round(${OracleExact.decSumSql("value")}, 6) AS sum_v
+        FROM events GROUP BY user_id),
+      l AS (
+        SELECT user_id, count(*) AS label
+        FROM events WHERE event_type = 'error' GROUP BY user_id),
+      h AS (
+        SELECT user_id, ${OracleExact.h16Sql("hx")} % 5 AS fold
+        FROM (SELECT DISTINCT user_id, md5(user_id::VARCHAR) AS hx FROM events))
+      SELECT f.user_id, f.n, f.mean_v, f.std_v, f.min_v, f.max_v, f.sum_v,
+             coalesce(l.label, 0) AS label, h.fold
+      FROM f LEFT JOIN l ON f.user_id = l.user_id
+      JOIN h ON f.user_id = h.user_id
+    """),
+  )
+
+  val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset)
 }

@@ -401,6 +401,60 @@ object RelationalQueries {
     """),
   )
 
+  /** ntile quartile assignment per user over event values — the
+    * "bucket each entity's interactions into quartiles" feature shape;
+    * per-key window (one shuffle, no global sort), both engines define
+    * ntile identically (larger leading buckets on uneven splits).
+    */
+  val qNtile: Q = Q(
+    "q_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        ntile(4).over(w).as("quartile"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+               AS quartile
+      FROM events
+    """),
+  )
+
+  /** INTERSECT / EXCEPT set semantics in one query: market segments
+    * present among both urgent-order customers and high-balance
+    * customers, and those only in the first set — the set-algebra
+    * surface (deduplicating set ops, hash-partitioned).
+    */
+  val qSetOps: Q = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val urgent = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_mktsegment"))
+      val rich = Tables.customer(s, dir).where(col("c_acctbal") > 9000)
+        .select(col("c_mktsegment"))
+      urgent.intersect(rich).select(col("c_mktsegment"), lit("both").as("src"))
+        .unionByName(
+          urgent.except(rich).select(col("c_mktsegment"), lit("urgent_only").as("src")))
+    },
+    Some("""
+      WITH urgent AS (
+        SELECT c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')),
+      rich AS (SELECT c_mktsegment FROM customer WHERE c_acctbal > 9000)
+      SELECT c_mktsegment, 'both' AS src
+      FROM (SELECT c_mktsegment FROM urgent INTERSECT SELECT c_mktsegment FROM rich)
+      UNION ALL
+      SELECT c_mktsegment, 'urgent_only' AS src
+      FROM (SELECT c_mktsegment FROM urgent EXCEPT SELECT c_mktsegment FROM rich)
+    """),
+  )
+
   /** CDC-style snapshot compaction: the LATEST event per user via
     * `max_by` over the (ts, event_id) order struct — ONE aggregation
     * with map-side partial combine, which at 100 TB beats the
@@ -477,5 +531,5 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
-    qLatestByKey, qSemiJoin, qAntiJoin)
+    qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps)
 }
