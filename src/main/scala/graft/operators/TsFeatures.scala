@@ -530,21 +530,34 @@ object TsFeatures {
     // Pearson r as try_divide(covar_samp, sx*sy) rather than corr():
     // under ANSI, corr() THROWS on a zero-variance side (constant
     // feature or constant target) where this yields null — and the
-    // oracle mirrors the identical formula
+    // oracle mirrors the identical formula.
+    //
+    // The matrix is UNPIVOTED first: per-feature correlations then
+    // cost ONE 3-aggregate groupBy over (feature, x, y) rows instead
+    // of 3·|features| wide aggregate expressions — at 64 features the
+    // wide form's whole-stage-codegen COMPILE dominated the query
+    // (~2 s on a 150-row frame); the long form compiles once and its
+    // cost tracks rows, not feature count.
     val y = col(labelCol).cast("double")
-    val aggs = featCols.map { c =>
-      val x = col(c).cast("double")
-      try_divide(covar_samp(x, y), stddev_samp(x) * stddev_samp(y)).as(c)
-    } :+ count(lit(1)).as("__n")
-    val row = joined.agg(aggs.head, aggs.tail: _*).head()
-    val n = row.getAs[Long]("__n")
-    val rs: Seq[(String, Option[Double])] = featCols.map { c =>
-      c -> (row.getAs[Any](c) match {
+    val long = joined.select(y.as("__y"),
+      explode(array(featCols.map(c =>
+        struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__e"))
+      .select(col("__y"), col("__e.f").as("__f"), col("__e.x").as("__x"))
+    val rRows = long.groupBy(col("__f")).agg(
+      try_divide(covar_samp(col("__x"), col("__y")),
+        stddev_samp(col("__x")) * stddev_samp(col("__y")))
+        .as("__r"),
+      count(lit(1)).as("__n")).collect()
+    val n = rRows.headOption.map(_.getAs[Long]("__n")).getOrElse(0L)
+    val rMap: Map[String, Option[Double]] = rRows.map { r =>
+      r.getString(0) -> (r.getAs[Any]("__r") match {
         case null                           => None
         case d: java.lang.Double if d.isNaN => None
         case d: java.lang.Double            => Some(d.toDouble)
       })
-    }
+    }.toMap
+    val rs: Seq[(String, Option[Double])] =
+      featCols.map(c => c -> rMap.getOrElse(c, None))
     val withP = rs.map { case (c, r) => (c, r, r.map(corrPValue(_, n))) }
     val defined = withP.collect { case (c, _, Some(p)) => (c, p) }
       .sortBy { case (c, p) => (p, c) }
