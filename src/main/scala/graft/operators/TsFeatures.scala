@@ -141,9 +141,26 @@ object TsFeatures {
     */
   def extract(df: DataFrame, seriesKey: String, orderCols: Seq[String],
               valueCol: String): DataFrame = {
-    val e = enrichedFrame(df, seriesKey, orderCols, Seq(valueCol))
+    val e = enrichedFrame(df, Seq(seriesKey), orderCols, Seq(valueCol))
     val aggs = featureAggs(valueCol, identity)
     e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** WINDOWED extraction: the full calculator matrix per (series,
+    * tumbling time bucket) — "features over trailing windows", the
+    * rolling-feature shape an online-ML pipeline materializes. The
+    * bucket is integer nanosecond division (never a double divide on
+    * 2^60-scale nanos); the composite (series, bucket) key rides the
+    * SAME one-Exchange enrichment+agg plan as [[extract]].
+    */
+  def extractWindowed(df: DataFrame, seriesKey: String, tsNanosCol: String,
+                      orderCols: Seq[String], valueCol: String,
+                      widthNanos: Long): DataFrame = {
+    val bucketed = df.withColumn("bucket",
+      expr(s"cast($tsNanosCol as long) div $widthNanos"))
+    val e = enrichedFrame(bucketed, Seq(seriesKey, "bucket"), orderCols, Seq(valueCol))
+    val aggs = featureAggs(valueCol, identity)
+    e.groupBy(col(seriesKey), col("bucket")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Multi-column extraction (the reference/tsfresh shape: features
@@ -160,7 +177,7 @@ object TsFeatures {
   def extractMulti(df: DataFrame, seriesKey: String, orderCols: Seq[String],
                    valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "no value columns to extract")
-    val e = enrichedFrame(df, seriesKey, orderCols, valueCols)
+    val e = enrichedFrame(df, Seq(seriesKey), orderCols, valueCols)
     val aggs = valueCols.flatMap(vc => featureAggs(vc, n => s"${vc}_$n"))
     e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*)
   }
@@ -172,10 +189,11 @@ object TsFeatures {
     * same order cols), so Spark plans ONE exchange + ONE sort no
     * matter how many value columns ride through.
     */
-  private def enrichedFrame(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+  private def enrichedFrame(df: DataFrame, seriesKeys: Seq[String], orderCols: Seq[String],
                             valueCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
-    val wAll = Window.partitionBy(col(seriesKey))
+    val keys = seriesKeys.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(keys: _*)
     val back = w.rowsBetween(Window.unboundedPreceding, 0)
     val shared = Seq(
       struct(orderCols.map(col): _*).as("ord"),
@@ -213,13 +231,13 @@ object TsFeatures {
     // order columns ride along so the second window stage (run lengths)
     // can still sort by them; dropped before the aggregation
     val e0 = df.select(
-      (col(seriesKey) +: orderCols.map(col)) ++ shared ++ perCol: _*)
+      (keys ++ orderCols.map(col)) ++ shared ++ perCol: _*)
     // per-column |v|-descending rank (for mean_n_absolute_max): SAME
     // partitioning, different sort order — Spark adds a Sort inside
     // the partition, never a second Exchange (the single-shuffle spec
     // still holds)
     val withAbsRank = valueCols.foldLeft(e0) { (acc, vc) =>
-      val wAbs = Window.partitionBy(col(seriesKey))
+      val wAbs = Window.partitionBy(keys: _*)
         .orderBy(abs(col(s"${vc}__v")).desc +: orderCols.map(col): _*)
       acc.withColumn(s"${vc}__arn", row_number().over(wAbs))
     }

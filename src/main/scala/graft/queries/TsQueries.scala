@@ -329,9 +329,13 @@ object TsQueries {
       "strike_above", "strike_below", "n_crossings_mean", "n_crossings_0",
       "has_dup_max", "has_dup_min", "large_std", "symmetry_look")
 
-  private val enrichedCte = """
+  /** The window-enrichment CTE chain, parameterized by the SOURCE
+    * relation and the partition key list so the windowed variant
+    * (partition by user_id, bucket) reuses it verbatim.
+    */
+  private def enrichedCteFor(src: String, pk: String) = s"""
       WITH e0 AS (
-        SELECT user_id, ts, value AS v,
+        SELECT $pk, ts, value AS v,
                lag(value) OVER w AS prev,
                lag(value, 2) OVER w AS prev2,
                lead(value) OVER w AS nxt,
@@ -348,10 +352,10 @@ object TsQueries {
                CASE WHEN abs(value) > 0 THEN
                  floor(abs(value) / pow(10.0, floor(log10(abs(value))))) END AS bd,
                row_number() OVER wa AS arn
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts),
-               wa AS (PARTITION BY user_id ORDER BY abs(value) DESC, ts),
-               pa AS (PARTITION BY user_id)),
+        FROM $src
+        WINDOW w AS (PARTITION BY $pk ORDER BY ts),
+               wa AS (PARTITION BY $pk ORDER BY abs(value) DESC, ts),
+               pa AS (PARTITION BY $pk)),
       e AS (
         SELECT e0.*,
                rn - coalesce(last_value(CASE WHEN NOT (v > mu) THEN rn END IGNORE NULLS)
@@ -360,8 +364,10 @@ object TsQueries {
                  OVER wb, 0) AS blen,
                sum(abs(v)) OVER wb AS cabs
         FROM e0
-        WINDOW wb AS (PARTITION BY user_id ORDER BY ts
+        WINDOW wb AS (PARTITION BY $pk ORDER BY ts
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+
+  private val enrichedCte = enrichedCteFor("events", "user_id")
 
   private def roundedExtract(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
@@ -381,6 +387,38 @@ object TsQueries {
       SELECT user_id,
              ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
       FROM e GROUP BY user_id
+    """),
+  )
+
+  /** WINDOWED extraction: the full calculator matrix per (user,
+    * 7-day tumbling bucket) — rolling features for online-ML
+    * materialization. Same one-Exchange plan as ts_features_extract,
+    * on the composite (user_id, bucket) key; the bucket is integer
+    * nanosecond division on both engines.
+    */
+  val tsWindowed: Q = Q(
+    "ts_features_windowed",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val f = TsFeatures.extractWindowed(e, "user_id", "ts", Seq("ts"), "value",
+        widthNanos = 604800000000000L)
+      // min-support filter (n >= 3): a 2-point window puts |v - mu|
+      // EXACTLY on the 1-sigma boundary, where the strict comparison
+      // resolves by engine-specific low bits — and 1-2 point windows
+      // are degenerate features anyway
+      f.where(col("n") >= 3)
+        .select(col("user_id") +: col("bucket") +: featSql.map { case (name, _) =>
+          if (intFeats(name)) col(name) else round(col(name), 6).as(name)
+        }: _*)
+    },
+    Some(s"""
+      ${enrichedCteFor(
+        "(SELECT user_id, epoch_ns(ts) // 604800000000000 AS bucket, ts, value FROM events)",
+        "user_id, bucket")}
+      SELECT user_id, bucket,
+             ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
+      FROM e GROUP BY user_id, bucket
+      HAVING count(v) >= 3
     """),
   )
 
@@ -699,5 +737,6 @@ object TsQueries {
   )
 
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
-    tsRelevant, tsResample, tsResampleSliding, tsSampleEntropy, tsCounts)
+    tsRelevant, tsResample, tsResampleSliding, tsSampleEntropy, tsCounts,
+    tsWindowed)
 }
