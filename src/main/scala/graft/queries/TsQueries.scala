@@ -736,7 +736,52 @@ object TsQueries {
     """),
   )
 
+  /** Time-series DENSIFICATION: resample to daily buckets, generate
+    * each series' full bucket spine (sequence min..max — per-series,
+    * never a global calendar crossjoin), left-join the aggregates and
+    * forward-fill the gaps. The "make the series regular before
+    * modeling" step; gaps flagged so downstream can distinguish
+    * observed from imputed. Spine explode + one join + one per-series
+    * window — all keyed on the series, no global sort.
+    */
+  val tsGapFill: Q = Q(
+    "ts_gap_fill",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayNs = 86400000000000L
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val r = TsFeatures.resample(e, "user_id", "ts", "value", dayNs)
+        .select(col("user_id"), col("bucket"), col("mean_v"))
+      val spine = r.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(r, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          col("mean_v").isNull.cast("int").as("is_gap"),
+          round(last(col("mean_v"), ignoreNulls = true).over(w), 6).as("mean_ff"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS bucket,
+               sum(value::DECIMAL(18,6))::DOUBLE / count(*) AS mean_v
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+        FROM r GROUP BY user_id),
+      j AS (SELECT s.user_id, s.bucket, r.mean_v
+            FROM s LEFT JOIN r ON s.user_id = r.user_id AND s.bucket = r.bucket)
+      SELECT user_id, bucket,
+             (mean_v IS NULL)::INT AS is_gap,
+             round(last_value(mean_v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS mean_ff
+      FROM j
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsResample, tsResampleSliding, tsSampleEntropy, tsCounts,
-    tsWindowed)
+    tsWindowed, tsGapFill)
 }
