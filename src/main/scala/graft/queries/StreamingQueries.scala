@@ -12,11 +12,11 @@ object StreamingQueries {
   val streamWindow: Q = Q(
     "stream_window",
     (s, dir) => StreamOps.runToBatch(s, StreamOps.windowAgg(StreamOps.eventsStream(s, dir))),
-    Some("""
+    Some(s"""
       SELECT floor(epoch_ns(ts) / 3600000000000)::BIGINT AS bucket,
              event_type,
              count(*) AS n,
-             round(sum(value), 6) AS sum_v
+             ${OracleExact.decSumSql("value")} AS sum_v
       FROM events GROUP BY 1, 2
     """),
   )
@@ -41,9 +41,9 @@ object StreamingQueries {
       StreamOps.runToBatch(s, StreamOps.sessionize(events, gap).toDF(),
         mode = "append")
         .select(col("user_id"), col("start_ns"), col("end_ns"), col("n"),
-          round(col("sum_v"), 6).as("sum_v"))
+          col("sum_v"))
     },
-    Some("""
+    Some(s"""
       WITH s AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
       m AS (
         SELECT user_id, ts_ns, value,
@@ -57,7 +57,7 @@ object StreamingQueries {
         FROM m),
       g AS (
         SELECT user_id, sess_id, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
-               count(*) AS n, round(sum(value), 6) AS sum_v
+               count(*) AS n, ${OracleExact.decSumSql("value")} AS sum_v
         FROM c GROUP BY 1, 2),
       mx AS (SELECT user_id, max(end_ns) AS max_end FROM g GROUP BY 1),
       wm AS (SELECT max(ts_ns) // 1000000 - 3600000 AS wm_ms FROM s)
@@ -134,11 +134,11 @@ object StreamingQueries {
         StreamOps.enrichAgg(StreamOps.eventsStream(s, dir),
           Tables.customer(s, dir), "c_custkey", "c_mktsegment"))
     },
-    Some("""
+    Some(s"""
       SELECT floor(epoch_ns(ts) / 3600000000000)::BIGINT AS bucket,
              c_mktsegment,
              count(*) AS n,
-             round(sum(value), 6) AS sum_v
+             ${OracleExact.decSumSql("value")} AS sum_v
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2
     """),
@@ -173,13 +173,13 @@ object StreamingQueries {
     "stream_ts_profile",
     (s, dir) => StreamOps.runToBatch(s,
       StreamOps.profileAgg(StreamOps.eventsStream(s, dir))),
-    Some("""
+    Some(s"""
       SELECT user_id, count(value) AS n,
-             round(avg(value), 6) AS mean_v,
+             round(${OracleExact.microAvgSql("value")}, 6) AS mean_v,
              round(stddev_pop(value), 6) AS std_v,
-             round(min(value), 6) AS min_v,
-             round(max(value), 6) AS max_v,
-             round(sum(value), 6) AS sum_v
+             min(value) AS min_v,
+             max(value) AS max_v,
+             ${OracleExact.decSumSql("value")} AS sum_v
       FROM events GROUP BY user_id
     """),
   )

@@ -44,7 +44,12 @@ object StreamOps {
       .withColumn("tse", timestamp_micros(expr("cast(ts as long) div 1000")))
       .withWatermark("tse", "1 hour")
       .groupBy(window(col("tse"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+      // exact decimal sum (ExactAgg.decSum): order-free, so the result
+      // is independent of micro-batch boundaries AND engine-portable —
+      // a rounded double sum can land on a 5e-7 tie where engines'
+      // round() rules differ (the class SURVEY §10 closed for batch)
+      .agg(count(lit(1)).as("n"),
+        graft.operators.ExactAgg.decSum(col("value")).as("sum_v"))
       .select(
         floor(unix_timestamp(col("window.start")) / 3600).as("bucket"),
         col("event_type"), col("n"), col("sum_v"))
@@ -117,7 +122,8 @@ object StreamOps {
       .join(broadcast(dim.select(col(dimKeyCol), col(dimAttrCol))),
         col("user_id") === col(dimKeyCol))
       .groupBy(window(col("tse"), "1 hour"), col(dimAttrCol))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.ExactAgg.decSum(col("value")).as("sum_v"))
       .select(
         floor(unix_timestamp(col("window.start")) / 3600).as("bucket"),
         col(dimAttrCol), col("n"), col("sum_v"))
@@ -173,11 +179,14 @@ object StreamOps {
   def profileAgg(events: DataFrame): DataFrame =
     events.groupBy(col("user_id")).agg(
       count(col("value")).as("n"),
-      round(avg(col("value")), 6).as("mean_v"),
+      // ExactAgg arithmetic, mirroring profileUpdate's fold: the
+      // plain double avg/sum were the last tie-class aggregates on
+      // the streaming board
+      round(graft.operators.ExactAgg.microAvg(col("value")), 6).as("mean_v"),
       round(stddev_pop(col("value")), 6).as("std_v"),
-      round(min(col("value")), 6).as("min_v"),
-      round(max(col("value")), 6).as("max_v"),
-      round(sum(col("value")), 6).as("sum_v"))
+      min(col("value")).as("min_v"),
+      max(col("value")).as("max_v"),
+      graft.operators.ExactAgg.decSum(col("value")).as("sum_v"))
 
   final case class ProfileEvent(user_id: Long, ts_ns: Long, event_id: Long,
                                 value: Double)
@@ -360,7 +369,11 @@ object StreamOps {
   }
 
   final case class SessionEvent(user_id: Long, ts_ns: Long, value: Double)
-  final case class SessionState(start_ns: Long, end_ns: Long, n: Long, sum_v: Double)
+  /** sumMicros: Σ halfUp6(value)·1e6 as int64 — the ExactAgg.decSum
+    * mirror (order-free, batch-boundary-independent), emitted as
+    * sumMicros/1e6.
+    */
+  final case class SessionState(start_ns: Long, end_ns: Long, n: Long, sumMicros: Long)
   final case class Session(user_id: Long, start_ns: Long, end_ns: Long,
                            n: Long, sum_v: Double)
 
@@ -397,22 +410,25 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(uid, s.start_ns, s.end_ns, s.n, s.sum_v))
+            Iterator.single(Session(uid, s.start_ns, s.end_ns, s.n, s.sumMicros / 1e6))
           } else {
             // per-microbatch buffer+sort: bounded by one user's events in
             // ONE microbatch, not the stream
             val evs = it.toSeq.sortBy(_.ts_ns)
             val out = scala.collection.mutable.ListBuffer.empty[Session]
+            def micros(v: Double): Long = BigDecimal(v).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact
             var cur = state.getOption
             evs.foreach { e =>
               cur match {
                 case Some(s) if e.ts_ns - s.end_ns <= gapNanos =>
-                  cur = Some(SessionState(s.start_ns, e.ts_ns, s.n + 1, s.sum_v + e.value))
+                  cur = Some(SessionState(s.start_ns, e.ts_ns, s.n + 1,
+                    s.sumMicros + micros(e.value)))
                 case Some(s) =>
-                  out += Session(uid, s.start_ns, s.end_ns, s.n, s.sum_v)
-                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, e.value))
+                  out += Session(uid, s.start_ns, s.end_ns, s.n, s.sumMicros / 1e6)
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, micros(e.value)))
                 case None =>
-                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, e.value))
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1L, micros(e.value)))
               }
             }
             cur.foreach { s =>
@@ -433,10 +449,11 @@ object StreamOps {
     * session, which streaming append-mode does not emit.
     *
     * `exactSum = true` aggregates sum_v via ExactAgg.decSum (exact
-    * decimal(28,6), order-free) for oracle-compared batch queries; the
-    * default double sum stays for the STREAMING-equivalence spec,
-    * whose reference (`sessionize`'s per-session fold) accumulates
-    * doubles.
+    * decimal(28,6), order-free) — the twin of `sessionize`'s
+    * micro-quantized fold (identical per-term quantization, exact
+    * sums), so it is what both the oracle-compared batch query AND the
+    * streaming-equivalence spec use; the default double sum remains
+    * for callers that want raw IEEE accumulation.
     */
   def sessionizeBatch(events: DataFrame, gapNanos: Long,
                       exactSum: Boolean = false): DataFrame = {

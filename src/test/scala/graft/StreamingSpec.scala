@@ -10,7 +10,10 @@ class StreamingSpec extends SparkSpec {
       StreamOps.sessionize(StreamOps.eventsStream(spark, sf), gap).toDF(),
       mode = "append")
       .collect().map(_.toSeq).toSet
-    val batchAll = StreamOps.sessionizeBatch(Tables.events(spark, sf), gap)
+    // exactSum: the streaming fold accumulates decSum-mirror micros,
+    // so the batch twin must ride the same exact decimal sum
+    val batchAll = StreamOps.sessionizeBatch(Tables.events(spark, sf), gap,
+      exactSum = true)
     // append mode emits gap-closed sessions immediately; each user's
     // final open session emits iff it TIMES OUT under the final
     // watermark (max event time - 1h delay)
