@@ -100,15 +100,21 @@ object RelationalQueries {
         .select(
           col("o_custkey"), col("o_orderkey"),
           row_number().over(w).as("order_seq"),
-          round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
-            .as("running_spend"),
+          // exact decimal frame sum (ExactAgg convention): engines
+          // accumulate window frames in different orders (sequential
+          // vs segment tree), so a rounded double cumsum can tie-flip
+          sum(col("o_totalprice").cast("decimal(28,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_spend"),
         )
     },
     Some("""
       SELECT o_custkey, o_orderkey,
              row_number() OVER w AS order_seq,
-             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_spend
+             (sum(o_totalprice::DECIMAL(28,6)) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+               AS running_spend
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """),
@@ -321,27 +327,27 @@ object RelationalQueries {
             StructField("run_n", LongType), StructField("cum_v", DoubleType),
             StructField("gap_ns", LongType)))) { (key, it) =>
           var n = 0L
-          var cum = 0.0
+          // decSum-mirror integer micros (BigDecimal HALF_UP per term):
+          // the running sum is then exact and order-independent, so the
+          // imperative fold hashes equal to the SQL decimal window cumsum
+          var cumMicros = 0L
           var prev = Long.MinValue
           it.map { r =>
             val ts = r.getLong(1)
             n += 1
-            cum += r.getDouble(2)
+            cumMicros += BigDecimal(r.getDouble(2)).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact
             val gap: Any = if (prev == Long.MinValue) null else ts - prev
             prev = ts
-            // same decimal rounding as Spark's round() so the
-            // sequential JVM sum hashes equal to the SQL window cumsum
-            Row(key.getLong(0), ts, n,
-              BigDecimal(cum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble, gap)
+            Row(key.getLong(0), ts, n, cumMicros / 1e6, gap)
           }
         }
       },
       Some("""
         SELECT user_id, epoch_ns(ts) AS ts,
                row_number() OVER w AS run_n,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING), 6) AS cum_v,
+               (sum(value::DECIMAL(28,6)) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING))::DOUBLE AS cum_v,
                epoch_ns(ts) - lag(epoch_ns(ts)) OVER w AS gap_ns
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

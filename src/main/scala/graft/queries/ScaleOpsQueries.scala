@@ -258,11 +258,13 @@ object ScaleOpsQueries {
       fact.join(dim, col("event_type") === col("etype"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value") * col("weight")), 6).as("weighted_v"))
+          graft.operators.ExactAgg.decSum(col("value") * col("weight"))
+            .as("weighted_v"))
     },
-    Some("""
+    Some(s"""
       SELECT event_type, count(*) AS n,
-             round(sum(value * CASE event_type WHEN 'click' THEN 1.0 ELSE 5.0 END), 6)
+             ${OracleExact.decSumSql(
+               "value * CASE event_type WHEN 'click' THEN 1.0 ELSE 5.0 END")}
                AS weighted_v
       FROM events
       WHERE event_type IN ('click', 'purchase')
