@@ -70,10 +70,15 @@ object Sampling {
       .collect().map(r => r.get(0) -> r.getLong(1))
     require(counts.nonEmpty, "no classes to balance")
     val m = counts.map(_._2).min
+    // Type-generic like balanceClasses: key the broadcast thresholds on
+    // the STRING rendering of the class (so integer labels work), and
+    // join null-safely so a null class is balanced as its own class
+    // instead of being silently dropped by an equality join.
     val thresholds = counts.map { case (cls, n) =>
-      (cls.asInstanceOf[String], 65536L * m / n)
+      (Option(cls).map(_.toString).orNull, 65536L * m / n)
     }.toSeq.toDF(classCol + "__t", "__thr")
-    df.join(broadcast(thresholds), col(classCol) === col(classCol + "__t"))
+    df.join(broadcast(thresholds),
+        col(classCol).cast("string") <=> col(classCol + "__t"))
       .where(hashBucket(col(idCol)) < col("__thr"))
       .drop(classCol + "__t", "__thr")
   }

@@ -728,7 +728,10 @@ object TsFeatures {
 
   def resample(df: DataFrame, seriesKey: String, tsNanosCol: String,
                valueCol: String, widthNanos: Long): DataFrame = {
-    val bucket = floor(col(tsNanosCol) / lit(widthNanos)).as("bucket")
+    // Integer nanosecond division — a double divide on 2^60-scale nanos
+    // carries ~128ns representation error and can bucket a timestamp
+    // just below a boundary differently than an exact-integer engine.
+    val bucket = expr(s"cast($tsNanosCol as long) div $widthNanos").as("bucket")
     // sum/mean ride an exact decimal(18,6) sum: double summation is
     // order-dependent, and distributed partial aggregation can flip the
     // 6-dp-rounded result vs a sequential engine on rounding-boundary

@@ -189,9 +189,10 @@ object CategoricalTransformer {
   }
 
   /** Frequency encoding: category → its relative frequency in the fit
-    * data (count/total). Unseen categories at transform time encode 0.
-    * Same bounded-collect/literal-map shape as the other encoders —
-    * no join at transform.
+    * data (count/total). Unseen categories — and null categories, which
+    * are excluded from the frequency map but counted in the total —
+    * encode 0 at transform time. Same bounded-collect/literal-map shape
+    * as the other encoders — no join at transform.
     */
   final case class FrequencyModel(freqs: Map[String, Double]) {
     def encode(c: Column): Column = {

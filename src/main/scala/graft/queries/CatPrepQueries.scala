@@ -280,10 +280,11 @@ object CatPrepQueries {
         round(model.encode(col("event_type")), 6).as("enc"))
     },
     Some("""
-      WITH f AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      WITH f AS (SELECT event_type, count(*) AS n FROM events
+                 WHERE event_type IS NOT NULL GROUP BY 1),
       t AS (SELECT count(*) AS t FROM events)
-      SELECT event_id, round(f.n / t.t, 6) AS enc
-      FROM events JOIN f USING (event_type), t
+      SELECT event_id, round(coalesce(f.n / t.t, 0), 6) AS enc
+      FROM events LEFT JOIN f USING (event_type), t
     """),
   )
 

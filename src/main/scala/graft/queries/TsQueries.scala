@@ -587,7 +587,7 @@ object TsQueries {
     },
     Some("""
       SELECT user_id,
-             floor(epoch_ns(ts) / 3600000000000)::BIGINT AS bucket,
+             epoch_ns(ts) // 3600000000000 AS bucket,
              count(*) AS n,
              round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_v,
              round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS sum_v,

@@ -209,6 +209,15 @@ object StreamOps {
     if (v.isNaN || v.isInfinite) v
     else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Exact microunit quantization of v, matching Spark's
+    * double→decimal(·,6) cast: non-finite values cast to NULL there, so
+    * they contribute 0 here instead of throwing in `BigDecimal(v)`.
+    */
+  private[streaming] def microsOrZero(v: Double): Long =
+    if (!java.lang.Double.isFinite(v)) 0L
+    else BigDecimal(v).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact
+
   /** Update-mode streaming per-key profile — the 100 TB shape of
     * [[profileAgg]]: per-key Welford merges via `mapGroupsWithState`,
     * emitting ONLY the keys touched by each micro-batch (update mode)
@@ -252,12 +261,13 @@ object StreamOps {
               math.min(s.mn, v), math.max(s.mx, v),
               // decSum term: halfUp-6dp quantization of v (Spark's
               // double→decimal(28,6) cast), exact in micros
-              s.sumMicros + BigDecimal(v).setScale(6,
-                BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact,
+              s.sumMicros + microsOrZero(v),
               // microAvg term: round(v * 1e6) — the same double product
-              // + HALF_UP the SQL mirror computes
-              s.qMicros + BigDecimal(v * 1e6).setScale(0,
-                BigDecimal.RoundingMode.HALF_UP).toLong)
+              // + HALF_UP the SQL mirror computes; non-finite → null
+              // contribution, like the batch decimal cast
+              s.qMicros + (if (!java.lang.Double.isFinite(v * 1e6)) 0L
+                else BigDecimal(v * 1e6).setScale(0,
+                  BigDecimal.RoundingMode.HALF_UP).toLong))
           }
           state.update(s)
           // half-up integer division (2q+n) div 2n — ExactAgg.microAvg
@@ -416,8 +426,7 @@ object StreamOps {
             // ONE microbatch, not the stream
             val evs = it.toSeq.sortBy(_.ts_ns)
             val out = scala.collection.mutable.ListBuffer.empty[Session]
-            def micros(v: Double): Long = BigDecimal(v).setScale(6,
-              BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact
+            def micros(v: Double): Long = microsOrZero(v)
             var cur = state.getOption
             evs.foreach { e =>
               cur match {
