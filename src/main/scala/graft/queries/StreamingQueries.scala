@@ -243,25 +243,30 @@ object StreamingQueries {
     }
   }
 
-  /** Streaming vocabulary top-k: word counts over the document stream
-    * with complete-mode sort+limit — the "live vocabulary board" a
-    * tokenizer-training pipeline watches. State = one row per distinct
-    * word (bounded by vocabulary, not stream length); the final table
-    * equals the batch text_vocab oracle. Complete mode re-sorts per
-    * batch, which is exactly what a top-k board wants — the STATE
-    * stays per-word partial counts with map-side combine.
+  /** Streaming vocabulary top-k: UPDATE-mode word counts merged into a
+    * bounded driver board ([[StreamOps.topKBoard]]) — the "live
+    * vocabulary board" a tokenizer-training pipeline watches. Streaming
+    * state = one monotone count per distinct word with map-side
+    * combine; each batch ships only its TOUCHED words' new counts
+    * through a per-batch TakeOrderedAndProject, so nothing ever
+    * re-sorts the full vocabulary state (for raw web-text tokens that
+    * state is an unbounded typo/URL tail — the scale-killer the
+    * earlier complete-mode `orderBy.limit` shape paid every batch).
+    * The k-entry board is exact, not approximate (monotonicity
+    * argument in the scaladoc); the final table equals the batch
+    * text_vocab oracle.
     */
   val streamVocab: Q = Q(
     "stream_vocab",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      StreamOps.runToBatch(s,
-        StreamOps.docsStream(s, dir)
-          .select(explode(split(lower(col("text")), " ", -1)).as("w"))
-          .where(col("w") =!= "")
-          .groupBy(col("w")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("w"))
-          .limit(100))
+      val counts = StreamOps.docsStream(s, dir)
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val top = StreamOps.topKBoard(counts, 100, statePartitions = Some(8))
+      import s.implicits._
+      top.toDF("w", "n")
     },
     Some("""
       SELECT w, count(*) AS n

@@ -352,6 +352,57 @@ object StreamOps {
       }
   }
 
+  /** Streaming top-k board over an UPDATE-mode keyed count stream —
+    * the 100 TB shape of a "live vocabulary" query. The state behind
+    * `counts` is one monotone cumulative count per key with map-side
+    * combine; each micro-batch emits only the keys it touched, and
+    * this sink reduces that slice to its top k (a distributed
+    * TakeOrderedAndProject over TOUCHED rows — never a re-sort of the
+    * full state, which for raw web-text tokens is an unbounded
+    * typo/URL tail) before merging into a k-entry driver board.
+    *
+    * Trimming the board to EXACTLY the top k under (n desc, key asc)
+    * is lossless: counts only grow, so the k entries that beat a
+    * dropped key keep beating it unless the key is touched again — in
+    * which case update mode re-emits it with its full cumulative
+    * count and it re-enters on merit. Driver memory and per-batch sink
+    * traffic are both O(k), independent of vocabulary size.
+    */
+  def topKBoard(counts: DataFrame, k: Int,
+                keyCol: String = "w", countCol: String = "n",
+                statePartitions: Option[Int] = None): Seq[(String, Long)] = {
+    val s = counts.sparkSession
+    val ord = Ordering.by[(String, Long), (Long, String)] {
+      case (w, n) => (-n, w)
+    }
+    val board = scala.collection.mutable.HashMap.empty[String, Long]
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    val q = try {
+      counts.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val top = batch
+            .orderBy(col(countCol).desc, col(keyCol))
+            .limit(k)
+            .collect()
+          top.foreach(r => board(r.getAs[String](keyCol)) = r.getAs[Long](countCol))
+          if (board.size > k) {
+            val kept = board.toSeq.sorted(ord).take(k)
+            board.clear()
+            kept.foreach { case (w, n) => board(w) = n }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally {
+      if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    q.awaitTermination()
+    board.toSeq.sorted(ord)
+  }
+
   /** The idempotent foreachBatch writer: each micro-batch OVERWRITES
     * its own batchId-named partition directory. On failure/restart
     * Structured Streaming re-delivers the last uncommitted batch with

@@ -237,6 +237,58 @@ class StreamingSpec extends SparkSpec {
     assert(after.drop("batch_id").collect().map(_.toSeq).toSet == expected)
   }
 
+  test("streaming top-k vocabulary board equals the batch top-k") {
+    import org.apache.spark.sql.functions._
+    val counts = StreamOps.docsStream(spark, sf)
+      .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val board = StreamOps.topKBoard(counts, 100, statePartitions = Some(8))
+    val batch = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(board.nonEmpty)
+    assert(board == batch)
+  }
+
+  test("top-k board stays exact under a hot token and multi-batch trimming") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one token at ~20% frequency (the event-time-skew case for the
+    // update-mode merge) plus a 300-word tail, delivered over 5
+    // micro-batches so the k-entry board trims on every merge
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab_skew").toString
+    val docs = (0 until 5).map { b =>
+      val tail = (0 until 60).map(i => s"tok${b}_$i w${(b * 7 + i) % 40}")
+      val hot = Seq.fill(15)("hot hot")
+      (tail ++ hot).zipWithIndex.map { case (t, i) => (b * 1000L + i, t) }
+    }
+    docs.zipWithIndex.foreach { case (rows, b) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val board = StreamOps.topKBoard(stream, 10, statePartitions = Some(4))
+    val batch = spark.read.parquet(dir)
+      .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(board == batch)
+    // the hot token dominates the board at ~20% of all tokens
+    assert(board.head._1 == "hot")
+    assert(board.head._2 == 150L)
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
