@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -516,12 +516,161 @@ object TsFeatures {
     */
   def corrPValue(r: Double, n: Long): Double = {
     val t = r * math.sqrt((n - 2).toDouble / math.max(1.0 - r * r, 1e-300))
-    val at = math.abs(t)
+    normTwoSidedP(math.abs(t))
+  }
+
+  /** Two-sided normal tail 2·(1−Φ(|z|)) via the same A&S 26.2.17
+    * rational approximation (same Horner order) the SQL oracles replay.
+    */
+  def normTwoSidedP(at: Double): Double = {
     val k = 1.0 / (1.0 + 0.2316419 * at)
     val poly = k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 +
       k * (-1.821255978 + k * 1.330274429))))
     val pdf = math.exp(-at * at / 2) / math.sqrt(2 * math.Pi)
     2.0 * pdf * poly
+  }
+
+  /** Two-sided Mann-Whitney U p-value — the asymptotic normal branch
+    * with tie correction and 0.5 continuity correction (the test
+    * tsfresh's `target_binary_feature_real_test` applies to a real
+    * feature vs a binary classification target; the small-n exact
+    * branch is deliberately out of scope — documented in SURVEY §3).
+    * Inputs are exact (`r1` is a sum of multiples of 0.5, `ties` an
+    * integer), so the statistic is order-free and engine-portable.
+    *
+    * @param r1   rank sum of the y=1 group (average ranks for ties)
+    * @param n1   size of the y=1 group
+    * @param n2   size of the y=0 group
+    * @param ties Σ(t³−t) over tie groups
+    */
+  def mannWhitneyP(r1: Double, n1: Long, n2: Long, ties: Long): Double = {
+    val n = n1 + n2
+    if (n1 == 0 || n2 == 0) return 1.0
+    val u1 = r1 - n1.toDouble * (n1 + 1) / 2.0
+    val mu = n1.toDouble * n2 / 2.0
+    val tieAdj = (n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1))
+    val s2 = n1.toDouble * n2 / 12.0 * tieAdj
+    if (s2 <= 0) 1.0
+    else {
+      val z = math.max(math.abs(u1 - mu) - 0.5, 0.0) / math.sqrt(s2)
+      math.min(1.0, normTwoSidedP(z))
+    }
+  }
+
+  /** Two-sided Fisher's exact p for a 2×2 table (the test tsfresh's
+    * `target_binary_feature_binary_test` applies to binary × binary) —
+    * sum of hypergeometric probabilities ≤ (1+1e-7)·P(observed).
+    * The pmf weights come from the integer-ratio recurrence
+    * w(k+1) = w(k)·(r1−k)(c1−k) / ((k+1)(n−r1−c1+k+1)) folded in
+    * ascending k, and both the total and the ≤-threshold mass are
+    * ascending-k left folds — the SQL oracle replays the identical
+    * double sequence (recursive CTE + ordered running sum), so the
+    * result is bit-portable. Cost is O(min margin) driver arithmetic
+    * per binary feature; the table itself comes from one distributed
+    * groupBy.
+    */
+  def fisherExactP(n11: Long, n10: Long, n01: Long, n00: Long): Double = {
+    val r1 = n11 + n10
+    val c1 = n11 + n01
+    val n = n11 + n10 + n01 + n00
+    val kmin = math.max(0L, r1 + c1 - n)
+    val kmax = math.min(r1, c1)
+    if (kmax <= kmin) return 1.0
+    val ws = new Array[Double]((kmax - kmin + 1).toInt)
+    ws(0) = 1.0
+    var k = kmin
+    var i = 0
+    while (k < kmax) {
+      ws(i + 1) = ws(i) * ((r1 - k) * (c1 - k)) / ((k + 1) * (n - r1 - c1 + k + 1))
+      k += 1
+      i += 1
+    }
+    val wObs = ws((n11 - kmin).toInt)
+    val thresh = wObs * (1.0 + 1e-7)
+    var total = 0.0
+    var mass = 0.0
+    i = 0
+    while (i < ws.length) {
+      total += ws(i)
+      if (ws(i) <= thresh) mass += ws(i)
+      i += 1
+    }
+    math.min(1.0, mass / total)
+  }
+
+  /** Relevance filter for a BINARY classification target — the
+    * per-type test battery behind tsfresh's `calculate_relevance_table`
+    * (reference: preprocessor.py:630 `extract_relevant_features` with
+    * a classification ml_task): Mann-Whitney U for real features,
+    * Fisher's exact for binary features, then one Benjamini–Hochberg
+    * pass over the combined p-values (keep-all fallback as in
+    * [[featureRelevance]]).
+    *
+    * Scale shape: the U statistic needs rank sums, but never a global
+    * rank — real features unpivot to (feature, x, y) rows, one groupBy
+    * collapses them to DISTINCT (feature, value) groups, and the
+    * cumulative count window runs per-feature over those groups (value
+    * cardinality, not series count). Each rank-sum term m·(C+(t+1)/2)
+    * is an exact multiple of 0.5, so the distributed double sum is
+    * order-free. Binary features reduce to 2×2 tables via the same
+    * unpivoted groupBy. Driver arithmetic is O(#features + min-margin).
+    */
+  def featureRelevanceBinary(features: DataFrame, realCols: Seq[String],
+                             binaryCols: Seq[String], labelCol: String,
+                             alpha: Double = 0.05): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val long = features.select(y.as("__y"),
+      explode(array((realCols ++ binaryCols).map(c =>
+        struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__e"))
+      .select(col("__y"), col("__e.f").as("__f"), col("__e.x").as("__x"))
+    val grouped = long.groupBy(col("__f"), col("__x"))
+      .agg(count(lit(1)).as("nx"), sum(col("__y")).as("mx"))
+    val isReal = realCols.toSet
+    // real features: per-feature cumulative counts over distinct values
+    val w = Window.partitionBy(col("__f")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mwRows = grouped.where(col("__f").isin(realCols: _*))
+      .withColumn("cx", coalesce(sum(col("nx")).over(w), lit(0L)))
+      .groupBy(col("__f")).agg(
+        sum(col("mx") * (col("cx") + (col("nx") + 1) / lit(2.0))).as("r1"),
+        sum(col("mx")).as("n1"),
+        sum(col("nx")).as("n"),
+        sum(col("nx") * col("nx") * col("nx") - col("nx")).as("ties"))
+      .collect()
+    val mwP = mwRows.map { r =>
+      val n1 = r.getAs[Long]("n1")
+      val n = r.getAs[Long]("n")
+      r.getAs[String]("__f") ->
+        mannWhitneyP(r.getAs[Double]("r1"), n1, n - n1, r.getAs[Long]("ties"))
+    }.toMap
+    // binary features: 2×2 tables from the same grouped frame
+    val cells = grouped.where(col("__f").isin(binaryCols: _*)).collect()
+      .groupBy(_.getAs[String]("__f"))
+    val fisherP = cells.map { case (f, rows) =>
+      def cell(x: Double)(pick: Row => Long): Long =
+        rows.filter(_.getAs[Double]("__x") == x).map(pick).sum
+      val n11 = cell(1.0)(_.getAs[Long]("mx"))
+      val n10 = cell(1.0)(r => r.getAs[Long]("nx") - r.getAs[Long]("mx"))
+      val n01 = cell(0.0)(_.getAs[Long]("mx"))
+      val n00 = cell(0.0)(r => r.getAs[Long]("nx") - r.getAs[Long]("mx"))
+      f -> fisherExactP(n11, n10, n01, n00)
+    }
+    val allP: Seq[(String, Double)] =
+      (realCols.map(c => c -> mwP.getOrElse(c, 1.0)) ++
+        binaryCols.map(c => c -> fisherP.getOrElse(c, 1.0)))
+    val sorted = allP.sortBy { case (c, p) => (p, c) }
+    val m = sorted.size
+    val kStar = sorted.zipWithIndex
+      .collect { case ((_, p), i) if p <= (i + 1) * alpha / m => i + 1 }
+      .lastOption.getOrElse(0)
+    val keptNames: Set[String] =
+      if (kStar == 0) allP.map(_._1).toSet
+      else sorted.take(kStar).map(_._1).toSet
+    val spark = features.sparkSession
+    import spark.implicits._
+    allP.map { case (c, p) =>
+      (c, if (isReal(c)) "mann_whitney_u" else "fisher_exact", p, keptNames(c))
+    }.toDF("feature", "test", "p_value", "kept")
   }
 
   /** Relevance filter (reference: `extract_relevant_features` — tsfresh

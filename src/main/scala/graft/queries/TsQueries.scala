@@ -573,6 +573,154 @@ object TsQueries {
     },
   )
 
+  /** Relevance filtering for a CLASSIFICATION target — tsfresh's
+    * per-type battery (`calculate_relevance_table` behind
+    * preprocessor.py:630): Mann-Whitney U for real features, Fisher's
+    * exact for binary features, one BH pass over the combined
+    * p-values. Target: user has an above-average error count. Every
+    * feature rides exact arithmetic (decimal sums / integer counts) so
+    * value ties and rank order agree bit-for-bit across engines; the
+    * oracle replays the grouped rank sums, the A&S normal tail, the
+    * hypergeometric weight recurrence (recursive CTE + ordered running
+    * sums = the driver's ascending-k folds), and the BH cutoff.
+    */
+  val tsRelevantCls: Q = Q(
+    "ts_features_relevant_cls",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val dec = sum(col("value").cast("decimal(18,6)")).cast("double")
+      val perUser = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("cnt"),
+        dec.as("sum_v"),
+        max(col("value")).as("max_v"),
+        (dec / count(lit(1))).as("mean_v"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+      val tot = perUser.agg(sum(col("err")).as("se"), count(lit(1)).as("c")).head()
+      val th = tot.getAs[Long]("se").toDouble / tot.getAs[Long]("c")
+      val f = perUser.select(col("user_id"),
+        col("cnt").cast("double").as("cnt"),
+        col("sum_v"), col("max_v"), col("mean_v"),
+        (col("clicks") > col("views")).cast("int").cast("double").as("click_gt_view"),
+        (col("cnt") % 2).cast("double").as("odd_events"),
+        (col("err") > lit(th)).cast("long").as("y"))
+      TsFeatures.featureRelevanceBinary(f,
+        Seq("cnt", "sum_v", "max_v", "mean_v"),
+        Seq("click_gt_view", "odd_events"), "y", alpha = 0.05)
+        .select(col("feature"), col("test"),
+          round(col("p_value"), 6).as("p_value"), col("kept"))
+    },
+    Some("""
+      WITH RECURSIVE pu AS (
+        SELECT user_id, count(*) AS cnt,
+               sum(value::DECIMAL(18,6))::DOUBLE AS sum_v,
+               max(value) AS max_v,
+               sum(value::DECIMAL(18,6))::DOUBLE / count(*) AS mean_v,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+        FROM events GROUP BY user_id),
+      th AS (SELECT sum(err)::DOUBLE / count(*) AS th FROM pu),
+      f AS (
+        SELECT user_id, cnt::DOUBLE AS cnt, sum_v, max_v, mean_v,
+               (clicks > views)::INT::DOUBLE AS click_gt_view,
+               (cnt % 2)::DOUBLE AS odd_events,
+               (err > th.th)::INT AS y
+        FROM pu, th),
+      long AS (
+        SELECT 'cnt' AS f, cnt AS x, y FROM f
+        UNION ALL SELECT 'sum_v', sum_v, y FROM f
+        UNION ALL SELECT 'max_v', max_v, y FROM f
+        UNION ALL SELECT 'mean_v', mean_v, y FROM f),
+      g AS (SELECT f, x, count(*) AS nx, sum(y) AS mx FROM long GROUP BY f, x),
+      cum AS (
+        SELECT f, nx, mx,
+               coalesce(sum(nx) OVER (PARTITION BY f ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cx
+        FROM g),
+      mw0 AS (
+        SELECT f, sum(mx * (cx + (nx + 1)::DOUBLE / 2)) AS r1,
+               sum(mx) AS n1, sum(nx) AS n,
+               sum(nx * nx * nx - nx) AS ties
+        FROM cum GROUP BY f),
+      mw1 AS (
+        SELECT f, n1, n,
+               r1 - n1::DOUBLE * (n1 + 1) / 2.0 AS u1,
+               n1::DOUBLE * (n - n1) / 2.0 AS mu,
+               n1::DOUBLE * (n - n1) / 12.0 *
+                 ((n + 1)::DOUBLE - ties::DOUBLE / (n::DOUBLE * (n - 1))) AS s2
+        FROM mw0),
+      mw2 AS (
+        SELECT f, n1, n, s2,
+               greatest(abs(u1 - mu) - 0.5, 0) / sqrt(s2) AS z
+        FROM mw1 WHERE s2 > 0 AND n1 > 0 AND n1 < n),
+      mw3 AS (SELECT f, z, 1.0 / (1.0 + 0.2316419 * z) AS k FROM mw2),
+      mwp0 AS (
+        SELECT f,
+               2.0 * (exp(-z * z / 2) / sqrt(2 * pi())) *
+               (k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 +
+                 k * (-1.821255978 + k * 1.330274429))))) AS p
+        FROM mw3),
+      mwp AS (
+        SELECT m.f, coalesce(least(1.0::DOUBLE, p.p), 1.0::DOUBLE) AS p
+        FROM mw0 m LEFT JOIN mwp0 p ON m.f = p.f),
+      bl AS (
+        SELECT 'click_gt_view' AS f, click_gt_view AS x, y FROM f
+        UNION ALL SELECT 'odd_events', odd_events, y FROM f),
+      bg AS (SELECT f, x, count(*) AS nx, sum(y) AS mx FROM bl GROUP BY f, x),
+      bm AS (
+        SELECT f,
+               sum(CASE WHEN x = 1 THEN mx ELSE 0 END)::BIGINT AS n11,
+               sum(CASE WHEN x = 1 THEN nx - mx ELSE 0 END)::BIGINT AS n10,
+               sum(CASE WHEN x = 0 THEN mx ELSE 0 END)::BIGINT AS n01,
+               sum(CASE WHEN x = 0 THEN nx - mx ELSE 0 END)::BIGINT AS n00
+        FROM bg GROUP BY f),
+      bm2 AS (
+        SELECT f, n11, n11 + n10 AS r1, n11 + n01 AS c1,
+               n11 + n10 + n01 + n00 AS n,
+               greatest(0, (n11 + n10) + (n11 + n01)
+                 - (n11 + n10 + n01 + n00)) AS kmin,
+               least(n11 + n10, n11 + n01) AS kmax
+        FROM bm),
+      wr AS (
+        SELECT f, kmin AS k, 1.0::DOUBLE AS w FROM bm2
+        UNION ALL
+        SELECT wr.f, wr.k + 1,
+               wr.w * ((b.r1 - wr.k) * (b.c1 - wr.k))
+                 / ((wr.k + 1) * (b.n - b.r1 - b.c1 + wr.k + 1))
+        FROM wr JOIN bm2 b ON wr.f = b.f WHERE wr.k < b.kmax),
+      wobs AS (
+        SELECT wr.f, wr.w AS wobs
+        FROM wr JOIN bm2 b ON wr.f = b.f AND wr.k = b.n11),
+      wcum AS (
+        SELECT wr.f, wr.k, wr.w,
+               sum(wr.w) OVER (PARTITION BY wr.f ORDER BY wr.k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot,
+               sum(CASE WHEN wr.w <= wobs.wobs * (1 + 1e-7)
+                        THEN wr.w ELSE 0.0::DOUBLE END)
+                 OVER (PARTITION BY wr.f ORDER BY wr.k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mass
+        FROM wr JOIN wobs ON wr.f = wobs.f),
+      fp AS (
+        SELECT f, least(1.0::DOUBLE, max_by(mass, k) / max_by(tot, k)) AS p
+        FROM wcum GROUP BY f),
+      allp AS (
+        SELECT f AS feature, 'mann_whitney_u' AS test, p FROM mwp
+        UNION ALL SELECT f, 'fisher_exact', p FROM fp),
+      ranked AS (
+        SELECT feature, p, row_number() OVER (ORDER BY p, feature) AS rk FROM allp),
+      mm AS (SELECT count(*) AS m FROM allp),
+      ks AS (
+        SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / mm.m THEN rk END), 0) AS k
+        FROM ranked, mm)
+      SELECT a.feature, a.test, round(a.p, 6) AS p_value,
+             CASE WHEN (SELECT k FROM ks) = 0 THEN true
+                  ELSE coalesce(r.rk <= (SELECT k FROM ks), false) END AS kept
+      FROM allp a JOIN ranked r ON a.feature = r.feature
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.2/28
   val tsResample: Q = Q(
     "ts_resample",
@@ -782,6 +930,6 @@ object TsQueries {
   )
 
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
-    tsRelevant, tsResample, tsResampleSliding, tsSampleEntropy, tsCounts,
-    tsWindowed, tsGapFill)
+    tsRelevant, tsRelevantCls, tsResample, tsResampleSliding, tsSampleEntropy,
+    tsCounts, tsWindowed, tsGapFill)
 }

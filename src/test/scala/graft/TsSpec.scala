@@ -169,4 +169,53 @@ class TsSpec extends SparkSpec {
     assert(got.isNullAt(1))
     assert(got.isNullAt(2))
   }
+
+  test("Mann-Whitney U p matches the asymptotic reference (ties + continuity)") {
+    // x1=[1,2.5,3,7,9] vs x0=[0.5,2,2.5,4]: R1=29.5 (tie at 2.5 takes the
+    // 4.5 average rank), U1=14.5, one tie group -> T=6; reference p from
+    // erf-based Phi = 0.325163 (A&S approx is good to ~7.5e-8)
+    val p = TsFeatures.mannWhitneyP(29.5, 5, 4, 6)
+    assert(math.abs(p - 0.32516268) < 1e-5, s"p=$p")
+    // degenerate: one group empty or all values tied -> p = 1
+    assert(TsFeatures.mannWhitneyP(0.0, 0, 9, 0) == 1.0)
+    assert(TsFeatures.mannWhitneyP(15.0, 5, 0, 0) == 1.0)
+    val n = 6L
+    assert(TsFeatures.mannWhitneyP(3.5 * 3, 3, 3, n * n * n - n) == 1.0)
+  }
+
+  test("Fisher's exact two-sided p matches the hypergeometric reference") {
+    // exact-combinatorics references: [[7,2],[3,8]] -> 0.0697785,
+    // [[12,5],[4,9]] -> 0.0633584 (scipy fisher_exact agrees)
+    assert(math.abs(TsFeatures.fisherExactP(7, 2, 3, 8) - 0.06977852) < 1e-7)
+    assert(math.abs(TsFeatures.fisherExactP(12, 5, 4, 9) - 0.06335838) < 1e-7)
+    // degenerate margins -> p = 1
+    assert(TsFeatures.fisherExactP(0, 0, 3, 8) == 1.0)
+    assert(TsFeatures.fisherExactP(5, 0, 7, 0) == 1.0)
+    // symmetry: transposing the table preserves p
+    val a = TsFeatures.fisherExactP(7, 2, 3, 8)
+    val t = TsFeatures.fisherExactP(7, 3, 2, 8)
+    assert(math.abs(a - t) < 1e-12)
+  }
+
+  test("binary relevance battery routes features to the right test and BH-filters") {
+    import spark.implicits._
+    // y correlates with x_real strongly and x_bin perfectly; x_noise is noise
+    val rows = (0 until 40).map { i =>
+      val y = i % 2
+      (i.toLong, y.toLong, y * 10.0 + (i % 5) * 0.1, y.toDouble,
+        (i % 3).toDouble % 2)
+    }
+    val df = rows.toDF("id", "y", "x_real", "x_bin", "x_noise")
+    val rel = TsFeatures.featureRelevanceBinary(df, Seq("x_real"),
+      Seq("x_bin", "x_noise"), "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rel("x_real")._1 == "mann_whitney_u")
+    assert(rel("x_bin")._1 == "fisher_exact")
+    assert(rel("x_real")._2 < 1e-6)        // perfectly separated groups
+    assert(rel("x_bin")._2 < 1e-6)         // perfectly associated table
+    assert(rel("x_real")._3 && rel("x_bin")._3)
+    assert(rel("x_noise")._2 > 0.5)        // no association
+    assert(!rel("x_noise")._3)             // BH rejects the noise feature
+  }
 }
