@@ -1,24 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Distributed global ranking. `Window.orderBy(...)` with no partition
   * key moves ALL rows into one partition — a non-starter at scale.
-  * This implementation keeps the sort distributed:
+  * This implementation keeps the sort distributed AND stays inside
+  * whole-stage codegen (no RDD conversion):
   *
   *   1. `repartitionByRange` on the value (range shuffle, balanced by
-  *      sampled boundaries) + `sortWithinPartitions`;
-  *   2. `zipWithIndex` for the global 0-based sequence (partition
-  *      sizes are counted once, offsets are added per partition —
-  *      no data movement);
+  *      sampled boundaries) + `sortWithinPartitions`, then
+  *      `localCheckpoint` to PIN the physical layout — the boundary
+  *      sampling is per-execution, so an unpinned plan could hand the
+  *      offset job and the final job different partitionings;
+  *   2. `monotonically_increasing_id` = pid·2³³ + local row index in
+  *      physical (= sorted) order; per-partition row counts (one tiny
+  *      #partitions-row aggregation) turn into partition offsets,
+  *      broadcast back as a literal map, so the global 0-based
+  *      sequence is offset[pid] + local index — a narrow projection,
+  *      no zipWithIndex, no extra shuffle;
   *   3. SQL tie semantics (`percent_rank`): rank of a value = MIN
   *      sequence among its equals, via one groupBy + an equi-join
   *      back on the value.
   *
-  * Cost: one range shuffle + one hash shuffle + a count job — instead
-  * of a single-partition sort of the entire dataset.
+  * Cost: one range shuffle + one hash shuffle + a #partitions-row
+  * offset job — instead of a single-partition sort of the entire
+  * dataset. Partitions are limited to 2³³ rows each by the id encoding
+  * (8.6 B rows per partition — far beyond a sane partition size).
   */
 object Rank {
 
@@ -32,16 +40,30 @@ object Rank {
     val par = spark.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(par, col(valueCol))
       .sortWithinPartitions(valueCol)
-    val outSchema = sorted.schema.add("__seq", LongType, nullable = false)
-    val zipped = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ i)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val pidCol = shiftright(col("__mid"), 33)
+    val locCol = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val counts = sorted.groupBy(pidCol.as("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = acc; acc += c; pid -> off
     }
-    val seqDf = spark.createDataFrame(zipped, outSchema)
-    val n = df.count()
+    val seqDf =
+      if (offsets.isEmpty) sorted.withColumn("__seq", lit(0L))
+      else {
+        val offMap = map(offsets.toSeq.flatMap { case (pid, off) =>
+          Seq(lit(pid), lit(off))
+        }: _*)
+        sorted.withColumn("__seq", element_at(offMap, pidCol) + locCol)
+      }
     val ranks = seqDf.groupBy(col(valueCol)).agg(min(col("__seq")).as("__rank"))
     seqDf.join(ranks, valueCol)
       .withColumn(outCol,
         if (n <= 1) lit(0.0) else col("__rank").cast("double") / lit((n - 1).toDouble))
-      .drop("__seq", "__rank")
+      .drop("__mid", "__seq", "__rank")
   }
 }

@@ -143,7 +143,70 @@ object TsFeatures {
               valueCol: String): DataFrame = {
     val e = enrichedFrame(df, Seq(seriesKey), orderCols, Seq(valueCol))
     val aggs = featureAggs(valueCol, identity)
-    e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*)
+    withDerived(e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*), identity)
+  }
+
+  /** Post-aggregation derived calculators — pure projections over the
+    * ROUNDED lag-1..4 autocorrelations (rounding first makes the inputs
+    * bit-identical across engines, so the closed forms below are
+    * deterministic): tsfresh agg_autocorrelation mean/var over the
+    * lag-1..4 ladder, and the Yule-Walker AR(4) coefficients via the
+    * Durbin-Levinson recursion (tsfresh ar_coefficient k≤4; φ_{4,4} is
+    * also the lag-4 partial autocorrelation). Computing these AFTER the
+    * aggregation keeps the aggregate expression tree (and its codegen)
+    * small — each φ would otherwise re-expand the autocorrelation sums
+    * dozens of times inside the agg.
+    */
+  private def withDerived(df: DataFrame, out: String => String): DataFrame = {
+    def r(n: String) = round(col(out(n)), 6)
+    val (r1, r2, r3, r4) =
+      (r("autocorr_lag1"), r("autocorr_lag2"),
+        r("autocorr_lag3"), r("autocorr_lag4"))
+    // agg_autocorrelation mean/var in EXACT integer micro-units: the
+    // mean of four 6-dp values is grid-locked to 2.5e-7 (and the var
+    // to 6.25e-14), so a plain double mean lands exactly on 6-dp
+    // rounding midpoints where Spark (shortest-decimal HALF_UP) and a
+    // binary-scaling engine disagree — the SURVEY §10 tie class.
+    // m_i = r_i·1e6 are exact integer-valued doubles; half-up of s/4
+    // is floor((2s+4)/8)-style integer arithmetic, identical in SQL.
+    def micro(c: Column) = round(c * 1e6)
+    val (m1, m2, m3, m4) = (micro(r1), micro(r2), micro(r3), micro(r4))
+    val sM = m1 + m2 + m3 + m4
+    val acMean = (when(sM >= 0, floor((sM + 2) / 4))
+      .otherwise(-floor((-sM + 2) / 4))) / lit(1e6)
+    // var·1e12 = (4·Σm² − s²)/16; half-up at 6 dp = q/(16e6) rounded
+    val qV = lit(4) * (m1 * m1 + m2 * m2 + m3 * m3 + m4 * m4) - sM * sM
+    val acVar = (when(qV >= 0,
+      floor((qV * 2 + lit(16000000.0)) / lit(32000000.0)))
+      .otherwise(-floor((qV * -2 + lit(16000000.0)) / lit(32000000.0)))) / lit(1e6)
+    val a11 = r1
+    val a22 = try_divide(r2 - a11 * r1, lit(1.0) - a11 * r1)
+    val a21 = a11 - a22 * a11
+    val a33 = try_divide(r3 - (a21 * r2 + a22 * r1),
+      lit(1.0) - (a21 * r1 + a22 * r2))
+    val a31 = a21 - a33 * a22
+    val a32 = a22 - a33 * a21
+    val a44 = try_divide(r4 - (a31 * r3 + a32 * r2 + a33 * r1),
+      lit(1.0) - (a31 * r1 + a32 * r2 + a33 * r3))
+    val a41 = a31 - a44 * a33
+    val a42 = a32 - a44 * a32
+    val a43 = a33 - a44 * a31
+    // tsfresh spkt_welch_density at coeff k: single-segment boxcar
+    // Welch (the degenerate nperseg=n case) — PSD |F_k|²/n. Derived
+    // from the ROUNDED |F_k| so both engines square the identical
+    // double: the raw (re²+im²) form amplifies the order-dependent
+    // trig-sum low bits past the 6-dp boundary (seen at sf0.1).
+    val wp1 = r("fft_abs_c1") * r("fft_abs_c1") / col(out("n"))
+    val wp2 = r("fft_abs_c2") * r("fft_abs_c2") / col(out("n"))
+    df
+      .withColumn(out("agg_autocorr_mean"), acMean)
+      .withColumn(out("agg_autocorr_var"), acVar)
+      .withColumn(out("ar4_phi1"), a41)
+      .withColumn(out("ar4_phi2"), a42)
+      .withColumn(out("ar4_phi3"), a43)
+      .withColumn(out("ar4_phi4"), a44)
+      .withColumn(out("welch_psd_c1"), wp1)
+      .withColumn(out("welch_psd_c2"), wp2)
   }
 
   /** WINDOWED extraction: the full calculator matrix per (series,
@@ -160,7 +223,9 @@ object TsFeatures {
       expr(s"cast($tsNanosCol as long) div $widthNanos"))
     val e = enrichedFrame(bucketed, Seq(seriesKey, "bucket"), orderCols, Seq(valueCol))
     val aggs = featureAggs(valueCol, identity)
-    e.groupBy(col(seriesKey), col("bucket")).agg(aggs.head, aggs.tail: _*)
+    withDerived(
+      e.groupBy(col(seriesKey), col("bucket")).agg(aggs.head, aggs.tail: _*),
+      identity)
   }
 
   /** Multi-column extraction (the reference/tsfresh shape: features
@@ -179,7 +244,8 @@ object TsFeatures {
     require(valueCols.nonEmpty, "no value columns to extract")
     val e = enrichedFrame(df, Seq(seriesKey), orderCols, valueCols)
     val aggs = valueCols.flatMap(vc => featureAggs(vc, n => s"${vc}_$n"))
-    e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*)
+    val agged = e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*)
+    valueCols.foldLeft(agged)((acc, vc) => withDerived(acc, n => s"${vc}_$n"))
   }
 
   /** Window-enrichment stage shared by [[extract]]/[[extractMulti]]:
@@ -205,6 +271,8 @@ object TsFeatures {
         v.as(s"${vc}__v"),
         lag(v, 1).over(w).as(s"${vc}__prev"),
         lag(v, 2).over(w).as(s"${vc}__prev2"),
+        lag(v, 3).over(w).as(s"${vc}__prev3"),
+        lag(v, 4).over(w).as(s"${vc}__prev4"),
         lead(v, 1).over(w).as(s"${vc}__nxt"),
         avg(v).over(wAll).as(s"${vc}__mu"),
         stddev_pop(v).over(wAll).as(s"${vc}__sd"),
@@ -276,6 +344,10 @@ object TsFeatures {
       (count(lit(1)) - 1) * var_pop(v))
     val ac2 = try_divide(sum((v - i("mu")) * (i("prev2") - i("mu"))),
       (count(lit(1)) - 2) * var_pop(v))
+    val ac3 = try_divide(sum((v - i("mu")) * (i("prev3") - i("mu"))),
+      (count(lit(1)) - 3) * var_pop(v))
+    val ac4 = try_divide(sum((v - i("mu")) * (i("prev4") - i("mu"))),
+      (count(lit(1)) - 4) * var_pop(v))
     // fixed-k Goertzel DFT term (tsfresh fft_coefficient abs): two
     // trig-weighted sums per k — still one per-row expression, no FFT
     def fftAbs(k: Int): Column = {
@@ -283,6 +355,16 @@ object TsFeatures {
       val re = sum(v * cos(arg))
       val im = sum(v * sin(arg))
       sqrt(re * re + im * im)
+    }
+    // Shannon entropy -Σ p·ln(p) of the normalized k=0..8 magnitude
+    // spectrum; identical left-associated term chain to the SQL oracle
+    val fourierEntropy: Column = {
+      val fks = abs(sum(v)) +: (1 to 8).map(fftAbs)
+      val mass = fks.reduce(_ + _)
+      fks.map { fk =>
+        val p = fk / mass
+        when(fk > 0, -p * log(p)).otherwise(lit(0.0))
+      }.reduce(_ + _)
     }
     // tsfresh index_mass_quantile(q): relative index where the running
     // |v| mass first reaches q of the total; (idx+1)/cnt is monotone in
@@ -436,6 +518,16 @@ object TsFeatures {
       // both engines hold bit-identical inputs to the closed form
       ar1Slope(v, i("prev")).as(out("ar1_coeff")),
       ar1Intercept(v, i("prev")).as(out("ar1_intercept")),
+      // tier 9: the autocorrelation ladder to lag 4 (feeds the
+      // agg_autocorrelation moments and the Durbin-Levinson AR(4)
+      // coefficients computed post-agg in [[withDerived]]) + spectral
+      // density calculators over the same Goertzel grid as fft_abs_c*
+      ac3.as(out("autocorr_lag3")),
+      ac4.as(out("autocorr_lag4")),
+      // tsfresh fourier_entropy: Shannon entropy of the normalized
+      // k=0..8 magnitude spectrum (tsfresh bins the Welch PSD; here
+      // the 9-term spectrum IS the binning — documented truncation)
+      fourierEntropy.as(out("fourier_entropy")),
     )
   }
 
@@ -576,20 +668,33 @@ object TsFeatures {
     val kmin = math.max(0L, r1 + c1 - n)
     val kmax = math.min(r1, c1)
     if (kmax <= kmin) return 1.0
+    // anchor the weight recurrence at the distribution's MODE with
+    // w=1 and recurse outward: weights only DECREASE away from the
+    // mode, so nothing overflows (unnormalized weights anchored at a
+    // tail overflow double range for margins in the hundreds — seen
+    // at sf0.1); far tails underflow to exact 0, contributing nothing
+    // on either engine. The SQL oracle replays the same up/down
+    // recurrences and ascending-k folds.
+    val kmode = math.min(kmax, math.max((r1 + 1) * (c1 + 1) / (n + 2), kmin))
     val ws = new Array[Double]((kmax - kmin + 1).toInt)
-    ws(0) = 1.0
-    var k = kmin
-    var i = 0
+    ws((kmode - kmin).toInt) = 1.0
+    var k = kmode
     while (k < kmax) {
+      val i = (k - kmin).toInt
       ws(i + 1) = ws(i) * ((r1 - k) * (c1 - k)) / ((k + 1) * (n - r1 - c1 + k + 1))
       k += 1
-      i += 1
+    }
+    k = kmode
+    while (k > kmin) {
+      val i = (k - kmin).toInt
+      ws(i - 1) = ws(i) * (k * (n - r1 - c1 + k)) / ((r1 - k + 1) * (c1 - k + 1))
+      k -= 1
     }
     val wObs = ws((n11 - kmin).toInt)
     val thresh = wObs * (1.0 + 1e-7)
     var total = 0.0
     var mass = 0.0
-    i = 0
+    var i = 0
     while (i < ws.length) {
       total += ws(i)
       if (ws(i) <= thresh) mass += ws(i)

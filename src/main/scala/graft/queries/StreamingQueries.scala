@@ -243,6 +243,25 @@ object StreamingQueries {
     }
   }
 
+  /** EVENT-TIME-SKEW bench of the stream-stream interval join (SURVEY
+    * §7.13, open since round 4): one hot user carries ~10% of all
+    * events (every event_id % 10 == 0 remapped), so one state-store
+    * partition holds ~10% of the join state and its per-batch commit
+    * dominates. Bench-only — the output is the skewed join's pairs, a
+    * fixture with no independent oracle value beyond the un-skewed
+    * twin's (already oracled) semantics.
+    */
+  def intervalJoinSkew(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def hot(df: org.apache.spark.sql.DataFrame) = df.withColumn("user_id",
+      when(col("event_id") % 10 === 0, lit(1L)).otherwise(col("user_id")))
+    StreamOps.runToBatch(s,
+      StreamOps.intervalSelfJoin(hot(StreamOps.eventsStream(s, dir)),
+        hot(StreamOps.eventsStream(s, dir))),
+      mode = "append", statePartitions = Some(8))
+  }
+
   /** Streaming vocabulary top-k: UPDATE-mode word counts merged into a
     * bounded driver board ([[StreamOps.topKBoard]]) — the "live
     * vocabulary board" a tokenizer-training pipeline watches. Streaming

@@ -151,6 +151,8 @@ object TsQueries {
     */
   private val ac1Sql = "sum((v - mu) * (prev - mu)) / ((count(*) - 1) * var_pop(v))"
   private val ac2Sql = "sum((v - mu) * (prev2 - mu)) / ((count(*) - 2) * var_pop(v))"
+  private val ac3Sql = "sum((v - mu) * (prev3 - mu)) / ((count(*) - 3) * var_pop(v))"
+  private val ac4Sql = "sum((v - mu) * (prev4 - mu)) / ((count(*) - 4) * var_pop(v))"
   private def fftAbsRawSql(k: Int): String = {
     val re = s"sum(v * cos(2 * pi() * $k * idx / cnt))"
     val im = s"sum(v * sin(2 * pi() * $k * idx / cnt))"
@@ -179,6 +181,16 @@ object TsQueries {
       s" - $ar1SxSql * $ar1SxSql)"
   private def imqSql(q: Double): String =
     s"round(min(CASE WHEN cabs >= $q * sabs THEN (idx + 1) / cnt END), 6)"
+  /** -Σ p·ln(p) over the normalized k=0..8 magnitude spectrum —
+    * identical left-associated chain to TsFeatures' fourierEntropy.
+    */
+  private lazy val fourierEntropySql: String = {
+    val fks = "abs(sum(v))" +: (1 to 8).map(fftAbsRawSql)
+    fks.map { fk =>
+      s"(CASE WHEN ($fk) > 0 THEN (-(($fk) / ($fftMassSql))) * " +
+        s"ln(($fk) / ($fftMassSql)) ELSE 0.0 END)"
+    }.mkString(" + ")
+  }
 
   /** Pearson r vs Benford's law over the 9 first-digit frequencies —
     * identical shortcut arithmetic and literal constants to the Spark
@@ -310,7 +322,66 @@ object TsQueries {
     "ar1_coeff" -> s"round($ar1SlopeSql, 6)",
     "ar1_intercept" ->
       s"round(($ar1SySql - ($ar1SlopeSql) * $ar1SxSql) / count(prev)::DOUBLE, 6)",
+    // tier 9: the lag-3/4 autocorrelation ladder + spectral densities
+    // over the same Goertzel grid (spkt_welch_density single-segment
+    // boxcar case; fourier_entropy over the normalized k=0..8 spectrum)
+    "autocorr_lag3" -> s"round($ac3Sql, 6)",
+    "autocorr_lag4" -> s"round($ac4Sql, 6)",
+    "fourier_entropy" -> s"round($fourierEntropySql, 6)",
   )
+
+  /** Post-aggregation derived calculators over the ROUNDED lag-1..4
+    * autocorrelation aliases (`prefix` = the per-sensor alias prefix):
+    * agg_autocorrelation mean/var and the Durbin-Levinson AR(4)
+    * coefficients — the identical closed forms TsFeatures.withDerived
+    * builds as Column projections, so both engines start from the same
+    * 6-dp-rounded r values and run the same double arithmetic.
+    */
+  private def derivedSql(prefix: String): Seq[(String, String)] = {
+    def r(k: Int) = s"${prefix}autocorr_lag$k"
+    val a11 = r(1)
+    val a22 = s"((${r(2)} - $a11 * ${r(1)}) / (1.0 - $a11 * ${r(1)}))"
+    val a21 = s"($a11 - $a22 * $a11)"
+    val a33 = s"((${r(3)} - ($a21 * ${r(2)} + $a22 * ${r(1)})) / " +
+      s"(1.0 - ($a21 * ${r(1)} + $a22 * ${r(2)})))"
+    val a31 = s"($a21 - $a33 * $a22)"
+    val a32 = s"($a22 - $a33 * $a21)"
+    val a44 = s"((${r(4)} - ($a31 * ${r(3)} + $a32 * ${r(2)} + $a33 * ${r(1)})) / " +
+      s"(1.0 - ($a31 * ${r(1)} + $a32 * ${r(2)} + $a33 * ${r(3)})))"
+    val a41 = s"($a31 - $a44 * $a33)"
+    val a42 = s"($a32 - $a44 * $a32)"
+    val a43 = s"($a33 - $a44 * $a31)"
+    // exact integer-micro mean/var (see TsFeatures.withDerived: the
+    // 2.5e-7-grid mean sits exactly on 6-dp rounding midpoints)
+    def m(k: Int) = s"round(${r(k)} * 1e6)"
+    val sM = s"(${m(1)} + ${m(2)} + ${m(3)} + ${m(4)})"
+    val acMean = s"((CASE WHEN $sM >= 0 THEN floor(($sM + 2) / 4) " +
+      s"ELSE -floor((-$sM + 2) / 4) END) / 1e6)"
+    val qV = s"(4 * (${m(1)} * ${m(1)} + ${m(2)} * ${m(2)} + " +
+      s"${m(3)} * ${m(3)} + ${m(4)} * ${m(4)}) - $sM * $sM)"
+    val acVar = s"((CASE WHEN $qV >= 0 THEN " +
+      s"floor(($qV * 2 + 16000000.0) / 32000000.0) " +
+      s"ELSE -floor(($qV * -2 + 16000000.0) / 32000000.0) END) / 1e6)"
+    Seq(
+      "agg_autocorr_mean" -> s"round($acMean, 6)",
+      "agg_autocorr_var" -> s"round($acVar, 6)",
+      "ar4_phi1" -> s"round($a41, 6)",
+      "ar4_phi2" -> s"round($a42, 6)",
+      "ar4_phi3" -> s"round($a43, 6)",
+      "ar4_phi4" -> s"round($a44, 6)",
+      // spkt_welch_density |F_k|²/n from the ROUNDED |F_k| alias —
+      // both engines square the identical 6-dp double (the raw form
+      // amplifies order-dependent trig-sum low bits past 6 dp)
+      "welch_psd_c1" ->
+        s"round(${prefix}fft_abs_c1 * ${prefix}fft_abs_c1 / ${prefix}n, 6)",
+      "welch_psd_c2" ->
+        s"round(${prefix}fft_abs_c2 * ${prefix}fft_abs_c2 / ${prefix}n, 6)",
+    )
+  }
+
+  private val derivedNames: Seq[String] = derivedSql("").map(_._1)
+  /** every feature column the extract emits: base aggregates + derived */
+  private val allFeatNames: Seq[String] = featSql.map(_._1) ++ derivedNames
 
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
     * IDENTICAL left-associated term sum the Spark aggregation uses.
@@ -338,6 +409,8 @@ object TsQueries {
         SELECT $pk, ts, value AS v,
                lag(value) OVER w AS prev,
                lag(value, 2) OVER w AS prev2,
+               lag(value, 3) OVER w AS prev3,
+               lag(value, 4) OVER w AS prev4,
                lead(value) OVER w AS nxt,
                avg(value) OVER pa AS mu,
                stddev_pop(value) OVER pa AS sd,
@@ -372,7 +445,7 @@ object TsQueries {
   private def roundedExtract(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
     val f = TsFeatures.extract(e, "user_id", Seq("ts"), "value")
-    f.select(col("user_id") +: featSql.map { case (name, _) =>
+    f.select(col("user_id") +: allFeatNames.map { name =>
       if (intFeats(name)) col(name)
       else round(col(name), 6).as(name)
     }: _*)
@@ -383,10 +456,14 @@ object TsQueries {
     "ts_features_extract",
     (s, dir) => roundedExtract(s, dir),
     Some(s"""
-      $enrichedCte
-      SELECT user_id,
-             ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
-      FROM e GROUP BY user_id
+      $enrichedCte,
+      f0 AS (
+        SELECT user_id,
+               ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n               ")}
+        FROM e GROUP BY user_id)
+      SELECT f0.*,
+             ${derivedSql("").map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
+      FROM f0
     """),
   )
 
@@ -407,18 +484,22 @@ object TsQueries {
       // resolves by engine-specific low bits — and 1-2 point windows
       // are degenerate features anyway
       f.where(col("n") >= 3)
-        .select(col("user_id") +: col("bucket") +: featSql.map { case (name, _) =>
+        .select(col("user_id") +: col("bucket") +: allFeatNames.map { name =>
           if (intFeats(name)) col(name) else round(col(name), 6).as(name)
         }: _*)
     },
     Some(s"""
       ${enrichedCteFor(
         "(SELECT user_id, epoch_ns(ts) // 604800000000000 AS bucket, ts, value FROM events)",
-        "user_id, bucket")}
-      SELECT user_id, bucket,
-             ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
-      FROM e GROUP BY user_id, bucket
-      HAVING count(v) >= 3
+        "user_id, bucket")},
+      f0 AS (
+        SELECT user_id, bucket,
+               ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n               ")}
+        FROM e GROUP BY user_id, bucket
+        HAVING count(v) >= 3)
+      SELECT f0.*,
+             ${derivedSql("").map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
+      FROM f0
     """),
   )
 
@@ -441,6 +522,8 @@ object TsQueries {
         SELECT user_id AS k, ts, $vc AS v,
                lag($vc) OVER w AS prev,
                lag($vc, 2) OVER w AS prev2,
+               lag($vc, 3) OVER w AS prev3,
+               lag($vc, 4) OVER w AS prev4,
                lead($vc) OVER w AS nxt,
                avg($vc) OVER pa AS mu,
                stddev_pop($vc) OVER pa AS sd,
@@ -469,11 +552,16 @@ object TsQueries {
         FROM e0_$vc
         WINDOW wb AS (PARTITION BY k ORDER BY ts
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-      f_$vc AS (
+      f0_$vc AS (
         SELECT k,
                ${featSql.map { case (n, sql) => s"$sql AS ${vc}_$n" }
                  .mkString(",\n               ")}
-        FROM e_$vc GROUP BY k)"""
+        FROM e_$vc GROUP BY k),
+      f_$vc AS (
+        SELECT f0_$vc.*,
+               ${derivedSql(s"${vc}_").map { case (n, sql) => s"$sql AS ${vc}_$n" }
+                 .mkString(",\n               ")}
+        FROM f0_$vc)"""
 
   /** Multi-sensor extraction (reference preprocessor.py:558-638
     * extracts over the WHOLE frame): the full 37-calculator matrix for
@@ -491,7 +579,7 @@ object TsQueries {
         (col("value") * lit(0.5) + lit(3.25)).as("vb"),
         abs(col("value")).as("vc"))
       val f = TsFeatures.extractMulti(e, "user_id", Seq("ts"), multiVals)
-      f.select(col("user_id") +: multiVals.flatMap(vc => featSql.map { case (name, _) =>
+      f.select(col("user_id") +: multiVals.flatMap(vc => allFeatNames.map { name =>
         val c = s"${vc}_$name"
         if (intFeats(name)) col(c) else round(col(c), 6).as(c)
       }): _*)
@@ -504,7 +592,7 @@ object TsQueries {
         FROM events),
       ${multiVals.map(multiSensorCte).mkString(",\n")}
       SELECT k AS user_id,
-             ${multiVals.flatMap(vc => featSql.map { case (n, _) => s"${vc}_$n" })
+             ${multiVals.flatMap(vc => allFeatNames.map(n => s"${vc}_$n"))
                .mkString(",\n             ")}
       FROM f_va
       JOIN f_vb USING (k)
@@ -523,8 +611,14 @@ object TsQueries {
     (s, dir) => {
       val labels = Tables.events(s, dir).groupBy(col("user_id"))
         .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"))
+      // relevance battery stays on the BASE aggregate features — the
+      // derived post-agg calculators (agg_autocorr/ar4) are arithmetic
+      // combinations of autocorr_lag1..4 and would only add collinear
+      // rows to the correlation matrix
+      val baseFeats = roundedExtract(s, dir)
+        .select(col("user_id") +: featSql.map { case (n, _) => col(n) }: _*)
       val rel = TsFeatures.featureRelevance(
-        roundedExtract(s, dir), labels, "user_id", "y", alpha = 0.05)
+        baseFeats, labels, "user_id", "y", alpha = 0.05)
       rel.select(col("feature"), round(col("corr"), 6).as("corr"),
         round(col("p_value"), 6).as("p_value"), col("kept"))
     },
@@ -683,13 +777,29 @@ object TsQueries {
                  - (n11 + n10 + n01 + n00)) AS kmin,
                least(n11 + n10, n11 + n01) AS kmax
         FROM bm),
-      wr AS (
-        SELECT f, kmin AS k, 1.0::DOUBLE AS w FROM bm2
+      bm3 AS (
+        SELECT *, least(kmax, greatest(((r1 + 1) * (c1 + 1)) // (n + 2), kmin))
+          AS kmode
+        FROM bm2),
+      wup AS (
+        SELECT f, kmode AS k, 1.0::DOUBLE AS w FROM bm3
         UNION ALL
-        SELECT wr.f, wr.k + 1,
-               wr.w * ((b.r1 - wr.k) * (b.c1 - wr.k))
-                 / ((wr.k + 1) * (b.n - b.r1 - b.c1 + wr.k + 1))
-        FROM wr JOIN bm2 b ON wr.f = b.f WHERE wr.k < b.kmax),
+        SELECT wup.f, wup.k + 1,
+               wup.w * ((b.r1 - wup.k) * (b.c1 - wup.k))
+                 / ((wup.k + 1) * (b.n - b.r1 - b.c1 + wup.k + 1))
+        FROM wup JOIN bm3 b ON wup.f = b.f WHERE wup.k < b.kmax),
+      wdn AS (
+        SELECT f, kmode AS k, 1.0::DOUBLE AS w FROM bm3
+        UNION ALL
+        SELECT wdn.f, wdn.k - 1,
+               wdn.w * (wdn.k * (b.n - b.r1 - b.c1 + wdn.k))
+                 / ((b.r1 - wdn.k + 1) * (b.c1 - wdn.k + 1))
+        FROM wdn JOIN bm3 b ON wdn.f = b.f WHERE wdn.k > b.kmin),
+      wr AS (
+        SELECT * FROM wup
+        UNION ALL
+        SELECT wdn.f, wdn.k, wdn.w FROM wdn JOIN bm3 b ON wdn.f = b.f
+        WHERE wdn.k < b.kmode),
       wobs AS (
         SELECT wr.f, wr.w AS wobs
         FROM wr JOIN bm2 b ON wr.f = b.f AND wr.k = b.n11),

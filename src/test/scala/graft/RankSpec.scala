@@ -23,6 +23,21 @@ class RankSpec extends SparkSpec {
     assert(r.toSeq == Seq(0.0))
   }
 
+  test("rank plan stays in Tungsten — no external-row RDD conversion") {
+    val df = spark.range(2000).select($"id",
+      (($"id" * 48271L) % 997).cast("double").as("v"))
+    val ranked = Rank.withPercentRank(df, "v", "pr")
+    ranked.collect() // finalize THIS adaptive plan so codegen spans print
+    val plan = ranked.queryExecution.executedPlan.toString
+    // the sequence/rank derivation is codegen projections + hash
+    // aggregate/join ("*(n)" = a whole-stage-codegen stage in the
+    // finalized adaptive plan); an external Row round-trip would show
+    // the object-serialization operators
+    assert(plan.contains("*("), plan)
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("SerializeFromObject"), plan)
+  }
+
   test("rank is correct at 10k rows (AQE may coalesce small outputs)") {
     val df = spark.range(10000).select($"id",
       (($"id" * 2654435761L) % 10007).cast("double").as("v"))

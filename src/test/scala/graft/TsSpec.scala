@@ -170,6 +170,50 @@ class TsSpec extends SparkSpec {
     assert(got.isNullAt(2))
   }
 
+  test("tier-9 spectral and AR(4) calculators are internally consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a 24-point series with real autocorrelation structure
+    val xs = (0 until 24).map(i =>
+      math.sin(i * 0.7) * 3 + (i % 5) * 0.63 - 1.1)
+    val in = xs.zipWithIndex.map { case (v, i) => ("A", i.toLong, v) }
+      .toDF("sk", "t", "v")
+    val f = TsFeatures.extract(in, "sk", Seq("t"), "v").head()
+    def d(n: String) = f.getAs[Double](n)
+    def r6(n: String) = BigDecimal(d(n)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // welch_psd_ck = (rounded fft_abs_ck)² / n by construction
+    assert(math.abs(d("welch_psd_c1") - r6("fft_abs_c1") * r6("fft_abs_c1") / 24) < 1e-9)
+    assert(math.abs(d("welch_psd_c2") - r6("fft_abs_c2") * r6("fft_abs_c2") / 24) < 1e-9)
+    // normalized-spectrum entropy lies in (0, ln 9]
+    assert(d("fourier_entropy") > 0 && d("fourier_entropy") <= math.log(9.0) + 1e-12)
+    // ar4 coefficients solve the Yule-Walker system R·phi = r built
+    // from the same ROUNDED lag autocorrelations — verified with an
+    // independent Gaussian elimination, not the Durbin recursion
+    val r = Array(1.0, r6("autocorr_lag1"), r6("autocorr_lag2"),
+      r6("autocorr_lag3"), r6("autocorr_lag4"))
+    val a = Array.tabulate(4, 5) { (i, j) =>
+      if (j < 4) r(math.abs(i - j)) else r(i + 1)
+    }
+    for (p <- 0 until 4; i <- p + 1 until 4) {
+      val fct = a(i)(p) / a(p)(p)
+      for (j <- p until 5) a(i)(j) -= fct * a(p)(j)
+    }
+    val phi = new Array[Double](4)
+    for (i <- 3 to 0 by -1) {
+      var s = a(i)(4)
+      for (j <- i + 1 until 4) s -= a(i)(j) * phi(j)
+      phi(i) = s / a(i)(i)
+    }
+    for (k <- 1 to 4)
+      assert(math.abs(d(s"ar4_phi$k") - phi(k - 1)) < 1e-9,
+        s"phi$k: got ${d(s"ar4_phi$k")}, want ${phi(k - 1)}")
+    // agg_autocorr_mean is the exact half-up 6-dp mean of the rounded r's
+    val meanRef = BigDecimal((r(1) + r(2) + r(3) + r(4)) / 4).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(d("agg_autocorr_mean") - meanRef) < 1e-9)
+  }
+
   test("Mann-Whitney U p matches the asymptotic reference (ties + continuity)") {
     // x1=[1,2.5,3,7,9] vs x0=[0.5,2,2.5,4]: R1=29.5 (tie at 2.5 takes the
     // 4.5 average rank), U1=14.5, one tie group -> T=6; reference p from
