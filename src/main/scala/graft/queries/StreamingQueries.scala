@@ -244,10 +244,13 @@ object StreamingQueries {
   }
 
   /** EVENT-TIME-SKEW bench of the stream-stream interval join (SURVEY
-    * §7.13, open since round 4): one hot user carries ~10% of all
-    * events (every event_id % 10 == 0 remapped), so one state-store
-    * partition holds ~10% of the join state and its per-batch commit
-    * dominates. Bench-only — the output is the skewed join's pairs, a
+    * §7.13, open since round 4): one hot user carries ~5% of all
+    * events (every event_id % 20 == 0 remapped), so one state-store
+    * partition holds that share of the join state and the hot key's
+    * quadratic in-horizon pair count dominates the batch. (A 10% share
+    * measured 28.1s at sf0.1 — the quadratic OUTPUT explosion drowned
+    * the state-store signal; 5% keeps the skew visible at ~¼ the pair
+    * volume.) Bench-only — the output is the skewed join's pairs, a
     * fixture with no independent oracle value beyond the un-skewed
     * twin's (already oracled) semantics.
     */
@@ -255,7 +258,7 @@ object StreamingQueries {
                        dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     def hot(df: org.apache.spark.sql.DataFrame) = df.withColumn("user_id",
-      when(col("event_id") % 10 === 0, lit(1L)).otherwise(col("user_id")))
+      when(col("event_id") % 20 === 0, lit(1L)).otherwise(col("user_id")))
     StreamOps.runToBatch(s,
       StreamOps.intervalSelfJoin(hot(StreamOps.eventsStream(s, dir)),
         hot(StreamOps.eventsStream(s, dir))),
