@@ -703,6 +703,36 @@ object TsFeatures {
     math.min(1.0, mass / total)
   }
 
+  /** Chi-square survival P(X² ≥ h) for df ∈ {1, 2} via closed forms an
+    * external SQL engine replays exactly: df=1 → 2·(1−Φ(√h)) (the A&S
+    * tail), df=2 → exp(−h/2). df=0 (single class) → 1.
+    */
+  def chi2TailP(h: Double, df: Long): Double =
+    if (df <= 0 || h <= 0) 1.0
+    else if (df == 1) math.min(1.0, normTwoSidedP(math.sqrt(h)))
+    else math.min(1.0, math.exp(-h / 2))
+
+  /** Kruskal-Wallis H p-value (tie-corrected) — the k>2 generalization
+    * of Mann-Whitney behind tsfresh's relevance battery for
+    * MULTI-CLASS targets. `rgs` = (rank sum, group size) per class in
+    * a FIXED fold order (the SQL oracle folds the same class order);
+    * each rank sum is an exact multiple of 0.5, so H is
+    * engine-deterministic. p via [[chi2TailP]] with df = #non-empty
+    * classes − 1 (the fixture bounds classes at 3, so df ≤ 2 and the
+    * closed-form tails apply).
+    */
+  def kruskalWallisP(rgs: Seq[(Double, Long)], ties: Long): Double = {
+    val present = rgs.filter(_._2 > 0)
+    val n = present.map(_._2).sum
+    val df = present.size - 1L
+    if (df <= 0 || n < 2) return 1.0
+    val sumTerm = present.map { case (r, ng) => r * r / ng }
+      .foldLeft(0.0)(_ + _)
+    val h = 12.0 / (n.toDouble * (n + 1)) * sumTerm - 3.0 * (n + 1)
+    val c = 1.0 - ties.toDouble / (n.toDouble * n * n - n)
+    if (c <= 0) 1.0 else chi2TailP(h / c, df)
+  }
+
   /** Relevance filter for a BINARY classification target — the
     * per-type test battery behind tsfresh's `calculate_relevance_table`
     * (reference: preprocessor.py:630 `extract_relevant_features` with
@@ -763,19 +793,70 @@ object TsFeatures {
     val allP: Seq[(String, Double)] =
       (realCols.map(c => c -> mwP.getOrElse(c, 1.0)) ++
         binaryCols.map(c => c -> fisherP.getOrElse(c, 1.0)))
-    val sorted = allP.sortBy { case (c, p) => (p, c) }
-    val m = sorted.size
-    val kStar = sorted.zipWithIndex
-      .collect { case ((_, p), i) if p <= (i + 1) * alpha / m => i + 1 }
-      .lastOption.getOrElse(0)
-    val keptNames: Set[String] =
-      if (kStar == 0) allP.map(_._1).toSet
-      else sorted.take(kStar).map(_._1).toSet
+    val keptNames = bhKeep(allP, alpha)
     val spark = features.sparkSession
     import spark.implicits._
     allP.map { case (c, p) =>
       (c, if (isReal(c)) "mann_whitney_u" else "fisher_exact", p, keptNames(c))
     }.toDF("feature", "test", "p_value", "kept")
+  }
+
+  /** Benjamini–Hochberg: keep the k* smallest p-values where
+    * k* = max{i : p_(i) ≤ i·alpha/m} (ties ranked by (p, name)), with
+    * the reference's keep-all fallback when nothing survives.
+    */
+  private def bhKeep(ps: Seq[(String, Double)], alpha: Double): Set[String] = {
+    val sorted = ps.sortBy { case (c, p) => (p, c) }
+    val m = sorted.size
+    val kStar = sorted.zipWithIndex
+      .collect { case ((_, p), i) if p <= (i + 1) * alpha / m => i + 1 }
+      .lastOption.getOrElse(0)
+    if (kStar == 0) ps.map(_._1).toSet else sorted.take(kStar).map(_._1).toSet
+  }
+
+  /** Relevance filter for a MULTI-CLASS target: per-feature
+    * Kruskal-Wallis H across the label groups (the k>2 generalization
+    * of Mann-Whitney, tsfresh's battery for k-ary classification
+    * targets) + one BH pass. Same scalable rank-sum shape as the
+    * binary battery — distinct (feature, value) groups carry total and
+    * PER-CLASS counts, one per-feature cumulative window over those
+    * groups yields average ranks, and each class's rank sum is an
+    * exact multiple of 0.5 (order-free distributed sum). `classes`
+    * fixes the class list and the fold order the SQL oracle replays;
+    * with ≤3 classes df ≤ 2, so [[chi2TailP]]'s closed forms apply.
+    */
+  def featureRelevanceMulti(features: DataFrame, realCols: Seq[String],
+                            labelCol: String, classes: Seq[String],
+                            alpha: Double = 0.05): DataFrame = {
+    require(classes.size <= 3, "chi2TailP closed forms cover df <= 2")
+    val long = features.select(col(labelCol).cast("string").as("__c"),
+      explode(array(realCols.map(c =>
+        struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__e"))
+      .select(col("__c"), col("__e.f").as("__f"), col("__e.x").as("__x"))
+    val aggs = count(lit(1)).as("nx") +: classes.map(c =>
+      sum(when(col("__c") === c, 1L).otherwise(0L)).as(s"m_$c"))
+    val byVal = long.groupBy(col("__f"), col("__x")).agg(aggs.head, aggs.tail: _*)
+    val w = Window.partitionBy(col("__f")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal.withColumn("avgrank",
+      coalesce(sum(col("nx")).over(w), lit(0L)) + (col("nx") + 1) / lit(2.0))
+    val stAggs = classes.flatMap(c => Seq(
+      sum(col(s"m_$c") * col("avgrank")).as(s"r_$c"),
+      sum(col(s"m_$c")).as(s"n_$c"))) :+
+      sum(col("nx") * col("nx") * col("nx") - col("nx")).as("ties")
+    val stats = ranked.groupBy(col("__f")).agg(stAggs.head, stAggs.tail: _*)
+      .collect()
+    val pByF = stats.map { row =>
+      val rgs = classes.map(c =>
+        (row.getAs[Double](s"r_$c"), row.getAs[Long](s"n_$c")))
+      row.getAs[String]("__f") -> kruskalWallisP(rgs, row.getAs[Long]("ties"))
+    }.toMap
+    val allP = realCols.map(c => c -> pByF.getOrElse(c, 1.0))
+    val keptNames = bhKeep(allP, alpha)
+    val spark = features.sparkSession
+    import spark.implicits._
+    allP.map { case (c, p) => (c, p, keptNames(c)) }
+      .toDF("feature", "p_value", "kept")
   }
 
   /** Relevance filter (reference: `extract_relevant_features` — tsfresh

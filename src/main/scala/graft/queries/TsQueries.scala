@@ -831,6 +831,120 @@ object TsQueries {
     """),
   )
 
+  /** Relevance filtering for a MULTI-CLASS target — per-feature
+    * Kruskal-Wallis H (tie-corrected) across the user's dominant event
+    * type among {click, error, view} (ties break alphabetically), p
+    * via the df≤2 closed-form chi-square tails, one BH pass. The
+    * oracle replays the grouped average ranks, the fixed
+    * click→error→view fold, the H/tie-correction arithmetic, and both
+    * tail closed forms.
+    */
+  val tsRelevantMulti: Q = Q(
+    "ts_features_relevant_multi",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val dec = sum(col("value").cast("decimal(18,6)")).cast("double")
+      val perUser = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("cnt"),
+        dec.as("sum_v"),
+        max(col("value")).as("max_v"),
+        (dec / count(lit(1))).as("mean_v"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c_error"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c_view"))
+      val f = perUser.select(col("user_id"),
+        col("cnt").cast("double").as("cnt"),
+        col("sum_v"), col("max_v"), col("mean_v"),
+        when(col("c_click") >= col("c_error") && col("c_click") >= col("c_view"),
+          "click")
+          .when(col("c_error") >= col("c_view"), "error")
+          .otherwise("view").as("y"))
+      TsFeatures.featureRelevanceMulti(f,
+        Seq("cnt", "sum_v", "max_v", "mean_v"), "y",
+        Seq("click", "error", "view"), alpha = 0.05)
+        .select(col("feature"), round(col("p_value"), 6).as("p_value"), col("kept"))
+    },
+    Some {
+      val at = "sqrt(h)"
+      val phiTail = s"2.0 * (exp(-($at) * ($at) / 2) / sqrt(2 * pi())) * " +
+        s"((1.0 / (1.0 + 0.2316419 * ($at))) * (0.319381530 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-0.356563782 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (1.781477937 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-1.821255978 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($at))) * 1.330274429)))))"
+      s"""
+      WITH pu AS (
+        SELECT user_id, count(*) AS cnt,
+               sum(value::DECIMAL(18,6))::DOUBLE AS sum_v,
+               max(value) AS max_v,
+               sum(value::DECIMAL(18,6))::DOUBLE / count(*) AS mean_v,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c_error,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view
+        FROM events GROUP BY user_id),
+      f AS (
+        SELECT user_id, cnt::DOUBLE AS cnt, sum_v, max_v, mean_v,
+               CASE WHEN c_click >= c_error AND c_click >= c_view THEN 'click'
+                    WHEN c_error >= c_view THEN 'error'
+                    ELSE 'view' END AS y
+        FROM pu),
+      long AS (
+        SELECT 'cnt' AS f, cnt AS x, y FROM f
+        UNION ALL SELECT 'sum_v', sum_v, y FROM f
+        UNION ALL SELECT 'max_v', max_v, y FROM f
+        UNION ALL SELECT 'mean_v', mean_v, y FROM f),
+      g AS (
+        SELECT f, x, count(*) AS nx,
+               sum(CASE WHEN y = 'click' THEN 1 ELSE 0 END) AS m_click,
+               sum(CASE WHEN y = 'error' THEN 1 ELSE 0 END) AS m_error,
+               sum(CASE WHEN y = 'view' THEN 1 ELSE 0 END) AS m_view
+        FROM long GROUP BY f, x),
+      cum AS (
+        SELECT *,
+               coalesce(sum(nx) OVER (PARTITION BY f ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (nx + 1)::DOUBLE / 2 AS avgrank
+        FROM g),
+      st AS (
+        SELECT f,
+               sum(m_click * avgrank) AS r_click, sum(m_click) AS n_click,
+               sum(m_error * avgrank) AS r_error, sum(m_error) AS n_error,
+               sum(m_view * avgrank) AS r_view, sum(m_view) AS n_view,
+               sum(nx * nx * nx - nx) AS ties, sum(nx) AS n
+        FROM cum GROUP BY f),
+      hh AS (
+        SELECT f,
+               (CASE WHEN n_click > 0 THEN 1 ELSE 0 END
+                + CASE WHEN n_error > 0 THEN 1 ELSE 0 END
+                + CASE WHEN n_view > 0 THEN 1 ELSE 0 END) - 1 AS df,
+               12.0 / (n::DOUBLE * (n + 1)) *
+                 ((CASE WHEN n_click > 0 THEN r_click * r_click / n_click ELSE 0.0 END)
+                  + (CASE WHEN n_error > 0 THEN r_error * r_error / n_error ELSE 0.0 END)
+                  + (CASE WHEN n_view > 0 THEN r_view * r_view / n_view ELSE 0.0 END))
+                 - 3.0 * (n + 1) AS h0,
+               1.0 - ties::DOUBLE / (n::DOUBLE * n * n - n) AS c
+        FROM st),
+      pp AS (
+        SELECT f, CASE
+                 WHEN df <= 0 OR c <= 0 OR h <= 0 THEN 1.0::DOUBLE
+                 WHEN df = 1 THEN least(1.0::DOUBLE, $phiTail)
+                 ELSE least(1.0::DOUBLE, exp(-h / 2))
+               END AS p
+        FROM (SELECT f, df, h0 / c AS h, c FROM hh)),
+      ranked AS (
+        SELECT f AS feature, p, row_number() OVER (ORDER BY p, f) AS rk FROM pp),
+      mm AS (SELECT count(*) AS m FROM pp),
+      ks AS (
+        SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / mm.m THEN rk END), 0) AS k
+        FROM ranked, mm)
+      SELECT a.f AS feature, round(a.p, 6) AS p_value,
+             CASE WHEN (SELECT k FROM ks) = 0 THEN true
+                  ELSE coalesce(r.rk <= (SELECT k FROM ks), false) END AS kept
+      FROM pp a JOIN ranked r ON a.f = r.feature
+      """
+    },
+  )
+
   // ---------------------------------------------------------------- §2.2/28
   val tsResample: Q = Q(
     "ts_resample",
@@ -1040,6 +1154,6 @@ object TsQueries {
   )
 
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
-    tsRelevant, tsRelevantCls, tsResample, tsResampleSliding, tsSampleEntropy,
-    tsCounts, tsWindowed, tsGapFill)
+    tsRelevant, tsRelevantCls, tsRelevantMulti, tsResample, tsResampleSliding,
+    tsSampleEntropy, tsCounts, tsWindowed, tsGapFill)
 }

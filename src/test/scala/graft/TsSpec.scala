@@ -241,6 +241,22 @@ class TsSpec extends SparkSpec {
     assert(math.abs(a - t) < 1e-12)
   }
 
+  test("Kruskal-Wallis H p matches the chi-square reference (incl. ties, df=1)") {
+    // a=[1,3,5,7], b=[2,4,6], c=[8,9,10]: rank sums 16/12/27, H=5.7273,
+    // df=2 -> p = exp(-H/2) = 0.0570609
+    val p3 = TsFeatures.kruskalWallisP(Seq((16.0, 4L), (12.0, 3L), (27.0, 3L)), 0L)
+    assert(math.abs(p3 - 0.05706089) < 1e-7, s"p3=$p3")
+    // tied two-group case: a=[1,2,2], b=[2,3,4] -> avg-rank sums 7/14,
+    // T=24, H/C = 2.634409, df=1 -> erf reference p = 0.104571
+    val p2 = TsFeatures.kruskalWallisP(Seq((7.0, 3L), (14.0, 3L)), 24L)
+    assert(math.abs(p2 - 0.1045710) < 1e-5, s"p2=$p2")
+    // degenerate: one class only, or all values tied -> 1.0
+    assert(TsFeatures.kruskalWallisP(Seq((21.0, 6L), (0.0, 0L)), 0L) == 1.0)
+    val n = 6L
+    assert(TsFeatures.kruskalWallisP(
+      Seq((3.5 * 3, 3L), (3.5 * 3, 3L)), n * n * n - n) == 1.0)
+  }
+
   test("binary relevance battery routes features to the right test and BH-filters") {
     import spark.implicits._
     // y correlates with x_real strongly and x_bin perfectly; x_noise is noise
