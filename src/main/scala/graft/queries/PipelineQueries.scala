@@ -191,5 +191,54 @@ object PipelineQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset)
+  /** Per-key approximate quantiles from the deterministic
+    * log-histogram sketch ([[graft.operators.QuantileSketch]]) — the
+    * mergeable bounded-state quantile path for 100 TB fits. Every
+    * step (geometric bucketing, mid-bucket representative, cumulative
+    * rank selection) is a pure elementary function, so the oracle
+    * replays the APPROXIMATE result exactly — unlike t-digest /
+    * percentile_approx, whose merge-order-dependent centroids no
+    * external engine can reproduce.
+    */
+  val qQuantileSketch: Q = Q(
+    "q_quantile_sketch",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("value"))
+      graft.operators.QuantileSketch.profile(e, "user_id", "value",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+        .select(col("user_id"), col("n"),
+          round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"))
+    },
+    Some(quantileSketchOracle),
+  )
+
+  /** Shared oracle for the batch sketch and its streaming twin — the
+    * ln-γ constant is embedded as the Scala double's literal so both
+    * engines bucket with the identical constant.
+    */
+  private[queries] def quantileSketchOracle: String = {
+    val ln = graft.operators.QuantileSketch.LnGamma
+    s"""
+      WITH r AS (
+        SELECT user_id,
+               CASE WHEN value = 0 THEN 0.0
+                    ELSE sign(value) *
+                         exp((floor(ln(abs(value)) / $ln) + 0.5) * $ln) END AS rep
+        FROM events),
+      g AS (SELECT user_id, rep, count(*) AS c FROM r GROUP BY 1, 2),
+      cum AS (
+        SELECT user_id, rep, c,
+               sum(c) OVER (PARTITION BY user_id ORDER BY rep
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY user_id) AS n
+        FROM g)
+      SELECT user_id, max(n)::BIGINT AS n,
+             round(min(CASE WHEN cum >= 0.5 * n THEN rep END), 6) AS p50,
+             round(min(CASE WHEN cum >= 0.95 * n THEN rep END), 6) AS p95
+      FROM cum GROUP BY user_id
+    """
+  }
+
+  val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
+    qQuantileSketch)
 }

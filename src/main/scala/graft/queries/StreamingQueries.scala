@@ -220,6 +220,30 @@ object StreamingQueries {
     """),
   )
 
+  /** Streaming twin of `q_quantile_sketch`: update-mode per-key
+    * quantile profile over the deterministic log-histogram sketch —
+    * bounded per-key bucket-count state, O(touched keys) emission, and
+    * the SAME oracle as the batch sketch because the bucketing is
+    * order-free (the scale answer to "streaming p50/p95 per key",
+    * which a t-digest could only give non-replayably).
+    */
+  val streamQuantileProfile: Q = Q(
+    "stream_quantile_profile",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val snap = StreamOps.runToBatch(s,
+        StreamOps.quantileProfileUpdate(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "update", statePartitions = Some(8))
+      val fields = snap.columns.filterNot(_ == "user_id").toIndexedSeq.map(col)
+      snap.groupBy(col("user_id"))
+        .agg(max_by(struct(fields: _*), col("n")).as("s"))
+        .select(col("user_id"), col("s.n").as("n"),
+          round(col("s.p50"), 6).as("p50"),
+          round(col("s.p95"), 6).as("p95"))
+    },
+    Some(graft.queries.PipelineQueries.quantileSketchOracle),
+  )
+
   /** Bench-only: `stream_sessionize` with the RocksDB state store —
     * the off-heap, incremental-checkpoint backend a long-running 100 TB
     * streaming job runs (HDFS-backed stores keep all state as JVM heap
@@ -364,5 +388,6 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamProfile, streamProfileUpdate,
-    streamVocab, streamIntervalJoinOuter, streamLatestByKey)
+    streamVocab, streamIntervalJoinOuter, streamLatestByKey,
+    streamQuantileProfile)
 }

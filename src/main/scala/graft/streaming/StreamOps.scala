@@ -403,6 +403,39 @@ object StreamOps {
     board.toSeq.sorted(ord)
   }
 
+  final case class QSketchState(buckets: Map[Double, Long])
+  final case class QuantileRow(user_id: Long, n: Long, p50: Double, p95: Double)
+
+  /** Update-mode streaming per-key QUANTILE profile over the
+    * deterministic log-histogram sketch ([[graft.operators
+    * .QuantileSketch]]): state per key is one count per occupied
+    * geometric bucket (bounded by the value range, not the stream),
+    * merged by count addition — order-free, so the snapshot equals the
+    * batch sketch exactly and the same SQL oracle covers both. The
+    * quantile a t-digest could only approximate non-replayably is here
+    * a pure function of deterministic bucket counts.
+    */
+  def quantileProfileUpdate(events: DataFrame): Dataset[QuantileRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("_1"),
+      col("value").cast("double").as("_2")).as[(Long, Double)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[QSketchState, QuantileRow](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var m = state.getOption.map(_.buckets).getOrElse(Map.empty[Double, Long])
+          it.foreach { case (_, v) =>
+            val r = graft.operators.QuantileSketch.repOf(v)
+            m = m.updated(r, m.getOrElse(r, 0L) + 1L)
+          }
+          state.update(QSketchState(m))
+          QuantileRow(uid, m.valuesIterator.sum,
+            graft.operators.QuantileSketch.select(m, 0.5),
+            graft.operators.QuantileSketch.select(m, 0.95))
+      }
+  }
+
   /** The idempotent foreachBatch writer: each micro-batch OVERWRITES
     * its own batchId-named partition directory. On failure/restart
     * Structured Streaming re-delivers the last uncommitted batch with

@@ -135,6 +135,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain && salted.nonEmpty)
   }
 
+  test("AQE splits a planted 30%-hot-key partition in a sort-merge join") {
+    // verifies the runtime half of the skew story (SURVEY §7.14): the
+    // salted joins handle PLANNED skew; AQE's OptimizeSkewedJoin must
+    // catch UNPLANNED skew at runtime. Plant one key with ~30% of the
+    // probe side, force sort-merge, lower the skew thresholds so the
+    // tiny fixture qualifies, and assert the finalized plan marks the
+    // join skew=true (split partitions).
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val left = spark.range(300000).select(
+        when($"id" % 10 < 3, lit(7L)).otherwise($"id" % 997).as("k"),
+        $"id".as("payload"))
+      val right = spark.range(997).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = left.join(right, "k")
+      // collect() executes THIS QueryExecution (count() would build a
+      // separate one and leave this plan unfinalized)
+      assert(j.collect().length == 300000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted partials spread each key over many salt buckets") {
     val df = Tables.lineitem(spark, sf)
       .select($"l_returnflag", $"l_quantity",
