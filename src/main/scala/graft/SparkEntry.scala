@@ -46,7 +46,7 @@ object SparkEntry {
       ScaleOpsQueries.writeBucketedTables(s, dir)
       s.table("g_lineitem_b").limit(1)
     }),
-    // hot-key (~10% of events on one user) stream-stream interval
+    // hot-key (~5% of events on one user) stream-stream interval
     // join: the state-partitioning-under-skew measurement (SURVEY §7.13)
     "stream_interval_join_skew" -> (StreamingQueries.intervalJoinSkew(_, _)),
     // LZ76 phrase counting is sequential per series — no SQL-window

@@ -63,11 +63,13 @@ object QuantileSketch {
   /** Quantile selection from a bucket-count map — the identical
     * cumulative rule as [[profile]], for the streaming fold.
     */
-  def select(buckets: Map[Double, Long], q: Double): Double = {
-    val sorted = buckets.toSeq.sortBy(_._1)
-    val n = buckets.valuesIterator.sum
-    var cum = 0L
-    sorted.find { case (_, c) => cum += c; cum >= q * n }
-      .map(_._1).getOrElse(sorted.last._1)
-  }
+  def select(buckets: Map[Double, Long], q: Double): Double =
+    if (buckets.isEmpty) Double.NaN
+    else {
+      val sorted = buckets.toSeq.sortBy(_._1)
+      val n = buckets.valuesIterator.sum
+      var cum = 0L
+      sorted.find { case (_, c) => cum += c; cum >= q * n }
+        .map(_._1).getOrElse(sorted.last._1)
+    }
 }

@@ -174,11 +174,11 @@ object TsFeatures {
     val sM = m1 + m2 + m3 + m4
     val acMean = (when(sM >= 0, floor((sM + 2) / 4))
       .otherwise(-floor((-sM + 2) / 4))) / lit(1e6)
-    // var·1e12 = (4·Σm² − s²)/16; half-up at 6 dp = q/(16e6) rounded
+    // var·1e12 = (4·Σm² − s²)/16; half-up at 6 dp = q/(16e6) rounded.
+    // qV ≥ 0 always (power-mean: 4·Σm² ≥ (Σm)² over 4 terms), so the
+    // non-negative half-up form suffices; null r's propagate via floor
     val qV = lit(4) * (m1 * m1 + m2 * m2 + m3 * m3 + m4 * m4) - sM * sM
-    val acVar = (when(qV >= 0,
-      floor((qV * 2 + lit(16000000.0)) / lit(32000000.0)))
-      .otherwise(-floor((qV * -2 + lit(16000000.0)) / lit(32000000.0)))) / lit(1e6)
+    val acVar = floor((qV * 2 + lit(16000000.0)) / lit(32000000.0)) / lit(1e6)
     val a11 = r1
     val a22 = try_divide(r2 - a11 * r1, lit(1.0) - a11 * r1)
     val a21 = a11 - a22 * a11
@@ -219,8 +219,7 @@ object TsFeatures {
   def extractWindowed(df: DataFrame, seriesKey: String, tsNanosCol: String,
                       orderCols: Seq[String], valueCol: String,
                       widthNanos: Long): DataFrame = {
-    val bucketed = df.withColumn("bucket",
-      expr(s"cast($tsNanosCol as long) div $widthNanos"))
+    val bucketed = df.withColumn("bucket", floorDivBucket(tsNanosCol, widthNanos))
     val e = enrichedFrame(bucketed, Seq(seriesKey, "bucket"), orderCols, Seq(valueCol))
     val aggs = featureAggs(valueCol, identity)
     withDerived(
@@ -758,8 +757,12 @@ object TsFeatures {
       explode(array((realCols ++ binaryCols).map(c =>
         struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__e"))
       .select(col("__y"), col("__e.f").as("__f"), col("__e.x").as("__x"))
+    // materialized once: both the Mann-Whitney and the Fisher jobs
+    // read this frame, and it is tiny (distinct values) next to the
+    // unpivot+aggregation that produces it
     val grouped = long.groupBy(col("__f"), col("__x"))
       .agg(count(lit(1)).as("nx"), sum(col("__y")).as("mx"))
+      .localCheckpoint()
     val isReal = realCols.toSet
     // real features: per-feature cumulative counts over distinct values
     val w = Window.partitionBy(col("__f")).orderBy(col("__x"))
@@ -1061,12 +1064,21 @@ object TsFeatures {
     }
   }
 
+  /** FLOOR integer division of nanosecond timestamps into buckets.
+    * Exact integer arithmetic (a double divide on 2^60-scale nanos
+    * carries ~128ns representation error and can bucket a timestamp
+    * just below a boundary differently than an exact-integer engine) —
+    * and FLOOR, not truncation: Spark's `div` truncates toward zero,
+    * so a pre-epoch (negative) timestamp would bucket one off from the
+    * DuckDB oracle's `//` floor division.
+    */
+  private def floorDivBucket(tsNanosCol: String, widthNanos: Long): Column =
+    expr(s"(cast($tsNanosCol as long) div $widthNanos) + " +
+      s"(case when cast($tsNanosCol as long) % $widthNanos < 0 then -1 else 0 end)")
+
   def resample(df: DataFrame, seriesKey: String, tsNanosCol: String,
                valueCol: String, widthNanos: Long): DataFrame = {
-    // Integer nanosecond division — a double divide on 2^60-scale nanos
-    // carries ~128ns representation error and can bucket a timestamp
-    // just below a boundary differently than an exact-integer engine.
-    val bucket = expr(s"cast($tsNanosCol as long) div $widthNanos").as("bucket")
+    val bucket = floorDivBucket(tsNanosCol, widthNanos).as("bucket")
     // sum/mean ride an exact decimal(18,6) sum: double summation is
     // order-dependent, and distributed partial aggregation can flip the
     // 6-dp-rounded result vs a sequential engine on rounding-boundary

@@ -198,6 +198,9 @@ object ScaleOpsQueries {
       .write.mode("overwrite").option("path", s"$wh/o")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("g_orders_b")
+    // the memo lives HERE so a direct bench-row call can never leave a
+    // stale dir recorded against freshly written tables
+    bucketedFor = Some(dir)
   }
 
   val qBucketedJoin: Q = Q(
@@ -209,10 +212,8 @@ object ScaleOpsQueries {
       // measures the join alone
       if (!bucketedFor.contains(dir) ||
         !s.catalog.tableExists("g_lineitem_b") ||
-        !s.catalog.tableExists("g_orders_b")) {
+        !s.catalog.tableExists("g_orders_b"))
         writeBucketedTables(s, dir)
-        bucketedFor = Some(dir)
-      }
       s.table("g_lineitem_b")
         .join(s.table("g_orders_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy((col("o_custkey") % 100).as("cust_bucket"))

@@ -357,11 +357,10 @@ object TsQueries {
     val sM = s"(${m(1)} + ${m(2)} + ${m(3)} + ${m(4)})"
     val acMean = s"((CASE WHEN $sM >= 0 THEN floor(($sM + 2) / 4) " +
       s"ELSE -floor((-$sM + 2) / 4) END) / 1e6)"
+    // qV >= 0 always (4·Σm² >= (Σm)² over 4 terms) — single half-up form
     val qV = s"(4 * (${m(1)} * ${m(1)} + ${m(2)} * ${m(2)} + " +
       s"${m(3)} * ${m(3)} + ${m(4)} * ${m(4)}) - $sM * $sM)"
-    val acVar = s"((CASE WHEN $qV >= 0 THEN " +
-      s"floor(($qV * 2 + 16000000.0) / 32000000.0) " +
-      s"ELSE -floor(($qV * -2 + 16000000.0) / 32000000.0) END) / 1e6)"
+    val acVar = s"(floor(($qV * 2 + 16000000.0) / 32000000.0) / 1e6)"
     Seq(
       "agg_autocorr_mean" -> s"round($acMean, 6)",
       "agg_autocorr_var" -> s"round($acVar, 6)",

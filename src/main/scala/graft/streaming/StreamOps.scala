@@ -212,9 +212,13 @@ object StreamOps {
   /** Exact microunit quantization of v, matching Spark's
     * double→decimal(·,6) cast: non-finite values cast to NULL there, so
     * they contribute 0 here instead of throwing in `BigDecimal(v)`.
+    * Magnitudes beyond the int64-micros domain (~9.2e12) also fold to
+    * 0 instead of throwing in `longValueExact` — beyond decimal(18,6)'s
+    * ~1e12 range the batch cast nulls the value out anyway, and a
+    * stateful streaming query must never die on one outlier row.
     */
   private[streaming] def microsOrZero(v: Double): Long =
-    if (!java.lang.Double.isFinite(v)) 0L
+    if (!java.lang.Double.isFinite(v) || math.abs(v) >= 9.0e12) 0L
     else BigDecimal(v).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact
 
@@ -265,7 +269,8 @@ object StreamOps {
               // microAvg term: round(v * 1e6) — the same double product
               // + HALF_UP the SQL mirror computes; non-finite → null
               // contribution, like the batch decimal cast
-              s.qMicros + (if (!java.lang.Double.isFinite(v * 1e6)) 0L
+              s.qMicros + (if (!java.lang.Double.isFinite(v * 1e6) ||
+                math.abs(v) >= 9.0e12) 0L
                 else BigDecimal(v * 1e6).setScale(0,
                   BigDecimal.RoundingMode.HALF_UP).toLong))
           }

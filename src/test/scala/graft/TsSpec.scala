@@ -214,6 +214,19 @@ class TsSpec extends SparkSpec {
     assert(math.abs(d("agg_autocorr_mean") - meanRef) < 1e-9)
   }
 
+  test("resample buckets pre-epoch timestamps by floor division, like the oracle") {
+    import spark.implicits._
+    val w = 3600L * 1000 * 1000 * 1000
+    // -1 ns and exactly -w both floor to bucket -1 (truncating `div`
+    // would put -1 ns in bucket 0, one off from DuckDB's `//`)
+    val in = Seq((1L, -1L, 1.0), (1L, -w, 2.0), (1L, 1L, 3.0))
+      .toDF("user_id", "ts", "value")
+    val got = TsFeatures.resample(in, "user_id", "ts", "value", w)
+      .select($"bucket", $"n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(-1L -> 2L, 0L -> 1L))
+  }
+
   test("Mann-Whitney U p matches the asymptotic reference (ties + continuity)") {
     // x1=[1,2.5,3,7,9] vs x0=[0.5,2,2.5,4]: R1=29.5 (tie at 2.5 takes the
     // 4.5 average rank), U1=14.5, one tie group -> T=6; reference p from
