@@ -817,6 +817,133 @@ object TsFeatures {
     if (kStar == 0) ps.map(_._1).toSet else sorted.take(kStar).map(_._1).toSet
   }
 
+  /** Strict inversions of `a` (pairs i<j with a(i) > a(j)) by
+    * mergesort — O(n log n), mutates `a` to sorted order.
+    */
+  private def inversions(a: Array[Double]): Long = {
+    val buf = new Array[Double](a.length)
+    def go(lo: Int, hi: Int): Long =
+      if (hi - lo <= 1) 0L
+      else {
+        val mid = (lo + hi) / 2
+        var inv = go(lo, mid) + go(mid, hi)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (a(j) < a(i)) { inv += (mid - i); buf(k) = a(j); j += 1 }
+          else { buf(k) = a(i); i += 1 }
+          k += 1
+        }
+        while (i < mid) { buf(k) = a(i); i += 1; k += 1 }
+        while (j < hi) { buf(k) = a(j); j += 1; k += 1 }
+        System.arraycopy(buf, lo, a, lo, hi - lo)
+        inv
+      }
+    go(0, a.length)
+  }
+
+  /** Kendall τ-b + tie-corrected asymptotic two-sided p over pairs
+    * PRE-SORTED by (x, y) — Knight's O(n log n) algorithm: with the
+    * rows in (x, y) order, the strict inversions of the y sequence are
+    * exactly the discordant pairs (x-tied runs are y-ascending and
+    * contribute none), so P−Q = n0 − n1 − n2 + n3 − 2D from integer
+    * tie-group sums. The variance is scipy.kendalltau's tie-adjusted
+    * formula; every input to the closed forms is an exact integer, so
+    * the statistic is engine-portable (an O(n²) SQL pair count hits
+    * the identical integers). Returns (τ-b or None when a margin is
+    * fully tied, p).
+    */
+  def kendallTauP(sorted: Array[(Double, Double)]): (Option[Double], Double) = {
+    val n = sorted.length.toLong
+    if (n < 2) return (None, 1.0)
+    val n0 = n * (n - 1) / 2
+    var st = 0L; var stt = 0L; var vt = 0L
+    var n3 = 0L
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val t = (j - i).toLong
+      st += t * (t - 1); stt += t * (t - 1) * (t - 2)
+      vt += t * (t - 1) * (2 * t + 5)
+      var k = i
+      while (k < j) {
+        var l = k
+        while (l < j && sorted(l)._2 == sorted(k)._2) l += 1
+        val tj = (l - k).toLong
+        n3 += tj * (tj - 1) / 2
+        k = l
+      }
+      i = j
+    }
+    val ys = sorted.map(_._2).sorted
+    var su = 0L; var suu = 0L; var vu = 0L
+    i = 0
+    while (i < ys.length) {
+      var j = i
+      while (j < ys.length && ys(j) == ys(i)) j += 1
+      val u = (j - i).toLong
+      su += u * (u - 1); suu += u * (u - 1) * (u - 2)
+      vu += u * (u - 1) * (2 * u + 5)
+      i = j
+    }
+    val d = inversions(sorted.map(_._2))
+    val n1 = st / 2
+    val n2 = su / 2
+    val s = n0 - n1 - n2 + n3 - 2 * d
+    val denom = (n0 - n1).toDouble * (n0 - n2)
+    val tau = if (denom <= 0) None else Some(s.toDouble / math.sqrt(denom))
+    val p =
+      if (n < 3) 1.0
+      else {
+        val varS = (n.toDouble * (n - 1) * (2 * n + 5) - vt - vu) / 18 +
+          st.toDouble * su / (2.0 * n * (n - 1)) +
+          stt.toDouble * suu / (9.0 * n * (n - 1) * (n - 2))
+        if (varS <= 0) 1.0
+        else math.min(1.0, normTwoSidedP(math.abs(s / math.sqrt(varS))))
+      }
+    (tau, p)
+  }
+
+  /** Relevance filter for a REAL (regression) target via Kendall τ-b —
+    * the nonparametric test tsfresh's `target_real_feature_real_test`
+    * applies (the Pearson battery in [[featureRelevance]] stays as the
+    * parametric variant). One unpivot shuffle, then each feature's
+    * (x, y) pairs stream SORTED through a GroupedApply running
+    * Knight's O(n log n) τ — per-feature sequential work over series
+    * count, the same documented escape-hatch class as sample_entropy
+    * (exact to n ≈ 1.3e8 where n(n−1)/2 leaves the 2^53 domain).
+    */
+  def featureRelevanceTau(features: DataFrame, realCols: Seq[String],
+                          labelCol: String, alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.types._
+    val y = col(labelCol).cast("double")
+    val long = features.select(y.as("__y"),
+      explode(array(realCols.map(c =>
+        struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__e"))
+      .select(col("__e.f").as("__f"), col("__e.x").as("__x"), col("__y"))
+    val outSchema = StructType(Seq(
+      StructField("feature", StringType, nullable = false),
+      StructField("tau", DoubleType),
+      StructField("p", DoubleType, nullable = false)))
+    val stats = GroupedApply(long, Seq("__f"), Seq("__x", "__y"), outSchema) {
+      (key, it) =>
+        val pairs = it.map(r => (r.getDouble(1), r.getDouble(2))).toArray
+        val (tau, p) = kendallTauP(pairs)
+        Iterator.single(Row(key.getString(0), tau.map(Double.box).orNull, p))
+    }.collect()
+    val byF = stats.map(r =>
+      r.getString(0) -> (Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getDouble(2))).toMap
+    val allP = realCols.map(c => c -> byF.get(c).map(_._2).getOrElse(1.0))
+    val keptNames = bhKeep(allP, alpha)
+    val spark = features.sparkSession
+    import spark.implicits._
+    realCols.map { c =>
+      val (tau, p) = byF.getOrElse(c, (None, 1.0))
+      (c, tau, p, keptNames(c))
+    }.toDF("feature", "tau", "p_value", "kept")
+  }
+
   /** Relevance filter for a MULTI-CLASS target: per-feature
     * Kruskal-Wallis H across the label groups (the k>2 generalization
     * of Mann-Whitney, tsfresh's battery for k-ary classification

@@ -944,6 +944,111 @@ object TsQueries {
     },
   )
 
+  /** Relevance filtering for a REGRESSION target via Kendall τ-b —
+    * tsfresh's nonparametric real×real test, next to the Pearson
+    * variant (`ts_features_relevant`). Spark runs Knight's O(n log n)
+    * per-feature algorithm; the oracle counts the O(n²) pairs directly
+    * — both land on the IDENTICAL integers (P−Q, tie-group sums), so
+    * the τ and the tie-corrected asymptotic p replay exactly.
+    */
+  val tsRelevantTau: Q = Q(
+    "ts_features_relevant_tau",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val dec = sum(col("value").cast("decimal(18,6)")).cast("double")
+      val perUser = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("cnt"),
+        dec.as("sum_v"),
+        max(col("value")).as("max_v"),
+        (dec / count(lit(1))).as("mean_v"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      val f = perUser.select(col("user_id"),
+        col("cnt").cast("double").as("cnt"),
+        col("sum_v"), col("max_v"), col("mean_v"),
+        col("err").cast("double").as("y"))
+      TsFeatures.featureRelevanceTau(f,
+        Seq("cnt", "sum_v", "max_v", "mean_v"), "y", alpha = 0.05)
+        .select(col("feature"), round(col("tau"), 6).as("tau"),
+          round(col("p_value"), 6).as("p_value"), col("kept"))
+    },
+    Some {
+      val at = "abs(s / sqrt(vs))"
+      val phiTail = s"2.0 * (exp(-($at) * ($at) / 2) / sqrt(2 * pi())) * " +
+        s"((1.0 / (1.0 + 0.2316419 * ($at))) * (0.319381530 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-0.356563782 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (1.781477937 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-1.821255978 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($at))) * 1.330274429)))))"
+      s"""
+      WITH pu AS (
+        SELECT user_id, count(*) AS cnt,
+               sum(value::DECIMAL(18,6))::DOUBLE AS sum_v,
+               max(value) AS max_v,
+               sum(value::DECIMAL(18,6))::DOUBLE / count(*) AS mean_v,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+        FROM events GROUP BY user_id),
+      f AS (
+        SELECT user_id, cnt::DOUBLE AS cnt, sum_v, max_v, mean_v,
+               err::DOUBLE AS y
+        FROM pu),
+      long AS (
+        SELECT user_id AS u, 'cnt' AS f, cnt AS x, y FROM f
+        UNION ALL SELECT user_id, 'sum_v', sum_v, y FROM f
+        UNION ALL SELECT user_id, 'max_v', max_v, y FROM f
+        UNION ALL SELECT user_id, 'mean_v', mean_v, y FROM f),
+      pr AS (
+        SELECT a.f,
+               (sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+                - sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+               )::BIGINT AS s
+        FROM long a JOIN long b ON a.f = b.f AND a.u < b.u
+        GROUP BY a.f),
+      xt AS (
+        SELECT f, sum(t * (t - 1))::BIGINT AS st,
+               sum(t * (t - 1) * (t - 2))::BIGINT AS stt,
+               sum(t * (t - 1) * (2 * t + 5))::BIGINT AS vt
+        FROM (SELECT f, x, count(*) AS t FROM long GROUP BY f, x)
+        GROUP BY f),
+      yt AS (
+        SELECT f, sum(u * (u - 1))::BIGINT AS su,
+               sum(u * (u - 1) * (u - 2))::BIGINT AS suu,
+               sum(u * (u - 1) * (2 * u + 5))::BIGINT AS vu
+        FROM (SELECT f, y, count(*) AS u FROM long GROUP BY f, y)
+        GROUP BY f),
+      nn AS (SELECT f, count(*) AS n FROM long GROUP BY f),
+      st0 AS (
+        SELECT nn.f, nn.n, pr.s, xt.st, xt.stt, xt.vt, yt.su, yt.suu, yt.vu,
+               nn.n * (nn.n - 1) // 2 AS n0
+        FROM nn JOIN pr ON nn.f = pr.f
+        JOIN xt ON nn.f = xt.f JOIN yt ON nn.f = yt.f),
+      st1 AS (
+        SELECT f, n, s, st, stt, su, suu, vt, vu, n0,
+               CASE WHEN (n0 - st // 2) <= 0 OR (n0 - su // 2) <= 0 THEN NULL
+                    ELSE s / sqrt((n0 - st // 2)::DOUBLE * (n0 - su // 2)) END AS tau,
+               CASE WHEN n < 3 THEN NULL ELSE
+                 (n::DOUBLE * (n - 1) * (2 * n + 5) - vt - vu) / 18
+                 + st::DOUBLE * su / (2.0 * n * (n - 1))
+                 + stt::DOUBLE * suu / (9.0 * n * (n - 1) * (n - 2)) END AS vs
+        FROM st0),
+      pp AS (
+        SELECT f, tau,
+               CASE WHEN n < 3 OR vs <= 0 THEN 1.0::DOUBLE
+                    ELSE least(1.0::DOUBLE, $phiTail) END AS p
+        FROM st1),
+      ranked AS (
+        SELECT f AS feature, p, row_number() OVER (ORDER BY p, f) AS rk FROM pp),
+      mm AS (SELECT count(*) AS m FROM pp),
+      ks AS (
+        SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / mm.m THEN rk END), 0) AS k
+        FROM ranked, mm)
+      SELECT a.f AS feature, round(a.tau, 6) AS tau, round(a.p, 6) AS p_value,
+             CASE WHEN (SELECT k FROM ks) = 0 THEN true
+                  ELSE coalesce(r.rk <= (SELECT k FROM ks), false) END AS kept
+      FROM pp a JOIN ranked r ON a.f = r.feature
+      """
+    },
+  )
+
   // ---------------------------------------------------------------- §2.2/28
   val tsResample: Q = Q(
     "ts_resample",
@@ -1153,6 +1258,6 @@ object TsQueries {
   )
 
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
-    tsRelevant, tsRelevantCls, tsRelevantMulti, tsResample, tsResampleSliding,
-    tsSampleEntropy, tsCounts, tsWindowed, tsGapFill)
+    tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
+    tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill)
 }

@@ -254,6 +254,38 @@ class TsSpec extends SparkSpec {
     assert(math.abs(a - t) < 1e-12)
   }
 
+  test("Kendall tau-b matches an independent brute-force pair count, incl. ties") {
+    // fixture with ties on both margins
+    val xs = Array(1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0, 6.0)
+    val ys = Array(2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 4.0, 7.0)
+    val pairs = xs.zip(ys).sortBy(identity)
+    val (tauOpt, p) = TsFeatures.kendallTauP(pairs)
+    // brute-force P-Q and tau-b
+    val n = xs.length
+    var cc = 0L; var dd = 0L
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val prod = (xs(i) - xs(j)) * (ys(i) - ys(j))
+      if (prod > 0) cc += 1 else if (prod < 0) dd += 1
+    }
+    val n0 = n.toLong * (n - 1) / 2
+    val n1 = xs.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val n2 = ys.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val tauRef = (cc - dd).toDouble / math.sqrt((n0 - n1).toDouble * (n0 - n2))
+    assert(tauOpt.isDefined)
+    assert(math.abs(tauOpt.get - tauRef) < 1e-12, s"tau=${tauOpt.get} ref=$tauRef")
+    assert(p > 0 && p < 1)
+    // monotone data -> tau = 1, tiny p; anti-monotone -> tau = -1
+    val mono = Array.tabulate(20)(i => (i.toDouble, i * 2.0 + 1))
+    assert(TsFeatures.kendallTauP(mono)._1.contains(1.0))
+    assert(TsFeatures.kendallTauP(mono)._2 < 1e-9)
+    val anti = Array.tabulate(20)(i => (i.toDouble, -i * 2.0 + 1))
+    assert(TsFeatures.kendallTauP(anti)._1.contains(-1.0))
+    // fully tied margin -> tau undefined, p = 1
+    val flat = Array.tabulate(10)(i => (5.0, i.toDouble))
+    assert(TsFeatures.kendallTauP(flat.sortBy(identity))._1.isEmpty)
+    assert(TsFeatures.kendallTauP(flat.sortBy(identity))._2 == 1.0)
+  }
+
   test("Kruskal-Wallis H p matches the chi-square reference (incl. ties, df=1)") {
     // a=[1,3,5,7], b=[2,4,6], c=[8,9,10]: rank sums 16/12/27, H=5.7273,
     // df=2 -> p = exp(-H/2) = 0.0570609
