@@ -198,6 +198,20 @@ object TsFeatures {
     // trig-sum low bits past the 6-dp boundary (seen at sf0.1).
     val wp1 = r("fft_abs_c1") * r("fft_abs_c1") / col(out("n"))
     val wp2 = r("fft_abs_c2") * r("fft_abs_c2") / col(out("n"))
+    // tsfresh fft_aggregated centroid/variance + fourier_entropy over
+    // the ROUNDED k=0..8 magnitude spectrum (documented truncation) —
+    // same left-associated chains as before, but over the emitted
+    // aliases, so each |F_k| is computed (and its codegen paid) once
+    val fk = (0 to 8).map(k => r(s"fft_abs_c$k"))
+    val mass = fk.reduce(_ + _)
+    val fm1 = (1 to 8).map(k => fk(k) * lit(k.toDouble)).reduce(_ + _)
+    val fm2 = (1 to 8).map(k => fk(k) * lit((k * k).toDouble)).reduce(_ + _)
+    val centroid = try_divide(fm1, mass)
+    val variance = try_divide(fm2, mass) - centroid * centroid
+    val entropy = fk.map { f =>
+      val p = f / mass
+      when(f > 0, -p * log(p)).otherwise(lit(0.0))
+    }.reduce(_ + _)
     df
       .withColumn(out("agg_autocorr_mean"), acMean)
       .withColumn(out("agg_autocorr_var"), acVar)
@@ -207,6 +221,9 @@ object TsFeatures {
       .withColumn(out("ar4_phi4"), a44)
       .withColumn(out("welch_psd_c1"), wp1)
       .withColumn(out("welch_psd_c2"), wp2)
+      .withColumn(out("fft_agg_centroid"), centroid)
+      .withColumn(out("fft_agg_variance"), variance)
+      .withColumn(out("fourier_entropy"), entropy)
   }
 
   /** WINDOWED extraction: the full calculator matrix per (series,
@@ -355,16 +372,6 @@ object TsFeatures {
       val im = sum(v * sin(arg))
       sqrt(re * re + im * im)
     }
-    // Shannon entropy -Σ p·ln(p) of the normalized k=0..8 magnitude
-    // spectrum; identical left-associated term chain to the SQL oracle
-    val fourierEntropy: Column = {
-      val fks = abs(sum(v)) +: (1 to 8).map(fftAbs)
-      val mass = fks.reduce(_ + _)
-      fks.map { fk =>
-        val p = fk / mass
-        when(fk > 0, -p * log(p)).otherwise(lit(0.0))
-      }.reduce(_ + _)
-    }
     // tsfresh index_mass_quantile(q): relative index where the running
     // |v| mass first reaches q of the total; (idx+1)/cnt is monotone in
     // idx so min() picks the first qualifying row
@@ -482,6 +489,11 @@ object TsFeatures {
       when(count(v) >= 3,
         sum(when(i("arn") <= 3, abs(v)).otherwise(lit(0.0))) / 3)
         .as(out("mean_3_abs_max")),
+      // tier 6 spectral moments (fft_aggregated centroid/variance) and
+      // tier-9 fourier_entropy are DERIVED post-agg from the rounded
+      // |F_k| aliases below (withDerived) — inlining the 17-term
+      // spectrum mass repeatedly here made codegen compile time, not
+      // execution, dominate the multi-sensor extract
       // tier 6: tsfresh change_quantiles(ql=0.2, qh=0.8, isabs=True,
       // f_agg="mean") — mean |Δ| over consecutive pairs whose BOTH
       // endpoints sit inside the per-series [q20, q80] corridor
@@ -491,14 +503,16 @@ object TsFeatures {
           v >= i("cql") && v <= i("cqh") &&
           i("prev") >= i("cql") && i("prev") <= i("cqh"),
         abs(v - i("prev")))), lit(0.0)).as(out("change_q_20_80")),
-      // tsfresh fft_aggregated centroid/variance over the TRUNCATED
-      // k=0..8 magnitude spectrum (the same Goertzel term shape as
-      // fft_abs_c1/c2 — a full spectrum would need O(n) coefficients;
-      // the first 9 carry the low-frequency mass these summary
-      // moments describe, and the truncation is part of the feature's
-      // documented definition here)
-      fftAggCentroid(fftAbs, v).as(out("fft_agg_centroid")),
-      fftAggVariance(fftAbs, v).as(out("fft_agg_variance")),
+      // the truncated k=0..8 magnitude spectrum itself (tsfresh
+      // fft_coefficient abs for each k; c0 = |Σv|) — these aliases
+      // also feed the derived spectral moments/entropy post-agg
+      abs(sum(v)).as(out("fft_abs_c0")),
+      fftAbs(3).as(out("fft_abs_c3")),
+      fftAbs(4).as(out("fft_abs_c4")),
+      fftAbs(5).as(out("fft_abs_c5")),
+      fftAbs(6).as(out("fft_abs_c6")),
+      fftAbs(7).as(out("fft_abs_c7")),
+      fftAbs(8).as(out("fft_abs_c8")),
       // tier 7: cheap one-pass calculators (tsfresh
       // absolute_sum_of_changes, variation_coefficient, quantile 0.1 /
       // 0.9, first_location_of_minimum, last_location_of_maximum,
@@ -523,10 +537,6 @@ object TsFeatures {
       // density calculators over the same Goertzel grid as fft_abs_c*
       ac3.as(out("autocorr_lag3")),
       ac4.as(out("autocorr_lag4")),
-      // tsfresh fourier_entropy: Shannon entropy of the normalized
-      // k=0..8 magnitude spectrum (tsfresh bins the Welch PSD; here
-      // the 9-term spectrum IS the binning — documented truncation)
-      fourierEntropy.as(out("fourier_entropy")),
     )
   }
 
@@ -548,26 +558,6 @@ object TsFeatures {
     val sx = sum(prev.cast("decimal(18,6)")).cast("double")
     val sy = sum(when(prev.isNotNull, v).cast("decimal(18,6)")).cast("double")
     try_divide(sy - ar1Slope(v, prev) * sx, n)
-  }
-
-  /** Truncated-spectrum (k=0..8) centroid Σk·|F_k| / Σ|F_k|; term
-    * order is the left-associated k-ascending chain the SQL oracle
-    * replays verbatim.
-    */
-  private def fftAggCentroid(fftAbs: Int => Column, v: Column): Column = {
-    val mass = (abs(sum(v)) +: (1 to 8).map(fftAbs)).reduce(_ + _)
-    val m1 = (1 to 8).map(k => fftAbs(k) * lit(k.toDouble)).reduce(_ + _)
-    try_divide(m1, mass)
-  }
-
-  /** Truncated-spectrum (k=0..8) spectral variance
-    * Σk²·|F_k| / Σ|F_k| − centroid².
-    */
-  private def fftAggVariance(fftAbs: Int => Column, v: Column): Column = {
-    val mass = (abs(sum(v)) +: (1 to 8).map(fftAbs)).reduce(_ + _)
-    val m2 = (1 to 8).map(k => fftAbs(k) * lit((k * k).toDouble)).reduce(_ + _)
-    val c = fftAggCentroid(fftAbs, v)
-    try_divide(m2, mass) - c * c
   }
 
   /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9, and

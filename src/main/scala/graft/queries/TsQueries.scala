@@ -159,17 +159,6 @@ object TsQueries {
     s"sqrt(($re) * ($re) + ($im) * ($im))"
   }
   private def fftAbsSql(k: Int): String = s"round(${fftAbsRawSql(k)}, 6)"
-  // truncated-spectrum (k=0..8) aggregated moments — identical
-  // left-associated term chains to TsFeatures.fftAggCentroid/Variance
-  private val fftMassSql =
-    ("abs(sum(v))" +: (1 to 8).map(fftAbsRawSql)).map(t => s"($t)").mkString(" + ")
-  private val fftM1Sql =
-    (1 to 8).map(k => s"(${fftAbsRawSql(k)}) * ${k.toDouble}").mkString(" + ")
-  private val fftM2Sql =
-    (1 to 8).map(k => s"(${fftAbsRawSql(k)}) * ${(k * k).toDouble}").mkString(" + ")
-  private val fftCentroidSql = s"(($fftM1Sql) / ($fftMassSql))"
-  private val fftVarianceSql =
-    s"(($fftM2Sql) / ($fftMassSql) - $fftCentroidSql * $fftCentroidSql)"
   // AR(1) OLS moments (mirror TsFeatures.ar1Slope/ar1Intercept)
   private val ar1SxSql = "sum(prev::DECIMAL(18,6))::DOUBLE"
   private val ar1SySql =
@@ -181,16 +170,6 @@ object TsQueries {
       s" - $ar1SxSql * $ar1SxSql)"
   private def imqSql(q: Double): String =
     s"round(min(CASE WHEN cabs >= $q * sabs THEN (idx + 1) / cnt END), 6)"
-  /** -Σ p·ln(p) over the normalized k=0..8 magnitude spectrum —
-    * identical left-associated chain to TsFeatures' fourierEntropy.
-    */
-  private lazy val fourierEntropySql: String = {
-    val fks = "abs(sum(v))" +: (1 to 8).map(fftAbsRawSql)
-    fks.map { fk =>
-      s"(CASE WHEN ($fk) > 0 THEN (-(($fk) / ($fftMassSql))) * " +
-        s"ln(($fk) / ($fftMassSql)) ELSE 0.0 END)"
-    }.mkString(" + ")
-  }
 
   /** Pearson r vs Benford's law over the 9 first-digit frequencies —
     * identical shortcut arithmetic and literal constants to the Spark
@@ -308,8 +287,15 @@ object TsQueries {
     "change_q_20_80" -> s"round(coalesce(${microAvgSql(
       "CASE WHEN prev IS NOT NULL AND v >= cql AND v <= cqh " +
         "AND prev >= cql AND prev <= cqh THEN abs(v - prev) END")}, 0.0), 6)",
-    "fft_agg_centroid" -> s"round($fftCentroidSql, 6)",
-    "fft_agg_variance" -> s"round($fftVarianceSql, 6)",
+    // the truncated k=0..8 spectrum as features; the aggregated
+    // moments/entropy are DERIVED from these rounded aliases
+    "fft_abs_c0" -> "round(abs(sum(v)), 6)",
+    "fft_abs_c3" -> fftAbsSql(3),
+    "fft_abs_c4" -> fftAbsSql(4),
+    "fft_abs_c5" -> fftAbsSql(5),
+    "fft_abs_c6" -> fftAbsSql(6),
+    "fft_abs_c7" -> fftAbsSql(7),
+    "fft_abs_c8" -> fftAbsSql(8),
     // tier 7
     "abs_sum_changes" -> s"round(${OracleExact.decSumSql("abs(v - prev)")}, 6)",
     "variation_coeff" -> s"round(stddev_pop(v) / ${microAvgSql("v")}, 6)",
@@ -327,7 +313,6 @@ object TsQueries {
     // boxcar case; fourier_entropy over the normalized k=0..8 spectrum)
     "autocorr_lag3" -> s"round($ac3Sql, 6)",
     "autocorr_lag4" -> s"round($ac4Sql, 6)",
-    "fourier_entropy" -> s"round($fourierEntropySql, 6)",
   )
 
   /** Post-aggregation derived calculators over the ROUNDED lag-1..4
@@ -361,6 +346,17 @@ object TsQueries {
     val qV = s"(4 * (${m(1)} * ${m(1)} + ${m(2)} * ${m(2)} + " +
       s"${m(3)} * ${m(3)} + ${m(4)} * ${m(4)}) - $sM * $sM)"
     val acVar = s"(floor(($qV * 2 + 16000000.0) / 32000000.0) / 1e6)"
+    // spectral family over the rounded k=0..8 |F_k| aliases — the
+    // identical left-associated chains TsFeatures.withDerived builds
+    def fa(k: Int) = s"${prefix}fft_abs_c$k"
+    val fftMass = (0 to 8).map(fa).mkString(" + ")
+    val fftM1 = (1 to 8).map(k => s"${fa(k)} * ${k.toDouble}").mkString(" + ")
+    val fftM2 = (1 to 8).map(k => s"${fa(k)} * ${(k * k).toDouble}").mkString(" + ")
+    val fftCentroid = s"(($fftM1) / ($fftMass))"
+    val fftEntropy = (0 to 8).map { k =>
+      s"(CASE WHEN ${fa(k)} > 0 THEN (-(${fa(k)} / ($fftMass))) * " +
+        s"ln(${fa(k)} / ($fftMass)) ELSE 0.0 END)"
+    }.mkString(" + ")
     Seq(
       "agg_autocorr_mean" -> s"round($acMean, 6)",
       "agg_autocorr_var" -> s"round($acVar, 6)",
@@ -375,6 +371,10 @@ object TsQueries {
         s"round(${prefix}fft_abs_c1 * ${prefix}fft_abs_c1 / ${prefix}n, 6)",
       "welch_psd_c2" ->
         s"round(${prefix}fft_abs_c2 * ${prefix}fft_abs_c2 / ${prefix}n, 6)",
+      "fft_agg_centroid" -> s"round($fftCentroid, 6)",
+      "fft_agg_variance" ->
+        s"round(($fftM2) / ($fftMass) - $fftCentroid * $fftCentroid, 6)",
+      "fourier_entropy" -> s"round($fftEntropy, 6)",
     )
   }
 
