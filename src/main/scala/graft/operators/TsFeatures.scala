@@ -747,6 +747,10 @@ object TsFeatures {
       explode(array((realCols ++ binaryCols).map(c =>
         struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__e"))
       .select(col("__y"), col("__e.f").as("__f"), col("__e.x").as("__x"))
+      // null feature values / labels drop the row (same filter in the
+      // oracle): Spark ranks NULL first, SQL last — unfiltered nulls
+      // would shift every cumulative rank
+      .where(col("__x").isNotNull && col("__y").isNotNull)
     // materialized once: both the Mann-Whitney and the Fisher jobs
     // read this frame, and it is tiny (distinct values) next to the
     // unpivot+aggregation that produces it
@@ -911,6 +915,11 @@ object TsFeatures {
       explode(array(realCols.map(c =>
         struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__e"))
       .select(col("__e.f").as("__f"), col("__e.x").as("__x"), col("__y"))
+      // defined null semantics (the oracle filters identically): a
+      // null feature value or label drops the PAIR source row — the
+      // alternative (NPE in getDouble) killed the job on any
+      // try_divide-derived feature
+      .where(col("__x").isNotNull && col("__y").isNotNull)
     val outSchema = StructType(Seq(
       StructField("feature", StringType, nullable = false),
       StructField("tau", DoubleType),
@@ -953,6 +962,12 @@ object TsFeatures {
       explode(array(realCols.map(c =>
         struct(lit(c).as("f"), col(c).cast("double").as("x"))): _*)).as("__e"))
       .select(col("__c"), col("__e.f").as("__f"), col("__e.x").as("__x"))
+      // rows outside the class list (incl. null labels) and null
+      // feature values are excluded BEFORE ranking — otherwise they
+      // shift every cumulative rank while being invisible to the
+      // H statistic, and Spark ranks NULL x first where SQL ranks it
+      // last (the oracle filters identically)
+      .where(col("__x").isNotNull && col("__c").isin(classes: _*))
     val aggs = count(lit(1)).as("nx") +: classes.map(c =>
       sum(when(col("__c") === c, 1L).otherwise(0L)).as(s"m_$c"))
     val byVal = long.groupBy(col("__f"), col("__x")).agg(aggs.head, aggs.tail: _*)

@@ -30,4 +30,32 @@ private[queries] object OracleExact {
       s" + (strpos('0123456789abcdef', substr($hx, 2, 1)) - 1) * 256" +
       s" + (strpos('0123456789abcdef', substr($hx, 3, 1)) - 1) * 16" +
       s" + (strpos('0123456789abcdef', substr($hx, 4, 1)) - 1))"
+
+  /** Two-sided normal tail 2·(1−Φ(at)) via the A&S 26.2.17 rational
+    * approximation — the mirror of `TsFeatures.normTwoSidedP` (same
+    * Horner order and constants). `at` must be a non-negative
+    * expression; single source of truth so the relevance oracles'
+    * p-values cannot drift from the Scala side or each other.
+    */
+  def phiTailSql(at: String): String =
+    s"2.0 * (exp(-($at) * ($at) / 2) / sqrt(2 * pi())) * " +
+      s"((1.0 / (1.0 + 0.2316419 * ($at))) * (0.319381530 + " +
+      s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-0.356563782 + " +
+      s"(1.0 / (1.0 + 0.2316419 * ($at))) * (1.781477937 + " +
+      s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-1.821255978 + " +
+      s"(1.0 / (1.0 + 0.2316419 * ($at))) * 1.330274429)))))"
+
+  /** Benjamini–Hochberg rank CTEs over a (feature, p) relation `src`:
+    * emits `ranked`/`mm`/`ks` so the final SELECT can apply the kept
+    * rule `CASE WHEN (SELECT k FROM ks) = 0 THEN true ELSE rk <= k`
+    * (keep-all fallback included). Mirror of `TsFeatures.bhKeep`.
+    */
+  def bhCtesSql(src: String, featCol: String, alpha: Double = 0.05): String =
+    s"""ranked AS (
+        SELECT $featCol AS feature, p, row_number() OVER (ORDER BY p, $featCol) AS rk
+        FROM $src),
+      mm AS (SELECT count(*) AS m FROM $src),
+      ks AS (
+        SELECT coalesce(max(CASE WHEN p <= rk * $alpha / mm.m THEN rk END), 0) AS k
+        FROM ranked, mm)"""
 }

@@ -704,7 +704,7 @@ object TsQueries {
         .select(col("feature"), col("test"),
           round(col("p_value"), 6).as("p_value"), col("kept"))
     },
-    Some("""
+    Some(s"""
       WITH RECURSIVE pu AS (
         SELECT user_id, count(*) AS cnt,
                sum(value::DECIMAL(18,6))::DOUBLE AS sum_v,
@@ -721,11 +721,12 @@ object TsQueries {
                (cnt % 2)::DOUBLE AS odd_events,
                (err > th.th)::INT AS y
         FROM pu, th),
-      long AS (
+      long0 AS (
         SELECT 'cnt' AS f, cnt AS x, y FROM f
         UNION ALL SELECT 'sum_v', sum_v, y FROM f
         UNION ALL SELECT 'max_v', max_v, y FROM f
         UNION ALL SELECT 'mean_v', mean_v, y FROM f),
+      long AS (SELECT * FROM long0 WHERE x IS NOT NULL AND y IS NOT NULL),
       g AS (SELECT f, x, count(*) AS nx, sum(y) AS mx FROM long GROUP BY f, x),
       cum AS (
         SELECT f, nx, mx,
@@ -758,9 +759,10 @@ object TsQueries {
       mwp AS (
         SELECT m.f, coalesce(least(1.0::DOUBLE, p.p), 1.0::DOUBLE) AS p
         FROM mw0 m LEFT JOIN mwp0 p ON m.f = p.f),
-      bl AS (
+      bl0 AS (
         SELECT 'click_gt_view' AS f, click_gt_view AS x, y FROM f
         UNION ALL SELECT 'odd_events', odd_events, y FROM f),
+      bl AS (SELECT * FROM bl0 WHERE x IS NOT NULL AND y IS NOT NULL),
       bg AS (SELECT f, x, count(*) AS nx, sum(y) AS mx FROM bl GROUP BY f, x),
       bm AS (
         SELECT f,
@@ -817,12 +819,7 @@ object TsQueries {
       allp AS (
         SELECT f AS feature, 'mann_whitney_u' AS test, p FROM mwp
         UNION ALL SELECT f, 'fisher_exact', p FROM fp),
-      ranked AS (
-        SELECT feature, p, row_number() OVER (ORDER BY p, feature) AS rk FROM allp),
-      mm AS (SELECT count(*) AS m FROM allp),
-      ks AS (
-        SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / mm.m THEN rk END), 0) AS k
-        FROM ranked, mm)
+      ${OracleExact.bhCtesSql("allp", "feature")}
       SELECT a.feature, a.test, round(a.p, 6) AS p_value,
              CASE WHEN (SELECT k FROM ks) = 0 THEN true
                   ELSE coalesce(r.rk <= (SELECT k FROM ks), false) END AS kept
@@ -864,13 +861,7 @@ object TsQueries {
         .select(col("feature"), round(col("p_value"), 6).as("p_value"), col("kept"))
     },
     Some {
-      val at = "sqrt(h)"
-      val phiTail = s"2.0 * (exp(-($at) * ($at) / 2) / sqrt(2 * pi())) * " +
-        s"((1.0 / (1.0 + 0.2316419 * ($at))) * (0.319381530 + " +
-        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-0.356563782 + " +
-        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (1.781477937 + " +
-        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-1.821255978 + " +
-        s"(1.0 / (1.0 + 0.2316419 * ($at))) * 1.330274429)))))"
+      val phiTail = OracleExact.phiTailSql("sqrt(h)")
       s"""
       WITH pu AS (
         SELECT user_id, count(*) AS cnt,
@@ -887,11 +878,13 @@ object TsQueries {
                     WHEN c_error >= c_view THEN 'error'
                     ELSE 'view' END AS y
         FROM pu),
-      long AS (
+      long0 AS (
         SELECT 'cnt' AS f, cnt AS x, y FROM f
         UNION ALL SELECT 'sum_v', sum_v, y FROM f
         UNION ALL SELECT 'max_v', max_v, y FROM f
         UNION ALL SELECT 'mean_v', mean_v, y FROM f),
+      long AS (SELECT * FROM long0
+               WHERE x IS NOT NULL AND y IN ('click', 'error', 'view')),
       g AS (
         SELECT f, x, count(*) AS nx,
                sum(CASE WHEN y = 'click' THEN 1 ELSE 0 END) AS m_click,
@@ -930,12 +923,7 @@ object TsQueries {
                  ELSE least(1.0::DOUBLE, exp(-h / 2))
                END AS p
         FROM (SELECT f, df, h0 / c AS h, c FROM hh)),
-      ranked AS (
-        SELECT f AS feature, p, row_number() OVER (ORDER BY p, f) AS rk FROM pp),
-      mm AS (SELECT count(*) AS m FROM pp),
-      ks AS (
-        SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / mm.m THEN rk END), 0) AS k
-        FROM ranked, mm)
+      ${OracleExact.bhCtesSql("pp", "f")}
       SELECT a.f AS feature, round(a.p, 6) AS p_value,
              CASE WHEN (SELECT k FROM ks) = 0 THEN true
                   ELSE coalesce(r.rk <= (SELECT k FROM ks), false) END AS kept
@@ -972,13 +960,7 @@ object TsQueries {
           round(col("p_value"), 6).as("p_value"), col("kept"))
     },
     Some {
-      val at = "abs(s / sqrt(vs))"
-      val phiTail = s"2.0 * (exp(-($at) * ($at) / 2) / sqrt(2 * pi())) * " +
-        s"((1.0 / (1.0 + 0.2316419 * ($at))) * (0.319381530 + " +
-        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-0.356563782 + " +
-        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (1.781477937 + " +
-        s"(1.0 / (1.0 + 0.2316419 * ($at))) * (-1.821255978 + " +
-        s"(1.0 / (1.0 + 0.2316419 * ($at))) * 1.330274429)))))"
+      val phiTail = OracleExact.phiTailSql("abs(s / sqrt(vs))")
       s"""
       WITH pu AS (
         SELECT user_id, count(*) AS cnt,
@@ -991,11 +973,13 @@ object TsQueries {
         SELECT user_id, cnt::DOUBLE AS cnt, sum_v, max_v, mean_v,
                err::DOUBLE AS y
         FROM pu),
-      long AS (
+      long0 AS (
         SELECT user_id AS u, 'cnt' AS f, cnt AS x, y FROM f
         UNION ALL SELECT user_id, 'sum_v', sum_v, y FROM f
         UNION ALL SELECT user_id, 'max_v', max_v, y FROM f
         UNION ALL SELECT user_id, 'mean_v', mean_v, y FROM f),
+      long AS (SELECT * FROM long0 WHERE x IS NOT NULL AND y IS NOT NULL),
+      feats AS (SELECT unnest(['cnt', 'sum_v', 'max_v', 'mean_v']) AS f),
       pr AS (
         SELECT a.f,
                (sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
@@ -1017,10 +1001,20 @@ object TsQueries {
         GROUP BY f),
       nn AS (SELECT f, count(*) AS n FROM long GROUP BY f),
       st0 AS (
-        SELECT nn.f, nn.n, pr.s, xt.st, xt.stt, xt.vt, yt.su, yt.suu, yt.vu,
-               nn.n * (nn.n - 1) // 2 AS n0
-        FROM nn JOIN pr ON nn.f = pr.f
-        JOIN xt ON nn.f = xt.f JOIN yt ON nn.f = yt.f),
+        -- LEFT JOINs from the static feature UNIVERSE: a feature whose
+        -- pair join is empty (or whose rows all filtered) must still
+        -- emit a row with p = 1, like the Spark side's fallback —
+        -- inner joins would silently drop it and skew the BH divisor
+        SELECT feats.f, coalesce(nn.n, 0) AS n, coalesce(pr.s, 0) AS s,
+               coalesce(xt.st, 0) AS st, coalesce(xt.stt, 0) AS stt,
+               coalesce(xt.vt, 0) AS vt,
+               coalesce(yt.su, 0) AS su, coalesce(yt.suu, 0) AS suu,
+               coalesce(yt.vu, 0) AS vu,
+               coalesce(nn.n, 0) * (coalesce(nn.n, 0) - 1) // 2 AS n0
+        FROM feats LEFT JOIN nn ON feats.f = nn.f
+        LEFT JOIN pr ON feats.f = pr.f
+        LEFT JOIN xt ON feats.f = xt.f
+        LEFT JOIN yt ON feats.f = yt.f),
       st1 AS (
         SELECT f, n, s, st, stt, su, suu, vt, vu, n0,
                CASE WHEN (n0 - st // 2) <= 0 OR (n0 - su // 2) <= 0 THEN NULL
@@ -1035,12 +1029,7 @@ object TsQueries {
                CASE WHEN n < 3 OR vs <= 0 THEN 1.0::DOUBLE
                     ELSE least(1.0::DOUBLE, $phiTail) END AS p
         FROM st1),
-      ranked AS (
-        SELECT f AS feature, p, row_number() OVER (ORDER BY p, f) AS rk FROM pp),
-      mm AS (SELECT count(*) AS m FROM pp),
-      ks AS (
-        SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / mm.m THEN rk END), 0) AS k
-        FROM ranked, mm)
+      ${OracleExact.bhCtesSql("pp", "f")}
       SELECT a.f AS feature, round(a.tau, 6) AS tau, round(a.p, 6) AS p_value,
              CASE WHEN (SELECT k FROM ks) = 0 THEN true
                   ELSE coalesce(r.rk <= (SELECT k FROM ks), false) END AS kept

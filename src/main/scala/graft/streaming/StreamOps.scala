@@ -212,15 +212,21 @@ object StreamOps {
   /** Exact microunit quantization of v, matching Spark's
     * double→decimal(·,6) cast: non-finite values cast to NULL there, so
     * they contribute 0 here instead of throwing in `BigDecimal(v)`.
-    * Magnitudes beyond the int64-micros domain (~9.2e12) also fold to
-    * 0 instead of throwing in `longValueExact` — beyond decimal(18,6)'s
-    * ~1e12 range the batch cast nulls the value out anyway, and a
-    * stateful streaming query must never die on one outlier row.
+    * Values whose micros overflow int64 (|v| > ~9.223e12 — the EXACT
+    * bitLength boundary, not an approximate threshold) also contribute
+    * 0: a stateful streaming query must never die on one outlier row.
+    * Inside the int64-micros domain the fold is bit-identical to the
+    * batch decimal mirrors; beyond it the stream diverges from the
+    * batch decimal(28,6) twin BY DESIGN — a microunit-exact pipeline's
+    * value contract ends where int64 micros do.
     */
   private[streaming] def microsOrZero(v: Double): Long =
-    if (!java.lang.Double.isFinite(v) || math.abs(v) >= 9.0e12) 0L
-    else BigDecimal(v).setScale(6,
-      BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact
+    if (!java.lang.Double.isFinite(v)) 0L
+    else {
+      val unscaled = BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue
+      if (unscaled.bitLength > 63) 0L else unscaled.longValue
+    }
 
   /** Update-mode streaming per-key profile — the 100 TB shape of
     * [[profileAgg]]: per-key Welford merges via `mapGroupsWithState`,
@@ -270,7 +276,7 @@ object StreamOps {
               // + HALF_UP the SQL mirror computes; non-finite → null
               // contribution, like the batch decimal cast
               s.qMicros + (if (!java.lang.Double.isFinite(v * 1e6) ||
-                math.abs(v) >= 9.0e12) 0L
+                math.abs(v * 1e6) >= 9.223372036854775e18) 0L
                 else BigDecimal(v * 1e6).setScale(0,
                   BigDecimal.RoundingMode.HALF_UP).toLong))
           }
