@@ -25,7 +25,12 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // local iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those
+    // rows (the round bench never sets it, so the full map is unaffected)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results = (SparkEntry.queries ++ SparkEntry.benchQueries)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMillis()
       val times = (1 to 2).map { _ =>

@@ -49,6 +49,10 @@ object SparkEntry {
     // hot-key (~5% of events on one user) stream-stream interval
     // join: the state-partitioning-under-skew measurement (SURVEY §7.13)
     "stream_interval_join_skew" -> (StreamingQueries.intervalJoinSkew(_, _)),
+    // the same skew fixture through the time-slice-salted join — the
+    // mitigation's measured twin (SURVEY §12)
+    "stream_interval_join_skew_salted" ->
+      (StreamingQueries.intervalJoinSkewSalted(_, _)),
     // LZ76 phrase counting is sequential per series — no SQL-window
     // oracle exists; spec covers semantics (TsSpec hand-checked)
     "ts_lempel_ziv" -> ((s, dir) => {

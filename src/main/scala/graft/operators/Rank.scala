@@ -45,11 +45,24 @@ object Rank {
     val pidCol = shiftright(col("__mid"), 33)
     val locCol = col("__mid").bitwiseAND(lit((1L << 33) - 1))
     val counts = sorted.groupBy(pidCol.as("__pid"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .agg(count(lit(1)).as("__c"), max(locCol).as("__mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // ENFORCE the 2^33-rows-per-partition encoding limit instead of
+    // documenting it: a local index that spills into the pid bits shows
+    // up as a partition whose max local index disagrees with its row
+    // count (or as a phantom pid past the partition count) — fail
+    // loudly rather than silently mis-rank an extreme-skew range.
+    val numPart = sorted.rdd.getNumPartitions.toLong
+    counts.foreach { case (pid, c, mx) =>
+      require(mx == c - 1 && pid < numPart,
+        s"Rank: partition $pid index corrupt (count=$c, maxLocal=$mx, " +
+          s"partitions=$numPart) — a range partition exceeded 2^33 rows; " +
+          "raise the partition count")
+    }
     val n = counts.map(_._2).sum
     var acc = 0L
-    val offsets = counts.map { case (pid, c) =>
+    val offsets = counts.map { case (pid, c, _) =>
       val off = acc; acc += c; pid -> off
     }
     val seqDf =

@@ -64,22 +64,21 @@ object Sampling {
     * deterministic and an external engine replays it exactly.
     */
   def balanceClassesThreshold(df: DataFrame, classCol: String, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.get(0) -> r.getLong(1))
     require(counts.nonEmpty, "no classes to balance")
     val m = counts.map(_._2).min
-    // Type-generic like balanceClasses: key the broadcast thresholds on
-    // the STRING rendering of the class (so integer labels work), and
-    // join null-safely so a null class is balanced as its own class
-    // instead of being silently dropped by an equality join.
-    val thresholds = counts.map { case (cls, n) =>
-      (Option(cls).map(_.toString).orNull, 65536L * m / n)
-    }.toSeq.toDF(classCol + "__t", "__thr")
-    df.join(broadcast(thresholds),
-        col(classCol).cast("string") <=> col(classCol + "__t"))
-      .where(hashBucket(col(idCol)) < col("__thr"))
-      .drop(classCol + "__t", "__thr")
+    // The per-class threshold as a TYPED literal when-chain compared
+    // null-safely against the ORIGINAL column — never a join on a
+    // toString rendering, whose formatting can differ from Spark's
+    // string cast (timestamps, dates, some decimals) and would then
+    // silently drop the whole class. `lit(cls)` rejects a label type
+    // it cannot encode loudly at plan time; the chain length is the
+    // (bounded, driver-collected) class cardinality, and the result is
+    // a narrow whole-stage-codegen filter with no join at all.
+    val thr = counts.foldLeft(lit(null).cast("long")) { case (acc, (cls, n)) =>
+      when(col(classCol) <=> lit(cls), lit(65536L * m / n)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol)) < thr)
   }
 }

@@ -289,6 +289,82 @@ object StreamingQueries {
       mode = "append", statePartitions = Some(8))
   }
 
+  /** The HOT-KEY-MITIGATED stream-stream interval join (SURVEY §12's
+    * one open scale-killer, closed): same pairs as
+    * `stream_interval_join` — same oracle — via the time-slice-salted
+    * equality key (uid, slice), which spreads a hot user's join state
+    * across its live slices' state-store partitions instead of pinning
+    * one. See [[StreamOps.intervalSelfJoinSalted]] for the exactness
+    * argument (each pair matches in exactly one sub-bucket).
+    */
+  val streamIntervalJoinSalted: Q = Q(
+    "stream_interval_join_salted",
+    (s, dir) => StreamOps.runToBatch(s,
+      StreamOps.intervalSelfJoinSalted(StreamOps.eventsStream(s, dir),
+        StreamOps.eventsStream(s, dir)),
+      mode = "append",
+      statePartitions = Some(8)),
+    Some("""
+      SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
+      FROM events a JOIN events b ON a.user_id = b.user_id
+       AND epoch_us(b.ts) > epoch_us(a.ts)
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 7200000000::BIGINT
+    """),
+  )
+
+  /** The skew fixture of [[intervalJoinSkew]] through the SALTED join —
+    * the bench pair that adjudicates the mitigation: same hot-user
+    * remap, same pair output, state spread over (uid, slice) buckets.
+    * Bench-only for the same reason as the un-salted skew row.
+    */
+  def intervalJoinSkewSalted(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def hot(df: org.apache.spark.sql.DataFrame) = df.withColumn("user_id",
+      when(col("event_id") % 20 === 0, lit(1L)).otherwise(col("user_id")))
+    StreamOps.runToBatch(s,
+      StreamOps.intervalSelfJoinSalted(hot(StreamOps.eventsStream(s, dir)),
+        hot(StreamOps.eventsStream(s, dir))),
+      mode = "append", statePartitions = Some(8))
+  }
+
+  /** KEYED streaming top-k board: the top-10 words PER SOURCE — the
+    * "top URLs per domain" dashboard shape, via
+    * [[StreamOps.keyedTopKBoard]] (the vocab board's monotone-count
+    * exactness argument applied per group). Streaming state is one
+    * monotone (source, word) count with map-side combine; each batch's
+    * touched slice reduces distributed to ≤ k rows per touched source
+    * before reaching the O(#sources × k) driver board. Equals the
+    * batch per-group top-k oracle.
+    */
+  val streamDomainTopk: Q = Q(
+    "stream_domain_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = StreamOps.docsStream(s, dir)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+      val counts = StreamOps.cumulativeKeyedCounts(docs,
+        col("source"), col("w"), "source", "w")
+      val top = StreamOps.keyedTopKBoard(counts, 10, "source", "w", "n",
+        statePartitions = Some(8))
+      import s.implicits._
+      top.toDF("source", "w", "n")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      c AS (SELECT source, w, count(*) AS n FROM t WHERE w <> '' GROUP BY 1, 2),
+      r AS (SELECT source, w, n,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n DESC, w) AS rk
+            FROM c)
+      SELECT source, w, n FROM r WHERE rk <= 10
+    """),
+  )
+
   /** Streaming vocabulary top-k: UPDATE-mode word counts merged into a
     * bounded driver board ([[StreamOps.topKBoard]]) — the "live
     * vocabulary board" a tokenizer-training pipeline watches. Streaming
@@ -387,7 +463,7 @@ object StreamingQueries {
   )
 
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
-    streamEnrich, streamIntervalJoin, streamProfile, streamProfileUpdate,
-    streamVocab, streamIntervalJoinOuter, streamLatestByKey,
-    streamQuantileProfile)
+    streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
+    streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
+    streamQuantileProfile, streamDomainTopk)
 }

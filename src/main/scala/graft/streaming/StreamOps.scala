@@ -162,6 +162,51 @@ object StreamOps {
       .select(col("l_uid").as("user_id"), col("eid_a"), col("eid_b"))
   }
 
+  /** HOT-KEY-MITIGATED stream-stream interval self-join — the scale
+    * shape for skewed key distributions (SURVEY §12: one user at a 5%
+    * event share measured 3.8× the uniform join; 10% went
+    * output-quadratic). The join key is SUB-BUCKETED BY TIME SLICE:
+    * with slice width = the gap, a right event at slice s can only
+    * match left events in slices {s, s−1}, so the right side duplicates
+    * into exactly those two (uid, slice) buckets and the equality key
+    * becomes (uid, slice). Consequences:
+    *
+    *   - STATE for a hot key hash-distributes across its live slices
+    *     (different state-store partitions) instead of pinning one
+    *     partition, and watermark eviction retires whole slices;
+    *   - each true pair matches in EXACTLY ONE bucket (l's slice is a
+    *     function of l, and the two right copies carry distinct slice
+    *     values), so the output equals the un-salted join with no
+    *     dedup pass;
+    *   - cost is 2× right-side state — the classic salting trade.
+    *
+    * The per-key pair OUTPUT within a horizon is inherently quadratic
+    * in that key's rate (it is the true join result); slicing
+    * parallelizes its production, it cannot shrink it.
+    */
+  def intervalSelfJoinSalted(left: DataFrame, right: DataFrame,
+                             gapMicros: Long = 7200000000L,
+                             watermarkDelay: String = "1 hour"): DataFrame = {
+    val sliceL = expr(s"cast(ts as long) div 1000 div $gapMicros")
+    val l = left.select(col("user_id").as("l_uid"),
+      timestamp_micros(expr("cast(ts as long) div 1000")).as("l_tse"),
+      sliceL.as("l_slice"),
+      col("event_id").as("eid_a"))
+      .withWatermark("l_tse", watermarkDelay)
+    val r = right.select(col("user_id").as("r_uid"),
+      timestamp_micros(expr("cast(ts as long) div 1000")).as("r_tse"),
+      col("event_id").as("eid_b"),
+      explode(array(sliceL, sliceL - 1)).as("r_slice"))
+      .withWatermark("r_tse", watermarkDelay)
+    l.join(r,
+      col("l_uid") === col("r_uid") &&
+        col("l_slice") === col("r_slice") &&
+        col("r_tse") > col("l_tse") &&
+        col("r_tse") <= col("l_tse") + expr(s"interval $gapMicros microseconds"),
+      "inner")
+      .select(col("l_uid").as("user_id"), col("eid_a"), col("eid_b"))
+  }
+
   /** Streaming per-key profile: UNWINDOWED complete-mode aggregation —
     * the running per-entity stats board (count/mean/std/min/max/sum)
     * a monitoring pipeline maintains. State is one row per key
@@ -312,23 +357,26 @@ object StreamOps {
     val name = s"graft_stream_${System.nanoTime()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
-    val q = try {
-      streamDf.writeStream
+    // restore only AFTER the drain: micro-batches keep planning
+    // asynchronously after .start() returns, so an immediate restore
+    // races the first batch's plan and may silently not apply
+    try {
+      val q = streamDf.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
+      q.awaitTermination()
+      // micro-batch accounting for bench attribution (GRAFT_STREAM_DEBUG=1)
+      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-debug] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
+      }
     } finally {
       if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
-    }
-    q.awaitTermination()
-    // micro-batch accounting for bench attribution (GRAFT_STREAM_DEBUG=1)
-    if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
-      q.recentProgress.foreach { p =>
-        System.err.println(s"[stream-debug] batch=${p.batchId} " +
-          s"rows=${p.numInputRows} durationMs=${p.durationMs}")
-      }
     }
     s.table(name)
   }
@@ -379,6 +427,17 @@ object StreamOps {
     * count and it re-enters on merit. Driver memory and per-batch sink
     * traffic are both O(k), independent of vocabulary size.
     */
+  /** PRECONDITION (the board is exact ONLY under it): `counts` must be
+    * a plain cumulative `groupBy(key).count`-style aggregation of the
+    * raw stream in update mode — each emission carries the key's FULL
+    * cumulative count, and counts are MONOTONE non-decreasing across
+    * batches. A windowed, decaying, or otherwise non-monotone aggregate
+    * violates the dropped-keys-stay-beaten argument and would make the
+    * board silently approximate; build the aggregation with
+    * [[cumulativeCounts]] to get the required shape by construction.
+    *
+    * @param counts update-mode cumulative keyed counts (see above)
+    */
   def topKBoard(counts: DataFrame, k: Int,
                 keyCol: String = "w", countCol: String = "n",
                 statePartitions: Option[Int] = None): Seq[(String, Long)] = {
@@ -389,8 +448,10 @@ object StreamOps {
     val board = scala.collection.mutable.HashMap.empty[String, Long]
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
-    val q = try {
-      counts.writeStream
+    // conf restored only after the drain: batches plan asynchronously
+    // after .start(), so an early restore races the first batch
+    try {
+      val q = counts.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val top = batch
@@ -407,12 +468,96 @@ object StreamOps {
         }
         .trigger(Trigger.AvailableNow())
         .start()
+      q.awaitTermination()
     } finally {
       if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    q.awaitTermination()
     board.toSeq.sorted(ord)
   }
+
+  /** The [[topKBoard]] precondition made structural: a cumulative
+    * update-mode keyed count over the raw stream — one monotone count
+    * per distinct key with map-side combine, each batch emitting only
+    * touched keys.
+    */
+  def cumulativeCounts(stream: DataFrame, key: org.apache.spark.sql.Column,
+                       keyName: String = "w", countName: String = "n"): DataFrame =
+    stream.groupBy(key.as(keyName)).agg(count(lit(1)).as(countName))
+
+  /** KEYED top-k board — [[topKBoard]] generalized from one global
+    * board to one board per GROUP (e.g. the top-k URLs per domain):
+    * the per-group monotone-cumulative-count argument is identical, so
+    * each group's k entries are exact, not approximate. Per batch the
+    * touched slice reduces DISTRIBUTED to ≤ k rows per touched group
+    * (one row_number window over the batch slice — never a re-sort of
+    * full state) before merging into the driver board.
+    *
+    * BOUNDED-GROUP-ONLY: driver memory and final output are
+    * O(#groups × k) — sized for a bounded grouping dimension (domains,
+    * languages, tenants), not an unbounded one.
+    *
+    * PRECONDITION: as [[topKBoard]] — `counts` must be an update-mode
+    * cumulative `groupBy(group, key).count` of the raw stream
+    * (monotone full cumulative counts; build via
+    * [[cumulativeKeyedCounts]]).
+    */
+  def keyedTopKBoard(counts: DataFrame, k: Int,
+                     groupCol: String, keyCol: String, countCol: String,
+                     statePartitions: Option[Int] = None): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val s = counts.sparkSession
+    val entryOrd = Ordering.by[(String, Long), (Long, String)] {
+      case (w, n) => (-n, w)
+    }
+    val board =
+      scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[String, Long]]
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = counts.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val w = Window.partitionBy(col(groupCol))
+            .orderBy(col(countCol).desc, col(keyCol))
+          val top = batch
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= k)
+            .collect()
+          top.foreach { r =>
+            val g = board.getOrElseUpdate(r.getAs[String](groupCol),
+              scala.collection.mutable.HashMap.empty[String, Long])
+            g(r.getAs[String](keyCol)) = r.getAs[Long](countCol)
+          }
+          board.valuesIterator.foreach { g =>
+            if (g.size > k) {
+              val kept = g.toSeq.sorted(entryOrd).take(k)
+              g.clear()
+              kept.foreach { case (w2, n) => g(w2) = n }
+            }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    board.toSeq.sortBy(_._1).flatMap { case (grp, g) =>
+      g.toSeq.sorted(entryOrd).map { case (w2, n) => (grp, w2, n) }
+    }
+  }
+
+  /** The [[keyedTopKBoard]] precondition made structural: cumulative
+    * update-mode (group, key) counts over the raw stream.
+    */
+  def cumulativeKeyedCounts(stream: DataFrame,
+                            group: org.apache.spark.sql.Column,
+                            key: org.apache.spark.sql.Column,
+                            groupName: String, keyName: String,
+                            countName: String = "n"): DataFrame =
+    stream.groupBy(group.as(groupName), key.as(keyName))
+      .agg(count(lit(1)).as(countName))
 
   final case class QSketchState(buckets: Map[Double, Long])
   final case class QuantileRow(user_id: Long, n: Long, p50: Double, p95: Double)

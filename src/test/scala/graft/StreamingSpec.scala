@@ -289,6 +289,65 @@ class StreamingSpec extends SparkSpec {
     assert(board.head._2 == 150L)
   }
 
+  test("salted interval join equals the un-salted join under a hot key") {
+    import org.apache.spark.sql.functions._
+    // the skew fixture: ~5% of events remapped onto one user, so the
+    // (uid, slice) sub-bucketing actually has something to split
+    def hot(df: org.apache.spark.sql.DataFrame) = df.withColumn("user_id",
+      when(col("event_id") % 20 === 0, lit(1L)).otherwise(col("user_id")))
+    val salted = StreamOps.runToBatch(spark,
+      StreamOps.intervalSelfJoinSalted(hot(StreamOps.eventsStream(spark, sf)),
+        hot(StreamOps.eventsStream(spark, sf))),
+      mode = "append", statePartitions = Some(4))
+      .collect().map(_.toSeq).toSet
+    val plain = StreamOps.runToBatch(spark,
+      StreamOps.intervalSelfJoin(hot(StreamOps.eventsStream(spark, sf)),
+        hot(StreamOps.eventsStream(spark, sf))),
+      mode = "append", statePartitions = Some(4))
+      .collect().map(_.toSeq).toSet
+    assert(salted.nonEmpty)
+    assert(salted == plain) // exactly one sub-bucket match per true pair
+  }
+
+  test("keyed top-k board stays exact per group under multi-batch trimming") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two domains with disjoint hot tokens + per-domain tails, over 5
+    // micro-batches so every group's k-entry board trims on each merge
+    val dir = java.nio.file.Files.createTempDirectory("graft_ktopk").toString
+    (0 until 5).foreach { b =>
+      val rows = (0 until 40).flatMap { i =>
+        Seq(("d1", s"a${(b * 3 + i) % 25} hot1"), ("d2", s"b${(b * 5 + i) % 25} hot2"))
+      }.zipWithIndex.map { case ((g, t), i) => (b * 1000L + i, g, t) }
+      rows.toDF("doc_id", "grp", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(col("grp"), explode(split(lower(col("text")), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+    val counts = StreamOps.cumulativeKeyedCounts(stream,
+      col("grp"), col("w"), "grp", "w")
+    val board = StreamOps.keyedTopKBoard(counts, 5, "grp", "w", "n",
+      statePartitions = Some(4))
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val c = spark.read.parquet(dir)
+        .select(col("grp"), explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("n").desc, col("w"))
+      c.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .orderBy(col("grp"), col("n").desc, col("w"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(board == batch)
+    // each group's hot token leads its own board
+    assert(board.filter(_._1 == "d1").head._2 == "hot1")
+    assert(board.filter(_._1 == "d2").head._2 == "hot2")
+  }
+
   test("streaming window agg equals the batch aggregation") {
     val streamed = StreamOps.runToBatch(spark,
       StreamOps.windowAgg(StreamOps.eventsStream(spark, sf)))
