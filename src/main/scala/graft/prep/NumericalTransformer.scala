@@ -32,13 +32,43 @@ object FillStrategy {
   final case class Value(v: Double) extends FillStrategy
 }
 
+/** How quantile boundaries are fitted (kbins / quantile-grid / robust
+  * scaling). The 100 TB DEFAULT IS `Sketch`: the exact sort-based
+  * percentile is the right tool only below the scale where a per-column
+  * sort hurts, and `TDigest`'s merge-order-dependent centroids can
+  * never be replayed by an external engine — the deterministic
+  * log-histogram sketch is mergeable, bounded-state, AND
+  * oracle-replayable, so the correctness protocol survives the switch
+  * to the approximate path. `Exact` stays the test-SF default so the
+  * fitted boundaries keep matching DuckDB's `quantile_cont` bit-for-bit.
+  */
+sealed trait QuantileFitMode
+object QuantileFitMode {
+  /** Sort-based exact percentile (interpolating) — small/medium SF. */
+  case object Exact extends QuantileFitMode
+  /** `percentile_approx` (t-digest): bounded memory, but merge-order
+    * dependent — no external engine can replay it; kept as the
+    * comparison point the bench row measures.
+    */
+  case object TDigest extends QuantileFitMode
+  /** Deterministic log-histogram sketch
+    * ([[graft.operators.QuantileSketch]]) — the documented 100 TB
+    * default: mergeable by count addition, state bounded by the value
+    * range, and every step a pure elementary function, so an SQL
+    * oracle replays the approximate boundaries EXACTLY.
+    */
+  case object Sketch extends QuantileFitMode
+}
+
 /** Numerical feature handling (reference: utils/numerical_transformer.py).
   *
   * Scale design: `fit` runs ONE aggregation job covering every column's
   * min/max/mean/std (+ exact percentile boundaries when needed); the
   * fitted model is a handful of doubles on the driver; every transform
   * and inverse is a pure column expression — narrow, whole-stage
-  * codegen, zero shuffle regardless of data size.
+  * codegen, zero shuffle regardless of data size. The `Sketch`
+  * quantile mode adds one more (narrow, map-side-combined) aggregation
+  * over (column, geometric bucket) pairs.
   */
 object NumericalTransformer {
 
@@ -49,25 +79,28 @@ object NumericalTransformer {
   def replaceInf(c: Column): Column =
     when(isnan(c) || c > InfThreshold || c < -InfThreshold, lit(null)).otherwise(c)
 
-  /** One-pass stats for all `cols`; `quantileProbs` adds exact
-    * percentile boundaries (used by kbins / quantile-grid scaling).
-    * At very large scale pass `approxQuantiles = true` to swap the
-    * exact sort-based percentile for the t-digest sketch.
+  /** One-pass stats for all `cols`; `quantileProbs` adds percentile
+    * boundaries (used by kbins / quantile-grid / robust scaling),
+    * fitted per [[QuantileFitMode]] — `Exact` below scale,
+    * [[QuantileFitMode.Sketch]] as the documented 100 TB default.
     */
   def fit(
       df: DataFrame,
       cols: Seq[String],
       quantileProbs: Seq[Double] = Nil,
-      approxQuantiles: Boolean = false,
+      quantileFit: QuantileFitMode = QuantileFitMode.Exact,
   ): Map[String, NumColStats] = {
     require(cols.nonEmpty, "no numerical columns to fit")
     val cleaned = df.select(cols.map(c => replaceInf(col(c)).as(c)): _*)
     val aggs = cols.flatMap { c =>
-      val qAgg =
-        if (quantileProbs.isEmpty) Nil
-        else if (approxQuantiles)
+      val qAgg = quantileFit match {
+        case _ if quantileProbs.isEmpty => Nil
+        case QuantileFitMode.Sketch     => Nil // separate bucket-count job
+        case QuantileFitMode.TDigest =>
           Seq(percentile_approx(col(c), lit(quantileProbs.toArray), lit(10000)).as(s"${c}__q"))
-        else Seq(percentile(col(c), lit(quantileProbs.toArray)).as(s"${c}__q"))
+        case QuantileFitMode.Exact =>
+          Seq(percentile(col(c), lit(quantileProbs.toArray)).as(s"${c}__q"))
+      }
       Seq(
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"),
@@ -76,6 +109,24 @@ object NumericalTransformer {
       ) ++ qAgg
     }
     val row = cleaned.agg(aggs.head, aggs.tail: _*).head()
+    // Sketch boundaries: unpivot to (column, value) and run ONE
+    // (column, geometric-bucket) count aggregation — map-side combined,
+    // so the shuffle carries #cols × #occupied-buckets rows, not data.
+    // The boundary for prob p is the first bucket representative whose
+    // cumulative count reaches p·n (identical rule to the per-key
+    // sketch profile, replayable in SQL).
+    val sketchQs: Map[String, Seq[Double]] =
+      if (quantileProbs.isEmpty || quantileFit != QuantileFitMode.Sketch) Map.empty
+      else {
+        val long = cleaned.select(explode(array(cols.map(c =>
+          struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*)).as("e"))
+          .select(col("e.f").as("f"), col("e.v").as("v"))
+          .where(col("v").isNotNull)
+        val named = quantileProbs.zipWithIndex.map { case (p, i) => s"__q$i" -> p }
+        graft.operators.QuantileSketch.profile(long, "f", "v", named)
+          .collect().map(r => r.getAs[String]("f") ->
+            named.map { case (nm, _) => r.getAs[Double](nm) }).toMap
+      }
     def d(n: String): Double = row.getAs[Any](n) match {
       case null               => Double.NaN
       case x: java.lang.Number => x.doubleValue()
@@ -83,6 +134,7 @@ object NumericalTransformer {
     cols.map { c =>
       val qs =
         if (quantileProbs.isEmpty) Nil
+        else if (quantileFit == QuantileFitMode.Sketch) sketchQs.getOrElse(c, Nil)
         else row.getAs[scala.collection.Seq[Double]](s"${c}__q").toSeq
       c -> NumColStats(d(s"${c}__min"), d(s"${c}__max"), d(s"${c}__mean"), d(s"${c}__std"), qs)
     }.toMap

@@ -49,7 +49,12 @@ final case class PrepConfig(
     mlTask: Option[MlTask] = None,
     targetColumn: Option[String] = None,
     maxCategories: Int = 1024,
-    approxQuantiles: Boolean = false,
+    /** Quantile-boundary fit path: `Exact` below scale (matches the
+      * sort-based oracle bit-for-bit), [[QuantileFitMode.Sketch]] as
+      * the documented 100 TB default (mergeable, bounded-state, and
+      * still oracle-replayable — see [[QuantileFitMode]]).
+      */
+    quantileFit: QuantileFitMode = QuantileFitMode.Exact,
     /** "ignore": unseen labels one-hot to all zeros; "error": the job
       * fails on an unseen label (preprocessor.py unseen_labels).
       */
@@ -353,7 +358,7 @@ object Preprocessor {
     val allStatCols = numerical ++ datetime
     val numStats =
       if (allStatCols.isEmpty) Map.empty[String, NumColStats]
-      else NumericalTransformer.fit(epochified, allStatCols, quantileProbs, config.approxQuantiles)
+      else NumericalTransformer.fit(epochified, allStatCols, quantileProbs, config.quantileFit)
 
     // Feature selection: single-value + dominant drops, rare-label models.
     val selection = FeatureSelector.fit(df, numerical, categorical,

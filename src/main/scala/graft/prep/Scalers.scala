@@ -29,7 +29,8 @@ final case class StandardScaler(mean: Double, std: Double) extends Scaler {
 
 /** Median/IQR scaling (sklearn RobustScaler analog): outlier-robust
   * centering — the fit stats are exact percentiles at small scale and
-  * the `percentile_approx` t-digest on the 100 TB path, like every
+  * the deterministic log-histogram sketch
+  * ([[QuantileFitMode.Sketch]]) on the 100 TB path, like every
   * quantile fit in this module.
   */
 final case class RobustScaler(median: Double, q25: Double, q75: Double) extends Scaler {

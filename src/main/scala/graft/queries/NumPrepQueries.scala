@@ -323,13 +323,56 @@ object NumPrepQueries {
     val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
     val probs = (1 until 10).map(_ / 10.0)
     val st = NumericalTransformer.fit(df, Seq("v"), quantileProbs = probs,
-      approxQuantiles = true)("v")
+      quantileFit = QuantileFitMode.TDigest)("v")
     val sc = KBinsScaler(st.quantiles)
     df.select(col("c_custkey"), sc.transform(col("v")).as("bin"))
+  }
+
+  /** The DOCUMENTED 100 TB kbins fit path — boundaries from the
+    * deterministic log-histogram sketch ([[QuantileFitMode.Sketch]]).
+    * Unlike the t-digest row above, this one is ORACLED: the sketch's
+    * geometric bucketing and cumulative-rank boundary rule are pure
+    * elementary functions, so DuckDB replays the approximate
+    * boundaries exactly and the hash compare stays meaningful on the
+    * scale path itself.
+    */
+  val scaleKBinsSketch: Q = {
+    val ln = graft.operators.QuantileSketch.LnGamma
+    Q(
+      "scale_kbins_sketch",
+      (s, dir) => {
+        val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+        val probs = (1 until 10).map(_ / 10.0)
+        val st = NumericalTransformer.fit(df, Seq("v"), quantileProbs = probs,
+          quantileFit = QuantileFitMode.Sketch)("v")
+        val sc = KBinsScaler(st.quantiles)
+        df.select(col("c_custkey"), sc.transform(col("v")).as("bin"))
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT CASE WHEN c_acctbal = 0 THEN 0.0
+                      ELSE sign(c_acctbal) *
+                           exp((floor(ln(abs(c_acctbal)) / $ln) + 0.5) * $ln) END AS rep
+          FROM customer),
+        g AS (SELECT rep, count(*) AS c FROM r GROUP BY 1),
+        cum AS (
+          SELECT rep, c,
+                 sum(c) OVER (ORDER BY rep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER () AS n
+          FROM g),
+        b AS (
+          SELECT p.p, min(CASE WHEN cum >= p.p * n THEN rep END) AS bv
+          FROM cum CROSS JOIN (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS p) p
+          GROUP BY p.p)
+        SELECT c_custkey, (SELECT count(*) FROM b WHERE b.bv < c.c_acctbal)::INT AS bin
+        FROM customer c
+      """),
+    )
   }
 
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
     scaleRobust, scaleMaxAbs, scaleQuantileUniform, scaleQuantileNormal,
-    scaleKBins)
+    scaleKBins, scaleKBinsSketch)
 }

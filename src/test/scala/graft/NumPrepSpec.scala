@@ -107,10 +107,49 @@ class NumPrepSpec extends SparkSpec {
     val df = Tables.customer(spark, sf).select(org.apache.spark.sql.functions.col("c_acctbal").as("v"))
     val probs = (1 until 10).map(_ / 10.0)
     val exact = NumericalTransformer.fit(df, Seq("v"), probs)("v").quantiles
-    val approx = NumericalTransformer.fit(df, Seq("v"), probs, approxQuantiles = true)("v").quantiles
+    val approx = NumericalTransformer.fit(df, Seq("v"), probs,
+      quantileFit = QuantileFitMode.TDigest)("v").quantiles
     val range = exact.last - exact.head
     exact.zip(approx).foreach { case (e, a) =>
       assert(math.abs(e - a) <= 0.05 * range, s"approx $a too far from exact $e")
     }
+  }
+
+  test("sketch quantile fit agrees with the exact fit across scalers") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.customer(spark, sf).select(col("c_custkey"), col("c_acctbal").as("v"))
+    // robust probs (0.25/0.5/0.75) + the kbins decile grid in one fit
+    val probs = Seq(0.25, 0.5, 0.75) ++ (1 until 10).map(_ / 10.0)
+    val exact = NumericalTransformer.fit(df, Seq("v"), probs)("v").quantiles
+    val sketch = NumericalTransformer.fit(df, Seq("v"), probs,
+      quantileFit = QuantileFitMode.Sketch)("v").quantiles
+    // the sketch boundary is a mid-bucket representative on the γ=1.1
+    // geometric grid: within half a bucket (≈5%) of the value range of
+    // the exact boundary, and NEVER rank-shifted by more than a bucket
+    val range = exact.max - exact.min
+    exact.zip(sketch).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 0.06 * range + 0.06 * math.abs(e),
+        s"sketch boundary $a too far from exact $e")
+    }
+    // end-to-end bin agreement on the kbins path (like the t-digest row)
+    val deciles = (1 until 10).map(_ / 10.0)
+    val stE = NumericalTransformer.fit(df, Seq("v"), deciles)("v")
+    val stS = NumericalTransformer.fit(df, Seq("v"), deciles,
+      quantileFit = QuantileFitMode.Sketch)("v")
+    val j = df.select(col("c_custkey"),
+        KBinsScaler(stS.quantiles).transform(col("v")).as("bin"))
+      .join(df.select(col("c_custkey"),
+        KBinsScaler(stE.quantiles).transform(col("v")).as("bin_e")), "c_custkey")
+    val total = j.count()
+    val agree = j.where(col("bin") === col("bin_e")).count()
+    val offByMore = j.where(org.apache.spark.sql.functions.abs(
+      col("bin") - col("bin_e")) > 1).count()
+    // a ±half-γ-bucket boundary error can shift a row past at most ONE
+    // decile boundary; rows far from boundaries are unaffected (the
+    // exact-agreement share grows with n as boundary mass thins)
+    assert(total > 0 && offByMore == 0,
+      s"sketch kbins shifted $offByMore/$total rows by more than one bin")
+    assert(agree >= (total * 0.8).toLong,
+      s"sketch kbins agreement $agree/$total below 80%")
   }
 }
