@@ -61,5 +61,14 @@ object SparkEntry {
         graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
         "user_id", Seq("ts"), "value")
     }),
+    // fixed-lag ADF tau per series (GroupedApply OLS) — an SQL oracle
+    // would ride order-dependent distributed double sums; spec pins the
+    // statistic against an independent least-squares computation
+    "ts_adf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.TsFeatures.adf(
+        graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", Seq("ts"), "value")
+    }),
   )
 }

@@ -1221,6 +1221,130 @@ object TsFeatures {
     }
   }
 
+  /** Solve the k×k linear system a·x = b by partial-pivot Gaussian
+    * elimination (inputs untouched; NaN vector on a singular pivot).
+    * k = lag+2 ≤ a handful — driver-free, per-series executor work.
+    */
+  private def solveLinear(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val k = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    var c = 0
+    while (c < k) {
+      var p = c
+      var r = c + 1
+      while (r < k) { if (math.abs(a(r)(c)) > math.abs(a(p)(c))) p = r; r += 1 }
+      val tA = a(p); a(p) = a(c); a(c) = tA
+      val tB = b(p); b(p) = b(c); b(c) = tB
+      val piv = a(c)(c)
+      if (piv == 0.0) return Array.fill(k)(Double.NaN)
+      r = c + 1
+      while (r < k) {
+        val f = a(r)(c) / piv
+        if (f != 0.0) {
+          var c2 = c
+          while (c2 < k) { a(r)(c2) -= f * a(c)(c2); c2 += 1 }
+          b(r) -= f * b(c)
+        }
+        r += 1
+      }
+      c += 1
+    }
+    val x = new Array[Double](k)
+    var r = k - 1
+    while (r >= 0) {
+      var s = b(r)
+      var c2 = r + 1
+      while (c2 < k) { s -= a(r)(c2) * x(c2); c2 += 1 }
+      x(r) = s / a(r)(r)
+      r -= 1
+    }
+    x
+  }
+
+  /** Augmented Dickey–Fuller tau statistic with a FIXED lag — the
+    * regression tsfresh's `augmented_dickey_fuller` attribute
+    * "teststat" delegates to (statsmodels `adfuller(x, maxlag=lag,
+    * autolag=None, regression='c')`), minus the AIC lag search: the
+    * per-series iterative refit the search needs has no one-pass
+    * shape, and the MacKinnon p-value surface is a numeric lookup
+    * table — both documented out of scope in SURVEY §3.
+    *
+    * Model: Δy_t = α + β·y_{t−1} + Σ_{i=1..lag} γ_i·Δy_{t−i} + ε,
+    * stat = β̂/se(β̂). One [[GroupedApply]] pass (single hash shuffle,
+    * per-series sorted fold — deterministic given the series), normal
+    * equations solved in-executor; per-series state is the values
+    * array, like every GroupedApply calculator. Like `ts_lempel_ziv`
+    * this ships bench+spec: a 3-regressor OLS oracle in SQL would ride
+    * order-dependent distributed double sums, exactly the class the
+    * repo's oracle protocol excludes.
+    */
+  def adf(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+          valueCol: String, lag: Int = 1): DataFrame = {
+    require(lag >= 0, s"adf lag must be >= 0, got $lag")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("adf_stat", DoubleType),
+      StructField("adf_nobs", LongType)))
+    val k = lag + 2
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val y = it.map(_.getDouble(vIdx)).toArray
+      val n = y.length
+      val nobs = n - 1 - lag
+      def dy(t: Int): Double = y(t) - y(t - 1)
+      if (nobs < k + 1) {
+        Iterator.single(org.apache.spark.sql.Row(
+          key.get(0), null, math.max(nobs, 0).toLong))
+      } else {
+        // regressor row for sample i (t = lag+1+i):
+        // [y_{t−1}, Δy_{t−1}, …, Δy_{t−lag}, 1]; target Δy_t
+        val xtx = Array.ofDim[Double](k, k)
+        val xty = new Array[Double](k)
+        val row = new Array[Double](k)
+        var i = 0
+        while (i < nobs) {
+          val t = lag + 1 + i
+          row(0) = y(t - 1)
+          var j = 1
+          while (j <= lag) { row(j) = dy(t - j); j += 1 }
+          row(k - 1) = 1.0
+          val tgt = dy(t)
+          var a = 0
+          while (a < k) {
+            var b = 0
+            while (b < k) { xtx(a)(b) += row(a) * row(b); b += 1 }
+            xty(a) += row(a) * tgt
+            a += 1
+          }
+          i += 1
+        }
+        val beta = solveLinear(xtx, xty)
+        val e0 = new Array[Double](k); e0(0) = 1.0
+        val inv0 = solveLinear(xtx, e0) // (X'X)^{-1} column 0
+        var rss = 0.0
+        i = 0
+        while (i < nobs) {
+          val t = lag + 1 + i
+          var pred = beta(k - 1) + beta(0) * y(t - 1)
+          var j = 1
+          while (j <= lag) { pred += beta(j) * dy(t - j); j += 1 }
+          val e = dy(t) - pred
+          rss += e * e
+          i += 1
+        }
+        val se = math.sqrt(rss / (nobs - k) * inv0(0))
+        val stat = beta(0) / se
+        Iterator.single(org.apache.spark.sql.Row(
+          key.get(0),
+          if (java.lang.Double.isFinite(stat)) stat else null,
+          nobs.toLong))
+      }
+    }
+  }
+
   /** FLOOR integer division of nanosecond timestamps into buckets.
     * Exact integer arithmetic (a double divide on 2^60-scale nanos
     * carries ~128ns representation error and can bucket a timestamp

@@ -163,6 +163,36 @@ class TsSpec extends SparkSpec {
     assert(c.getDouble(1) == 0.5) // phrases {0, 00} over n=4
   }
 
+  test("ADF tau statistic matches an independent least-squares computation") {
+    import spark.implicits._
+    // expected values from an independent numpy lstsq implementation of
+    // the same fixed-lag regression Δy_t = α + β·y_{t−1} + γ·Δy_{t−1}:
+    // a trending sawtooth (unit-root-ish, β̂/se = 1.3484) and a
+    // mean-reverting oscillation (strongly stationary, −3.876036)
+    val trend = Array(1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5, 6.0)
+    val stat = Array(0.5, -0.3, 0.8, -0.6, 0.2, 0.9, -0.7, 0.1, -0.2, 0.6, -0.4, 0.3)
+    val in = (trend.zipWithIndex.map { case (v, i) => ("T", i.toLong, v) } ++
+      stat.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }).toSeq
+      .toDF("sk", "t", "v")
+    val got = TsFeatures.adf(in, "sk", Seq("t"), "v", lag = 1)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(math.abs(got("T")._1 - 1.3484) < 1e-4)
+    assert(got("T")._2 == 8L)
+    assert(math.abs(got("S")._1 - -3.876036) < 1e-6)
+    assert(got("S")._2 == 10L)
+  }
+
+  test("ADF of a too-short or constant series is null, not a crash") {
+    import spark.implicits._
+    val in = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 1L, 5.0), ("B", 2L, 5.0), ("B", 3L, 5.0), ("B", 4L, 5.0),
+      ("B", 5L, 5.0), ("B", 6L, 5.0), ("B", 7L, 5.0)).toDF("sk", "t", "v")
+    val got = TsFeatures.adf(in, "sk", Seq("t"), "v")
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(got("A")) // nobs < k+1
+    assert(got("B")) // singular X'X (zero-variance regressors)
+  }
+
   test("sample entropy of a too-short series is null, not a crash") {
     val in = Seq(("A", 1L, 1.0), ("A", 2L, 2.0)).toDF("sk", "t", "v")
     val got = TsFeatures.sampleEntropy(in, "sk", Seq("t"), "v").head()
