@@ -69,6 +69,21 @@ object SourceQueries {
     Some("SELECT doc_id, lang, n_chars FROM documents"),
   )
 
+  // Avro sink -> Avro source (DuckDB reads avro only via an extension
+  // that isn't loadable offline; like ORC, the oracle is the original
+  // table, which the round trip must reproduce)
+  val avroRoundtrip: Q = Q(
+    "source_avro_roundtrip",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val path = tmp("docs_avro")
+      IO.writeAvro(d, path)
+      IO.readAvro(s, path)
+    },
+    Some("SELECT doc_id, lang, source, n_chars FROM documents"),
+  )
+
   // line-oriented text sink -> text source (raw-corpus ingest shape);
   // row order is sink-arbitrary, the driver compare sorts rows
   val textRoundtrip: Q = Q(
@@ -82,6 +97,6 @@ object SourceQueries {
     Some("SELECT text FROM documents"),
   )
 
-  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, sinkPartitioned,
-    textRoundtrip)
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, avroRoundtrip,
+    sinkPartitioned, textRoundtrip)
 }

@@ -41,6 +41,22 @@ object IO {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Avro container-file source/sink — the row-oriented interchange
+    * format a Kafka-fed ingest layer hands a 100 TB pipeline. Spark
+    * 4 ships the Avro FileFormat inside spark-sql but does NOT list it
+    * in the DataSourceRegister service file, so the short name "avro"
+    * fails lookup; addressing the format by its fully-qualified class
+    * name binds the exact same reader/writer (block-splittable scans,
+    * filter pushdown, the usual FileFormat machinery).
+    */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(path)
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(AvroFormat).save(path)
+
   /** Line-oriented text source/sink (one string column). The raw-corpus
     * ingest format: split-planned like any file source, no parsing at
     * all. Rows must be newline-free — the sink writes one line per row.

