@@ -53,6 +53,10 @@ object SparkEntry {
     // mitigation's measured twin (SURVEY §12)
     "stream_interval_join_skew_salted" ->
       (StreamingQueries.intervalJoinSkewSalted(_, _)),
+    // one giant near-dup component (40% of a 10^5-node graph) through
+    // the DISTRIBUTED CC loop — the hot-component shuffle measurement
+    // (r6 VERDICT #8); output is a 3-field summary, no oracle needed
+    "dedup_clusters_skew" -> (DedupQueries.clustersSkew(_, _)),
     // LZ76 phrase counting is sequential per series — no SQL-window
     // oracle exists; spec covers semantics (TsSpec hand-checked)
     "ts_lempel_ziv" -> ((s, dir) => {

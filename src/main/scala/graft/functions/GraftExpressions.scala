@@ -168,7 +168,7 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
   * CodegenFallback: the eval body is already a tight loop; only the
   * per-ROW dispatch is interpreted.
   */
-case class WordShingles(child: Expression, k: Int)
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -190,16 +190,20 @@ case class WordShingles(child: Expression, k: Int)
     val words = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
     val n = words.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    // distinct=true: shingle SET (dedup/minhash); distinct=false: every
+    // occurrence in order (n-gram LM counting)
+    val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n - k + 1)
     var i = 0
     while (i <= n - k) {
       val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
       var j = 0
       while (j < k) { parts(j) = words(i + j); j += 1 }
-      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
       i += 1
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
@@ -602,6 +606,11 @@ object GraftFunctions {
 
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+
+  /** Every k-gram occurrence in order (non-distinct) — LM counting. */
+  def wordNgrams(text: Column, k: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(text), k, distinct = false))
 
   def meanWordLen(text: Column): Column =
     ColumnBridge.column(MeanWordLen(ColumnBridge.expression(text)))

@@ -1279,6 +1279,58 @@ object TsFeatures {
     * order-dependent distributed double sums, exactly the class the
     * repo's oracle protocol excludes.
     */
+  /** Exponentially weighted moving average per series (pandas
+    * `ewm(alpha, adjust=False).mean()` analog): y_1 = x_1,
+    * y_t = α·x_t + (1−α)·y_{t−1} — an inherently SEQUENTIAL per-series
+    * recursion, so it rides GroupedApply's one-shuffle sorted-group
+    * contract. Unlike the OLS/entropy folds, the recursion is a
+    * deterministic chain, and both engines must land on the IDENTICAL
+    * 6-dp output. A float fold cannot deliver that: with 6-dp inputs
+    * the SECOND step y₂ = α·x₂ + (1−α)·x₁ is mathematically an exact
+    * 7-decimal-digit number — ON the 6-dp rounding midpoint grid where
+    * the engines' round() tie rules differ (§12 class; both a dyadic
+    * 0.25 and a decimal 0.3 α failed the sf0.1 sweep exactly there,
+    * six midpoint rows out of 10⁵). So the fold runs in EXACT integer
+    * micro-units with α = alphaNum/den: y′ = halfUp((alphaNum·x_µ +
+    * (den−alphaNum)·y_µ) / den) — pure int64, replayed bit-exactly by
+    * a recursive CTE with `(s + den/2) // den` arithmetic. The
+    * micro-quantization error is ≤ 5e-7 per step and contracts by
+    * (1−α) each step, so it never accumulates past ~1.7e-6 of the
+    * float EWMA (spec-pinned) — invisible at the 6-dp output, and the
+    * deterministic-replay guarantee is what a 100 TB validation
+    * pipeline actually needs.
+    */
+  def ewma(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+           valueCol: String, alphaNum: Long = 3, den: Long = 10): DataFrame = {
+    require(den > 0 && alphaNum > 0 && alphaNum <= den,
+      s"ewma needs 0 < alphaNum <= den, got $alphaNum/$den")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val oIdx = in.schema.fieldIndex(orderCols.head)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      in.schema(oIdx), StructField("value", DoubleType),
+      StructField("ewma", DoubleType)))
+    val betaNum = den - alphaNum
+    // the StreamOps/ExactAgg micro mirror: BigDecimal HALF_UP == SQL
+    // round(v*1e6)::BIGINT on the same double
+    def micro(v: Double): Long =
+      BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def halfUpDiv(s: Long, d: Long): Long =
+      if (s >= 0) (s + d / 2) / d else -((-s + d / 2) / d)
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      var ym = 0L
+      var first = true
+      it.map { r =>
+        val x = r.getDouble(vIdx)
+        ym = if (first) { first = false; micro(x) }
+          else halfUpDiv(alphaNum * micro(x) + betaNum * ym, den)
+        org.apache.spark.sql.Row(key.get(0), r.get(oIdx), x, ym / 1e6)
+      }
+    }
+  }
+
   def adf(df: DataFrame, seriesKey: String, orderCols: Seq[String],
           valueCol: String, lag: Int = 1): DataFrame = {
     require(lag >= 0, s"adf lag must be >= 0, got $lag")

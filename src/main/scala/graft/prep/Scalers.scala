@@ -47,6 +47,86 @@ final case class MaxAbsScaler(maxAbs: Double) extends Scaler {
   def inverse(c: Column): Column   = c * lit(maxAbs)
 }
 
+/** Yeo-Johnson power transform (sklearn PowerTransformer analog) for a
+  * FIXED fitted lambda: sign-branched pow/log column expressions with
+  * an exact inverse. transform(0) == 0, so the sign of the transformed
+  * value mirrors the input's and `inverse` can branch on it.
+  */
+final case class YeoJohnsonScaler(lambda: Double) extends Scaler {
+  def transform(c: Column): Column = {
+    val pos =
+      if (lambda == 0.0) log(c + lit(1.0))
+      else (pow(c + lit(1.0), lit(lambda)) - lit(1.0)) / lit(lambda)
+    val neg =
+      if (lambda == 2.0) -log(lit(1.0) - c)
+      else -(pow(lit(1.0) - c, lit(2.0 - lambda)) - lit(1.0)) / lit(2.0 - lambda)
+    when(c >= 0, pos).otherwise(neg)
+  }
+  def inverse(y: Column): Column = {
+    val pos =
+      if (lambda == 0.0) exp(y) - lit(1.0)
+      else pow(y * lit(lambda) + lit(1.0), lit(1.0 / lambda)) - lit(1.0)
+    val neg =
+      if (lambda == 2.0) lit(1.0) - exp(-y)
+      else lit(1.0) - pow(lit(1.0) - lit(2.0 - lambda) * y, lit(1.0 / (2.0 - lambda)))
+    when(y >= 0, pos).otherwise(neg)
+  }
+}
+
+/** Grid-MLE fit for [[YeoJohnsonScaler]]: one aggregation pass computes,
+  * for every candidate lambda, the transformed column's Σψ and Σψ² as
+  * EXACT milli-unit integer sums (plus the shared Σ sign(x)·ln(|x|+1)
+  * Jacobian term), then the driver picks the log-likelihood argmax —
+  * LL(λ) = −(n/2)·ln(varMLE(ψ)) + (λ−1)·Σ sign(x)ln(|x|+1).
+  *
+  * Scale design: the fit is one job with 2·|grid|+2 aggregate columns
+  * and O(|grid|) driver state; transform stays a narrow codegen
+  * projection. Exact-integer milli quantization (±5e-4 per value —
+  * far under the 0.25 grid step's LL gaps) makes the partial-sum ORDER
+  * irrelevant, so an external SQL engine replays the identical argmax
+  * (the §10 ExactAgg discipline applied to a model FIT).
+  */
+object PowerTransform {
+  /** λ ∈ [−2, 2] step 0.25 — covers the sklearn-practical range while
+    * keeping the worst-case ψ² milli-sum (λ = −2 on x ≈ −10³: ψ ≈
+    * −2.5e11) inside decimal(38,0) headroom at any realistic n.
+    */
+  val defaultGrid: Seq[Double] = (-8 to 8).map(_ * 0.25)
+
+  def fitYeoJohnson(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                    grid: Seq[Double] = defaultGrid): Double = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = col(valueCol)
+    val dec38 = DecimalType(38, 0)
+    val perLambda = grid.zipWithIndex.flatMap { case (l, i) =>
+      val pm = round(YeoJohnsonScaler(l).transform(c) * lit(1e3), 0)
+        .cast("long").cast(dec38)
+      Seq(sum(pm).as(s"s1_$i"), sum(pm * pm).as(s"s2_$i"))
+    }
+    val slogMilli = sum(round(signum(c) * log(abs(c) + lit(1.0)) * lit(1e3), 0)
+      .cast("long")).as("slog")
+    val row = df.where(c.isNotNull)
+      .agg(count(lit(1)).as("n"), (slogMilli +: perLambda): _*).head()
+    val n = row.getLong(0).toDouble
+    require(n > 1, s"fitYeoJohnson: need >1 non-null rows in $valueCol")
+    val slog = row.getLong(1) / 1e3
+    var bestL = grid.head
+    var bestLl = Double.NegativeInfinity
+    grid.zipWithIndex.foreach { case (l, i) =>
+      val s1 = row.getDecimal(2 + 2 * i).doubleValue()
+      val s2 = row.getDecimal(3 + 2 * i).doubleValue()
+      // identical double arithmetic to the SQL replay: exact integer
+      // sums -> double, then the closed-form MLE variance in milli²
+      val v = (s2 - s1 * s1 / n) / n / 1e6
+      if (v > 0) {
+        val ll = -(n / 2.0) * StrictMath.log(v) + (l - 1.0) * slog
+        if (ll > bestLl) { bestLl = ll; bestL = l } // ties keep smaller λ
+      }
+    }
+    bestL
+  }
+}
+
 /** Equal-frequency binning into `boundaries.size + 1` bins (polars
   * `qcut` / sklearn KBinsDiscretizer(strategy="quantile") analog,
   * numerical_transformer.py:168-174). Boundaries are the fitted

@@ -527,6 +527,37 @@ object DedupQueries {
     knnIvf.oracle,
   )
 
+  /** CC under ONE GIANT component (the r6 VERDICT's open measurement):
+    * ~40% of the 10^5-node universe collapses into a single cluster
+    * shaped as a deterministic random recursive tree — parent(i) = an
+    * md5-derived earlier hub — expected depth O(log n), the realistic
+    * shape of a viral-boilerplate near-dup cluster after banding. The
+    * remaining nodes pair into 2-cliques. driverThreshold = 0 forces
+    * the DISTRIBUTED pointer-doubling loop (the 100 TB path), so this
+    * row measures the hot component's shuffle volume and iteration
+    * count, never the driver union-find shortcut.
+    */
+  def clustersSkew(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.events(s, dir)
+      .select(col("event_id").cast("long").as("id")).where(col("id") > 0)
+    val h = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // giant members: id % 10 < 4; hubs (% 10 == 0) form a random
+    // recursive tree, non-hub members attach to a hub below them
+    val giant = ids.where(col("id") % 10 < 4)
+      .withColumn("j", pmod(h, col("id")))
+      .select(col("id").as("id_a"), (col("j") - col("j") % 10).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val smalls = ids
+      .where(col("id") % 10 >= 4 && col("id") % 2 === 0)
+      .select(col("id").as("id_a"), (col("id") + lit(1L)).as("id_b"))
+    val labels = Dedup.connectedComponents(giant.unionAll(smalls),
+      maxIter = 20, driverThreshold = 0L)
+    labels.groupBy("canonical").count()
+      .agg(count(lit(1)).as("n_components"), max("count").as("max_cluster"),
+        sum("count").as("n_nodes"))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
     knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned)

@@ -255,6 +255,59 @@ object NumPrepQueries {
     """),
   )
 
+  /** Yeo-Johnson power transform (sklearn PowerTransformer analog):
+    * λ fitted by grid MLE in ONE aggregation pass with exact-integer
+    * milli-unit stats, so the oracle replays the identical argmax —
+    * the whole fit is deterministic across engines (§10 discipline
+    * applied to a model fit, not just an output column).
+    */
+  val scalePower: Q = {
+    val grid = PowerTransform.defaultGrid
+    val gridSql = grid.map(l => s"($l)").mkString(", ")
+    Q(
+      "scale_power",
+      (s, dir) => {
+        val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+        val lam = PowerTransform.fitYeoJohnson(df, "v")
+        val sc = YeoJohnsonScaler(lam)
+        df.select(col("c_custkey"), lit(lam).as("lambda"),
+          round(sc.transform(col("v")), 6).as("scaled"),
+          round(sc.inverse(sc.transform(col("v"))), 4).as("roundtrip"))
+      },
+      Some(s"""
+        WITH g(l) AS (SELECT CAST(unnest(list_value${"(" + grid.mkString(", ") + ")"}) AS DOUBLE)),
+        d AS (SELECT c_custkey, c_acctbal::DOUBLE AS x FROM customer),
+        t AS (
+          SELECT g.l, d.c_custkey, d.x,
+                 CASE WHEN d.x >= 0 THEN
+                   CASE WHEN g.l = 0 THEN ln(d.x + 1)
+                        ELSE (pow(d.x + 1, g.l) - 1) / g.l END
+                 ELSE
+                   CASE WHEN g.l = 2 THEN -ln(1 - d.x)
+                        ELSE -(pow(1 - d.x, 2 - g.l) - 1) / (2 - g.l) END
+                 END AS psi
+          FROM g CROSS JOIN d),
+        m AS (SELECT l, c_custkey, psi,
+                     round(psi * 1e3)::BIGINT AS pm FROM t),
+        st AS (SELECT l, count(*)::DOUBLE AS n,
+                      sum(pm)::DOUBLE AS s1,
+                      sum(pm::HUGEINT * pm)::DOUBLE AS s2
+               FROM m GROUP BY l),
+        sl AS (SELECT sum(round(CASE WHEN x >= 0 THEN ln(x + 1)
+                                     ELSE -ln(1 - x) END * 1e3)::BIGINT)::DOUBLE / 1e3
+                 AS slog FROM d),
+        ll AS (SELECT l,
+                      -(n / 2) * ln((s2 - s1 * s1 / n) / n / 1e6) + (l - 1) * slog AS ll
+               FROM st, sl
+               WHERE (s2 - s1 * s1 / n) / n / 1e6 > 0),
+        best AS (SELECT l FROM ll ORDER BY ll DESC, l LIMIT 1)
+        SELECT t.c_custkey, b.l AS lambda, round(t.psi, 6) AS scaled,
+               round(t.x, 4) AS roundtrip
+        FROM t JOIN best b ON t.l = b.l
+      """),
+    )
+  }
+
   // ----------------------------------------------------------- §2.1/12-13
   /** Exact rank-based quantile->uniform (the fit==transform special
     * case of QuantileTransformer), via the distributed
@@ -374,5 +427,5 @@ object NumPrepQueries {
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
     scaleRobust, scaleMaxAbs, scaleQuantileUniform, scaleQuantileNormal,
-    scaleKBins, scaleKBinsSketch)
+    scaleKBins, scaleKBinsSketch, scalePower)
 }

@@ -535,7 +535,52 @@ object RelationalQueries {
     """),
   )
 
+  /** SCD type-2 dimension build from a CDC event stream: collapse each
+    * key's consecutive equal attribute values into validity intervals
+    * (valid_from / valid_to / is_current) — the warehouse-standard
+    * history table. Change detection (lag), the change-row filter, and
+    * the interval window all key on user_id, so the whole build is ONE
+    * hash Exchange with in-partition sorts; at 100 TB the plan scales
+    * with keys, never with history length per key.
+    */
+  val qScd2: Q = Q(
+    "q_scd2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // µs truncation for hash parity with DuckDB's timestamp reads
+      val e = Tables.events(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      e.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"),
+          row_number().over(w).as("version"),
+          col("event_type").as("attr"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+    },
+    Some("""
+      WITH s AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+                 FROM events),
+      m AS (SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev
+            FROM s),
+      f AS (SELECT * FROM m WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id,
+             row_number() OVER w AS version,
+             event_type AS attr,
+             ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             lead(ts) OVER w IS NULL AS is_current
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
-    qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps)
+    qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2)
 }

@@ -462,8 +462,41 @@ object StreamingQueries {
     """),
   )
 
+  /** Streaming count-min sketch: the CM grid is a groupBy over a key
+    * space BOUNDED by construction (depth·width = 2048 cells), so
+    * complete-mode streaming aggregation is the honest shape — state
+    * and sink traffic are O(sketch size) regardless of corpus or
+    * vocabulary size, the whole point of sketching the stream. The
+    * final grid snapshot equals the batch grid bit-exactly (integer
+    * cell counts), so the batch oracle carries over unchanged.
+    */
+  val streamHeavyHitters: Q = Q(
+    "stream_heavy_hitters",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.FreqSketch
+      val (depth, width) = (4, 512)
+      val toks = StreamOps.docsStream(s, dir)
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+      val grid = StreamOps.runToBatch(s,
+        FreqSketch.countMinGrid(toks, "w", depth, width),
+        mode = "complete", statePartitions = Some(8))
+      val batchToks = graft.Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+      val top = batchToks.groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(20)
+      FreqSketch.estimate(grid, top.select("w"), "w", depth, width)
+        .join(top, "w")
+        .select(col("w"), col("n"), col("est"),
+          (col("est") - col("n")).as("overcount"))
+    },
+    graft.queries.TextQueries.heavyHitters.oracle,
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
-    streamQuantileProfile, streamDomainTopk)
+    streamQuantileProfile, streamDomainTopk, streamHeavyHitters)
 }

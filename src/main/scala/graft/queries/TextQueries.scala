@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.TextAnalysis
+import graft.operators.{FreqSketch, TextAnalysis}
 
 /** Text-analysis coverage (SURVEY §2.3 rows 37-40) over documents. */
 object TextQueries {
@@ -422,7 +422,127 @@ object TextQueries {
     graft.operators.Packing.packFFD(t, "doc_id", "tokens", "shard", capacity = 512L)
   }
 
+  /** Count-min heavy hitters: the bounded-state answer to "how often
+    * does each of these tokens appear in a 100 TB corpus" — a 4×512
+    * md5-hashed counter grid built in one pass (map-side combine
+    * collapses every partition to ≤ 2048 cells), probed for the top-20
+    * exact words so the row carries the estimate NEXT TO its ground
+    * truth (overcount ≥ 0 is the CM guarantee). The oracle replays the
+    * md5 grid and the min-over-rows estimate exactly.
+    */
+  val heavyHitters: Q = {
+    val (depth, width) = (4, 512)
+    val jsSql = s"(SELECT CAST(unnest([${(0 until depth).mkString(",")}]) AS INT) AS j)"
+    def bSql(w: String) =
+      s"(${OracleExact.h16Sql(s"md5(j::VARCHAR || ':' || $w)")} % $width)"
+    Q(
+      "q_heavy_hitters",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+          .where(col("w") =!= "")
+        val grid = FreqSketch.countMinGrid(toks, "w", depth, width)
+        val top = toks.groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(20)
+        FreqSketch.estimate(grid, top.select("w"), "w", depth, width)
+          .join(top, "w")
+          .select(col("w"), col("n"), col("est"),
+            (col("est") - col("n")).as("overcount"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                         FROM documents) WHERE w <> ''),
+        cells AS (SELECT j, ${bSql("w")} AS b FROM $jsSql CROSS JOIN toks),
+        grid AS (SELECT j, b, count(*) AS cnt FROM cells GROUP BY j, b),
+        top AS (SELECT w, count(*) AS n FROM toks GROUP BY w
+                ORDER BY n DESC, w LIMIT 20),
+        probes AS (SELECT t.w, t.n, j, ${bSql("t.w")} AS b
+                   FROM top t CROSS JOIN $jsSql),
+        est AS (SELECT p.w, p.n, min(g.cnt) AS est
+                FROM probes p JOIN grid g USING (j, b) GROUP BY p.w, p.n)
+        SELECT w, n, est, est - n AS overcount FROM est
+      """),
+    )
+  }
+
+  /** CM-smoothed bigram surprisal scoring — the KenLM-shaped quality
+    * signal at BOUNDED state: unigram and bigram counts live in
+    * count-min grids (never a vocabulary-sized table), and each doc
+    * scores mean −ln P̂(w₂|w₁) = mean(ln estU(w₁) − ln estB(w₁w₂))
+    * over its bigram occurrences. Both grids build in one pass each
+    * (map-side combine to ≤ depth·width cells); estimates attach via
+    * distinct-token probe frames + hash joins, never per-occurrence
+    * grid probes. CM overestimation can make individual surprisals
+    * negative — the MEAN over a doc is the quality signal, exactly how
+    * sketch-backed LM filters are run. The md5 grids + integer-micro
+    * mean make the whole score DuckDB-replayable.
+    */
+  val textSurprisal: Q = {
+    val (depth, wU, wB) = (4, 2048, 8192)
+    val jsSql = s"(SELECT CAST(unnest([${(0 until depth).mkString(",")}]) AS INT) AS j)"
+    def bSql(w: String, width: Int) =
+      s"(${OracleExact.h16Sql(s"md5(j::VARCHAR || ':' || $w)")} % $width)"
+    Q(
+      "text_surprisal",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+        // RAW whitespace tokens (no empty filter) so unigram prefixes
+        // align with bigram adjacency on both engines
+        val toks = docs.select(explode(split(col("t"), " ", -1)).as("w"))
+        val gU = FreqSketch.countMinGrid(toks, "w", depth, wU)
+        // one materialization of the occurrence frontier (3 consumers)
+        val bgOcc = docs.select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.wordNgrams(col("t"), 2)).as("bg"))
+          .localCheckpoint()
+        val gB = FreqSketch.countMinGrid(bgOcc.select("bg"), "bg", depth, wB)
+        val bgEst = FreqSketch.estimate(gB, bgOcc.select("bg").distinct(),
+          "bg", depth, wB).withColumnRenamed("est", "est_b")
+        val w1Est = FreqSketch.estimate(gU,
+            bgOcc.select(substring_index(col("bg"), " ", 1).as("w")).distinct(),
+            "w", depth, wU).withColumnRenamed("est", "est_u")
+        bgOcc.join(bgEst, "bg")
+          .withColumn("w", substring_index(col("bg"), " ", 1))
+          .join(w1Est, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            graft.operators.ExactAgg.microAvg(
+              log(col("est_u")) - log(col("est_b"))).as("surprisal"))
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+        toks AS (SELECT unnest(ws) AS w FROM words),
+        gu AS (SELECT j, ${bSql("w", wU)} AS b, count(*) AS cnt
+               FROM $jsSql CROSS JOIN toks GROUP BY 1, 2),
+        bgocc AS (SELECT doc_id,
+                    unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                      ELSE list_transform(range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1]) END) AS bg
+                  FROM words),
+        gb AS (SELECT j, ${bSql("bg", wB)} AS b, count(*) AS cnt
+               FROM $jsSql CROSS JOIN bgocc GROUP BY 1, 2),
+        bge AS (SELECT bg, min(cnt) AS est_b
+                FROM (SELECT bg, j, ${bSql("bg", wB)} AS b
+                      FROM (SELECT DISTINCT bg FROM bgocc) CROSS JOIN $jsSql) p
+                JOIN gb USING (j, b) GROUP BY bg),
+        w1e AS (SELECT w, min(cnt) AS est_u
+                FROM (SELECT w, j, ${bSql("w", wU)} AS b
+                      FROM (SELECT DISTINCT split_part(bg, ' ', 1) AS w
+                            FROM bgocc) CROSS JOIN $jsSql) p
+                JOIN gu USING (j, b) GROUP BY w),
+        sc AS (SELECT o.doc_id, ln(est_u) - ln(est_b) AS s
+               FROM bgocc o JOIN bge USING (bg)
+               JOIN w1e ON split_part(o.bg, ' ', 1) = w1e.w)
+        SELECT doc_id, count(*) AS n_bigrams,
+               ${OracleExact.microAvgSql("s")} AS surprisal
+        FROM sc GROUP BY doc_id
+      """),
+    )
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
-    textBalanceThreshold)
+    textBalanceThreshold, heavyHitters, textSurprisal)
 }

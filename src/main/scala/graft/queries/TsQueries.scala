@@ -1246,7 +1246,46 @@ object TsQueries {
     """),
   )
 
+  /** Per-series EWMA (pandas `ewm(alpha=0.3, adjust=False).mean()`
+    * analog): the sequential fold runs in GroupedApply (one shuffle,
+    * sorted groups) in EXACT integer micro-units — a float fold's
+    * second step lands mathematically ON 6-dp rounding midpoints (see
+    * the operator scaladoc; both float variants failed the sf0.1 sweep
+    * there) — and the oracle replays the integer recursion with a
+    * recursive CTE. ts is µs-truncated because DuckDB reads the
+    * TIMESTAMP(NANOS) parquet at µs precision.
+    */
+  val tsEwma: Q = Q(
+    "ts_ewma",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.TsFeatures.ewma(e, "user_id", Seq("ts"), "value",
+          alphaNum = 3, den = 10)
+        .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"),
+          round(col("ewma"), 6).as("ewma"))
+    },
+    Some("""
+      WITH RECURSIVE s AS (
+        SELECT user_id, epoch_ns(ts) AS ts, value,
+               round(value * 1e6)::BIGINT AS xm,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS rn
+        FROM events),
+      rec(user_id, rn, ts, value, ym) AS (
+        SELECT user_id, rn, ts, value, xm FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, s.ts, s.value,
+               CASE WHEN 3 * s.xm + 7 * r.ym >= 0
+                    THEN (3 * s.xm + 7 * r.ym + 5) // 10
+                    ELSE -((-(3 * s.xm + 7 * r.ym) + 5) // 10) END
+        FROM s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+      SELECT user_id, ts, round(value, 6) AS value,
+             round(ym / 1e6, 6) AS ewma FROM rec
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
-    tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill)
+    tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma)
 }

@@ -152,4 +152,40 @@ class NumPrepSpec extends SparkSpec {
     assert(agree >= (total * 0.8).toLong,
       s"sketch kbins agreement $agree/$total below 80%")
   }
+
+  test("yeo-johnson transform matches the closed form and round-trips") {
+    val xs = Seq(-987.65, -1.0, -0.5, 0.0, 0.5, 3.0, 9999.99)
+    val df = xs.toDF("x")
+    for (l <- Seq(-2.0, -0.5, 0.0, 1.0, 2.0)) {
+      val sc = YeoJohnsonScaler(l)
+      val got = df.select(sc.transform($"x").as("y"),
+        sc.inverse(sc.transform($"x")).as("rt")).collect()
+      xs.zip(got).foreach { case (x, r) =>
+        val expect =
+          if (x >= 0)
+            if (l == 0.0) math.log1p(x) else (math.pow(x + 1, l) - 1) / l
+          else if (l == 2.0) -math.log1p(-x)
+          else -(math.pow(1 - x, 2 - l) - 1) / (2 - l)
+        assert(math.abs(r.getDouble(0) - expect) <= 1e-9 * (1 + math.abs(expect)),
+          s"transform($x, l=$l): ${r.getDouble(0)} != $expect")
+        assert(math.abs(r.getDouble(1) - x) <= 1e-6 * (1 + math.abs(x)),
+          s"roundtrip($x, l=$l) = ${r.getDouble(1)}")
+      }
+    }
+    // λ=1 is a pure shift: identity transform shape
+    assert(df.select(YeoJohnsonScaler(1.0).transform($"x")).collect()
+      .map(_.getDouble(0)).toSeq == xs)
+  }
+
+  test("yeo-johnson grid MLE picks the variance-stabilizing lambda") {
+    // heavily right-skewed positive data: exp(z) for z ~ grid — the
+    // MLE should land near the log transform (λ ≈ 0), never λ ≥ 1
+    val skewed = (1 to 400).map(i => math.exp(i / 100.0)).toDF("v")
+    val lHat = PowerTransform.fitYeoJohnson(skewed, "v")
+    assert(lHat <= 0.25, s"skewed fit gave λ=$lHat, expected ≈ 0")
+    // symmetric data is already gaussian-ish: λ should stay near 1
+    val sym = (-200 to 200).map(i => 10.0 + i / 50.0).toDF("v")
+    val lSym = PowerTransform.fitYeoJohnson(sym, "v")
+    assert(math.abs(lSym - 1.0) <= 0.5, s"symmetric fit gave λ=$lSym")
+  }
 }

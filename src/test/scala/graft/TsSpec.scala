@@ -353,4 +353,27 @@ class TsSpec extends SparkSpec {
     assert(rel("x_noise")._2 > 0.5)        // no association
     assert(!rel("x_noise")._3)             // BH rejects the noise feature
   }
+
+  test("ewma micro fold tracks the float EWMA and pandas init semantics") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 15.0), (2L, 1L, 5.5))
+      .toDF("k", "t", "v")
+    val got = TsFeatures.ewma(df, "k", Seq("t"), "v", alphaNum = 3, den = 10)
+      .orderBy("k", "t").collect()
+    // float reference: y1 = x1 (adjust=False init), y = 0.3x + 0.7y;
+    // the micro fold's quantization error contracts by 0.7 per step so
+    // it stays within ~1.7e-6 of the float recursion
+    val y2 = 0.3 * 20 + 0.7 * 10.0
+    val exp = Seq(10.0, y2, 0.3 * 15 + 0.7 * y2)
+    got.take(3).map(_.getDouble(3)).zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= 2e-6, s"ewma $g vs float $e")
+    }
+    // keys fold independently; a singleton series is its own value
+    assert(got(3).getDouble(3) == 5.5)
+    // negative values take the half-up-away-from-zero branch
+    val neg = TsFeatures.ewma(Seq((1L, 1L, -10.0), (1L, 2L, -20.0))
+      .toDF("k", "t", "v"), "k", Seq("t"), "v", 3, 10)
+      .orderBy("t").collect().map(_.getDouble(3))
+    assert(math.abs(neg(1) - (0.3 * -20 + 0.7 * -10.0)) <= 2e-6)
+  }
 }
