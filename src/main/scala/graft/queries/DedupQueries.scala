@@ -558,7 +558,68 @@ object DedupQueries {
         sum("count").as("n_nodes"))
   }
 
+  // ---------------------------------------------------------------- PCA
+  /** Shared oracle CTEs: micro-unit vectors and the half-up /1e6 gram
+    * cells (mirror of [[graft.operators.Pca.gramCells]]); `filter`
+    * keeps the upper triangle or the full matrix.
+    */
+  private def gramSql(filter: String): String = s"""
+      m AS (
+        SELECT list_transform(embedding::DOUBLE[],
+               x -> round(x * 1000000)::BIGINT) AS mv
+        FROM embeddings),
+      cells AS (
+        SELECT ii AS i, jj AS j, mv[ii + 1] * mv[jj + 1] AS p
+        FROM m, unnest(range(0, len(mv))) u1(ii),
+                unnest(range(0, len(mv))) u2(jj)
+        $filter),
+      gm AS (
+        SELECT i, j,
+               CASE WHEN raw >= 0 THEN (2 * raw + 1000000) // 2000000
+                    ELSE -((-2 * raw + 1000000) // 2000000) END AS g
+        FROM (SELECT i, j, sum(p)::BIGINT AS raw FROM cells GROUP BY i, j))"""
+
+  /** Exact integer gram matrix (upper triangle) of the embedding
+    * corpus — the all-relational covariance accumulation PCA starts
+    * from ([[graft.operators.Pca.gramCells]]): d² bounded keys, map-
+    * side combine, shard-mergeable by cell addition.
+    */
+  val pcaGram: Q = Q(
+    "q_pca_gram",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pca.gramCells(e, "embedding", upperOnly = true)
+        .select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"), col("g"))
+    },
+    Some(s"""
+      WITH ${gramSql("WHERE ii <= jj")}
+      SELECT i, j, g FROM gm
+    """),
+  )
+
+  /** One deterministic power-iteration step from the full gram matrix
+    * ([[graft.operators.Pca.powerStep]]): integer seed v₀(j)=1+(j mod
+    * 7), exact int64 matvec, decimal ‖y‖², one double normalize.
+    */
+  val pcaPower: Q = Q(
+    "q_pca_power",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val gram = graft.operators.Pca.gramCells(e, "embedding", upperOnly = false)
+      graft.operators.Pca.powerStep(gram)
+        .select(col("dim").cast("long").as("dim"), col("v1"))
+    },
+    Some(s"""
+      WITH ${gramSql("")},
+      y AS (SELECT i, sum(g * (1 + j % 7))::BIGINT AS y FROM gm GROUP BY i),
+      n2 AS (SELECT sum(y::HUGEINT * y)::DOUBLE AS n2 FROM y)
+      SELECT i AS dim, round(y::DOUBLE / sqrt((SELECT n2 FROM n2)), 6) AS v1
+      FROM y
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
-    knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned)
+    knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned, pcaGram, pcaPower)
 }

@@ -31,6 +31,16 @@ private[queries] object OracleExact {
       s" + (strpos('0123456789abcdef', substr($hx, 3, 1)) - 1) * 16" +
       s" + (strpos('0123456789abcdef', substr($hx, 4, 1)) - 1))"
 
+  /** First 32 bits of an md5 hex string as a 0..2^32−1 BIGINT — the
+    * 8-nibble extension of [[h16Sql]], mirror of
+    * [[graft.operators.HllSketch.h32]].
+    */
+  def h32Sql(hx: String): String =
+    (1 to 8).map { i =>
+      val p = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)::BIGINT * $p"
+    }.mkString("(", " + ", ")")
+
   /** Two-sided normal tail 2·(1−Φ(at)) via the A&S 26.2.17 rational
     * approximation — the mirror of `TsFeatures.normTwoSidedP` (same
     * Horner order and constants). `at` must be a non-negative

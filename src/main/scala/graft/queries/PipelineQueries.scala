@@ -239,6 +239,57 @@ object PipelineQueries {
     """
   }
 
+  /** Deterministic HyperLogLog distinct-count estimates
+    * ([[graft.operators.HllSketch]]) probed over four key columns
+    * whose cardinalities bracket the m=512 small-range boundary
+    * (events.user_id exercises the linear-counting branch, the other
+    * three the raw-HLL branch), each next to its exact count. The
+    * md5-register construction makes the whole register file — and so
+    * the estimate — DuckDB-replayable, unlike `approx_count_distinct`
+    * (HLL++ over xxhash64).
+    */
+  val qHllDistinct: Q = {
+    val m = 512
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    def probeSql(table: String, vc: String, label: String): String = {
+      val h = OracleExact.h32Sql(s"md5(($vc)::VARCHAR)")
+      s"""
+      SELECT '$label' AS column_name,
+             (SELECT count(DISTINCT $vc) FROM $table WHERE $vc IS NOT NULL)
+               AS n_exact,
+             round(CASE WHEN $alpha * $m * $m / s <= ${2.5 * m} AND v > 0
+                        THEN $m * ln($m / v) ELSE $alpha * $m * $m / s END, 6)
+               AS est
+      FROM (
+        SELECT sum(power(2.0, -mr)) + ($m - count(*)) AS s,
+               $m - count(*) AS v
+        FROM (
+          SELECT j, max(r) AS mr
+          FROM (
+            SELECT h % $m AS j,
+                   CASE WHEN h // $m = 0 THEN 24
+                        ELSE 24 - length(bin(h // $m)) END AS r
+            FROM (SELECT $h AS h FROM $table WHERE $vc IS NOT NULL))
+          GROUP BY j))"""
+    }
+    Q(
+      "q_hll_distinct",
+      (s, dir) => {
+        import graft.operators.HllSketch
+        HllSketch.probe(Tables.lineitem(s, dir), "l_orderkey", "l_orderkey")
+          .unionAll(HllSketch.probe(Tables.lineitem(s, dir), "l_partkey", "l_partkey"))
+          .unionAll(HllSketch.probe(Tables.orders(s, dir), "o_custkey", "o_custkey"))
+          .unionAll(HllSketch.probe(Tables.events(s, dir), "user_id", "user_id"))
+      },
+      Some(Seq(
+        probeSql("lineitem", "l_orderkey", "l_orderkey"),
+        probeSql("lineitem", "l_partkey", "l_partkey"),
+        probeSql("orders", "o_custkey", "o_custkey"),
+        probeSql("events", "user_id", "user_id"),
+      ).mkString("", "\nUNION ALL\n", "")),
+    )
+  }
+
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
-    qQuantileSketch)
+    qQuantileSketch, qHllDistinct)
 }

@@ -542,7 +542,74 @@ object TextQueries {
     )
   }
 
+  /** Eval-set decontamination (the GPT-3/PaLM n-gram procedure): a
+    * train doc is contaminated when ≥ 30% of its distinct word
+    * 3-grams appear anywhere in the held-out benchmark ("src0" plays
+    * the eval set; five eval texts are re-planted into the train
+    * corpus with a prefix so both detector and oracle see true
+    * positives next to the corpus's natural cross-source near-dups).
+    * Scale shape: the eval dictionary is DISTINCT shingles of the
+    * eval set — tiny next to a 100 TB train corpus — so the hit test
+    * is a broadcast semi-join against the exploded train shingles and
+    * the per-doc aggregate keys on doc_id; the train side is never
+    * shuffled on shingle text. Shingles ride the codegen
+    * [[graft.functions.GraftFunctions.wordShingles]] expression.
+    */
+  val textDecontaminate: Q = Q(
+    "text_decontaminate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("t"), col("source"))
+      val evalDocs = d.where(col("source") === "src0")
+      val train = d.where(col("source") =!= "src0")
+        .unionAll(evalDocs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("planted prefix marker words "), col("t")).as("t"),
+            lit("planted").as("source")))
+      val evalDict = evalDocs
+        .select(explode(graft.functions.GraftFunctions.wordShingles(col("t"), 3))
+          .as("s")).distinct()
+      val trainSh = train.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordShingles(col("t"), 3)).as("s"))
+      trainSh
+        .join(broadcast(evalDict.withColumn("hit", lit(1))), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hits"))
+        .withColumn("ratio", round(col("n_hits").cast("double") / col("n_ngrams"), 6))
+        .where(col("n_hits") * lit(10) >= col("n_ngrams") * lit(3))
+        .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("ratio"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lower(text) AS t, source FROM documents),
+      train AS (
+        SELECT doc_id, t FROM d WHERE source <> 'src0'
+        UNION ALL
+        SELECT doc_id + 200000, 'planted prefix marker words ' || t
+        FROM d WHERE source = 'src0' AND doc_id % 5 = 0),
+      tw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM train),
+      tsh AS (SELECT doc_id, s
+              FROM tw, unnest(list_distinct(CASE WHEN len(ws) < 3
+                THEN []::VARCHAR[]
+                ELSE list_transform(range(1, len(ws) - 1),
+                     i -> array_to_string(ws[i:i+2], ' ')) END)) AS u(s)),
+      ew AS (SELECT string_split(t, ' ') AS ws FROM d WHERE source = 'src0'),
+      edict AS (SELECT DISTINCT s
+                FROM ew, unnest(list_distinct(CASE WHEN len(ws) < 3
+                  THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(ws) - 1),
+                       i -> array_to_string(ws[i:i+2], ' ')) END)) AS u(s)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_ngrams,
+               count(CASE WHEN e.s IS NOT NULL THEN 1 END) AS n_hits
+        FROM tsh LEFT JOIN edict e USING (s)
+        GROUP BY doc_id)
+      SELECT doc_id, n_ngrams, n_hits,
+             round(n_hits::DOUBLE / n_ngrams, 6) AS ratio
+      FROM agg WHERE n_hits * 10 >= n_ngrams * 3
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
-    textBalanceThreshold, heavyHitters, textSurprisal)
+    textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate)
 }
