@@ -29,17 +29,26 @@ object Bench {
     // rows (the round bench never sets it, so the full map is unaffected)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // A failed run records an explicit -1 marker, NEVER its
+    // time-to-exception: r7 silently turned 27 broken queries into
+    // 0.05-0.16s "timings" that read as improvements and corrupted the
+    // round-over-round map.
     val results = (SparkEntry.queries ++ SparkEntry.benchQueries)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMillis()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       }
-      (name, times.min, (gcMillis() - gc0) / 1e3)
+      val t = if (times.exists(_ < 0)) -1.0 else times.min
+      (name, t, (gcMillis() - gc0) / 1e3)
     }
+    val failed = results.filter(_._2 < 0).map(_._1)
     // The driver keeps only the TAIL (~2.25KB) of sbt's output; sbt's own
     // trailing [success] lines eat ~100B of that. With 89+ queries even a
     // 3dp full map (~2.4KB) loses its head and the parse fails (rounds
@@ -66,15 +75,21 @@ object Bench {
     val shown = results.filter { case (k, _, _) => headline(k) || slowExtra(k) }
     val qs = shown.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // total sums SUCCESSFUL rows only (failures would subtract)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // the stdout failed list is capped so the headline line never
+    // outgrows the driver's ~2.25KB tail; the file carries the full list
+    val failedJson = failed.map("\"" + _ + "\"")
+    val failedHead = (if (failed.size > 8)
+      failedJson.take(8) :+ "\"...\"" else failedJson).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedHead,"queries":$qs,"sf":"$sfDir"}"""
     // full-detail maps (every query, 3dp, + per-query GC seconds) for
     // local round-over-round diffs and noise attribution
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val gcQs = results.map { case (k, _, g) => "\"" + k + "\":" + fmt(g, 3) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"gc":$gcQs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":${failedJson.mkString("[", ",", "]")},"queries":$fullQs,"gc":$gcQs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     // async shutdown noise (state-store maintenance threads WARN with a

@@ -23,15 +23,25 @@ object Verify {
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // count per-query failures and report them on STDOUT: r7 proved the
+    // stderr-only path lets broken queries silently vanish from the
+    // correctness file (24 rows disappeared with no loud signal)
+    var failed = List.empty[String]
+    var dumped = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    println(s"[verify] dumped $dumped / failed ${failed.size}" +
+      (if (failed.nonEmpty) failed.sorted.mkString(" [", ", ", "]") else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -53,38 +53,57 @@ object HllSketch {
       .groupBy("j").agg(max("r").as("mr"))
   }
 
+  /** Estimate expression from (Σ 2^-mr over present registers, number
+    * of empty registers): raw HLL with the standard small-range
+    * linear-counting correction — shared by [[estimate]] and [[probe]]
+    * so both paths compute the identical arithmetic.
+    */
+  private def estCol(sPresent: Column, nPresent: Column, m: Int): Column = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val s = sPresent + (lit(m) - nPresent).cast("double")
+    val v = lit(m) - nPresent
+    when(lit(alpha * m.toDouble * m) / s <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(lit(alpha * m.toDouble * m) / s)
+  }
+
   /** One-row estimate from a register file: raw HLL with the standard
     * small-range linear-counting correction (V = empty registers).
     */
-  def estimate(reg: DataFrame, m: Int = 512): DataFrame = {
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+  def estimate(reg: DataFrame, m: Int = 512): DataFrame =
     reg.agg(
         sum(pow(lit(2.0), -col("mr"))).as("s_present"),
         count(lit(1)).as("n_present"))
-      .select(
-        (col("s_present") + (lit(m) - col("n_present")).cast("double"))
-          .as("s"),
-        (lit(m) - col("n_present")).as("v"))
-      .select(
-        when(lit(alpha * m.toDouble * m) / col("s") <= lit(2.5 * m) &&
-            col("v") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
-          .otherwise(lit(alpha * m.toDouble * m) / col("s"))
-          .as("est"))
-  }
+      .select(estCol(col("s_present"), col("n_present"), m).as("est"))
 
-  /** Convenience: (label, exact distinct, estimate) for one column.
-    * The estimate comes back as ONE driver scalar (bounded
-    * fit-boundary collect; a crossJoin against the 1-row aggregate
-    * would plan the nested-loop shape PlanGuardSpec forbids).
+  /** (label, exact distinct, estimate) for one column in ONE table
+    * scan and zero driver-side collects: the distinct values flow into
+    * the m-key register groupBy carrying a per-register distinct-value
+    * count nj, so Σnj IS the exact count and the same 512-row frame
+    * yields the estimate — where the previous shape paid two scans per
+    * probe (register build + countDistinct) and a fit-boundary collect
+    * (r7 VERDICT #5: 8 scans for one 4-row result). The probe shuffles
+    * distinct values once — exactly what its exact count already
+    * required (countDistinct's partial-distinct shuffle); the pure
+    * sketch path ([[registers]]/[[estimate]]) remains value-shuffle-free.
     */
   def probe(df: DataFrame, valueCol: String, label: String,
             m: Int = 512): DataFrame = {
-    val est = estimate(registers(df, valueCol, m), m)
-      .collect()(0).getDouble(0)
-    df.where(col(valueCol).isNotNull)
-      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    require(m > 0 && (m & (m - 1)) == 0 && m <= 65536,
+      s"m must be a power of two <= 65536, got $m")
+    val dv = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v")).distinct()
+    val h = h32(col("__v"))
+    val w = floor(h / lit(m)).cast("long")
+    val rank = when(w === 0, lit(24)).otherwise(lit(24) - length(bin(w)))
+    dv.select(pmod(h, lit(m)).as("j"), rank.as("r"))
+      .groupBy("j")
+      .agg(max("r").as("mr"), count(lit(1)).as("nj"))
+      .agg(
+        sum(pow(lit(2.0), -col("mr"))).as("s_present"),
+        count(lit(1)).as("n_present"),
+        sum(col("nj")).as("n_exact"))
       .select(lit(label).as("column_name"), col("n_exact"),
-        round(lit(est), 6).as("est"))
+        round(estCol(col("s_present"), col("n_present"), m), 6).as("est"))
   }
 }

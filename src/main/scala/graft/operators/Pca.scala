@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * training-data pipeline runs before whitening / projecting a 100 TB
   * vector corpus.
   *
-  * Scale design: each row explodes into its (i, j) coordinate products
-  * and aggregates DIRECTLY on the d² (i, j) key — a BOUNDED key space
-  * (64² = 4096), so map-side partial aggregation collapses every
-  * partition to ≤ d² cells before a trivial shuffle; gram matrices
-  * from disjoint shards merge by cell addition, and nothing downstream
-  * of the scan ever shuffles row-sized data. The matvec/normalize of a
-  * power step touch only the d² cells and a d-vector — driver-free,
-  * all relational.
+  * Scale design: a [[graft.functions.GramAgg]] TypedImperativeAggregate
+  * accumulates the whole gram IN ONE ≤ d² long-array buffer per
+  * partition — each input row is d(d+1)/2 in-place adds, no generator
+  * rows, no per-pair hash-aggregate probes (the previous double
+  * posexplode plan paid d² = 4096 materialized rows + aggregate
+  * updates PER INPUT ROW — ~4×10¹² updates at 10⁹ rows; this shape
+  * pays ~2×10¹² in-place long adds and shuffles one ~33 KB buffer per
+  * partition). Gram matrices from disjoint shards still merge by cell
+  * addition, and nothing downstream of the scan ever shuffles
+  * row-sized data. The matvec/normalize of a power step touch only
+  * the d² cells and a d-vector — driver-free, all relational.
   *
   * Exactness (the repo's oracle protocol): coordinates quantize to
   * integer micro-units (the [[ExactAgg]] convention), so cell sums are
@@ -40,18 +43,20 @@ object Pca {
   def gramCells(df: DataFrame, vecCol: String,
                 upperOnly: Boolean): DataFrame = {
     val m = df.select(microVec(col(vecCol).cast("array<double>")).as("mv"))
-    val cells = m
-      .select(col("mv"), posexplode(col("mv")).as(Seq("i", "mi")))
-      .select(col("i"), col("mi"), posexplode(col("mv")).as(Seq("j", "mj")))
-    val kept = if (upperOnly) cells.where(col("i") <= col("j")) else cells
-    kept
-      .groupBy("i", "j")
-      .agg(sum((col("mi") * col("mj")).cast("decimal(38,0)")).as("rawd"))
+    // fit-boundary probe for the dimension (one 1-row job, like the
+    // range-join min/max): the aggregate's buffer layout needs d
+    val d = m.select(size(col("mv"))).first().getInt(0)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val gram = ColumnBridge.column(
+      graft.functions.GramAgg(ColumnBridge.expression(col("mv")), d, upperOnly)
+        .toAggregateExpression())
+    m.agg(gram.as("cells"))
+      .select(inline(col("cells")))
       // half-up /1e6 in pure int64 (OracleExact.microAvgSql's
-      // (2s + d) // 2d arithmetic) — the decimal sum re-casts to long
-      // first; 2·|raw| stays far inside int64 at any per-shard size,
-      // and `div` (truncating integer division on the non-negative
-      // branch operand) matches DuckDB's `//` exactly
+      // (2s + d) // 2d arithmetic) — the decimal cell total re-casts to
+      // long first; 2·|raw| stays far inside int64 at any per-shard
+      // size, and `div` (truncating integer division on the
+      // non-negative branch operand) matches DuckDB's `//` exactly
       .withColumn("raw", col("rawd").cast("long"))
       .withColumn("g",
         when(col("raw") >= 0, expr("(2 * raw + 1000000) div 2000000"))

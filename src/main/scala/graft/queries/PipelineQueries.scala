@@ -257,8 +257,9 @@ object PipelineQueries {
       SELECT '$label' AS column_name,
              (SELECT count(DISTINCT $vc) FROM $table WHERE $vc IS NOT NULL)
                AS n_exact,
-             round(CASE WHEN $alpha * $m * $m / s <= ${2.5 * m} AND v > 0
-                        THEN $m * ln($m / v) ELSE $alpha * $m * $m / s END, 6)
+             round(CASE WHEN ($alpha)::DOUBLE * $m * $m / s <= ${2.5 * m} AND v > 0
+                        THEN $m * ln($m / v)
+                        ELSE ($alpha)::DOUBLE * $m * $m / s END, 6)
                AS est
       FROM (
         SELECT sum(power(2.0, -mr)) + ($m - count(*)) AS s,

@@ -19,17 +19,22 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 object StreamOps {
 
   /** File-source stream over the events table (schema from a batch
-    * probe; ts is Long nanoseconds — TESTDATA nanos flag).
+    * probe). `ts` is normalized to the engine convention — Long
+    * nanoseconds since epoch — whichever physical parquet type
+    * (TIMESTAMP(NANOS) under the nanos legacy flag, or
+    * TIMESTAMP(MICROS) → TIMESTAMP_NTZ) the driver generated.
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     // the file source wants a directory: stream the table dir, glob
     // down to the events file
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    graft.Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked tumbling 1-hour window aggregation per event_type.
