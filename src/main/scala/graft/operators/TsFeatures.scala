@@ -1397,6 +1397,360 @@ object TsFeatures {
     }
   }
 
+  /** tsfresh `partial_autocorrelation` at ANY lag — closes the
+    * documented "beyond lag 4" skip. statsmodels `pacf(x, method="ld",
+    * nlags)`: biased sample autocorrelations r_k feed the
+    * Durbin–Levinson recursion; pacf(k) = φ_{kk}. The acf pass and the
+    * O(nlags²) recursion are sequential per series → [[GroupedApply]]
+    * (one hash shuffle, sorted groups). Lags with fewer than 2 usable
+    * points (n ≤ lag + 1) or a zero-variance series yield null, like
+    * tsfresh's NaN. Bench + spec (ADF precedent: an SQL oracle would
+    * ride order-dependent distributed double sums); the spec pins
+    * lag-1/lag-2 closed forms and an AR(1) recovery.
+    */
+  def pacf(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+           valueCol: String, nlags: Int = 10): DataFrame = {
+    require(nlags >= 1, s"pacf needs nlags >= 1, got $nlags")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("lag", IntegerType, nullable = false),
+      StructField("pacf", DoubleType)))
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val xs = it.map(_.getDouble(vIdx)).toArray
+      val n = xs.length
+      val mean = xs.sum / n
+      val c0 = xs.map(x => (x - mean) * (x - mean)).sum / n
+      val kMax = math.min(nlags, math.max(n - 1, 0))
+      val r = new Array[Double](kMax + 1)
+      r(0) = 1.0
+      var k = 1
+      while (k <= kMax && c0 > 0) {
+        var s = 0.0
+        var t = 0
+        while (t < n - k) { s += (xs(t) - mean) * (xs(t + k) - mean); t += 1 }
+        r(k) = s / n / c0
+        k += 1
+      }
+      val phiPrev = new Array[Double](kMax + 1)
+      val phiCur = new Array[Double](kMax + 1)
+      val out = Array.newBuilder[org.apache.spark.sql.Row]
+      k = 1
+      while (k <= nlags) {
+        val v: Any =
+          if (c0 <= 0 || k > kMax || n <= k + 1) null
+          else if (k == 1) { phiPrev(1) = r(1); r(1) }
+          else {
+            var num = r(k)
+            var den = 1.0
+            var j = 1
+            while (j < k) {
+              num -= phiPrev(j) * r(k - j)
+              den -= phiPrev(j) * r(j)
+              j += 1
+            }
+            val pk = if (den == 0.0) Double.NaN else num / den
+            j = 1
+            while (j < k) {
+              phiCur(j) = phiPrev(j) - pk * phiPrev(k - j)
+              j += 1
+            }
+            phiCur(k) = pk
+            System.arraycopy(phiCur, 1, phiPrev, 1, k)
+            if (java.lang.Double.isFinite(pk)) pk else null
+          }
+        out += org.apache.spark.sql.Row(key.get(0), k, v)
+        k += 1
+      }
+      out.result().iterator
+    }
+  }
+
+  /** tsfresh `cwt_coefficients` (a.k.a. the Ricker/"Mexican hat"
+    * continuous wavelet transform): for each width w the series is
+    * convolved (same-mode) with the REVERSED Ricker wavelet of
+    * min(10·w, n) points — scipy `signal.cwt(x, ricker, widths)`
+    * semantics — and the first `nCoeffs` coefficients are emitted per
+    * (width, index). The convolution is sequential per series →
+    * [[GroupedApply]]. Bench + spec (naive-reimplementation pin +
+    * an impulse-response identity: cwt of a unit impulse replays the
+    * wavelet itself).
+    */
+  def cwt(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+          valueCol: String, widths: Seq[Int] = Seq(2, 5, 10, 20),
+          nCoeffs: Int = 15): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), "cwt widths must be positive")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("idx", IntegerType, nullable = false),
+      StructField("coeff", DoubleType)))
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val xs = it.map(_.getDouble(vIdx)).toArray
+      val n = xs.length
+      widths.iterator.flatMap { w =>
+        val m = math.min(10 * w, n)
+        val kern = rickerWavelet(m, w)
+        // convolve(x, kern[::-1], mode='same'): out(t) = Σ_k x(k)·kern[::-1](t−k+off)
+        // with the same-mode offset (len-1)/2 of the full convolution
+        val off = (m - 1) / 2
+        (0 until math.min(nCoeffs, n)).iterator.map { t =>
+          var s = 0.0
+          var k = math.max(0, t + off - m + 1)
+          val kEnd = math.min(n - 1, t + off)
+          while (k <= kEnd) {
+            // reversed kernel index for full-conv position t+off
+            s += xs(k) * kern(m - 1 - (t + off - k))
+            k += 1
+          }
+          org.apache.spark.sql.Row(key.get(0), w, t, s)
+        }
+      }
+    }
+  }
+
+  /** scipy `signal.ricker(points, a)`: A·(1 − (x/a)²)·e^(−x²/2a²),
+    * A = 2/(√(3a)·π^¼), x centered on (points−1)/2.
+    */
+  private def rickerWavelet(points: Int, a: Int): Array[Double] = {
+    val amp = 2.0 / (math.sqrt(3.0 * a) * math.pow(math.Pi, 0.25))
+    Array.tabulate(points) { i =>
+      val x = i - (points - 1) / 2.0
+      val xa = x / a
+      amp * (1.0 - xa * xa) * math.exp(-x * x / (2.0 * a * a))
+    }
+  }
+
+  /** Matrix profile summary (the tsfresh `matrix_profile` feature
+    * family): z-normalized Euclidean distance from each length-m
+    * subsequence to its nearest non-trivial neighbor (exclusion zone
+    * ⌈m/2⌉, the SCAMP/STUMPY convention), summarized per series as
+    * min/max/mean/median/p25/p75. O(n²·m) per series — the same
+    * inherent cost tsfresh pays via the matrixprofile lib — so it
+    * rides [[GroupedApply]]: cost bounded by the longest series, never
+    * cross-series. Series too short for two non-overlapping windows
+    * (n < m + ⌈m/2⌉ + 1) or zero-variance windows yield nulls.
+    * Bench + spec (brute-force pin on hand-checked fixtures).
+    */
+  def matrixProfile(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                    valueCol: String, window: Int = 4): DataFrame = {
+    require(window >= 2, s"matrixProfile window must be >= 2, got $window")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("mp_min", DoubleType), StructField("mp_max", DoubleType),
+      StructField("mp_mean", DoubleType), StructField("mp_median", DoubleType),
+      StructField("mp_p25", DoubleType), StructField("mp_p75", DoubleType)))
+    val excl = (window + 1) / 2
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val xs = it.map(_.getDouble(vIdx)).toArray
+      val n = xs.length
+      val nw = n - window + 1
+      if (nw < excl + 2) {
+        Iterator.single(org.apache.spark.sql.Row(
+          key.get(0), null, null, null, null, null, null))
+      } else {
+        // per-window mean/std for z-normalization
+        val mu = new Array[Double](nw)
+        val sd = new Array[Double](nw)
+        var i = 0
+        while (i < nw) {
+          var s = 0.0
+          var s2 = 0.0
+          var k = 0
+          while (k < window) { val v = xs(i + k); s += v; s2 += v * v; k += 1 }
+          mu(i) = s / window
+          val varr = s2 / window - mu(i) * mu(i)
+          sd(i) = if (varr > 0) math.sqrt(varr) else 0.0
+          i += 1
+        }
+        val prof = new Array[Double](nw)
+        java.util.Arrays.fill(prof, Double.PositiveInfinity)
+        i = 0
+        while (i < nw) {
+          var j = i + excl
+          while (j < nw) {
+            // z-normalized distance via the dot product identity:
+            // d² = 2m(1 − (qt − m·μᵢμⱼ)/(m·σᵢσⱼ))
+            val d =
+              if (sd(i) == 0.0 || sd(j) == 0.0) {
+                // degenerate window: fall back to both-flat = 0, else max
+                if (sd(i) == 0.0 && sd(j) == 0.0) 0.0
+                else math.sqrt(2.0 * window)
+              } else {
+                var qt = 0.0
+                var k = 0
+                while (k < window) { qt += xs(i + k) * xs(j + k); k += 1 }
+                val corr = (qt - window * mu(i) * mu(j)) / (window * sd(i) * sd(j))
+                math.sqrt(math.max(2.0 * window * (1.0 - math.min(corr, 1.0)), 0.0))
+              }
+            if (d < prof(i)) prof(i) = d
+            if (d < prof(j)) prof(j) = d
+            j += 1
+          }
+          i += 1
+        }
+        val finite = prof.filter(java.lang.Double.isFinite)
+        if (finite.isEmpty) {
+          Iterator.single(org.apache.spark.sql.Row(
+            key.get(0), null, null, null, null, null, null))
+        } else {
+          val sorted = finite.sorted
+          // linear-interpolated percentile (numpy default)
+          def pct(p: Double): Double = {
+            val h = (sorted.length - 1) * p
+            val lo = h.toInt
+            val hi = math.min(lo + 1, sorted.length - 1)
+            sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+          }
+          Iterator.single(org.apache.spark.sql.Row(key.get(0),
+            sorted.head, sorted.last, finite.sum / finite.length,
+            pct(0.5), pct(0.25), pct(0.75)))
+        }
+      }
+    }
+  }
+
+  /** tsfresh `friedrich_coefficients` (order 3, r = 30 quantile bins)
+    * and `max_langevin_fixed_point`: bin x_t into r equal-frequency
+    * bins (pandas qcut semantics: linear-interpolated quantile edges,
+    * (lo, hi] intervals), per-bin means of x and Δx, weighted-free
+    * cubic `polyfit` over the bin means (normal equations, partial
+    * pivot), coefficients emitted HIGHEST DEGREE FIRST (np.polyfit
+    * order); the fixed point is max(Re(roots(h))) over all cubic
+    * roots (numpy `roots` semantics via Cardano). Series with fewer
+    * than order+1 distinct usable bins yield nulls, like tsfresh's
+    * NaN on the qcut/fit failure path. Bench + spec (naive pin +
+    * synthetic Langevin recovery).
+    */
+  def friedrich(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                valueCol: String, bins: Int = 30): DataFrame = {
+    require(bins >= 4, s"friedrich needs >= 4 bins, got $bins")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("coeff_3", DoubleType), StructField("coeff_2", DoubleType),
+      StructField("coeff_1", DoubleType), StructField("coeff_0", DoubleType),
+      StructField("max_fixed_point", DoubleType)))
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val xs = it.map(_.getDouble(vIdx)).toArray
+      val n = xs.length
+      if (n < 2) {
+        Iterator.single(org.apache.spark.sql.Row(
+          key.get(0), null, null, null, null, null))
+      } else {
+        val sig = xs.dropRight(1)
+        val delta = Array.tabulate(n - 1)(t => xs(t + 1) - xs(t))
+        // pandas-default (linear) quantile edges over sig
+        val sorted = sig.sorted
+        def quant(p: Double): Double = {
+          val h = (sorted.length - 1) * p
+          val lo = h.toInt
+          val hi = math.min(lo + 1, sorted.length - 1)
+          sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+        }
+        val edges = Array.tabulate(bins + 1)(j => quant(j.toDouble / bins))
+        // qcut: (edge(b-1), edge(b)] — leftmost bin closed on the left
+        def binOf(x: Double): Int = {
+          var b = 1
+          while (b < bins && x > edges(b)) b += 1
+          b - 1
+        }
+        val sumX = new Array[Double](bins)
+        val sumD = new Array[Double](bins)
+        val cnt = new Array[Long](bins)
+        var t = 0
+        while (t < n - 1) {
+          val b = binOf(sig(t))
+          sumX(b) += sig(t); sumD(b) += delta(t); cnt(b) += 1
+          t += 1
+        }
+        val pts = (0 until bins).filter(cnt(_) > 0)
+          .map(b => (sumX(b) / cnt(b), sumD(b) / cnt(b)))
+        val distinctX = pts.map(_._1).distinct.size
+        if (distinctX < 4) {
+          Iterator.single(org.apache.spark.sql.Row(
+            key.get(0), null, null, null, null, null))
+        } else {
+          // cubic polyfit via 4x4 normal equations (basis 1, x, x², x³)
+          val xtx = Array.ofDim[Double](4, 4)
+          val xty = new Array[Double](4)
+          pts.foreach { case (x, y) =>
+            val row = Array(1.0, x, x * x, x * x * x)
+            var a = 0
+            while (a < 4) {
+              var b = 0
+              while (b < 4) { xtx(a)(b) += row(a) * row(b); b += 1 }
+              xty(a) += row(a) * y
+              a += 1
+            }
+          }
+          val beta = solveLinear(xtx, xty) // ascending degree
+          if (beta.exists(v => !java.lang.Double.isFinite(v))) {
+            Iterator.single(org.apache.spark.sql.Row(
+              key.get(0), null, null, null, null, null))
+          } else {
+            val maxFp = cubicMaxRealPart(beta(3), beta(2), beta(1), beta(0))
+            Iterator.single(org.apache.spark.sql.Row(key.get(0),
+              beta(3), beta(2), beta(1), beta(0),
+              if (maxFp.isDefined && java.lang.Double.isFinite(maxFp.get))
+                maxFp.get else null))
+          }
+        }
+      }
+    }
+  }
+
+  /** max over the real parts of the roots of ax³+bx²+cx+d (numpy
+    * `max(real(roots(p)))` semantics — complex roots contribute their
+    * real part). Degrades to the quadratic/linear root set when the
+    * leading coefficients vanish; None when no root exists.
+    */
+  private[graft] def cubicMaxRealPart(a: Double, b: Double, c: Double,
+                                      d: Double): Option[Double] = {
+    val eps = 0.0
+    if (a != eps) {
+      // depressed cubic t³ + pt + q, x = t − b/3a
+      val p = (3 * a * c - b * b) / (3 * a * a)
+      val q = (2 * b * b * b - 9 * a * b * c + 27 * a * a * d) / (27 * a * a * a)
+      val shift = -b / (3 * a)
+      val disc = q * q / 4 + p * p * p / 27
+      if (disc > 0) {
+        // one real root, two complex conjugates with real part −t₁/2
+        val sq = math.sqrt(disc)
+        val u = math.cbrt(-q / 2 + sq)
+        val v = math.cbrt(-q / 2 - sq)
+        val t1 = u + v
+        Some(math.max(t1 + shift, -t1 / 2 + shift))
+      } else {
+        // three real roots (trigonometric form)
+        val r = math.sqrt(-p * p * p / 27)
+        val phi = math.acos(math.max(-1.0, math.min(1.0,
+          -q / (2 * math.max(r, Double.MinPositiveValue)))))
+        val m2 = 2 * math.cbrt(r)
+        Some((0 until 3).map(k =>
+          m2 * math.cos((phi + 2 * math.Pi * k) / 3) + shift).max)
+      }
+    } else if (b != eps) {
+      val disc = c * c - 4 * b * d
+      if (disc >= 0) {
+        val sq = math.sqrt(disc)
+        Some(math.max((-c + sq) / (2 * b), (-c - sq) / (2 * b)))
+      } else Some(-c / (2 * b)) // complex pair's real part
+    } else if (c != eps) {
+      Some(-d / c)
+    } else None
+  }
+
   /** FLOOR integer division of nanosecond timestamps into buckets.
     * Exact integer arithmetic (a double divide on 2^60-scale nanos
     * carries ~128ns representation error and can bucket a timestamp

@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * Scale shape: ONE aggregation over the frame computes every
   * column's stats; exact `count_distinct` plans an Expand (one
   * shuffle, fine up to tens of columns). At very large scale pass
-  * `approxDistinct = true` to swap in the HLL++ sketch
-  * (`approx_count_distinct`) — same single-pass plan, bounded
-  * executor memory, no Expand multiplication.
+  * `approxDistinct = true` to swap in the DETERMINISTIC HLL sketch
+  * ([[graft.functions.HllAgg]], md5-register construction — the same
+  * externally-replayable register file as `q_hll_distinct`'s oracle,
+  * unlike `approx_count_distinct`'s xxhash64 HLL++ which no second
+  * engine can replay) — same single-pass plan, one m-byte state per
+  * column, no Expand multiplication.
   * Output: one row per column (column, n_rows, n_nulls, n_distinct,
   * min_num, max_num, min_str, max_str).
   */
@@ -27,8 +30,14 @@ object Profiler {
     val schema = df.schema
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       val dist =
-        if (approxDistinct) approx_count_distinct(col(c))
-        else count_distinct(col(c))
+        if (approxDistinct) {
+          import org.apache.spark.sql.graft.ColumnBridge
+          // hashing stays declarative (md5 of the string cast) so the
+          // register file is replayable by the q_hll_distinct oracle SQL
+          round(ColumnBridge.column(graft.functions.HllAgg(
+            ColumnBridge.expression(md5(col(c).cast("string"))))
+            .toAggregateExpression()), 0).cast("long")
+        } else count_distinct(col(c))
       val (minN, maxN, minS, maxS) = schema(c).dataType match {
         case _: NumericType =>
           (min(col(c)).cast("double"), max(col(c)).cast("double"),

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TsFeatures
+
+/** The four former tsfresh skips (pacf, cwt, matrix profile,
+  * friedrich/langevin) — each pinned against closed forms or an
+  * independently written naive replay.
+  */
+class TsAdvancedSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random series (no RNG — LCG by hand)
+  private def lcgSeries(n: Int, seed: Long = 42L): Array[Double] = {
+    var s = seed
+    Array.fill(n) {
+      s = (s * 6364136223846793005L + 1442695040888963407L)
+      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+  }
+
+  private def toSeriesDF(xs: Array[Double], key: String = "u1") =
+    xs.zipWithIndex.map { case (v, i) => (key, i.toLong, v) }
+      .toSeq.toDF("user_id", "ts", "value")
+
+  // ---------------------------------------------------------------- pacf
+
+  private def biasedAcf(xs: Array[Double], k: Int): Double = {
+    val n = xs.length
+    val mu = xs.sum / n
+    val c0 = xs.map(x => (x - mu) * (x - mu)).sum / n
+    (0 until n - k).map(t => (xs(t) - mu) * (xs(t + k) - mu)).sum / n / c0
+  }
+
+  test("pacf lag-1 and lag-2 match the closed forms") {
+    val xs = lcgSeries(64)
+    val out = TsFeatures.pacf(toSeriesDF(xs), "user_id", Seq("ts"), "value", nlags = 4)
+      .orderBy("lag").collect()
+    val r1 = biasedAcf(xs, 1)
+    val r2 = biasedAcf(xs, 2)
+    assert(math.abs(out(0).getDouble(2) - r1) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - (r2 - r1 * r1) / (1 - r1 * r1)) < 1e-12)
+  }
+
+  test("pacf matches an independent Durbin-Levinson replay at lag 10") {
+    val xs = lcgSeries(120, seed = 7L)
+    val nl = 10
+    val r = (0 to nl).map(k => if (k == 0) 1.0 else biasedAcf(xs, k)).toArray
+    // independent recursion (textbook formulation, fresh arrays per step)
+    var phiPrev = Array(0.0, r(1))
+    val want = Array.fill(nl + 1)(0.0)
+    want(1) = r(1)
+    for (k <- 2 to nl) {
+      val num = r(k) - (1 until k).map(j => phiPrev(j) * r(k - j)).sum
+      val den = 1.0 - (1 until k).map(j => phiPrev(j) * r(j)).sum
+      val pk = num / den
+      val cur = Array.fill(k + 1)(0.0)
+      for (j <- 1 until k) cur(j) = phiPrev(j) - pk * phiPrev(k - j)
+      cur(k) = pk
+      want(k) = pk
+      phiPrev = cur
+    }
+    val out = TsFeatures.pacf(toSeriesDF(xs), "user_id", Seq("ts"), "value", nlags = nl)
+      .orderBy("lag").collect()
+    for (k <- 1 to nl)
+      assert(math.abs(out(k - 1).getDouble(2) - want(k)) < 1e-12, s"lag $k")
+  }
+
+  test("pacf yields null past the usable-lag bound and on constant series") {
+    val short = toSeriesDF(lcgSeries(5))
+    val out = TsFeatures.pacf(short, "user_id", Seq("ts"), "value", nlags = 8)
+      .orderBy("lag").collect()
+    assert(out.length == 8)
+    assert(out.takeRight(4).forall(_.isNullAt(2))) // lags 5..8: n <= k+1
+    val const = toSeriesDF(Array.fill(20)(3.0))
+    val out2 = TsFeatures.pacf(const, "user_id", Seq("ts"), "value", nlags = 3)
+      .collect()
+    assert(out2.forall(_.isNullAt(2)))
+  }
+
+  // ----------------------------------------------------------------- cwt
+
+  private def naiveCwt(xs: Array[Double], w: Int): Array[Double] = {
+    val n = xs.length
+    val m = math.min(10 * w, n)
+    val amp = 2.0 / (math.sqrt(3.0 * w) * math.pow(math.Pi, 0.25))
+    val kern = Array.tabulate(m) { i =>
+      val x = i - (m - 1) / 2.0
+      amp * (1.0 - (x / w) * (x / w)) * math.exp(-x * x / (2.0 * w * w))
+    }.reverse
+    // full convolution then same-mode center crop (scipy semantics)
+    val full = Array.tabulate(n + m - 1) { t =>
+      (math.max(0, t - m + 1) to math.min(n - 1, t))
+        .map(k => xs(k) * kern(t - k)).sum
+    }
+    val off = (m - 1) / 2
+    Array.tabulate(n)(t => full(t + off))
+  }
+
+  test("cwt matches a naive full-convolution + crop replay") {
+    val xs = lcgSeries(40, seed = 3L)
+    for (w <- Seq(2, 5)) {
+      val want = naiveCwt(xs, w)
+      val out = TsFeatures.cwt(toSeriesDF(xs), "user_id", Seq("ts"), "value",
+        widths = Seq(w), nCoeffs = 15).orderBy("idx").collect()
+      assert(out.length == 15)
+      out.foreach { r =>
+        assert(math.abs(r.getDouble(3) - want(r.getInt(2))) < 1e-12,
+          s"w=$w idx=${r.getInt(2)}")
+      }
+    }
+  }
+
+  test("cwt of a centered unit impulse replays the wavelet peak") {
+    // impulse at the same-mode center offset: coeff(t) walks the kernel
+    val n = 30
+    val w = 2
+    val m = math.min(10 * w, n) // 20, off = 9
+    val xs = Array.tabulate(n)(i => if (i == 9) 1.0 else 0.0)
+    val out = TsFeatures.cwt(toSeriesDF(xs), "user_id", Seq("ts"), "value",
+      widths = Seq(w), nCoeffs = 10).orderBy("idx").collect()
+    // at t = impulse position the reversed-kernel center = wavelet max
+    val amp = 2.0 / (math.sqrt(3.0 * w) * math.pow(math.Pi, 0.25))
+    val center = out.find(_.getInt(2) == 9).get.getDouble(3)
+    assert(math.abs(center - amp * (1.0 - 0.25 / (w * w)) *
+      math.exp(-0.25 / (2.0 * w * w))) < 1e-12)
+  }
+
+  // -------------------------------------------------------- matrix profile
+
+  test("matrix profile finds the exact repeated motif (min = 0)") {
+    // motif [1,5,2,8] planted twice, separated beyond the exclusion zone
+    val xs = Array(1.0, 5.0, 2.0, 8.0, 0.3, 0.1, 0.4, 0.2, 1.0, 5.0, 2.0, 8.0,
+      0.9, 0.7)
+    val out = TsFeatures.matrixProfile(toSeriesDF(xs), "user_id", Seq("ts"),
+      "value", window = 4).collect()(0)
+    assert(out.getDouble(1) < 1e-9) // mp_min: exact z-normalized match
+    assert(out.getDouble(2) > 0.0)  // mp_max: something doesn't match
+    assert(out.getDouble(4) >= out.getDouble(5)) // median >= p25
+    assert(out.getDouble(6) >= out.getDouble(4)) // p75 >= median
+  }
+
+  test("matrix profile on a constant series is all zeros (flat-window rule)") {
+    val out = TsFeatures.matrixProfile(toSeriesDF(Array.fill(16)(2.5)),
+      "user_id", Seq("ts"), "value", window = 4).collect()(0)
+    for (i <- 1 to 6) assert(out.getDouble(i) == 0.0)
+  }
+
+  test("matrix profile yields nulls when too short for two windows") {
+    val out = TsFeatures.matrixProfile(toSeriesDF(lcgSeries(6)),
+      "user_id", Seq("ts"), "value", window = 4).collect()(0)
+    for (i <- 1 to 6) assert(out.isNullAt(i))
+  }
+
+  // ------------------------------------------------- friedrich / langevin
+
+  test("cubicMaxRealPart: real and complex root sets") {
+    // (x-1)(x-2)(x+3) = x³ - 7x + 6 → max real root 2
+    assert(math.abs(TsFeatures.cubicMaxRealPart(1, 0, -7, 6).get - 2.0) < 1e-12)
+    // x³ - 1: roots 1, -1/2 ± i√3/2 → max real part 1
+    assert(math.abs(TsFeatures.cubicMaxRealPart(1, 0, 0, -1).get - 1.0) < 1e-12)
+    // x³ + x: roots 0, ±i → max real part 0
+    assert(math.abs(TsFeatures.cubicMaxRealPart(1, 0, 1, 0).get - 0.0) < 1e-12)
+    // degenerate quadratic: x² - 4 → 2
+    assert(math.abs(TsFeatures.cubicMaxRealPart(0, 1, 0, -4).get - 2.0) < 1e-12)
+    // degenerate linear: 2x + 6 → -3
+    assert(math.abs(TsFeatures.cubicMaxRealPart(0, 0, 2, 6).get + 3.0) < 1e-12)
+  }
+
+  test("friedrich recovers the drift of a noisless cubic Langevin map") {
+    // x_{t+1} = x_t + h(x_t), h(x) = 0.1·x·(1 − x²) — fixed points 0, ±1;
+    // seed many short trajectories into one series is NOT the tsfresh
+    // shape (one series), so drive one series through a sweep of starts
+    // by resetting via large jumps; the binned means still see delta =
+    // h(x) + reset noise only at 9 of 400 points.
+    val starts = Seq(-1.8, -1.2, -0.6, -0.2, 0.3, 0.7, 1.1, 1.5, 1.9)
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (s0 <- starts) {
+      var x = s0
+      for (_ <- 0 until 40) {
+        xs += x
+        x = x + 0.1 * x * (1 - x * x)
+      }
+    }
+    val out = TsFeatures.friedrich(toSeriesDF(xs.toArray), "user_id",
+      Seq("ts"), "value", bins = 30).collect()(0)
+    // h(x) = -0.1x³ + 0 x² + 0.1x + 0: binned fit recovers the shape
+    assert(math.abs(out.getDouble(1) + 0.1) < 0.02, s"coeff_3 ${out.getDouble(1)}")
+    assert(math.abs(out.getDouble(3) - 0.1) < 0.02, s"coeff_1 ${out.getDouble(3)}")
+    // largest fixed point of the recovered cubic ≈ 1
+    assert(math.abs(out.getDouble(5) - 1.0) < 0.1, s"fp ${out.getDouble(5)}")
+  }
+
+  test("friedrich yields nulls when the bins collapse (constant series)") {
+    val out = TsFeatures.friedrich(toSeriesDF(Array.fill(50)(1.0)), "user_id",
+      Seq("ts"), "value").collect()(0)
+    for (i <- 1 to 5) assert(out.isNullAt(i))
+  }
+}
