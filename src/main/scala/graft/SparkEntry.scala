@@ -101,5 +101,11 @@ object SparkEntry {
         graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
         "user_id", Seq("ts"), "value")
     }),
+    "ts_cwt_peaks" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.TsFeatures.numberCwtPeaks(
+        graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", Seq("ts"), "value")
+    }),
   )
 }

@@ -1494,24 +1494,155 @@ object TsFeatures {
       val xs = it.map(_.getDouble(vIdx)).toArray
       val n = xs.length
       widths.iterator.flatMap { w =>
-        val m = math.min(10 * w, n)
-        val kern = rickerWavelet(m, w)
-        // convolve(x, kern[::-1], mode='same'): out(t) = Σ_k x(k)·kern[::-1](t−k+off)
-        // with the same-mode offset (len-1)/2 of the full convolution
-        val off = (m - 1) / 2
+        val row = cwtRow(xs, w)
         (0 until math.min(nCoeffs, n)).iterator.map { t =>
-          var s = 0.0
-          var k = math.max(0, t + off - m + 1)
-          val kEnd = math.min(n - 1, t + off)
-          while (k <= kEnd) {
-            // reversed kernel index for full-conv position t+off
-            s += xs(k) * kern(m - 1 - (t + off - k))
-            k += 1
-          }
-          org.apache.spark.sql.Row(key.get(0), w, t, s)
+          org.apache.spark.sql.Row(key.get(0), w, t, row(t))
         }
       }
     }
+  }
+
+  /** One same-mode Ricker CWT row: convolve(x, ricker(min(10w, n),
+    * w)[::-1], mode='same') — scipy `signal.cwt` row semantics.
+    */
+  private def cwtRow(xs: Array[Double], w: Int): Array[Double] = {
+    val n = xs.length
+    val m = math.min(10 * w, n)
+    val kern = rickerWavelet(m, w)
+    val off = (m - 1) / 2
+    Array.tabulate(n) { t =>
+      var s = 0.0
+      var k = math.max(0, t + off - m + 1)
+      val kEnd = math.min(n - 1, t + off)
+      while (k <= kEnd) {
+        // reversed kernel index for full-conv position t+off
+        s += xs(k) * kern(m - 1 - (t + off - k))
+        k += 1
+      }
+      s
+    }
+  }
+
+  /** tsfresh `number_cwt_peaks(x, n)` = `len(scipy.signal.
+    * find_peaks_cwt(x, widths=1..n, wavelet=ricker))`: CWT matrix over
+    * widths 1..n, ridge lines identified down the width axis (connect
+    * each row's strict relative maxima to the nearest line's last
+    * column within width/4, gap tolerance ⌈widths[0]⌉ = 1 rows), then
+    * filtered on length ≥ ⌈n/4⌉ and SNR ≥ 1 (|cwt at the line's
+    * smallest-width point| over the 10th percentile of the width-1
+    * row in a ⌈L/20⌉ window) — the scipy `_identify_ridge_lines` /
+    * `_filter_ridge_lines` pipeline replayed step for step.
+    * Sequential per series → [[GroupedApply]]; bench + spec
+    * (bump-counting semantics + determinism; the underlying CWT rows
+    * are already pinned against a naive convolution replay).
+    */
+  def numberCwtPeaks(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                     valueCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"numberCwtPeaks needs n >= 1, got $n")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("n_peaks", LongType, nullable = false)))
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val xs = it.map(_.getDouble(vIdx)).toArray
+      Iterator.single(org.apache.spark.sql.Row(
+        key.get(0), findPeaksCwt(xs, n).length.toLong))
+    }
+  }
+
+  /** scipy `find_peaks_cwt` peak positions (sorted, like scipy's
+    * max_locs) with widths 1..nWidths and the defaults tsfresh passes:
+    * max_distances = widths/4, gap_thresh = ⌈widths[0]⌉, min_length =
+    * ⌈rows/4⌉, min_snr = 1, noise_perc = 10. Boundary artifacts on
+    * monotone trends (CWT of a linear segment is ~0 in the interior but
+    * not at the edges, where the noise percentile is also ~0 → infinite
+    * SNR) are FAITHFUL to scipy — the spec pins them to the edges.
+    */
+  private[graft] def findPeaksCwt(xs: Array[Double], nWidths: Int): Seq[Int] = {
+    val len = xs.length
+    if (len == 0) return Seq.empty
+    val widths = (1 to nWidths).toArray
+    val mat = widths.map(w => cwtRow(xs, w))
+    // strict relative maxima per row, order=1, clip boundary mode
+    // (a boundary point compares against itself → never a maximum)
+    val relmax = mat.map { row =>
+      Array.tabulate(len) { i =>
+        row(i) > row(math.max(i - 1, 0)) && row(i) > row(math.min(i + 1, len - 1))
+      }
+    }
+    val hasRel = relmax.indices.filter(r => relmax(r).contains(true))
+    if (hasRel.isEmpty) return Seq.empty
+    val gapThresh = widths(0) // ceil of the smallest width
+    final class Line {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val cols = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var gap = 0
+    }
+    def newLine(r: Int, c: Int): Line = {
+      val l = new Line; l.rows += r; l.cols += c; l
+    }
+    val startRow = hasRel.last
+    val active = scala.collection.mutable.ArrayBuffer.empty[Line]
+    val done = scala.collection.mutable.ArrayBuffer.empty[Line]
+    for (c <- 0 until len if relmax(startRow)(c)) active += newLine(startRow, c)
+    var row = startRow - 1
+    while (row >= 0) {
+      active.foreach(_.gap += 1)
+      // snapshot of last columns BEFORE any attachment this row (scipy
+      // computes prev_ridge_cols once; same-row appends don't retarget)
+      val snapshot = active.map(l => l.cols.last).toArray
+      val snapLines = active.toArray
+      for (c <- 0 until len if relmax(row)(c)) {
+        var attached: Line = null
+        if (snapshot.nonEmpty) {
+          var best = 0
+          var bd = math.abs(c - snapshot(0))
+          var i = 1
+          while (i < snapshot.length) {
+            val d = math.abs(c - snapshot(i))
+            if (d < bd) { bd = d; best = i }
+            i += 1
+          }
+          if (bd <= widths(row) / 4.0) attached = snapLines(best)
+        }
+        if (attached != null) {
+          attached.rows += row; attached.cols += c; attached.gap = 0
+        } else active += newLine(row, c)
+      }
+      var i = active.length - 1
+      while (i >= 0) {
+        if (active(i).gap > gapThresh) { done += active(i); active.remove(i) }
+        i -= 1
+      }
+      row -= 1
+    }
+    val lines = done ++ active
+    // SNR filter inputs: 10th percentile of the width-1 row, windowed
+    val row0 = mat(0)
+    val windowSize = math.ceil(len / 20.0).toInt
+    val hf = windowSize / 2
+    val odd = windowSize % 2
+    def pct10(a: Array[Double]): Double = {
+      val s = a.sorted
+      val h = (s.length - 1) * 0.10
+      val lo = h.toInt
+      val hi = math.min(lo + 1, s.length - 1)
+      s(lo) + (h - lo) * (s(hi) - s(lo))
+    }
+    val noises = Array.tabulate(len) { i =>
+      pct10(row0.slice(math.max(i - hf, 0), math.min(i + hf + odd, len)))
+    }
+    val minLength = math.ceil(nWidths / 4.0)
+    lines.iterator.flatMap { l =>
+      // sort points by row ascending (scipy out_lines order)
+      val order = l.rows.indices.sortBy(l.rows(_))
+      val r0 = l.rows(order.head)
+      val c0 = l.cols(order.head)
+      val snr = math.abs(mat(r0)(c0) / noises(c0))
+      if (l.rows.length >= minLength && !(snr < 1.0)) Some(c0) else None
+    }.toSeq.sorted
   }
 
   /** scipy `signal.ricker(points, a)`: A·(1 − (x/a)²)·e^(−x²/2a²),

@@ -126,6 +126,47 @@ class TsAdvancedSpec extends SparkSpec {
       math.exp(-0.25 / (2.0 * w * w))) < 1e-12)
   }
 
+  // ------------------------------------------------------ number_cwt_peaks
+
+  test("numberCwtPeaks counts well-separated bumps") {
+    def bump(c: Int, w: Double)(i: Int) =
+      math.exp(-(i - c) * (i - c) / (2 * w * w))
+    val one = Array.tabulate(100)(i => bump(50, 4.0)(i))
+    val two = Array.tabulate(100)(i => bump(30, 4.0)(i) + bump(70, 4.0)(i))
+    val o1 = TsFeatures.numberCwtPeaks(toSeriesDF(one), "user_id", Seq("ts"),
+      "value", n = 5).collect()(0).getLong(1)
+    val o2 = TsFeatures.numberCwtPeaks(toSeriesDF(two), "user_id", Seq("ts"),
+      "value", n = 5).collect()(0).getLong(1)
+    assert(o1 == 1L, s"single bump counted $o1")
+    assert(o2 == 2L, s"double bump counted $o2")
+  }
+
+  test("numberCwtPeaks: zero on a zero series; flat/ramp artifacts edge-only") {
+    val zero = TsFeatures.numberCwtPeaks(toSeriesDF(Array.fill(60)(0.0)),
+      "user_id", Seq("ts"), "value").collect()(0).getLong(1)
+    assert(zero == 0L)
+    // flat-nonzero and ramp series have NO interior structure: the
+    // Ricker CWT is constant (flat) or ~0 (ramp) away from the
+    // boundary, so any reported "peak" is a boundary artifact where
+    // the edge kernels see a step — faithful scipy find_peaks_cwt
+    // behavior; the pin is that no INTERIOR peak is ever invented
+    for (xs <- Seq(Array.fill(60)(1.0), Array.tabulate(60)(_.toDouble))) {
+      val peaks = TsFeatures.findPeaksCwt(xs, 5)
+      assert(peaks.forall(p => p < 15 || p >= 45),
+        s"interior peak on a structure-free series: $peaks")
+    }
+  }
+
+  test("numberCwtPeaks is deterministic across partitionings") {
+    val xs = lcgSeries(200, seed = 11L)
+    val df = toSeriesDF(xs)
+    val a = TsFeatures.numberCwtPeaks(df.coalesce(1), "user_id", Seq("ts"),
+      "value").collect()(0).getLong(1)
+    val b = TsFeatures.numberCwtPeaks(df.repartition(8), "user_id", Seq("ts"),
+      "value").collect()(0).getLong(1)
+    assert(a == b)
+  }
+
   // -------------------------------------------------------- matrix profile
 
   test("matrix profile finds the exact repeated motif (min = 0)") {
