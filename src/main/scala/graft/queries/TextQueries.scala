@@ -609,7 +609,155 @@ object TextQueries {
     """),
   )
 
+  /** Smooth-idf TF-IDF top-5 terms per document
+    * ([[graft.operators.Retrieval.tfidfTopK]]): sklearn
+    * TfidfVectorizer(smooth_idf=True, norm=None) weighting under the
+    * text_vocab tokenization; no per-doc normalization, so every score
+    * is a product of engine-identical inputs — no double sums anywhere.
+    */
+  val textTfidf: Q = Q(
+    "text_tfidf",
+    (s, dir) => graft.operators.Retrieval.tfidfTopK(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM tok WHERE term <> '' GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (ln((n.n + 1.0) / (df.df + 1)) + 1.0) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1)) + 1.0) DESC,
+                          tf.term) AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf
+      FROM sc WHERE rk <= 5
+    """),
+  )
+
+  /** BM25 relevance of every document against a fixed 3-term query
+    * ([[graft.operators.Retrieval.bm25]], Lucene idf form, k1 = 1.2,
+    * b = 0.75). Per-term contributions micro-quantize before the
+    * per-doc sum so the distributed aggregation is order-free and the
+    * oracle replays it exactly; constants are interpolated from the
+    * SAME Scala doubles the Spark plan uses.
+    */
+  val qBm25: Q = {
+    val k1 = 1.2
+    val b = 0.75
+    val terms = Seq("spark", "table", "hash")
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    Q(
+      "q_bm25",
+      (s, dir) => graft.operators.Retrieval.bm25(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", terms, k1, b)
+        .select(col("doc_id"), col("n_matched"),
+          round(col("score"), 6).as("score")),
+      Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM tok WHERE term <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      st AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl,
+                    count(*)::DOUBLE AS n FROM dl),
+      df AS (SELECT term, count(*) AS df FROM tf
+             WHERE term IN $termList GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+               round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                     (tf.tf * ${k1 + 1}) /
+                     (tf.tf + $k1 * (${1 - b} + $b * dl.dl / st.avgdl))
+                     * 1e6)::BIGINT AS micro
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+      SELECT doc_id, count(*) AS n_matched,
+             round(sum(micro) / 1e6, 6) AS score
+      FROM sc GROUP BY doc_id
+      """),
+    )
+  }
+
+  /** PII detect + redact ([[graft.operators.Pii]]) over a
+    * deterministically PII-enriched fixture (the datetime_interpolate
+    * pattern — the raw synthetic docs are PII-free, so the query
+    * plants one email / phone / IPv4 / SSN-shaped id per doc-id
+    * residue class and both engines scrub the identical text). Pure
+    * regex column expressions in the RE2 ∩ Java common subset.
+    */
+  val textPii: Q = Q(
+    "text_pii",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val did = col("doc_id").cast("string")
+      val enriched = d.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), did, lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" id "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("t"))
+      graft.operators.Pii.scan(enriched, "t")
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          col("n_ip"), col("n_ssn"), col("redacted"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+               || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' id '
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          AS t
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+             len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+             len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS redacted
+      FROM e
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
-    textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate)
+    textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
+    textTfidf, qBm25, textPii)
 }
