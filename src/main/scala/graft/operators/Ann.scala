@@ -213,6 +213,91 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** Product quantization ANN — the MEMORY-bound scale path for
+    * similarity search (IVF/LSH bound compute; PQ bounds bytes): each
+    * vector compresses to nSub code bytes (64 doubles → 8 bytes at the
+    * defaults), and query scoring never touches a raw corpus vector.
+    *
+    * Training is deterministic end to end so the whole pipeline is
+    * DuckDB-replayable: seed codebooks from the md5-h16-sampled rows
+    * (the [[sampleCentroids]] selection), one Lloyd step per subspace
+    * (L2 assignment with (distance, code) tie order, per-dim means on
+    * exact decimal sums — the [[kmeansStep]] arithmetic), then final
+    * code assignment against the refined codebooks.
+    *
+    * ADC scoring is the canonical shape: a (query × sub × code)
+    * distance LUT — nQueries·nSub·nCodes rows, BROADCAST — joins the
+    * code table on (sub, code), so the big side streams once carrying
+    * only its byte codes; per-(query, vector) distances micro-quantize
+    * before the exact integer sum (ExactAgg convention, order-free).
+    * L2² distances expand through the codegen [[dot]] identity
+    * (‖a‖² − 2a·b + ‖b‖²) — no interpreted array folds.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nSub: Int = 8, subDim: Int = 8,
+                nCodes: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val v = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).repartition(par, col("id"))
+    // per-(vector, subspace) rows; checkpointed so the two assignment
+    // passes and the mean recompute read ONE materialization
+    val esub = v.select(col("id"), explode(array((0 until nSub).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .localCheckpoint()
+    // seed codebooks: the sampleCentroids rows, sliced per subspace
+    val seeds = sampleCentroids(v, "id", "v", nCodes)
+    val cb0 = seeds.zipWithIndex.flatMap { case (vec, code) =>
+      (0 until nSub).map(s =>
+        (s, code, vec.slice(s * subDim, (s + 1) * subDim).toSeq))
+    }.toSeq.toDF("sub", "code", "cv")
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    // nearest code per (vector, subspace): min(struct) = (d2, code)
+    // lexicographic order — ties to the LOWEST code, partition-free
+    def assign(cb: DataFrame): DataFrame =
+      esub.join(broadcast(cb), "sub")
+        .withColumn("d", d2(col("sv"), col("cv")))
+        .groupBy(col("id"), col("sub"))
+        .agg(min(struct(col("d"), col("code"))).as("m"))
+        .select(col("id"), col("sub"), col("m.code").as("code"))
+    // one Lloyd step: refined per-subspace centroids on exact sums
+    val sums = (0 until subDim).map(d =>
+      sum(round(element_at(col("sv"), d + 1), 6).cast("decimal(18,6)")).as(s"s$d"))
+    val aggs = count(lit(1)).as("n") +: sums
+    val cb1 = assign(cb0).join(esub, Seq("id", "sub"))
+      .groupBy(col("sub"), col("code"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("sub"), col("code"),
+        array((0 until subDim).map(d =>
+          col(s"s$d").cast("double") / col("n")): _*).as("cv"))
+      .localCheckpoint()
+    val codes = assign(cb1)
+    // ADC: broadcast LUT of (query, sub, code) micro distances
+    val qsub = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("qid"), explode(array((0 until nSub).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("qv"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("qid"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val lut = qsub.join(broadcast(cb1), "sub")
+      .withColumn("micro",
+        round(d2(col("sv"), col("cv")) * lit(1e6), 0).cast("long"))
+      .select(col("qid"), col("sub"), col("code"), col("micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ms"), col("id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("micro")).as("ms"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("id").as("nn_id"),
+        round(col("ms") / lit(1e6), 6).as("adc_dist"), col("rank"))
+  }
+
   /** LSH-bucketed near-dup pairs — the scale path for
     * embedding-cosine dedup (the all-pairs [[cosinePairs]] is O(n²) and
     * exists only as an oracle/baseline). Band rows carry (id, tbl,

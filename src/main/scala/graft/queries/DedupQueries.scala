@@ -527,6 +527,84 @@ object DedupQueries {
     knnIvf.oracle,
   )
 
+  // ---------------------------------------------------------------- §2.3/36e
+  /** Product-quantization ANN ([[Ann.pqAdcTopK]]): deterministic PQ
+    * training (md5-sampled seeds → one Lloyd step per subspace on
+    * exact decimal sums) + 8-byte codes + broadcast-LUT asymmetric
+    * distance top-5. The oracle replays seeding, both assignment
+    * rounds, the centroid means, the LUT, and the micro-quantized ADC
+    * sums — every double op on engine-identical inputs.
+    */
+  val knnPq: Q = Q(
+    "knn_pq",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.pqAdcTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nSub = 8, subDim = 8, nCodes = 16)
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      h AS (SELECT id, v, md5(id::VARCHAR) AS hx FROM e),
+      sel AS (SELECT id, v, ${OracleExact.h16Sql("hx")} AS h16 FROM h),
+      seed AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
+        FROM sel
+        WHERE h16 % greatest(1, (SELECT count(*) FROM e) // 16) = 0
+        ORDER BY id LIMIT 16),
+      sub AS (SELECT i AS sub FROM range(8) t(i)),
+      cb0 AS (SELECT sub, code, v[(sub*8+1):(sub*8+8)] AS cv
+              FROM seed CROSS JOIN sub),
+      esub AS (SELECT id, sub, v[(sub*8+1):(sub*8+8)] AS sv
+               FROM e CROSS JOIN sub),
+      d0 AS (
+        SELECT esub.id, esub.sub, cb0.code,
+               list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                 + list_dot_product(cv, cv) AS d
+        FROM esub JOIN cb0 ON esub.sub = cb0.sub),
+      a0 AS (SELECT id, sub, code FROM (
+               SELECT id, sub, code,
+                      row_number() OVER (PARTITION BY id, sub
+                                         ORDER BY d, code) AS rn
+               FROM d0) WHERE rn = 1),
+      cb1c AS (
+        SELECT a0.sub, a0.code, d.d,
+               sum(round(e2.sv[d.d + 1], 6)::DECIMAL(18,6))::DOUBLE
+                 / count(*) AS m
+        FROM a0 JOIN esub e2 USING (id, sub), range(8) d(d)
+        GROUP BY a0.sub, a0.code, d.d),
+      cb1 AS (SELECT sub, code, list(m ORDER BY d) AS cv
+              FROM cb1c GROUP BY sub, code),
+      d1 AS (
+        SELECT esub.id, esub.sub, cb1.code,
+               list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                 + list_dot_product(cv, cv) AS d
+        FROM esub JOIN cb1 ON esub.sub = cb1.sub),
+      codes AS (SELECT id, sub, code FROM (
+                  SELECT id, sub, code,
+                         row_number() OVER (PARTITION BY id, sub
+                                            ORDER BY d, code) AS rn
+                  FROM d1) WHERE rn = 1),
+      lut AS (
+        SELECT q.id AS qid, cb1.sub, cb1.code,
+               round((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                      + list_dot_product(cv, cv)) * 1e6)::BIGINT AS micro
+        FROM (SELECT id, sub, sv FROM esub WHERE id < 5) q
+        JOIN cb1 ON q.sub = cb1.sub),
+      adc AS (
+        SELECT lut.qid, codes.id, sum(micro) AS ms
+        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+        WHERE codes.id <> lut.qid
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, id, ms,
+               row_number() OVER (PARTITION BY qid ORDER BY ms, id) AS rank
+        FROM adc)
+      SELECT qid AS query_id, id AS nn_id,
+             round(ms / 1e6, 6) AS adc_dist, rank
+      FROM ranked WHERE rank <= 5
+    """),
+  )
+
   /** CC under ONE GIANT component (the r6 VERDICT's open measurement):
     * ~40% of the 10^5-node universe collapses into a single cluster
     * shaped as a deterministic random recursive tree — parent(i) = an
@@ -621,5 +699,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
-    knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned, pcaGram, pcaPower)
+    knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned, knnPq,
+    pcaGram, pcaPower)
 }

@@ -79,4 +79,45 @@ class AnnSpec extends SparkSpec {
     val recall = (bf intersect lsh).size.toDouble / bf.size
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("pq adc top-k: output shape, self-exclusion, determinism") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where($"vec_id" < 3)
+    val out = Ann.pqAdcTopK(e, q, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length == 15) // 3 queries x 5
+    assert(out.forall(r => r.getLong(0) != r.getLong(1))) // self excluded
+    // adc distance is non-decreasing in rank within each query
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ds = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    // replaying the whole pipeline lands on identical rows (seed
+    // selection, Lloyd step, codes, and ADC are all deterministic)
+    val again = Ann.pqAdcTopK(e, q, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("pq adc ranks an exact duplicate vector first") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables.embeddings(spark, sf)
+    // plant an exact duplicate of vector 0 under a fresh id: its codes
+    // equal vector 0's codes, so ADC distance ties at the minimum and
+    // the (distance, id) order puts the twin at rank 1 for query 0
+    val twin = e.where(col("vec_id") === 0)
+      .select((col("vec_id") + lit(900000L)).as("vec_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding")).unionAll(twin)
+    val out = Ann.pqAdcTopK(corpus, corpus.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    // the twin's quantized distance IS the achievable minimum; any
+    // other vector at rank 1 must be a full 8-code collision (ties
+    // break by id), so the minimum distance must equal the twin's
+    val twinRow = out.find(_.getLong(1) == 900000L)
+    assert(twinRow.isDefined,
+      s"twin missing from top-3: ${out.map(_.toString).mkString(", ")}")
+    assert(out(0).getDouble(2) == twinRow.get.getDouble(2),
+      "rank-1 distance differs from the exact twin's")
+  }
 }
