@@ -47,6 +47,28 @@ object Skew {
     * is |small| × saltBuckets rows — use for genuinely small dims, or
     * AQE skew-join for fact-fact.
     */
+  /** Key-skew diagnostic — the measurement that decides WHETHER to
+    * reach for [[saltedAgg]]/[[saltedJoin]] before a 100 TB run: the
+    * top-k heaviest keys with their corpus share and skew-vs-mean
+    * factor (count · n_keys / total — 1.0 = perfectly uniform; the
+    * salting guides in SURVEY §12 trigger at ~16×). One map-side-
+    * combined groupBy on the key plus a TakeOrderedAndProject top-k —
+    * never a global sort, never a second pass.
+    */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val t = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    val (total, nKeys) = (t.getLong(0), t.getLong(1))
+    counts
+      .withColumn("share", col("cnt").cast("double") / lit(total.toDouble))
+      .withColumn("skew_vs_mean",
+        col("cnt").cast("double") * lit(nKeys.toDouble) / lit(total.toDouble))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(topK)
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  uniqueCol: String, saltBuckets: Int = 64): DataFrame = {
     val saltedBig = big.withColumn("__salt",

@@ -605,6 +605,46 @@ object DedupQueries {
     """),
   )
 
+  // ---------------------------------------------------------------- §2.3/36f
+  /** Int8 affine embedding quantization report
+    * ([[graft.operators.Quantize.int8Report]]): per-dim min/max fit,
+    * code/reconstruct, per-dim error + rail stats — the 4-bytes→1
+    * storage-compression calibration pass.
+    */
+  val vectorQuantize: Q = Q(
+    "q_vector_quantize",
+    (s, dir) => graft.operators.Quantize.int8Report(
+      Tables.embeddings(s, dir), "embedding")
+      .select(col("dim"), round(col("mn"), 6).as("mn"),
+        round(col("mx"), 6).as("mx"),
+        round(col("mean_abs_err"), 6).as("mean_abs_err"),
+        round(col("max_abs_err"), 6).as("max_abs_err"), col("n_rail")),
+    Some("""
+      WITH cells AS (
+        SELECT d.d AS dim, v[d.d + 1] AS x
+        FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings), range(64) d(d)),
+      fit AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM cells GROUP BY dim),
+      enc AS (
+        SELECT c.dim, f.mn, f.mx, c.x,
+               CASE WHEN f.mx = f.mn THEN 0
+                    ELSE least(greatest(
+                      round((c.x - f.mn) / ((f.mx - f.mn) / 255.0))::BIGINT,
+                      0), 255) END AS code
+        FROM cells c JOIN fit f USING (dim)),
+      err AS (
+        SELECT dim, mn, mx,
+               abs(x - (mn + code * ((mx - mn) / 255.0))) AS e,
+               CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END AS rail
+        FROM enc)
+      SELECT dim, round(mn, 6) AS mn, round(mx, 6) AS mx,
+             round(sum(round(e, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6)
+               AS mean_abs_err,
+             round(max(round(e, 6)), 6) AS max_abs_err,
+             sum(rail)::BIGINT AS n_rail
+      FROM err GROUP BY dim, mn, mx
+    """),
+  )
+
   /** CC under ONE GIANT component (the r6 VERDICT's open measurement):
     * ~40% of the 10^5-node universe collapses into a single cluster
     * shaped as a deterministic random recursive tree — parent(i) = an
@@ -700,5 +740,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
     knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned, knnPq,
-    pcaGram, pcaPower)
+    vectorQuantize, pcaGram, pcaPower)
 }

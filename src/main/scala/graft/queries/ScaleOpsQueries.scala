@@ -295,6 +295,29 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Key-skew diagnostic ([[Skew.skewReport]]): the top-10 heaviest
+    * event keys with share and skew-vs-mean factor — the measurement
+    * that decides whether a 100 TB run needs the salted agg/join
+    * variants (§12's ~16× trigger).
+    */
+  val qSkewReport: Q = Q(
+    "q_skew_report",
+    (s, dir) => Skew.skewReport(
+      Tables.events(s, dir).select(col("user_id")), "user_id", topK = 10)
+      .select(col("user_id"), col("cnt"),
+        round(col("share"), 6).as("share"),
+        round(col("skew_vs_mean"), 6).as("skew_vs_mean")),
+    Some("""
+      WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      t AS (SELECT sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS nk FROM c)
+      SELECT user_id, cnt,
+             round(cnt / t.total, 6) AS share,
+             round(cnt * t.nk / t.total, 6) AS skew_vs_mean
+      FROM c CROSS JOIN t
+      ORDER BY cnt DESC, user_id LIMIT 10
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAggSalted, qRangeJoin,
-    qBucketedJoin, qJoinSalted, qDppJoin)
+    qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport)
 }
