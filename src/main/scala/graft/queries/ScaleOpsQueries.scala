@@ -318,6 +318,44 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Z-order locality report ([[graft.operators.ZOrder]]): Morton-
+    * interleave (user_id, ts) into the layout clustering key and emit
+    * each key-range bucket's row count + min/max rank envelope in
+    * both dimensions — the OPTIMIZE-ZORDER-class measurement showing
+    * two-sided file pruning would work. Exact integer arithmetic end
+    * to end; the oracle replays the quantization, the shift/mask
+    * spread ladder, and the bucket report bit-for-bit.
+    */
+  val qZorder: Q = Q(
+    "q_zorder",
+    (s, dir) => graft.operators.ZOrder.localityReport(
+      Tables.events(s, dir).select(col("user_id"), col("ts")),
+      "user_id", "ts", buckets = 64),
+    Some("""
+      WITH st AS (
+        SELECT min(user_id) AS mna, max(user_id) AS mxa,
+               min(epoch_ns(ts)) AS mnb, max(epoch_ns(ts)) AS mxb
+        FROM events),
+      q AS (
+        SELECT (user_id - st.mna) // ((st.mxa - st.mna) // 65536 + 1) AS qa,
+               (epoch_ns(ts) - st.mnb) // ((st.mxb - st.mnb) // 65536 + 1) AS qb
+        FROM events CROSS JOIN st),
+      s1 AS (SELECT qa, qb, (qa | (qa << 8)) & 16711935 AS a1,
+                            (qb | (qb << 8)) & 16711935 AS b1 FROM q),
+      s2 AS (SELECT qa, qb, (a1 | (a1 << 4)) & 252645135 AS a2,
+                            (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+      s3 AS (SELECT qa, qb, (a2 | (a2 << 2)) & 858993459 AS a3,
+                            (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+      s4 AS (SELECT qa, qb, (a3 | (a3 << 1)) & 1431655765 AS a4,
+                            (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+      SELECT (a4 | (b4 << 1)) // 67108864 AS bucket,
+             count(*) AS n,
+             min(qa) AS qa_min, max(qa) AS qa_max,
+             min(qb) AS qb_min, max(qb) AS qb_max
+      FROM s4 GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAggSalted, qRangeJoin,
-    qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport)
+    qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport, qZorder)
 }

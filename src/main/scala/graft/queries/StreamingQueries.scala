@@ -495,8 +495,30 @@ object StreamingQueries {
     graft.queries.TextQueries.heavyHitters.oracle,
   )
 
+  /** Stateless streaming PII scrub: the [[TextQueries.piiEnrich]]
+    * fixture + [[graft.operators.Pii.scan]] applied per micro-batch
+    * (append mode, zero state) — the scrub-before-anything-persists
+    * placement a streaming ingestion pipeline wants; output equals the
+    * batch `text_pii` row, so it shares that oracle verbatim.
+    */
+  val streamPii: Q = Q(
+    "stream_pii",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      StreamOps.runToBatch(s,
+        graft.operators.Pii.scan(
+          TextQueries.piiEnrich(
+            StreamOps.docsStream(s, dir).select(col("doc_id"), col("text"))),
+          "t")
+          .select(col("doc_id"), col("n_email"), col("n_phone"),
+            col("n_ip"), col("n_ssn"), col("redacted")),
+        mode = "append")
+    },
+    TextQueries.textPii.oracle,
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
-    streamQuantileProfile, streamDomainTopk, streamHeavyHitters)
+    streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii)
 }

@@ -686,19 +686,16 @@ object TextQueries {
     )
   }
 
-  /** PII detect + redact ([[graft.operators.Pii]]) over a
-    * deterministically PII-enriched fixture (the datetime_interpolate
-    * pattern — the raw synthetic docs are PII-free, so the query
-    * plants one email / phone / IPv4 / SSN-shaped id per doc-id
-    * residue class and both engines scrub the identical text). Pure
-    * regex column expressions in the RE2 ∩ Java common subset.
+  /** Deterministic PII-injection fixture (shared by the batch and
+    * streaming scrub rows, the datetime_interpolate pattern — the raw
+    * synthetic docs are PII-free): one email / phone / IPv4 /
+    * SSN-shaped id per doc-id residue class appended to the text.
+    * Works identically on a streaming frame — pure expressions.
     */
-  val textPii: Q = Q(
-    "text_pii",
-    (s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  private[queries] def piiEnrich(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val did = col("doc_id").cast("string")
-      val enriched = d.select(col("doc_id"), concat(
+      d.select(col("doc_id"), concat(
         col("text"),
         when(col("doc_id") % 3 === 0,
           concat(lit(" contact user"), did, lit("@example.com")))
@@ -718,10 +715,18 @@ object TextQueries {
             lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("t"))
-      graft.operators.Pii.scan(enriched, "t")
-        .select(col("doc_id"), col("n_email"), col("n_phone"),
-          col("n_ip"), col("n_ssn"), col("redacted"))
-    },
+  }
+
+  /** PII detect + redact ([[graft.operators.Pii]]) over the enriched
+    * fixture: per-class counts + fixed-order redaction, pure regex
+    * column expressions in the RE2 ∩ Java common subset.
+    */
+  val textPii: Q = Q(
+    "text_pii",
+    (s, dir) => graft.operators.Pii.scan(
+      piiEnrich(Tables.documents(s, dir).select(col("doc_id"), col("text"))), "t")
+      .select(col("doc_id"), col("n_email"), col("n_phone"),
+        col("n_ip"), col("n_ssn"), col("redacted")),
     Some("""
       WITH e AS (
         SELECT doc_id, text
