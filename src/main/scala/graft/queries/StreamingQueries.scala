@@ -517,8 +517,63 @@ object StreamingQueries {
     TextQueries.textPii.oracle,
   )
 
+  /** NATIVE session-window sessionization — the Spark-first twin of
+    * [[streamSessionize]] (which exercises the flatMapGroupsWithState
+    * escape hatch): `session_window(tse, gap)` merges events whose gap
+    * is strictly below 30 min (native rule: an event extends a session
+    * iff its time < session end = last + gap; the custom fold merges on
+    * <=, so the two queries are deliberately NOT oracle-identical at
+    * exact-gap boundaries), and append mode emits exactly the windows
+    * the final watermark (max event time - 1h) has passed. State is
+    * per-(user, open session) and watermark-evicted — the built-in
+    * operator a production job should reach for first; the fMGWS twin
+    * exists for session logic the native gap rule can't express.
+    */
+  val streamSessionWindow: Q = Q(
+    "stream_session_window",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = StreamOps.eventsStream(s, dir)
+        // µs truncation for hash parity with DuckDB's timestamp reads
+        .withColumn("tse", timestamp_micros(expr("cast(ts as long) div 1000")))
+        .withWatermark("tse", "1 hour")
+      val agg = ev
+        .groupBy(session_window(col("tse"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          graft.operators.ExactAgg.decSum(col("value")).as("sum_v"))
+        .select(col("user_id"),
+          (unix_micros(col("session_window.start")) * 1000).as("start_ns"),
+          (unix_micros(col("session_window.end")) * 1000).as("end_ns"),
+          col("n"), col("sum_v"))
+      StreamOps.runToBatch(s, agg, mode = "append")
+    },
+    Some(s"""
+      WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      m AS (
+        SELECT user_id, ts_us, value,
+               CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                         >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM s),
+      c AS (
+        SELECT user_id, ts_us, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m),
+      g AS (
+        SELECT user_id, min(ts_us) AS start_us,
+               max(ts_us) + 1800000000 AS end_us,
+               count(*) AS n, ${OracleExact.decSumSql("value")} AS sum_v
+        FROM c GROUP BY user_id, sess_id),
+      wm AS (SELECT max(ts_us) - 3600000000 AS wm_us FROM s)
+      SELECT user_id, start_us * 1000 AS start_ns, end_us * 1000 AS end_ns,
+             n, sum_v
+      FROM g CROSS JOIN wm WHERE end_us < wm.wm_us
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
-    streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii)
+    streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
+    streamSessionWindow)
 }

@@ -761,8 +761,163 @@ object TextQueries {
     """),
   )
 
+  /** Deterministic repetition fixture: every doc_id % 5 == 3 gets its
+    * first 8 words appended TWICE, planting duplicated 1..8-grams —
+    * the synthetic corpus has zero within-doc duplicate 5-grams (swept
+    * at sf0.01), so without the fixture the Gopher dup signals would be
+    * degenerately all-zero (same convention as the [[piiEnrich]] and
+    * datetime_interpolate residue-class fixtures).
+    */
+  private def repetitionEnrich(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val head8 = array_join(slice(split(col("text"), " ", -1), 1, 8), " ")
+    d.select(col("doc_id"),
+      when(col("doc_id") % 5 === 3,
+        concat_ws(" ", col("text"), head8, head8)).otherwise(col("text")).as("t"))
+  }
+
+  /** Gopher-style within-document repetition signals over word n-grams
+    * (Rae et al. 2021 §A1.1 analog, adapted to the single-line corpus:
+    * no line/paragraph structure exists, so every signal rides word
+    * n-grams): for n = 1..4 the fraction of characters covered by the
+    * MOST COMMON n-gram (ties: highest char length — composite key
+    * cnt*1e6+len, identical in both engines), for n = 5..10 the
+    * fraction of characters covered by n-grams occurring more than
+    * once. All ten n values ride ONE explode (tagged structs) and one
+    * (doc, n, gram) map-side-combined groupBy; the two follow-up
+    * aggregations are doc-keyed and tiny. Zero driver state, no RNG —
+    * the shape a 100 TB quality-filter pass needs.
+    */
+  val textRepetition: Q = Q(
+    "text_repetition",
+    (s, dir) => {
+      val d = repetitionEnrich(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("t"),
+          greatest(length(col("t")), lit(1)).cast("long").as("n_chars"))
+      val tagged = d.select(col("doc_id"), col("n_chars"),
+        explode(concat((1 to 10).map(n =>
+          transform(graft.functions.GraftFunctions.wordNgrams(col("t"), n),
+            g => struct(lit(n).as("n"), g.as("gram")))): _*)).as("x"))
+      val counts = tagged
+        .groupBy(col("doc_id"), col("n_chars"),
+          col("x.n").as("n"), col("x.gram").as("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("clen", length(col("gram")).cast("long"))
+      val perN = counts.groupBy(col("doc_id"), col("n_chars"), col("n")).agg(
+        max_by(col("cnt") * col("clen"),
+          col("cnt") * lit(1000000L) + col("clen")).as("topchars"),
+        sum(when(col("cnt") > 1, col("cnt") * col("clen")).otherwise(lit(0L)))
+          .as("dupchars"))
+      val aggs =
+        (1 to 4).map(n => round(
+          coalesce(sum(when(col("n") === n, col("topchars"))), lit(0L))
+            .cast("double") / col("n_chars"), 6).as(s"top${n}_frac")) ++
+        (5 to 10).map(n => round(
+          coalesce(sum(when(col("n") === n, col("dupchars"))), lit(0L))
+            .cast("double") / col("n_chars"), 6).as(s"dup${n}_frac"))
+      perN.groupBy(col("doc_id"), col("n_chars"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id") +: ((1 to 4).map(n => col(s"top${n}_frac")) ++
+          (5 to 10).map(n => col(s"dup${n}_frac"))): _*)
+    },
+    Some("""
+      WITH e AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 3 THEN text || ' '
+                 || array_to_string(string_split(text, ' ')[1:8], ' ') || ' '
+                 || array_to_string(string_split(text, ' ')[1:8], ' ')
+               ELSE text END AS t
+        FROM documents),
+      d AS (
+        SELECT doc_id, greatest(length(t), 1) AS n_chars,
+               string_split(t, ' ') AS ws
+        FROM e),
+      g AS (
+        SELECT doc_id, n_chars, nn.n AS n,
+               array_to_string(ws[u.i:u.i+nn.n-1], ' ') AS gram
+        FROM d,
+             unnest([1,2,3,4,5,6,7,8,9,10]) AS nn(n),
+             unnest(CASE WHEN len(ws) < nn.n THEN []::BIGINT[]
+                    ELSE range(1, len(ws)-nn.n+2) END) AS u(i)),
+      c AS (
+        SELECT doc_id, n_chars, n, gram, count(*) AS cnt,
+               length(gram) AS clen
+        FROM g GROUP BY ALL),
+      p AS (
+        SELECT doc_id, n_chars, n,
+               max_by(cnt*clen, cnt*1000000+clen) AS topchars,
+               sum(CASE WHEN cnt > 1 THEN cnt*clen ELSE 0 END) AS dupchars
+        FROM c GROUP BY 1, 2, 3)
+      SELECT doc_id,
+             round(coalesce(sum(CASE WHEN n=1 THEN topchars END),0)::DOUBLE / n_chars, 6) AS top1_frac,
+             round(coalesce(sum(CASE WHEN n=2 THEN topchars END),0)::DOUBLE / n_chars, 6) AS top2_frac,
+             round(coalesce(sum(CASE WHEN n=3 THEN topchars END),0)::DOUBLE / n_chars, 6) AS top3_frac,
+             round(coalesce(sum(CASE WHEN n=4 THEN topchars END),0)::DOUBLE / n_chars, 6) AS top4_frac,
+             round(coalesce(sum(CASE WHEN n=5 THEN dupchars END),0)::DOUBLE / n_chars, 6) AS dup5_frac,
+             round(coalesce(sum(CASE WHEN n=6 THEN dupchars END),0)::DOUBLE / n_chars, 6) AS dup6_frac,
+             round(coalesce(sum(CASE WHEN n=7 THEN dupchars END),0)::DOUBLE / n_chars, 6) AS dup7_frac,
+             round(coalesce(sum(CASE WHEN n=8 THEN dupchars END),0)::DOUBLE / n_chars, 6) AS dup8_frac,
+             round(coalesce(sum(CASE WHEN n=9 THEN dupchars END),0)::DOUBLE / n_chars, 6) AS dup9_frac,
+             round(coalesce(sum(CASE WHEN n=10 THEN dupchars END),0)::DOUBLE / n_chars, 6) AS dup10_frac
+      FROM p GROUP BY doc_id, n_chars
+    """),
+  )
+
+  /** Cross-document duplicated-SPAN detection (the substring-level
+    * dedup signal of Lee et al. 2021, approximated at fixed span
+    * length): every 8-word span occurrence is checked against the set
+    * of spans appearing in MORE THAN ONE distinct document; per doc the
+    * query reports span count, duplicated-span count, and coverage
+    * fraction. The duplicated-span dictionary is built with one
+    * (gram)-keyed groupBy and FILTERED to nd > 1 before flowing back —
+    * at 100 TB the dictionary side is the duplicated tail only, joined
+    * hash-on-gram (balanced key), never all-pairs. Docs shorter than 8
+    * words report 0 spans via the left join from documents.
+    */
+  val textDedupSpans: Q = Q(
+    "text_dedup_spans",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val grams = d.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 8))
+          .as("g"))
+      val shared = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1)
+        .select(col("g"), lit(1).as("hit"))
+      val perDoc = grams.join(shared, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), count(col("hit")).as("dup_spans"))
+      d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          round(coalesce(col("dup_spans").cast("double") / col("n_spans"),
+            lit(0.0)), 6).as("dup_frac"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      gr AS (
+        SELECT doc_id, array_to_string(ws[u.i:u.i+7], ' ') AS g
+        FROM d, unnest(CASE WHEN len(ws) < 8 THEN []::BIGINT[]
+                       ELSE range(1, len(ws)-6) END) AS u(i)),
+      sh AS (
+        SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                       FROM gr GROUP BY g) WHERE nd > 1),
+      p AS (
+        SELECT gr.doc_id, count(*) AS n_spans, count(sh.g) AS dup_spans
+        FROM gr LEFT JOIN sh ON gr.g = sh.g GROUP BY 1)
+      SELECT d0.doc_id,
+             coalesce(p.n_spans, 0) AS n_spans,
+             coalesce(p.dup_spans, 0) AS dup_spans,
+             round(coalesce(p.dup_spans::DOUBLE / p.n_spans, 0), 6) AS dup_frac
+      FROM (SELECT doc_id FROM documents) d0 LEFT JOIN p USING (doc_id)
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
-    textTfidf, qBm25, textPii)
+    textTfidf, qBm25, textPii, textRepetition, textDedupSpans)
 }
