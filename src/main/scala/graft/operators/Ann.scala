@@ -93,11 +93,16 @@ object Ann {
     * state is bounded by nCells vectors.
     */
   def sampleCentroids(c: DataFrame, idCol: String, vecCol: String,
-                      nCells: Int): Array[Array[Double]] = {
+                      nCells: Int, rem: Long = 0L): Array[Array[Double]] = {
     val n = c.count()
     val step = math.max(1L, n / nCells)
     val sel = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
-    val centroids = c.where(pmod(sel, lit(step)) === 0)
+    // rem selects the md5-h16 residue class — rem=0 is the historical
+    // coarse-centroid selection; a NONZERO rem gives a deterministic
+    // sample DISJOINT from it (ivfPqTopK seeds its residual codebooks
+    // from rem=1: the rem=0 rows ARE the coarse centroids, so their
+    // residuals are exactly the zero vector — degenerate seeds)
+    val centroids = c.where(pmod(sel, lit(step)) === lit(rem))
       .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect().map(_.getSeq[Double](0).toArray)
     require(centroids.nonEmpty, "no centroids sampled")
@@ -289,6 +294,113 @@ object Ann {
       .select(col("qid"), col("sub"), col("code"), col("micro"))
     val w = Window.partitionBy(col("qid")).orderBy(col("ms"), col("id"))
     codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("micro")).as("ms"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("id").as("nn_id"),
+        round(col("ms") / lit(1e6), 6).as("adc_dist"), col("rank"))
+  }
+
+  /** IVF + PQ composed ANN — the production serving shape (faiss
+    * IndexIVFPQ): the coarse quantizer bounds COMPUTE (only nProbe of
+    * nCells cells are scored per query) and the residual product
+    * quantizer bounds BYTES (each corpus vector stores cell id + nSub
+    * code bytes; raw vectors are never touched at query time).
+    *
+    * Composition of the two already-oracled primitives, deterministic
+    * end to end: coarse centroids are the [[sampleCentroids]] md5-h16
+    * rows with [[graft.functions.TopCells]] cosine assignment (the
+    * knn_ivf semantics), the PQ trains on RESIDUALS v − centroid(cell)
+    * with the [[pqAdcTopK]] arithmetic (md5-seeded codebooks, one L2
+    * Lloyd step with (distance, code) tie order, exact decimal-sum
+    * means), and scoring joins the code table against a BROADCAST
+    * (query × probed-cell × sub × code) LUT — per-cell LUTs because the
+    * query residual differs per probed cell. Distances micro-quantize
+    * before the exact integer per-candidate sum (ExactAgg convention),
+    * so a second engine replays the full pipeline bit-for-bit.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                nSub: Int = 8, subDim: Int = 8, nCodes: Int = 16,
+                dims: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val v = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).repartition(par, col("id"))
+    val centroids = sampleCentroids(v, "id", "v", nCells)
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    def nearestCells(vec: Column, take: Int): Column =
+      graft.functions.GraftFunctions.topCells(vec, centroids, take)
+    // residual against the assigned cell's centroid: 64 codegen'd
+    // subtractions, IEEE-exact on both engines (no transcendentals)
+    def residual(vec: Column, cellCol: Column): Column = {
+      val cv = element_at(centLit, cellCol + lit(1))
+      array((0 until dims).map(d =>
+        element_at(vec, d + 1) - element_at(cv, d + 1)): _*)
+    }
+    val res = v
+      .withColumn("cell",
+        element_at(nearestCells(col("v"), 1), 1).getField("cell"))
+      .select(col("id"), col("cell"),
+        residual(col("v"), col("cell")).as("rv"))
+      .localCheckpoint()
+    // per-(vector, subspace) residual rows — the PQ training frame
+    val rsub = res.select(col("id"), col("cell"),
+        explode(array((0 until nSub).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col("rv"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("id"), col("cell"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .localCheckpoint()
+    // seed codebooks: the h16-sampled rem=1 rows' RESIDUALS, sliced per
+    // sub (rem=1: disjoint from the rem=0 coarse-centroid rows, whose
+    // residuals are exactly zero)
+    val seeds = sampleCentroids(res, "id", "rv", nCodes, rem = 1L)
+    val cb0 = seeds.zipWithIndex.flatMap { case (vec, code) =>
+      (0 until nSub).map(s =>
+        (s, code, vec.slice(s * subDim, (s + 1) * subDim).toSeq))
+    }.toSeq.toDF("sub", "code", "cv")
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2) * dot(a, b) + dot(b, b)
+    def assign(cb: DataFrame): DataFrame =
+      rsub.join(broadcast(cb), "sub")
+        .withColumn("d", d2(col("sv"), col("cv")))
+        .groupBy(col("id"), col("sub"))
+        .agg(min(struct(col("d"), col("code"))).as("m"))
+        .select(col("id"), col("sub"), col("m.code").as("code"))
+    val sums = (0 until subDim).map(d =>
+      sum(round(element_at(col("sv"), d + 1), 6).cast("decimal(18,6)")).as(s"s$d"))
+    val aggs = count(lit(1)).as("n") +: sums
+    val cb1 = assign(cb0).join(rsub.select("id", "sub", "sv"), Seq("id", "sub"))
+      .groupBy(col("sub"), col("code"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("sub"), col("code"),
+        array((0 until subDim).map(d =>
+          col(s"s$d").cast("double") / col("n")): _*).as("cv"))
+      .localCheckpoint()
+    // final code table keeps the cell: the ADC join is per probed cell
+    val codes = assign(cb1)
+      .join(res.select(col("id"), col("cell")), "id")
+    // query side: probe nProbe cells; one residual (and so one LUT
+    // block) PER probed cell
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe", explode(nearestCells(col("qv"), nProbe)))
+      .select(col("qid"), col("probe.cell").as("cell"),
+        residual(col("qv"), col("probe.cell")).as("rv"))
+    val qsub = q.select(col("qid"), col("cell"),
+        explode(array((0 until nSub).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col("rv"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("qid"), col("cell"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val lut = qsub.join(broadcast(cb1), "sub")
+      .withColumn("micro",
+        round(d2(col("sv"), col("cv")) * lit(1e6), 0).cast("long"))
+      .select(col("qid"), col("cell"), col("sub"), col("code"), col("micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ms"), col("id"))
+    codes.join(broadcast(lut), Seq("cell", "sub", "code"))
       .where(col("id") =!= col("qid"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("micro")).as("ms"))

@@ -605,6 +605,121 @@ object DedupQueries {
     """),
   )
 
+  // ---------------------------------------------------------------- §2.3/36e
+  /** IVF+PQ composed ANN ([[Ann.ivfPqTopK]], the faiss IndexIVFPQ
+    * shape): coarse md5-sampled centroids bound COMPUTE (nProbe/nCells
+    * of the corpus scored per query), residual PQ bounds BYTES (cell id
+    * + 8 code bytes per vector). The oracle composes the two
+    * already-proven replays — knn_ivf's centroid/assignment fragment
+    * and knn_pq's codebook-training fragment, retargeted at residuals
+    * v − centroid(cell), with per-probed-cell query LUTs (the query
+    * residual differs per cell). PQ seeds come from the md5-h16 rem=1
+    * residue class: the rem=0 rows ARE the coarse centroids, whose
+    * residuals are exactly zero.
+    */
+  val knnIvfPq: Q = Q(
+    "knn_ivfpq",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4, nSub = 8, subDim = 8, nCodes = 16)
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      h AS (SELECT id, v, md5(id::VARCHAR) AS hx FROM e),
+      sel AS (SELECT id, v, ${OracleExact.h16Sql("hx")} AS h16 FROM h),
+      stp AS (SELECT greatest(1, (SELECT count(*) FROM e) // 16) AS step),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+        FROM sel CROSS JOIN stp
+        WHERE h16 % step = 0
+        ORDER BY id LIMIT 16),
+      cc AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+      n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      scores AS (
+        SELECT n.id, cc.cell,
+               list_dot_product(n.v, cc.cv) / (n.nrm * cc.cnrm) AS s
+        FROM n CROSS JOIN cc),
+      assigned AS (
+        SELECT id, cell FROM (
+          SELECT id, cell,
+                 row_number() OVER (PARTITION BY id ORDER BY s DESC, cell DESC) AS rn
+          FROM scores) WHERE rn = 1),
+      res AS (
+        SELECT a.id, a.cell,
+               list_transform(range(1, 65), i -> n.v[i] - cc.cv[i]) AS rv
+        FROM assigned a JOIN n ON a.id = n.id JOIN cc ON a.cell = cc.cell),
+      seed AS (
+        SELECT row_number() OVER (ORDER BY r.id) - 1 AS code, r.rv AS v
+        FROM res r JOIN sel ON r.id = sel.id CROSS JOIN stp
+        WHERE sel.h16 % step = 1
+        ORDER BY r.id LIMIT 16),
+      sub AS (SELECT i AS sub FROM range(8) t(i)),
+      cb0 AS (SELECT sub, code, v[(sub*8+1):(sub*8+8)] AS cv
+              FROM seed CROSS JOIN sub),
+      rsub AS (SELECT id, cell, sub, rv[(sub*8+1):(sub*8+8)] AS sv
+               FROM res CROSS JOIN sub),
+      d0 AS (
+        SELECT rsub.id, rsub.sub, cb0.code,
+               list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                 + list_dot_product(cv, cv) AS d
+        FROM rsub JOIN cb0 ON rsub.sub = cb0.sub),
+      a0 AS (SELECT id, sub, code FROM (
+               SELECT id, sub, code,
+                      row_number() OVER (PARTITION BY id, sub
+                                         ORDER BY d, code) AS rn
+               FROM d0) WHERE rn = 1),
+      cb1c AS (
+        SELECT a0.sub, a0.code, d.d,
+               sum(round(r2.sv[d.d + 1], 6)::DECIMAL(18,6))::DOUBLE
+                 / count(*) AS m
+        FROM a0 JOIN rsub r2 USING (id, sub), range(8) d(d)
+        GROUP BY a0.sub, a0.code, d.d),
+      cb1 AS (SELECT sub, code, list(m ORDER BY d) AS cv
+              FROM cb1c GROUP BY sub, code),
+      d1 AS (
+        SELECT rsub.id, rsub.sub, cb1.code,
+               list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                 + list_dot_product(cv, cv) AS d
+        FROM rsub JOIN cb1 ON rsub.sub = cb1.sub),
+      codes AS (SELECT c.id, a.cell, c.sub, c.code FROM (
+                  SELECT id, sub, code,
+                         row_number() OVER (PARTITION BY id, sub
+                                            ORDER BY d, code) AS rn
+                  FROM d1) c JOIN assigned a ON c.id = a.id
+                WHERE c.rn = 1),
+      probes AS (
+        SELECT id AS qid, cell FROM (
+          SELECT id, cell,
+                 row_number() OVER (PARTITION BY id ORDER BY s DESC, cell DESC) AS rn
+          FROM scores WHERE id < 5) WHERE rn <= 4),
+      qres AS (
+        SELECT p.qid, p.cell,
+               list_transform(range(1, 65), i -> n.v[i] - cc.cv[i]) AS rv
+        FROM probes p JOIN n ON p.qid = n.id JOIN cc ON p.cell = cc.cell),
+      qsub AS (SELECT qid, cell, sub, rv[(sub*8+1):(sub*8+8)] AS sv
+               FROM qres CROSS JOIN sub),
+      lut AS (
+        SELECT qsub.qid, qsub.cell, cb1.sub, cb1.code,
+               round((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+                      + list_dot_product(cv, cv)) * 1e6)::BIGINT AS micro
+        FROM qsub JOIN cb1 ON qsub.sub = cb1.sub),
+      adc AS (
+        SELECT lut.qid, codes.id, sum(micro) AS ms
+        FROM codes JOIN lut ON codes.cell = lut.cell
+                           AND codes.sub = lut.sub AND codes.code = lut.code
+        WHERE codes.id <> lut.qid
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, id, ms,
+               row_number() OVER (PARTITION BY qid ORDER BY ms, id) AS rank
+        FROM adc)
+      SELECT qid AS query_id, id AS nn_id,
+             round(ms / 1e6, 6) AS adc_dist, rank
+      FROM ranked WHERE rank <= 5
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.3/36f
   /** Int8 affine embedding quantization report
     * ([[graft.operators.Quantize.int8Report]]): per-dim min/max fit,
@@ -739,6 +854,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
-    knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned, knnPq,
+    knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned, knnPq, knnIvfPq,
     vectorQuantize, pcaGram, pcaPower)
 }

@@ -580,7 +580,50 @@ object RelationalQueries {
     """),
   )
 
+  /** Incremental materialized-aggregate maintenance: a stored keyed
+    * snapshot (events before a cutoff) merges with a new partition's
+    * PARTIAL aggregates instead of recomputing from scratch — counts
+    * merge by addition, sums by EXACT decimal addition (the partial
+    * state stays decimal(28,6); only the merged result casts to
+    * double, so merge order cannot drift from a full recompute), max
+    * by max. The oracle IS the full recompute over all events —
+    * passing proves snapshot+delta ≡ from-scratch, which is the whole
+    * point of the operator: at 100 TB a daily partition merges into a
+    * key-bucketed snapshot in O(delta + touched keys), never O(history).
+    * The cutoff (min + 4/5 of the ts range) is exact integer-ns
+    * arithmetic from a fit-boundary two-long collect.
+    */
+  val qAggIncremental: Q = Q(
+    "q_agg_incremental",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val mm = e.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 5 * 4
+      def partial(f: org.apache.spark.sql.DataFrame) =
+        f.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).as("d"),
+          max(col("ts")).as("mx"))
+      val snap = partial(e.where(col("ts") < cut))
+      val delta = partial(e.where(col("ts") >= cut))
+      snap.unionAll(delta).groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("d")).as("d"),
+          max(col("mx")).as("mx"))
+        .select(col("user_id"), col("n"),
+          col("d").cast("double").as("sum_v"),
+          // µs truncation for hash parity with DuckDB timestamp reads
+          expr("mx div 1000 * 1000").as("max_ts_ns"))
+    },
+    Some(s"""
+      SELECT user_id, count(*) AS n,
+             ${OracleExact.decSumSql("value")} AS sum_v,
+             max(epoch_ns(ts)) // 1000 * 1000 AS max_ts_ns
+      FROM events GROUP BY user_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
-    qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2)
+    qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental)
 }

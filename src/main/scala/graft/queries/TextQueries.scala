@@ -916,8 +916,76 @@ object TextQueries {
     """),
   )
 
+  /** PMI-scored collocation mining: top-20 bigrams by pointwise mutual
+    * information ln(P(w1w2) / (P(w1)·P(w2))) with a min-count-5 floor —
+    * the corpus-analysis primitive behind phrase detection
+    * (word2vec-style phrase merging). Totals T (tokens) and B (bigram
+    * occurrences) are fit-boundary scalars (two 1-row aggregates, the
+    * bm25 N/avgdl convention); the PMI ratio multiplies in the
+    * identical left-associated order on both engines, so the single ln
+    * call rides engine-identical doubles (1-ulp ln drift survives 6-dp
+    * rounding — the tfidf convention). The final top-20 plans as
+    * TakeOrderedAndProject over (rounded pmi desc, bigram): per-
+    * partition partial top-k, no global sort. At 100 TB the integer
+    * products (c12·T²) exceed int64 — the ln-difference form
+    * (ln c12 + 2 ln T − ln B − ln c1 − ln c2) is the documented scale
+    * variant; the ratio form is kept here because it is exact in the
+    * test domain and keeps the oracle to ONE transcendental call.
+    */
+  val textPmi: Q = Q(
+    "text_pmi",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(lower(col("text")).as("t"))
+      val uni = d.select(explode(split(col("t"), " ", -1)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bi = d.select(
+          explode(graft.functions.GraftFunctions.wordNgrams(col("t"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c12"))
+      val tt = uni.agg(sum(col("c"))).head().getLong(0)
+      val bb = bi.agg(sum(col("c12"))).head().getLong(0)
+      bi.where(col("c12") >= 5)
+        .withColumn("w1", element_at(split(col("g"), " ", -1), 1))
+        .withColumn("w2", element_at(split(col("g"), " ", -1), 2))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .withColumn("pmi", round(log(
+          (col("c12").cast("double") * lit(tt.toDouble) * lit(tt.toDouble)) /
+            (lit(bb.toDouble) * col("c1") * col("c2"))), 6))
+        .orderBy(col("pmi").desc, col("g"))
+        .limit(20)
+        .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+    },
+    Some("""
+      WITH d AS (SELECT lower(text) AS t FROM documents),
+      w AS (SELECT unnest(string_split(t, ' ')) AS w FROM d),
+      uni AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      sp AS (SELECT string_split(t, ' ') AS ws FROM d),
+      bi AS (
+        SELECT array_to_string(ws[u.i:u.i+1], ' ') AS g
+        FROM sp, unnest(CASE WHEN len(ws) < 2 THEN []::BIGINT[]
+                        ELSE range(1, len(ws)) END) AS u(i)),
+      bic AS (SELECT g, count(*) AS c12 FROM bi GROUP BY g),
+      tt AS (SELECT sum(c) AS t FROM uni),
+      bb AS (SELECT sum(c12) AS b FROM bic),
+      sc AS (
+        SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+               g, c12
+        FROM bic WHERE c12 >= 5),
+      j AS (
+        SELECT sc.w1, sc.w2, sc.g, sc.c12, u1.c AS c1, u2.c AS c2
+        FROM sc JOIN uni u1 ON sc.w1 = u1.w JOIN uni u2 ON sc.w2 = u2.w),
+      p AS (
+        SELECT w1, w2, g, c12,
+               round(ln((c12::DOUBLE * (SELECT t FROM tt) * (SELECT t FROM tt)) /
+                        ((SELECT b FROM bb)::DOUBLE * c1 * c2)), 6) AS pmi
+        FROM j)
+      SELECT w1, w2, c12, pmi
+      FROM p ORDER BY pmi DESC, g LIMIT 20
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
-    textTfidf, qBm25, textPii, textRepetition, textDedupSpans)
+    textTfidf, qBm25, textPii, textRepetition, textDedupSpans, textPmi)
 }

@@ -1285,7 +1285,54 @@ object TsQueries {
     """),
   )
 
+  /** CUSUM changepoint detection per series: the split point
+    * maximizing |S_i − (i/n)·S_n| over the ts-ordered prefix sums —
+    * the classic offline single-changepoint statistic (Page's CUSUM /
+    * binary-segmentation step). The argmax comparison runs ENTIRELY in
+    * exact int64: values micro-quantize (round(v·1e6), the ExactAgg
+    * convention), and the statistic compares the integer numerator
+    * N_i = |n·S_i − i·S_n| (the ×n-scaled deviation) so no float tie
+    * can flip the winner between engines (ties → smallest i). One hash
+    * Exchange on user_id: both windows and the rank share the
+    * partition key. Magnitude bound: n·S_i ≤ 99 · 5.5e10 ≈ 5.5e12 at
+    * sf0.1 — far inside int64; a 100 TB run with ≫1e6-point series
+    * would shift to the decimal(38) twin of the same formula. Series
+    * need n ≥ 2 (no interior split exists otherwise).
+    */
+  val tsChangepoint: Q = Q(
+    "ts_changepoint",
+    (s, dir) => graft.operators.Changepoint.cusum(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", "value"),
+    Some("""
+      WITH s AS (
+        SELECT user_id, epoch_ns(ts) AS tsn,
+               round(value * 1000000)::BIGINT AS mu
+        FROM events),
+      c AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY tsn) AS i,
+               sum(mu) OVER (PARTITION BY user_id ORDER BY tsn
+                             ROWS UNBOUNDED PRECEDING) AS s_i,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               sum(mu) OVER (PARTITION BY user_id) AS s_n
+        FROM s),
+      d AS (
+        SELECT user_id, i, n, abs(n * s_i - i * s_n) AS nd
+        FROM c WHERE i < n),
+      r AS (
+        SELECT user_id, n, i, nd,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY nd DESC, i) AS rn
+        FROM d)
+      SELECT user_id, n, i AS cp_index,
+             round(nd::DOUBLE / (n * 1000000), 6) AS cusum
+      FROM r WHERE rn = 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
-    tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma)
+    tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
+    tsChangepoint)
 }

@@ -120,4 +120,39 @@ class AnnSpec extends SparkSpec {
     assert(out(0).getDouble(2) == twinRow.get.getDouble(2),
       "rank-1 distance differs from the exact twin's")
   }
+
+  test("ivfpq: output shape, self-exclusion, determinism") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where($"vec_id" < 3)
+    val out = Ann.ivfPqTopK(e, q, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length == 15) // 3 queries x 5 (probed cells hold >= 5)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ds = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    val again = Ann.ivfPqTopK(e, q, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("ivfpq ranks an exact duplicate vector at the minimum distance") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables.embeddings(spark, sf)
+    // an exact twin shares the query's cell assignment AND codes; its
+    // per-sub code minimizes the distance to the query residual, so its
+    // ADC sum is the achievable minimum over the probed cells
+    val twin = e.where(col("vec_id") === 0)
+      .select((col("vec_id") + lit(900000L)).as("vec_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding")).unionAll(twin)
+    val out = Ann.ivfPqTopK(corpus, corpus.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    val twinRow = out.find(_.getLong(1) == 900000L)
+    assert(twinRow.isDefined,
+      s"twin missing from top-3: ${out.map(_.toString).mkString(", ")}")
+    assert(out(0).getDouble(2) == twinRow.get.getDouble(2),
+      "rank-1 distance differs from the exact twin's")
+  }
 }

@@ -237,4 +237,36 @@ class TsAdvancedSpec extends SparkSpec {
       Seq("ts"), "value").collect()(0)
     for (i <- 1 to 5) assert(out.isNullAt(i))
   }
+
+  // ---------------------------------------------------------- changepoint
+
+  test("cusum changepoint lands exactly on a planted step") {
+    // 30 points at 1.0 then 30 at 5.0: D_i = |S_i - (i/n)S_n| peaks at
+    // the last pre-step index (i = 30), magnitude n*|1 - mean|*30/n
+    val xs = Array.fill(30)(1.0) ++ Array.fill(30)(5.0)
+    val out = graft.operators.Changepoint.cusum(
+      toSeriesDF(xs), "user_id", "ts", "value").collect()(0)
+    assert(out.getLong(1) == 60L)
+    assert(out.getInt(2) == 30, s"cp_index ${out.getInt(2)}")
+    // S_30 = 30, S_60 = 180 -> |S_30 - 30/60*180| = 60
+    assert(math.abs(out.getDouble(3) - 60.0) < 1e-9)
+  }
+
+  test("cusum changepoint on a constant series reports zero magnitude") {
+    val out = graft.operators.Changepoint.cusum(
+      toSeriesDF(Array.fill(20)(2.5)), "user_id", "ts", "value").collect()(0)
+    // every split ties at N_i = 0 -> smallest i wins
+    assert(out.getInt(2) == 1)
+    assert(out.getDouble(3) == 0.0)
+  }
+
+  test("cusum changepoint is invariant to input partitioning") {
+    val xs = lcgSeries(101)
+    val df1 = toSeriesDF(xs)
+    val a = graft.operators.Changepoint.cusum(df1, "user_id", "ts", "value")
+      .collect()(0)
+    val b = graft.operators.Changepoint.cusum(df1.repartition(7), "user_id",
+      "ts", "value").collect()(0)
+    assert(a.toString == b.toString)
+  }
 }
