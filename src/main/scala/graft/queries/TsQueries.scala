@@ -1331,8 +1331,90 @@ object TsQueries {
     """),
   )
 
+  /** Classical additive seasonal decomposition of each series' daily
+    * totals (statsmodels `seasonal_decompose` analog, period 7 over
+    * the observation index — see [[graft.operators.Decompose.seasonal]]
+    * for the semantics and the exact-integer plumbing that lets the
+    * oracle replay every value).
+    */
+  val tsDecompose: Q = Q(
+    "ts_decompose",
+    (s, dir) => graft.operators.Decompose.seasonal(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", "value", period = 7),
+    Some("""
+      WITH daily AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS bucket,
+               sum(round(value * 1000000)::BIGINT)::BIGINT AS dm
+        FROM events GROUP BY 1, 2),
+      i AS (
+        SELECT user_id, bucket, dm,
+               row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS idx,
+               sum(dm) OVER ctr AS t_num,
+               count(*) OVER ctr AS t_cnt
+        FROM daily
+        WINDOW ctr AS (PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      d AS (
+        SELECT *, (idx - 1) % 7 AS phase,
+               CASE WHEN t_cnt = 7 THEN 7 * dm - t_num END AS d7
+        FROM i),
+      p AS (
+        SELECT user_id, phase,
+               round(sum(d7) / (count(d7) * 7.0))::BIGINT AS sq
+        FROM d WHERE d7 IS NOT NULL GROUP BY 1, 2),
+      sn AS (
+        SELECT user_id, phase,
+               sq - sum(sq) OVER (PARTITION BY user_id) / 7.0 AS seas_m
+        FROM p)
+      SELECT d.user_id, d.bucket,
+             round(d.dm / 1e6, 6) AS y_sum,
+             CASE WHEN d.t_cnt = 7 THEN round(d.t_num / 7.0 / 1e6, 6) END AS trend,
+             round(sn.seas_m / 1e6, 6) AS seasonal,
+             CASE WHEN d.t_cnt = 7 AND sn.seas_m IS NOT NULL
+                  THEN round((d.dm - d.t_num / 7.0 - sn.seas_m) / 1e6, 6) END AS resid
+      FROM d LEFT JOIN sn ON d.user_id = sn.user_id AND d.phase = sn.phase
+    """),
+  )
+
+  /** Rolling z-score anomaly flags (one-step-ahead surprise vs the 20
+    * preceding events, |z| > 3, min 8 history rows) — see
+    * [[graft.operators.Decompose.rollingZ]]. The 3-dp value
+    * quantization is the documented contract that keeps the window's
+    * Σm/Σm² in exact int64 and the oracle value-level.
+    */
+  val tsAnomaly: Q = Q(
+    "ts_anomaly",
+    (s, dir) => graft.operators.Decompose.rollingZ(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", "value", window = 20, minN = 8, threshold = 3.0),
+    Some("""
+      WITH s AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, value,
+               round(value * 1000)::BIGINT AS m
+        FROM events),
+      w AS (
+        SELECT user_id, tsn, value, m,
+               sum(m) OVER pre AS sw,
+               sum(m * m) OVER pre AS qw,
+               count(*) OVER pre AS n
+        FROM s
+        WINDOW pre AS (PARTITION BY user_id ORDER BY tsn
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      z0 AS (
+        SELECT user_id, tsn, value,
+               CASE WHEN n >= 8 AND n * qw - sw * sw > 0
+                    THEN (n * m - sw) / sqrt((n * qw - sw * sw)::DOUBLE) END AS zr
+        FROM w)
+      SELECT user_id, tsn AS ts, round(value, 6) AS value,
+             round(zr, 6) AS z,
+             CASE WHEN zr IS NOT NULL THEN (abs(zr) > 3.0)::INT END AS is_anomaly
+      FROM z0
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
-    tsChangepoint)
+    tsChangepoint, tsDecompose, tsAnomaly)
 }
