@@ -81,4 +81,35 @@ object Sampling {
     }
     df.where(hashBucket(col(idCol)) < thr)
   }
+
+  /** Deterministic weighted sampling without replacement per stratum —
+    * the Efraimidis–Spirakis A-ES scheme (exponential keys): each row
+    * draws u = (md5-h16(id)+1)/65537 ∈ (0,1) and the k rows with the
+    * SMALLEST −ln(u)/w win, which yields exactly the
+    * probability-proportional-to-weight without-replacement draw.
+    * md5 replaces the RNG, so the sample is stable under any
+    * partitioning/re-run and an external engine replays the exact
+    * selection. The key micro-quantizes to 6 dp with an id tie-break
+    * before ranking — a 1-ulp ln() divergence between engines can
+    * flip the winner only if a key lands within ~1e-10 of a rounding
+    * midpoint AND at the rank-k boundary (vanishing; the documented
+    * quantization contract, same as BM25's micro-quantized scores).
+    *
+    * Scale: ONE hash Exchange on the stratum key + a per-stratum
+    * TOP-K rank. At extreme per-stratum row counts, swap the exact
+    * rank for a key THRESHOLD (keep iff key < k'th-order-statistic
+    * estimate) like [[balanceClassesThreshold]] does for class
+    * balance — same distribution, approximate size, no sort.
+    */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") + lit(1.0)) / lit(65537.0)
+    val key = round(-log(u) / col(weightCol) * lit(1e6), 0).cast("long")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("__key")
+  }
 }

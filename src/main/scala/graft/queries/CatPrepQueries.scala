@@ -348,8 +348,47 @@ object CatPrepQueries {
     """),
   )
 
+  /** Hashing-trick categorical encoder (sklearn `FeatureHasher`
+    * analog, n_features=64): each "col=value" token hashes to a
+    * bucket (md5-h16 % 64) with a ±1 sign from an independent md5
+    * nibble (collision debiasing, the FeatureHasher
+    * `alternate_sign` semantic); per-row bucket values are the
+    * signed sums, emitted in sparse long format. Unlike one-hot, the
+    * output width is FIXED at any cardinality — the encoder a 100 TB
+    * pipeline uses when the vocabulary is unbounded: no fit pass, no
+    * dictionary state, pure narrow expressions + one
+    * map-side-combined groupBy on (row, bucket).
+    */
+  val featureHash: Q = Q(
+    "feature_hash",
+    (s, dir) => {
+      val toks = Tables.customer(s, dir).select(col("c_custkey"),
+        explode(array(
+          concat(lit("c_mktsegment="), col("c_mktsegment")),
+          concat(lit("c_nationkey="), col("c_nationkey").cast("string")))).as("tok"))
+      val hx = md5(col("tok"))
+      toks.select(col("c_custkey"),
+          (conv(substring(hx, 1, 4), 16, 10).cast("long") % 64).as("bucket"),
+          when(conv(substring(hx, 5, 1), 16, 10).cast("long") % 2 === 0, lit(1))
+            .otherwise(lit(-1)).as("sign"))
+        .groupBy(col("c_custkey"), col("bucket"))
+        .agg(sum(col("sign")).as("val"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT c_custkey, unnest(['c_mktsegment=' || c_mktsegment,
+                                  'c_nationkey=' || c_nationkey::VARCHAR]) AS tok
+        FROM customer),
+      h AS (SELECT c_custkey, md5(tok) AS hx FROM t)
+      SELECT c_custkey, ${OracleExact.h16Sql("hx")} % 64 AS bucket,
+             sum(CASE WHEN (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) % 2 = 0
+                      THEN 1 ELSE -1 END)::BIGINT AS val
+      FROM h GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] = Seq(inferTypes, selectFeatures, shrinkLabels, oneHot,
     oneHotRoundtrip, labelEncode, targetMeanEncode, targetRegression,
     datetimeEpoch, datetimeInfer, datetimeInterpolate, boolToInt,
-    freqEncode)
+    freqEncode, featureHash)
 }

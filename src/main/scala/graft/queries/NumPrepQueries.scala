@@ -424,8 +424,32 @@ object NumPrepQueries {
     )
   }
 
+  /** Winsorized clipping at the fitted [p05, p95] (scipy
+    * `mstats.winsorize` / "clip outliers before scaling" analog):
+    * the quantile fit rides the same exact-percentile path as every
+    * scaler fit (sketch-mode available at 100 TB via
+    * [[QuantileFitMode]]); the transform is a pure two-sided clamp,
+    * codegen-friendly, no shuffle beyond the fit.
+    */
+  val scaleWinsorize: Q = Q(
+    "scale_winsorize",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      val st = NumericalTransformer.fit(df, Seq("v"), quantileProbs = Seq(0.05, 0.95))("v")
+      val (lo, hi) = (st.quantiles.head, st.quantiles(1))
+      df.select(col("c_custkey"),
+        round(least(greatest(col("v"), lit(lo)), lit(hi)), 6).as("wins"))
+    },
+    Some("""
+      WITH q AS (SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+                        quantile_cont(c_acctbal, 0.95) AS hi FROM customer)
+      SELECT c_custkey, round(least(greatest(c_acctbal, lo), hi), 6) AS wins
+      FROM customer, q
+    """),
+  )
+
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
     scaleRobust, scaleMaxAbs, scaleQuantileUniform, scaleQuantileNormal,
-    scaleKBins, scaleKBinsSketch, scalePower)
+    scaleKBins, scaleKBinsSketch, scalePower, scaleWinsorize)
 }

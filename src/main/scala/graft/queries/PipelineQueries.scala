@@ -291,6 +291,44 @@ object PipelineQueries {
     )
   }
 
+  /** Equi-width numeric histogram (k=20) — the profiler's
+    * distribution-shape companion: min/max fit in the same pass
+    * shape as NumericalTransformer (exact, order-free), then one
+    * map-side-combined groupBy over k bins. The bin expression is
+    * identical double arithmetic in both engines (exact min/max in,
+    * same op order), so bin assignment is bit-deterministic; the top
+    * edge closes into the last bin (x = max → bin k−1).
+    */
+  val qHistogram: Q = Q(
+    "q_histogram",
+    (s, dir) => {
+      val k = 20
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+      val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      li.crossJoin(broadcast(mm))
+        .select(
+          least(floor((col("x") - col("mn")) * lit(k.toDouble) / (col("mx") - col("mn"))),
+            lit((k - 1).toDouble)).cast("int").as("bin"),
+          col("mn"), col("mx"))
+        .groupBy(col("bin"), col("mn"), col("mx"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("bin"),
+          round(col("mn") + col("bin") * (col("mx") - col("mn")) / lit(k.toDouble), 6).as("lo"),
+          round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / lit(k.toDouble), 6).as("hi"),
+          col("cnt"))
+    },
+    Some("""
+      WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+      b AS (SELECT least(floor((l_extendedprice - mn) * 20.0 / (mx - mn)), 19.0)::INT AS bin, mn, mx
+            FROM lineitem, mm)
+      SELECT bin,
+             round(mn + bin * (mx - mn) / 20.0, 6) AS lo,
+             round(mn + (bin + 1) * (mx - mn) / 20.0, 6) AS hi,
+             count(*) AS cnt
+      FROM b GROUP BY bin, mn, mx
+    """),
+  )
+
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
-    qQuantileSketch, qHllDistinct)
+    qQuantileSketch, qHllDistinct, qHistogram)
 }

@@ -623,7 +623,34 @@ object RelationalQueries {
     """),
   )
 
+  /** Deterministic weighted sampling without replacement (A-ES
+    * exponential keys, [[graft.operators.Sampling.weightedSample]]):
+    * top-5 probability-proportional-to-acctbal customers per nation.
+    * md5 replaces the RNG so the oracle replays the exact draw.
+    */
+  val qWeightedSample: Q = Q(
+    "q_weighted_sample",
+    (s, dir) => graft.operators.Sampling.weightedSample(
+      Tables.customer(s, dir).select(col("c_nationkey"), col("c_custkey"),
+        (col("c_acctbal") + lit(1000.0)).as("w")),
+      "c_nationkey", "c_custkey", "w", k = 5)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"),
+        round(col("w"), 6).as("w")),
+    Some(s"""
+      WITH h AS (
+        SELECT c_nationkey, c_custkey, c_acctbal + 1000.0 AS w,
+               round(-ln((${OracleExact.h16Sql("md5(c_custkey::VARCHAR)")} + 1.0) / 65537.0)
+                     / (c_acctbal + 1000.0) * 1e6)::BIGINT AS key
+        FROM customer),
+      r AS (SELECT c_nationkey, c_custkey, w,
+                   row_number() OVER (PARTITION BY c_nationkey ORDER BY key, c_custkey) AS rk
+            FROM h)
+      SELECT c_nationkey, rk, c_custkey, round(w, 6) AS w FROM r WHERE rk <= 5
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
-    qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental)
+    qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
+    qWeightedSample)
 }
