@@ -1331,6 +1331,54 @@ object TsFeatures {
     }
   }
 
+  /** Holt's linear-trend exponential smoothing per series
+    * (statsmodels `Holt(...).fit(smoothing_level=α,
+    * smoothing_trend=β)` analog with the zero-initial-trend
+    * convention l₁ = x₁, b₁ = 0):
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * Like [[ewma]], the recursion is sequential per series AND must
+    * land on identical 6-dp output in both engines, so the fold runs
+    * in exact integer micro-units with rational α = alphaNum/den,
+    * β = betaNum/den and half-up division at each step — replayed
+    * bit-exactly by a two-accumulator recursive CTE. Same
+    * one-shuffle GroupedApply contract; per-step quantization error
+    * ≤ 5e-7 and contracting, as in the ewma analysis.
+    */
+  def holt(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+           valueCol: String, alphaNum: Long = 3, betaNum: Long = 1,
+           den: Long = 10): DataFrame = {
+    require(den > 0 && alphaNum > 0 && alphaNum <= den && betaNum > 0 && betaNum <= den,
+      s"holt needs 0 < alphaNum,betaNum <= den, got $alphaNum,$betaNum/$den")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val oIdx = in.schema.fieldIndex(orderCols.head)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      in.schema(oIdx), StructField("value", DoubleType),
+      StructField("level", DoubleType), StructField("trend", DoubleType)))
+    def micro(v: Double): Long =
+      BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def halfUpDiv(s: Long, d: Long): Long =
+      if (s >= 0) (s + d / 2) / d else -((-s + d / 2) / d)
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      var lm = 0L
+      var bm = 0L
+      var first = true
+      it.map { r =>
+        val x = r.getDouble(vIdx)
+        if (first) { first = false; lm = micro(x); bm = 0L }
+        else {
+          val lPrev = lm
+          lm = halfUpDiv(alphaNum * micro(x) + (den - alphaNum) * (lPrev + bm), den)
+          bm = halfUpDiv(betaNum * (lm - lPrev) + (den - betaNum) * bm, den)
+        }
+        org.apache.spark.sql.Row(key.get(0), r.get(oIdx), x, lm / 1e6, bm / 1e6)
+      }
+    }
+  }
+
   def adf(df: DataFrame, seriesKey: String, orderCols: Seq[String],
           valueCol: String, lag: Int = 1): DataFrame = {
     require(lag >= 0, s"adf lag must be >= 0, got $lag")

@@ -356,6 +356,73 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Runtime bloom-filter join (Catalyst `InjectRuntimeFilter`): the
+    * selective dimension-side predicate (`o_orderpriority='1-URGENT'`,
+    * ~20% of orders) builds a bloom filter that is pushed into the
+    * FACT side's scan as `bloom_filter_might_contain(l_orderkey)`, so
+    * most lineitem rows die before the shuffle — the shuffle-join
+    * analog of DPP, and the mechanism that matters when BOTH sides
+    * are too big to broadcast at 100 TB. The size thresholds are
+    * tuned for real clusters (probe ≥ 10 GB by default); the query
+    * lowers them to exercise the injection at test SF — the PLAN is
+    * the product here (ScaleOpsSpec asserts the might_contain
+    * predicate and result equality with the filter off), the result
+    * itself is an ordinary oracled join-agg.
+    */
+  /** Builds the bloom-join frame under the CURRENT session confs —
+    * the spec drives this directly to assert the injected
+    * `bloom_filter_might_contain` predicate in the executed plan.
+    */
+  def bloomJoinFrame(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val urgent = Tables.orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+    Tables.lineitem(s, dir).hint("merge")
+      .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+      .select(col("o_orderpriority"), col("n"), round(col("sum_qty"), 6).as("sum_qty"))
+  }
+
+  /** The bloom-filter confs are session-global and the injection rule
+    * reads them at OPTIMIZATION time (i.e. when the caller finally
+    * executes a lazy frame) — so the query executes eagerly inside a
+    * set/restore scope and returns the materialized 1-row result.
+    * Leaving the lowered thresholds set would silently inject bloom
+    * filters into every later query optimized in the same session.
+    */
+  val qBloomJoin: Q = Q(
+    "q_bloom_join",
+    (s, dir) => {
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        // the injection rule skips joins it expects to broadcast
+        // (isProbablyShuffleJoin); at 100 TB neither side broadcasts,
+        // which is exactly the regime bloom joins exist for — simulate
+        // it by disabling size-based broadcast inside the scope
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "-1")
+      try {
+        val df = bloomJoinFrame(s, dir)
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(l_quantity::DECIMAL(18,6))::DOUBLE, 6) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAggSalted, qRangeJoin,
-    qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport, qZorder)
+    qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport, qZorder, qBloomJoin)
 }

@@ -1285,6 +1285,48 @@ object TsQueries {
     """),
   )
 
+  /** Holt's linear-trend smoothing (α=0.3, β=0.1, zero-initial-trend
+    * convention) — the two-accumulator sibling of `ts_ewma`: exact
+    * integer micro-unit recursion in GroupedApply, replayed
+    * bit-exactly by a two-column recursive CTE (see
+    * [[graft.operators.TsFeatures.holt]]).
+    */
+  val tsHolt: Q = Q(
+    "ts_holt",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.TsFeatures.holt(e, "user_id", Seq("ts"), "value",
+          alphaNum = 3, betaNum = 1, den = 10)
+        .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"),
+          round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"))
+    },
+    Some("""
+      WITH RECURSIVE s AS (
+        SELECT user_id, epoch_ns(ts) AS ts, value,
+               round(value * 1e6)::BIGINT AS xm,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS rn
+        FROM events),
+      rec(user_id, rn, ts, value, lm, bm) AS (
+        SELECT user_id, rn, ts, value, xm, 0::BIGINT FROM s WHERE rn = 1
+        UNION ALL
+        SELECT user_id, rn, ts, value, lm_new,
+               CASE WHEN 1 * (lm_new - lm_old) + 9 * bm_old >= 0
+                    THEN (1 * (lm_new - lm_old) + 9 * bm_old + 5) // 10
+                    ELSE -((-(1 * (lm_new - lm_old) + 9 * bm_old) + 5) // 10) END
+        FROM (
+          SELECT s.user_id, s.rn, s.ts, s.value, r.lm AS lm_old, r.bm AS bm_old,
+                 CASE WHEN 3 * s.xm + 7 * (r.lm + r.bm) >= 0
+                      THEN (3 * s.xm + 7 * (r.lm + r.bm) + 5) // 10
+                      ELSE -((-(3 * s.xm + 7 * (r.lm + r.bm)) + 5) // 10) END AS lm_new
+          FROM s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1))
+      SELECT user_id, ts, round(value, 6) AS value,
+             round(lm / 1e6, 6) AS level, round(bm / 1e6, 6) AS trend
+      FROM rec
+    """),
+  )
+
   /** CUSUM changepoint detection per series: the split point
     * maximizing |S_i − (i/n)·S_n| over the ts-ordered prefix sums —
     * the classic offline single-changepoint statistic (Page's CUSUM /
@@ -1416,5 +1458,5 @@ object TsQueries {
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
-    tsChangepoint, tsDecompose, tsAnomaly)
+    tsChangepoint, tsDecompose, tsAnomaly, tsHolt)
 }

@@ -178,4 +178,32 @@ class ScaleOpsSpec extends SparkSpec {
       .agg(min("n")).head().getLong(0)
     assert(buckets > 32, s"expected keys spread over >32 salt buckets, got $buckets")
   }
+
+  test("runtime bloom filter is injected into the fact-side scan and preserves results") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      val j = graft.queries.ScaleOpsQueries.bloomJoinFrame(spark, sf)
+      val withBloom = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected InjectRuntimeFilter to add a might_contain probe on the fact scan:\n$plan")
+      spark.conf.set(keys(0), "false")
+      val without = graft.queries.ScaleOpsQueries.bloomJoinFrame(spark, sf)
+      val plainPlan = without.queryExecution
+      val withoutBloom = without.collect()
+      assert(!plainPlan.executedPlan.toString.contains("might_contain"))
+      assert(withBloom.toSeq === withoutBloom.toSeq,
+        "bloom filter must never change the join result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -269,4 +269,48 @@ class TsAdvancedSpec extends SparkSpec {
       "ts", "value").collect()(0)
     assert(a.toString == b.toString)
   }
+
+  // ---------------------------------------------------------------- holt
+
+  test("holt on a constant series: level = constant, trend = 0") {
+    val out = TsFeatures.holt(toSeriesDF(Array.fill(30)(7.5)), "user_id",
+      Seq("ts"), "value").orderBy("ts").collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 7.5) < 1e-9)
+      assert(math.abs(r.getDouble(4)) < 1e-9)
+    }
+  }
+
+  test("holt trend converges to the slope of a linear series") {
+    val xs = (0 until 120).map(i => 2.0 + 0.5 * i).toArray
+    val last = TsFeatures.holt(toSeriesDF(xs), "user_id", Seq("ts"), "value")
+      .orderBy("ts").collect().last
+    // α=0.3/β=0.1 on a pure line: level tracks the line, trend → slope
+    assert(math.abs(last.getDouble(4) - 0.5) < 0.05)
+    assert(math.abs(last.getDouble(3) - xs.last) < 2.0)
+  }
+
+  test("holt integer recursion stays within 2e-5 of the float recursion") {
+    val xs = lcgSeries(200).map(v => v * 100)
+    val out = TsFeatures.holt(toSeriesDF(xs), "user_id", Seq("ts"), "value")
+      .orderBy("ts").collect()
+    var l = xs(0); var b = 0.0
+    for (t <- 1 until xs.length) {
+      val lp = l
+      l = 0.3 * xs(t) + 0.7 * (lp + b)
+      b = 0.1 * (l - lp) + 0.9 * b
+      assert(math.abs(out(t).getDouble(3) - l) < 2e-5)
+      assert(math.abs(out(t).getDouble(4) - b) < 2e-5)
+    }
+  }
+
+  test("holt is invariant to input partitioning") {
+    val xs = lcgSeries(64)
+    val df = toSeriesDF(xs)
+    val a = TsFeatures.holt(df, "user_id", Seq("ts"), "value")
+      .orderBy("ts").collect().toSeq
+    val b = TsFeatures.holt(df.repartition(9), "user_id", Seq("ts"), "value")
+      .orderBy("ts").collect().toSeq
+    assert(a === b)
+  }
 }
