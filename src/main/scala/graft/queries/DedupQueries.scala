@@ -852,8 +852,66 @@ object DedupQueries {
     """),
   )
 
+  /** One damped PageRank iteration (d=0.85, value-iteration form
+    * r' = 0.15 + 0.85·Σ_{u→v} r_u/outdeg_u from uniform r₀=1) — the
+    * graph-analytics step beyond connected components: on a real
+    * pipeline the edge list comes from the kNN/LSH near-dup output
+    * (dedup_clusters' input); here it is a deterministic md5 fixture
+    * digraph (3 pseudo-random out-edges per node, self-loops and
+    * duplicates removed) so the oracle replays edges, degrees, and
+    * ranks bit-for-bit. Exactness: per-edge contributions quantize to
+    * int64 micro-units BEFORE the in-edge sum (order-free), the final
+    * rank is per-row double arithmetic on exact integers. Scale: the
+    * edge build is narrow, outdeg and the contribution sum are
+    * map-side-combined groupBys keyed on src/dst — the standard
+    * pregel-free PageRank step, iterable from checkpointed rank
+    * tables like the CC loop.
+    */
+  val qPagerankStep: Q = Q(
+    "q_pagerank_step",
+    (s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+      val nN = nodes.count()
+      val dsts = (1 to 3).map { j =>
+        conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$j"))), 1, 4), 16, 10)
+          .cast("long") % nN
+      }
+      val edges = nodes
+        .select(col("vec_id").as("src"), explode(array(dsts: _*)).as("dst"))
+        .where(col("dst") =!= col("src")).distinct()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val contrib = edges.join(outdeg, "src")
+        .select(col("dst"), round(lit(1000000.0) / col("outdeg"), 0).cast("long").as("cm"))
+      val sums = contrib.groupBy(col("dst"))
+        .agg(count(lit(1)).as("indeg"), sum(col("cm")).as("sm"))
+      nodes.join(sums, nodes("vec_id") === sums("dst"), "left")
+        .select(col("vec_id"),
+          coalesce(col("indeg"), lit(0L)).as("indeg"),
+          round(lit(0.15) + lit(0.85) * (coalesce(col("sm"), lit(0L)) / lit(1e6)), 6)
+            .as("rank"))
+    },
+    Some(s"""
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      e0 AS (
+        -- scalar dst expression + generate_series for the edge index:
+        -- DuckDB's binder (v1.x) INTERNAL-errors on DISTINCT..WHERE over
+        -- unnest() of a computed list referencing another CTE column
+        SELECT vec_id AS src,
+               ${OracleExact.h16Sql("md5(vec_id::VARCHAR || ':' || j::VARCHAR)")} % nn.n AS dst
+        FROM embeddings, nn, (SELECT unnest(generate_series(1, 3)) AS j) js),
+      e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst != src),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      c AS (SELECT e.dst, round(1000000.0 / od.outdeg)::BIGINT AS cm
+            FROM e JOIN od ON e.src = od.src),
+      s AS (SELECT dst, count(*)::BIGINT AS indeg, sum(cm)::BIGINT AS sm FROM c GROUP BY 1)
+      SELECT v.vec_id, coalesce(s.indeg, 0)::BIGINT AS indeg,
+             round(0.15 + 0.85 * (coalesce(s.sm, 0) / 1e6), 6) AS rank
+      FROM embeddings v LEFT JOIN s ON v.vec_id = s.dst
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
     knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned, knnPq, knnIvfPq,
-    vectorQuantize, pcaGram, pcaPower)
+    vectorQuantize, pcaGram, pcaPower, qPagerankStep)
 }

@@ -304,17 +304,20 @@ object PipelineQueries {
     (s, dir) => {
       val k = 20
       val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
-      val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      li.crossJoin(broadcast(mm))
-        .select(
-          least(floor((col("x") - col("mn")) * lit(k.toDouble) / (col("mx") - col("mn"))),
-            lit((k - 1).toDouble)).cast("int").as("bin"),
-          col("mn"), col("mx"))
-        .groupBy(col("bin"), col("mn"), col("mx"))
+      // min/max are fit-boundary scalars (exact, order-free) collected
+      // once and interpolated as literals — the bm25/N-avgdl pattern;
+      // a crossJoin(broadcast(agg)) would trip the repo-wide
+      // PlanGuard's nested-loop ban
+      val r = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx")).head()
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      li.select(
+          least(floor((col("x") - lit(mn)) * lit(k.toDouble) / lit(mx - mn)),
+            lit((k - 1).toDouble)).cast("int").as("bin"))
+        .groupBy(col("bin"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("bin"),
-          round(col("mn") + col("bin") * (col("mx") - col("mn")) / lit(k.toDouble), 6).as("lo"),
-          round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / lit(k.toDouble), 6).as("hi"),
+          round(lit(mn) + col("bin") * lit(mx - mn) / lit(k.toDouble), 6).as("lo"),
+          round(lit(mn) + (col("bin") + 1) * lit(mx - mn) / lit(k.toDouble), 6).as("hi"),
           col("cnt"))
     },
     Some("""

@@ -571,9 +571,27 @@ object StreamingQueries {
     """),
   )
 
+  /** Streaming anomaly monitor: the [[StreamOps.rollingZScores]]
+    * per-key ring-buffer twin of the batch `ts_anomaly` — identical
+    * integer arithmetic, so the drained stream equals the batch frame
+    * row for row and SHARES its oracle verbatim (the stream_pii
+    * pattern).
+    */
+  val streamAnomaly: Q = Q(
+    "stream_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      StreamOps.runToBatch(s,
+        StreamOps.rollingZScores(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+        .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"),
+          round(col("z"), 6).as("z"), col("is_anomaly"))
+    },
+    TsQueries.tsAnomaly.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
-    streamSessionWindow)
+    streamSessionWindow, streamAnomaly)
 }

@@ -729,4 +729,57 @@ object StreamOps {
          else sum(col("value"))).as("sum_v"))
       .drop("sess_id")
   }
+
+  final case class ZEvent(user_id: Long, ts_ns: Long, value: Double)
+  /** Ring buffer of the last `window` 3-dp-quantized values, oldest
+    * first — O(window) state per key, the whole monitoring contract.
+    */
+  final case class ZState(m: Seq[Long])
+  final case class ZScore(user_id: Long, ts: Long, value: Double,
+                          z: Option[Double], is_anomaly: Option[Int])
+
+  /** Streaming twin of [[graft.operators.Decompose.rollingZ]]: each
+    * event scored one-step-ahead against the mean/std of the `window`
+    * PRECEDING events, carried across micro-batches as a per-key ring
+    * buffer of 3-dp-quantized int64 values (identical integer
+    * arithmetic to the batch operator, so the drained stream equals
+    * the batch frame row for row and SHARES its DuckDB oracle).
+    * Events inside a micro-batch buffer+sort by event time (bounded
+    * by one key's events in ONE batch); cross-batch order is the file
+    * arrival order, the same in-order-source contract every stream
+    * twin in this module documents. State is O(window) longs per key
+    * with NoTimeout — bounded by key cardinality, not stream length.
+    */
+  def rollingZScores(events: DataFrame, window: Int = 20, minN: Int = 8,
+                     threshold: Double = 3.0): Dataset[ZScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("value").cast("double").as("value")).as[ZEvent]
+    def micro3(v: Double): Long =
+      BigDecimal(v * 1e3).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZState, ZScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          val evs = it.toSeq.sortBy(_.ts_ns)
+          var buf = state.getOption.map(_.m.toVector).getOrElse(Vector.empty[Long])
+          val out = evs.map { e =>
+            val m = micro3(e.value)
+            val n = buf.length.toLong
+            val s = buf.sum
+            val q = buf.map(x => x * x).sum
+            val varNum = n * q - s * s
+            val z = if (n >= minN && varNum > 0)
+              Some((n * m - s).toDouble / math.sqrt(varNum.toDouble)) else None
+            buf = (buf :+ m).takeRight(window)
+            ZScore(uid, e.ts_ns, e.value, z,
+              z.map(zz => if (math.abs(zz) > threshold) 1 else 0))
+          }
+          state.update(ZState(buf))
+          out.iterator
+      }
+  }
 }

@@ -357,4 +357,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming rolling-z ring buffer carries across micro-batches") {
+    import graft.operators.Decompose
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.rollingZScores(df, window = 5, minN = 3).toDF()
+      .writeStream.format("memory").queryName("rollz_test")
+      .outputMode("append").start()
+    // 12 events split across THREE batches: scores for later events
+    // depend on state built in earlier batches
+    val vals = Seq(1.0, 2.0, 1.5, 2.5, 1.0, 2.0, 9.0, 1.5, 2.0, 1.0, 2.5, 1.5)
+    val evs = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+    try {
+      mem.addData(evs.take(4): _*); q.processAllAvailable()
+      mem.addData(evs.slice(4, 8): _*); q.processAllAvailable()
+      mem.addData(evs.drop(8): _*); q.processAllAvailable()
+      // the batch operator rounds z/value to 6 dp itself; apply the
+      // same rounding to the raw streamed scores before comparing
+      val streamed = spark.table("rollz_test")
+        .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"),
+          round(col("z"), 6).as("z"), col("is_anomaly"))
+        .collect()
+        .map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4)))).sortBy(_._1).toSeq
+      val batchDf = evs.toDF("user_id", "ts", "value")
+      val batch = Decompose.rollingZ(batchDf, "user_id", "ts", "value",
+          window = 5, minN = 3)
+        .collect().map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4))))
+        .sortBy(_._1).toSeq
+      assert(streamed.nonEmpty && streamed === batch)
+      // the planted 9.0 at index 6 (scored against batch-1 state + two
+      // batch-2 events) must be flagged
+      assert(streamed(6)._3.contains(1))
+    } finally q.stop()
+  }
 }
