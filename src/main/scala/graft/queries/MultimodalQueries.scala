@@ -159,6 +159,29 @@ object MultimodalQueries {
     """),
   )
 
+  /** Content-checksum dedup over the media records — the baseline
+    * image/audio dedup every multimodal corpus pipeline runs first
+    * (LAION-style exact-bytes dedup, upstream of any perceptual
+    * hash): md5 over the OPAQUE binary column, hash-groupBy with
+    * map-side combine, keeper = lowest media id. The synthetic media
+    * bytes are the document text encoded UTF-8, so DuckDB replays the
+    * checksum with md5(text) — the plumbing (binary column in, hash
+    * dedup out) is exactly the 100 TB shape.
+    */
+  val multimodalDedup: Q = Q(
+    "multimodal_dedup",
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+      media.groupBy(md5(col("bytes")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keeper"))
+    },
+    Some("""
+      SELECT md5(text) AS content_hash, count(*) AS n_copies,
+             min(doc_id) AS keeper
+      FROM documents GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames,
-    multimodalPatches, multimodalAudio)
+    multimodalPatches, multimodalAudio, multimodalDedup)
 }

@@ -649,8 +649,35 @@ object RelationalQueries {
     """),
   )
 
+  /** Exact per-group quantiles (p50/p90/p99 of order totals per
+    * priority) — the grouped twin of the scaler quantile fits:
+    * `percentile` sorts within each group's partial state, exact and
+    * engine-portable (linear interpolation = DuckDB `quantile_cont`,
+    * the proven scale_kbins parity). The 100 TB path swaps in
+    * `percentile_approx` (t-digest) or the keyed log-histogram sketch
+    * (`q_quantile_sketch`), both mergeable with bounded state — this
+    * row is the exact reference those approximations are judged
+    * against.
+    */
+  val qGroupedQuantiles: Q = Q(
+    "q_grouped_quantiles",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("o_totalprice"), lit(0.99)), 6).as("p99")),
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      FROM orders GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
-    qWeightedSample)
+    qWeightedSample, qGroupedQuantiles)
 }

@@ -984,8 +984,65 @@ object TextQueries {
     """),
   )
 
+  /** URL-injection fixture (the piiEnrich pattern — the synthetic
+    * docs are URL-free): a blocklisted spam domain on doc_id%4==0 and
+    * a benign domain on doc_id%6==0, so some docs carry both, some
+    * one, most none.
+    */
+  private[queries] def urlEnrich(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" see https://spam"), (col("doc_id") % 50).cast("string"),
+          lit(".example.net/page"), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" via http://ok"), (col("doc_id") % 30).cast("string"),
+          lit(".example.org/item")))
+        .otherwise(lit(""))).as("t"))
+
+  /** URL/domain blocklist filtering ([[graft.operators.Urls]]) over
+    * the enriched fixture: the blocklist is the 50 spam domains as a
+    * broadcast dimension — the C4/RefinedWeb curation stage shape.
+    */
+  val textUrlFilter: Q = Q(
+    "text_url_filter",
+    (s, dir) => {
+      import s.implicits._
+      val blocklist = (0 until 50).map(i => s"spam$i.example.net")
+        .toDF("domain")
+      graft.operators.Urls.filterByBlocklist(
+        urlEnrich(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+        "doc_id", "t", blocklist)
+    },
+    Some("""
+      WITH e AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 4 = 0 THEN ' see https://spam'
+               || CAST(doc_id % 50 AS VARCHAR) || '.example.net/page'
+               || CAST(doc_id AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 6 = 0 THEN ' via http://ok'
+               || CAST(doc_id % 30 AS VARCHAR) || '.example.org/item' ELSE '' END
+          AS t
+        FROM documents),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[a-z0-9.-]+[a-z0-9/._-]*')) AS url
+            FROM e),
+      d AS (SELECT doc_id, regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain
+            FROM u),
+      g AS (SELECT doc_id, count(*) AS n_urls,
+                   sum(CASE WHEN domain LIKE 'spam%.example.net' THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+            FROM d GROUP BY 1)
+      SELECT e.doc_id, coalesce(g.n_urls, 0) AS n_urls,
+             coalesce(g.n_blocked, 0) AS n_blocked,
+             (coalesce(g.n_blocked, 0) = 0)::INT AS keep
+      FROM e LEFT JOIN g USING (doc_id)
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
-    textTfidf, qBm25, textPii, textRepetition, textDedupSpans, textPmi)
+    textTfidf, qBm25, textPii, textRepetition, textDedupSpans, textPmi,
+    textUrlFilter)
 }
