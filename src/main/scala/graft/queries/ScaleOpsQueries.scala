@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 // (dynamic-partition-pruning demo lives at the bottom of this registry)
 import graft.{Q, Tables}
-import graft.operators.{AsofJoin, Skew}
+import graft.operators.{AsofJoin, RangeJoin, Skew}
 
 /** Scale-pattern operators: as-of join and skew-salted aggregation.
   * Both oracle-checked (DuckDB has a native ASOF JOIN; the salted agg
@@ -423,6 +423,41 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Interval×interval overlap join ([[RangeJoin.intervalOverlap]]):
+    * click windows overlapping error windows of the same user (1-hour half-open activity windows) — the two-sided sibling of
+    * `q_range_join`, deduplicated by canonical-bucket attribution
+    * instead of a distinct pass; equi-join on (user, bucket), never a
+    * nested loop.
+    */
+  val qIntervalOverlap: Q = Q(
+    "q_interval_overlap",
+    (s, dir) => {
+      val w = 3600000000000L // 1 h in ns
+      val e = Tables.events(s, dir)
+      def side(tpe: String, idAs: String) = e
+        .where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs),
+          expr("cast(ts as long)").as(s"${idAs}_lo"),
+          (expr("cast(ts as long)") + lit(w)).as(s"${idAs}_hi"))
+      RangeJoin.intervalOverlap(
+        side("click", "l_id"), "l_id_lo", "l_id_hi",
+        side("error", "r_id"), "r_id_lo", "r_id_hi",
+        bucketWidth = w, keys = Seq("user_id"))
+        .select(col("user_id"), col("l_id"), col("r_id"))
+    },
+    Some("""
+      WITH c AS (SELECT user_id, event_id AS l_id, epoch_ns(ts) AS lo,
+                        epoch_ns(ts) + 3600000000000 AS hi
+                 FROM events WHERE event_type = 'click'),
+      e AS (SELECT user_id, event_id AS r_id, epoch_ns(ts) AS lo,
+                   epoch_ns(ts) + 3600000000000 AS hi
+            FROM events WHERE event_type = 'error')
+      SELECT c.user_id, c.l_id, e.r_id
+      FROM c JOIN e ON c.user_id = e.user_id AND c.lo < e.hi AND e.lo < c.hi
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAggSalted, qRangeJoin,
-    qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport, qZorder, qBloomJoin)
+    qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport, qZorder, qBloomJoin,
+    qIntervalOverlap)
 }

@@ -589,9 +589,25 @@ object StreamingQueries {
     },
     TsQueries.tsAnomaly.oracle)
 
+  /** Streaming Holt smoothing: [[StreamOps.holtSmooth]] carries the
+    * (level, trend) integer pair across micro-batches — equals the
+    * batch `ts_holt` row for row and shares its recursive-CTE oracle.
+    */
+  val streamHolt: Q = Q(
+    "stream_holt",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = StreamOps.eventsStream(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+      StreamOps.runToBatch(s, StreamOps.holtSmooth(events).toDF(), mode = "append")
+        .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"),
+          round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"))
+    },
+    TsQueries.tsHolt.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
-    streamSessionWindow, streamAnomaly)
+    streamSessionWindow, streamAnomaly, streamHolt)
 }

@@ -750,6 +750,51 @@ object StreamOps {
     * twin in this module documents. State is O(window) longs per key
     * with NoTimeout — bounded by key cardinality, not stream length.
     */
+  final case class HoltState(lm: Long, bm: Long, started: Boolean)
+  final case class HoltRow(user_id: Long, ts: Long, value: Double,
+                           level: Double, trend: Double)
+
+  /** Streaming twin of [[graft.operators.TsFeatures.holt]]: the
+    * (level, trend) integer micro-unit pair carried across
+    * micro-batches per key — identical half-up recursion, so the
+    * drained stream equals the batch frame row for row and shares its
+    * recursive-CTE oracle. O(2 longs) state per key; in-order-source
+    * contract as documented on every stream twin here.
+    */
+  def holtSmooth(events: DataFrame, alphaNum: Long = 3, betaNum: Long = 1,
+                 den: Long = 10): Dataset[HoltRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("value").cast("double").as("value")).as[ZEvent]
+    def micro(v: Double): Long =
+      BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def halfUpDiv(s: Long, d: Long): Long =
+      if (s >= 0) (s + d / 2) / d else -((-s + d / 2) / d)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          val evs = it.toSeq.sortBy(_.ts_ns)
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, started = false))
+          val out = evs.map { e =>
+            if (!st.started) st = HoltState(micro(e.value), 0L, started = true)
+            else {
+              val lPrev = st.lm
+              val lm = halfUpDiv(alphaNum * micro(e.value) +
+                (den - alphaNum) * (lPrev + st.bm), den)
+              val bm = halfUpDiv(betaNum * (lm - lPrev) + (den - betaNum) * st.bm, den)
+              st = HoltState(lm, bm, started = true)
+            }
+            HoltRow(uid, e.ts_ns, e.value, st.lm / 1e6, st.bm / 1e6)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def rollingZScores(events: DataFrame, window: Int = 20, minN: Int = 8,
                      threshold: Double = 3.0): Dataset[ZScore] = {
     val spark = events.sparkSession

@@ -179,6 +179,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(buckets > 32, s"expected keys spread over >32 salt buckets, got $buckets")
   }
 
+  test("interval overlap join equals the naive overlap join, duplicate-free, no nested loop") {
+    // intervals engineered to overlap multiple shared buckets (width 10)
+    val a = Seq((1L, 0L, 35L), (2L, 5L, 12L), (3L, 40L, 41L), (4L, 90L, 95L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 3L, 50L), (11L, 34L, 36L), (12L, 60L, 70L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketWidth = 10L)
+    val rows = got.select("a_id", "b_id").collect().map(_.toSeq)
+    // canonical-bucket attribution means NO duplicates even for pairs
+    // sharing several buckets (e.g. a=1 x b=10 share buckets 0..3)
+    assert(rows.length === rows.toSet.size, "overlap join emitted duplicate pairs")
+    val naive = a.join(b, $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
+      .select("a_id", "b_id").collect().map(_.toSeq).toSet
+    assert(rows.toSet === naive && naive.nonEmpty)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "interval overlap must not fall back to a nested loop")
+  }
+
   test("runtime bloom filter is injected into the fact-side scan and preserves results") {
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled",
