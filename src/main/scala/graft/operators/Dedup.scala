@@ -151,6 +151,40 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** n-gram CONTAINMENT pairs — the asymmetric sibling of
+    * [[ngramJaccardPairs]]: C(A→B) = |A∩B| / |A|, the signal that
+    * catches a document wholly CONTAINED in a larger one (quote
+    * farms, boilerplate wrappers, truncated re-crawls), which
+    * symmetric Jaccard under-scores as the size ratio grows. Emits
+    * the ordered pair once with both directions' scores; keeps pairs
+    * where EITHER direction clears the threshold. Same shuffle shape
+    * as the Jaccard pairs: shingle explode → blocked equi-join on the
+    * shingle → per-pair intersection count → size join.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], shingleK: Int, threshold: Double): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol).as("id") +: blockCols.map(col) :+
+        wordShingles(col(textCol), shingleK).as("sh"): _*)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val exploded = sh.select(col("id") +: blockCols.map(col) :+
+      explode(col("sh")).as("s"): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.s") === col("b.s") && col("a.id") < col("b.id"))(_ && _)
+    val inter = exploded.as("a").join(exploded.as("b"), joinCond)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("sa.n")).as("contain_a"),
+        (col("inter").cast("double") / col("sb.n")).as("contain_b"))
+      .where(col("contain_a") >= threshold || col("contain_b") >= threshold)
+  }
+
   /** Connected components over near-dup pairs: min-label propagation
     * with pointer doubling (each node adopts the min label among itself
     * and its neighbors, then chases label→label-of-label), so deep dup

@@ -147,6 +147,57 @@ object DedupQueries {
     """),
   )
 
+  /** Asymmetric n-gram containment ([[Dedup.ngramContainmentPairs]]):
+    * wrapper docs embed a full copy of a smaller doc between header
+    * and footer boilerplate — containment of the original in the
+    * wrapper is ~1.0 while symmetric Jaccard shrinks with the size
+    * ratio, which is exactly the quote-farm/boilerplate-wrapper case
+    * Jaccard under-scores.
+    */
+  val dedupContainment: Q = Q(
+    "dedup_containment",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val dup = d.unionAll(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("wrapper header words before the quoted body "), col("text"),
+            lit(" trailing boilerplate footer words")).as("text"), col("lang")))
+      Dedup.ngramContainmentPairs(dup, "doc_id", "text",
+        blockCols = Seq("lang"), shingleK = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("contain_a"), 6).as("contain_a"),
+          round(col("contain_b"), 6).as("contain_b"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               'wrapper header words before the quoted body ' || text ||
+               ' trailing boilerplate footer words', lang
+        FROM documents WHERE doc_id % 10 = 0),
+      words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM corpus),
+      sh AS (
+        SELECT doc_id, lang, s
+        FROM words,
+             unnest(list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(ws[i:i+2], ' ')) END)) AS t(s)),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter::DOUBLE / sa.n, 6) AS contain_a,
+             round(inter::DOUBLE / sb.n, 6) AS contain_b
+      FROM pairs
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE inter::DOUBLE / sa.n >= 0.9 OR inter::DOUBLE / sb.n >= 0.9
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.3/33
   /** hex-nibble value of char `pos` (1-based SQL expr) of column h. */
   private def hv(pos: String) =
@@ -911,7 +962,7 @@ object DedupQueries {
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
-    dedupPipeline, dedupNgramJaccard, dedupSimhash, dedupEmbedding,
-    knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned, knnPq, knnIvfPq,
-    vectorQuantize, pcaGram, pcaPower, qPagerankStep)
+    dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
+    dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
+    knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep)
 }

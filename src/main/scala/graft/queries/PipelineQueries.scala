@@ -332,6 +332,91 @@ object PipelineQueries {
     """),
   )
 
+  /** Pairwise Pearson correlation matrix over the numeric lineitem
+    * columns — the profiler's feature-redundancy report (what
+    * `df.corr()` gives the reference's pandas user). ONE scan, ONE
+    * 1-row aggregate: n + per-column Σx and per-pair Σxy as exact
+    * decimal(28,6) sums of per-row double products (deterministic per
+    * row, order-free sum — the ExactAgg convention); the d(d+1)/2
+    * correlations are then pure driver-side double arithmetic on
+    * exact sums, replayed term for term by the oracle. decimal(28,6)
+    * holds Σ(price²) to ~1e22 — a 100 TB run shifts the same sums to
+    * decimal(38,6).
+    */
+  val qCorrMatrix: Q = Q(
+    "q_corr_matrix",
+    (s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables.lineitem(s, dir)
+      val sums = cols.map(c => sum(col(c).cast("decimal(28,6)")).as(s"s_$c")) ++
+        (for (i <- cols.indices; j <- i until cols.length) yield
+          sum((col(cols(i)) * col(cols(j))).cast("decimal(28,6)"))
+            .as(s"p_${i}_$j"))
+      val r = li.agg(count(lit(1)).as("n"), sums: _*).head()
+      val n = r.getLong(0).toDouble
+      def s1(i: Int) = r.getDecimal(1 + i).doubleValue()
+      def p(i: Int, j: Int) = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        val idx = (0 until a).map(k => cols.length - k).sum + (b - a)
+        r.getDecimal(1 + cols.length + idx).doubleValue()
+      }
+      def round6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = for (i <- cols.indices; j <- (i + 1) until cols.length) yield {
+        val corr = (n * p(i, j) - s1(i) * s1(j)) /
+          (math.sqrt(n * p(i, i) - s1(i) * s1(i)) *
+            math.sqrt(n * p(j, j) - s1(j) * s1(j)))
+        (cols(i), cols(j), round6(corr))
+      }
+      rows.toDF("col_a", "col_b", "corr")
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = (cols.zipWithIndex.map { case (c, i) =>
+        s"sum($c::DECIMAL(28,6))::DOUBLE AS s$i" } ++
+        (for (i <- cols.indices; j <- i until cols.length) yield
+          s"sum((${cols(i)} * ${cols(j)})::DECIMAL(28,6))::DOUBLE AS p${i}_$j"))
+        .mkString(", ")
+      val pairs = (for (i <- cols.indices; j <- (i + 1) until cols.length) yield
+        s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+            round((n * p${i}_$j - s$i * s$j) /
+                  (sqrt(n * p${i}_$i - s$i * s$i) * sqrt(n * p${j}_$j - s$j * s$j)), 6)
+              AS corr FROM s""").mkString("\nUNION ALL\n")
+      s"WITH s AS (SELECT count(*)::DOUBLE AS n, $aggs FROM lineitem)\n$pairs"
+    },
+  )
+
+  /** Grouped median absolute deviation (per return flag) — the robust
+    * dispersion stat next to [[qHistogram]]/`q_grouped_quantiles`:
+    * exact per-group median (quantile_cont parity), broadcast back
+    * (group cardinality bounded), exact median of absolute deviations
+    * in a second grouped pass. The 100 TB path swaps both percentile
+    * passes for the keyed log-histogram sketch.
+    */
+  val qMad: Q = Q(
+    "q_mad",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").as("x"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("x"), lit(0.5)).as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("med"))
+        .agg(percentile(abs(col("x") - col("med")), lit(0.5)).as("mad"))
+        .select(col("l_returnflag"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"))
+    },
+    Some("""
+      WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+                 FROM lineitem GROUP BY 1)
+      SELECT l.l_returnflag, round(m.med, 6) AS med,
+             round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 6) AS mad
+      FROM lineitem l JOIN m USING (l_returnflag)
+      GROUP BY l.l_returnflag, m.med
+    """),
+  )
+
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
-    qQuantileSketch, qHllDistinct, qHistogram)
+    qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad)
 }
