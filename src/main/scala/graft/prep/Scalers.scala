@@ -73,6 +73,17 @@ final case class YeoJohnsonScaler(lambda: Double) extends Scaler {
   }
 }
 
+/** Signed log transform y = sign(x)·ln(1+|x|) (the symmetric log1p,
+  * a.k.a. symlog — the fit-free heavy-tail compressor a pandas user
+  * reaches for before the Yeo-Johnson MLE): exact inverse
+  * sign(y)·(e^|y|−1), zero-preserving, monotone. Stateless — no fit
+  * pass at any scale.
+  */
+case object SignedLogScaler extends Scaler {
+  def transform(c: Column): Column = signum(c) * log(lit(1.0) + abs(c))
+  def inverse(y: Column): Column   = signum(y) * (exp(abs(y)) - lit(1.0))
+}
+
 /** Grid-MLE fit for [[YeoJohnsonScaler]]: one aggregation pass computes,
   * for every candidate lambda, the transformed column's Σψ and Σψ² as
   * EXACT milli-unit integer sums (plus the shared Σ sign(x)·ln(|x|+1)

@@ -448,8 +448,29 @@ object NumPrepQueries {
     """),
   )
 
+  /** Signed log transform ([[SignedLogScaler]], symlog): fit-free
+    * heavy-tail compression with an exact inverse — round-trips
+    * through transform∘inverse like onehot_roundtrip/prep_roundtrip.
+    */
+  val scaleSignedLog: Q = Q(
+    "scale_signed_log",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal").as("v"))
+      df.select(col("c_custkey"),
+        round(SignedLogScaler.transform(col("v")), 6).as("slog"),
+        round(SignedLogScaler.inverse(SignedLogScaler.transform(col("v"))), 6).as("rt"))
+    },
+    Some("""
+      SELECT c_custkey,
+             round(sign(c_acctbal) * ln(1 + abs(c_acctbal)), 6) AS slog,
+             round(sign(sign(c_acctbal) * ln(1 + abs(c_acctbal))) *
+                   (exp(abs(sign(c_acctbal) * ln(1 + abs(c_acctbal)))) - 1), 6) AS rt
+      FROM customer
+    """),
+  )
+
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
     scaleRobust, scaleMaxAbs, scaleQuantileUniform, scaleQuantileNormal,
-    scaleKBins, scaleKBinsSketch, scalePower, scaleWinsorize)
+    scaleKBins, scaleKBinsSketch, scalePower, scaleWinsorize, scaleSignedLog)
 }

@@ -676,8 +676,39 @@ object RelationalQueries {
     """),
   )
 
+  /** Full outer join (completes the join-type surface next to
+    * semi/anti/inner/left): per-user click vs error counts, users
+    * appearing on either side, absent side coalesced to 0. Both
+    * aggregates are map-side-combined; the outer join shuffles on the
+    * shared key.
+    */
+  val qFullOuter: Q = Q(
+    "q_full_outer",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      def side(tpe: String, as: String) = e.where(col("event_type") === tpe)
+        .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+      val l = side("click", "n_clicks")
+      val r = side("error", "n_errors")
+      l.join(r, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    },
+    Some("""
+      WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+                 WHERE event_type = 'click' GROUP BY 1),
+      e AS (SELECT user_id, count(*) AS n_errors FROM events
+            WHERE event_type = 'error' GROUP BY 1)
+      SELECT coalesce(c.user_id, e.user_id) AS user_id,
+             coalesce(c.n_clicks, 0) AS n_clicks,
+             coalesce(e.n_errors, 0) AS n_errors
+      FROM c FULL JOIN e ON c.user_id = e.user_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
-    qWeightedSample, qGroupedQuantiles)
+    qWeightedSample, qGroupedQuantiles, qFullOuter)
 }

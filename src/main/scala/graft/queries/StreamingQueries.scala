@@ -605,9 +605,46 @@ object StreamingQueries {
     },
     TsQueries.tsHolt.oracle)
 
+  /** Streaming equi-width histogram under the FIT-OFFLINE /
+    * APPLY-ONLINE contract: bin edges come from an exact batch
+    * min/max fit (interpolated as literals, the q_histogram pattern —
+    * a stream cannot know its global min/max), the bin-count
+    * aggregation runs on the stream in complete mode with k-bounded
+    * state. The drained result equals the batch histogram over the
+    * same data, and the oracle is the batch formulation.
+    */
+  val streamHistogram: Q = Q(
+    "stream_histogram",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val k = 20
+      val r = graft.Tables.events(s, dir)
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx")).head()
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      val binned = StreamOps.eventsStream(s, dir)
+        .select(least(floor((col("value") - lit(mn)) * lit(k.toDouble) / lit(mx - mn)),
+          lit((k - 1).toDouble)).cast("int").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      StreamOps.runToBatch(s, binned, mode = "complete")
+        .select(col("bin"),
+          round(lit(mn) + col("bin") * lit(mx - mn) / lit(k.toDouble), 6).as("lo"),
+          round(lit(mn) + (col("bin") + 1) * lit(mx - mn) / lit(k.toDouble), 6).as("hi"),
+          col("cnt"))
+    },
+    Some("""
+      WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      b AS (SELECT least(floor((value - mn) * 20.0 / (mx - mn)), 19.0)::INT AS bin, mn, mx
+            FROM events, mm)
+      SELECT bin, round(mn + bin * (mx - mn) / 20.0, 6) AS lo,
+             round(mn + (bin + 1) * (mx - mn) / 20.0, 6) AS hi,
+             count(*) AS cnt
+      FROM b GROUP BY bin, mn, mx
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
-    streamSessionWindow, streamAnomaly, streamHolt)
+    streamSessionWindow, streamAnomaly, streamHolt, streamHistogram)
 }
