@@ -707,8 +707,51 @@ object RelationalQueries {
     """),
   )
 
+  /** `KeyValueGroupedDataset.cogroup` — the typed two-sided
+    * per-key custom merge (the Dataset API's answer to "reduce two
+    * keyed streams against each other without a join explosion"):
+    * both sides shuffle once on the key, each key's two iterators
+    * meet in one task. Here: per-user click/error counts + which kind
+    * was seen last ((user, ts) is unique corpus-wide, so the max-ts
+    * comparison is tie-free and the oracle replays it with a full
+    * outer aggregate).
+    */
+  val qCogroup: Q = Q(
+    "q_cogroup",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      def side(tpe: String) = e.where(col("event_type") === tpe)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("long").as("ts"))
+        .as[(Long, Long)]
+      val out = side("click").groupByKey(_._1)
+        .cogroup(side("error").groupByKey(_._1)) { (uid, ls, rs) =>
+          var nC = 0L; var mC = Long.MinValue
+          ls.foreach { x => nC += 1; if (x._2 > mC) mC = x._2 }
+          var nE = 0L; var mE = Long.MinValue
+          rs.foreach { x => nE += 1; if (x._2 > mE) mE = x._2 }
+          Iterator.single((uid, nC, nE, if (mC >= mE) "click" else "error"))
+        }
+      out.toDF("user_id", "n_clicks", "n_errors", "last_kind")
+    },
+    Some("""
+      WITH c AS (SELECT user_id, count(*) AS n_clicks, max(epoch_ns(ts)) AS mc
+                 FROM events WHERE event_type = 'click' GROUP BY 1),
+      e AS (SELECT user_id, count(*) AS n_errors, max(epoch_ns(ts)) AS me
+            FROM events WHERE event_type = 'error' GROUP BY 1)
+      SELECT coalesce(c.user_id, e.user_id) AS user_id,
+             coalesce(c.n_clicks, 0) AS n_clicks,
+             coalesce(e.n_errors, 0) AS n_errors,
+             CASE WHEN coalesce(c.mc, -9223372036854775808) >=
+                       coalesce(e.me, -9223372036854775808)
+                  THEN 'click' ELSE 'error' END AS last_kind
+      FROM c FULL JOIN e ON c.user_id = e.user_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
-    qWeightedSample, qGroupedQuantiles, qFullOuter)
+    qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup)
 }

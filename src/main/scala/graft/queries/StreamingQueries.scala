@@ -642,9 +642,55 @@ object StreamingQueries {
     """),
   )
 
+  /** Streaming distinct-count sketch: the deterministic HLL register
+    * file built ON the stream (m=512-key complete-mode groupBy —
+    * bounded state on an unbounded stream, the whole point of the
+    * sketch), estimate computed from the drained register table with
+    * the same arithmetic as the batch `q_hll_distinct`; the oracle
+    * replays registers + estimate for the same column.
+    */
+  val streamCountDistinct: Q = {
+    val m = 512
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    Q(
+      "stream_count_distinct",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.operators.HllSketch
+        val h = HllSketch.h32(col("user_id"))
+        val w = floor(h / lit(m)).cast("long")
+        val rank = when(w === 0, lit(24)).otherwise(lit(24) - length(bin(w)))
+        val reg = StreamOps.eventsStream(s, dir)
+          .where(col("user_id").isNotNull)
+          .select(pmod(h, lit(m)).as("j"), rank.as("r"))
+          .groupBy(col("j")).agg(max(col("r")).as("mr"))
+        val drained = StreamOps.runToBatch(s, reg, mode = "complete")
+        HllSketch.estimate(drained, m).select(round(col("est"), 6).as("est"))
+      },
+      Some(s"""
+        SELECT round(CASE WHEN ($alpha)::DOUBLE * $m * $m / s <= ${2.5 * m} AND v > 0
+                          THEN $m * ln($m / v)
+                          ELSE ($alpha)::DOUBLE * $m * $m / s END, 6) AS est
+        FROM (
+          SELECT sum(power(2.0, -mr)) + ($m - count(*)) AS s,
+                 $m - count(*) AS v
+          FROM (
+            SELECT j, max(r) AS mr
+            FROM (
+              SELECT h % $m AS j,
+                     CASE WHEN h // $m = 0 THEN 24
+                          ELSE 24 - length(bin(h // $m)) END AS r
+              FROM (SELECT ${OracleExact.h32Sql("md5((user_id)::VARCHAR)")} AS h
+                    FROM events WHERE user_id IS NOT NULL))
+            GROUP BY j))
+      """),
+    )
+  }
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
-    streamSessionWindow, streamAnomaly, streamHolt, streamHistogram)
+    streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
+    streamCountDistinct)
 }
