@@ -87,6 +87,34 @@ object Decompose {
           .as("resid"))
   }
 
+  /** Seasonal-strength metric over a [[seasonal]] output frame
+    * (Hyndman & Athanasopoulos FPP: F = max(0, 1 −
+    * Var(resid)/Var(seasonal+resid)) per series — near 1 = strongly
+    * seasonal, 0 = none). Ratio of the n²-scaled variance numerators
+    * (n·Σx² − (Σx)²), so n² cancels and no division order can drift;
+    * inputs are the decompose frame's 6-dp-rounded doubles (identical
+    * both engines), sums exact decimal(28,6) of per-row double
+    * products — the q_corr_matrix recipe. Null when the denominator
+    * variance is zero.
+    */
+  def seasonalStrength(decomposed: DataFrame, keyCol: String): DataFrame = {
+    val key: Column = col(keyCol)
+    val tot = col("seasonal") + col("resid")
+    val v = decomposed
+      .where(col("resid").isNotNull && col("seasonal").isNotNull)
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"),
+        sum(col("resid").cast("decimal(28,6)")).cast("double").as("sr"),
+        sum((col("resid") * col("resid")).cast("decimal(28,6)")).cast("double").as("srr"),
+        sum(tot.cast("decimal(28,6)")).cast("double").as("st"),
+        sum((tot * tot).cast("decimal(28,6)")).cast("double").as("stt"))
+    val numR = col("n") * col("srr") - col("sr") * col("sr")
+    val numT = col("n") * col("stt") - col("st") * col("st")
+    v.select(key, col("n"),
+      when(numT > 0,
+        round(greatest(lit(0.0), lit(1.0) - numR / numT), 6)).as("f_seasonal"))
+  }
+
   /** Rolling z-score anomaly flags per series: each event scored
     * against the mean/std of the `window` PRECEDING events (current
     * row excluded — the score is a one-step-ahead surprise, so an

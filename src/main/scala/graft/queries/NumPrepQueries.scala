@@ -469,7 +469,27 @@ object NumPrepQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(replaceInf, fillMean, fillConsts, fillForward,
+  /** Median imputation (sklearn `SimpleImputer(strategy="median")` —
+    * the robust sibling of [[fillMean]]): median fit over non-null
+    * values on the exact-percentile path (quantile_cont parity),
+    * interpolated as a literal, coalesce transform.
+    */
+  val fillMedian: Q = Q(
+    "fill_median",
+    (s, dir) => {
+      val df = nulledCustomer(s, dir)
+      val med = df.agg(percentile(col("v"), lit(0.5))).head().getDouble(0)
+      df.select(col("c_custkey"), round(coalesce(col("v"), lit(med)), 6).as("filled"))
+    },
+    Some(s"""
+      WITH src AS ($nulledCustomerSql),
+      m AS (SELECT quantile_cont(v, 0.5) AS med FROM src)
+      SELECT c_custkey, round(coalesce(v, med), 6) AS filled
+      FROM src, m
+    """),
+  )
+
+  val all: Seq[Q] = Seq(replaceInf, fillMean, fillMedian, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
     scaleRobust, scaleMaxAbs, scaleQuantileUniform, scaleQuantileNormal,
     scaleKBins, scaleKBinsSketch, scalePower, scaleWinsorize, scaleSignedLog)

@@ -110,6 +110,39 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Tolerance-bounded as-of join (pandas `merge_asof(tolerance=...)`
+    * parity): the backward match is kept only when it lies within 1
+    * hour of the click — farther matches null out, exactly pandas'
+    * semantics. Same one-Exchange asof plan; the tolerance is a pure
+    * post-projection.
+    */
+  val qAsofTolerance: Q = Q(
+    "q_asof_tolerance",
+    (s, dir) => {
+      val tol = 3600000000000L
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.asof(clicks, errors, "user_id", "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("ts", "value"), prefix = "err_")
+        .select(col("event_id"), col("user_id"),
+          when(col("ts") - col("err_ts") <= tol, expr("err_ts div 1000")).as("err_ts_us"),
+          when(col("ts") - col("err_ts") <= tol, round(col("err_value"), 6)).as("err_value"))
+    },
+    Some("""
+      SELECT l.event_id, l.user_id,
+             CASE WHEN epoch_ns(l.ts) - epoch_ns(r.ts) <= 3600000000000
+                  THEN epoch_ns(r.ts) // 1000 END AS err_ts_us,
+             CASE WHEN epoch_ns(l.ts) - epoch_ns(r.ts) <= 3600000000000
+                  THEN round(r.value, 6) END AS err_value
+      FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """),
+  )
+
   /** Q1-style aggregation over the 6-key l_returnflag/l_linestatus
     * space, two-stage salted — identical result to the plain groupBy,
     * but the first shuffle fans each hot key over 64 salt buckets.
@@ -457,7 +490,7 @@ object ScaleOpsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAggSalted, qRangeJoin,
-    qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport, qZorder, qBloomJoin,
-    qIntervalOverlap)
+  val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAsofTolerance,
+    qAggSalted, qRangeJoin, qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport,
+    qZorder, qBloomJoin, qIntervalOverlap)
 }

@@ -1379,13 +1379,12 @@ object TsQueries {
     * for the semantics and the exact-integer plumbing that lets the
     * oracle replay every value).
     */
-  val tsDecompose: Q = Q(
-    "ts_decompose",
-    (s, dir) => graft.operators.Decompose.seasonal(
-      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
-      "user_id", "ts", "value", period = 7),
-    Some("""
-      WITH daily AS (
+  /** Shared decompose CTE chain + final projection — used verbatim by
+    * the ts_decompose oracle and as the base of ts_seasonal_strength's
+    * oracle so the two can never drift.
+    */
+  private val decomposeCtes = """
+      daily AS (
         SELECT user_id, epoch_ns(ts) // 86400000000000 AS bucket,
                sum(round(value * 1000000)::BIGINT)::BIGINT AS dm
         FROM events GROUP BY 1, 2),
@@ -1408,14 +1407,50 @@ object TsQueries {
       sn AS (
         SELECT user_id, phase,
                sq - sum(sq) OVER (PARTITION BY user_id) / 7.0 AS seas_m
-        FROM p)
-      SELECT d.user_id, d.bucket,
-             round(d.dm / 1e6, 6) AS y_sum,
-             CASE WHEN d.t_cnt = 7 THEN round(d.t_num / 7.0 / 1e6, 6) END AS trend,
-             round(sn.seas_m / 1e6, 6) AS seasonal,
-             CASE WHEN d.t_cnt = 7 AND sn.seas_m IS NOT NULL
-                  THEN round((d.dm - d.t_num / 7.0 - sn.seas_m) / 1e6, 6) END AS resid
-      FROM d LEFT JOIN sn ON d.user_id = sn.user_id AND d.phase = sn.phase
+        FROM p),
+      dec AS (
+        SELECT d.user_id, d.bucket,
+               round(d.dm / 1e6, 6) AS y_sum,
+               CASE WHEN d.t_cnt = 7 THEN round(d.t_num / 7.0 / 1e6, 6) END AS trend,
+               round(sn.seas_m / 1e6, 6) AS seasonal,
+               CASE WHEN d.t_cnt = 7 AND sn.seas_m IS NOT NULL
+                    THEN round((d.dm - d.t_num / 7.0 - sn.seas_m) / 1e6, 6) END AS resid
+        FROM d LEFT JOIN sn ON d.user_id = sn.user_id AND d.phase = sn.phase)"""
+
+  val tsDecompose: Q = Q(
+    "ts_decompose",
+    (s, dir) => graft.operators.Decompose.seasonal(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", "value", period = 7),
+    Some(s"WITH $decomposeCtes SELECT * FROM dec"),
+  )
+
+  /** Seasonal-strength metric per series (Hyndman FPP F =
+    * max(0, 1 − Var(resid)/Var(seasonal+resid)) over the decompose
+    * frame — [[graft.operators.Decompose.seasonalStrength]]); the
+    * oracle extends the shared decompose CTE chain, so the two rows
+    * can never drift.
+    */
+  val tsSeasonalStrength: Q = Q(
+    "ts_seasonal_strength",
+    (s, dir) => graft.operators.Decompose.seasonalStrength(
+      graft.operators.Decompose.seasonal(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", period = 7),
+      "user_id"),
+    Some(s"""
+      WITH $decomposeCtes,
+      v AS (SELECT user_id, count(*) AS n,
+                   sum(resid::DECIMAL(28,6))::DOUBLE AS sr,
+                   sum((resid*resid)::DECIMAL(28,6))::DOUBLE AS srr,
+                   sum((seasonal+resid)::DECIMAL(28,6))::DOUBLE AS st,
+                   sum(((seasonal+resid)*(seasonal+resid))::DECIMAL(28,6))::DOUBLE AS stt
+            FROM dec WHERE resid IS NOT NULL AND seasonal IS NOT NULL GROUP BY 1)
+      SELECT user_id, n,
+             CASE WHEN n * stt - st * st > 0
+                  THEN round(greatest(0.0, 1.0 - (n * srr - sr * sr) / (n * stt - st * st)), 6)
+             END AS f_seasonal
+      FROM v
     """),
   )
 
@@ -1458,5 +1493,5 @@ object TsQueries {
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
-    tsChangepoint, tsDecompose, tsAnomaly, tsHolt)
+    tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsHolt)
 }
