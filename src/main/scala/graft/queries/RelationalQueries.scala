@@ -750,8 +750,62 @@ object RelationalQueries {
     """),
   )
 
+  /** Snapshot diff / dataset reconciliation (the regression check a
+    * pipeline runs between two versions of a table): full outer join
+    * on the key, row status = added / removed / changed (payload
+    * comparison), unchanged rows dropped. The "new" snapshot is a
+    * deterministic perturbation of orders: every %97 key deleted,
+    * every %89 repriced, every %83 cloned to a fresh key.
+    */
+  val qSnapshotDiff: Q = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val newSnap = o.where(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + lit(1.5))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionAll(o.where(col("o_orderkey") % 83 === 0)
+          .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      val j = o.as("old").join(newSnap.as("nw"),
+        col("old.o_orderkey") === col("nw.o_orderkey"), "full_outer")
+      j.select(
+          coalesce(col("old.o_orderkey"), col("nw.o_orderkey")).as("o_orderkey"),
+          when(col("old.o_orderkey").isNull, lit("added"))
+            .when(col("nw.o_orderkey").isNull, lit("removed"))
+            .when(col("old.o_totalprice") =!= col("nw.o_totalprice") ||
+              col("old.o_orderstatus") =!= col("nw.o_orderstatus"), lit("changed"))
+            .otherwise(lit("same")).as("status"))
+        .where(col("status") =!= "same")
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      nw AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM o WHERE o_orderkey % 97 != 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+        FROM o WHERE o_orderkey % 83 = 0),
+      j AS (
+        SELECT coalesce(o.o_orderkey, nw.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN nw.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice != nw.o_totalprice
+                      OR o.o_orderstatus != nw.o_orderstatus THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM o FULL JOIN nw ON o.o_orderkey = nw.o_orderkey)
+      SELECT o_orderkey, status FROM j WHERE status != 'same'
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
-    qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup)
+    qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff)
 }

@@ -1454,6 +1454,44 @@ object TsQueries {
     """),
   )
 
+  /** MAD-based outlier flags per series — the ROBUST global twin of
+    * the rolling z-score: flag |x − median| > 3σ̂ with σ̂ = 1.4826·MAD
+    * (the normal-consistency constant), so a contaminated series
+    * cannot inflate its own threshold the way a mean/std filter lets
+    * it. Exact per-series median and MAD (quantile_cont parity), the
+    * per-series stats joined back on the series key; threshold
+    * compare is identical double arithmetic both engines
+    * (4.4478 = 3·1.4826 as one literal). Zero-MAD series → null flag.
+    */
+  val tsOutlierMad: Q = Q(
+    "ts_outlier_mad",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val med = e.groupBy(col("user_id"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val withMed = e.join(med, "user_id")
+      val mad = withMed.groupBy(col("user_id"), col("med"))
+        .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      e.join(mad, "user_id")
+        .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"),
+          when(col("mad") > 0,
+            (abs(col("value") - col("med")) > lit(4.4478) * col("mad")).cast("int"))
+            .as("is_outlier"))
+    },
+    Some("""
+      WITH m AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+      d AS (SELECT e.user_id, m.med,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN m USING (user_id)
+            GROUP BY e.user_id, m.med)
+      SELECT e.user_id, epoch_ns(e.ts) AS ts, round(e.value, 6) AS value,
+             CASE WHEN d.mad > 0
+                  THEN (abs(e.value - d.med) > 4.4478 * d.mad)::INT END AS is_outlier
+      FROM events e JOIN d USING (user_id)
+    """),
+  )
+
   /** Rolling z-score anomaly flags (one-step-ahead surprise vs the 20
     * preceding events, |z| > 3, min 8 history rows) — see
     * [[graft.operators.Decompose.rollingZ]]. The 3-dp value
@@ -1493,5 +1531,6 @@ object TsQueries {
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
-    tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsHolt)
+    tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
+    tsHolt)
 }
