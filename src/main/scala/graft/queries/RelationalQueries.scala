@@ -804,8 +804,78 @@ object RelationalQueries {
     """),
   )
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences (the sequence-analytics rollup behind funnel/journey
+    * features): lead() within the ts-ordered user partition pairs
+    * each event with its successor, one groupBy counts transitions,
+    * a window sum normalizes rows to probabilities. One hash
+    * Exchange on the user for the lead, one on the (from, to) pair —
+    * both map-side combined.
+    */
+  val qEventTransitions: Q = Q(
+    "q_event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+      val counts = pairs.groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val wf = Window.partitionBy(col("event_type"))
+      counts.withColumn("prob",
+          round(col("cnt") / sum(col("cnt")).over(wf), 6))
+        .select(col("event_type"), col("next_type"), col("cnt"), col("prob"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                 AS next_type
+        FROM events),
+      c AS (SELECT event_type, next_type, count(*) AS cnt
+            FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT event_type, next_type, cnt,
+             round(cnt / sum(cnt) OVER (PARTITION BY event_type), 6) AS prob
+      FROM c
+    """),
+  )
+
+  /** Ordered per-user journey extraction (the first 10 events as a
+    * ">"-joined path string — the sequence feature funnels train on):
+    * collect_list over the ts-ordered window is deterministic because
+    * (user, ts) is corpus-unique; one hash Exchange on the user.
+    */
+  val qUserJourney: Q = Q(
+    "q_user_journey",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .withColumn("journey", concat_ws(">",
+          collect_list(col("event_type")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("journey"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS rn,
+               epoch_ns(ts) AS tsn
+        FROM events)
+      SELECT user_id, string_agg(event_type, '>' ORDER BY tsn) AS journey
+      FROM r WHERE rn <= 10 GROUP BY user_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
-    qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff)
+    qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
+    qEventTransitions, qUserJourney)
 }
