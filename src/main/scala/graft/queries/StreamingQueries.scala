@@ -687,10 +687,31 @@ object StreamingQueries {
     )
   }
 
+  /** Streaming Markov transitions ([[StreamOps.eventTransitions]]):
+    * O(1) last-event state per user emits (prev → cur) pairs; the
+    * drained stream aggregates to exactly the batch lead() matrix and
+    * shares `q_event_transitions`' oracle verbatim.
+    */
+  val streamEventTransitions: Q = Q(
+    "stream_event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.eventTransitions(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      val wf = Window.partitionBy(col("event_type"))
+      drained.groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prob", round(col("cnt") / sum(col("cnt")).over(wf), 6))
+        .select(col("event_type"), col("next_type"), col("cnt"), col("prob"))
+    },
+    RelationalQueries.qEventTransitions.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
-    streamCountDistinct)
+    streamCountDistinct, streamEventTransitions)
 }

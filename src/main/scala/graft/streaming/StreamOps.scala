@@ -730,6 +730,40 @@ object StreamOps {
       .drop("sess_id")
   }
 
+  final case class TypedEvent(user_id: Long, ts_ns: Long, event_type: String)
+  final case class TransState(last: String)
+  final case class Transition(event_type: String, next_type: String)
+
+  /** Streaming twin of the batch event-transition extraction: per-key
+    * state is ONLY the last event type (O(1) per user), each arriving
+    * event emits its (prev → cur) transition — so the drained
+    * transition stream aggregates to exactly the batch lead()-based
+    * matrix and `stream_event_transitions` shares `q_event_transitions`'
+    * oracle. In-order-source contract as on every stream twin here.
+    */
+  def eventTransitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("event_type").cast("string").as("event_type")).as[TypedEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          val evs = it.toSeq.sortBy(_.ts_ns)
+          var prev = state.getOption.map(_.last).orNull
+          val out = evs.flatMap { e =>
+            val t = if (prev != null) Some(Transition(prev, e.event_type)) else None
+            prev = e.event_type
+            t
+          }
+          if (prev != null) state.update(TransState(prev))
+          out.iterator
+      }
+  }
+
   final case class ZEvent(user_id: Long, ts_ns: Long, value: Double)
   /** Ring buffer of the last `window` 3-dp-quantized values, oldest
     * first — O(window) state per key, the whole monitoring contract.

@@ -79,6 +79,21 @@ class DecomposeSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(3)))
   }
 
+  test("seasonalStrength: pure seasonal series ~1, aperiodic series low") {
+    val pattern = Seq(3.0, -1.0, 0.5, -2.0, 1.0, -0.5, -1.0)
+    val seasonal = (0 until 42).map(i => 10.0 + pattern(i % 7))
+    val fSeasonal = Decompose.seasonalStrength(
+      Decompose.seasonal(dailyDF(seasonal), "user_id", "ts", "value"), "user_id")
+      .collect().head.getDouble(2)
+    assert(fSeasonal > 0.99, s"pure period-7 signal must score ~1, got $fSeasonal")
+    // alternating period-2 signal: period-7 phases see it as noise
+    val aperiodic = (0 until 42).map(i => 10.0 + (if (i % 2 == 0) 1.0 else -1.0))
+    val fNoise = Decompose.seasonalStrength(
+      Decompose.seasonal(dailyDF(aperiodic), "user_id", "ts", "value"), "user_id")
+      .collect().head.getDouble(2)
+    assert(fNoise < 0.5, s"period-2 signal under period-7 phases must score low, got $fNoise")
+  }
+
   test("rollingZ: one-step-ahead (current row excluded from its own window)") {
     // constant history then a jump: the jump's z uses only the calm
     // history, so it is large; with the row included it would shrink
