@@ -67,16 +67,26 @@ object Decompose {
     val withD7 = idxed.withColumn("phase", (col("idx") - 1) % period)
       .withColumn("d7",
         when(col("t_cnt") === period, lit(period) * col("dm") - col("t_num")))
-    val phase = withD7.where(col("d7").isNotNull)
-      .groupBy(key, col("phase"))
-      .agg(sum(col("d7")).as("s_p"), count(lit(1)).as("n_p"))
-      .withColumn("sq",
-        round(col("s_p") / (col("n_p") * lit(period.toDouble)), 0).cast("long"))
+    // the phase means and their cross-phase normalization ride WINDOWS
+    // over the same frame instead of a groupBy + join-back: every
+    // window partitions by (key) or (key, phase), both satisfied by
+    // the hash(key) Exchange the index window already forced — so the
+    // whole decomposition is ONE pass over one Exchange chain, where
+    // the join-back formulation re-computed the daily rollup + trend
+    // subtree a second time for the broadcast side (2x the heavy work
+    // at 100 TB; caught by NewOpsPlanSpec's Exchange budget).
+    val wPhase = Window.partitionBy(key, col("phase"))
+    val wPhaseOrd = wPhase.orderBy(col("bucket"))
     val wKey = Window.partitionBy(key)
-    val seas = phase.select(key, col("phase"),
-      (col("sq") - sum(col("sq")).over(wKey) / lit(period.toDouble)).as("seas_m"))
-    withD7
-      .join(broadcast(seas), Seq(keyCol, "phase"), "left")
+    val withSq = withD7
+      .withColumn("sq",
+        round(sum(col("d7")).over(wPhase) /
+          (count(col("d7")).over(wPhase) * lit(period.toDouble)), 0).cast("long"))
+      .withColumn("__rep",
+        when(row_number().over(wPhaseOrd) === 1, col("sq")))
+    val withSeas = withSq.withColumn("seas_m",
+      col("sq") - sum(col("__rep")).over(wKey) / lit(period.toDouble))
+    withSeas
       .select(key, col("bucket"),
         round(col("dm") / 1e6, 6).as("y_sum"),
         when(col("t_cnt") === period,

@@ -927,13 +927,20 @@ object DedupQueries {
         conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$j"))), 1, 4), 16, 10)
           .cast("long") % nN
       }
-      val edges = nodes
+      // dedup + out-degree in ONE src rollup (collect_set is bounded
+      // by the 3-edge fan-out): the distinct + groupBy + join-back
+      // formulation planned FOUR hash Exchanges and computed the edge
+      // subtree twice (caught by NewOpsPlanSpec's budget); this shape
+      // is one src rollup, a bounded explode, and one dst rollup.
+      val adj = nodes
         .select(col("vec_id").as("src"), explode(array(dsts: _*)).as("dst"))
-        .where(col("dst") =!= col("src")).distinct()
-      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val contrib = edges.join(outdeg, "src")
+        .where(col("dst") =!= col("src"))
+        .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
+        .select(col("src"), size(col("dsts")).as("outdeg"),
+          explode(col("dsts")).as("dst"))
+      val sums = adj
         .select(col("dst"), round(lit(1000000.0) / col("outdeg"), 0).cast("long").as("cm"))
-      val sums = contrib.groupBy(col("dst"))
+        .groupBy(col("dst"))
         .agg(count(lit(1)).as("indeg"), sum(col("cm")).as("sm"))
       nodes.join(sums, nodes("vec_id") === sums("dst"), "left")
         .select(col("vec_id"),

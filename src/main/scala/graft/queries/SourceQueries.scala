@@ -97,6 +97,41 @@ object SourceQueries {
     Some("SELECT text FROM documents"),
   )
 
+  /** `binaryFile` source — the multimodal ingestion path (image/audio
+    * corpora arrive as object-store files, not table rows): one
+    * opaque-bytes file per sampled doc (driver-written fixture; a real
+    * pipeline reads pre-existing files), read back as
+    * (path, length, content) rows, checksummed. The content column is
+    * the same opaque `binary` the Multimodal operators consume, so
+    * this closes the file → media-record ingestion loop; oracle
+    * checks id/length/md5 against the source table.
+    */
+  val binaryRoundtrip: Q = Q(
+    "source_binary_roundtrip",
+    (s, dir) => {
+      val path = tmp("docs_bin")
+      val d = Tables.documents(s, dir)
+        .where(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+      val dirF = new java.io.File(path)
+      org.apache.commons.io.FileUtils.deleteQuietly(dirF)
+      dirF.mkdirs()
+      d.collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_hash"))
+    },
+    Some("""
+      SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_hash
+      FROM documents WHERE doc_id % 25 = 0
+    """),
+  )
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, avroRoundtrip,
-    sinkPartitioned, textRoundtrip)
+    sinkPartitioned, textRoundtrip, binaryRoundtrip)
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.queries._
+
+/** Shuffle budgets for the round-8 operator additions — the same
+  * plan-shape discipline ExtractPlanSpec pins for the extract family:
+  * an Exchange that appears here unplanned is a 100 TB regression
+  * even while results stay green.
+  */
+class NewOpsPlanSpec extends SparkSpec {
+
+  private def exchanges(q: Q): Int = {
+    val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    "Exchange (hash|range|Single)".r.findAllIn(plan).size
+  }
+
+  test("ts_anomaly plans exactly one Exchange (the series-key window)") {
+    assert(exchanges(TsQueries.tsAnomaly) === 1)
+  }
+
+  test("ts_holt plans exactly one Exchange (the GroupedApply shuffle)") {
+    assert(exchanges(TsQueries.tsHolt) === 1)
+  }
+
+  test("q_user_journey plans exactly one Exchange (both windows share the user key)") {
+    assert(exchanges(RelationalQueries.qUserJourney) === 1)
+  }
+
+  test("ts_decompose plans exactly two Exchanges (daily rollup, then one key chain for every window)") {
+    assert(exchanges(TsQueries.tsDecompose) === 2)
+  }
+
+  test("q_interval_overlap stays within its 2-Exchange budget (one per exploded side)") {
+    assert(exchanges(ScaleOpsQueries.qIntervalOverlap) <= 2)
+  }
+
+  test("q_event_transitions stays within its 3-Exchange budget (lead window, pair rollup, row-normalize window)") {
+    assert(exchanges(RelationalQueries.qEventTransitions) <= 3)
+  }
+
+  test("q_pagerank_step plans exactly two hash Exchanges (src rollup, dst rollup)") {
+    assert(exchanges(DedupQueries.qPagerankStep) === 2)
+  }
+}
