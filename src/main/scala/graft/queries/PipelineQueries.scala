@@ -397,15 +397,18 @@ object PipelineQueries {
   val qMad: Q = Q(
     "q_mad",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      // both medians as window aggregates over the group partition,
+      // then a distinct that the same hash(group) partitioning
+      // already satisfies — one scan, one Exchange (was 2 scans)
+      val wF = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_quantity").as("x"))
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(percentile(col("x"), lit(0.5)).as("med"))
-      li.join(broadcast(med), "l_returnflag")
-        .groupBy(col("l_returnflag"), col("med"))
-        .agg(percentile(abs(col("x") - col("med")), lit(0.5)).as("mad"))
+        .withColumn("med", percentile(col("x"), lit(0.5)).over(wF))
+        .withColumn("mad", percentile(abs(col("x") - col("med")), lit(0.5)).over(wF))
         .select(col("l_returnflag"), round(col("med"), 6).as("med"),
           round(col("mad"), 6).as("mad"))
+        .distinct()
     },
     Some("""
       WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med

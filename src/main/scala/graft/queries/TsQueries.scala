@@ -1466,13 +1466,15 @@ object TsQueries {
   val tsOutlierMad: Q = Q(
     "ts_outlier_mad",
     (s, dir) => {
-      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
-      val med = e.groupBy(col("user_id"))
-        .agg(percentile(col("value"), lit(0.5)).as("med"))
-      val withMed = e.join(med, "user_id")
-      val mad = withMed.groupBy(col("user_id"), col("med"))
-        .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
-      e.join(mad, "user_id")
+      import org.apache.spark.sql.expressions.Window
+      // both medians ride WINDOW aggregates over the same series
+      // partition — one scan, one Exchange; the groupBy + join-back
+      // formulation scanned events three times (NewOpsPlanSpec)
+      val wU = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+        .withColumn("med", percentile(col("value"), lit(0.5)).over(wU))
+        .withColumn("mad",
+          percentile(abs(col("value") - col("med")), lit(0.5)).over(wU))
         .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"),
           when(col("mad") > 0,
             (abs(col("value") - col("med")) > lit(4.4478) * col("mad")).cast("int"))

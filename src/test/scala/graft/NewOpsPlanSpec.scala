@@ -41,4 +41,16 @@ class NewOpsPlanSpec extends SparkSpec {
   test("q_pagerank_step plans exactly two hash Exchanges (src rollup, dst rollup)") {
     assert(exchanges(DedupQueries.qPagerankStep) === 2)
   }
+
+  test("ts_outlier_mad plans one Exchange and one scan (window medians, no join-back)") {
+    val plan = TsQueries.tsOutlierMad.run(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange hash".r.findAllIn(plan).size === 1)
+    assert("FileScan".r.findAllIn(plan).size === 1)
+  }
+
+  test("q_mad plans one Exchange and one scan (window medians + in-place distinct)") {
+    val plan = PipelineQueries.qMad.run(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange hash".r.findAllIn(plan).size === 1)
+    assert("FileScan".r.findAllIn(plan).size === 1)
+  }
 }
