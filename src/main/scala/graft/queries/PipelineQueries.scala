@@ -420,6 +420,69 @@ object PipelineQueries {
     """),
   )
 
+  /** HLL set algebra — the sketch property that matters at 100 TB:
+    * register files are MERGEABLE (union = pairwise max), so
+    * \|A∪B\| costs no rescan and \|A∩B\| falls out of
+    * inclusion–exclusion on three estimates. Clicking vs erroring
+    * user sets: est(A), est(B), est(A∪B) from registers, intersection
+    * = a + b − u on the unrounded estimates. All register files are
+    * the deterministic md5 construction, so the oracle replays every
+    * register and every estimate.
+    */
+  val qHllSetOps: Q = {
+    val m = 512
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    Q(
+      "q_hll_set_ops",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.HllSketch
+        val e = Tables.events(s, dir)
+        def regs(tpe: String) = HllSketch.registers(
+          e.where(col("event_type") === tpe).select(col("user_id")), "user_id", m)
+        val ra = regs("click")
+        val rb = regs("error")
+        val ru = ra.unionAll(rb).groupBy(col("j")).agg(max(col("mr")).as("mr"))
+        def est(reg: org.apache.spark.sql.DataFrame): Double =
+          HllSketch.estimate(reg, m).head().getDouble(0)
+        val (a, b, u) = (est(ra), est(rb), est(ru))
+        def round6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq((round6(a), round6(b), round6(u), round6(a + b - u)))
+          .toDF("est_a", "est_b", "est_union", "est_intersect")
+      },
+      Some {
+        def regSql(tpe: String) =
+          s"""SELECT j, max(r) AS mr FROM (
+                SELECT h % $m AS j,
+                       CASE WHEN h // $m = 0 THEN 24
+                            ELSE 24 - length(bin(h // $m)) END AS r
+                FROM (SELECT ${OracleExact.h32Sql("md5((user_id)::VARCHAR)")} AS h
+                      FROM events WHERE event_type = '$tpe' AND user_id IS NOT NULL))
+              GROUP BY j"""
+        def estSql(reg: String) =
+          s"""SELECT CASE WHEN ($alpha)::DOUBLE * $m * $m / s <= ${2.5 * m} AND v > 0
+                          THEN $m * ln($m / v)
+                          ELSE ($alpha)::DOUBLE * $m * $m / s END AS est
+              FROM (SELECT sum(power(2.0, -mr)) + ($m - count(*)) AS s,
+                           $m - count(*) AS v FROM $reg)"""
+        s"""
+        WITH ra AS (${regSql("click")}),
+        rb AS (${regSql("error")}),
+        ru AS (SELECT j, max(mr) AS mr
+               FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY j),
+        ea AS (${estSql("ra")}),
+        eb AS (${estSql("rb")}),
+        eu AS (${estSql("ru")})
+        SELECT round(ea.est, 6) AS est_a, round(eb.est, 6) AS est_b,
+               round(eu.est, 6) AS est_union,
+               round(ea.est + eb.est - eu.est, 6) AS est_intersect
+        FROM ea, eb, eu
+        """
+      },
+    )
+  }
+
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
-    qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad)
+    qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps)
 }

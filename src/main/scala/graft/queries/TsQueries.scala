@@ -1494,6 +1494,50 @@ object TsQueries {
     """),
   )
 
+  /** Burstiness of each series' inter-event gaps (Goh & Barabási
+    * B = (σ−μ)/(σ+μ) ∈ [−1, 1]: −1 = periodic, 0 = Poisson, →1 =
+    * bursty) — the temporal-pattern profiler stat. Gaps quantize to
+    * exact integer milliseconds (lag diff, div — never a double on
+    * nanos); B = (√(nQ−S²) − S)/(√(nQ−S²) + S) after the n
+    * cancellation, a pure function of exact int sums. One hash
+    * Exchange shared by the lag window and the rollup.
+    */
+  val tsBurstiness: Q = Q(
+    "ts_burstiness",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gaps = Tables.events(s, dir).select(col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("gap_s", expr("(ts - prev) div 1000000000"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_s")).as("sg"),
+          sum(col("gap_s") * col("gap_s")).as("qg"))
+        .select(col("user_id"), col("n_gaps"),
+          round(col("sg") / col("n_gaps"), 6).as("mean_gap_s"),
+          round((sqrt((col("n_gaps") * col("qg") - col("sg") * col("sg")).cast("double")) - col("sg")) /
+                (sqrt((col("n_gaps") * col("qg") - col("sg") * col("sg")).cast("double")) + col("sg")), 6)
+            .as("burstiness"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+               (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)))
+                 // 1000000000 AS gap_s
+        FROM events),
+      a AS (SELECT user_id, count(*) AS n_gaps, sum(gap_s)::BIGINT AS sg,
+                   sum(gap_s * gap_s)::BIGINT AS qg
+            FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+      SELECT user_id, n_gaps,
+             round(sg / n_gaps, 6) AS mean_gap_s,
+             round((sqrt((n_gaps * qg - sg * sg)::DOUBLE) - sg) /
+                   (sqrt((n_gaps * qg - sg * sg)::DOUBLE) + sg), 6) AS burstiness
+      FROM a
+    """),
+  )
+
   /** Rolling z-score anomaly flags (one-step-ahead surprise vs the 20
     * preceding events, |z| > 3, min 8 history rows) — see
     * [[graft.operators.Decompose.rollingZ]]. The 3-dp value
@@ -1534,5 +1578,5 @@ object TsQueries {
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
-    tsHolt)
+    tsHolt, tsBurstiness)
 }
