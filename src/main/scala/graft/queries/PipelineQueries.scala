@@ -397,18 +397,21 @@ object PipelineQueries {
   val qMad: Q = Q(
     "q_mad",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // both medians as window aggregates over the group partition,
-      // then a distinct that the same hash(group) partitioning
-      // already satisfies — one scan, one Exchange (was 2 scans)
-      val wF = Window.partitionBy(col("l_returnflag"))
-      Tables.lineitem(s, dir)
+      // groupBy + broadcast join-back, NOT the window-median shape
+      // ts_outlier_mad uses: with 3 groups the window variant drags
+      // every row through full-partition window aggregation + a
+      // distinct (2.6x slower at sf0.1), while the extra scan here is
+      // cheap; per-SERIES medians (many small partitions) go the
+      // window way — group cardinality decides the shape
+      val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_quantity").as("x"))
-        .withColumn("med", percentile(col("x"), lit(0.5)).over(wF))
-        .withColumn("mad", percentile(abs(col("x") - col("med")), lit(0.5)).over(wF))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("x"), lit(0.5)).as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("med"))
+        .agg(percentile(abs(col("x") - col("med")), lit(0.5)).as("mad"))
         .select(col("l_returnflag"), round(col("med"), 6).as("med"),
           round(col("mad"), 6).as("mad"))
-        .distinct()
     },
     Some("""
       WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med

@@ -48,9 +48,12 @@ class NewOpsPlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(plan).size === 1)
   }
 
-  test("q_mad plans one Exchange and one scan (window medians + in-place distinct)") {
+  test("q_mad keeps the groupBy shape (low group cardinality: window medians lose)") {
     val plan = PipelineQueries.qMad.run(spark, sf).queryExecution.executedPlan.toString
-    assert("Exchange hash".r.findAllIn(plan).size === 1)
-    assert("FileScan".r.findAllIn(plan).size === 1)
+    // two grouped percentile passes + a broadcast back; the window
+    // variant was 2.6x slower at sf0.1 because all 600k rows ride the
+    // 3-partition window aggregation and a distinct (see scaladoc)
+    assert("Exchange hash".r.findAllIn(plan).size <= 2)
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 }
