@@ -873,9 +873,54 @@ object RelationalQueries {
     """),
   )
 
+  /** Ordered funnel analysis (view → click → purchase per user): each
+    * step's timestamp is the earliest qualifying event STRICTLY AFTER
+    * the previous step — the product-analytics conversion query. All
+    * three step minima are conditional window aggregates chained over
+    * the SAME user partition (each references the previous window's
+    * column; `HashPartitioning(user)` satisfies every step), so the
+    * whole funnel — including the final per-user dedup — rides ONE
+    * hash Exchange; a join-back formulation would re-scan events per
+    * step (the §13 lesson).
+    */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(wU))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(wU))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(wU))
+        .select(col("user_id"),
+          expr("t1 div 1000").as("t1_us"),
+          expr("t2 div 1000").as("t2_us"),
+          expr("t3 div 1000").as("t3_us"),
+          col("t3").isNotNull.cast("int").as("converted"))
+        .distinct()
+    },
+    Some("""
+      WITH w AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type FROM events),
+      a AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN tsn END) AS t1
+            FROM w GROUP BY 1),
+      b AS (SELECT w.user_id, a.t1,
+                   min(CASE WHEN event_type = 'click' AND tsn > a.t1 THEN tsn END) AS t2
+            FROM w JOIN a USING (user_id) GROUP BY w.user_id, a.t1),
+      c AS (SELECT w.user_id, b.t1, b.t2,
+                   min(CASE WHEN event_type = 'purchase' AND tsn > b.t2 THEN tsn END) AS t3
+            FROM w JOIN b USING (user_id) GROUP BY w.user_id, b.t1, b.t2)
+      SELECT user_id, t1 // 1000 AS t1_us, t2 // 1000 AS t2_us, t3 // 1000 AS t3_us,
+             (t3 IS NOT NULL)::INT AS converted
+      FROM c
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
-    qEventTransitions, qUserJourney)
+    qEventTransitions, qUserJourney, qFunnel)
 }

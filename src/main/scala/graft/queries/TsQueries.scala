@@ -1538,6 +1538,68 @@ object TsQueries {
     """),
   )
 
+  /** Rolling lag-1 autocorrelation per series (trailing 20
+    * consecutive-value pairs) — the drift monitor next to the rolling
+    * z-score: r collapsing toward 0 or flipping sign flags a
+    * structural change long before level shifts do. Pearson over the
+    * window's (x_{t−1}, x_t) pairs in EXACT int64 (3-dp quantization:
+    * n·Σxy ≤ ~1.3e14), r a pure function of exact sums; null until 20
+    * pairs exist or when either side's variance numerator is zero.
+    * ONE hash Exchange shared by the lag and the window sums.
+    */
+  val tsRollingAutocorr: Q = Q(
+    "ts_rolling_autocorr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val pairs = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+        .withColumn("m", round(col("value") * 1e3, 0).cast("long"))
+        .withColumn("mp", lag(col("m"), 1).over(w))
+        .where(col("mp").isNotNull)
+      val wp = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(-19, 0)
+      val sums = pairs.select(col("user_id"), col("ts"),
+        count(lit(1)).over(wp).as("n"),
+        sum(col("mp")).over(wp).as("sx"),
+        sum(col("m")).over(wp).as("sy"),
+        sum(col("mp") * col("mp")).over(wp).as("sxx"),
+        sum(col("m") * col("m")).over(wp).as("syy"),
+        sum(col("mp") * col("m")).over(wp).as("sxy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("user_id"), col("ts"),
+        when(col("n") === 20 && vx > 0 && vy > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+          .as("r1"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_ns(ts) AS tsn,
+               round(value * 1000)::BIGINT AS m,
+               lag(round(value * 1000)::BIGINT) OVER
+                 (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS mp
+        FROM events),
+      q AS (
+        SELECT user_id, tsn,
+               count(*) OVER win AS n,
+               sum(mp) OVER win AS sx,
+               sum(m) OVER win AS sy,
+               sum(mp * mp) OVER win AS sxx,
+               sum(m * m) OVER win AS syy,
+               sum(mp * m) OVER win AS sxy
+        FROM p WHERE mp IS NOT NULL
+        WINDOW win AS (PARTITION BY user_id ORDER BY tsn
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      SELECT user_id, tsn AS ts,
+             CASE WHEN n = 20 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN round((n * sxy - sx * sy) /
+                       (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+             END AS r1
+      FROM q
+    """),
+  )
+
   /** Rolling z-score anomaly flags (one-step-ahead surprise vs the 20
     * preceding events, |z| > 3, min 8 history rows) — see
     * [[graft.operators.Decompose.rollingZ]]. The 3-dp value
@@ -1578,5 +1640,5 @@ object TsQueries {
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
-    tsHolt, tsBurstiness)
+    tsHolt, tsBurstiness, tsRollingAutocorr)
 }
