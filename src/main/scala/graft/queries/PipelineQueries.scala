@@ -486,6 +486,50 @@ object PipelineQueries {
     )
   }
 
+  /** Declarative data-quality gate (Great-Expectations-style): a
+    * suite of assertions — key uniqueness, non-negativity, null-rate,
+    * domain membership — evaluated in ONE scan / ONE aggregate, then
+    * unpivoted to a (check, observed, passed) report via stack() (a
+    * generator, so the whole gate stays in-plan with no driver
+    * collect). The report is the artifact a pipeline PERSISTS next to
+    * its output — failing checks block the publish step.
+    */
+  val qExpectations: Q = Q(
+    "q_expectations",
+    (s, dir) => {
+      val a = Tables.orders(s, dir).agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("neg_price"),
+        (count(lit(1)) - count(col("o_custkey"))).as("null_cust"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+      a.select(expr(
+          """stack(4,
+             'orderkey_unique', dup_keys,
+             'totalprice_nonneg', neg_price,
+             'custkey_not_null', null_cust,
+             'status_in_domain', bad_status) AS (check_name, observed)"""))
+        .select(col("check_name"), col("observed"),
+          (col("observed") === 0).cast("int").as("passed"))
+    },
+    Some("""
+      WITH a AS (SELECT
+          count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+          sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)::BIGINT AS neg_price,
+          count(*) - count(o_custkey) AS null_cust,
+          sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)::BIGINT AS bad_status
+        FROM orders)
+      SELECT 'orderkey_unique' AS check_name, dup_keys AS observed, (dup_keys = 0)::INT AS passed FROM a
+      UNION ALL
+      SELECT 'totalprice_nonneg', neg_price, (neg_price = 0)::INT FROM a
+      UNION ALL
+      SELECT 'custkey_not_null', null_cust, (null_cust = 0)::INT FROM a
+      UNION ALL
+      SELECT 'status_in_domain', bad_status, (bad_status = 0)::INT FROM a
+    """),
+  )
+
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
-    qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps)
+    qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
+    qExpectations)
 }

@@ -708,10 +708,35 @@ object StreamingQueries {
     },
     RelationalQueries.qEventTransitions.oracle)
 
+  /** Streaming funnel ([[StreamOps.funnel]]): per-user O(1) state
+    * machine; the funnel is monotone, so the most-advanced drained
+    * snapshot per user (completeness rank) equals the batch
+    * `q_funnel` row and shares its oracle verbatim.
+    */
+  val streamFunnel: Q = Q(
+    "stream_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.funnel(StreamOps.eventsStream(s, dir)).toDF(), mode = "append")
+      val rank = Window.partitionBy(col("user_id")).orderBy(
+        col("t3").desc_nulls_last, col("t2").desc_nulls_last,
+        col("t1").desc_nulls_last)
+      drained.withColumn("__rk", row_number().over(rank))
+        .where(col("__rk") === 1)
+        .select(col("user_id"),
+          expr("t1 div 1000").as("t1_us"),
+          expr("t2 div 1000").as("t2_us"),
+          expr("t3 div 1000").as("t3_us"),
+          col("t3").isNotNull.cast("int").as("converted"))
+    },
+    RelationalQueries.qFunnel.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
-    streamCountDistinct, streamEventTransitions)
+    streamCountDistinct, streamEventTransitions, streamFunnel)
 }

@@ -764,6 +764,46 @@ object StreamOps {
       }
   }
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long) // 0 = unset
+  final case class FunnelRow(user_id: Long, t1: Option[Long],
+                             t2: Option[Long], t3: Option[Long])
+
+  /** Streaming funnel state machine (view → click → purchase,
+    * strictly-after semantics): per-user state is three timestamps
+    * (O(1)), advanced per event in event-time order; every batch
+    * emits the user's current snapshot. The funnel is MONOTONE — a
+    * step timestamp never changes once set — so the most-advanced
+    * snapshot per user (the drain-side rank the query applies) equals
+    * the batch `q_funnel` row, and the query shares its oracle.
+    */
+  def funnel(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("event_type").cast("string").as("event_type")).as[TypedEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          it.toSeq.sortBy(_.ts_ns).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1 == 0L => st = st.copy(t1 = e.ts_ns)
+              case "click" if st.t2 == 0L && st.t1 != 0L && e.ts_ns > st.t1 =>
+                st = st.copy(t2 = e.ts_ns)
+              case "purchase" if st.t3 == 0L && st.t2 != 0L && e.ts_ns > st.t2 =>
+                st = st.copy(t3 = e.ts_ns)
+              case _ =>
+            }
+          }
+          state.update(st)
+          def opt(v: Long) = if (v == 0L) None else Some(v)
+          Iterator.single(FunnelRow(uid, opt(st.t1), opt(st.t2), opt(st.t3)))
+      }
+  }
+
   final case class ZEvent(user_id: Long, ts_ns: Long, value: Double)
   /** Ring buffer of the last `window` 3-dp-quantized values, oldest
     * first — O(window) state per key, the whole monitoring contract.
