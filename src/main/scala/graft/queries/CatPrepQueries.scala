@@ -387,8 +387,58 @@ object CatPrepQueries {
     """),
   )
 
+  /** LEAKAGE-SAFE (out-of-fold) target encoding — the CV sibling of
+    * [[targetMeanEncode]] and what a training pipeline must actually
+    * use (in-fold means leak the row's own label): each row's
+    * encoding is the target mean of its category computed over the
+    * OTHER four md5-assigned folds, exact decimal sums so the
+    * subtraction (global − own-fold) replays bit-for-bit; a category
+    * entirely inside one fold falls back to the (exact-sum) global
+    * mean. Per-(category, fold) stats are bounded and broadcast.
+    */
+  val targetEncodeCv: Q = Q(
+    "target_encode_cv",
+    (s, dir) => {
+      import graft.operators.ExactAgg
+      val fold = (conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5).as("fold")
+      val r = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("y"), fold)
+      val gRow = r.agg(ExactAgg.decSum(col("y")), count(col("y"))).head()
+      val gmean = gRow.getDouble(0) / gRow.getLong(1)
+      val sf = r.groupBy(col("seg"), col("fold"))
+        .agg(ExactAgg.decSum(col("y")).as("s"), count(col("y")).as("n"))
+      val st = r.groupBy(col("seg"))
+        .agg(ExactAgg.decSum(col("y")).as("gs"), count(col("y")).as("gn"))
+      r.join(broadcast(sf), Seq("seg", "fold"))
+        .join(broadcast(st), Seq("seg"))
+        .select(col("c_custkey"), col("fold"),
+          round(when(col("gn") - col("n") === 0, lit(gmean))
+            .otherwise((col("gs") - col("s")) / (col("gn") - col("n"))), 6)
+            .as("enc"))
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS y,
+               ${OracleExact.h16Sql("md5(c_custkey::VARCHAR)")} % 5 AS fold
+        FROM customer),
+      sf AS (SELECT seg, fold, ${OracleExact.decSumSql("y")} AS s, count(y) AS n
+             FROM r GROUP BY 1, 2),
+      st AS (SELECT seg, ${OracleExact.decSumSql("y")} AS gs, count(y) AS gn
+             FROM r GROUP BY 1),
+      gm AS (SELECT ${OracleExact.decSumSql("y")} / count(y) AS g FROM r)
+      SELECT r.c_custkey, r.fold,
+             round(CASE WHEN st.gn - sf.n = 0 THEN gm.g
+                        ELSE (st.gs - sf.s) / (st.gn - sf.n) END, 6) AS enc
+      FROM r
+      JOIN sf ON r.seg = sf.seg AND r.fold = sf.fold
+      JOIN st ON r.seg = st.seg, gm
+    """),
+  )
+
   val all: Seq[Q] = Seq(inferTypes, selectFeatures, shrinkLabels, oneHot,
-    oneHotRoundtrip, labelEncode, targetMeanEncode, targetRegression,
-    datetimeEpoch, datetimeInfer, datetimeInterpolate, boolToInt,
-    freqEncode, featureHash)
+    oneHotRoundtrip, labelEncode, targetMeanEncode, targetEncodeCv,
+    targetRegression, datetimeEpoch, datetimeInfer, datetimeInterpolate,
+    boolToInt, freqEncode, featureHash)
 }

@@ -918,9 +918,41 @@ object RelationalQueries {
     """),
   )
 
+  /** Cohort retention matrix (the other classic product-analytics
+    * rollup next to the funnel): users cohorted by the week of their
+    * first event, counted per (cohort, week-offset) of activity.
+    * Cohort via a min-window over the user partition, the per-user
+    * activity dedup satisfied in place by the same hash(user), one
+    * final rollup on the (cohort, offset) pair.
+    */
+  val qRetentionCohorts: Q = Q(
+    "q_retention_cohorts",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wkNs = 604800000000000L
+      val wU = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), expr(s"cast(ts as long) div $wkNs").as("wk"))
+        .withColumn("wk0", min(col("wk")).over(wU))
+        .select(col("user_id"), col("wk0"), (col("wk") - col("wk0")).as("off"))
+        .distinct()
+        .groupBy(col("wk0"), col("off"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("wk0").as("cohort_wk"), col("off").as("week_offset"),
+          col("n_users"))
+    },
+    Some("""
+      WITH w AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+      m AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS wk0 FROM w),
+      d AS (SELECT DISTINCT user_id, wk0, wk - wk0 AS off FROM m)
+      SELECT wk0 AS cohort_wk, off AS week_offset, count(*) AS n_users
+      FROM d GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
-    qEventTransitions, qUserJourney, qFunnel)
+    qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts)
 }

@@ -1600,6 +1600,46 @@ object TsQueries {
     """),
   )
 
+  /** Lag-feature builder (the supervised-learning staple next to
+    * `ml_dataset`): per series, value lags 1–3 plus the trailing-5
+    * rolling mean, all over ONE ts-ordered window chain (one hash
+    * Exchange). The rolling mean rides exact micro-int sums (S/n
+    * then /1e6 — identical double steps both engines); leading rows
+    * carry nulls exactly where history is missing, which is what the
+    * downstream trainer's null-handling is supposed to see.
+    */
+  val tsLagFeatures: Q = Q(
+    "ts_lag_features",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val wr = w.rowsBetween(-4, 0)
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+        .withColumn("m", round(col("value") * 1e6, 0).cast("long"))
+        .select(col("user_id"), col("ts"), round(col("value"), 6).as("value"),
+          round(lag(col("value"), 1).over(w), 6).as("lag1"),
+          round(lag(col("value"), 2).over(w), 6).as("lag2"),
+          round(lag(col("value"), 3).over(w), 6).as("lag3"),
+          round((sum(col("m")).over(wr) / count(col("m")).over(wr)) / 1e6, 6)
+            .as("roll5"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, value,
+               round(value * 1000000)::BIGINT AS m
+        FROM events)
+      SELECT user_id, tsn AS ts, round(value, 6) AS value,
+             round(lag(value, 1) OVER w, 6) AS lag1,
+             round(lag(value, 2) OVER w, 6) AS lag2,
+             round(lag(value, 3) OVER w, 6) AS lag3,
+             round((sum(m) OVER wr / count(m) OVER wr) / 1e6, 6) AS roll5
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsn),
+             wr AS (PARTITION BY user_id ORDER BY tsn
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """),
+  )
+
   /** Rolling z-score anomaly flags (one-step-ahead surprise vs the 20
     * preceding events, |z| > 3, min 8 history rows) — see
     * [[graft.operators.Decompose.rollingZ]]. The 3-dp value
@@ -1640,5 +1680,5 @@ object TsQueries {
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
-    tsHolt, tsBurstiness, tsRollingAutocorr)
+    tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures)
 }
