@@ -489,8 +489,47 @@ object NumPrepQueries {
     """),
   )
 
+  /** GROUPED standardization (z-score within each category — the
+    * per-segment normalization a mixed-population dataset needs where
+    * global standardize washes out group structure): group mean/std
+    * from exact decimal(28,6) sums of v and v² (order-free, so the
+    * per-group stats replay bit-for-bit; the micro-int grid would
+    * overflow on v² here), z computed in identical double op order
+    * both engines. One groupBy + broadcast-back (bounded group
+    * cardinality), narrow transform.
+    */
+  val scaleStandardizeGrouped: Q = Q(
+    "scale_standardize_grouped",
+    (s, dir) => {
+      val df = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+      val st = df.groupBy(col("seg")).agg(
+        count(col("v")).as("n"),
+        sum(col("v").cast("decimal(28,6)")).cast("double").as("sv"),
+        sum((col("v") * col("v")).cast("decimal(28,6)")).cast("double").as("qv"))
+      val mean = col("sv") / col("n")
+      val std = sqrt((col("n") * col("qv") - col("sv") * col("sv")) /
+        (col("n") * (col("n") - 1)))
+      df.join(broadcast(st), "seg")
+        .select(col("c_custkey"), col("seg"),
+          round((col("v") - mean) / std, 6).as("z"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT c_mktsegment AS seg, count(c_acctbal) AS n,
+               sum(c_acctbal::DECIMAL(28,6))::DOUBLE AS sv,
+               sum((c_acctbal * c_acctbal)::DECIMAL(28,6))::DOUBLE AS qv
+        FROM customer GROUP BY 1)
+      SELECT c_custkey, st.seg,
+             round((c_acctbal - sv / n) /
+                   sqrt((n * qv - sv * sv) / (n * (n - 1))), 6) AS z
+      FROM customer JOIN st ON c_mktsegment = st.seg
+    """),
+  )
+
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillMedian, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
-    scaleRobust, scaleMaxAbs, scaleQuantileUniform, scaleQuantileNormal,
-    scaleKBins, scaleKBinsSketch, scalePower, scaleWinsorize, scaleSignedLog)
+    scaleStandardizeGrouped, scaleRobust, scaleMaxAbs, scaleQuantileUniform,
+    scaleQuantileNormal, scaleKBins, scaleKBinsSketch, scalePower,
+    scaleWinsorize, scaleSignedLog)
 }

@@ -950,9 +950,80 @@ object RelationalQueries {
     """),
   )
 
+  /** A/B lift report — the experiment-analysis rollup that completes
+    * the product-analytics family (funnel, retention, transitions):
+    * users md5-split into two arms, per-arm conversion (≥1 purchase),
+    * pooled two-proportion z-test with the A&S 26.2.17 two-sided
+    * p-value (`TsFeatures.normTwoSidedP` ↔ `OracleExact.phiTailSql`,
+    * the proven mirror pair from the relevance batteries). Counts are
+    * one distributed aggregate; the scalar z/p arithmetic runs
+    * driver-side in the IDENTICAL op order the oracle spells out.
+    */
+  val qAbLift: Q = Q(
+    "q_ab_lift",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TsFeatures
+      // "high-intent" conversion: above-typical purchase count (every
+      // user makes SOME purchase in the synthetic corpus — a has-any
+      // flag would put both arms at rate 1.0 and the z-test at 0/0)
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("np"))
+        .select(when(col("np") >= 14, 1).otherwise(0).as("conv"),
+          (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2).as("g"))
+      val r = u.agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("g") === 0, col("conv")).otherwise(0)).as("k_a"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("g") === 1, col("conv")).otherwise(0)).as("k_b")).head()
+      val (nA, kA, nB, kB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val ra = kA.toDouble / nA
+      val rb = kB.toDouble / nB
+      val pp = (kA + kB).toDouble / (nA + nB)
+      val den = math.sqrt(pp * (1 - pp) * (1.0 / nA + 1.0 / nB))
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // degenerate pooled rate (0 or 1): the test is undefined → null
+      val (z6, p6) =
+        if (den == 0) (None, None)
+        else {
+          val zs = (ra - rb) / den
+          (Some(r6(zs)), Some(r6(TsFeatures.normTwoSidedP(math.abs(zs)))))
+        }
+      Seq((nA, kA, r6(ra), nB, kB, r6(rb), z6, p6))
+        .toDF("n_a", "k_a", "rate_a", "n_b", "k_b", "rate_b", "z", "p")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS conv,
+               ${OracleExact.h16Sql("md5(user_id::VARCHAR)")} % 2 AS g
+        FROM events GROUP BY user_id),
+      a AS (SELECT
+          sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+          sum(CASE WHEN g = 0 THEN conv ELSE 0 END)::BIGINT AS k_a,
+          sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          sum(CASE WHEN g = 1 THEN conv ELSE 0 END)::BIGINT AS k_b
+        FROM u),
+      zc AS (SELECT n_a, k_a, n_b, k_b,
+               sqrt((k_a + k_b) / (n_a + n_b) * (1 - (k_a + k_b) / (n_a + n_b)) *
+                    (1.0 / n_a + 1.0 / n_b)) AS den,
+               k_a / n_a - k_b / n_b AS diff
+             FROM a)
+      SELECT n_a, k_a, round(k_a / n_a, 6) AS rate_a,
+             n_b, k_b, round(k_b / n_b, 6) AS rate_b,
+             CASE WHEN den = 0 THEN NULL ELSE round(diff / den, 6) END AS z,
+             CASE WHEN den = 0 THEN NULL
+                  ELSE round(${OracleExact.phiTailSql("abs(diff / den)")}, 6) END AS p
+      FROM zc
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
-    qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts)
+    qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift)
 }
