@@ -733,10 +733,57 @@ object StreamingQueries {
     },
     RelationalQueries.qFunnel.oracle)
 
+  /** Streaming data-quality gate — the DISTRIBUTIVE subset of the
+    * `q_expectations` suite as a complete-mode streaming aggregate
+    * with O(#checks) state (a distinct-count uniqueness check is not
+    * streamable; the batch gate or the HLL sketch covers it), the
+    * stack() unpivot + verdicts applied to the drained snapshot. The
+    * gate a continuous ingestion pipeline keeps live next to its sink.
+    */
+  val streamExpectations: Q = Q(
+    "stream_expectations",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val schema = s.read.parquet(s"$dir/orders.parquet").schema
+      val orders = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      val agg = orders.agg(
+        sum(when(col("o_orderkey") <= 0, 1L).otherwise(0L)).as("bad_key"),
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("neg_price"),
+        (count(lit(1)) - count(col("o_custkey"))).as("null_cust"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+      StreamOps.runToBatch(s, agg, mode = "complete")
+        .select(expr(
+          """stack(4,
+             'orderkey_positive', bad_key,
+             'totalprice_nonneg', neg_price,
+             'custkey_not_null', null_cust,
+             'status_in_domain', bad_status) AS (check_name, observed)"""))
+        .select(col("check_name"), col("observed"),
+          (col("observed") === 0).cast("int").as("passed"))
+    },
+    Some("""
+      WITH a AS (SELECT
+          sum(CASE WHEN o_orderkey <= 0 THEN 1 ELSE 0 END)::BIGINT AS bad_key,
+          sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)::BIGINT AS neg_price,
+          count(*) - count(o_custkey) AS null_cust,
+          sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)::BIGINT AS bad_status
+        FROM orders)
+      SELECT 'orderkey_positive' AS check_name, bad_key AS observed, (bad_key = 0)::INT AS passed FROM a
+      UNION ALL
+      SELECT 'totalprice_nonneg', neg_price, (neg_price = 0)::INT FROM a
+      UNION ALL
+      SELECT 'custkey_not_null', null_cust, (null_cust = 0)::INT FROM a
+      UNION ALL
+      SELECT 'status_in_domain', bad_status, (bad_status = 0)::INT FROM a
+    """))
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
-    streamCountDistinct, streamEventTransitions, streamFunnel)
+    streamCountDistinct, streamEventTransitions, streamFunnel,
+    streamExpectations)
 }
