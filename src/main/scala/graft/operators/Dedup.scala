@@ -325,4 +325,30 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     joined.where(col("hamming") <= maxHamming)
   }
+
+  /** Blocked Levenshtein near-dup pairs — record-linkage-style fuzzy
+    * entity matching (the edit-distance complement of the token-set
+    * Jaccard/containment family: catches character-level typos and
+    * truncations that leave most token sets intact).
+    *
+    * Scale contract: candidates come ONLY from an equi-join on the
+    * blocking key (structured fields such as (name, brand) — the
+    * standard record-linkage move), so pair generation is a balanced
+    * hash shuffle whose cost is Σ block², never a corpus cross join;
+    * `levenshtein` (codegen'd, O(len²) per pair) runs on candidates
+    * only. Production recall across blocking misses comes from
+    * UNIONing several passes with different keys — the caller picks
+    * the keys, this operator is one pass. `df` must carry `idCol`
+    * (unique), `nameCol`, and the block columns.
+    */
+  def blockedEditDistancePairs(df: DataFrame, idCol: String, nameCol: String,
+                               blockCols: Seq[String], maxDist: Int): DataFrame = {
+    val a = df.alias("a")
+    val b = df.alias("b")
+    val block = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    a.join(b, block && col(s"a.$idCol") < col(s"b.$idCol"))
+      .where(levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol")) <= maxDist)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol")).cast("long").as("dist"))
+  }
 }

@@ -968,8 +968,113 @@ object DedupQueries {
     """),
   )
 
+  /** Blocked Levenshtein fuzzy matching over an entity-name fixture
+    * ([[Dedup.blockedEditDistancePairs]]): part entities named
+    * "p_name p_brand #id" with typo twins (one appended char,
+    * id+100000) injected for every 13th part, blocked on the
+    * structured (p_name, p_brand) pair, flagged at edit distance <= 1.
+    * The same-block different-id matches the fixture also surfaces
+    * (ids one digit-edit apart) are the classic fuzzy-matching
+    * caveat, kept deterministic and oracled rather than suppressed.
+    * Scale: candidates from the blocking equi-join only — Σ block²
+    * pairs, never n²; Spark and DuckDB `levenshtein` agree (plain
+    * character-level edit distance, no transposition).
+    */
+  val dedupEditDistance: Q = Q(
+    "dedup_edit_distance",
+    (s, dir) => {
+      val base = Tables.part(s, dir).select(
+        col("p_partkey").as("id"), col("p_name"), col("p_brand"),
+        concat(col("p_name"), lit(" "), col("p_brand"), lit(" #"),
+          col("p_partkey").cast("string")).as("name"))
+      val twins = base.where(col("id") % 13 === 0)
+        .select((col("id") + 100000).as("id"), col("p_name"), col("p_brand"),
+          concat(col("name"), lit("x")).as("name"))
+      Dedup.blockedEditDistancePairs(base.unionByName(twins), "id", "name",
+        Seq("p_name", "p_brand"), maxDist = 1)
+    },
+    Some("""
+      WITH base AS (
+        SELECT p_partkey AS id, p_name, p_brand,
+               p_name || ' ' || p_brand || ' #' || p_partkey::VARCHAR AS name
+        FROM part),
+      corpus AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT id + 100000, p_name, p_brand, name || 'x' FROM base WHERE id % 13 = 0)
+      SELECT a.id AS id_a, b.id AS id_b,
+             levenshtein(a.name, b.name)::BIGINT AS dist
+      FROM corpus a JOIN corpus b
+        ON a.p_name = b.p_name AND a.p_brand = b.p_brand AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 1
+    """),
+  )
+
+  /** One synchronous label-propagation step (community detection next
+    * to [[qPagerankStep]]'s centrality and the CC loop's reachability)
+    * over the same md5 fixture digraph made undirected: seed labels
+    * are hash communities (node % 32), each node adopts the most
+    * frequent label among its distinct neighbors, ties to the
+    * smallest label, neighborless nodes keep their own. Scale: the
+    * both-directions edge list takes ONE hash Exchange on the node;
+    * `collect_set` dedups neighbors inside that rollup (fan-out
+    * bounded), and the per-(node, label) vote count plus the max_by
+    * argmax both reuse the node partitioning (aggregates on a
+    * superset of the partition key never re-shuffle) — iterable from
+    * checkpointed label tables like the CC/PageRank loops.
+    */
+  val qLabelPropStep: Q = Q(
+    "q_label_prop_step",
+    (s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+      val nN = nodes.count()
+      val dsts = (1 to 3).map { j =>
+        conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$j"))), 1, 4), 16, 10)
+          .cast("long") % nN
+      }
+      val fwd = nodes
+        .select(col("vec_id").as("src"), explode(array(dsts: _*)).as("dst"))
+        .where(col("dst") =!= col("src"))
+      val votes = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src")).agg(collect_set(col("dst")).as("nbrs"))
+        .select(col("src").as("node"), explode(col("nbrs")).as("nbr"))
+        .groupBy(col("node"), (col("nbr") % 32).as("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val stepped = votes.groupBy(col("node"))
+        .agg(max_by(col("lbl"), struct(col("c"), lit(-1L) * col("lbl")))
+          .as("new_label"),
+          max(col("c")).as("votes"))
+      nodes.join(stepped, nodes("vec_id") === stepped("node"), "left")
+        .select(col("vec_id"),
+          coalesce(col("new_label"), col("vec_id") % 32).as("new_label"),
+          coalesce(col("votes"), lit(0L)).as("votes"))
+    },
+    Some(s"""
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      e0 AS (
+        SELECT vec_id AS src,
+               ${OracleExact.h16Sql("md5(vec_id::VARCHAR || ':' || j::VARCHAR)")} % nn.n AS dst
+        FROM embeddings, nn, (SELECT unnest(generate_series(1, 3)) AS j) js),
+      ed AS (SELECT src, dst FROM e0 WHERE dst != src),
+      und AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+      votes AS (SELECT src AS node, dst % 32 AS lbl, count(*)::BIGINT AS c
+                FROM und GROUP BY 1, 2),
+      mx AS (SELECT node, max(c) AS mc FROM votes GROUP BY 1),
+      step AS (SELECT v.node, min(v.lbl)::BIGINT AS new_label, max(v.c)::BIGINT AS votes
+               FROM votes v JOIN mx ON v.node = mx.node AND v.c = mx.mc
+               GROUP BY 1)
+      SELECT m.vec_id,
+             coalesce(st.new_label, m.vec_id % 32)::BIGINT AS new_label,
+             coalesce(st.votes, 0)::BIGINT AS votes
+      FROM embeddings m LEFT JOIN step st ON m.vec_id = st.node
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
-    knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep)
+    knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
+    dedupEditDistance, qLabelPropStep)
 }

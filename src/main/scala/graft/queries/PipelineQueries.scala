@@ -529,7 +529,69 @@ object PipelineQueries {
     """),
   )
 
+  /** Isotonic (PAV) probability calibration over score bins
+    * ([[graft.operators.Calibration]]): a deterministic Bernoulli
+    * label (event-id md5 bucket vs value/500, so the true rate rises
+    * with the score and sampling noise plants real monotonicity
+    * violations), 20 equi-width score bins, and the weighted
+    * pool-adjacent-violators fit next to the raw per-bin rate. The
+    * ONLY data-scale pass is the map-side-combined bin rollup; the
+    * PAV solve is O(k³) driver arithmetic on the k exact (w, Σy)
+    * longs — fit state like the scaler quantile grids — and the
+    * oracle replays it through the minimax identity
+    * iso(i) = max_{j<=i} min_{k>=i} mean(j..k), where every segment
+    * mean is one double division of int64 prefix-sum differences
+    * (bit-identical across engines).
+    */
+  val qIsotonic: Q = Q(
+    "q_isotonic",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val y = (graft.operators.Sampling.hashBucket(col("event_id")) % 1000 <
+        col("value") * 2).cast("long")
+      val bins = ev
+        .select(least(floor(col("value") / 25.0), lit(19.0)).cast("long").as("bin"),
+          y.as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("w"), sum(col("y")).as("s"))
+        .orderBy(col("bin"))
+        .collect() // k-bounded fit state (k <= 20 rows)
+      val w = bins.map(_.getLong(1)).toIndexedSeq
+      val sPos = bins.map(_.getLong(2)).toIndexedSeq
+      val iso = graft.operators.Calibration.pav(w, sPos)
+      def round6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      bins.indices.map { i =>
+        (bins(i).getLong(0), w(i), sPos(i),
+          round6(sPos(i).toDouble / w(i).toDouble), round6(iso(i)))
+      }.toDF("bin", "w", "s", "rate_raw", "rate_iso")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT least(floor(value / 25.0), 19.0)::BIGINT AS bin,
+               (${OracleExact.h16Sql("md5(event_id::VARCHAR)")} % 1000 < value * 2)::INT AS y
+        FROM events),
+      bins AS (SELECT bin, count(*)::BIGINT AS w, sum(y)::BIGINT AS s
+               FROM ev GROUP BY 1),
+      pre AS (SELECT bin, w, s,
+              sum(w) OVER (ORDER BY bin) AS cw,
+              sum(s) OVER (ORDER BY bin) AS cs FROM bins),
+      seg AS (SELECT j.bin AS bj, k.bin AS bk,
+                (k.cs - (j.cs - j.s))::DOUBLE / (k.cw - (j.cw - j.w))::DOUBLE AS m
+              FROM pre j JOIN pre k ON j.bin <= k.bin),
+      inner_min AS (SELECT b.bin, seg.bj, min(seg.m) AS mn
+                    FROM bins b JOIN seg ON seg.bj <= b.bin AND seg.bk >= b.bin
+                    GROUP BY 1, 2),
+      iso AS (SELECT bin, max(mn) AS iso FROM inner_min GROUP BY 1)
+      SELECT b.bin, b.w, b.s,
+             round(b.s::DOUBLE / b.w::DOUBLE, 6) AS rate_raw,
+             round(i.iso, 6) AS rate_iso
+      FROM bins b JOIN iso i USING (bin)
+    """),
+  )
+
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
-    qExpectations)
+    qExpectations, qIsotonic)
 }

@@ -1021,9 +1021,74 @@ object RelationalQueries {
     """),
   )
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic CRM rollup next to the funnel/retention/A-B family: one
+    * purchase-filtered groupBy for the three raw stats (recency in
+    * exact integer day arithmetic from a fit-boundary max-ts scalar,
+    * monetary as exact cent sums), then quintile scores via ntile(5)
+    * with user-id tie-breaks (identical total order both engines, so
+    * the bucket boundaries replay exactly). The three global ntile
+    * windows ride the user-cardinality-bounded rollup, not the event
+    * stream; a 100 TB run swaps them for sketch-fitted quantile cut
+    * points (the scale_kbins_sketch path) applied as narrow
+    * comparisons.
+    */
+  val qRfm: Q = Q(
+    "q_rfm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayNs = 86400000000000L
+      val ev = Tables.events(s, dir)
+      val maxTs = ev.agg(max(expr("cast(ts as long)"))).head().getLong(0)
+      val u = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("cast(ts as long)").as("tsn"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(max(col("tsn")).as("last_ts"), count(lit(1)).as("frequency"),
+          sum(col("cents")).as("cents"))
+        .select(col("user_id"),
+          expr(s"($maxTs - last_ts) div $dayNs").as("recency_days"),
+          col("frequency"), col("cents"))
+      u.withColumn("r_score", ntile(5)
+          .over(Window.orderBy(col("recency_days").desc, col("user_id")))
+          .cast("long"))
+        .withColumn("f_score", ntile(5)
+          .over(Window.orderBy(col("frequency").asc, col("user_id")))
+          .cast("long"))
+        .withColumn("m_score", ntile(5)
+          .over(Window.orderBy(col("cents").asc, col("user_id")))
+          .cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          round(col("cents") / 100.0, 2).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm_cell"))
+    },
+    Some("""
+      WITH mx AS (SELECT max(epoch_ns(ts)) AS mt FROM events),
+      u AS (SELECT user_id,
+              (mx.mt - max(epoch_ns(ts))) // 86400000000000 AS recency_days,
+              count(*)::BIGINT AS frequency,
+              sum(round(value * 100)::BIGINT)::BIGINT AS cents
+            FROM events, mx WHERE event_type = 'purchase'
+            GROUP BY user_id, mx.mt),
+      s AS (SELECT user_id, recency_days, frequency, cents,
+              ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+              ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+              ntile(5) OVER (ORDER BY cents ASC, user_id) AS m_score
+            FROM u)
+      SELECT user_id, recency_days, frequency,
+             round(cents / 100.0, 2) AS monetary,
+             r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+             m_score::BIGINT AS m_score,
+             (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm_cell
+      FROM s
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
-    qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift)
+    qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm)
 }

@@ -779,11 +779,30 @@ object StreamingQueries {
       SELECT 'status_in_domain', bad_status, (bad_status = 0)::INT FROM a
     """))
 
+  /** Streaming cohort retention ([[StreamOps.retention]]): each
+    * (user, week-offset) pair is emitted exactly once from O(#weeks)
+    * per-user state, so the drained stream aggregated by
+    * (cohort, offset) equals the batch `q_retention_cohorts` matrix
+    * and shares its oracle verbatim — the live product-analytics
+    * rollup a continuous pipeline keeps next to the funnel gate.
+    */
+  val streamRetention: Q = Q(
+    "stream_retention",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.retention(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      drained.groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    RelationalQueries.qRetentionCohorts.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
-    streamExpectations)
+    streamExpectations, streamRetention)
 }

@@ -649,20 +649,17 @@ object TextQueries {
     * oracle replays it exactly; constants are interpolated from the
     * SAME Scala doubles the Spark plan uses.
     */
-  val qBm25: Q = {
-    val k1 = 1.2
-    val b = 0.75
-    val terms = Seq("spark", "table", "hash")
-    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
-    Q(
-      "q_bm25",
-      (s, dir) => graft.operators.Retrieval.bm25(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        "doc_id", "text", terms, k1, b)
-        .select(col("doc_id"), col("n_matched"),
-          round(col("score"), 6).as("score")),
-      Some(s"""
-      WITH tok AS (
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Terms = Seq("spark", "table", "hash")
+
+  /** Shared BM25 CTE chain (tok/tf/dl/st/df/sc with per-term micro
+    * scores) — single source of truth for the q_bm25 and
+    * q_rrf_fusion oracles so the weighting formula cannot drift.
+    */
+  private def bm25CtesSql: String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""tok AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf
@@ -675,16 +672,104 @@ object TextQueries {
       sc AS (
         SELECT tf.doc_id,
                round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
-                     (tf.tf * ${k1 + 1}) /
-                     (tf.tf + $k1 * (${1 - b} + $b * dl.dl / st.avgdl))
+                     (tf.tf * ${bm25K1 + 1}) /
+                     (tf.tf + $bm25K1 * (${1 - bm25B} + $bm25B * dl.dl / st.avgdl))
                      * 1e6)::BIGINT AS micro
-        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)"""
+  }
+
+  val qBm25: Q = Q(
+    "q_bm25",
+    (s, dir) => graft.operators.Retrieval.bm25(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", bm25Terms, bm25K1, bm25B)
+      .select(col("doc_id"), col("n_matched"),
+        round(col("score"), 6).as("score")),
+    Some(s"""
+      WITH $bm25CtesSql
       SELECT doc_id, count(*) AS n_matched,
              round(sum(micro) / 1e6, 6) AS score
       FROM sc GROUP BY doc_id
-      """),
-    )
-  }
+    """),
+  )
+
+  /** Reciprocal-rank fusion of a sparse (BM25) and a dense (cosine)
+    * ranking — the hybrid-retrieval merge every RAG/curation stack
+    * runs (Cormack et al.'s RRF: score(d) = Σ_lists 1/(60+rank_d),
+    * robust to incomparable score scales). Sparse side: the shared
+    * BM25 query over documents, ranked by the exact integer micro
+    * score; dense side: cosine vs doc 0's embedding with the FIXED
+    * query vector interpolated as literals (the fit-scalar pattern —
+    * a one-vector broadcast join would be a nested loop; a narrow
+    * constant-folded expression is the plan you want, and the
+    * IVF/LSH/PQ rows are the scale paths for multi-query batches),
+    * ranked by the engine-identical cosine double. A doc missing from
+    * one list contributes only the other's reciprocal (full outer
+    * merge) — partial embedding coverage is the normal case. Scale:
+    * both rankings are top-100 per query; the fused frame is
+    * O(queries × 200), so the global top-10 window is bounded state,
+    * and a multi-query run partitions every window by query id.
+    */
+  val qRrfFusion: Q = Q(
+    "q_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sparse = graft.operators.Retrieval.bm25(
+        docs, "doc_id", "text", bm25Terms, bm25K1, bm25B)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("r_sparse"))
+        .where(col("r_sparse") <= 100)
+      val e = Tables.embeddings(s, dir)
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val dense = e.where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          graft.operators.Ann.cosine(array(qv.map(lit): _*),
+            col("embedding").cast("array<double>")).as("cosine"))
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("cosine").desc, col("doc_id")))
+          .cast("long").as("r_dense"))
+        .where(col("r_dense") <= 100)
+      val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_sparse"), col("r_dense"),
+          (coalesce(lit(1.0) / (lit(60L) + col("r_sparse")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60L) + col("r_dense")), lit(0.0))).as("rrf"))
+      fused
+        .select(col("doc_id"), col("r_sparse"), col("r_dense"), col("rrf"),
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+            .cast("long").as("fused_rank"))
+        .where(col("fused_rank") <= 10)
+        .select(col("doc_id"), col("r_sparse"), col("r_dense"),
+          round(col("rrf"), 6).as("rrf_score"), col("fused_rank"))
+    },
+    Some(s"""
+      WITH $bm25CtesSql,
+      bm AS (SELECT doc_id, sum(micro) AS ms FROM sc GROUP BY doc_id),
+      spr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY ms DESC, doc_id) AS r_sparse
+        FROM bm QUALIFY r_sparse <= 100),
+      ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+      den0 AS (
+        SELECT c.vec_id AS doc_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM en q JOIN en c ON q.vec_id = 0 AND c.vec_id != q.vec_id),
+      den AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_dense
+        FROM den0 QUALIFY r_dense <= 100),
+      fused AS (
+        SELECT coalesce(spr.doc_id, den.doc_id) AS doc_id,
+               spr.r_sparse, den.r_dense,
+               coalesce(1.0 / (60 + spr.r_sparse), 0.0) +
+               coalesce(1.0 / (60 + den.r_dense), 0.0) AS rrf
+        FROM spr FULL OUTER JOIN den ON spr.doc_id = den.doc_id)
+      SELECT doc_id, r_sparse, r_dense, round(rrf, 6) AS rrf_score,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused QUALIFY fused_rank <= 10
+    """),
+  )
 
   /** Deterministic PII-injection fixture (shared by the batch and
     * streaming scrub rows, the datetime_interpolate pattern — the raw
@@ -1043,6 +1128,6 @@ object TextQueries {
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
-    textTfidf, qBm25, textPii, textRepetition, textDedupSpans, textPmi,
-    textUrlFilter)
+    textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
+    textPmi, textUrlFilter)
 }

@@ -901,4 +901,46 @@ object StreamOps {
           out.iterator
       }
   }
+
+  final case class RetEvent(user_id: Long, ts_ns: Long)
+  /** Cohort week + offsets already emitted — O(#active-weeks) longs
+    * per user, bounded by the corpus time span, not stream length.
+    */
+  final case class RetState(wk0: Long, offs: Seq[Long])
+  final case class RetRow(user_id: Long, cohort_wk: Long, week_offset: Long)
+
+  /** Streaming twin of `q_retention_cohorts`: per-user state is the
+    * cohort week (fixed by the user's FIRST event — the in-order-
+    * source contract every stream twin here documents) plus the set
+    * of week offsets already emitted, so each (user, offset) pair is
+    * emitted exactly once; the drained stream aggregated by
+    * (cohort, offset) therefore equals the batch retention matrix and
+    * the query shares its oracle verbatim. Week arithmetic is the
+    * batch query's integer division on Long nanos, bit for bit.
+    */
+  def retention(events: DataFrame): Dataset[RetRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wkNs = 604800000000000L
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns")).as[RetEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          val wks = it.map(_.ts_ns / wkNs).toSeq.sorted
+          var st = state.getOption.getOrElse(RetState(wks.head, Seq.empty))
+          val out = Seq.newBuilder[RetRow]
+          wks.foreach { wk =>
+            val off = wk - st.wk0
+            if (off >= 0 && !st.offs.contains(off)) {
+              st = st.copy(offs = st.offs :+ off)
+              out += RetRow(uid, st.wk0, off)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

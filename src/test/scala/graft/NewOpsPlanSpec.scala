@@ -48,6 +48,28 @@ class NewOpsPlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(plan).size === 1)
   }
 
+  test("dedup_edit_distance candidates come from the blocking equi-join only") {
+    val plan = DedupQueries.dedupEditDistance.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("levenshtein"))
+  }
+
+  test("q_label_prop_step votes and argmax reuse the edge-rollup partitioning") {
+    // one hash Exchange for the node rollup; the (node,lbl) count and
+    // the max_by argmax aggregate on supersets of that key, so they
+    // must not re-shuffle (the final nodes join may broadcast)
+    assert(exchanges(DedupQueries.qLabelPropStep) <= 2)
+  }
+
+  test("q_isotonic's data-scale pass is the single bin rollup") {
+    val plan = PipelineQueries.qIsotonic.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the fitted 20-row result is driver state: no join, no window
+    assert(!plan.contains("Join"))
+  }
+
   test("q_mad keeps the groupBy shape (low group cardinality: window medians lose)") {
     val plan = PipelineQueries.qMad.run(spark, sf).queryExecution.executedPlan.toString
     // two grouped percentile passes + a broadcast back; the window

@@ -394,4 +394,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(6)._3.contains(1))
     } finally q.stop()
   }
+
+  test("streaming retention emits each (user, offset) once across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wk = 604800000000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = StreamOps.retention(df)
+      .toDF().writeStream.format("memory").queryName("ret_test")
+      .outputMode("append").start()
+    try {
+      // user 1 cohorted at week 10; user 2 at week 11. Batch 2 repeats
+      // user 1's week-10/11 activity (must NOT re-emit) and adds new
+      // offsets for both users.
+      mem.addData((1L, 10 * wk + 5), (1L, 11 * wk + 3), (2L, 11 * wk + 9))
+      q.processAllAvailable()
+      mem.addData((1L, 10 * wk + 7), (1L, 11 * wk + 8), (1L, 13 * wk + 1),
+        (2L, 12 * wk + 2))
+      q.processAllAvailable()
+      val rows = spark.table("ret_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(rows === Seq((1L, 10L, 0L), (1L, 10L, 1L), (1L, 10L, 3L),
+        (2L, 11L, 0L), (2L, 11L, 1L)))
+    } finally q.stop()
+  }
 }
