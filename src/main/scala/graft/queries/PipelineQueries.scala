@@ -591,7 +591,243 @@ object PipelineQueries {
     """),
   )
 
+  /** ROC AUC of a score column against a deterministic binary label —
+    * the ranking-quality eval next to [[qIsotonic]]'s calibration (the
+    * same md5-Bernoulli label construction, so the score is genuinely
+    * informative and the AUC lands strictly between 0.5 and 1). The
+    * tie-corrected Mann–Whitney identity
+    * AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺·n⁻) runs entirely in
+    * exact integer arithmetic: scores quantize to cents (the corpus
+    * grid), the distinct-score rollup is ONE map-side-combined groupBy
+    * (bounded by score cardinality, not row count), and the ordered
+    * prefix sum rides that bounded table; 2·avgrank = 2·cum + n + 1
+    * keeps the half-ranks integral, so the final AUC double is a pure
+    * function of three exact int64 sums and replays bit-for-bit.
+    * Scale: the only data-scale pass is the first rollup; everything
+    * after is O(#distinct scores).
+    */
+  val qAuc: Q = Q(
+    "q_auc",
+    (s, dir) => {
+      val y = (graft.operators.Sampling.hashBucket(col("event_id")) % 1000 <
+        col("value") * 2).cast("long")
+      val scored = Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"), y.as("y"))
+      val (np, nn, auc) = graft.operators.Eval.auc(scored, "cents", "y")
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((np, nn, r6(auc), r6(2 * auc - 1)))
+        .toDF("n_pos", "n_neg", "auc", "gini")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT round(value * 100)::BIGINT AS cents,
+               (${OracleExact.h16Sql("md5(event_id::VARCHAR)")} % 1000 < value * 2)::BIGINT AS y
+        FROM events),
+      g AS (SELECT cents, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos
+            FROM ev GROUP BY 1),
+      rk AS (SELECT npos, n,
+               2 * (sum(n) OVER (ORDER BY cents) - n) + n + 1 AS rank2
+             FROM g),
+      a AS (SELECT sum(npos)::BIGINT AS np, sum(n - npos)::BIGINT AS nn,
+                   sum(npos * rank2)::BIGINT AS s2 FROM rk)
+      SELECT np AS n_pos, nn AS n_neg,
+             round((s2 / 2.0 - np::DOUBLE * (np + 1) / 2.0) / (np::DOUBLE * nn::DOUBLE), 6) AS auc,
+             round(2 * ((s2 / 2.0 - np::DOUBLE * (np + 1) / 2.0) / (np::DOUBLE * nn::DOUBLE)) - 1, 6) AS gini
+      FROM a
+    """),
+  )
+
+  /** Population stability index between the first and second half of
+    * the corpus time range — THE production drift monitor a feature
+    * pipeline runs between a training snapshot and live traffic.
+    * Period boundary and the 10 equi-width bin edges are fit on the
+    * BASELINE half only (fit-offline scalars, the histogram/BM25
+    * pattern), out-of-range current values clamp into the edge bins.
+    * Shares are Laplace-smoothed ((n + ½)/(N + k/2)) so an empty bin
+    * cannot produce ±∞; each bin's PSI term (pB−pA)·ln(pB/pA) is a
+    * pure double function of exact int64 counts (identical op order
+    * both engines), micro-quantized before the cross-bin total so the
+    * 10-term sum is order-free. ONE data-scale pass: the k-bounded bin
+    * rollup with both periods' counts in the same aggregate.
+    */
+  val qPsi: Q = Q(
+    "q_psi",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(min(expr("cast(ts as long)")), max(expr("cast(ts as long)"))).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val fit = ev.where(expr(s"cast(ts as long) < ${mid}L"))
+        .agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (fit.getDouble(0), fit.getDouble(1))
+      val width = (hi - lo) / 10.0
+      val binc = least(greatest(floor((col("value") - lit(lo)) / lit(width)), lit(0.0)),
+        lit(9.0)).cast("long")
+      val counts = ev
+        .select(binc.as("bin"),
+          (expr("cast(ts as long)") < lit(mid)).cast("long").as("isA"))
+        .groupBy(col("bin"))
+        .agg(sum(col("isA")).as("n_a"), sum(lit(1L) - col("isA")).as("n_b"))
+      val rows = counts.orderBy(col("bin")).collect() // k-bounded (k <= 10)
+      val (terms, total) = graft.operators.Eval.psiTerms(
+        rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      import s.implicits._
+      terms.map { case (bin, nA, nB, m) =>
+        (bin, nA, nB, m / 1e6, total / 1e6)
+      }.toDF("bin", "n_a", "n_b", "psi_term", "psi_total")
+    },
+    Some(s"""
+      WITH bd AS (SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+                  FROM events),
+      ft AS (SELECT min(value) AS lo, max(value) AS hi
+             FROM events, bd WHERE epoch_ns(ts) < bd.mid),
+      ev AS (SELECT least(greatest(floor((value - ft.lo) / ((ft.hi - ft.lo) / 10.0)), 0.0), 9.0)::BIGINT AS bin,
+                    (epoch_ns(ts) < bd.mid)::BIGINT AS isA
+             FROM events, ft, bd),
+      g AS (SELECT bin, sum(isA)::BIGINT AS n_a, sum(1 - isA)::BIGINT AS n_b
+            FROM ev GROUP BY 1),
+      t AS (SELECT bin, n_a, n_b,
+              round(((n_b + 0.5) / ((SELECT sum(n_b) FROM g) + (SELECT count(*) FROM g) / 2.0) -
+                     (n_a + 0.5) / ((SELECT sum(n_a) FROM g) + (SELECT count(*) FROM g) / 2.0)) *
+                    ln(((n_b + 0.5) / ((SELECT sum(n_b) FROM g) + (SELECT count(*) FROM g) / 2.0)) /
+                       ((n_a + 0.5) / ((SELECT sum(n_a) FROM g) + (SELECT count(*) FROM g) / 2.0))) * 1e6)::BIGINT AS micro
+            FROM g)
+      SELECT bin, n_a, n_b, micro / 1e6 AS psi_term,
+             (SELECT sum(micro) FROM t) / 1e6 AS psi_total
+      FROM t
+    """),
+  )
+
+  /** Chi-squared association + Cramér's V between two categorical
+    * columns — the categorical twin of [[qCorrMatrix]]'s numeric
+    * redundancy report (what a feature-selection pass runs before
+    * one-hot encoding two columns that encode the same signal). The
+    * ONLY data-scale pass is the r×c contingency rollup (map-side
+    * combined, bounded by the category product); everything after is
+    * driver arithmetic on exact int64 cell counts: per-cell
+    * (O−E)²/E terms micro-quantized before the cross-cell sum
+    * (order-free), V = √(χ²/(n·min(r−1,c−1))), and the
+    * Wilson–Hilferty cube-root normal approximation for the p-value
+    * through the SAME A&S tail mirror (`normTwoSidedP` ↔
+    * `phiTailSql`) the relevance batteries pin. The oracle replays
+    * cells, expectations, terms, and the tail bit-for-bit.
+    */
+  val qCramersV: Q = Q(
+    "q_cramers_v",
+    (s, dir) => {
+      val cells = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("seg"),
+          (col("c_nationkey") % 5).cast("long").as("band"))
+        .agg(count(lit(1)).as("o"))
+        .collect() // bounded: r×c = 25 cells
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val (n, nr, nc, dof, chi2, v, p) = graft.operators.Eval.cramersV(cells)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, nr, nc, dof, r6(chi2), r6(v), r6(p)))
+        .toDF("n", "r", "c", "dof", "chi2", "cramers_v", "p_wh")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT c_mktsegment AS seg, c_nationkey % 5 AS band, count(*)::BIGINT AS o
+        FROM customer GROUP BY 1, 2),
+      tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+      rt AS (SELECT seg, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT band, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+      dense AS (SELECT rt.seg, ct.band, rt.rt, ct.ct, coalesce(cells.o, 0)::BIGINT AS o
+                FROM rt CROSS JOIN ct
+                LEFT JOIN cells ON cells.seg = rt.seg AND cells.band = ct.band),
+      t AS (SELECT round((dense.o - dense.rt::DOUBLE * dense.ct / tot.n) *
+                         (dense.o - dense.rt::DOUBLE * dense.ct / tot.n) /
+                         (dense.rt::DOUBLE * dense.ct / tot.n) * 1e6)::BIGINT AS micro
+            FROM dense CROSS JOIN tot),
+      dims AS (SELECT (SELECT count(*) FROM rt)::BIGINT AS r,
+                      (SELECT count(*) FROM ct)::BIGINT AS c),
+      x AS (SELECT tot.n, dims.r, dims.c,
+                   (dims.r - 1) * (dims.c - 1) AS dof,
+                   least(dims.r - 1, dims.c - 1) AS minrc,
+                   (SELECT sum(micro) FROM t) / 1e6 AS chi2
+            FROM tot CROSS JOIN dims),
+      z AS (SELECT *,
+              (cbrt(chi2 / dof) - (1.0 - 2.0 / (9.0 * dof))) /
+                sqrt(2.0 / (9.0 * dof)) AS zv
+            FROM x)
+      SELECT n, r, c, dof, round(chi2, 6) AS chi2,
+             round(sqrt(chi2 / (n::DOUBLE * minrc)), 6) AS cramers_v,
+             round(CASE WHEN zv >= 0 THEN ${OracleExact.phiTailSql("zv")} / 2
+                        ELSE 1.0 - ${OracleExact.phiTailSql("(-zv)")} / 2 END, 6) AS p_wh
+      FROM z
+    """),
+  )
+
+  /** Closed-form distributed OLS — multi-feature linear regression via
+    * the normal equations, the d-bounded exact-sums pattern that makes
+    * regression a SINGLE aggregate at any scale (the GramAgg/PCA story
+    * applied to supervised fitting): ONE scan, ONE 1-row aggregate of
+    * ten exact decimal(28,6) sums (all terms are ≤6-dp decimals —
+    * quantity integral, discount 2 dp, price 2 dp — so every sum is
+    * exact and order-free), then the 3×3 Cramer's-rule solve, SSE via
+    * the optimum identity SSE = Σy² − bᵀXᵀy, and R² as pure driver
+    * double arithmetic the oracle spells out in the IDENTICAL op
+    * order. `regr_slope`-style streaming moments would diverge in the
+    * low bits under distributed accumulation; exact sums make the fit
+    * replayable bit-for-bit. 100 TB: same plan shape — the aggregate
+    * is d²-bounded state, mergeable by addition.
+    */
+  val qLinreg: Q = Q(
+    "q_linreg",
+    (s, dir) => {
+      import graft.operators.ExactAgg.decSum
+      val li = Tables.lineitem(s, dir)
+      val r = li.agg(
+        count(lit(1)).as("n"),
+        decSum(col("l_quantity")).as("s1"),
+        decSum(col("l_discount")).as("s2"),
+        decSum(col("l_extendedprice")).as("sy"),
+        decSum(col("l_quantity") * col("l_quantity")).as("s11"),
+        decSum(col("l_quantity") * col("l_discount")).as("s12"),
+        decSum(col("l_discount") * col("l_discount")).as("s22"),
+        decSum(col("l_quantity") * col("l_extendedprice")).as("s1y"),
+        decSum(col("l_discount") * col("l_extendedprice")).as("s2y"),
+        decSum(col("l_extendedprice") * col("l_extendedprice")).as("syy")).head()
+      val (b0, b1, b2, r2) = graft.operators.Eval.ols2(
+        r.getLong(0).toDouble, r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9))
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((r.getLong(0), r6(b0), r6(b1), r6(b2), r6(r2)))
+        .toDF("n", "b_intercept", "b_quantity", "b_discount", "r2")
+    },
+    Some("""
+      WITH a AS (SELECT
+          count(*)::DOUBLE AS n,
+          sum((l_quantity)::DECIMAL(28,6))::DOUBLE AS s1,
+          sum((l_discount)::DECIMAL(28,6))::DOUBLE AS s2,
+          sum((l_extendedprice)::DECIMAL(28,6))::DOUBLE AS sy,
+          sum((l_quantity * l_quantity)::DECIMAL(28,6))::DOUBLE AS s11,
+          sum((l_quantity * l_discount)::DECIMAL(28,6))::DOUBLE AS s12,
+          sum((l_discount * l_discount)::DECIMAL(28,6))::DOUBLE AS s22,
+          sum((l_quantity * l_extendedprice)::DECIMAL(28,6))::DOUBLE AS s1y,
+          sum((l_discount * l_extendedprice)::DECIMAL(28,6))::DOUBLE AS s2y,
+          sum((l_extendedprice * l_extendedprice)::DECIMAL(28,6))::DOUBLE AS syy
+        FROM lineitem),
+      d AS (SELECT *,
+          n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det
+        FROM a),
+      b AS (SELECT *,
+          (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+          (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+          (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det AS b2
+        FROM d)
+      SELECT n::BIGINT AS n, round(b0, 6) AS b_intercept,
+             round(b1, 6) AS b_quantity, round(b2, 6) AS b_discount,
+             round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n), 6) AS r2
+      FROM b
+    """),
+  )
+
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
-    qExpectations, qIsotonic)
+    qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg)
 }

@@ -798,11 +798,51 @@ object StreamingQueries {
     },
     RelationalQueries.qRetentionCohorts.oracle)
 
+  /** Streaming PSI drift monitor — the live twin of the batch `q_psi`
+    * report under the same FIT-OFFLINE / APPLY-ONLINE contract: the
+    * period boundary and the 10 baseline-fitted bin edges arrive as
+    * literals (a stream cannot know the corpus min/max), the per-bin
+    * (baseline, current) counts run in complete mode with k-bounded
+    * state, and the PSI arithmetic on the drained snapshot is the
+    * identical pure-function-of-exact-counts driver fold — so the
+    * result equals the batch report and SHARES its oracle verbatim.
+    * This is the drift gate a continuous feature pipeline keeps live
+    * next to its sink: state O(k), alert = psi_total threshold.
+    */
+  val streamPsi: Q = Q(
+    "stream_psi",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, dir)
+      val b = ev.agg(min(expr("cast(ts as long)")), max(expr("cast(ts as long)"))).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val fit = ev.where(expr(s"cast(ts as long) < ${mid}L"))
+        .agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (fit.getDouble(0), fit.getDouble(1))
+      val width = (hi - lo) / 10.0
+      val counts = StreamOps.eventsStream(s, dir)
+        .select(
+          least(greatest(floor((col("value") - lit(lo)) / lit(width)), lit(0.0)),
+            lit(9.0)).cast("long").as("bin"),
+          (col("ts") < lit(mid)).cast("long").as("isA"))
+        .groupBy(col("bin"))
+        .agg(sum(col("isA")).as("n_a"), sum(lit(1L) - col("isA")).as("n_b"))
+      val rows = StreamOps.runToBatch(s, counts, mode = "complete")
+        .orderBy(col("bin")).collect() // k-bounded (k <= 10)
+      val (terms, total) = graft.operators.Eval.psiTerms(
+        rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      import s.implicits._
+      terms.map { case (bin, nA, nB, m) =>
+        (bin, nA, nB, m / 1e6, total / 1e6)
+      }.toDF("bin", "n_a", "n_b", "psi_term", "psi_total")
+    },
+    PipelineQueries.qPsi.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
-    streamExpectations, streamRetention)
+    streamExpectations, streamRetention, streamPsi)
 }
