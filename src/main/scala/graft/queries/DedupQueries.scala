@@ -1072,9 +1072,178 @@ object DedupQueries {
     """),
   )
 
+  /** Exact triangle count + global clustering coefficient over the
+    * undirected md5 fixture graph (the graph-analytics row that
+    * completes CC reachability / PageRank centrality / label-prop
+    * communities with COHESION — triangle density is the standard
+    * near-dup-graph quality signal: boilerplate rings are wedge-heavy
+    * and triangle-poor, true duplicate clusters are triangle-dense).
+    * Scale shape is the classic degree-orientation algorithm: orient
+    * every edge from its lower (degree, id) endpoint to the higher, so
+    * per-node oriented out-degree is arboricity-bounded (a hub's
+    * wedges land on its many LOW-degree neighbors, never on the hub) —
+    * wedge generation is a self-equi-join on the oriented source and
+    * the closing check is one more equi-join on the (v, w) pair; every
+    * triangle is counted exactly once at its smallest-order vertex.
+    * Wedge count Σd(d−1)/2 and 3T/W ride exact int64 arithmetic.
+    */
+  val qTriangleCount: Q = Q(
+    "q_triangle_count",
+    (s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+      val nN = nodes.count()
+      val dsts = (1 to 3).map { j =>
+        conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$j"))), 1, 4), 16, 10)
+          .cast("long") % nN
+      }
+      val und = nodes
+        .select(col("vec_id").as("a"), explode(array(dsts: _*)).as("b"))
+        .where(col("b") =!= col("a"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct()
+      val deg = und.select(col("lo").as("v")).unionByName(und.select(col("hi").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val nEdges = und.count()
+      val wedgePairs = deg.agg(sum(expr("d * (d - 1) div 2"))).head().getLong(0)
+      // orient lower (deg, id) -> higher; carry the head's order key
+      // for the wedge ordering
+      val ore = und
+        .join(deg.as("dl"), col("lo") === col("dl.v"))
+        .join(deg.as("dh"), col("hi") === col("dh.v"))
+        .select(
+          when(struct(col("dl.d"), col("lo")) < struct(col("dh.d"), col("hi")),
+            col("lo")).otherwise(col("hi")).as("u"),
+          when(struct(col("dl.d"), col("lo")) < struct(col("dh.d"), col("hi")),
+            col("hi")).otherwise(col("lo")).as("v"),
+          when(struct(col("dl.d"), col("lo")) < struct(col("dh.d"), col("hi")),
+            col("dh.d")).otherwise(col("dl.d")).as("dv"))
+      val wedges = ore.as("x").join(ore.as("y"),
+          col("x.u") === col("y.u") &&
+            (struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v"))))
+        .select(col("x.v").as("p"), col("y.v").as("q"))
+      val nTri = wedges.join(ore.as("z"),
+        col("p") === col("z.u") && col("q") === col("z.v")).count()
+      val cc = if (wedgePairs == 0) 0.0 else 3.0 * nTri / wedgePairs
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((nN, nEdges, wedgePairs, nTri, r6(cc)))
+        .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "c_global")
+    },
+    Some(s"""
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      e0 AS (
+        SELECT vec_id AS src,
+               ${OracleExact.h16Sql("md5(vec_id::VARCHAR || ':' || j::VARCHAR)")} % nn.n AS dst
+        FROM embeddings, nn, (SELECT unnest(generate_series(1, 3)) AS j) js),
+      und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM e0 WHERE dst != src),
+      deg AS (SELECT v, count(*)::BIGINT AS d
+              FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) ends
+              GROUP BY 1),
+      ore AS (SELECT CASE WHEN (dl.d, und.lo) < (dh.d, und.hi) THEN und.lo ELSE und.hi END AS u,
+                     CASE WHEN (dl.d, und.lo) < (dh.d, und.hi) THEN und.hi ELSE und.lo END AS v,
+                     CASE WHEN (dl.d, und.lo) < (dh.d, und.hi) THEN dh.d ELSE dl.d END AS dv
+              FROM und JOIN deg dl ON und.lo = dl.v JOIN deg dh ON und.hi = dh.v),
+      tri AS (SELECT count(*)::BIGINT AS t
+              FROM ore x JOIN ore y
+                ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)
+              JOIN ore z ON z.u = x.v AND z.v = y.v),
+      agg AS (SELECT (SELECT n FROM nn)::BIGINT AS n_nodes,
+                     (SELECT count(*) FROM und)::BIGINT AS n_edges,
+                     (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+                     (SELECT t FROM tri) AS n_triangles)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             CASE WHEN n_wedges = 0 THEN 0.0
+                  ELSE round(3.0 * n_triangles / n_wedges, 6) END AS c_global
+      FROM agg
+    """),
+  )
+
+  /** Recall@5 of the LSH ANN index against exact brute force — the
+    * EVALUATION harness every approximate-similarity deployment needs
+    * before trusting an index at scale (the recall/probe trade-off is
+    * THE tuning decision for IVF/LSH/PQ; measuring it is how you pick
+    * nProbes/tables/bits). Composes the two existing operators over
+    * the same query set: per-query n_hit = |bf_top5 ∩ lsh_top5| via a
+    * left join on (query, neighbor), recall = n_hit/5 and the corpus
+    * mean Σ n_hit/(5·nq) as pure functions of exact counts. Scale:
+    * both inputs are top-k-bounded per query, so the eval join is
+    * O(queries·k) — run it on a sampled query set, never the corpus.
+    */
+  val qRecallAtK: Q = Q(
+    "q_recall_at_k",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.where(col("vec_id") < 20)
+      val bf = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nn_id"))
+      val lsh = Ann.lshTopK(e, queries, "vec_id", "embedding", k = 5,
+        tables = 16, bits = 4, dims = 64)
+        .select(col("query_id").as("q2"), col("nn_id").as("n2"))
+      val hits = bf.join(lsh,
+          bf("query_id") === lsh("q2") && bf("nn_id") === lsh("n2"), "left")
+        .groupBy(col("query_id")).agg(count(col("n2")).as("n_hit"))
+      val t = hits.agg(sum(col("n_hit")), count(lit(1))).head()
+      val mean = t.getLong(0).toDouble / (5.0 * t.getLong(1))
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      hits.select(col("query_id"), col("n_hit"),
+        round(col("n_hit") / lit(5.0), 6).as("recall"),
+        lit(r6(mean)).as("mean_recall"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      bf_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id != q.vec_id),
+      bf AS (
+        SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+          FROM bf_scored) r WHERE rank <= 5),
+      planes AS (
+        SELECT t.t AS t, j.j AS j, d.d AS d,
+               CASE WHEN (strpos('0123456789abcdef',
+                      substr(md5('7:' || t.t || ':' || j.j || ':' || d.d), 1, 1)) - 1) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS sgn
+        FROM range(16) t(t), range(4) j(j), range(64) d(d)),
+      dots AS (
+        SELECT e.vec_id, p.t, p.j, sum(p.sgn * e.v[p.d + 1]) AS dp
+        FROM e CROSS JOIN planes p GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT vec_id, t, sum(CASE WHEN dp >= 0 THEN (1 << j) ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id
+        FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 20 AND c.vec_id != q.vec_id),
+      lsh_scored AS (
+        SELECT cand.query_id, cand.nn_id,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        FROM cand
+        JOIN n a ON cand.query_id = a.vec_id
+        JOIN n b ON cand.nn_id = b.vec_id),
+      lsh AS (
+        SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+          FROM lsh_scored) r WHERE rank <= 5),
+      hits AS (
+        SELECT bf.query_id, count(lsh.nn_id)::BIGINT AS n_hit
+        FROM bf LEFT JOIN lsh
+          ON bf.query_id = lsh.query_id AND bf.nn_id = lsh.nn_id
+        GROUP BY 1),
+      tot AS (SELECT sum(n_hit)::BIGINT AS th, count(*)::BIGINT AS nq FROM hits)
+      SELECT query_id, n_hit, round(n_hit / 5.0, 6) AS recall,
+             round(tot.th / (5.0 * tot.nq), 6) AS mean_recall
+      FROM hits CROSS JOIN tot
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
-    dedupEditDistance, qLabelPropStep)
+    dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK)
 }

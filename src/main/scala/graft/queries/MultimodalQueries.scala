@@ -182,6 +182,85 @@ object MultimodalQueries {
     """),
   )
 
+  /** Perceptual-hash (aHash) near-duplicate detection over media
+    * records — the PERCEPTUAL tier above [[multimodalDedup]]'s exact
+    * checksum (a re-encoded/resized image keeps its aHash; its md5
+    * changes). The decode step is the repo's deterministic stub (no
+    * codecs in the container): the 8×8 grayscale grid is derived
+    * per-pixel from the content checksum (`h16(md5(checksum:i)) %
+    * 256`), so the Spark-side plumbing — per-pixel explode, one
+    * partition-key window for the luminance total, bit-pack into two
+    * 32-bit halves, banded candidate join — is real and replayable
+    * while the kernel stays swappable for a real decoder. A fixture
+    * twin (every 17th record, pixel 63 shifted by 128 — a pixel whose
+    * bit lies OUTSIDE the 16 banding bits, so the band join can find
+    * it) plants true near-dups; identical-byte corpus duplicates surface at Hamming 0.
+    * Scale: candidates come ONLY from the 16-bit band equi-join (the
+    * SimHash/LSH discipline — never n² pairs); the 64-row explode is
+    * bounded; window + groupBy share one hash(media_id) Exchange.
+    */
+  val multimodalPhash: Q = Q(
+    "multimodal_phash",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+      val px = media
+        .select(col("media_id"), md5(col("bytes")).as("ch"))
+        .select(col("media_id"),
+          explode(sequence(lit(0), lit(63))).as("i"), col("ch"))
+        .select(col("media_id"), col("i"),
+          (conv(substring(md5(concat(col("ch"), lit(":"), col("i").cast("string"))), 1, 4),
+            16, 10).cast("long") % 256).as("p"))
+      val twins = px.where(col("media_id") % 17 === 0)
+        .select((col("media_id") + 1000000).as("media_id"), col("i"),
+          when(col("i") === 63, (col("p") + 128) % 256).otherwise(col("p")).as("p"))
+      val w = Window.partitionBy(col("media_id"))
+      val hashes = px.unionByName(twins)
+        .withColumn("tot", sum(col("p")).over(w))
+        .select(col("media_id"), col("i"),
+          (col("p") * 64 > col("tot")).cast("long").as("b"))
+        .groupBy(col("media_id"))
+        .agg(
+          sum(expr("CASE WHEN i < 32 THEN b * shiftleft(cast(1 as bigint), 31 - i) ELSE 0 END"))
+            .as("h_hi"),
+          sum(expr("CASE WHEN i >= 32 THEN b * shiftleft(cast(1 as bigint), 63 - i) ELSE 0 END"))
+            .as("h_lo"))
+      hashes.as("x").join(hashes.as("y"),
+          expr("x.h_hi div 65536") === expr("y.h_hi div 65536") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+          (expr("bit_count(x.h_hi ^ y.h_hi)") + expr("bit_count(x.h_lo ^ y.h_lo)"))
+            .cast("long").as("hamming"))
+        .where(col("hamming") <= 10)
+    },
+    Some(s"""
+      WITH px0 AS (
+        SELECT doc_id AS media_id, i.i AS i,
+               ${OracleExact.h16Sql("md5(md5(text) || ':' || i.i::VARCHAR)")} % 256 AS p
+        FROM documents, range(64) i(i)),
+      pall AS (
+        SELECT media_id, i, p FROM px0
+        UNION ALL
+        SELECT media_id + 1000000, i,
+               CASE WHEN i = 63 THEN (p + 128) % 256 ELSE p END
+        FROM px0 WHERE media_id % 17 = 0),
+      bits AS (
+        SELECT media_id, i,
+               (p * 64 > sum(p) OVER (PARTITION BY media_id))::BIGINT AS b
+        FROM pall),
+      hashes AS (
+        SELECT media_id,
+               sum(CASE WHEN i < 32 THEN b * (1::BIGINT << (31 - i)) ELSE 0 END)::BIGINT AS h_hi,
+               sum(CASE WHEN i >= 32 THEN b * (1::BIGINT << (63 - i)) ELSE 0 END)::BIGINT AS h_lo
+        FROM bits GROUP BY 1)
+      SELECT x.media_id AS id_a, y.media_id AS id_b,
+             (bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo)))::BIGINT AS hamming
+      FROM hashes x JOIN hashes y
+        ON x.h_hi // 65536 = y.h_hi // 65536 AND x.media_id < y.media_id
+      WHERE (bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo))) <= 10
+    """),
+  )
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames,
-    multimodalPatches, multimodalAudio, multimodalDedup)
+    multimodalPatches, multimodalAudio, multimodalDedup, multimodalPhash)
 }

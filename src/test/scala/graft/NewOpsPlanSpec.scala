@@ -48,6 +48,23 @@ class NewOpsPlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(plan).size === 1)
   }
 
+  test("multimodal_phash candidates come from the band equi-join only") {
+    val plan = MultimodalQueries.multimodalPhash.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("bit_count"))
+  }
+
+  test("q_recall_at_k plans exactly one nested loop (the deliberate brute-force side)") {
+    // knn_bruteforce's bounded-broadcast scorer is the PlanGuardSpec
+    // exemption; the eval join and the LSH side must not add another
+    val plan = DedupQueries.qRecallAtK.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup_edit_distance candidates come from the blocking equi-join only") {
     val plan = DedupQueries.dedupEditDistance.run(spark, sf)
       .queryExecution.executedPlan.toString
