@@ -104,6 +104,41 @@ object Eval {
     (n, nr, nc, dof, chi2, v, p)
   }
 
+  /** Mutual information (nats) + normalized MI between two categorical
+    * columns from the same exact contingency cells as [[cramersV]] —
+    * the information-theoretic association measure (detects ANY
+    * dependence, where χ² is a second-order test). Zero cells
+    * contribute 0 (the p·ln p limit); every term is a fixed-op-order
+    * double function of exact int64 counts, micro-quantized before its
+    * order-free sum; NMI = MI/√(H_row·H_col) with both entropies on
+    * the same discipline.
+    *
+    * Returns (n, miMicro, hRowMicro, hColMicro) — all int64 micro
+    * sums so callers (and the oracle) derive MI/NMI identically.
+    */
+  def mutualInfo(cells: Seq[(String, Long, Long)]): (Long, Long, Long, Long) = {
+    val n = cells.map(_._3).sum
+    val rt = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val mi = cells.map { case (rk, ck, o) =>
+      if (o == 0) 0L
+      else {
+        val pij = o.toDouble / n
+        val pi = rt(rk).toDouble / n
+        val pj = ct(ck).toDouble / n
+        math.round(pij * math.log(pij / (pi * pj)) * 1e6)
+      }
+    }.sum
+    def entropy(tot: Iterable[Long]): Long = tot.toSeq.map { c =>
+      if (c == 0) 0L
+      else {
+        val p = c.toDouble / n
+        math.round(-p * math.log(p) * 1e6)
+      }
+    }.sum
+    (n, mi, entropy(rt.values), entropy(ct.values))
+  }
+
   /** Two-feature OLS with intercept by Cramer's rule on the exact
     * normal-equation sums (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y,
     * Σx₂y, Σy²) — fixed-op-order double arithmetic an external engine

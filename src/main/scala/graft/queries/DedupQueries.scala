@@ -1159,6 +1159,57 @@ object DedupQueries {
     """),
   )
 
+  /** End-to-end entity resolution: the [[dedupEditDistance]] fuzzy
+    * pairs closed into ENTITIES via connected components, with the
+    * canonical record per cluster (lowest id — the master-record rule)
+    * — the composition a CRM/catalog dedup actually ships (blocking →
+    * pairwise match → transitive closure → golden record), same shape
+    * as `dedup_pipeline` composes MinHash for documents. Scale: pairs
+    * come only from the blocking equi-join; CC is the adaptive
+    * pointer-doubling/union-find loop the near-dup clusters already
+    * use; only matched records appear (singletons need no merge).
+    */
+  val erClusters: Q = Q(
+    "er_clusters",
+    (s, dir) => {
+      val base = Tables.part(s, dir).select(
+        col("p_partkey").as("id"), col("p_name"), col("p_brand"),
+        concat(col("p_name"), lit(" "), col("p_brand"), lit(" #"),
+          col("p_partkey").cast("string")).as("name"))
+      val twins = base.where(col("id") % 13 === 0)
+        .select((col("id") + 100000).as("id"), col("p_name"), col("p_brand"),
+          concat(col("name"), lit("x")).as("name"))
+      val pairs = Dedup.blockedEditDistancePairs(base.unionByName(twins),
+        "id", "name", Seq("p_name", "p_brand"), maxDist = 1)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("entity_id"), col("canonical"))
+    },
+    Some("""
+      WITH RECURSIVE base AS (
+        SELECT p_partkey AS id, p_name, p_brand,
+               p_name || ' ' || p_brand || ' #' || p_partkey::VARCHAR AS name
+        FROM part),
+      corpus AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT id + 100000, p_name, p_brand, name || 'x' FROM base WHERE id % 13 = 0),
+      p AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM corpus a JOIN corpus b
+          ON a.p_name = b.p_name AND a.p_brand = b.p_brand AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+      SELECT id AS entity_id, min(r) AS canonical FROM reach GROUP BY id
+    """),
+  )
+
   /** Recall@5 of the LSH ANN index against exact brute force — the
     * EVALUATION harness every approximate-similarity deployment needs
     * before trusting an index at scale (the recall/probe trade-off is
@@ -1241,9 +1292,42 @@ object DedupQueries {
     """),
   )
 
+  /** L2 row-normalization of the embedding column (sklearn
+    * `Normalizer(norm="l2")`) — the fit-free transform every
+    * cosine-similarity index wants applied ONCE upstream (normalized
+    * vectors turn cosine into a plain dot product, halving the ANN
+    * scoring cost): pure narrow codegen arithmetic through the shared
+    * [[Ann.norm]] kernel, zero shuffle, zero fit state. Output checks
+    * the round trip (norm, two normalized components, and the
+    * re-computed norm of the normalized vector pinned to 1).
+    */
+  val qEmbedNorm: Q = Q(
+    "q_embed_norm",
+    (s, dir) => {
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val nrm = Ann.norm(col("v"))
+      val unit = transform(col("v"), x => x / nrm)
+      v.select(col("vec_id"), round(nrm, 6).as("l2"),
+        round(unit.getItem(0), 6).as("u0"),
+        round(unit.getItem(1), 6).as("u1"),
+        round(Ann.norm(unit), 6).as("unit_l2"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      u AS (SELECT vec_id, nrm, list_transform(v, x -> x / nrm) AS uv FROM n)
+      SELECT vec_id, round(nrm, 6) AS l2,
+             round(uv[1], 6) AS u0, round(uv[2], 6) AS u1,
+             round(sqrt(list_dot_product(uv, uv)), 6) AS unit_l2
+      FROM u
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
-    dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK)
+    dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
+    qEmbedNorm)
 }

@@ -760,6 +760,57 @@ object PipelineQueries {
     """),
   )
 
+  /** Mutual information + normalized MI over the SAME contingency
+    * rollup as [[qCramersV]] ([[graft.operators.Eval.mutualInfo]]) —
+    * the information-theoretic association measure next to the χ²
+    * second-order test (MI detects ANY dependence; NMI = MI/√(H_r·H_c)
+    * makes it comparable across column pairs, the number a
+    * feature-selection pass actually ranks by). Zero cells contribute
+    * exactly 0, so the sparse rollup needs no densification; every
+    * term is micro-quantized before its order-free sum and the oracle
+    * replays term for term.
+    */
+  val qMutualInfo: Q = Q(
+    "q_mutual_info",
+    (s, dir) => {
+      val cells = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("seg"),
+          (col("c_nationkey") % 5).cast("long").as("band"))
+        .agg(count(lit(1)).as("o"))
+        .collect() // bounded: r×c = 25 cells
+        .toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val (n, miM, hrM, hcM) = graft.operators.Eval.mutualInfo(cells)
+      val (mi, hr, hc) = (miM / 1e6, hrM / 1e6, hcM / 1e6)
+      val nmi = mi / math.sqrt(hr * hc)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, r6(mi), r6(hr), r6(hc), r6(nmi)))
+        .toDF("n", "mi", "h_row", "h_col", "nmi")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT c_mktsegment AS seg, c_nationkey % 5 AS band, count(*)::BIGINT AS o
+        FROM customer GROUP BY 1, 2),
+      tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+      rt AS (SELECT seg, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT band, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+      mi AS (SELECT sum(round((cells.o::DOUBLE / tot.n) *
+                       ln((cells.o::DOUBLE / tot.n) /
+                          ((rt.rt::DOUBLE / tot.n) * (ct.ct::DOUBLE / tot.n))) * 1e6)::BIGINT)::BIGINT AS m
+             FROM cells JOIN rt USING (seg) JOIN ct USING (band) CROSS JOIN tot),
+      hr AS (SELECT sum(round(-(rt::DOUBLE / tot.n) * ln(rt::DOUBLE / tot.n) * 1e6)::BIGINT)::BIGINT AS m
+             FROM rt CROSS JOIN tot),
+      hc AS (SELECT sum(round(-(ct::DOUBLE / tot.n) * ln(ct::DOUBLE / tot.n) * 1e6)::BIGINT)::BIGINT AS m
+             FROM ct CROSS JOIN tot)
+      SELECT tot.n, round((SELECT m FROM mi) / 1e6, 6) AS mi,
+             round((SELECT m FROM hr) / 1e6, 6) AS h_row,
+             round((SELECT m FROM hc) / 1e6, 6) AS h_col,
+             round(((SELECT m FROM mi) / 1e6) /
+                   sqrt(((SELECT m FROM hr) / 1e6) * ((SELECT m FROM hc) / 1e6)), 6) AS nmi
+      FROM tot
+    """),
+  )
+
   /** Closed-form distributed OLS — multi-feature linear regression via
     * the normal equations, the d-bounded exact-sums pattern that makes
     * regression a SINGLE aggregate at any scale (the GramAgg/PCA story
@@ -829,5 +880,5 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
-    qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg)
+    qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo)
 }

@@ -798,6 +798,64 @@ object StreamingQueries {
     },
     RelationalQueries.qRetentionCohorts.oracle)
 
+  /** Watermark-lateness report — the OBSERVABILITY measurement that
+    * picks the `withWatermark` delay every stateful stream_* row
+    * depends on: replay the corpus in ARRIVAL order (a deterministic
+    * ±1 h md5 jitter on the event time — the corpus itself arrives
+    * time-sorted, so out-of-orderness must be planted to measure
+    * anything) and flag each event LATE iff its event time trails the
+    * per-user running arrival-max by more than the candidate watermark
+    * (30 min): exactly the events a stateful operator would drop.
+    * Everything rides ONE hash(user) Exchange — the arrival-order
+    * window and the per-user rollup share the key — and the lateness
+    * magnitudes are exact integer seconds. A real deployment runs this
+    * batch query over yesterday's ingest log to set tomorrow's
+    * watermark; max_late_s tells you the delay that would have lost
+    * nothing.
+    */
+  val qLatenessReport: Q = Q(
+    "q_lateness_report",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val wmNs = 1800L * 1000000000L
+      val jitter = (graft.operators.Sampling.hashBucket(col("event_id")) % 7200 - 3600)
+        .cast("long") * lit(1000000000L)
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("cast(ts as long)").as("tsn"))
+        .withColumn("arr", col("tsn") + jitter)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val flagged = ev
+        .withColumn("hwm", max(col("tsn")).over(w))
+        .select(col("user_id"),
+          when(col("hwm") - col("tsn") > wmNs, 1L).otherwise(0L).as("late"),
+          when(col("hwm") - col("tsn") > wmNs,
+            expr("(hwm - tsn) div 1000000000")).otherwise(lit(0L)).as("late_s"))
+      flagged.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+          max(col("late_s")).as("max_late_s"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+               epoch_ns(ts) + (${OracleExact.h16Sql("md5(event_id::VARCHAR)")} % 7200 - 3600)::BIGINT * 1000000000 AS arr
+        FROM events),
+      f AS (
+        SELECT user_id,
+               max(tsn) OVER (PARTITION BY user_id ORDER BY arr, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm,
+               tsn
+        FROM ev)
+      SELECT user_id, count(*)::BIGINT AS n_events,
+             sum(CASE WHEN hwm - tsn > 1800000000000 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+             max(CASE WHEN hwm - tsn > 1800000000000
+                      THEN (hwm - tsn) // 1000000000 ELSE 0 END)::BIGINT AS max_late_s
+      FROM f GROUP BY 1
+    """),
+  )
+
   /** Streaming PSI drift monitor — the live twin of the batch `q_psi`
     * report under the same FIT-OFFLINE / APPLY-ONLINE contract: the
     * period boundary and the 10 baseline-fitted bin edges arrive as
@@ -844,5 +902,5 @@ object StreamingQueries {
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
-    streamExpectations, streamRetention, streamPsi)
+    streamExpectations, streamRetention, streamPsi, qLatenessReport)
 }

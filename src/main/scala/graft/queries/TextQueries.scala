@@ -1125,9 +1125,64 @@ object TextQueries {
     """),
   )
 
+  /** nDCG@10 of the BM25 ranking — the GRADED retrieval-quality eval
+    * next to `q_recall_at_k`'s set-overlap (nDCG rewards putting the
+    * most-relevant docs highest, not just finding them): relevance
+    * grade = n_matched query terms (1..3, a deterministic judgment the
+    * oracle replays), DCG/IDCG terms (2^rel − 1)/log₂(rank+1)
+    * micro-quantized before their order-free sums, IDCG from the exact
+    * grade histogram (tie order between equal grades cannot change
+    * it), nDCG a pure ratio of the two micro int64 totals. Scale: the
+    * ranking is the shared BM25 chain; top-10 is TakeOrdered (bounded
+    * driver state), the grade histogram is a 3-row rollup.
+    */
+  val qNdcg: Q = Q(
+    "q_ndcg",
+    (s, dir) => {
+      val bm = graft.operators.Retrieval.bm25(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", bm25Terms, bm25K1, bm25B)
+      val top = bm.orderBy(col("score").desc, col("doc_id")).limit(10)
+        .select(col("n_matched")).collect().map(_.getLong(0))
+      val grades = bm.groupBy(col("n_matched")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nJudged = grades.map(_._2).sum
+      def term(rel: Long, rank: Int): Long =
+        math.round((math.pow(2, rel) - 1) / (math.log(rank + 1) / math.log(2.0)) * 1e6)
+      val dcg = top.zipWithIndex.map { case (rel, i) => term(rel, i + 1) }.sum
+      val ideal = grades.sortBy(-_._1).flatMap { case (g, c) =>
+        Seq.fill(math.min(c, 10L).toInt)(g)
+      }.take(10)
+      val idcg = ideal.zipWithIndex.map { case (rel, i) => term(rel, i + 1) }.sum
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((nJudged, r6(dcg / 1e6), r6(idcg / 1e6), r6(dcg.toDouble / idcg)))
+        .toDF("n_judged", "dcg", "idcg", "ndcg")
+    },
+    Some(s"""
+      WITH $bm25CtesSql,
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_matched, sum(micro)::BIGINT AS ms
+              FROM sc GROUP BY doc_id),
+      ranked AS (SELECT n_matched,
+                   row_number() OVER (ORDER BY ms DESC, doc_id) AS rank
+                 FROM agg),
+      dcg AS (SELECT sum(round((pow(2, n_matched) - 1) / (ln(rank + 1) / ln(2.0)) * 1e6)::BIGINT)::BIGINT AS m
+              FROM ranked WHERE rank <= 10),
+      ideal AS (SELECT n_matched,
+                  row_number() OVER (ORDER BY n_matched DESC, doc_id) AS rank
+                FROM agg),
+      idcg AS (SELECT sum(round((pow(2, n_matched) - 1) / (ln(rank + 1) / ln(2.0)) * 1e6)::BIGINT)::BIGINT AS m
+               FROM ideal WHERE rank <= 10)
+      SELECT (SELECT count(*) FROM agg)::BIGINT AS n_judged,
+             round((SELECT m FROM dcg) / 1e6, 6) AS dcg,
+             round((SELECT m FROM idcg) / 1e6, 6) AS idcg,
+             round((SELECT m FROM dcg)::DOUBLE / (SELECT m FROM idcg), 6) AS ndcg
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
-    textPmi, textUrlFilter)
+    textPmi, textUrlFilter, qNdcg)
 }

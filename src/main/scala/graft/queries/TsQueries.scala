@@ -1676,9 +1676,63 @@ object TsQueries {
     """),
   )
 
+  /** Lead-lag cross-correlation between the daily click and purchase
+    * series (lags −3..+3 days) — the multivariate companion to the
+    * per-series autocorrelation features (does engagement LEAD
+    * conversion, and by how many days?). Daily totals are exact int64
+    * counts from one map-side-combined rollup; the lag alignment is a
+    * bounded explode (7 lag rows per day) + one equi-join on the
+    * shifted day key (never a cross join); per-lag Pearson r is a pure
+    * fixed-op-order double function of six exact integer sums. At
+    * 100 TB the day-grain rollup is tiny by construction — the explode
+    * and join ride a table with one row per (day, lag).
+    */
+  val tsCrossCorr: Q = Q(
+    "ts_cross_corr",
+    (s, dir) => {
+      val dayNs = 86400000000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(expr(s"cast(ts as long) div $dayNs").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val lagged = daily.select(col("day"), col("x"),
+        explode(array((-3 to 3).map(l => lit(l.toLong)): _*)).as("lag"))
+      val ys = daily.select(col("day").as("yday"), col("y"))
+      val r = lagged.join(ys, col("yday") === col("day") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      r.select(col("lag"), col("n").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1),
+      lagged AS (
+        SELECT day, x, l.l AS lag
+        FROM daily, (SELECT unnest(generate_series(-3, 3)) AS l) l),
+      j AS (
+        SELECT lag, count(*)::BIGINT AS n, sum(a.x)::BIGINT AS sx, sum(b.y)::BIGINT AS sy,
+               sum(a.x * b.y)::BIGINT AS sxy, sum(a.x * a.x)::BIGINT AS sxx,
+               sum(b.y * b.y)::BIGINT AS syy
+        FROM lagged a JOIN daily b ON b.day = a.day + a.lag
+        GROUP BY 1)
+      SELECT lag, n AS n_days,
+             round((n * sxy - sx * sy) /
+                   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+      FROM j
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
-    tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures)
+    tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr)
 }

@@ -83,6 +83,22 @@ class EvalSpec extends SparkSpec {
     assert(p > 0.005 && p < 0.02) // exact chi2_1 p = 0.0098
   }
 
+  test("perfect association has MI = H_row = H_col (NMI = 1); independence has MI = 0") {
+    val perfect = Seq(("a", 0L, 50L), ("b", 1L, 50L))
+    val (_, mi, hr, hc) = Eval.mutualInfo(perfect)
+    assert(mi === hr && mi === hc)
+    // H = ln 2 for the uniform 2-way split
+    assert(math.abs(mi / 1e6 - math.log(2.0)) < 2e-6)
+    val indep = Seq(("a", 0L, 30L), ("a", 1L, 30L), ("b", 0L, 30L), ("b", 1L, 30L))
+    assert(Eval.mutualInfo(indep)._2 === 0L)
+  }
+
+  test("MI is bounded by min(H_row, H_col) on a skewed table") {
+    val cells = Seq(("a", 0L, 70L), ("a", 1L, 10L), ("b", 0L, 5L), ("b", 1L, 15L))
+    val (_, mi, hr, hc) = Eval.mutualInfo(cells)
+    assert(mi > 0L && mi <= math.min(hr, hc))
+  }
+
   test("ols2 recovers an exact linear relation with R² = 1") {
     // y = 2 + 3*x1 - 5*x2 over a small exact grid
     val pts = for (x1 <- 0 to 4; x2 <- 0 to 3)
