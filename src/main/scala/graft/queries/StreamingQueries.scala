@@ -798,6 +798,43 @@ object StreamingQueries {
     },
     RelationalQueries.qRetentionCohorts.oracle)
 
+  /** Streaming SCD2 dimension build ([[StreamOps.scd2]]): closed
+    * versions stream to the sink in append mode; the OPEN version per
+    * key is O(1) state (servable as the "current row" — how a live
+    * SCD2 ingestion actually splits current vs history). The drained
+    * set equals the batch `q_scd2` rows with a non-null valid_to, so
+    * the oracle is the batch chain restricted to closed versions.
+    */
+  val streamScd2: Q = Q(
+    "stream_scd2",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val events = StreamOps.eventsStream(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+      StreamOps.runToBatch(s, StreamOps.scd2(events).toDF(), mode = "append")
+        .select(col("user_id"), col("version"), col("attr"),
+          col("valid_from"), col("valid_to"))
+    },
+    Some("""
+      WITH s AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+                 FROM events),
+      m AS (SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev
+            FROM s),
+      f AS (SELECT * FROM m WHERE prev IS NULL OR prev <> event_type),
+      v AS (SELECT user_id,
+              row_number() OVER w AS version,
+              event_type AS attr,
+              ts AS valid_from,
+              lead(ts) OVER w AS valid_to
+            FROM f
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, version, attr, valid_from, valid_to
+      FROM v WHERE valid_to IS NOT NULL
+    """),
+  )
+
   /** Watermark-lateness report — the OBSERVABILITY measurement that
     * picks the `withWatermark` delay every stateful stream_* row
     * depends on: replay the corpus in ARRIVAL order (a deterministic
@@ -902,5 +939,5 @@ object StreamingQueries {
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
-    streamExpectations, streamRetention, streamPsi, qLatenessReport)
+    streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2)
 }

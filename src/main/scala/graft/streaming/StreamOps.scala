@@ -764,6 +764,50 @@ object StreamOps {
       }
   }
 
+  final case class Scd2State(attr: String, from: Long, version: Long)
+  final case class Scd2Row(user_id: Long, version: Long, attr: String,
+                           valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD2 dimension build: per-key state is the OPEN version
+    * (attr, valid_from, version counter — O(1) per key); an arriving
+    * attribute change CLOSES it (append-mode emit with valid_to = the
+    * change timestamp) and opens the next. Only closed versions are
+    * persisted — the open version is exactly what the state store
+    * holds, which is how a live SCD2 ingestion actually runs (the
+    * current row is servable from state; history lands in the sink).
+    * The drained closed set equals the batch `q_scd2` rows with
+    * `valid_to IS NOT NULL`, row for row. Event-time order per key
+    * across micro-batches is the corpus contract the
+    * funnel/Holt/transition twins already pin; (user, ts) uniqueness
+    * makes the in-batch sort tie-free.
+    */
+  def scd2(events: DataFrame): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("event_type").cast("string").as("event_type")).as[TypedEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          val evs = it.toSeq.sortBy(_.ts_ns)
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          evs.foreach { e =>
+            if (cur == null) {
+              cur = Scd2State(e.event_type, e.ts_ns, 1L)
+            } else if (e.event_type != cur.attr) {
+              out += Scd2Row(uid, cur.version, cur.attr, cur.from, e.ts_ns)
+              cur = Scd2State(e.event_type, e.ts_ns, cur.version + 1)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
   final case class FunnelState(t1: Long, t2: Long, t3: Long) // 0 = unset
   final case class FunnelRow(user_id: Long, t1: Option[Long],
                              t2: Option[Long], t3: Option[Long])

@@ -419,4 +419,27 @@ class StreamingSpec extends SparkSpec {
         (2L, 11L, 0L), (2L, 11L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming SCD2 closes versions across micro-batches and keeps the open one in state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = StreamOps.scd2(df)
+      .toDF().writeStream.format("memory").queryName("scd2_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: A(10) A(20) B(30) -> closes v1 (A, 10..30)
+      mem.addData((1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"))
+      q.processAllAvailable()
+      // batch 2: the open B version carries over; C(50) closes it with
+      // the version counter CONTINUING (v2), then C stays open
+      mem.addData((1L, 50L, "C"), (1L, 60L, "C"))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).sorted.toSeq
+      assert(rows === Seq((1L, 1L, "A", 10L, 30L), (1L, 2L, "B", 30L, 50L)))
+    } finally q.stop()
+  }
 }
