@@ -527,9 +527,76 @@ object NumPrepQueries {
     """),
   )
 
+  /** Regression imputation (the sklearn `IterativeImputer` single-pass
+    * analog, the model-based sibling of fill_mean/fill_median): fit a
+    * two-feature OLS on the NON-NULL rows via the exact
+    * normal-equation sums ([[graft.operators.Eval.ols2]] — the
+    * q_linreg machinery reused as a FIT step), then impute each null
+    * as the model prediction rounded to the corpus cent grid. The fit
+    * is one aggregate over the observed rows; the transform is a
+    * narrow coalesce — the oracle replays the sums, the Cramer solve,
+    * and the prediction term for term, so even a near-zero-R² fit
+    * (features only weakly predict the target, the honest common
+    * case) imputes bit-identically.
+    */
+  val fillRegression: Q = Q(
+    "fill_regression",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        col("c_nationkey").cast("long").as("x1"),
+        (col("c_custkey") % 97).cast("long").as("x2"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")).as("v"))
+      import graft.operators.ExactAgg.decSum
+      val r = df.where(col("v").isNotNull).agg(
+        count(lit(1)), decSum(col("x1")), decSum(col("x2")), decSum(col("v")),
+        decSum(col("x1") * col("x1")), decSum(col("x1") * col("x2")),
+        decSum(col("x2") * col("x2")), decSum(col("x1") * col("v")),
+        decSum(col("x2") * col("v")), decSum(col("v") * col("v"))).head()
+      val (b0, b1, b2, _) = graft.operators.Eval.ols2(
+        r.getLong(0).toDouble, r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9))
+      df.select(col("c_custkey"),
+        round(coalesce(col("v"),
+          round(lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2"), 2)), 6)
+          .as("filled"),
+        col("v").isNull.cast("int").as("was_imputed"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT c_custkey, c_nationkey::BIGINT AS x1, (c_custkey % 97)::BIGINT AS x2,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS v
+        FROM customer),
+      a AS (SELECT
+          count(*)::DOUBLE AS n,
+          sum((x1)::DECIMAL(28,6))::DOUBLE AS s1,
+          sum((x2)::DECIMAL(28,6))::DOUBLE AS s2,
+          sum((v)::DECIMAL(28,6))::DOUBLE AS sy,
+          sum((x1 * x1)::DECIMAL(28,6))::DOUBLE AS s11,
+          sum((x1 * x2)::DECIMAL(28,6))::DOUBLE AS s12,
+          sum((x2 * x2)::DECIMAL(28,6))::DOUBLE AS s22,
+          sum((x1 * v)::DECIMAL(28,6))::DOUBLE AS s1y,
+          sum((x2 * v)::DECIMAL(28,6))::DOUBLE AS s2y
+        FROM d WHERE v IS NOT NULL),
+      dt AS (SELECT *,
+          n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det
+        FROM a),
+      b AS (SELECT
+          (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+          (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+          (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det AS b2
+        FROM dt)
+      SELECT c_custkey,
+             round(coalesce(v, round(b.b0 + b.b1 * x1 + b.b2 * x2, 2)), 6) AS filled,
+             (v IS NULL)::INT AS was_imputed
+      FROM d CROSS JOIN b
+    """),
+  )
+
   val all: Seq[Q] = Seq(replaceInf, fillMean, fillMedian, fillConsts, fillForward,
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
     scaleStandardizeGrouped, scaleRobust, scaleMaxAbs, scaleQuantileUniform,
     scaleQuantileNormal, scaleKBins, scaleKBinsSketch, scalePower,
-    scaleWinsorize, scaleSignedLog)
+    scaleWinsorize, scaleSignedLog, fillRegression)
 }

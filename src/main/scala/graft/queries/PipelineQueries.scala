@@ -878,7 +878,65 @@ object PipelineQueries {
     """),
   )
 
+  /** Per-group simple linear regression — [[qLinreg]]'s grouped twin
+    * and the "fit a MILLION small models in one pass" pattern (per
+    * supplier: price-vs-quantity slope/intercept/R²): everything stays
+    * IN-PLAN — one map-side-combined groupBy collecting the five
+    * exact decimal sums per key, closed-form slope/intercept/R² as
+    * narrow fixed-op-order column arithmetic on them — no driver
+    * collect, no per-group iteration, so the same plan fits 10⁸ keys
+    * on a cluster exactly like `regr_slope ... GROUP BY` would but
+    * with order-free exact sums the oracle replays bit-for-bit.
+    * Degenerate groups (zero x-variance) null out in both engines.
+    */
+  val qGroupedLinreg: Q = Q(
+    "q_grouped_linreg",
+    (s, dir) => {
+      import graft.operators.ExactAgg.decSum
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("l_quantity")).as("sx"),
+          decSum(col("l_extendedprice")).as("sy"),
+          decSum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          decSum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          decSum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+      val nd = col("n").cast("double")
+      val vx = nd * col("sxx") - col("sx") * col("sx")
+      val vy = nd * col("syy") - col("sy") * col("sy")
+      val cov = nd * col("sxy") - col("sx") * col("sy")
+      val slope = cov / vx
+      g.select(col("l_suppkey"), col("n"),
+        round(when(vx === 0, lit(null)).otherwise(slope), 6).as("slope"),
+        round(when(vx === 0, lit(null))
+          .otherwise((col("sy") - slope * col("sx")) / nd), 6).as("intercept"),
+        round(when(vx === 0 || vy === 0, lit(null))
+          .otherwise(cov * cov / (vx * vy)), 6).as("r2"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT l_suppkey, count(*)::DOUBLE AS n,
+               sum((l_quantity)::DECIMAL(28,6))::DOUBLE AS sx,
+               sum((l_extendedprice)::DECIMAL(28,6))::DOUBLE AS sy,
+               sum((l_quantity * l_quantity)::DECIMAL(28,6))::DOUBLE AS sxx,
+               sum((l_quantity * l_extendedprice)::DECIMAL(28,6))::DOUBLE AS sxy,
+               sum((l_extendedprice * l_extendedprice)::DECIMAL(28,6))::DOUBLE AS syy
+        FROM lineitem GROUP BY 1),
+      c AS (SELECT l_suppkey, n,
+              n * sxx - sx * sx AS vx,
+              n * syy - sy * sy AS vy,
+              n * sxy - sx * sy AS cov,
+              sx, sy FROM g)
+      SELECT l_suppkey, n::BIGINT AS n,
+             round(CASE WHEN vx = 0 THEN NULL ELSE cov / vx END, 6) AS slope,
+             round(CASE WHEN vx = 0 THEN NULL ELSE (sy - (cov / vx) * sx) / n END, 6) AS intercept,
+             round(CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE cov * cov / (vx * vy) END, 6) AS r2
+      FROM c
+    """),
+  )
+
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
-    qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo)
+    qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
+    qGroupedLinreg)
 }
