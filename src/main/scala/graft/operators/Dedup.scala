@@ -199,11 +199,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           driverThreshold: Long = 1L * 1000 * 1000): DataFrame = {
-    // one materialization of the (expensive) upstream pair plan; the
-    // loop then re-reads executor-local blocks, never the minhash DAG
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // ONE materialization of the (expensive) upstream pair plan,
+    // BEFORE the both-directions union: a union of two selects over
+    // the raw plan computes the whole pair DAG twice in one job (the
+    // branches share no blocks), which doubled dedup_clusters'
+    // minhash cost end to end. Checkpoint the directed pairs once;
+    // the doubled edge view then reads executor-local blocks.
+    val p0 = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint()
+    val edges = p0.unionAll(p0.select(col("b").as("a"), col("a").as("b")))
     // Adaptive small-graph fast path: a dedup-pair graph is usually
     // TINY relative to the corpus (near-dup pairs, not documents). When
     // the edge list fits comfortably on the driver, a union-find there
@@ -213,10 +217,12 @@ object Dedup {
     // graphs. The 1M default is a BYTE budget, not a row count: edges
     // collect as primitive (Long, Long) pairs (~48B boxed each ≈ 50MB),
     // safe on a default 1-4GB driver with headroom for the app itself.
-    val longIds = edges.schema.fields.forall(
+    val longIds = p0.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val edgeCount = edges.count()
-    if (longIds && edgeCount <= driverThreshold) return driverSideCC(edges)
+    // count (and, on the fast path, collect) the DIRECTED pairs — half
+    // the doubled edge list's rows for the same information
+    val pairCount = p0.count()
+    if (longIds && pairCount * 2 <= driverThreshold) return driverSideCC(p0)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
@@ -258,7 +264,9 @@ object Dedup {
     val spark = edges.sparkSession
     import spark.implicits._
     // collect PRIMITIVE pairs, not Rows — a GenericRow costs hundreds
-    // of bytes; the driverThreshold byte budget assumes tuple encoding
+    // of bytes; the driverThreshold byte budget assumes tuple encoding.
+    // Input is the DIRECTED pair list (union-find is direction-blind,
+    // so the doubled edge view would only double the collect).
     val pairs = edges.select(col("a").cast("long").as("_1"),
       col("b").cast("long").as("_2")).as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
@@ -279,7 +287,10 @@ object Dedup {
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
-    val nodes = pairs.iterator.map(_._1).toArray.distinct
+    // nodes from BOTH endpoints (the directed list names each node on
+    // whichever side its pairs happen to order it)
+    val nodes = (pairs.iterator.map(_._1) ++ pairs.iterator.map(_._2))
+      .toArray.distinct
     nodes.map(n => (n, find(n))).toSeq.toDF("id", "canonical")
   }
 
