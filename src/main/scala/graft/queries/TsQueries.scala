@@ -1691,10 +1691,14 @@ object TsQueries {
     "ts_cross_corr",
     (s, dir) => {
       val dayNs = 86400000000000L
+      // materialize the day-grain rollup ONCE: both join sides hang off
+      // it, and an unmaterialized self-join recomputes the full events
+      // scan + rollup per branch (the CC double-materialization lesson)
       val daily = Tables.events(s, dir)
         .groupBy(expr(s"cast(ts as long) div $dayNs").as("day"))
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .localCheckpoint()
       val lagged = daily.select(col("day"), col("x"),
         explode(array((-3 to 3).map(l => lit(l.toLong)): _*)).as("lag"))
       val ys = daily.select(col("day").as("yday"), col("y"))
