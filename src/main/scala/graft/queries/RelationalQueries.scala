@@ -1086,9 +1086,112 @@ object RelationalQueries {
     """),
   )
 
+  /** Sample-ratio-mismatch gate — the experiment-platform SANITY CHECK
+    * that runs BEFORE `q_ab_lift`'s effect test (a biased split makes
+    * the lift meaningless; SRM is the standard 'is randomization
+    * broken' alarm): 1-dof chi-squared goodness-of-fit of the two
+    * md5-arm sizes against the intended 50/50, p = P(χ²₁ > x) =
+    * 2(1−Φ(√x)) — EXACTLY the shared A&S tail mirror, no new
+    * approximation. One distributed aggregate (two exact counts);
+    * flag fires at p < 0.001 (the industry-standard SRM alpha).
+    */
+  val qAbSrm: Q = Q(
+    "q_ab_srm",
+    (s, dir) => {
+      import graft.operators.TsFeatures
+      val r = Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .select((conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2).as("g"))
+        .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b")).head()
+      val (nA, nB) = (r.getLong(0), r.getLong(1))
+      val e = (nA + nB) / 2.0
+      val chi2 = (nA - e) * (nA - e) / e + (nB - e) * (nB - e) / e
+      val p = TsFeatures.normTwoSidedP(math.sqrt(chi2))
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((nA, nB, r6(nA.toDouble / nB), r6(chi2), r6(p), if (p < 0.001) 1 else 0))
+        .toDF("n_a", "n_b", "ratio", "chi2", "p", "srm_flag")
+    },
+    Some(s"""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      g AS (SELECT ${OracleExact.h16Sql("md5(user_id::VARCHAR)")} % 2 AS g FROM u),
+      c AS (SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+            FROM g),
+      x AS (SELECT n_a, n_b, (n_a + n_b) / 2.0 AS e FROM c),
+      k AS (SELECT n_a, n_b,
+              (n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e AS chi2
+            FROM x)
+      SELECT n_a, n_b, round(n_a::DOUBLE / n_b, 6) AS ratio,
+             round(chi2, 6) AS chi2,
+             round(${OracleExact.phiTailSql("sqrt(chi2)")}, 6) AS p,
+             CASE WHEN ${OracleExact.phiTailSql("sqrt(chi2)")} < 0.001
+                  THEN 1 ELSE 0 END::INT AS srm_flag
+      FROM k
+    """),
+  )
+
+  /** Conversion-latency report over the [[qFunnel]] frame — the
+    * "funnel is healthy but HOW FAST does it move" companion: exact
+    * whole-second latencies view→click and click→purchase per
+    * converted user, summarized as counts + exact interpolated
+    * p50/p90 (the proven `percentile` ↔ `quantile_cont` parity from
+    * the grouped-quantiles row; the keyed log-histogram sketch is the
+    * 100 TB swap-in). Same ONE-Exchange funnel window chain; the
+    * summary is a single bounded aggregate.
+    */
+  val qFunnelTime: Q = Q(
+    "q_funnel_time",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+      val f = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(wU))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(wU))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(wU))
+        .select(col("user_id"), expr("(t2 - t1) div 1000000000").as("d12"),
+          expr("(t3 - t2) div 1000000000").as("d23"))
+        .distinct()
+      f.agg(
+        count(col("d12")).as("n_click"),
+        round(expr("percentile(d12, 0.5)"), 6).as("p50_view_click_s"),
+        round(expr("percentile(d12, 0.9)"), 6).as("p90_view_click_s"),
+        count(col("d23")).as("n_purchase"),
+        round(expr("percentile(d23, 0.5)"), 6).as("p50_click_purchase_s"),
+        round(expr("percentile(d23, 0.9)"), 6).as("p90_click_purchase_s"))
+    },
+    Some("""
+      WITH w AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type FROM events),
+      a AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN tsn END) AS t1
+            FROM w GROUP BY 1),
+      b AS (SELECT w.user_id, a.t1,
+                   min(CASE WHEN event_type = 'click' AND tsn > a.t1 THEN tsn END) AS t2
+            FROM w JOIN a USING (user_id) GROUP BY w.user_id, a.t1),
+      c AS (SELECT w.user_id, b.t1, b.t2,
+                   min(CASE WHEN event_type = 'purchase' AND tsn > b.t2 THEN tsn END) AS t3
+            FROM w JOIN b USING (user_id) GROUP BY w.user_id, b.t1, b.t2),
+      d AS (SELECT user_id, (t2 - t1) // 1000000000 AS d12,
+                   (t3 - t2) // 1000000000 AS d23
+            FROM c)
+      SELECT count(d12)::BIGINT AS n_click,
+             round(quantile_cont(d12, 0.5), 6) AS p50_view_click_s,
+             round(quantile_cont(d12, 0.9), 6) AS p90_view_click_s,
+             count(d23)::BIGINT AS n_purchase,
+             round(quantile_cont(d23, 0.5), 6) AS p50_click_purchase_s,
+             round(quantile_cont(d23, 0.9), 6) AS p90_click_purchase_s
+      FROM d
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
-    qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm)
+    qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
+    qAbSrm, qFunnelTime)
 }

@@ -798,6 +798,69 @@ object StreamingQueries {
     },
     RelationalQueries.qRetentionCohorts.oracle)
 
+  /** Streaming per-key model fitting — `q_grouped_linreg`'s live twin:
+    * the five exact decimal normal-equation sums per user accumulate
+    * in ONE complete-mode aggregate (O(d²) state per key, mergeable by
+    * addition — the same property that makes the batch fit one pass),
+    * and the closed-form slope/intercept/R² is a narrow projection on
+    * the drained snapshot. This is "a million per-key models, updated
+    * continuously" — the fit is always current without refitting from
+    * scratch. Per-user value-vs-day trend over the event stream;
+    * zero-variance users null out in both engines.
+    */
+  val streamGroupedLinreg: Q = Q(
+    "stream_grouped_linreg",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val dayNs = 86400000000000L
+      val g = StreamOps.eventsStream(s, dir)
+        .select(col("user_id"), expr(s"ts div $dayNs").as("x"), col("value").as("y"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(28,6)")).as("sxd"),
+          sum(col("y").cast("decimal(28,6)")).as("syd"),
+          sum((col("x") * col("x")).cast("decimal(28,6)")).as("sxxd"),
+          sum((col("x") * col("y")).cast("decimal(28,6)")).as("sxyd"),
+          sum((col("y") * col("y")).cast("decimal(28,6)")).as("syyd"))
+      val d = StreamOps.runToBatch(s, g, mode = "complete")
+        .select(col("user_id"), col("n"),
+          col("sxd").cast("double").as("sx"), col("syd").cast("double").as("sy"),
+          col("sxxd").cast("double").as("sxx"), col("sxyd").cast("double").as("sxy"),
+          col("syyd").cast("double").as("syy"))
+      val nd = col("n").cast("double")
+      val vx = nd * col("sxx") - col("sx") * col("sx")
+      val vy = nd * col("syy") - col("sy") * col("sy")
+      val cov = nd * col("sxy") - col("sx") * col("sy")
+      val slope = cov / vx
+      d.select(col("user_id"), col("n"),
+        round(when(vx === 0, lit(null)).otherwise(slope), 6).as("slope"),
+        round(when(vx === 0, lit(null))
+          .otherwise((col("sy") - slope * col("sx")) / nd), 6).as("intercept"),
+        round(when(vx === 0 || vy === 0, lit(null))
+          .otherwise(cov * cov / (vx * vy)), 6).as("r2"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+               sum((epoch_ns(ts) // 86400000000000)::DECIMAL(28,6))::DOUBLE AS sx,
+               sum((value)::DECIMAL(28,6))::DOUBLE AS sy,
+               sum(((epoch_ns(ts) // 86400000000000) * (epoch_ns(ts) // 86400000000000))::DECIMAL(28,6))::DOUBLE AS sxx,
+               sum(((epoch_ns(ts) // 86400000000000) * value)::DECIMAL(28,6))::DOUBLE AS sxy,
+               sum((value * value)::DECIMAL(28,6))::DOUBLE AS syy
+        FROM events GROUP BY 1),
+      c AS (SELECT user_id, n,
+              n::DOUBLE * sxx - sx * sx AS vx,
+              n::DOUBLE * syy - sy * sy AS vy,
+              n::DOUBLE * sxy - sx * sy AS cov,
+              sx, sy FROM g)
+      SELECT user_id, n,
+             round(CASE WHEN vx = 0 THEN NULL ELSE cov / vx END, 6) AS slope,
+             round(CASE WHEN vx = 0 THEN NULL ELSE (sy - (cov / vx) * sx) / n::DOUBLE END, 6) AS intercept,
+             round(CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE cov * cov / (vx * vy) END, 6) AS r2
+      FROM c
+    """),
+  )
+
   /** Streaming SCD2 dimension build ([[StreamOps.scd2]]): closed
     * versions stream to the sink in append mode; the OPEN version per
     * key is O(1) state (servable as the "current row" — how a live
@@ -939,5 +1002,6 @@ object StreamingQueries {
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
-    streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2)
+    streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
+    streamGroupedLinreg)
 }

@@ -1180,9 +1180,74 @@ object TextQueries {
     """),
   )
 
+  /** Zipf-law fit over the token frequency distribution — the
+    * corpus-level QUALITY diagnostic next to the per-doc scores
+    * (natural text follows rank-frequency slope ≈ −1; machine-generated
+    * or boilerplate-heavy corpora bend it, which is how corpus-mix
+    * drift shows up before any model metric moves): token counts from
+    * one map-side-combined rollup, deterministic (count desc, term)
+    * ranking over the top 500, OLS of ln(freq) on ln(rank) with every
+    * per-rank product micro-quantized before the order-free integer
+    * sums — the fit is a pure function of exact int64 totals. The
+    * only data-scale pass is the token rollup; the rank table is
+    * k-bounded fit state.
+    */
+  val textZipf: Q = Q(
+    "text_zipf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 500
+      val ranked = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(k)
+        .select(row_number().over(Window.orderBy(col("n").desc, col("w"))).as("r"),
+          col("n"))
+        .collect() // k-bounded fit state
+      def m(x: Double) = math.round(x * 1e6)
+      val terms = ranked.map { row =>
+        val (lr, lf) = (math.log(row.getInt(0).toDouble), math.log(row.getLong(1).toDouble))
+        (m(lr), m(lf), m(lr * lf), m(lr * lr))
+      }
+      val n = terms.length.toDouble
+      val (sx, sy, sxy, sxx) = (terms.map(_._1).sum / 1e6, terms.map(_._2).sum / 1e6,
+        terms.map(_._3).sum / 1e6, terms.map(_._4).sum / 1e6)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((terms.length.toLong, r6(slope), r6(intercept)))
+        .toDF("n_terms", "zipf_slope", "zipf_intercept")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents) t WHERE w <> ''),
+      freq AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY w
+               ORDER BY n DESC, w LIMIT 500),
+      rk AS (SELECT row_number() OVER (ORDER BY n DESC, w) AS r, n FROM freq),
+      t AS (SELECT round(ln(r::DOUBLE) * 1e6)::BIGINT AS mx,
+                   round(ln(n::DOUBLE) * 1e6)::BIGINT AS my,
+                   round(ln(r::DOUBLE) * ln(n::DOUBLE) * 1e6)::BIGINT AS mxy,
+                   round(ln(r::DOUBLE) * ln(r::DOUBLE) * 1e6)::BIGINT AS mxx
+            FROM rk),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(mx)::BIGINT / 1e6 AS sx,
+                   sum(my)::BIGINT / 1e6 AS sy, sum(mxy)::BIGINT / 1e6 AS sxy,
+                   sum(mxx)::BIGINT / 1e6 AS sxx
+            FROM t),
+      b AS (SELECT n, sx, sy,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+            FROM a)
+      SELECT n::BIGINT AS n_terms, round(slope, 6) AS zipf_slope,
+             round((sy - slope * sx) / n, 6) AS zipf_intercept
+      FROM b
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
-    textPmi, textUrlFilter, qNdcg)
+    textPmi, textUrlFilter, qNdcg, textZipf)
 }
