@@ -261,6 +261,56 @@ object MultimodalQueries {
     """),
   )
 
+  /** Inference batch planning — the shape-bucketing pass a multimodal
+    * serving/captioning pipeline runs before `mapInPandas` model
+    * calls: batches of 32 images grouped by SORTED resize dims (like
+    * with like), per-batch pad-to-max waste in exact pixels — the
+    * number that decides whether shape-bucketing pays (random batching
+    * wastes the max-dims rectangle on every small image). The sort is
+    * a range-partitioned total order (Spark's distributed sort — the
+    * plan batching inherently needs); everything after is one window
+    * rank + one rollup. The text twin is `text_pack`/`text_pack_ffd`;
+    * same economics, 2-D.
+    */
+  val multimodalBatchPlan: Q = Q(
+    "multimodal_batch_plan",
+    (s, dir) => {
+      val rd = Multimodal.resizeDims(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF(),
+        targetW = 224, targetH = 224)
+      rd.select(col("media_id"), col("out_w"), col("out_h"))
+        .withColumn("batch_id", expr("(row_number() over (order by out_h, out_w, media_id) - 1) div 32"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          max(col("out_w")).as("max_w"), max(col("out_h")).as("max_h"),
+          sum(col("out_w").cast("long") * col("out_h")).as("px"))
+        .select(col("batch_id"), col("n"), col("max_w"), col("max_h"),
+          (col("n") * col("max_w").cast("long") * col("max_h") - col("px"))
+            .as("waste_px"))
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 640 + 1)::INT AS width,
+               (doc_id % 480 + 1)::INT AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      sc AS (SELECT media_id, width, height,
+               least(224.0 / width, 224.0 / height) AS scale FROM media),
+      rd AS (SELECT media_id,
+               greatest(floor(width * scale), 1)::INT AS out_w,
+               greatest(floor(height * scale), 1)::INT AS out_h
+             FROM sc),
+      bt AS (SELECT media_id, out_w, out_h,
+               ((row_number() OVER (ORDER BY out_h, out_w, media_id)) - 1) // 32 AS batch_id
+             FROM rd)
+      SELECT batch_id, count(*)::BIGINT AS n,
+             max(out_w)::INT AS max_w, max(out_h)::INT AS max_h,
+             (count(*) * max(out_w)::BIGINT * max(out_h) - sum(out_w::BIGINT * out_h))::BIGINT AS waste_px
+      FROM bt GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames,
-    multimodalPatches, multimodalAudio, multimodalDedup, multimodalPhash)
+    multimodalPatches, multimodalAudio, multimodalDedup, multimodalPhash,
+    multimodalBatchPlan)
 }

@@ -490,7 +490,55 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Fact-to-versioned-dimension temporal join — the warehouse join
+    * every SCD2 dimension exists FOR ("which attribute version was in
+    * force when this event happened"): events equi-join their user's
+    * version list with the half-open validity residual
+    * `valid_from ≤ ts < valid_to` (open version's valid_to = +∞), so
+    * candidates are bounded by per-key version count — the standard
+    * versioned-dim shape (an as-of join is the keyless alternative;
+    * range-bucketing takes over when one key's history is huge). The
+    * dim is built inline from the same q_scd2 chain, which makes the
+    * join SELF-VERIFYING: the (attr, event_type) rollup must be purely
+    * diagonal, because each event's in-force version is by
+    * construction the run that contains it.
+    */
+  val qDimAsofEnrich: Q = Q(
+    "q_dim_asof_enrich",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dim = e.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id").as("d_user"), col("event_type").as("attr"),
+          col("ts").as("valid_from"),
+          coalesce(lead(col("ts"), 1).over(w), lit(Long.MaxValue)).as("valid_to"))
+      e.join(dim, col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+        .groupBy(col("attr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      WITH s AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events),
+      m AS (SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM s),
+      f AS (SELECT * FROM m WHERE prev IS NULL OR prev <> event_type),
+      dim AS (SELECT user_id AS d_user, event_type AS attr, ts AS valid_from,
+                coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         9223372036854775807) AS valid_to
+              FROM f)
+      SELECT dim.attr, s.event_type, count(*)::BIGINT AS n
+      FROM s JOIN dim ON s.user_id = dim.d_user
+       AND s.ts >= dim.valid_from AND s.ts < dim.valid_to
+      GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAsofTolerance,
     qAggSalted, qRangeJoin, qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport,
-    qZorder, qBloomJoin, qIntervalOverlap)
+    qZorder, qBloomJoin, qIntervalOverlap, qDimAsofEnrich)
 }

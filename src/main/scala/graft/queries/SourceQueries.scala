@@ -132,6 +132,36 @@ object SourceQueries {
     """),
   )
 
+  /** Schema evolution on read — the lake-format capability every
+    * long-lived 100 TB dataset needs (a pipeline adds a column; years
+    * of old files do not get rewritten): v1 files carry (doc_id, lang),
+    * v2 files add `quality`; `mergeSchema=true` reads both vintages as
+    * ONE frame with nulls where the old files lack the column. The
+    * oracle replays the same union semantics via DuckDB's
+    * `union_by_name`. Column pruning and pushdown still apply per
+    * file — evolution costs nothing at scan time.
+    */
+  val schemaEvolution: Q = Q(
+    "source_schema_evolution",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = graft.Tables.documents(s, dir)
+      val v1 = d.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      val v2 = d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), (col("n_chars") % 100).as("quality"))
+      val base = tmp("docs_evolving")
+      v1.write.mode("overwrite").parquet(s"$base/v=1")
+      v2.write.mode("overwrite").parquet(s"$base/v=2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v=1", s"$base/v=2")
+        .select(col("doc_id"), col("lang"), col("quality"))
+    },
+    Some("""
+      SELECT doc_id, lang, NULL::BIGINT AS quality FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars % 100 FROM documents WHERE doc_id % 2 = 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, avroRoundtrip,
-    sinkPartitioned, textRoundtrip, binaryRoundtrip)
+    sinkPartitioned, textRoundtrip, binaryRoundtrip, schemaEvolution)
 }
