@@ -437,8 +437,45 @@ object CatPrepQueries {
     """),
   )
 
+  /** Mode imputation for categoricals — sklearn
+    * `SimpleImputer(strategy="most_frequent")`, the categorical
+    * sibling of fill_mean/fill_median/fill_regression: fit = the most
+    * frequent NON-MISSING label (deterministic tie-break to the
+    * lexicographically smallest — sklearn's own rule), applied as a
+    * narrow coalesce-style transform. Fit state is one label (the
+    * scaler-stat pattern); the only data-scale pass is the
+    * map-side-combined label rollup. Fixture empties every 11th key
+    * (the prep_pipeline convention — TESTDATA has no missing values).
+    */
+  val fillMode: Q = Q(
+    "fill_mode",
+    (s, dir) => {
+      val df = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit("")).otherwise(col("c_mktsegment"))
+          .as("seg"))
+      val mode = df.where(col("seg") =!= "")
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("seg")).head().getString(0)
+      df.select(col("c_custkey"),
+        when(col("seg") === "", lit(mode)).otherwise(col("seg")).as("filled"),
+        (col("seg") === "").cast("int").as("was_imputed"))
+    },
+    Some("""
+      WITH d AS (SELECT c_custkey,
+                        CASE WHEN c_custkey % 11 = 0 THEN '' ELSE c_mktsegment END AS seg
+                 FROM customer),
+      md AS (SELECT seg FROM d WHERE seg <> ''
+             GROUP BY seg ORDER BY count(*) DESC, seg LIMIT 1)
+      SELECT c_custkey,
+             CASE WHEN seg = '' THEN (SELECT seg FROM md) ELSE seg END AS filled,
+             (seg = '')::INT AS was_imputed
+      FROM d
+    """),
+  )
+
   val all: Seq[Q] = Seq(inferTypes, selectFeatures, shrinkLabels, oneHot,
     oneHotRoundtrip, labelEncode, targetMeanEncode, targetEncodeCv,
     targetRegression, datetimeEpoch, datetimeInfer, datetimeInterpolate,
-    boolToInt, freqEncode, featureHash)
+    boolToInt, freqEncode, featureHash, fillMode)
 }

@@ -1086,6 +1086,51 @@ object RelationalQueries {
     """),
   )
 
+  /** Cohort lifetime-value matrix — [[qRetentionCohorts]]'s revenue
+    * twin (WHO comes back is retention; what they're WORTH is LTV):
+    * users cohorted by first-event week, purchase revenue in exact
+    * cents per (cohort, week-offset), plus the running cumulative via
+    * a cohort-partitioned window — the curve a growth team reads
+    * payback periods from. Same one-Exchange shape as retention: the
+    * cohort min-window and the rollup share hash(user), and the
+    * cumulative window rides the bounded (cohort, offset) matrix.
+    */
+  val qCohortLtv: Q = Q(
+    "q_cohort_ltv",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wkNs = 604800000000000L
+      val wU = Window.partitionBy(col("user_id"))
+      val m = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"cast(ts as long) div $wkNs").as("wk"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+        .withColumn("wk0", min(col("wk")).over(wU))
+        .groupBy(col("wk0").as("cohort_wk"), (col("wk") - col("wk0")).as("week_offset"))
+        .agg(sum(col("cents")).as("cents"))
+      val wC = Window.partitionBy(col("cohort_wk")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.select(col("cohort_wk"), col("week_offset"),
+        round(col("cents") / lit(100.0), 2).as("revenue"),
+        round(sum(col("cents")).over(wC) / lit(100.0), 2).as("cum_revenue"))
+    },
+    Some("""
+      WITH w AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk,
+                        CASE WHEN event_type = 'purchase'
+                             THEN round(value * 100)::BIGINT ELSE 0 END AS cents
+                 FROM events),
+      m AS (SELECT user_id, wk, cents, min(wk) OVER (PARTITION BY user_id) AS wk0 FROM w),
+      g AS (SELECT wk0 AS cohort_wk, wk - wk0 AS week_offset,
+                   sum(cents)::BIGINT AS cents
+            FROM m GROUP BY 1, 2)
+      SELECT cohort_wk, week_offset,
+             round(cents / 100.0, 2) AS revenue,
+             round(sum(cents) OVER (PARTITION BY cohort_wk ORDER BY week_offset
+                                    ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS cum_revenue
+      FROM g
+    """),
+  )
+
   /** Sample-ratio-mismatch gate — the experiment-platform SANITY CHECK
     * that runs BEFORE `q_ab_lift`'s effect test (a biased split makes
     * the lift meaningless; SRM is the standard 'is randomization
@@ -1193,5 +1238,5 @@ object RelationalQueries {
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
-    qAbSrm, qFunnelTime)
+    qAbSrm, qFunnelTime, qCohortLtv)
 }

@@ -1676,6 +1676,71 @@ object TsQueries {
     """),
   )
 
+  /** Per-series autocorrelation function, lags 1..5 — the ORACLED acf
+    * companion to the spec-pinned `ts_pacf` (statsmodels
+    * `acf(adjusted=False)`: biased normalization by the FULL n·σ², so
+    * every lag shares one denominator): values on the exact centi
+    * grid, deviations kept integral by scaling ×n (d_t = n·c_t − Σc —
+    * no division until the final ratio), lag products via `lead` over
+    * the ts-ordered window; Σ d_t·d_{t+l} and Σd_t² are exact int64
+    * (|d| ≤ n·max|c|, bounded at the corpus magnitudes — the
+    * quantization-resolution check in §13), so every acf value is a
+    * pure ratio of exact integers. ONE hash(user) Exchange: the
+    * full-partition sums, the lead chain, and the final rollup all
+    * share the key.
+    */
+  val tsAcf: Q = Q(
+    "ts_acf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+      val wO = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("c"))
+        .withColumn("n", count(lit(1)).over(wU))
+        .withColumn("s", sum(col("c")).over(wU))
+        .withColumn("d", col("n") * col("c") - col("s"))
+      val withLags = (1 to 5).foldLeft(base) { (df, l) =>
+        df.withColumn(s"p$l", col("d") * lead(col("d"), l).over(wO))
+      }
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("d") * col("d")).as("den")) ++
+        (1 to 5).map(l => sum(col(s"p$l")).as(s"s$l"))
+      val g = withLags.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      g.select(col("user_id") +: col("n") +:
+        (1 to 5).map(l =>
+          round(when(col("den") > 0, col(s"s$l") / col("den")), 6).as(s"acf$l")): _*)
+    },
+    Some("""
+      WITH b AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, round(value * 100)::BIGINT AS c
+        FROM events),
+      m AS (SELECT user_id, tsn, c,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   sum(c) OVER (PARTITION BY user_id) AS s
+            FROM b),
+      d AS (SELECT user_id, tsn, n * c - s AS d FROM m),
+      p AS (SELECT user_id, d,
+                   d * lead(d, 1) OVER w AS p1,
+                   d * lead(d, 2) OVER w AS p2,
+                   d * lead(d, 3) OVER w AS p3,
+                   d * lead(d, 4) OVER w AS p4,
+                   d * lead(d, 5) OVER w AS p5
+            FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsn)),
+      g AS (SELECT user_id, count(*)::BIGINT AS n, sum(d * d)::BIGINT AS den,
+                   sum(p1)::BIGINT AS s1, sum(p2)::BIGINT AS s2, sum(p3)::BIGINT AS s3,
+                   sum(p4)::BIGINT AS s4, sum(p5)::BIGINT AS s5
+            FROM p GROUP BY 1)
+      SELECT user_id, n,
+             round(CASE WHEN den > 0 THEN s1 / den::DOUBLE END, 6) AS acf1,
+             round(CASE WHEN den > 0 THEN s2 / den::DOUBLE END, 6) AS acf2,
+             round(CASE WHEN den > 0 THEN s3 / den::DOUBLE END, 6) AS acf3,
+             round(CASE WHEN den > 0 THEN s4 / den::DOUBLE END, 6) AS acf4,
+             round(CASE WHEN den > 0 THEN s5 / den::DOUBLE END, 6) AS acf5
+      FROM g
+    """),
+  )
+
   /** Lead-lag cross-correlation between the daily click and purchase
     * series (lags −3..+3 days) — the multivariate companion to the
     * per-series autocorrelation features (does engagement LEAD
@@ -1738,5 +1803,5 @@ object TsQueries {
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
-    tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr)
+    tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf)
 }
