@@ -239,6 +239,55 @@ object PipelineQueries {
     """
   }
 
+  /** Sketch-accuracy harness for the keyed quantile sketch — the
+    * quantile twin of `q_recall_at_k` (ANN) and q_heavy_hitters'
+    * overcount column (count-min): per-key relative error of the
+    * log-histogram p50/p95 against the exact percentiles, rolled up to
+    * max/mean — the number that justifies swapping the exact
+    * percentile passes for the sketch at 100 TB (the documented
+    * trade: γ-bounded relative error for O(log-range) state).
+    * Per-key errors micro-quantize before the order-free rollup; the
+    * whole report is IN-PLAN (sketch chain + exact chain + one join +
+    * one aggregate), no driver collect.
+    */
+  val qQuantileSketchError: Q = Q(
+    "q_quantile_sketch_error",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("value"))
+      val sk = graft.operators.QuantileSketch.profile(e, "user_id", "value",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+        .select(col("user_id").as("u2"),
+          round(col("p50"), 6).as("sp50"), round(col("p95"), 6).as("sp95"))
+      val ex = e.groupBy(col("user_id"))
+        .agg(expr("percentile(value, 0.5)").as("ep50"),
+          expr("percentile(value, 0.95)").as("ep95"))
+      ex.join(sk, col("user_id") === col("u2"))
+        .select(
+          round(abs(col("sp50") - col("ep50")) / col("ep50") * 1e6).cast("long").as("e50"),
+          round(abs(col("sp95") - col("ep95")) / col("ep95") * 1e6).cast("long").as("e95"))
+        .agg(count(lit(1)).as("n_keys"),
+          round(max(col("e50")) / 1e6, 6).as("max_rel_err_p50"),
+          round(sum(col("e50")) / 1e6 / count(lit(1)), 6).as("mean_rel_err_p50"),
+          round(max(col("e95")) / 1e6, 6).as("max_rel_err_p95"),
+          round(sum(col("e95")) / 1e6 / count(lit(1)), 6).as("mean_rel_err_p95"))
+    },
+    Some(s"""
+      WITH sk AS ($quantileSketchOracle),
+      ex AS (SELECT user_id, quantile_cont(value, 0.5) AS ep50,
+                    quantile_cont(value, 0.95) AS ep95
+             FROM events GROUP BY 1),
+      j AS (SELECT round(abs(sk.p50 - ep50) / ep50 * 1e6)::BIGINT AS e50,
+                   round(abs(sk.p95 - ep95) / ep95 * 1e6)::BIGINT AS e95
+            FROM sk JOIN ex USING (user_id))
+      SELECT count(*)::BIGINT AS n_keys,
+             round(max(e50) / 1e6, 6) AS max_rel_err_p50,
+             round(sum(e50) / 1e6 / count(*), 6) AS mean_rel_err_p50,
+             round(max(e95) / 1e6, 6) AS max_rel_err_p95,
+             round(sum(e95) / 1e6 / count(*), 6) AS mean_rel_err_p95
+      FROM j
+    """),
+  )
+
   /** Deterministic HyperLogLog distinct-count estimates
     * ([[graft.operators.HllSketch]]) probed over four key columns
     * whose cardinalities bracket the m=512 small-range boundary
@@ -938,5 +987,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
-    qGroupedLinreg)
+    qGroupedLinreg, qQuantileSketchError)
 }

@@ -1676,6 +1676,71 @@ object TsQueries {
     """),
   )
 
+  /** One-step-ahead forecast backtest over the [[tsHolt]] frame — the
+    * forecast-EVAL row next to the AUC/recall@k/sketch-error
+    * harnesses (a smoother you never backtest is a random number
+    * generator with good marketing): forecast f_t = level_{t−1} +
+    * trend_{t−1} via lag over the ts window (both on the exact 1e-6
+    * grid, so f is exact), per-series MAE and sMAPE with per-row
+    * errors micro-quantized before the order-free sums. One GroupedApply
+    * shuffle (the Holt fit) + the same-key window and rollup.
+    */
+  val tsForecastEval: Q = Q(
+    "ts_forecast_eval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val h = graft.operators.TsFeatures.holt(e, "user_id", Seq("ts"), "value",
+        alphaNum = 3, betaNum = 1, den = 10)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val f = lag(col("level"), 1).over(w) + lag(col("trend"), 1).over(w)
+      val err = abs(f - col("value"))
+      val scored = h.select(col("user_id"),
+        round(err * 1e6).cast("long").as("am"),
+        round(err * 2 / (abs(f) + abs(col("value"))) * 1e6).cast("long").as("sm"))
+        .where(col("am").isNotNull)
+      scored.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_eval"),
+          round(sum(col("am")) / 1e6 / count(lit(1)), 6).as("mae"),
+          round(sum(col("sm")) / 1e6 / count(lit(1)), 6).as("smape"))
+    },
+    Some("""
+      WITH RECURSIVE s AS (
+        SELECT user_id, epoch_ns(ts) AS ts, value,
+               round(value * 1e6)::BIGINT AS xm,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS rn
+        FROM events),
+      rec(user_id, rn, ts, value, lm, bm) AS (
+        SELECT user_id, rn, ts, value, xm, 0::BIGINT FROM s WHERE rn = 1
+        UNION ALL
+        SELECT user_id, rn, ts, value, lm_new,
+               CASE WHEN 1 * (lm_new - lm_old) + 9 * bm_old >= 0
+                    THEN (1 * (lm_new - lm_old) + 9 * bm_old + 5) // 10
+                    ELSE -((-(1 * (lm_new - lm_old) + 9 * bm_old) + 5) // 10) END
+        FROM (
+          SELECT s.user_id, s.rn, s.ts, s.value, r.lm AS lm_old, r.bm AS bm_old,
+                 CASE WHEN 3 * s.xm + 7 * (r.lm + r.bm) >= 0
+                      THEN (3 * s.xm + 7 * (r.lm + r.bm) + 5) // 10
+                      ELSE -((-(3 * s.xm + 7 * (r.lm + r.bm)) + 5) // 10) END AS lm_new
+          FROM s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1)),
+      fc AS (
+        SELECT user_id, value,
+               lag(lm) OVER w / 1e6 + lag(bm) OVER w / 1e6 AS f
+        FROM rec WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sc AS (
+        SELECT user_id,
+               round(abs(f - value) * 1e6)::BIGINT AS am,
+               round(abs(f - value) * 2 / (abs(f) + abs(value)) * 1e6)::BIGINT AS sm
+        FROM fc WHERE f IS NOT NULL)
+      SELECT user_id, count(*)::BIGINT AS n_eval,
+             round(sum(am) / 1e6 / count(*), 6) AS mae,
+             round(sum(sm) / 1e6 / count(*), 6) AS smape
+      FROM sc GROUP BY 1
+    """),
+  )
+
   /** Per-series autocorrelation function, lags 1..5 — the ORACLED acf
     * companion to the spec-pinned `ts_pacf` (statsmodels
     * `acf(adjusted=False)`: biased normalization by the FULL n·σ², so
@@ -1803,5 +1868,6 @@ object TsQueries {
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
-    tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf)
+    tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
+    tsForecastEval)
 }
