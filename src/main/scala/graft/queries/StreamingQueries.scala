@@ -798,6 +798,30 @@ object StreamingQueries {
     },
     RelationalQueries.qRetentionCohorts.oracle)
 
+  /** Streaming cohort LTV ([[StreamOps.cohortLtv]]): additive revenue
+    * contributions emitted once per event from O(1) per-user state
+    * (just the cohort week), drained and summed into the batch
+    * `q_cohort_ltv` matrix — cumulative column re-derived with the
+    * same bounded window; shares the batch oracle verbatim.
+    */
+  val streamCohortLtv: Q = Q(
+    "stream_cohort_ltv",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.cohortLtv(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      val g = drained.groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(sum(col("cents")).as("cents"))
+      val wC = Window.partitionBy(col("cohort_wk")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("cohort_wk"), col("week_offset"),
+        round(col("cents") / lit(100.0), 2).as("revenue"),
+        round(sum(col("cents")).over(wC) / lit(100.0), 2).as("cum_revenue"))
+    },
+    RelationalQueries.qCohortLtv.oracle)
+
   /** Streaming per-key model fitting — `q_grouped_linreg`'s live twin:
     * the five exact decimal normal-equation sums per user accumulate
     * in ONE complete-mode aggregate (O(d²) state per key, mergeable by
@@ -1003,5 +1027,5 @@ object StreamingQueries {
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
-    streamGroupedLinreg)
+    streamGroupedLinreg, streamCohortLtv)
 }

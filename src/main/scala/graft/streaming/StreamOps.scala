@@ -962,6 +962,42 @@ object StreamOps {
     * the query shares its oracle verbatim. Week arithmetic is the
     * batch query's integer division on Long nanos, bit for bit.
     */
+  final case class LtvEvent(user_id: Long, ts_ns: Long, cents: Long)
+  final case class LtvState(wk0: Long)
+  final case class LtvRow(cohort_wk: Long, week_offset: Long, cents: Long)
+
+  /** Streaming cohort-LTV contributions: per-user state is ONLY the
+    * cohort week (fixed by the first event under the in-order-source
+    * contract); every event emits its (cohort, offset, cents)
+    * contribution exactly once, so the drained stream SUMMED by
+    * (cohort, offset) equals the batch `q_cohort_ltv` cent totals —
+    * revenue attribution is additive, which is what makes the LTV
+    * matrix streamable with O(1) state where retention needed the
+    * emitted-offset set.
+    */
+  def cohortLtv(events: DataFrame): Dataset[LtvRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wkNs = 604800000000000L
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      .as[LtvEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LtvState, LtvRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          val evs = it.toSeq.sortBy(_.ts_ns)
+          val st = state.getOption.getOrElse(LtvState(evs.head.ts_ns / wkNs))
+          state.update(st)
+          evs.map { e =>
+            LtvRow(st.wk0, e.ts_ns / wkNs - st.wk0, e.cents)
+          }.iterator
+      }
+  }
+
   def retention(events: DataFrame): Dataset[RetRow] = {
     val spark = events.sparkSession
     import spark.implicits._
