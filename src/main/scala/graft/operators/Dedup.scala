@@ -97,7 +97,6 @@ object Dedup {
       .select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-      .localCheckpoint()
     // hs and sig live in separate projections: each is expensive and
     // consumed many times downstream, so CollapseProject keeps them
     // materialized instead of inlining (SPARK-36718 cost check).
@@ -109,7 +108,6 @@ object Dedup {
       .select(col("id"), minhashSignature(col("hs"), numPerms, seed).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), numBands, numPerms)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
-      .localCheckpoint()
     val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
