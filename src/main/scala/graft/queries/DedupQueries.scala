@@ -1292,6 +1292,66 @@ object DedupQueries {
     """),
   )
 
+  /** Golden-record survivorship over the [[erClusters]] entities — the
+    * MDM step AFTER transitive closure (a cluster of matched records
+    * must publish ONE master): survivor fields from the lowest-id
+    * member (the stable master rule the CC canonical already encodes),
+    * cluster size, and a has_conflict flag when members disagree on
+    * the name (exactly the typo twins the fixture plants). One join of
+    * the cluster labels back to the record fields + one rollup, both
+    * on the entity key.
+    */
+  val erGoldenRecord: Q = Q(
+    "er_golden_record",
+    (s, dir) => {
+      val base = Tables.part(s, dir).select(
+        col("p_partkey").as("id"), col("p_name"), col("p_brand"),
+        concat(col("p_name"), lit(" "), col("p_brand"), lit(" #"),
+          col("p_partkey").cast("string")).as("name"))
+      val twins = base.where(col("id") % 13 === 0)
+        .select((col("id") + 100000).as("id"), col("p_name"), col("p_brand"),
+          concat(col("name"), lit("x")).as("name"))
+      val corpus = base.unionByName(twins)
+      val pairs = Dedup.blockedEditDistancePairs(corpus, "id", "name",
+        Seq("p_name", "p_brand"), maxDist = 1)
+      val clusters = Dedup.connectedComponents(pairs)
+      clusters.join(corpus, clusters("id") === corpus("id"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_members"),
+          min_by(col("name"), clusters("id")).as("golden_name"),
+          (countDistinct(col("name")) > 1).cast("int").as("has_conflict"))
+    },
+    Some("""
+      WITH RECURSIVE base AS (
+        SELECT p_partkey AS id, p_name, p_brand,
+               p_name || ' ' || p_brand || ' #' || p_partkey::VARCHAR AS name
+        FROM part),
+      corpus AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT id + 100000, p_name, p_brand, name || 'x' FROM base WHERE id % 13 = 0),
+      p AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM corpus a JOIN corpus b
+          ON a.p_name = b.p_name AND a.p_brand = b.p_brand AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+      cl AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+      SELECT cl.canonical, count(*)::BIGINT AS n_members,
+             min_by(corpus.name, cl.id) AS golden_name,
+             (count(DISTINCT corpus.name) > 1)::INT AS has_conflict
+      FROM cl JOIN corpus ON cl.id = corpus.id
+      GROUP BY 1
+    """),
+  )
+
   /** L2 row-normalization of the embedding column (sklearn
     * `Normalizer(norm="l2")`) — the fit-free transform every
     * cosine-similarity index wants applied ONCE upstream (normalized
@@ -1329,5 +1389,5 @@ object DedupQueries {
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
-    qEmbedNorm)
+    qEmbedNorm, erGoldenRecord)
 }

@@ -1086,6 +1086,69 @@ object RelationalQueries {
     """),
   )
 
+  /** Last-touch revenue attribution — the marketing-analytics rollup
+    * next to funnel/LTV (WHICH channel gets credit for a purchase):
+    * each purchase credits its cents to the channel of the most recent
+    * PRECEDING click within a 7-day lookback (older or absent → the
+    * 'direct' bucket); channel is a deterministic derivation from the
+    * event props (k % 4). The running last-click carry is ONE
+    * `last(..., ignoreNulls)` window over the user's ts order — the
+    * same single hash(user) Exchange the funnel rides — and the final
+    * rollup is channel-bounded. Last-touch generalizes to first-touch
+    * (min window) and position-weighted (both carries) on the same
+    * shape.
+    */
+  val qAttribution: Q = Q(
+    "q_attribution",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lookbackNs = 7L * 86400000000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsn"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ch = concat(lit("ch"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).cast("string"))
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as long)").as("tsn"), col("event_id"),
+          col("event_type"), col("value"), ch.as("channel"))
+        .withColumn("lc",
+          last(when(col("event_type") === "click",
+            struct(col("tsn").as("cts"), col("channel").as("cch"))), ignoreNulls = true)
+            .over(w))
+      e.where(col("event_type") === "purchase")
+        .select(
+          when(col("lc").isNotNull && col("lc.cts") >= col("tsn") - lookbackNs,
+            col("lc.cch")).otherwise(lit("direct")).as("channel"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("cents")) / lit(100.0), 2).as("revenue"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type, value,
+               'ch' || (json_extract_string(props, '$.k')::BIGINT % 4)::VARCHAR AS channel
+        FROM events),
+      c AS (
+        SELECT user_id, tsn, event_type, value,
+               last_value(CASE WHEN event_type = 'click' THEN tsn END IGNORE NULLS)
+                 OVER w AS cts,
+               last_value(CASE WHEN event_type = 'click' THEN channel END IGNORE NULLS)
+                 OVER w AS cch
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      p AS (
+        SELECT CASE WHEN cts IS NOT NULL AND cts >= tsn - 604800000000000
+                    THEN cch ELSE 'direct' END AS channel,
+               round(value * 100)::BIGINT AS cents
+        FROM c WHERE event_type = 'purchase')
+      SELECT channel, count(*)::BIGINT AS n_purchases,
+             round(sum(cents) / 100.0, 2) AS revenue
+      FROM p GROUP BY 1
+    """),
+  )
+
   /** Cohort lifetime-value matrix — [[qRetentionCohorts]]'s revenue
     * twin (WHO comes back is retention; what they're WORTH is LTV):
     * users cohorted by first-event week, purchase revenue in exact
@@ -1238,5 +1301,5 @@ object RelationalQueries {
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
-    qAbSrm, qFunnelTime, qCohortLtv)
+    qAbSrm, qFunnelTime, qCohortLtv, qAttribution)
 }
