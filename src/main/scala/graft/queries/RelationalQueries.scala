@@ -1086,6 +1086,48 @@ object RelationalQueries {
     """),
   )
 
+  /** 2-D skyline (Pareto frontier) — the multi-criteria "best
+    * trade-offs" query (here: orders not dominated on (earlier date,
+    * higher price) — no other order is both at-least-as-early AND
+    * at-least-as-expensive with one strict): the classic sort-based
+    * algorithm as TWO windows over ONE range-partitioned date order —
+    * survive iff price strictly exceeds the running max over strictly
+    * earlier dates AND equals the same-date max (equal-on-both ties
+    * are mutually non-dominating and all survive). No self-join, no
+    * n² dominance test — the O(n log n) shape that holds at any
+    * scale.
+    */
+  val qSkyline: Q = Q(
+    "q_skyline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"),
+        col("o_totalprice"))
+      val wPrev = Window.orderBy(col("d_us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy(col("d_us"))
+      o.withColumn("m_prev", max(col("o_totalprice")).over(wPrev))
+        .withColumn("m_same", max(col("o_totalprice")).over(wSame))
+        .where((col("m_prev").isNull || col("o_totalprice") > col("m_prev")) &&
+          col("o_totalprice") === col("m_same"))
+        .select(col("o_orderkey"), col("d_us"), col("o_totalprice"))
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS d_us, o_totalprice
+                 FROM orders),
+      m AS (SELECT o_orderkey, d_us, o_totalprice,
+              max(o_totalprice) OVER (ORDER BY d_us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_prev,
+              max(o_totalprice) OVER (PARTITION BY d_us) AS m_same
+            FROM o)
+      SELECT o_orderkey, d_us, o_totalprice
+      FROM m
+      WHERE (m_prev IS NULL OR o_totalprice > m_prev)
+        AND o_totalprice = m_same
+    """),
+  )
+
   /** Last-touch revenue attribution — the marketing-analytics rollup
     * next to funnel/LTV (WHICH channel gets credit for a purchase):
     * each purchase credits its cents to the channel of the most recent
@@ -1301,5 +1343,5 @@ object RelationalQueries {
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
-    qAbSrm, qFunnelTime, qCohortLtv, qAttribution)
+    qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline)
 }

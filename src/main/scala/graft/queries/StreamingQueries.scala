@@ -798,6 +798,26 @@ object StreamingQueries {
     },
     RelationalQueries.qRetentionCohorts.oracle)
 
+  /** Streaming last-touch attribution ([[StreamOps.attribution]]):
+    * O(1) per-user state (the most recent click's ts+channel), credit
+    * emitted per purchase as it arrives; drained rows aggregated by
+    * channel equal the batch `q_attribution` rollup and share its
+    * oracle verbatim — live marketing attribution with the smallest
+    * state any attribution model admits.
+    */
+  val streamAttribution: Q = Q(
+    "stream_attribution",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.attribution(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      drained.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("cents")) / lit(100.0), 2).as("revenue"))
+    },
+    RelationalQueries.qAttribution.oracle)
+
   /** Streaming cohort LTV ([[StreamOps.cohortLtv]]): additive revenue
     * contributions emitted once per event from O(1) per-user state
     * (just the cohort week), drained and summed into the batch
@@ -1027,5 +1047,5 @@ object StreamingQueries {
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
-    streamGroupedLinreg, streamCohortLtv)
+    streamGroupedLinreg, streamCohortLtv, streamAttribution)
 }

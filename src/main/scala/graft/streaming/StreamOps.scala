@@ -962,6 +962,50 @@ object StreamOps {
     * the query shares its oracle verbatim. Week arithmetic is the
     * batch query's integer division on Long nanos, bit for bit.
     */
+  final case class AttrEvent(user_id: Long, ts_ns: Long, event_type: String,
+                             cents: Long, channel: String)
+  final case class AttrState(cts: Long, cch: String)
+  final case class AttrRow(channel: String, cents: Long)
+
+  /** Streaming last-touch attribution: per-user state is ONLY the most
+    * recent click's (ts, channel) — O(1), the smallest state any
+    * attribution model admits; a purchase emits its credited
+    * (channel, cents) immediately (7-day lookback, else 'direct').
+    * The drained rows aggregated by channel equal the batch
+    * `q_attribution` rollup and share its oracle verbatim.
+    */
+  def attribution(events: DataFrame, lookbackNs: Long = 7L * 86400000000000L): Dataset[AttrRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ch = concat(lit("ch"),
+      (get_json_object(col("props"), "$.k").cast("long") % 4).cast("string"))
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("event_type").cast("string").as("event_type"),
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"),
+      ch.as("channel")).as[AttrEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          val evs = it.toSeq.sortBy(_.ts_ns)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrRow]
+          evs.foreach { e =>
+            if (e.event_type == "purchase") {
+              val chn = if (st != null && st.cts >= e.ts_ns - lookbackNs) st.cch
+                else "direct"
+              out += AttrRow(chn, e.cents)
+            }
+            if (e.event_type == "click") st = AttrState(e.ts_ns, e.channel)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   final case class LtvEvent(user_id: Long, ts_ns: Long, cents: Long)
   final case class LtvState(wk0: Long)
   final case class LtvRow(cohort_wk: Long, week_offset: Long, cents: Long)
