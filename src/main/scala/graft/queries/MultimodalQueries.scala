@@ -266,10 +266,13 @@ object MultimodalQueries {
     * calls: batches of 32 images grouped by SORTED resize dims (like
     * with like), per-batch pad-to-max waste in exact pixels — the
     * number that decides whether shape-bucketing pays (random batching
-    * wastes the max-dims rectangle on every small image). The sort is
-    * a range-partitioned total order (Spark's distributed sort — the
-    * plan batching inherently needs); everything after is one window
-    * rank + one rollup. The text twin is `text_pack`/`text_pack_ffd`;
+    * wastes the max-dims rectangle on every small image). The total
+    * order is built TWO-LEVEL (a single global row_number window is a
+    * one-partition bottleneck at scale): global rank = per-out_h rank
+    * (a window PARTITIONED by out_h — parallel; out_h is bounded by
+    * the resize target) + the out_h group's start offset (a
+    * dims-bounded prefix table joined back broadcast — the skyline
+    * prefix pattern). The text twin is `text_pack`/`text_pack_ffd`;
     * same economics, 2-D.
     */
   val multimodalBatchPlan: Q = Q(
@@ -278,8 +281,18 @@ object MultimodalQueries {
       val rd = Multimodal.resizeDims(
         Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF(),
         targetW = 224, targetH = 224)
-      rd.select(col("media_id"), col("out_w"), col("out_h"))
-        .withColumn("batch_id", expr("(row_number() over (order by out_h, out_w, media_id) - 1) div 32"))
+        .select(col("media_id"), col("out_w"), col("out_h"))
+      // dims-bounded group offsets (out_h <= target): prefix counts
+      // from the tiny rollup, joined back broadcast
+      val counts = rd.groupBy(col("out_h")).agg(count(lit(1)).as("c"))
+        .orderBy(col("out_h")).collect().map(r => (r.getInt(0), r.getLong(1)))
+      var acc = 0L
+      val offsets = counts.map { case (h, c) => val o = acc; acc += c; (h, o) }.toSeq
+      import s.implicits._
+      val off = broadcast(offsets.toDF("o_h", "offset"))
+      rd.join(off, col("out_h") === col("o_h"))
+        .withColumn("batch_id",
+          expr("(offset + row_number() over (partition by out_h order by out_w, media_id) - 1) div 32"))
         .groupBy(col("batch_id"))
         .agg(count(lit(1)).as("n"),
           max(col("out_w")).as("max_w"), max(col("out_h")).as("max_h"),

@@ -1089,27 +1089,47 @@ object RelationalQueries {
   /** 2-D skyline (Pareto frontier) — the multi-criteria "best
     * trade-offs" query (here: orders not dominated on (earlier date,
     * higher price) — no other order is both at-least-as-early AND
-    * at-least-as-expensive with one strict): the classic sort-based
-    * algorithm as TWO windows over ONE range-partitioned date order —
-    * survive iff price strictly exceeds the running max over strictly
-    * earlier dates AND equals the same-date max (equal-on-both ties
-    * are mutually non-dominating and all survive). No self-join, no
-    * n² dominance test — the O(n log n) shape that holds at any
-    * scale.
+    * at-least-as-expensive with one strict): TWO-LEVEL sort-based
+    * algorithm, because a single global-order window is a
+    * one-partition bottleneck at scale — dates bucket into fixed
+    * 30-day ranges, the running strictly-earlier max decomposes into
+    * (a) the max over all EARLIER BUCKETS (a bucket-count-bounded
+    * prefix table, computed from the tiny per-bucket rollup and
+    * joined back via broadcast) + (b) the within-bucket running max
+    * (a window PARTITIONED by bucket — parallel); equal-on-both ties
+    * are mutually non-dominating and all survive. No self-join, no n²
+    * dominance test, no single-partition window.
     */
   val qSkyline: Q = Q(
     "q_skyline",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val bucketUs = 30L * 86400000000L
       val o = Tables.orders(s, dir).select(col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"),
         col("o_totalprice"))
-      val wPrev = Window.orderBy(col("d_us"))
+        .withColumn("bkt", expr(s"d_us div $bucketUs"))
+      // bucket-count-bounded prefix maxima (fit-state pattern): max
+      // price over all strictly-earlier buckets, computed driver-side
+      // from the tiny rollup and joined back as a broadcast dim
+      val bmax = o.groupBy(col("bkt")).agg(max(col("o_totalprice")).as("m"))
+        .orderBy(col("bkt")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      var acc = Double.NegativeInfinity
+      val prefix = bmax.map { case (b, m) =>
+        val p = acc; acc = math.max(acc, m); (b, p)
+      }.toSeq
+      import s.implicits._
+      val pref = broadcast(prefix.toDF("p_bkt", "m_before"))
+      val wPrev = Window.partitionBy(col("bkt")).orderBy(col("d_us"))
         .rangeBetween(Window.unboundedPreceding, -1)
       val wSame = Window.partitionBy(col("d_us"))
-      o.withColumn("m_prev", max(col("o_totalprice")).over(wPrev))
+      // x > −∞ is vacuously true, so the first bucket needs no case
+      o.join(pref, col("bkt") === col("p_bkt"))
+        .withColumn("m_prev", max(col("o_totalprice")).over(wPrev))
         .withColumn("m_same", max(col("o_totalprice")).over(wSame))
-        .where((col("m_prev").isNull || col("o_totalprice") > col("m_prev")) &&
+        .where(col("o_totalprice") > col("m_before") &&
+          (col("m_prev").isNull || col("o_totalprice") > col("m_prev")) &&
           col("o_totalprice") === col("m_same"))
         .select(col("o_orderkey"), col("d_us"), col("o_totalprice"))
     },
