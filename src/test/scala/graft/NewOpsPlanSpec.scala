@@ -48,6 +48,16 @@ class NewOpsPlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(plan).size === 1)
   }
 
+  test("q_skyline and multimodal_batch_plan plan no single-partition window") {
+    // the two-level decomposition exists to kill the global-order
+    // bottleneck; a SinglePartition exchange reappearing means the
+    // window lost its partition key
+    for (q <- Seq(RelationalQueries.qSkyline, MultimodalQueries.multimodalBatchPlan)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"), q.name)
+    }
+  }
+
   test("multimodal_phash candidates come from the band equi-join only") {
     val plan = MultimodalQueries.multimodalPhash.run(spark, sf)
       .queryExecution.executedPlan.toString
