@@ -1086,6 +1086,59 @@ object RelationalQueries {
     """),
   )
 
+  /** Market-basket association rules — part pairs co-purchased in the
+    * same order (the item-item co-occurrence every recommender /
+    * cross-sell analysis starts from, and the A-priori support-
+    * confidence-lift vocabulary): pair candidates from the ORDER-key
+    * self-equi-join only (pairs per order bounded by basket size —
+    * never a catalog cross join), exact support counts, confidence
+    * and lift as fixed-op-order ratios of exact int64 counts, top 20
+    * by (support, pair) so the cut is deterministic. Scale: the pair
+    * rollup shuffles on the bounded pair space; per-item counts are a
+    * map-side-combined rollup broadcast back.
+    */
+  val qCopurchase: Q = Q(
+    "q_copurchase",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nOrders = li.select(col("ok")).distinct().count()
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p_a"), col("b.pk").as("p_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val top = pairs
+        .orderBy(col("n_ab").desc, col("p_a"), col("p_b")).limit(20)
+      top
+        .join(item.select(col("pk").as("p_a"), col("n_item").as("n_a")), "p_a")
+        .join(item.select(col("pk").as("p_b"), col("n_item").as("n_b")), "p_b")
+        .select(col("p_a"), col("p_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("n_ab") / col("n_a"), 6).as("conf_a_b"),
+          round(col("n_ab") / col("n_b"), 6).as("conf_b_a"),
+          round(col("n_ab") * lit(nOrders.toDouble) / (col("n_a") * col("n_b")), 6)
+            .as("lift"))
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      no AS (SELECT count(DISTINCT ok)::DOUBLE AS n FROM li),
+      item AS (SELECT pk, count(*)::BIGINT AS n_item FROM li GROUP BY 1),
+      pairs AS (
+        SELECT a.pk AS p_a, b.pk AS p_b, count(*)::BIGINT AS n_ab
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2),
+      top AS (SELECT * FROM pairs ORDER BY n_ab DESC, p_a, p_b LIMIT 20)
+      SELECT p_a, p_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+             round(n_ab / ia.n_item::DOUBLE, 6) AS conf_a_b,
+             round(n_ab / ib.n_item::DOUBLE, 6) AS conf_b_a,
+             round(n_ab * no.n / (ia.n_item * ib.n_item), 6) AS lift
+      FROM top
+      JOIN item ia ON top.p_a = ia.pk
+      JOIN item ib ON top.p_b = ib.pk
+      CROSS JOIN no
+    """),
+  )
+
   /** 2-D skyline (Pareto frontier) — the multi-criteria "best
     * trade-offs" query (here: orders not dominated on (earlier date,
     * higher price) — no other order is both at-least-as-early AND
@@ -1363,5 +1416,5 @@ object RelationalQueries {
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
-    qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline)
+    qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase)
 }
