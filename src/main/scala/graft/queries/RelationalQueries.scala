@@ -1086,6 +1086,109 @@ object RelationalQueries {
     """),
   )
 
+  /** Growth accounting — the MAU-decomposition rollup (new /
+    * retained / resurrected / churned per week) that explains WHY an
+    * active-user count moved, next to the retention matrix's cohort
+    * view: per-user distinct active weeks, lag over the user's week
+    * sequence classifies each active week (first → new; prev = wk−1 →
+    * retained; else resurrected), and churn charges wk+1 of every
+    * active week not followed by wk+1. One hash(user) Exchange (the
+    * distinct and the lag window share the key) + a bounded per-week
+    * rollup of the four exact counts.
+    */
+  val qGrowthAccounting: Q = Q(
+    "q_growth_accounting",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wkNs = 604800000000000L
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"cast(ts as long) div $wkNs").as("wk"))
+        .distinct()
+        .withColumn("prev", lag(col("wk"), 1).over(wU))
+        .withColumn("nxt", lead(col("wk"), 1).over(wU))
+      val active = uw.select(col("wk"),
+        when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+        when(col("prev") === col("wk") - 1, 1L).otherwise(0L).as("is_ret"),
+        when(col("prev").isNotNull && col("prev") =!= col("wk") - 1, 1L)
+          .otherwise(0L).as("is_res"))
+        .groupBy(col("wk"))
+        .agg(sum(col("is_new")).as("n_new"), sum(col("is_ret")).as("n_retained"),
+          sum(col("is_res")).as("n_resurrected"))
+      val churn = uw
+        .where(col("nxt").isNull || col("nxt") =!= col("wk") + 1)
+        .groupBy((col("wk") + 1).as("wk"))
+        .agg(count(lit(1)).as("n_churned"))
+      active.join(churn, Seq("wk"), "full_outer")
+        .select(col("wk"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    },
+    Some("""
+      WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk
+                  FROM events),
+      m AS (SELECT user_id, wk,
+              lag(wk) OVER w AS prev, lead(wk) OVER w AS nxt
+            FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+      act AS (SELECT wk,
+                sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+                sum(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+                sum(CASE WHEN prev IS NOT NULL AND prev <> wk - 1 THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+              FROM m GROUP BY 1),
+      ch AS (SELECT wk + 1 AS wk, count(*)::BIGINT AS n_churned
+             FROM m WHERE nxt IS NULL OR nxt <> wk + 1 GROUP BY 1)
+      SELECT coalesce(act.wk, ch.wk) AS wk,
+             coalesce(n_new, 0)::BIGINT AS n_new,
+             coalesce(n_retained, 0)::BIGINT AS n_retained,
+             coalesce(n_resurrected, 0)::BIGINT AS n_resurrected,
+             coalesce(n_churned, 0)::BIGINT AS n_churned
+      FROM act FULL OUTER JOIN ch ON act.wk = ch.wk
+    """),
+  )
+
+  /** Frequent event-type trigrams across user journeys — sequence
+    * mining next to [[qEventTransitions]]' first-order matrix (which
+    * 3-step paths actually recur, the input to funnel DISCOVERY
+    * rather than funnel measurement): trigrams via two leads over the
+    * user's ts order (one Exchange), support = distinct users per
+    * trigram (a second bounded rollup — the pattern space is
+    * |event_types|³), deterministic top-10 by (support, path).
+    */
+  val qSeqPatterns: Q = Q(
+    "q_seq_patterns",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(wU))
+        .withColumn("e3", lead(col("event_type"), 2).over(wU))
+        .where(col("e3").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_occ"))
+        .orderBy(col("n_users").desc, col("path")).limit(10)
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      p AS (SELECT user_id, event_type || '>' || e2 || '>' || e3 AS path
+            FROM m WHERE e3 IS NOT NULL),
+      g AS (SELECT path, count(DISTINCT user_id)::BIGINT AS n_users,
+                   count(*)::BIGINT AS n_occ
+            FROM p GROUP BY 1)
+      SELECT path, n_users, n_occ
+      FROM g ORDER BY n_users DESC, path LIMIT 10
+    """),
+  )
+
   /** Market-basket association rules — part pairs co-purchased in the
     * same order (the item-item co-occurrence every recommender /
     * cross-sell analysis starts from, and the A-priori support-
@@ -1416,5 +1519,6 @@ object RelationalQueries {
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
-    qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase)
+    qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase,
+    qGrowthAccounting, qSeqPatterns)
 }
