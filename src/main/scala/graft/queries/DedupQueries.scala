@@ -1292,6 +1292,62 @@ object DedupQueries {
     """),
   )
 
+  /** kNN majority-vote classification over the embedding labels — the
+    * composition that turns the similarity index into a CLASSIFIER
+    * (and the eval row that scores it): brute-force top-5 neighbors
+    * per held-out query (the exact baseline; IVF/LSH/PQ are the scale
+    * paths for the same vote), predicted label = most frequent
+    * neighbor label with smallest-label tie-break (deterministic),
+    * next to the true label with a correctness flag — per-query rows
+    * plus the fleet accuracy derivable by the reader. The vote is a
+    * (query, label)-bounded rollup over the top-k-bounded neighbor
+    * frame.
+    */
+  val qKnnClassify: Q = Q(
+    "q_knn_classify",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.where(col("vec_id") < 20)
+      val nn = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      val votes = nn.join(
+          e.select(col("vec_id").as("n_id"), col("label").cast("long").as("n_label")),
+          col("nn_id") === col("n_id"))
+        .groupBy(col("query_id"), col("n_label"))
+        .agg(count(lit(1)).as("c"))
+      val pred = votes.groupBy(col("query_id"))
+        .agg(max_by(col("n_label"), struct(col("c"), lit(-1L) * col("n_label")))
+          .as("pred_label"))
+      pred.join(e.select(col("vec_id"), col("label").cast("long").as("true_label")),
+          col("query_id") === col("vec_id"))
+        .select(col("query_id"), col("pred_label"), col("true_label"),
+          (col("pred_label") === col("true_label")).cast("int").as("correct"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id, c.label AS n_label,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id != q.vec_id),
+      top AS (
+        SELECT query_id, n_label FROM (
+          SELECT query_id, n_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+          FROM scored) r WHERE rank <= 5),
+      votes AS (SELECT query_id, n_label, count(*)::BIGINT AS c
+                FROM top GROUP BY 1, 2),
+      pred AS (
+        SELECT query_id, n_label AS pred_label FROM (
+          SELECT query_id, n_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY c DESC, n_label) AS rk
+          FROM votes) v WHERE rk = 1)
+      SELECT p.query_id, p.pred_label::BIGINT AS pred_label,
+             e.label::BIGINT AS true_label,
+             (p.pred_label = e.label)::INT AS correct
+      FROM pred p JOIN e ON p.query_id = e.vec_id
+    """),
+  )
+
   /** Golden-record survivorship over the [[erClusters]] entities — the
     * MDM step AFTER transitive closure (a cluster of matched records
     * must publish ONE master): survivor fields from the lowest-id
@@ -1389,5 +1445,5 @@ object DedupQueries {
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
-    qEmbedNorm, erGoldenRecord)
+    qEmbedNorm, erGoldenRecord, qKnnClassify)
 }

@@ -527,6 +527,39 @@ object NumPrepQueries {
     """),
   )
 
+  /** Forward fill with a carry LIMIT (pandas `ffill(limit=n)`) — the
+    * production variant of [[fillForward]] (unbounded LOCF silently
+    * fabricates data across long outages; a limit caps how stale a
+    * carried value may be): filled = the last non-null within the
+    * preceding `limit`+current rows of the key's order, which is
+    * exactly a bounded-frame `last(ignoreNulls)` window — same
+    * one-Exchange shape, O(limit) frame state. The fixture nulls 40%
+    * of rows in runs (event_id % 5 < 2) so limit = 1 genuinely binds:
+    * second-and-later nulls of a run stay null.
+    */
+  val fillForwardLimit: Q = Q(
+    "fill_forward_limit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val df = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        when(col("event_id") % 5 < 2, lit(null)).otherwise(col("value")).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-1, Window.currentRow)
+      df.select(col("event_id"), col("user_id"),
+        round(last(col("v"), ignoreNulls = true).over(w), 6).as("filled"))
+    },
+    Some("""
+      WITH d AS (SELECT event_id, user_id,
+                        CASE WHEN event_id % 5 < 2 THEN NULL ELSE value END AS v
+                 FROM events)
+      SELECT event_id, user_id,
+             round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 6) AS filled
+      FROM d
+    """),
+  )
+
   /** Regression imputation (the sklearn `IterativeImputer` single-pass
     * analog, the model-based sibling of fill_mean/fill_median): fit a
     * two-feature OLS on the NON-NULL rows via the exact
@@ -598,5 +631,5 @@ object NumPrepQueries {
     fillBackward, fillInterpolate, scaleNormalize, scaleStandardize,
     scaleStandardizeGrouped, scaleRobust, scaleMaxAbs, scaleQuantileUniform,
     scaleQuantileNormal, scaleKBins, scaleKBinsSketch, scalePower,
-    scaleWinsorize, scaleSignedLog, fillRegression)
+    scaleWinsorize, scaleSignedLog, fillRegression, fillForwardLimit)
 }
