@@ -1348,6 +1348,62 @@ object DedupQueries {
     """),
   )
 
+  /** Nearest-centroid classification + confusion matrix — the
+    * Rocchio-style classifier next to [[qKnnClassify]]'s instance
+    * vote (centroids are the O(labels·d) model a 100 TB corpus can
+    * actually broadcast; kNN needs the index): per-(label, dim)
+    * centroid means from one posexplode rollup (the PCA-cells shape,
+    * exact decimal sums), centroid table broadcast back, per-vector
+    * L2² to every centroid as micro-quantized per-dim terms summed
+    * exactly (order-free), argmin with smallest-label tie-break, and
+    * the (true, pred) confusion rollup — the matrix per-class
+    * precision/recall reads straight off. Training on all vectors
+    * including the classified one (resubstitution) is the documented
+    * convention, replayed identically by the oracle.
+    */
+  val qCentroidClassify: Q = Q(
+    "q_centroid_classify",
+    (s, dir) => {
+      val vd = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>")))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+      val cent = vd.groupBy(col("label").as("c_label"), col("dim").as("c_dim"))
+        .agg((graft.operators.ExactAgg.decSum(col("x")) / count(lit(1))).as("c"))
+      val d2 = vd.join(broadcast(cent), col("dim") === col("c_dim"))
+        .select(col("vec_id"), col("label"), col("c_label"),
+          round((col("x") - col("c")) * (col("x") - col("c")) * 1e6).cast("long").as("m"))
+        .groupBy(col("vec_id"), col("label"), col("c_label"))
+        .agg(sum(col("m")).as("d2m"))
+      d2.groupBy(col("vec_id"), col("label"))
+        .agg(min_by(col("c_label"), struct(col("d2m"), col("c_label"))).as("pred"))
+        .groupBy(col("label").as("true_label"), col("pred").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      WITH vd AS (
+        SELECT vec_id, label::BIGINT AS label, d.d AS dim,
+               (embedding::DOUBLE[])[d.d + 1] AS x
+        FROM embeddings, range(64) d(d)),
+      cent AS (
+        SELECT label AS c_label, dim AS c_dim,
+               sum((x)::DECIMAL(28,6))::DOUBLE / count(*) AS c
+        FROM vd GROUP BY 1, 2),
+      d2 AS (
+        SELECT vd.vec_id, vd.label, cent.c_label,
+               sum(round((vd.x - cent.c) * (vd.x - cent.c) * 1e6)::BIGINT)::BIGINT AS d2m
+        FROM vd JOIN cent ON vd.dim = cent.c_dim
+        GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT vec_id, label, c_label AS pred FROM (
+          SELECT vec_id, label, c_label,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2m, c_label) AS rk
+          FROM d2) p WHERE rk = 1)
+      SELECT label AS true_label, pred AS pred_label, count(*)::BIGINT AS n
+      FROM pred GROUP BY 1, 2
+    """),
+  )
+
   /** Golden-record survivorship over the [[erClusters]] entities — the
     * MDM step AFTER transitive closure (a cluster of matched records
     * must publish ONE master): survivor fields from the lowest-id
@@ -1445,5 +1501,5 @@ object DedupQueries {
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
-    qEmbedNorm, erGoldenRecord, qKnnClassify)
+    qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify)
 }
