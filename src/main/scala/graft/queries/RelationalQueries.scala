@@ -1086,6 +1086,35 @@ object RelationalQueries {
     """),
   )
 
+  /** Activity heatmap — the (day-of-week × hour) usage grid behind
+    * every ops dashboard: day-of-week by PURE integer arithmetic
+    * ((epoch_days + 4) % 7, 1970-01-01 being a Thursday) rather than
+    * engine `dow()` conventions that disagree on week start; one
+    * map-side-combined rollup over the 168-cell grid with exact
+    * counts and the micro-exact mean value per cell.
+    */
+  val qActivityHeatmap: Q = Q(
+    "q_activity_heatmap",
+    (s, dir) => {
+      import graft.operators.ExactAgg
+      Tables.events(s, dir)
+        .select(
+          expr("(cast(ts as long) div 86400000000000 + 4) % 7").as("dow"),
+          expr("(cast(ts as long) div 3600000000000) % 24").as("hour"),
+          col("value"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          round(ExactAgg.microAvg(col("value")), 6).as("mean_v"))
+    },
+    Some(s"""
+      SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+             count(*) AS n,
+             round(${microAvgSql("value")}, 6) AS mean_v
+      FROM events GROUP BY 1, 2
+    """),
+  )
+
   /** Growth accounting — the MAU-decomposition rollup (new /
     * retained / resurrected / churned per week) that explains WHY an
     * active-user count moved, next to the retention matrix's cohort
@@ -1520,5 +1549,5 @@ object RelationalQueries {
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
     qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase,
-    qGrowthAccounting, qSeqPatterns)
+    qGrowthAccounting, qSeqPatterns, qActivityHeatmap)
 }

@@ -1245,9 +1245,117 @@ object TextQueries {
     """),
   )
 
+  /** Per-source duplication report — the dedup OBSERVABILITY rollup a
+    * curation pipeline publishes per ingest source (which feeds are
+    * mostly boilerplate, which are worth recrawling): exact text
+    * checksum distinct counts per source, dup rate = 1 − distinct/n
+    * as a fixed-op-order ratio of exact counts; one map-side-combined
+    * rollup. The md5 path is the same content hash the exact-dedup
+    * keeper pass uses — the report and the dedup agree by
+    * construction.
+    */
+  val qDupRateBySource: Q = Q(
+    "q_dup_rate_by_source",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), md5(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_docs"), 6).as("dup_rate"))
+    },
+    Some("""
+      SELECT source, count(*)::BIGINT AS n_docs,
+             count(DISTINCT md5(text))::BIGINT AS n_distinct,
+             round(1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 6) AS dup_rate
+      FROM documents GROUP BY 1
+    """),
+  )
+
+  /** Cluster topic labeling (BERTopic's c-TF-IDF): embedding k-means
+    * cells labeled by their most DISTINCTIVE terms — the step that
+    * turns an unsupervised clustering into something a human can
+    * audit, composing the ANN/k-means machinery with the text rollups
+    * (documents join embeddings on the shared id): deterministic
+    * md5-sampled centroids + the codegen TopCells assignment (the
+    * q_kmeans_step path), per-(cell, term) counts, and score =
+    * tf_{c,t} · ln(1 + A/f_t) with A = mean tokens per cluster —
+    * every input an exact integer, the log ratio fixed-op-order;
+    * deterministic top-5 per cell. Scale: two map-side-combined
+    * rollups + a bounded per-cell window; the centroid model is
+    * O(cells·d) broadcast literals.
+    */
+  val textClusterTopics: Q = Q(
+    "text_cluster_topics",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val c = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val centroids = graft.operators.Ann.sampleCentroids(c, "id", "cv", nCells = 8)
+      val assigned = e.select(col("vec_id"),
+        element_at(graft.functions.GraftFunctions.topCells(
+          col("embedding").cast("array<double>"), centroids, 1), 1)
+          .getField("cell").as("cell"))
+      val toks = Tables.documents(s, dir)
+        .join(assigned, col("doc_id") === col("vec_id"))
+        .select(col("cell"), explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+      val tf = toks.groupBy(col("cell"), col("w")).agg(count(lit(1)).as("tf"))
+      val ft = toks.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val a = toks.count().toDouble / 8
+      val scored = tf.join(ft, "w")
+        .select(col("cell"), col("w"),
+          (col("tf") * log(lit(1.0) + lit(a) / col("f"))).as("score"))
+      val wC = Window.partitionBy(col("cell"))
+        .orderBy(col("score").desc, col("w"))
+      scored.withColumn("rk", row_number().over(wC))
+        .where(col("rk") <= 5)
+        .select(col("cell"), col("rk"), col("w").as("term"),
+          round(col("score"), 6).as("score"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sel AS (SELECT vec_id, v, ${OracleExact.h16Sql("md5(vec_id::VARCHAR)")} AS h16 FROM e),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        FROM sel
+        WHERE h16 % greatest(1, (SELECT count(*) FROM e) // 8) = 0
+        ORDER BY vec_id LIMIT 8),
+      cc AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      scores AS (
+        SELECT n.vec_id, cc.cell,
+               list_dot_product(n.v, cc.cv) / (n.nrm * cc.cnrm) AS s
+        FROM n CROSS JOIN cc),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+          FROM scores) z WHERE rn = 1),
+      toks AS (
+        SELECT a.cell, t.w
+        FROM documents d JOIN assigned a ON d.doc_id = a.vec_id,
+             unnest(string_split(lower(d.text), ' ')) AS t(w)
+        WHERE t.w <> ''),
+      tf AS (SELECT cell, w, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      ft AS (SELECT w, count(*)::BIGINT AS f FROM toks GROUP BY 1),
+      aa AS (SELECT count(*)::DOUBLE / 8 AS a FROM toks),
+      sc AS (SELECT tf.cell, tf.w,
+                    tf.tf * ln(1.0 + aa.a / ft.f) AS score
+             FROM tf JOIN ft USING (w) CROSS JOIN aa),
+      rk AS (SELECT cell, w, score,
+                    row_number() OVER (PARTITION BY cell ORDER BY score DESC, w) AS rk
+             FROM sc)
+      SELECT cell, rk, w AS term, round(score, 6) AS score
+      FROM rk WHERE rk <= 5
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
-    textPmi, textUrlFilter, qNdcg, textZipf)
+    textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource)
 }
