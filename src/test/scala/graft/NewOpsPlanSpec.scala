@@ -69,10 +69,11 @@ class NewOpsPlanSpec extends SparkSpec {
   test("q_recall_at_k plans exactly one nested loop (the deliberate brute-force side)") {
     // knn_bruteforce's bounded-broadcast scorer is the PlanGuardSpec
     // exemption; the eval join and the LSH side must not add another
-    val plan = DedupQueries.qRecallAtK.run(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1)
-    assert(!plan.contains("CartesianProduct"))
+    for (q <- Seq(DedupQueries.qRecallAtK, DedupQueries.qKnnClassify)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1, q.name)
+      assert(!plan.contains("CartesianProduct"), q.name)
+    }
   }
 
   test("dedup_edit_distance candidates come from the blocking equi-join only") {

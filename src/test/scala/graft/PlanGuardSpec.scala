@@ -14,10 +14,12 @@ class PlanGuardSpec extends SparkSpec {
     * O(n·q) with one corpus scan — the documented exact baseline the
     * ANN paths are measured against, not an accidental cross join.
     * q_recall_at_k composes that same brute-force side as its ground
-    * truth; NewOpsPlanSpec pins it to EXACTLY one nested loop so the
-    * exemption cannot hide a second accidental one.
+    * truth, and q_knn_classify as its voter; NewOpsPlanSpec pins each
+    * to EXACTLY one nested loop so the exemption cannot hide a second
+    * accidental one.
     */
-  private val intendedNestedLoop = Set("knn_bruteforce", "q_recall_at_k")
+  private val intendedNestedLoop =
+    Set("knn_bruteforce", "q_recall_at_k", "q_knn_classify")
 
   test("no registered query plans a cartesian product or nested-loop join") {
     val offenders = (SparkEntry.queries ++ SparkEntry.benchQueries).toSeq.sortBy(_._1)
