@@ -1245,6 +1245,47 @@ object TextQueries {
     """),
   )
 
+  /** One BPE-training step — the tokenizer-construction primitive
+    * every LLM pipeline runs upstream of `text_tokens`: adjacent
+    * character-pair frequencies over the corpus, counted on the
+    * DISTINCT-WORD vocabulary weighted by word frequency (the scale
+    * trick — pair work is Σ|w| over the vocab, not over the corpus),
+    * deterministic top-10 merge candidates by (count, pair). The full
+    * BPE loop applies the winning merge and re-counts — iterable from
+    * checkpointed vocab tables exactly like the CC/k-means loops; one
+    * step carries the whole shuffle story (vocab rollup + bounded
+    * per-word pair explode + pair rollup, all map-side combined).
+    */
+  val textBpeStep: Q = Q(
+    "text_bpe_step",
+    (s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      vocab
+        .where(length(col("w")) >= 2)
+        .select(col("w"), col("c"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("c"),
+          concat(expr("substr(w, i, 1)"), expr("substr(w, i + 1, 1)")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(10)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents) t WHERE w <> ''),
+      vocab AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+      pairs AS (
+        SELECT substr(w, i.i, 1) || substr(w, i.i + 1, 1) AS pair, c
+        FROM vocab, unnest(generate_series(1, strlen(w) - 1)) AS i(i)
+        WHERE strlen(w) >= 2),
+      g AS (SELECT pair, sum(c)::BIGINT AS n FROM pairs GROUP BY 1)
+      SELECT pair, n FROM g ORDER BY n DESC, pair LIMIT 10
+    """),
+  )
+
   /** Per-source duplication report — the dedup OBSERVABILITY rollup a
     * curation pipeline publishes per ingest source (which feeds are
     * mostly boilerplate, which are worth recrawling): exact text
@@ -1357,5 +1398,6 @@ object TextQueries {
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
-    textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource)
+    textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
+    textBpeStep)
 }
