@@ -239,6 +239,63 @@ object PipelineQueries {
     """
   }
 
+  /** Expected calibration error over the [[qIsotonic]] bins — the
+    * scalar the calibration plot collapses to (the number a model
+    * gate thresholds on, next to AUC's ranking and isotonic's fix):
+    * predicted probability per bin = the label construction's true
+    * form evaluated at the bin center ((25·bin + 12.5)·0.002 — the
+    * md5-Bernoulli threshold rate), observed = exact bin rate,
+    * ECE = Σ (w/N)·|obs − pred| with per-bin terms micro-quantized
+    * before the order-free total; also reports the max bin gap
+    * (MCE). One k-bounded rollup — same data-scale shape as the
+    * isotonic fit.
+    */
+  val qEce: Q = Q(
+    "q_ece",
+    (s, dir) => {
+      val y = (graft.operators.Sampling.hashBucket(col("event_id")) % 1000 <
+        col("value") * 2).cast("long")
+      val bins = Tables.events(s, dir)
+        .select(least(floor(col("value") / 25.0), lit(19.0)).cast("long").as("bin"),
+          y.as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("w"), sum(col("y")).as("s"))
+        .orderBy(col("bin")).collect() // k-bounded (k <= 20)
+      val n = bins.map(_.getLong(1)).sum
+      val terms = bins.map { r =>
+        val (bin, w, sp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val obs = sp.toDouble / w
+        val pred = (25.0 * bin + 12.5) * 0.002
+        (w, math.round(w.toDouble / n * math.abs(obs - pred) * 1e8),
+          math.round(math.abs(obs - pred) * 1e8))
+      }
+      val ece = terms.map(_._2).sum / 1e8
+      val mce = terms.map(_._3).max / 1e8
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, terms.length.toLong, r6(ece), r6(mce)))
+        .toDF("n", "n_bins", "ece", "mce")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT least(floor(value / 25.0), 19.0)::BIGINT AS bin,
+               (${OracleExact.h16Sql("md5(event_id::VARCHAR)")} % 1000 < value * 2)::INT AS y
+        FROM events),
+      b AS (SELECT bin, count(*)::BIGINT AS w, sum(y)::BIGINT AS s
+            FROM ev GROUP BY 1),
+      t AS (SELECT w,
+              round(w::DOUBLE / (SELECT sum(w) FROM b) *
+                    abs(s::DOUBLE / w - (25.0 * bin + 12.5) * 0.002) * 1e8)::BIGINT AS em,
+              round(abs(s::DOUBLE / w - (25.0 * bin + 12.5) * 0.002) * 1e8)::BIGINT AS gm
+            FROM b)
+      SELECT (SELECT sum(w) FROM b)::BIGINT AS n,
+             (SELECT count(*) FROM b)::BIGINT AS n_bins,
+             round(sum(em) / 1e8, 6) AS ece,
+             round(max(gm) / 1e8, 6) AS mce
+      FROM t
+    """),
+  )
+
   /** Sketch-accuracy harness for the keyed quantile sketch — the
     * quantile twin of `q_recall_at_k` (ANN) and q_heavy_hitters'
     * overcount column (count-min): per-key relative error of the
@@ -987,5 +1044,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
-    qGroupedLinreg, qQuantileSketchError)
+    qGroupedLinreg, qQuantileSketchError, qEce)
 }

@@ -1676,6 +1676,95 @@ object TsQueries {
     """),
   )
 
+  /** Hurst exponent per series via the aggregated-variance method —
+    * the long-range-dependence diagnostic (H≈0.5 random walk, H>0.5
+    * persistent/trending, H<0.5 mean-reverting) that tells a
+    * forecasting pipeline whether Holt-class smoothers even apply:
+    * block means at scales m ∈ {2,4,8,16} (full blocks only), their
+    * variance Var(m) ∝ m^(2H−2), H = 1 + slope/2 from the OLS of
+    * ln Var on ln m. Every variance is a pure ratio of exact int64
+    * sums (values on the centi grid — the milli grid's k·Σs² would
+    * overflow at sf1, the §13 resolution check), the 4-point OLS uses
+    * micro-quantized log terms (order-free), and the whole chain —
+    * row-number window, block rollup, scale rollup, fit rollup — rides
+    * ONE hash(user) Exchange (every key is a superset of user).
+    * Units cancel in the slope, so the centi grid does not bias H.
+    */
+  val tsHurst: Q = Q(
+    "ts_hurst",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+      val wO = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("c"))
+        .withColumn("rn", row_number().over(wO) - 1)
+        .withColumn("n", count(lit(1)).over(wU))
+      val varm = base
+        .select(col("user_id"), col("c"), col("rn"), col("n"),
+          explode(array(Seq(2L, 4L, 8L, 16L).map(lit): _*)).as("m"))
+        .where(col("rn") < expr("(n div m) * m"))
+        .groupBy(col("user_id"), col("m"), expr("rn div m").as("blk"))
+        .agg(sum(col("c")).as("sb"))
+        .groupBy(col("user_id"), col("m"))
+        .agg(count(lit(1)).as("k"), sum(col("sb")).as("ss"),
+          sum(col("sb") * col("sb")).as("ss2"))
+        .where(col("k") >= 2)
+        .select(col("user_id"), col("m"),
+          ((col("k") * col("ss2") - col("ss") * col("ss")) /
+            (col("k") * col("k") * col("m") * col("m"))).as("varm"))
+        .where(col("varm") > 0)
+      val pts = varm.select(col("user_id"),
+        round(log(col("m").cast("double")) * 1e6).cast("long").as("mx"),
+        round(log(col("varm")) * 1e6).cast("long").as("my"),
+        round(log(col("m").cast("double")) * log(col("varm")) * 1e6).cast("long").as("mxy"),
+        round(log(col("m").cast("double")) * log(col("m").cast("double")) * 1e6)
+          .cast("long").as("mxx"))
+      pts.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("p"), sum(col("mx")).as("sx"), sum(col("my")).as("sy"),
+          sum(col("mxy")).as("sxy"), sum(col("mxx")).as("sxx"))
+        .where(col("p") >= 3)
+        .select(col("user_id"), col("p"),
+          round(lit(1.0) +
+            ((col("p") * (col("sxy") / 1e6) - (col("sx") / 1e6) * (col("sy") / 1e6)) /
+              (col("p") * (col("sxx") / 1e6) - (col("sx") / 1e6) * (col("sx") / 1e6))) / 2,
+            6).as("hurst"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT user_id, round(value * 100)::BIGINT AS c,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) - 1 AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+      e AS (SELECT user_id, c, rn, n, m.m AS m
+            FROM b, (SELECT unnest([2, 4, 8, 16]) AS m) m
+            WHERE rn < (n // m) * m),
+      blk AS (SELECT user_id, m, rn // m AS blk, sum(c)::BIGINT AS sb
+              FROM e GROUP BY 1, 2, 3),
+      sc AS (SELECT user_id, m, count(*)::BIGINT AS k, sum(sb)::BIGINT AS ss,
+                    sum(sb * sb)::BIGINT AS ss2
+             FROM blk GROUP BY 1, 2),
+      vm AS (SELECT user_id, m,
+               (k * ss2 - ss * ss) / (k * k * m * m) AS varm
+             FROM sc WHERE k >= 2),
+      pts AS (SELECT user_id,
+                round(ln(m::DOUBLE) * 1e6)::BIGINT AS mx,
+                round(ln(varm) * 1e6)::BIGINT AS my,
+                round(ln(m::DOUBLE) * ln(varm) * 1e6)::BIGINT AS mxy,
+                round(ln(m::DOUBLE) * ln(m::DOUBLE) * 1e6)::BIGINT AS mxx
+              FROM vm WHERE varm > 0),
+      g AS (SELECT user_id, count(*)::BIGINT AS p, sum(mx)::BIGINT AS sx,
+                   sum(my)::BIGINT AS sy, sum(mxy)::BIGINT AS sxy,
+                   sum(mxx)::BIGINT AS sxx
+            FROM pts GROUP BY 1)
+      SELECT user_id, p,
+             round(1.0 + ((p * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6)) /
+                          (p * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))) / 2, 6) AS hurst
+      FROM g WHERE p >= 3
+    """),
+  )
+
   /** One-step-ahead forecast backtest over the [[tsHolt]] frame — the
     * forecast-EVAL row next to the AUC/recall@k/sketch-error
     * harnesses (a smoother you never backtest is a random number
@@ -1869,5 +1958,5 @@ object TsQueries {
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
-    tsForecastEval)
+    tsForecastEval, tsHurst)
 }
