@@ -22,6 +22,16 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(exchanges(TsQueries.tsHolt) === 1)
   }
 
+  test("ts_hurst's window + three rollups all ride one hash(user) Exchange") {
+    // every grouping key is a superset of user_id, so HashPartitioning
+    // (user) satisfies each ClusteredDistribution — no re-shuffle
+    assert(exchanges(TsQueries.tsHurst) === 1)
+  }
+
+  test("ts_acf sums, lead chain, and rollup share the series Exchange") {
+    assert(exchanges(TsQueries.tsAcf) === 1)
+  }
+
   test("q_user_journey plans exactly one Exchange (both windows share the user key)") {
     assert(exchanges(RelationalQueries.qUserJourney) === 1)
   }
