@@ -239,6 +239,91 @@ object PipelineQueries {
     """
   }
 
+  /** Multi-feature PSI drift report — [[qPsi]]'s production shape
+    * (a monitor watches EVERY model input, not one): per-feature
+    * population stability across the shipdate halves of lineitem
+    * (quantity / extendedprice / discount), 10 baseline-fitted
+    * equi-width bins each, Laplace-smoothed terms micro-quantized via
+    * the shared [[graft.operators.Eval.psiTerms]] fold — one row per
+    * feature with its PSI and the standard traffic-light verdict
+    * (<0.1 ok, <0.25 warning, else drift). ONE data-scale pass: all
+    * features' two-period bin counts ride a single unpivoted rollup.
+    */
+  val qPsiMulti: Q = Q(
+    "q_psi_multi",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val b = li.agg(min(unix_micros(col("l_shipdate").cast("timestamp"))),
+        max(unix_micros(col("l_shipdate").cast("timestamp")))).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val fit = li.where(unix_micros(col("l_shipdate").cast("timestamp")) < mid)
+        .agg(min(col(feats(0))), max(col(feats(0))), min(col(feats(1))),
+          max(col(feats(1))), min(col(feats(2))), max(col(feats(2)))).head()
+      val ranges = feats.zipWithIndex.map { case (f, i) =>
+        f -> (fit.getDouble(2 * i), fit.getDouble(2 * i + 1))
+      }.toMap
+      val stack = feats.map { f =>
+        val (lo, hi) = ranges(f)
+        val w = (hi - lo) / 10.0
+        s"'$f', least(greatest(floor(($f - ${lo}d) / ${w}d), 0.0d), 9.0d)"
+      }.mkString(", ")
+      val counts = li
+        .select(expr(s"stack(${feats.size}, $stack) AS (feature, binf)"),
+          (unix_micros(col("l_shipdate").cast("timestamp")) < mid)
+            .cast("long").as("isA"))
+        .groupBy(col("feature"), col("binf").cast("long").as("bin"))
+        .agg(sum(col("isA")).as("n_a"), sum(lit(1L) - col("isA")).as("n_b"))
+        .orderBy(col("feature"), col("bin")).collect() // bounded: 3 × 10
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      feats.map { f =>
+        val rows = counts.filter(_.getString(0) == f)
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        val (_, total) = graft.operators.Eval.psiTerms(rows)
+        val psi = total / 1e6
+        val verdict = if (psi < 0.1) "ok" else if (psi < 0.25) "warning" else "drift"
+        (f, r6(psi), verdict)
+      }.toDF("feature", "psi", "verdict")
+    },
+    Some(s"""
+      WITH bd AS (SELECT min(epoch_us(l_shipdate)) +
+                         (max(epoch_us(l_shipdate)) - min(epoch_us(l_shipdate))) // 2 AS mid
+                  FROM lineitem),
+      ft AS (SELECT min(CASE WHEN epoch_us(l_shipdate) < bd.mid THEN l_quantity END) AS lo1,
+                    max(CASE WHEN epoch_us(l_shipdate) < bd.mid THEN l_quantity END) AS hi1,
+                    min(CASE WHEN epoch_us(l_shipdate) < bd.mid THEN l_extendedprice END) AS lo2,
+                    max(CASE WHEN epoch_us(l_shipdate) < bd.mid THEN l_extendedprice END) AS hi2,
+                    min(CASE WHEN epoch_us(l_shipdate) < bd.mid THEN l_discount END) AS lo3,
+                    max(CASE WHEN epoch_us(l_shipdate) < bd.mid THEN l_discount END) AS hi3
+             FROM lineitem, bd),
+      ev AS (
+        SELECT u.feature,
+               least(greatest(floor((u.x - u.lo) / ((u.hi - u.lo) / 10.0)), 0.0), 9.0)::BIGINT AS bin,
+               (epoch_us(l_shipdate) < bd.mid)::BIGINT AS isA
+        FROM lineitem, bd, ft,
+             LATERAL (VALUES ('l_quantity', l_quantity, ft.lo1, ft.hi1),
+                             ('l_extendedprice', l_extendedprice, ft.lo2, ft.hi2),
+                             ('l_discount', l_discount, ft.lo3, ft.hi3)) AS u(feature, x, lo, hi)),
+      g AS (SELECT feature, bin, sum(isA)::BIGINT AS n_a, sum(1 - isA)::BIGINT AS n_b
+            FROM ev GROUP BY 1, 2),
+      tt AS (SELECT feature, sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb,
+                    count(*)::BIGINT AS k
+             FROM g GROUP BY 1),
+      t AS (SELECT g.feature,
+              round(((g.n_b + 0.5) / (tt.tb + tt.k / 2.0) -
+                     (g.n_a + 0.5) / (tt.ta + tt.k / 2.0)) *
+                    ln(((g.n_b + 0.5) / (tt.tb + tt.k / 2.0)) /
+                       ((g.n_a + 0.5) / (tt.ta + tt.k / 2.0))) * 1e6)::BIGINT AS micro
+            FROM g JOIN tt USING (feature)),
+      p AS (SELECT feature, sum(micro)::BIGINT / 1e6 AS psi FROM t GROUP BY 1)
+      SELECT feature, round(psi, 6) AS psi,
+             CASE WHEN psi < 0.1 THEN 'ok'
+                  WHEN psi < 0.25 THEN 'warning' ELSE 'drift' END AS verdict
+      FROM p
+    """),
+  )
+
   /** Expected calibration error over the [[qIsotonic]] bins — the
     * scalar the calibration plot collapses to (the number a model
     * gate thresholds on, next to AUC's ranking and isotonic's fix):
@@ -1044,5 +1129,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
-    qGroupedLinreg, qQuantileSketchError, qEce)
+    qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti)
 }
