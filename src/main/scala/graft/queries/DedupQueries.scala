@@ -1359,7 +1359,14 @@ object DedupQueries {
     * the (true, pred) confusion rollup — the matrix per-class
     * precision/recall reads straight off. Training on all vectors
     * including the classified one (resubstitution) is the documented
-    * convention, replayed identically by the oracle.
+    * convention, replayed identically by the oracle. The distance
+    * pass is NARROW: the fitted centroids collect to labels×d
+    * literals (the model-broadcast story made literal), per-label
+    * d² expands through the codegen dot identity
+    * |v|² − 2·v·c + |c|² so the per-vector work is labels dot
+    * products — no n×labels×d row explosion (a first version
+    * exploded and cost 10× at sf0.1); argmin is an array_min over
+    * (d², label) structs, ties to the smaller label.
     */
   val qCentroidClassify: Q = Q(
     "q_centroid_classify",
@@ -1368,15 +1375,25 @@ object DedupQueries {
         .select(col("vec_id"), col("label").cast("long").as("label"),
           posexplode(col("embedding").cast("array<double>")))
         .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
-      val cent = vd.groupBy(col("label").as("c_label"), col("dim").as("c_dim"))
+      val cent = vd.groupBy(col("label").as("c_label"),
+          col("dim").cast("long").as("c_dim"))
         .agg((graft.operators.ExactAgg.decSum(col("x")) / count(lit(1))).as("c"))
-      val d2 = vd.join(broadcast(cent), col("dim") === col("c_dim"))
-        .select(col("vec_id"), col("label"), col("c_label"),
-          round((col("x") - col("c")) * (col("x") - col("c")) * 1e6).cast("long").as("m"))
-        .groupBy(col("vec_id"), col("label"), col("c_label"))
-        .agg(sum(col("m")).as("d2m"))
-      d2.groupBy(col("vec_id"), col("label"))
-        .agg(min_by(col("c_label"), struct(col("d2m"), col("c_label"))).as("pred"))
+        .collect() // bounded model state: labels × d
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (lbl, rows) =>
+          (lbl, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray)
+        }.sortBy(_._1)
+      val v = col("v")
+      val d2s = cent.map { case (lbl, c) =>
+        val cc = typedLit(c.toSeq)
+        struct((graft.operators.Ann.dot(v, v) - lit(2.0) * graft.operators.Ann.dot(v, cc) +
+          graft.operators.Ann.dot(cc, cc)).as("d2"), lit(lbl).as("lbl"))
+      }
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("label"),
+          array_min(array(d2s: _*)).getField("lbl").as("pred"))
         .groupBy(col("label").as("true_label"), col("pred").as("pred_label"))
         .agg(count(lit(1)).as("n"))
     },
@@ -1389,15 +1406,20 @@ object DedupQueries {
         SELECT label AS c_label, dim AS c_dim,
                sum((x)::DECIMAL(28,6))::DOUBLE / count(*) AS c
         FROM vd GROUP BY 1, 2),
+      cv AS (SELECT c_label, list(c ORDER BY c_dim) AS cvec
+             FROM cent GROUP BY 1),
+      e AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v
+            FROM embeddings),
       d2 AS (
-        SELECT vd.vec_id, vd.label, cent.c_label,
-               sum(round((vd.x - cent.c) * (vd.x - cent.c) * 1e6)::BIGINT)::BIGINT AS d2m
-        FROM vd JOIN cent ON vd.dim = cent.c_dim
-        GROUP BY 1, 2, 3),
+        SELECT e.vec_id, e.label, cv.c_label,
+               list_dot_product(e.v, e.v)
+                 - 2.0 * list_dot_product(e.v, cv.cvec)
+                 + list_dot_product(cv.cvec, cv.cvec) AS d2
+        FROM e CROSS JOIN cv),
       pred AS (
         SELECT vec_id, label, c_label AS pred FROM (
           SELECT vec_id, label, c_label,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY d2m, c_label) AS rk
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
           FROM d2) p WHERE rk = 1)
       SELECT label AS true_label, pred AS pred_label, count(*)::BIGINT AS n
       FROM pred GROUP BY 1, 2
