@@ -1292,6 +1292,33 @@ object DedupQueries {
     """),
   )
 
+  /** Degree distribution of the near-dup pair graph — the structural
+    * health check a dedup run publishes next to its pair list (a fat
+    * tail of high-degree nodes means boilerplate/template families,
+    * the exact inputs the CC loop and the skew benches stress): node
+    * degrees from the minhash pairs (both endpoints), histogrammed to
+    * (degree, n_nodes). Two bounded rollups over the pair list — the
+    * report costs nothing next to pair generation.
+    */
+  val dedupGraphDegrees: Q = Q(
+    "dedup_graph_degrees",
+    (s, dir) => {
+      val pairs = Dedup.minhashPairs(nearDupDocs(s, dir), "doc_id", "text",
+        shingleK = 3, numPerms = 128, numBands = 32, threshold = 0.8)
+      pairs.select(col("id_a").as("id"))
+        .unionAll(pairs.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""
+      WITH p AS (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
+      d AS (SELECT id, count(*)::BIGINT AS deg
+            FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p) e
+            GROUP BY 1)
+      SELECT deg, count(*)::BIGINT AS n_nodes FROM d GROUP BY 1
+    """),
+  )
+
   /** kNN majority-vote classification over the embedding labels — the
     * composition that turns the similarity index into a CLASSIFIER
     * (and the eval row that scores it): brute-force top-5 neighbors
@@ -1523,5 +1550,6 @@ object DedupQueries {
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
-    qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify)
+    qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
+    dedupGraphDegrees)
 }

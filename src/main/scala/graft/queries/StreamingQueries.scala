@@ -798,6 +798,25 @@ object StreamingQueries {
     },
     RelationalQueries.qRetentionCohorts.oracle)
 
+  /** Streaming sequential-pattern mining ([[StreamOps.seqPatterns]]):
+    * per-user O(2) last-two-events state completes one trigram per
+    * arrival; the drained (user, path) rows, aggregated and ranked
+    * identically to the batch query, equal `q_seq_patterns` and share
+    * its oracle verbatim — live journey discovery with n-gram state.
+    */
+  val streamSeqPatterns: Q = Q(
+    "stream_seq_patterns",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.seqPatterns(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      drained.groupBy(col("path"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_occ"))
+        .orderBy(col("n_users").desc, col("path")).limit(10)
+    },
+    RelationalQueries.qSeqPatterns.oracle)
+
   /** Streaming last-touch attribution ([[StreamOps.attribution]]):
     * O(1) per-user state (the most recent click's ts+channel), credit
     * emitted per purchase as it arrives; drained rows aggregated by
@@ -1047,5 +1066,5 @@ object StreamingQueries {
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
-    streamGroupedLinreg, streamCohortLtv, streamAttribution)
+    streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns)
 }

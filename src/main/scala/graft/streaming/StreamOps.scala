@@ -962,6 +962,42 @@ object StreamOps {
     * the query shares its oracle verbatim. Week arithmetic is the
     * batch query's integer division on Long nanos, bit for bit.
     */
+  final case class SeqState(e1: String, e2: String) // last two event types
+  final case class SeqRow(user_id: Long, path: String)
+
+  /** Streaming trigram journey emission: per-user state is the last
+    * TWO event types (O(2) strings — the n-gram generalization of the
+    * Markov last-one state); each arriving event completes one
+    * trigram. The drained (user, path) rows aggregated by path equal
+    * the batch lead-window trigrams, so `stream_seq_patterns` shares
+    * `q_seq_patterns`' oracle after the identical support ranking.
+    */
+  def seqPatterns(events: DataFrame): Dataset[SeqRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns"),
+      col("event_type").cast("string").as("event_type")).as[TypedEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, SeqRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          val evs = it.toSeq.sortBy(_.ts_ns)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SeqRow]
+          evs.foreach { e =>
+            if (st != null && st.e1 != null) {
+              out += SeqRow(uid, s"${st.e1}>${st.e2}>${e.event_type}")
+            }
+            st = if (st == null) SeqState(null, e.event_type)
+              else SeqState(st.e2, e.event_type)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   final case class AttrEvent(user_id: Long, ts_ns: Long, event_type: String,
                              cents: Long, channel: String)
   final case class AttrState(cts: Long, cch: String)
