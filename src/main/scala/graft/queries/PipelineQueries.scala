@@ -239,6 +239,63 @@ object PipelineQueries {
     """
   }
 
+  /** Benford first-digit screening over order totals — the classic
+    * fabricated-data / aggregation-bug detector (organically-grown
+    * monetary amounts follow log(1+1/d); uniform or clumped first
+    * digits flag synthetic or truncated data): the first digit is
+    * extracted by pure INTEGER arithmetic on exact cents (digit =
+    * cents div 10^(len−1) — never a double log10 or a double→string
+    * format, which engines render differently), observed shares vs
+    * the Benford expectation per digit, and the χ² statistic with the
+    * per-digit terms micro-quantized before the order-free total. One
+    * map-side-combined 9-cell rollup.
+    */
+  val qBenford: Q = Q(
+    "q_benford",
+    (s, dir) => {
+      val digits = Tables.orders(s, dir)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("cents") > 0)
+        .select(expr("cents div cast(pow(10, length(cast(cents as string)) - 1) as long)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .orderBy(col("digit")).collect() // 9-cell fit state
+      val total = digits.map(_.getLong(1)).sum
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = digits.map { r =>
+        val d = r.getLong(0)
+        val n = r.getLong(1)
+        val exp = math.log(1.0 + 1.0 / d) / math.log(10.0)
+        val e = exp * total
+        (d, n, r6(exp), math.round((n - e) * (n - e) / e * 1e6))
+      }
+      val chi2 = rows.map(_._4).sum / 1e6
+      import s.implicits._
+      rows.map { case (d, n, exp, _) =>
+        (d, n, r6(n.toDouble / total), exp, r6(chi2))
+      }.toSeq.toDF("digit", "n", "observed", "expected", "chi2_total")
+    },
+    Some("""
+      WITH c AS (SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders
+                 WHERE round(o_totalprice * 100) > 0),
+      d AS (SELECT cents // pow(10, strlen(cents::VARCHAR) - 1)::BIGINT AS digit
+            FROM c),
+      g AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+      tt AS (SELECT sum(n)::BIGINT AS total FROM g),
+      t AS (SELECT g.digit, g.n,
+              ln(1.0 + 1.0 / g.digit) / ln(10.0) AS exp_p,
+              round((g.n - (ln(1.0 + 1.0 / g.digit) / ln(10.0)) * tt.total) *
+                    (g.n - (ln(1.0 + 1.0 / g.digit) / ln(10.0)) * tt.total) /
+                    ((ln(1.0 + 1.0 / g.digit) / ln(10.0)) * tt.total) * 1e6)::BIGINT AS micro
+            FROM g CROSS JOIN tt)
+      SELECT t.digit, t.n,
+             round(t.n::DOUBLE / tt.total, 6) AS observed,
+             round(t.exp_p, 6) AS expected,
+             round((SELECT sum(micro) FROM t) / 1e6, 6) AS chi2_total
+      FROM t CROSS JOIN tt
+    """),
+  )
+
   /** Multi-feature PSI drift report — [[qPsi]]'s production shape
     * (a monitor watches EVERY model input, not one): per-feature
     * population stability across the shipdate halves of lineitem
@@ -1129,5 +1186,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
-    qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti)
+    qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford)
 }

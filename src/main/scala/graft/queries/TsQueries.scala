@@ -1676,6 +1676,43 @@ object TsQueries {
     """),
   )
 
+  /** Strict local-maxima peak detection per series — the plain-window
+    * peak counter next to the scipy-faithful `ts_cwt_peaks` bench row
+    * (CWT ridge filtering finds SIGNIFICANT peaks; this row is the
+    * cheap first pass monitoring dashboards actually plot): a peak is
+    * strictly greater than both neighbors (plateaus are not peaks —
+    * the strict-inequality convention stated so the oracle cannot
+    * drift), counted per series with the max peak value; one lag/lead
+    * window + rollup on the shared series Exchange.
+    */
+  val tsPeaks: Q = Q(
+    "ts_peaks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wO = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .withColumn("pk",
+          (col("value") > lag(col("value"), 1).over(wO)) &&
+            (col("value") > lead(col("value"), 1).over(wO)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pk"), 1L).otherwise(0L)).as("n_peaks"),
+          round(max(when(col("pk"), col("value"))), 6).as("max_peak"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id, value,
+               value > lag(value) OVER w AND value > lead(value) OVER w AS pk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)))
+      SELECT user_id, count(*)::BIGINT AS n,
+             sum(CASE WHEN pk THEN 1 ELSE 0 END)::BIGINT AS n_peaks,
+             round(max(CASE WHEN pk THEN value END), 6) AS max_peak
+      FROM m GROUP BY 1
+    """),
+  )
+
   /** Hurst exponent per series via the aggregated-variance method —
     * the long-range-dependence diagnostic (H≈0.5 random walk, H>0.5
     * persistent/trending, H<0.5 mean-reverting) that tells a
@@ -1958,5 +1995,5 @@ object TsQueries {
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
-    tsForecastEval, tsHurst)
+    tsForecastEval, tsHurst, tsPeaks)
 }
