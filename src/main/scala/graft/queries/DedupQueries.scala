@@ -1303,8 +1303,12 @@ object DedupQueries {
   val dedupGraphDegrees: Q = Q(
     "dedup_graph_degrees",
     (s, dir) => {
+      // materialize ONCE before the both-endpoints union — the §13
+      // shared-subtree rule: an unmaterialized union computes the
+      // whole minhash DAG per branch (measured 6.9 s vs 1.3 s here)
       val pairs = Dedup.minhashPairs(nearDupDocs(s, dir), "doc_id", "text",
         shingleK = 3, numPerms = 128, numBands = 32, threshold = 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
       pairs.select(col("id_a").as("id"))
         .unionAll(pairs.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
