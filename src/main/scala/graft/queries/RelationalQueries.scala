@@ -1086,6 +1086,47 @@ object RelationalQueries {
     """),
   )
 
+  /** Gini coefficient of revenue concentration across users — the
+    * inequality metric a marketplace watches next to RFM (how much of
+    * revenue the top users carry; 0 = uniform, →1 = winner-take-all):
+    * per-user purchase cents (exact ints) from one rollup, then the
+    * sorted-rank identity G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over the
+    * USER-grain table — the rank window rides a bounded per-key
+    * rollup, not the event stream (the rfm ntile adjudication; the
+    * sketch-fitted Lorenz grid is the swap-in if the key grain ever
+    * stops being fit-state-sized). Ties rank by (cents, user) so Σi·x
+    * is identical in both engines; every term exact int64.
+    */
+  val qGini: Q = Q(
+    "q_gini",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("cents"), col("user_id"))
+      val r = u.select(col("cents"), row_number().over(w).cast("long").as("i"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("i") * col("cents")).as("six")).head()
+      val (n, sx, six) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val gini = 2.0 * six / (n.toDouble * sx) - (n + 1).toDouble / n
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((n, r6(sx / 100.0), r6(gini))).toDF("n_users", "total_revenue", "gini")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS cents
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      rk AS (SELECT cents, row_number() OVER (ORDER BY cents, user_id) AS i FROM u),
+      a AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx,
+                   sum(i * cents)::BIGINT AS six FROM rk)
+      SELECT n AS n_users, round(sx / 100.0, 6) AS total_revenue,
+             round(2.0 * six / (n::DOUBLE * sx) - (n + 1)::DOUBLE / n, 6) AS gini
+      FROM a
+    """),
+  )
+
   /** Activity heatmap — the (day-of-week × hour) usage grid behind
     * every ops dashboard: day-of-week by PURE integer arithmetic
     * ((epoch_days + 4) % 7, 1970-01-01 being a Thursday) rather than
@@ -1549,5 +1590,5 @@ object RelationalQueries {
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
     qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase,
-    qGrowthAccounting, qSeqPatterns, qActivityHeatmap)
+    qGrowthAccounting, qSeqPatterns, qActivityHeatmap, qGini)
 }
