@@ -214,15 +214,18 @@ object Dedup {
     // beats launching 3+ distributed jobs per label-propagation round —
     // the same runtime-adaptivity AQE applies to join strategies. The
     // distributed loop below remains the path for genuinely large pair
-    // graphs. The 1M default is a BYTE budget, not a row count: edges
-    // collect as primitive (Long, Long) pairs (~48B boxed each ≈ 50MB),
-    // safe on a default 1-4GB driver with headroom for the app itself.
+    // graphs. The 1M default is a BYTE budget, not a row count: the fast
+    // path collects only the DIRECTED pairs (half the doubled edge view),
+    // so at the threshold it holds ≤ 500k (Long, Long) pairs (~48B boxed
+    // each ≈ 25MB), safe on a default 1-4GB driver with headroom.
     val longIds = p0.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     // count (and, on the fast path, collect) the DIRECTED pairs — half
     // the doubled edge list's rows for the same information
     val pairCount = p0.count()
-    if (longIds && pairCount * 2 <= driverThreshold) return driverSideCC(p0)
+    // divide the threshold rather than doubling the count: immune to
+    // int64 overflow for any caller-supplied threshold
+    if (longIds && pairCount <= driverThreshold / 2) return driverSideCC(p0)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false

@@ -23,7 +23,9 @@ object Eval {
     * final division ride that bounded table. Half-ranks stay integral
     * via 2·avgrank = 2·cum_before + n + 1, so
     * AUC = (S₂/2 − n⁺(n⁺+1)/2) / (n⁺·n⁻) is a pure function of three
-    * exact int64 sums.
+    * exact sums. S₂ = Σ n⁺·rank₂ can reach ~2n², past int64 above
+    * ~3×10⁹ rows, so it accumulates as decimal(38,0) (the decSum
+    * pattern) — exact to 10³⁸, i.e. any feasible corpus.
     *
     * Returns (nPos, nNeg, auc).
     */
@@ -37,8 +39,9 @@ object Eval {
       .withColumn("rank2", lit(2) * (sum(col("n")).over(w) - col("n")) + col("n") + 1)
       .agg(sum(col("npos")).as("np"),
         sum(col("n") - col("npos")).as("nn"),
-        sum(col("npos") * col("rank2")).as("s2")).head()
-    val (np, nn, s2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        sum(col("npos").cast("decimal(38,0)") * col("rank2")).as("s2")).head()
+    val (np, nn) = (r.getLong(0), r.getLong(1))
+    val s2 = BigDecimal(r.getDecimal(2))
     val a = (s2.toDouble / 2.0 - np.toDouble * (np + 1).toDouble / 2.0) /
       (np.toDouble * nn.toDouble)
     (np, nn, a)

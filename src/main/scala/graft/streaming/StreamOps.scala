@@ -730,7 +730,8 @@ object StreamOps {
       .drop("sess_id")
   }
 
-  final case class TypedEvent(user_id: Long, ts_ns: Long, event_type: String)
+  final case class TypedEvent(user_id: Long, ts_ns: Long, event_type: String,
+                              event_id: Long)
   final case class TransState(last: String)
   final case class Transition(event_type: String, next_type: String)
 
@@ -747,12 +748,13 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
-      col("event_type").cast("string").as("event_type")).as[TypedEvent]
+      col("event_type").cast("string").as("event_type"),
+      col("event_id").cast("long").as("event_id")).as[TypedEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state) =>
-          val evs = it.toSeq.sortBy(_.ts_ns)
+          val evs = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var prev = state.getOption.map(_.last).orNull
           val out = evs.flatMap { e =>
             val t = if (prev != null) Some(Transition(prev, e.event_type)) else None
@@ -787,12 +789,13 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
-      col("event_type").cast("string").as("event_type")).as[TypedEvent]
+      col("event_type").cast("string").as("event_type"),
+      col("event_id").cast("long").as("event_id")).as[TypedEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, Scd2Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, it, state) =>
-          val evs = it.toSeq.sortBy(_.ts_ns)
+          val evs = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var cur = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
           evs.foreach { e =>
@@ -826,13 +829,14 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
-      col("event_type").cast("string").as("event_type")).as[TypedEvent]
+      col("event_type").cast("string").as("event_type"),
+      col("event_id").cast("long").as("event_id")).as[TypedEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, it, state) =>
           var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
-          it.toSeq.sortBy(_.ts_ns).foreach { e =>
+          it.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
             e.event_type match {
               case "view" if st.t1 == 0L => st = st.copy(t1 = e.ts_ns)
               case "click" if st.t2 == 0L && st.t1 != 0L && e.ts_ns > st.t1 =>
@@ -978,12 +982,13 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
-      col("event_type").cast("string").as("event_type")).as[TypedEvent]
+      col("event_type").cast("string").as("event_type"),
+      col("event_id").cast("long").as("event_id")).as[TypedEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SeqState, SeqRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, it, state) =>
-          val evs = it.toSeq.sortBy(_.ts_ns)
+          val evs = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[SeqRow]
           evs.foreach { e =>
@@ -999,7 +1004,7 @@ object StreamOps {
   }
 
   final case class AttrEvent(user_id: Long, ts_ns: Long, event_type: String,
-                             cents: Long, channel: String)
+                             cents: Long, channel: String, event_id: Long)
   final case class AttrState(cts: Long, cch: String)
   final case class AttrRow(channel: String, cents: Long)
 
@@ -1021,12 +1026,13 @@ object StreamOps {
       col("event_type").cast("string").as("event_type"),
       when(col("event_type") === "purchase",
         round(col("value") * 100).cast("long")).otherwise(0L).as("cents"),
-      ch.as("channel")).as[AttrEvent]
+      ch.as("channel"),
+      col("event_id").cast("long").as("event_id")).as[AttrEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[AttrState, AttrRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state) =>
-          val evs = it.toSeq.sortBy(_.ts_ns)
+          val evs = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[AttrRow]
           evs.foreach { e =>
@@ -1042,7 +1048,8 @@ object StreamOps {
       }
   }
 
-  final case class LtvEvent(user_id: Long, ts_ns: Long, cents: Long)
+  final case class LtvEvent(user_id: Long, ts_ns: Long, cents: Long,
+                            event_id: Long)
   final case class LtvState(wk0: Long)
   final case class LtvRow(cohort_wk: Long, week_offset: Long, cents: Long)
 
@@ -1063,13 +1070,14 @@ object StreamOps {
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
       when(col("event_type") === "purchase",
-        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"),
+      col("event_id").cast("long").as("event_id"))
       .as[LtvEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[LtvState, LtvRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state) =>
-          val evs = it.toSeq.sortBy(_.ts_ns)
+          val evs = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           val st = state.getOption.getOrElse(LtvState(evs.head.ts_ns / wkNs))
           state.update(st)
           evs.map { e =>

@@ -423,18 +423,18 @@ class StreamingSpec extends SparkSpec {
   test("streaming SCD2 closes versions across micro-batches and keeps the open one in state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
-    val df = mem.toDF().toDF("user_id", "ts", "event_type")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "event_id")
     val q = StreamOps.scd2(df)
       .toDF().writeStream.format("memory").queryName("scd2_test")
       .outputMode("append").start()
     try {
       // batch 1: A(10) A(20) B(30) -> closes v1 (A, 10..30)
-      mem.addData((1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"))
+      mem.addData((1L, 10L, "A", 1L), (1L, 20L, "A", 2L), (1L, 30L, "B", 3L))
       q.processAllAvailable()
       // batch 2: the open B version carries over; C(50) closes it with
       // the version counter CONTINUING (v2), then C stays open
-      mem.addData((1L, 50L, "C"), (1L, 60L, "C"))
+      mem.addData((1L, 50L, "C", 4L), (1L, 60L, "C", 5L))
       q.processAllAvailable()
       val rows = spark.table("scd2_test")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
