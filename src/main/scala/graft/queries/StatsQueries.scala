@@ -1,0 +1,654 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Statistical-inference / experimentation operators (round 9): the
+  * drift-test + causal-measurement battery a training-data platform
+  * runs next to its PSI/AUC monitors — two-sample KS, CUPED
+  * variance reduction, difference-in-differences, Kaplan–Meier
+  * retention, and the referential-integrity audit.
+  *
+  * Shared discipline (SURVEY §6): the only data-scale passes are
+  * bounded exact rollups (map-side combined); scalar statistics are
+  * pure functions of exact int sums in a fixed op order, with
+  * transcendental terms micro-quantized (×1e6, the PSI pattern) so
+  * cross-term totals are order-free integer sums that replay
+  * bit-for-bit in DuckDB. Reference scope: the training-data
+  * pipeline mandate (reference preprocessor.py has no inference
+  * battery; this is the 100 TB operational layer around it).
+  */
+object StatsQueries {
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Half-up-away-from-zero long rounding — DuckDB round() semantics
+    * for NEGATIVE values too (math.round = floor(x+½) disagrees at
+    * exact negative .5 ties).
+    */
+  private def rL(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** md5 A/B arm (0/1) — the q_ab_lift split, single convention. */
+  private def arm(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 2
+
+  private val armSql = s"${OracleExact.h16Sql("md5(user_id::VARCHAR)")} % 2"
+
+  /** Two-sample Kolmogorov–Smirnov test of purchase-value
+    * distributions across the md5 A/B arms — the standard "did the
+    * metric DISTRIBUTION move" drift test PSI's fixed bins can miss.
+    *
+    * D rides the distinct-cents rollup (bounded by value cardinality,
+    * map-side combined): at each distinct value the ECDF gap
+    * |F_A − F_B| equals |cumA·N_B − cumB·N_A| / (N_A·N_B), whose
+    * numerator is an exact integer — decimal(38,0) so cum·N products
+    * survive any corpus size — and the max over the grain is
+    * order-free. The asymptotic p = 2·Σ(−1)^{k−1}exp(−2k²λ²) sums 50
+    * micro-quantized terms (order-free int sum, the PSI pattern).
+    * The cumulative window rides the bounded rollup, not the event
+    * stream (the gini/ntile adjudication, SURVEY §12).
+    */
+  val qKsTest: Q = Q(
+    "q_ks_test",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(round(col("value") * 100).cast("long").as("v"),
+          arm(col("user_id")).as("g"))
+      // one materialization — totals AND the cumulative scan both read
+      // the rollup (the §13 shared-subtree rule)
+      val roll = u.groupBy(col("v"))
+        .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("nb"))
+        .localCheckpoint()
+      val t = roll.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb")).head()
+      val (ta, tb) = (t.getLong(0), t.getLong(1))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = roll
+        .select(sum(col("na")).over(w).as("ca"), sum(col("nb")).over(w).as("cb"))
+        .agg(max(abs(col("ca").cast("decimal(38,0)") * lit(tb) -
+          col("cb").cast("decimal(38,0)") * lit(ta))).as("dn")).head()
+      val dnum = BigDecimal(d.getDecimal(0)).toBigInt
+      val dd = dnum.toDouble / (ta.toDouble * tb)
+      val lam = dd * math.sqrt(ta.toDouble * tb / (ta + tb))
+      val sp = (1 to 50).map { k =>
+        val sgn = if (k % 2 == 1) 1.0 else -1.0
+        rL(sgn * math.exp(-2.0 * k * k * lam * lam) * 1e6)
+      }.sum
+      val p = if (dnum == 0) 1.0
+        else math.min(1.0, math.max(0.0, 2.0 * sp / 1e6))
+      Seq((ta, tb, r6(dd), r6(p))).toDF("n_a", "n_b", "d", "p")
+    },
+    Some(s"""
+      WITH u AS (SELECT round(value * 100)::BIGINT AS v, $armSql AS g
+                 FROM events WHERE event_type = 'purchase'),
+      roll AS (SELECT v,
+                 sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+               FROM u GROUP BY v),
+      tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM roll),
+      c AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                   sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+            FROM roll),
+      dm AS (SELECT max(abs(ca::HUGEINT * tb - cb::HUGEINT * ta)) AS dnum FROM c, tot),
+      lm AS (SELECT ta, tb, dnum,
+               (dnum::DOUBLE / (ta::DOUBLE * tb)) * sqrt(ta::DOUBLE * tb / (ta + tb)) AS l
+             FROM dm, tot),
+      pp AS (SELECT sum(round((CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                      * exp(-2.0 * k * k * l * l) * 1000000)::BIGINT)::BIGINT AS sp
+             FROM lm, generate_series(1, 50) AS t(k))
+      SELECT ta AS n_a, tb AS n_b,
+             round(dnum::DOUBLE / (ta::DOUBLE * tb), 6) AS d,
+             CASE WHEN dnum = 0 THEN 1.0
+                  ELSE round(least(1.0, greatest(0.0, 2.0 * sp / 1000000.0)), 6) END AS p
+      FROM lm, pp
+    """),
+  )
+
+  /** CUPED variance-reduced A/B lift (Deng et al. 2013, public): the
+    * pre-period covariate adjustment every mature experimentation
+    * platform applies before reading a lift. Pre/post split at the
+    * integer midpoint of the corpus time range; per-user purchase
+    * cents in each period (exact int64), θ = cov(x,y)/var(x) from
+    * exact decimal(38,0) product sums via the textbook
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) identity — BigInt on the Spark
+    * side, HUGEINT in DuckDB, so θ is bit-replayable. Adjusted arm
+    * means subtract θ·(x̄_arm − x̄) in one fixed op order.
+    */
+  val qCuped: Q = Q(
+    "q_cuped",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val mm = ev.agg(min(expr("cast(ts as long)")).as("mn"),
+        max(expr("cast(ts as long)")).as("mx")).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val cents = round(col("value") * 100).cast("long")
+      val u = ev.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" &&
+            expr("cast(ts as long)") < lit(mid), cents).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" &&
+            expr("cast(ts as long)") >= lit(mid), cents).otherwise(0L)).as("y"))
+        .select(col("x"), col("y"), arm(col("user_id")).as("g"))
+      val r = u.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 0, col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("g") === 0, col("y")).otherwise(0L)).as("sya"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("g") === 1, col("x")).otherwise(0L)).as("sxb"),
+        sum(when(col("g") === 1, col("y")).otherwise(0L)).as("syb")).head()
+      val n = r.getLong(0)
+      val (sx, sy) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)))
+      val sxy = BigDecimal(r.getDecimal(3)).toBigInt
+      val sxx = BigDecimal(r.getDecimal(4)).toBigInt
+      val (na, sxa, sya) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      val (nb, sxb, syb) = (r.getLong(8), r.getLong(9), r.getLong(10))
+      val num = BigInt(n) * sxy - sx * sy
+      val den = BigInt(n) * sxx - sx * sx
+      val theta = num.toDouble / den.toDouble
+      val xbar = sx.toDouble / n
+      val liftRaw = syb.toDouble / nb - sya.toDouble / na
+      val adjA = sya.toDouble / na - theta * (sxa.toDouble / na - xbar)
+      val adjB = syb.toDouble / nb - theta * (sxb.toDouble / nb - xbar)
+      Seq((na, nb, r6(theta), r6(liftRaw), r6(adjB - adjA)))
+        .toDF("n_a", "n_b", "theta", "lift_raw", "lift_cuped")
+    },
+    Some(s"""
+      WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx FROM events),
+      u AS (SELECT user_id,
+              sum(CASE WHEN event_type = 'purchase' AND epoch_ns(ts) < mn + (mx - mn) // 2
+                       THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+              sum(CASE WHEN event_type = 'purchase' AND epoch_ns(ts) >= mn + (mx - mn) // 2
+                       THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y,
+              $armSql AS g
+            FROM events, mm GROUP BY user_id),
+      a AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+              sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+              sum(CASE WHEN g = 0 THEN x ELSE 0 END)::BIGINT AS sxa,
+              sum(CASE WHEN g = 0 THEN y ELSE 0 END)::BIGINT AS sya,
+              sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS nb,
+              sum(CASE WHEN g = 1 THEN x ELSE 0 END)::BIGINT AS sxb,
+              sum(CASE WHEN g = 1 THEN y ELSE 0 END)::BIGINT AS syb
+            FROM u),
+      th AS (SELECT *,
+               (n * sxy - sx::HUGEINT * sy)::DOUBLE / (n * sxx - sx::HUGEINT * sx)::DOUBLE AS theta,
+               sx::DOUBLE / n AS xbar
+             FROM a)
+      SELECT na AS n_a, nb AS n_b, round(theta, 6) AS theta,
+             round(syb::DOUBLE / nb - sya::DOUBLE / na, 6) AS lift_raw,
+             round((syb::DOUBLE / nb - theta * (sxb::DOUBLE / nb - xbar))
+                 - (sya::DOUBLE / na - theta * (sxa::DOUBLE / na - xbar)), 6) AS lift_cuped
+      FROM th
+    """),
+  )
+
+  /** Difference-in-differences over the (md5 arm × pre/post) grid at
+    * the purchase-EVENT grain (q_cuped measures user-grain totals;
+    * this is the per-transaction value movement): four cell means
+    * from exact cents sums / exact counts, DiD = (B_post − B_pre) −
+    * (A_post − A_pre) in one fixed op order.
+    */
+  val qDiffInDiff: Q = Q(
+    "q_diff_in_diff",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val mm = ev.agg(min(expr("cast(ts as long)")).as("mn"),
+        max(expr("cast(ts as long)")).as("mx")).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val r = ev.where(col("event_type") === "purchase")
+        .select(round(col("value") * 100).cast("long").as("c"),
+          arm(col("user_id")).as("g"),
+          when(expr("cast(ts as long)") < lit(mid), 0).otherwise(1).as("per"))
+        .agg(
+          sum(when(col("g") === 0 && col("per") === 0, 1L).otherwise(0L)).as("n00"),
+          sum(when(col("g") === 0 && col("per") === 0, col("c")).otherwise(0L)).as("s00"),
+          sum(when(col("g") === 0 && col("per") === 1, 1L).otherwise(0L)).as("n01"),
+          sum(when(col("g") === 0 && col("per") === 1, col("c")).otherwise(0L)).as("s01"),
+          sum(when(col("g") === 1 && col("per") === 0, 1L).otherwise(0L)).as("n10"),
+          sum(when(col("g") === 1 && col("per") === 0, col("c")).otherwise(0L)).as("s10"),
+          sum(when(col("g") === 1 && col("per") === 1, 1L).otherwise(0L)).as("n11"),
+          sum(when(col("g") === 1 && col("per") === 1, col("c")).otherwise(0L)).as("s11"))
+        .head()
+      val (n00, s00) = (r.getLong(0), r.getLong(1))
+      val (n01, s01) = (r.getLong(2), r.getLong(3))
+      val (n10, s10) = (r.getLong(4), r.getLong(5))
+      val (n11, s11) = (r.getLong(6), r.getLong(7))
+      val (mAPre, mAPost) = (s00.toDouble / n00, s01.toDouble / n01)
+      val (mBPre, mBPost) = (s10.toDouble / n10, s11.toDouble / n11)
+      Seq((r6(mAPre), r6(mAPost), r6(mBPre), r6(mBPost),
+        r6((mBPost - mBPre) - (mAPost - mAPre))))
+        .toDF("mean_a_pre", "mean_a_post", "mean_b_pre", "mean_b_post", "did")
+    },
+    Some(s"""
+      WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx FROM events),
+      e AS (SELECT round(value * 100)::BIGINT AS c, $armSql AS g,
+              CASE WHEN epoch_ns(ts) < mn + (mx - mn) // 2 THEN 0 ELSE 1 END AS per
+            FROM events, mm WHERE event_type = 'purchase'),
+      a AS (SELECT
+          sum(CASE WHEN g = 0 AND per = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+          sum(CASE WHEN g = 0 AND per = 0 THEN c ELSE 0 END)::BIGINT AS s00,
+          sum(CASE WHEN g = 0 AND per = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+          sum(CASE WHEN g = 0 AND per = 1 THEN c ELSE 0 END)::BIGINT AS s01,
+          sum(CASE WHEN g = 1 AND per = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+          sum(CASE WHEN g = 1 AND per = 0 THEN c ELSE 0 END)::BIGINT AS s10,
+          sum(CASE WHEN g = 1 AND per = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+          sum(CASE WHEN g = 1 AND per = 1 THEN c ELSE 0 END)::BIGINT AS s11
+        FROM e)
+      SELECT round(s00::DOUBLE / n00, 6) AS mean_a_pre,
+             round(s01::DOUBLE / n01, 6) AS mean_a_post,
+             round(s10::DOUBLE / n10, 6) AS mean_b_pre,
+             round(s11::DOUBLE / n11, 6) AS mean_b_post,
+             round((s11::DOUBLE / n11 - s10::DOUBLE / n10)
+                 - (s01::DOUBLE / n01 - s00::DOUBLE / n00), 6) AS did
+      FROM a
+    """),
+  )
+
+  /** Kaplan–Meier user-retention curve: lifetime = (last − first)
+    * event day per user, right-censored when the user was still
+    * active in the final 7 days of the corpus. The data-scale passes
+    * are the per-user rollup and the day-grain (deaths, censored)
+    * rollup; the ≤O(days) curve itself is fit-state-sized, so the
+    * sequential survival product runs on the driver (the gini/KS
+    * head() pattern) with per-step ln factors micro-quantized —
+    * the cumulative micro sum is an order-free integer, and
+    * surv = exp(cum/1e6) replays in DuckDB's window mirror. A day
+    * where every remaining at-risk user dies gets the fixed
+    * −138e9 micro floor (exp underflows to exactly 0.0 in both
+    * engines) instead of ln(0) = −∞.
+    */
+  val qSurvivalKm: Q = Q(
+    "q_survival_km",
+    (s, dir) => {
+      import s.implicits._
+      val dayNs = 86400000000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as long)").as("t"))
+      val mx = ev.agg(max(col("t"))).head().getLong(0)
+      val roll = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as long)").as("t"))
+        .groupBy(col("user_id"))
+        .agg(min(col("t")).as("f"), max(col("t")).as("l"))
+        .select(expr(s"(l - f) div $dayNs").as("day"),
+          when(lit(mx) - col("l") < lit(7L * dayNs), 1).otherwise(0).as("cens"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("cens") === 0, 1L).otherwise(0L)).as("deaths"),
+          sum(col("cens").cast("long")).as("censored"))
+        .orderBy(col("day"))
+        .collect()
+      var atRisk = roll.map(r => r.getLong(1) + r.getLong(2)).sum
+      var cum = 0L
+      val out = roll.map { r =>
+        val (day, deaths, cens) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val nr = atRisk
+        if (deaths > 0) {
+          cum += (if (deaths == nr) -138000000000L
+            else rL(math.log(1 - deaths.toDouble / nr) * 1e6))
+        }
+        atRisk -= deaths + cens
+        (day, nr, deaths, cens, r6(math.exp(cum / 1e6)))
+      }.toSeq
+      out.toDF("day", "n_risk", "deaths", "censored", "surv")
+    },
+    Some("""
+      WITH mx AS (SELECT max(epoch_ns(ts)) AS mt FROM events),
+      u AS (SELECT user_id, min(epoch_ns(ts)) AS f, max(epoch_ns(ts)) AS l
+            FROM events GROUP BY 1),
+      lab AS (SELECT (l - f) // 86400000000000 AS day,
+                CASE WHEN (mt - l) < 604800000000000 THEN 1 ELSE 0 END AS cens
+              FROM u, mx),
+      roll AS (SELECT day,
+                 sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END)::BIGINT AS deaths,
+                 sum(cens)::BIGINT AS censored
+               FROM lab GROUP BY day),
+      tot AS (SELECT count(*)::BIGINT AS n FROM lab),
+      r2 AS (SELECT day, deaths, censored,
+               ((SELECT n FROM tot) - coalesce(sum(deaths + censored) OVER
+                 (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+             FROM roll),
+      r3 AS (SELECT day, deaths, censored, n_risk,
+               CASE WHEN deaths = 0 THEN 0
+                    WHEN deaths = n_risk THEN -138000000000
+                    ELSE round(ln(1 - deaths::DOUBLE / n_risk) * 1000000)::BIGINT END AS lnm
+             FROM r2)
+      SELECT day, n_risk, deaths, censored,
+             round(exp(sum(lnm) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) / 1000000.0), 6) AS surv
+      FROM r3
+    """),
+  )
+
+  /** Referential-integrity audit over the full TPC-H-ish FK graph —
+    * the data-quality gate a warehouse runs before trusting a join
+    * (an orphaned key silently DROPS rows from every inner join
+    * downstream). One left join + exact counts per edge; dimension
+    * parents broadcast under the default threshold, the fact-fact
+    * edge (lineitem→orders) shuffles on its key like any data-scale
+    * join. Null child keys are not violations (SQL FK semantics).
+    */
+  val qFkViolations: Q = Q(
+    "q_fk_violations",
+    (s, dir) => {
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("pk")).distinct(),
+            col("k") === col("pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("k").isNotNull && col("pk").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+      val p = Tables.part(s, dir); val na = Tables.nation(s, dir)
+      val re = Tables.region(s, dir); val ev = Tables.events(s, dir)
+      Seq(
+        edge("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem_part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem_supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("orders_customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer_nation", c, "c_nationkey", na, "n_nationkey"),
+        edge("supplier_nation", su, "s_nationkey", na, "n_nationkey"),
+        edge("nation_region", na, "n_regionkey", re, "r_regionkey"),
+        edge("events_customer", ev, "user_id", c, "c_custkey"),
+      ).reduce(_.unionAll(_))
+    },
+    Some {
+      def e(name: String, child: String, ck: String,
+            parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk, count(*)::BIGINT AS n_child,
+           sum(CASE WHEN c.$ck IS NOT NULL AND pp.$pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+           FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) pp ON c.$ck = pp.$pk"""
+      Seq(
+        e("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        e("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        e("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        e("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        e("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        e("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        e("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+        e("events_customer", "events", "user_id", "customer", "c_custkey"),
+      ).mkString("\n UNION ALL \n")
+    },
+  )
+
+  /** Two full gradient-descent steps of logistic regression (bias +
+    * event count + purchase count → high-intent label), the
+    * distributed-ML-step family next to `q_kmeans_step` /
+    * `q_pagerank_step` / `q_pca_power`. Step 1 from w=0 is EXACTLY
+    * integral (σ(0)=½ ⇒ 2·grad = Σ(1−2y)·x, an int64 sum); published
+    * weights are micro-quantized after each step, so step 2's per-row
+    * σ(w·x) evaluates on exact micro rationals and its gradient terms
+    * micro-quantize into an order-free int sum — the whole fit
+    * replays bit-for-bit. Three aggregate passes over ONE
+    * materialized user rollup (§13); log-loss clamps p away from
+    * exact 0/1 (1e-12) in both engines so saturated rows stay finite.
+    */
+  val qLogregStep: Q = Q(
+    "q_logreg_step",
+    (s, dir) => {
+      import s.implicits._
+      val lr = 0.1
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"))
+        .select(col("x1"), col("x2"),
+          when(col("x2") >= 14, 1L).otherwise(0L).as("y"))
+        .localCheckpoint()
+      val g1 = u.agg(count(lit(1)).as("n"),
+        sum(lit(1L) - lit(2L) * col("y")).as("g0t"),
+        sum((lit(1L) - lit(2L) * col("y")) * col("x1")).as("g1t"),
+        sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2t")).head()
+      val n = g1.getLong(0)
+      def w1m(gt: Long): Long = rL(-lr * (gt.toDouble / 2 / n) * 1e6)
+      val (wa, wb, wc) = (w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)))
+      val z1 = (lit(wa) + lit(wb) * col("x1") + lit(wc) * col("x2"))
+        .cast("double") / lit(1e6)
+      val p1 = lit(1.0) / (lit(1.0) + exp(-z1))
+      val g2 = u.select(col("y"), col("x1"), col("x2"), p1.as("p"))
+        .agg(
+          sum(round((col("p") - col("y")) * lit(1e6)).cast("long")).as("h0"),
+          sum(round((col("p") - col("y")) * col("x1") * lit(1e6)).cast("long")).as("h1"),
+          sum(round((col("p") - col("y")) * col("x2") * lit(1e6)).cast("long")).as("h2"))
+        .head()
+      def w2m(w1: Long, hm: Long): Long =
+        rL((w1 / 1e6 - lr * ((hm / 1e6) / n)) * 1e6)
+      val (va, vb, vc) = (w2m(wa, g2.getLong(0)), w2m(wb, g2.getLong(1)),
+        w2m(wc, g2.getLong(2)))
+      val z2i = lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2")
+      val p2 = lit(1.0) / (lit(1.0) + exp(-(z2i.cast("double") / lit(1e6))))
+      val fin = u.select(col("y"), z2i.as("zi"), p2.as("p2"))
+        .agg(
+          sum(when((col("zi") > 0) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"),
+          sum(round((-(col("y") * log(greatest(col("p2"), lit(1e-12))) +
+            (lit(1L) - col("y")) * log(greatest(lit(1.0) - col("p2"), lit(1e-12)))))
+            * lit(1e6)).cast("long")).as("llm")).head()
+      val acc = fin.getLong(0).toDouble / n
+      val loss = (fin.getLong(1).toDouble / n) / 1e6
+      Seq((n, r6(va / 1e6), r6(vb / 1e6), r6(vc / 1e6), r6(acc), r6(loss)))
+        .toDF("n", "w_bias", "w_events", "w_purch", "acc", "log_loss")
+    },
+    Some("""
+      WITH u AS (SELECT count(*)::BIGINT AS x1,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x2
+             FROM events GROUP BY user_id),
+      u2 AS (SELECT x1, x2, (CASE WHEN x2 >= 14 THEN 1 ELSE 0 END)::BIGINT AS y FROM u),
+      g1 AS (SELECT count(*)::BIGINT AS n, sum(1 - 2 * y)::BIGINT AS g0t,
+               sum((1 - 2 * y) * x1)::BIGINT AS g1t,
+               sum((1 - 2 * y) * x2)::BIGINT AS g2t FROM u2),
+      w1 AS (SELECT n,
+               round(-0.1 * (g0t::DOUBLE / 2 / n) * 1000000)::BIGINT AS wa,
+               round(-0.1 * (g1t::DOUBLE / 2 / n) * 1000000)::BIGINT AS wb,
+               round(-0.1 * (g2t::DOUBLE / 2 / n) * 1000000)::BIGINT AS wc
+             FROM g1),
+      pr AS (SELECT y, x1, x2,
+               1.0 / (1.0 + exp(-((wa + wb * x1 + wc * x2)::DOUBLE / 1000000.0))) AS p
+             FROM u2, w1),
+      g2 AS (SELECT sum(round((p - y) * 1000000)::BIGINT)::BIGINT AS h0,
+                    sum(round((p - y) * x1 * 1000000)::BIGINT)::BIGINT AS h1,
+                    sum(round((p - y) * x2 * 1000000)::BIGINT)::BIGINT AS h2
+             FROM pr),
+      w2 AS (SELECT n,
+               round((wa / 1000000.0 - 0.1 * ((h0 / 1000000.0) / n)) * 1000000)::BIGINT AS va,
+               round((wb / 1000000.0 - 0.1 * ((h1 / 1000000.0) / n)) * 1000000)::BIGINT AS vb,
+               round((wc / 1000000.0 - 0.1 * ((h2 / 1000000.0) / n)) * 1000000)::BIGINT AS vc
+             FROM w1, g2),
+      fin AS (SELECT
+          sum(CASE WHEN ((va + vb * x1 + vc * x2) > 0) = (y = 1) THEN 1 ELSE 0 END)::BIGINT AS ok,
+          sum(round((-(y * ln(greatest(1.0 / (1.0 + exp(-((va + vb * x1 + vc * x2)::DOUBLE / 1000000.0))), 1e-12))
+              + (1 - y) * ln(greatest(1.0 - 1.0 / (1.0 + exp(-((va + vb * x1 + vc * x2)::DOUBLE / 1000000.0))), 1e-12))))
+              * 1000000)::BIGINT)::BIGINT AS llm
+        FROM u2, w2)
+      SELECT n, round(va / 1000000.0, 6) AS w_bias,
+             round(vb / 1000000.0, 6) AS w_events,
+             round(vc / 1000000.0, 6) AS w_purch,
+             round(ok::DOUBLE / n, 6) AS acc,
+             round((llm::DOUBLE / n) / 1000000.0, 6) AS log_loss
+      FROM w2, fin
+    """),
+  )
+
+  /** Best single-feature decision stump (event count → high-intent
+    * label) by weighted Gini impurity — the split search inside every
+    * tree learner, run once over the DISTINCT-VALUE rollup: candidate
+    * thresholds are the value grain (map-side-combined counts), left
+    * counts come from the cumulative window over that bounded grain,
+    * per-candidate impurity is a fixed-order double over exact counts
+    * (squares in decimal/HUGEINT so the arithmetic survives any row
+    * count), and the argmin key is the nano-quantized impurity with
+    * the threshold as tie-break — identical rank order in both
+    * engines.
+    */
+  val qDecisionStump: Q = Q(
+    "q_decision_stump",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("x"), when(col("np") >= 14, 1L).otherwise(0L).as("y"))
+      val roll = u.groupBy(col("x"))
+        .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+        .localCheckpoint()
+      val t = roll.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0")).head()
+      val (t1, t0) = (t.getLong(0), t.getLong(1))
+      val n = t1 + t0
+      val w = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nl = col("l1") + col("l0")
+      val nr = col("r1") + col("r0")
+      val gl = nl.cast("double") -
+        (col("l1").cast("decimal(38,0)") * col("l1") +
+          col("l0").cast("decimal(38,0)") * col("l0")).cast("double") / nl
+      val gr = nr.cast("double") -
+        (col("r1").cast("decimal(38,0)") * col("r1") +
+          col("r0").cast("decimal(38,0)") * col("r0")).cast("double") / nr
+      val imp = (gl + gr) / lit(n.toDouble)
+      val best = roll
+        .select(col("x"), sum(col("c1")).over(w).as("l1"),
+          sum(col("c0")).over(w).as("l0"))
+        .where(col("l1") + col("l0") < n)
+        .select(col("x"), col("l1"), col("l0"),
+          (lit(t1) - col("l1")).as("r1"), (lit(t0) - col("l0")).as("r0"))
+        .select(col("x"), nl.as("n_left"), nr.as("n_right"),
+          round(imp * lit(1e9)).cast("long").as("impm"), imp.as("imp"),
+          (greatest(col("l1"), col("l0")) +
+            greatest(col("r1"), col("r0"))).as("okn"))
+        .orderBy(col("impm"), col("x")).limit(1).head()
+      Seq((best.getLong(0), best.getLong(1), best.getLong(2),
+        r6(best.getDouble(4)), r6(best.getLong(5).toDouble / n)))
+        .toDF("split_x", "n_left", "n_right", "gini", "acc")
+    },
+    Some("""
+      WITH u AS (SELECT count(*)::BIGINT AS x,
+               (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                     THEN 1 ELSE 0 END)::BIGINT AS y
+             FROM events GROUP BY user_id),
+      roll AS (SELECT x, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0 FROM u GROUP BY x),
+      tot AS (SELECT sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0 FROM roll),
+      cum AS (SELECT x,
+                sum(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS l1,
+                sum(c0) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS l0
+              FROM roll),
+      cand AS (SELECT x, l1, l0, t1 - l1 AS r1, t0 - l0 AS r0
+               FROM cum, tot WHERE l1 + l0 < t1 + t0),
+      sc AS (SELECT x, l1 + l0 AS n_left, r1 + r0 AS n_right,
+               (((l1 + l0) - (l1::HUGEINT * l1 + l0::HUGEINT * l0)::DOUBLE / (l1 + l0))
+                + ((r1 + r0) - (r1::HUGEINT * r1 + r0::HUGEINT * r0)::DOUBLE / (r1 + r0)))
+                 / (SELECT t1 + t0 FROM tot) AS imp,
+               greatest(l1, l0) + greatest(r1, r0) AS okn
+             FROM cand),
+      b AS (SELECT * FROM sc
+            ORDER BY round(imp * 1000000000)::BIGINT, x LIMIT 1)
+      SELECT x AS split_x, n_left, n_right, round(imp, 6) AS gini,
+             round(okn::DOUBLE / (SELECT t1 + t0 FROM tot), 6) AS acc
+      FROM b
+    """),
+  )
+
+  /** Multinomial Naive Bayes language classifier over the documents
+    * corpus — train on the 80% md5 hash split (the `text_hash_split`
+    * convention), classify the held-out 20%, emit the confusion
+    * matrix. The model is two bounded rollups (token×class counts,
+    * class totals + priors); classification explodes each test
+    * occurrence by the literal class array (bounded ×|classes|, no
+    * nested-loop join) and left-joins the count grid on (token,
+    * class) — shuffle keyed on the token, never all-pairs. Laplace
+    * log-probabilities micro-quantize per occurrence so each doc's
+    * class score is an order-free int sum + integer prior; argmax
+    * tie-breaks on class name. Replays bit-for-bit in DuckDB.
+    */
+  val qNaiveBayes: Q = Q(
+    "q_naive_bayes",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val b = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(10))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ", -1).as("ws"), b.as("b"))
+      val train = docs.where(col("b") < 8)
+      val test = docs.where(col("b") >= 8)
+      val toks = train.select(col("lang"), explode(col("ws")).as("w"))
+        .localCheckpoint()
+      val tc = toks.groupBy(col("w"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .select(col("w").as("tw"), col("lang").as("tl"), col("cnt"))
+      val vocabV = toks.select(col("w")).distinct().count()
+      val ctRows = toks.groupBy(col("lang")).agg(count(lit(1)).as("totc")).collect()
+      val dcRows = train.groupBy(col("lang")).agg(count(lit(1)).as("nd")).collect()
+      val ndt = dcRows.map(_.getLong(1)).sum
+      val clsArr = array(ctRows.sortBy(_.getString(0)).map { r =>
+        val lang = r.getString(0)
+        val nd = dcRows.find(_.getString(0) == lang).get.getLong(1)
+        struct(lit(lang).as("cl"), lit(r.getLong(1)).as("totc"),
+          lit(rL(math.log(nd.toDouble / ndt) * 1e6)).as("priorm"))
+      }.toSeq: _*)
+      val pairs = test.select(col("doc_id"), explode(col("ws")).as("w"))
+        .select(col("doc_id"), col("w"), explode(clsArr).as("c"))
+        .select(col("doc_id"), col("w"), col("c.cl"), col("c.totc"), col("c.priorm"))
+      val term = round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+        (col("totc") + lit(vocabV))) * lit(1e6)).cast("long")
+      val scores = pairs
+        .join(tc, pairs("w") === tc("tw") && pairs("cl") === tc("tl"), "left")
+        .groupBy(col("doc_id"), col("cl"), col("priorm"))
+        .agg(sum(term).as("st"))
+        .select(col("doc_id"), col("cl"), (col("st") + col("priorm")).as("sc"))
+      val wd = Window.partitionBy(col("doc_id"))
+        .orderBy(col("sc").desc, col("cl"))
+      scores.withColumn("rk", row_number().over(wd)).where(col("rk") === 1)
+        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("cl").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("pred"), col("n"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws,
+               ${OracleExact.h16Sql("md5(doc_id::VARCHAR)")} % 10 AS b
+             FROM documents),
+      train AS (SELECT * FROM d WHERE b < 8),
+      test AS (SELECT * FROM d WHERE b >= 8),
+      toks AS (SELECT lang, unnest(ws) AS w FROM train),
+      tc AS (SELECT w, lang, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+      ct AS (SELECT lang, count(*)::BIGINT AS totc FROM toks GROUP BY 1),
+      vv AS (SELECT count(DISTINCT w)::BIGINT AS v FROM toks),
+      dc AS (SELECT lang, count(*)::BIGINT AS nd FROM train GROUP BY 1),
+      nt AS (SELECT count(*)::BIGINT AS ndt FROM train),
+      cls AS (SELECT ct.lang AS cl, ct.totc,
+                round(ln(dc.nd::DOUBLE / (SELECT ndt FROM nt)) * 1000000)::BIGINT AS priorm
+              FROM ct JOIN dc ON ct.lang = dc.lang),
+      occ AS (SELECT doc_id, unnest(ws) AS w FROM test),
+      terms AS (SELECT o.doc_id, c.cl, c.priorm,
+                  round(ln((coalesce(tc.cnt, 0) + 1)::DOUBLE /
+                    (c.totc + (SELECT v FROM vv))) * 1000000)::BIGINT AS tm
+                FROM occ o CROSS JOIN cls c
+                LEFT JOIN tc ON o.w = tc.w AND c.cl = tc.lang),
+      scores AS (SELECT doc_id, cl, sum(tm)::BIGINT + priorm AS sc
+                 FROM terms GROUP BY doc_id, cl, priorm),
+      pred AS (SELECT doc_id, cl,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, cl) AS rk
+               FROM scores)
+      SELECT t.lang, p.cl AS pred, count(*)::BIGINT AS n
+      FROM pred p JOIN test t ON p.doc_id = t.doc_id
+      WHERE p.rk = 1 GROUP BY 1, 2
+    """),
+  )
+
+  val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
+    qLogregStep, qDecisionStump, qNaiveBayes)
+}
