@@ -269,39 +269,46 @@ object StatsQueries {
     * −138e9 micro floor (exp underflows to exactly 0.0 in both
     * engines) instead of ln(0) = −∞.
     */
+  /** KM tail shared with the streaming twin: (user_id, f, l) spans →
+    * day-grain (deaths, censored) rollup → driver-side survival
+    * product over the ≤O(days) curve.
+    */
+  private[queries] def kmCurve(spans: DataFrame): DataFrame = {
+    val s = spans.sparkSession
+    import s.implicits._
+    val dayNs = 86400000000000L
+    val sp = spans.localCheckpoint()
+    val mx = sp.agg(max(col("l"))).head().getLong(0)
+    val roll = sp
+      .select(expr(s"(l - f) div $dayNs").as("day"),
+        when(lit(mx) - col("l") < lit(7L * dayNs), 1).otherwise(0).as("cens"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("cens") === 0, 1L).otherwise(0L)).as("deaths"),
+        sum(col("cens").cast("long")).as("censored"))
+      .orderBy(col("day"))
+      .collect()
+    var atRisk = roll.map(r => r.getLong(1) + r.getLong(2)).sum
+    var cum = 0L
+    val out = roll.map { r =>
+      val (day, deaths, cens) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val nr = atRisk
+      if (deaths > 0) {
+        cum += (if (deaths == nr) -138000000000L
+          else rL(math.log(1 - deaths.toDouble / nr) * 1e6))
+      }
+      atRisk -= deaths + cens
+      (day, nr, deaths, cens, r6(math.exp(cum / 1e6)))
+    }.toSeq
+    out.toDF("day", "n_risk", "deaths", "censored", "surv")
+  }
+
   val qSurvivalKm: Q = Q(
     "q_survival_km",
-    (s, dir) => {
-      import s.implicits._
-      val dayNs = 86400000000000L
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), expr("cast(ts as long)").as("t"))
-      val mx = ev.agg(max(col("t"))).head().getLong(0)
-      val roll = Tables.events(s, dir)
+    (s, dir) => kmCurve(
+      Tables.events(s, dir)
         .select(col("user_id"), expr("cast(ts as long)").as("t"))
         .groupBy(col("user_id"))
-        .agg(min(col("t")).as("f"), max(col("t")).as("l"))
-        .select(expr(s"(l - f) div $dayNs").as("day"),
-          when(lit(mx) - col("l") < lit(7L * dayNs), 1).otherwise(0).as("cens"))
-        .groupBy(col("day"))
-        .agg(sum(when(col("cens") === 0, 1L).otherwise(0L)).as("deaths"),
-          sum(col("cens").cast("long")).as("censored"))
-        .orderBy(col("day"))
-        .collect()
-      var atRisk = roll.map(r => r.getLong(1) + r.getLong(2)).sum
-      var cum = 0L
-      val out = roll.map { r =>
-        val (day, deaths, cens) = (r.getLong(0), r.getLong(1), r.getLong(2))
-        val nr = atRisk
-        if (deaths > 0) {
-          cum += (if (deaths == nr) -138000000000L
-            else rL(math.log(1 - deaths.toDouble / nr) * 1e6))
-        }
-        atRisk -= deaths + cens
-        (day, nr, deaths, cens, r6(math.exp(cum / 1e6)))
-      }.toSeq
-      out.toDF("day", "n_risk", "deaths", "censored", "surv")
-    },
+        .agg(min(col("t")).as("f"), max(col("t")).as("l"))),
     Some("""
       WITH mx AS (SELECT max(epoch_ns(ts)) AS mt FROM events),
       u AS (SELECT user_id, min(epoch_ns(ts)) AS f, max(epoch_ns(ts)) AS l
@@ -649,6 +656,131 @@ object StatsQueries {
     """),
   )
 
+  /** One-way ANOVA of event value across event types: the k-bounded
+    * group rollup carries exact micro sums (Σm as decimal, Σm² in
+    * micro²-value units), per-group squared-sum terms quantize to
+    * micro-value² ints (bounded magnitude, order-free k-term sums —
+    * the cross-engine double-summation hazard removed), and
+    * F = (SSB/(k−1)) / (SSW/(N−k)) assembles from those ints in one
+    * fixed op order. F and the sums are reported; a p-value would
+    * need the incomplete beta (no closed mirror) — the caller
+    * compares F against their df table.
+    */
+  val qAnova: Q = Q(
+    "q_anova",
+    (s, dir) => {
+      import s.implicits._
+      val g = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * lit(1e6)).cast("long").as("m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("m").cast("decimal(38,0)")).as("sm"),
+          sum(col("m").cast("decimal(38,0)") * col("m")).as("qm"))
+        .collect()
+      val k = g.length.toLong
+      val n = g.map(_.getLong(1)).sum
+      val sTot = g.map(r => BigDecimal(r.getDecimal(2))).sum
+      def term(sg: BigDecimal, ng: Long): Long =
+        rL((sg.toDouble * sg.toDouble / ng) / 1e12 * 1e6)
+      val a = g.map(r => term(BigDecimal(r.getDecimal(2)), r.getLong(1))).sum
+      val qmSum = g.map(r => rL(BigDecimal(r.getDecimal(3)).toDouble / 1e12 * 1e6)).sum
+      val cf = term(sTot, n)
+      val ssb = (a - cf) / 1e6
+      val ssw = (qmSum - a) / 1e6
+      val f = (ssb / (k - 1)) / (ssw / (n - k))
+      Seq((k, n, r6(ssb), r6(ssw), r6(f)))
+        .toDF("k", "n", "ssb", "ssw", "f")
+    },
+    Some("""
+      WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+               sum(round(value * 1000000)::BIGINT)::HUGEINT AS sm,
+               sum(round(value * 1000000)::BIGINT::HUGEINT
+                   * round(value * 1000000)::BIGINT) AS qm
+             FROM events GROUP BY event_type),
+      t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+              sum(round((sm::DOUBLE * sm::DOUBLE / n) / 1000000000000.0 * 1000000.0)::BIGINT)::BIGINT AS a,
+              sum(round(qm::DOUBLE / 1000000000000.0 * 1000000.0)::BIGINT)::BIGINT AS q,
+              sum(sm)::HUGEINT AS stot
+            FROM g),
+      f AS (SELECT k, n, a, q,
+              round((stot::DOUBLE * stot::DOUBLE / n) / 1000000000000.0 * 1000000.0)::BIGINT AS cf
+            FROM t)
+      SELECT k, n,
+             round((a - cf) / 1000000.0, 6) AS ssb,
+             round((q - a) / 1000000.0, 6) AS ssw,
+             round((((a - cf) / 1000000.0) / (k - 1)) / (((q - a) / 1000000.0) / (n - k)), 6) AS f
+      FROM f
+    """),
+  )
+
+  /** Deterministic Poisson bootstrap CI for mean user revenue — the
+    * one-pass, hash-derived resampling every large-scale metrics
+    * platform uses instead of materializing B resamples: each of
+    * B=200 replicates draws a Poisson(1) weight per user from
+    * md5(user‖b) against the fixed inverse-CDF thresholds on the
+    * 16-bit hash (weights capped at 7, exact integer comparisons —
+    * no RNG, fully replayable). The data-scale pass is one ×B
+    * explode into a (b)-keyed exact rollup; the 200-row replicate
+    * table ranks on the driver side of the plan (bounded), CI bounds
+    * are the 6th / 195th ordered means (2.5 / 97.5 percentile,
+    * (mean, b) tie order).
+    */
+  val qBootstrapCi: Q = Q(
+    "q_bootstrap_ci",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        .localCheckpoint()
+      val t = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx")).head()
+      val (nU, sx) = (t.getLong(0), t.getLong(1))
+      val h = conv(substring(md5(concat(col("user_id").cast("string"),
+        lit("_"), col("b").cast("string"))), 1, 4), 16, 10).cast("long")
+      val wgt = when(h < 24109, 0L).when(h < 48218, 1L).when(h < 60273, 2L)
+        .when(h < 64291, 3L).when(h < 65296, 4L).when(h < 65497, 5L)
+        .when(h < 65530, 6L).otherwise(7L)
+      val reps = u.select(col("user_id"), col("x"),
+          explode(sequence(lit(0L), lit(199L))).as("b"))
+        .select(col("b"), col("x"), wgt.as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("x")).as("swx"),
+          sum(col("w")).as("sw"))
+        .select(col("b"), (col("swx").cast("double") / col("sw")).as("mb"))
+      val wr = Window.orderBy(col("mb"), col("b"))
+      val ranked = reps.withColumn("rk", row_number().over(wr))
+        .where(col("rk") === 6 || col("rk") === 195)
+        .orderBy(col("rk")).collect()
+      Seq((nU, r6(sx.toDouble / nU), r6(ranked(0).getDouble(1)),
+        r6(ranked(1).getDouble(1))))
+        .toDF("n_users", "mean", "lo", "hi")
+    },
+    Some(s"""
+      WITH u AS (SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS x
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM u),
+      reps AS (SELECT b.b, u.x,
+                 ${OracleExact.h16Sql("md5(user_id::VARCHAR || '_' || b.b::VARCHAR)")} AS h
+               FROM u CROSS JOIN generate_series(0, 199) AS b(b)),
+      ww AS (SELECT b, x,
+               CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1
+                    WHEN h < 60273 THEN 2 WHEN h < 64291 THEN 3
+                    WHEN h < 65296 THEN 4 WHEN h < 65497 THEN 5
+                    WHEN h < 65530 THEN 6 ELSE 7 END::BIGINT AS w
+             FROM reps),
+      mb AS (SELECT b, sum(w::HUGEINT * x)::DOUBLE / sum(w) AS mb
+             FROM ww GROUP BY b),
+      rk AS (SELECT mb, row_number() OVER (ORDER BY mb, b) AS rk FROM mb)
+      SELECT t.n AS n_users, round(sx::DOUBLE / n, 6) AS mean,
+             round((SELECT mb FROM rk WHERE rk = 6), 6) AS lo,
+             round((SELECT mb FROM rk WHERE rk = 195), 6) AS hi
+      FROM t
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
-    qLogregStep, qDecisionStump, qNaiveBayes)
+    qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi)
 }

@@ -1059,6 +1059,31 @@ object StreamingQueries {
     },
     PipelineQueries.qPsi.oracle)
 
+  /** Streaming Kaplan–Meier twin: per-user spans track live with O(1)
+    * state (`StreamOps.userSpans` — each batch emits the widened
+    * snapshot), the drained most-advanced snapshot per user equals
+    * the batch min/max rollup, and the day-grain survival curve
+    * finishes on it via the shared `kmCurve` tail — so the live
+    * retention dashboard equals the batch `q_survival_km` row for
+    * row and shares its oracle verbatim.
+    */
+  val streamSurvivalKm: Q = Q(
+    "stream_survival_km",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.userSpans(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      val rank = Window.partitionBy(col("user_id"))
+        .orderBy(col("l").desc, col("f"))
+      StatsQueries.kmCurve(
+        drained.withColumn("__rk", row_number().over(rank))
+          .where(col("__rk") === 1)
+          .select(col("user_id"), col("f"), col("l")))
+    },
+    StatsQueries.qSurvivalKm.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1066,5 +1091,6 @@ object StreamingQueries {
     streamSessionWindow, streamAnomaly, streamHolt, streamHistogram,
     streamCountDistinct, streamEventTransitions, streamFunnel,
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
-    streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns)
+    streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns,
+    streamSurvivalKm)
 }

@@ -1394,10 +1394,45 @@ object TextQueries {
     """),
   )
 
+  /** LIX readability index (Björnsson 1968, public) — the
+    * syllable-free readability score (words/sentences +
+    * 100·longwords/words) a corpus-quality filter can compute from
+    * pure counting: words by the corpus tokenization convention,
+    * sentences by terminal-punctuation character count (translate
+    * diff — identical semantics in both engines, clamped ≥1),
+    * long words = tokens of ≥7 chars. Narrow one-pass projection,
+    * no shuffle.
+    */
+  val textLix: Q = Q(
+    "text_lix",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        split(lower(col("text")), " ", -1).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        greatest(length(col("text")) - length(translate(col("text"), ".!?", "")),
+          lit(1)).cast("long").as("n_sentences"),
+        size(filter(col("ws"), w => length(w) >= 7)).cast("long").as("n_long"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_long"),
+        round(col("n_words").cast("double") / col("n_sentences")
+          + lit(100.0) * col("n_long") / col("n_words"), 6).as("lix")),
+    Some("""
+      WITH c AS (SELECT doc_id,
+               len(string_split(lower(text), ' '))::BIGINT AS n_words,
+               greatest(length(text) - length(translate(text, '.!?', '')), 1)::BIGINT AS n_sentences,
+               len(list_filter(string_split(lower(text), ' '),
+                 w -> length(w) >= 7))::BIGINT AS n_long
+             FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_long,
+             round(n_words::DOUBLE / n_sentences + 100.0 * n_long / n_words, 6) AS lix
+      FROM c
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
     textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
-    textBpeStep)
+    textBpeStep, textLix)
 }

@@ -1990,10 +1990,62 @@ object TsQueries {
     """),
   )
 
+  /** SAX symbolization (Lin et al. 2003, public): each series splits
+    * into 8 equal row-count segments by pure integer arithmetic
+    * (((rn−1)·8) div n — no engine ntile convention on the segment
+    * boundary), PAA = the exact integer-micro mean per segment
+    * (ExactAgg.microAvg), and symbols discretize the 8 PAA values by
+    * per-series quartile rank (ntile(4) over (paa, seg) — data-driven
+    * breakpoints, no distribution assumption, deterministic ties).
+    * Per-series windows only — no global window; the output is one
+    * 8-char word per series, the index structure behind wholesale
+    * ts similarity search.
+    */
+  val tsSax: Q = Q(
+    "ts_sax",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.ExactAgg
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val seg = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as long)").as("t"),
+          col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select(col("user_id"), col("n"),
+          expr("((rn - 1) * 8) div n").as("seg"), col("value"))
+        .groupBy(col("user_id"), col("seg"))
+        .agg(max(col("n")).as("n"), ExactAgg.microAvg(col("value")).as("paa"))
+      val wRank = Window.partitionBy(col("user_id")).orderBy(col("paa"), col("seg"))
+      seg.withColumn("sym", ntile(4).over(wRank))
+        .withColumn("ch", expr("substring('abcd', sym, 1)"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          expr("array_join(transform(array_sort(collect_list(struct(seg, ch))), x -> x.ch), '')")
+            .as("sax"))
+    },
+    Some(s"""
+      WITH r AS (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+             FROM events),
+      sg AS (SELECT user_id, ((rn - 1) * 8) // n AS seg, max(n)::BIGINT AS n,
+               ${OracleExact.microAvgSql("value")} AS paa
+             FROM r GROUP BY user_id, seg),
+      sym AS (SELECT user_id, n, seg,
+                ntile(4) OVER (PARTITION BY user_id ORDER BY paa, seg) AS sym
+              FROM sg)
+      SELECT user_id, max(n)::BIGINT AS n,
+             string_agg(substr('abcd', sym, 1), '' ORDER BY seg) AS sax
+      FROM sym GROUP BY user_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
-    tsForecastEval, tsHurst, tsPeaks)
+    tsForecastEval, tsHurst, tsPeaks, tsSax)
 }

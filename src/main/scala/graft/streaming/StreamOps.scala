@@ -1111,4 +1111,35 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  final case class SpanEvent(user_id: Long, ts_ns: Long)
+  final case class SpanState(f: Long, l: Long)
+  final case class SpanRow(user_id: Long, f: Long, l: Long)
+
+  /** Streaming per-user activity span (first/last event time): O(1)
+    * state per user, each micro-batch emits the user's CURRENT span
+    * snapshot. Spans only widen, so the drained most-advanced
+    * snapshot per user (max l, then min f) equals the batch
+    * min/max rollup — the KM survival twin finishes its day-grain
+    * curve on that snapshot and shares `q_survival_km`'s oracle.
+    */
+  def userSpans(events: DataFrame): Dataset[SpanRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts_ns")).as[SpanEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpanState, SpanRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          var st = state.getOption.orNull
+          it.foreach { e =>
+            st = if (st == null) SpanState(e.ts_ns, e.ts_ns)
+              else SpanState(math.min(st.f, e.ts_ns), math.max(st.l, e.ts_ns))
+          }
+          if (st == null) Iterator.empty
+          else { state.update(st); Iterator.single(SpanRow(uid, st.f, st.l)) }
+      }
+  }
 }
