@@ -1,6 +1,7 @@
 package graft.queries
 // (pivot/unpivot coverage lives at the bottom of this registry)
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -959,21 +960,18 @@ object RelationalQueries {
     * one distributed aggregate; the scalar z/p arithmetic runs
     * driver-side in the IDENTICAL op order the oracle spells out.
     */
-  val qAbLift: Q = Q(
-    "q_ab_lift",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators.TsFeatures
-      // "high-intent" conversion: above-typical purchase count (every
-      // user makes SOME purchase in the synthetic corpus — a has-any
-      // flag would put both arms at rate 1.0 and the z-test at 0/0)
-      val u = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("np"))
-        .select(when(col("np") >= 14, 1).otherwise(0).as("conv"),
-          (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
-            .cast("long") % 2).as("g"))
-      val r = u.agg(
+  /** z-test tail shared with the streaming twin: (user_id, np) per
+    * user → arms, conversion, pooled two-proportion z + A&S p.
+    */
+  private[queries] def abLiftFromCounts(perUserNp: DataFrame): DataFrame = {
+    val s = perUserNp.sparkSession
+    import s.implicits._
+    import graft.operators.TsFeatures
+    val u = perUserNp
+      .select(when(col("np") >= 14, 1).otherwise(0).as("conv"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2).as("g"))
+    val r = u.agg(
         sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("g") === 0, col("conv")).otherwise(0)).as("k_a"),
         sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"),
@@ -993,7 +991,19 @@ object RelationalQueries {
         }
       Seq((nA, kA, r6(ra), nB, kB, r6(rb), z6, p6))
         .toDF("n_a", "k_a", "rate_a", "n_b", "k_b", "rate_b", "z", "p")
-    },
+  }
+
+  val qAbLift: Q = Q(
+    "q_ab_lift",
+    (s, dir) =>
+      // "high-intent" conversion: above-typical purchase count (every
+      // user makes SOME purchase in the synthetic corpus — a has-any
+      // flag would put both arms at rate 1.0 and the z-test at 0/0)
+      abLiftFromCounts(
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("np"))),
     Some(s"""
       WITH u AS (
         SELECT user_id,

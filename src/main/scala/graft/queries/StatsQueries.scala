@@ -781,6 +781,125 @@ object StatsQueries {
     """),
   )
 
+  /** One ALS user-factor half-step (d=2, fixed deterministic item
+    * factors q_i = (1, (i+1)/8) over the 7 day-of-week "items",
+    * ratings = per-cell event counts, ridge λ=0.1): each user's
+    * normal equations assemble from five exact int sums over their
+    * observed cells and solve by the closed 2×2 inverse — the
+    * alternating-least-squares shape (one side fixed, embarrassingly
+    * parallel per key, map-side-combined rollup) at the exact-
+    * arithmetic standard of `q_kmeans_step`/`q_pca_power`.
+    */
+  val qAlsStep: Q = Q(
+    "q_als_step",
+    (s, dir) => {
+      val lam = 0.1
+      val r = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("(cast(ts as long) div 86400000000000 + 4) % 7").as("i"))
+        .groupBy(col("user_id"), col("i"))
+        .agg(count(lit(1)).as("r"))
+      val sums = r.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("s0"),
+          sum(col("i") + 1).as("s1"),
+          sum((col("i") + 1) * (col("i") + 1)).as("s2"),
+          sum(col("r")).as("sr"),
+          sum(col("r") * (col("i") + 1)).as("sri"))
+      val a11 = col("s0").cast("double") + lit(lam)
+      val a12 = col("s1").cast("double") / lit(8.0)
+      val a22 = col("s2").cast("double") / lit(64.0) + lit(lam)
+      val b1 = col("sr").cast("double")
+      val b2 = col("sri").cast("double") / lit(8.0)
+      val det = a11 * a22 - a12 * a12
+      sums.select(col("user_id"), col("s0").as("n_items"),
+        round((a22 * b1 - a12 * b2) / det, 6).as("p1"),
+        round((a11 * b2 - a12 * b1) / det, 6).as("p2"))
+    },
+    Some("""
+      WITH r AS (SELECT user_id, (epoch_ns(ts) // 86400000000000 + 4) % 7 AS i,
+                   count(*)::BIGINT AS r FROM events GROUP BY 1, 2),
+      s AS (SELECT user_id, count(*)::BIGINT AS s0,
+              sum(i + 1)::BIGINT AS s1, sum((i + 1) * (i + 1))::BIGINT AS s2,
+              sum(r)::BIGINT AS sr, sum(r * (i + 1))::BIGINT AS sri
+            FROM r GROUP BY 1)
+      SELECT user_id, s0 AS n_items,
+             round(((s2::DOUBLE / 64.0 + 0.1) * sr::DOUBLE - (s1::DOUBLE / 8.0) * (sri::DOUBLE / 8.0))
+               / ((s0::DOUBLE + 0.1) * (s2::DOUBLE / 64.0 + 0.1) - (s1::DOUBLE / 8.0) * (s1::DOUBLE / 8.0)), 6) AS p1,
+             round(((s0::DOUBLE + 0.1) * (sri::DOUBLE / 8.0) - (s1::DOUBLE / 8.0) * sr::DOUBLE)
+               / ((s0::DOUBLE + 0.1) * (s2::DOUBLE / 64.0 + 0.1) - (s1::DOUBLE / 8.0) * (s1::DOUBLE / 8.0)), 6) AS p2
+      FROM s
+    """),
+  )
+
+  /** Split-conformal prediction interval (Vovk; Lei et al., public)
+    * for the per-type mean-value predictor: train/calibration/test by
+    * the md5 event hash (60/20/20), nonconformity = |value − mean| in
+    * exact micros, q̂ = the ⌈0.9·(n+1)⌉-th smallest calibration
+    * residual found by cumulative counting over the residual-VALUE
+    * grain (no global row sort — the KS/gini bounded-rollup
+    * discipline), and the reported test coverage is an exact integer
+    * comparison count. The finite-sample ≥90% guarantee audited
+    * end-to-end, bit-replayable.
+    */
+  val qConformalInterval: Q = Q(
+    "q_conformal_interval",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.ExactAgg
+      val b = pmod(conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(10))
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"), b.as("b"))
+        .localCheckpoint()
+      val means = ev.where(col("b") < 6).groupBy(col("event_type"))
+        .agg(ExactAgg.microAvg(col("value")).as("m"))
+      val rm = abs(round(col("value") * lit(1e6)).cast("long") -
+        round(col("m") * lit(1e6)).cast("long"))
+      val roll = ev.where(col("b") >= 6 && col("b") < 8)
+        .join(means, Seq("event_type"))
+        .select(rm.as("rm"))
+        .groupBy(col("rm")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val nCal = roll.agg(sum(col("c"))).head().getLong(0)
+      val k = math.min((9 * (nCal + 1) + 9) / 10, nCal)
+      val w = Window.orderBy(col("rm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qhatM = roll.withColumn("cum", sum(col("c")).over(w))
+        .where(col("cum") >= k).agg(min(col("rm"))).head().getLong(0)
+      val t = ev.where(col("b") >= 8).join(means, Seq("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(rm <= lit(qhatM), 1L).otherwise(0L)).as("cov")).head()
+      val (nTest, cov) = (t.getLong(0), t.getLong(1))
+      Seq((nCal, nTest, r6(qhatM / 1e6), r6(cov.toDouble / nTest)))
+        .toDF("n_cal", "n_test", "qhat", "coverage")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_id, event_type, value,
+               ${OracleExact.h16Sql("md5(event_id::VARCHAR)")} % 10 AS b
+             FROM events),
+      m AS (SELECT event_type, ${OracleExact.microAvgSql("value")} AS m
+            FROM e WHERE b < 6 GROUP BY 1),
+      cal AS (SELECT abs(round(value * 1000000)::BIGINT - round(m.m * 1000000)::BIGINT) AS rm
+              FROM e JOIN m ON e.event_type = m.event_type WHERE b >= 6 AND b < 8),
+      roll AS (SELECT rm, count(*)::BIGINT AS c FROM cal GROUP BY rm),
+      nc AS (SELECT sum(c)::BIGINT AS n FROM roll),
+      kk AS (SELECT least((9 * (n + 1) + 9) // 10, n) AS k FROM nc),
+      cum AS (SELECT rm, sum(c) OVER (ORDER BY rm ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum FROM roll),
+      qh AS (SELECT min(rm)::BIGINT AS qm FROM cum, kk WHERE cum >= kk.k),
+      tt AS (SELECT count(*)::BIGINT AS n_test,
+               sum(CASE WHEN abs(round(value * 1000000)::BIGINT - round(m.m * 1000000)::BIGINT) <= qm
+                        THEN 1 ELSE 0 END)::BIGINT AS cov
+             FROM e JOIN m ON e.event_type = m.event_type, qh WHERE b >= 8)
+      SELECT (SELECT n FROM nc) AS n_cal, n_test,
+             round(qm / 1000000.0, 6) AS qhat,
+             round(cov::DOUBLE / n_test, 6) AS coverage
+      FROM tt, qh
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
-    qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi)
+    qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
+    qConformalInterval)
 }

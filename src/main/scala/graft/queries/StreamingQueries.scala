@@ -1084,6 +1084,24 @@ object StreamingQueries {
     },
     StatsQueries.qSurvivalKm.oracle)
 
+  /** Streaming A/B-lift twin: per-user purchase counters track live
+    * with O(1) state; counts are monotone so the drained max per
+    * user equals the batch rollup, and the shared z-test tail
+    * (`RelationalQueries.abLiftFromCounts`) makes the live
+    * experiment dashboard equal `q_ab_lift` — shared oracle.
+    */
+  val streamAbLift: Q = Q(
+    "stream_ab_lift",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.purchaseCounts(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      RelationalQueries.abLiftFromCounts(
+        drained.groupBy(col("user_id")).agg(max(col("np")).as("np")))
+    },
+    RelationalQueries.qAbLift.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1092,5 +1110,5 @@ object StreamingQueries {
     streamCountDistinct, streamEventTransitions, streamFunnel,
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
     streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns,
-    streamSurvivalKm)
+    streamSurvivalKm, streamAbLift)
 }

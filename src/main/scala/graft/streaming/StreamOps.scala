@@ -1142,4 +1142,31 @@ object StreamOps {
           else { state.update(st); Iterator.single(SpanRow(uid, st.f, st.l)) }
       }
   }
+
+  final case class NpEvent(user_id: Long, is_p: Long)
+  final case class NpState(np: Long)
+  final case class NpRow(user_id: Long, np: Long)
+
+  /** Streaming per-user purchase counter: O(1) state, each batch
+    * emits the user's current count. Counts are monotone, so the
+    * drained max per user equals the batch rollup — the A/B-lift
+    * twin feeds those counts to the shared z-test tail and reuses
+    * `q_ab_lift`'s oracle verbatim.
+    */
+  def purchaseCounts(events: DataFrame): Dataset[NpRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .as[NpEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[NpState, NpRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          val np = state.getOption.map(_.np).getOrElse(0L) + it.map(_.is_p).sum
+          state.update(NpState(np))
+          Iterator.single(NpRow(uid, np))
+      }
+  }
 }
