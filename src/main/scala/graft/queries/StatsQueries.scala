@@ -273,7 +273,7 @@ object StatsQueries {
     * day-grain (deaths, censored) rollup → driver-side survival
     * product over the ≤O(days) curve.
     */
-  private[queries] def kmCurve(spans: DataFrame): DataFrame = {
+  private[graft] def kmCurve(spans: DataFrame): DataFrame = {
     val s = spans.sparkSession
     import s.implicits._
     val dayNs = 86400000000000L
