@@ -1594,11 +1594,49 @@ object RelationalQueries {
     """),
   )
 
+  /** Join-cardinality / key-skew report — the planner-style "will this
+    * join explode" audit run BEFORE a 100 TB join: per candidate key,
+    * exact Σc² (the self-join row count a key-equality join would
+    * produce), the hottest key's row count, and the max/mean skew
+    * factor — all from one map-side-combined count rollup per key,
+    * never materializing any join. Σc² accumulates in
+    * decimal(38,0)/HUGEINT and reports as DOUBLE so the estimate
+    * survives any corpus size.
+    */
+  val qJoinSizeEstimate: Q = Q(
+    "q_join_size_estimate",
+    (s, dir) => {
+      def rep(kc: String): DataFrame =
+        Tables.lineitem(s, dir)
+          .groupBy(col(kc).as("k")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("sj"),
+            max(col("c")).as("mx"))
+          .select(lit(kc).as("join_key"), col("n_keys"), col("n_rows"),
+            col("sj").cast("double").as("self_join_rows"),
+            col("mx").as("max_key_rows"),
+            round(col("mx").cast("double") * col("n_keys") / col("n_rows"), 6)
+              .as("skew"))
+      rep("l_orderkey").unionAll(rep("l_partkey")).unionAll(rep("l_suppkey"))
+    },
+    Some {
+      def rep(kc: String): String =
+        s"""SELECT '$kc' AS join_key, count(*)::BIGINT AS n_keys,
+           sum(c)::BIGINT AS n_rows, sum(c::HUGEINT * c)::DOUBLE AS self_join_rows,
+           max(c)::BIGINT AS max_key_rows,
+           round(max(c)::DOUBLE * count(*) / sum(c), 6) AS skew
+           FROM (SELECT $kc, count(*)::BIGINT AS c FROM lineitem GROUP BY 1)"""
+      Seq(rep("l_orderkey"), rep("l_partkey"), rep("l_suppkey"))
+        .mkString("\n UNION ALL \n")
+    },
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
     qWeightedSample, qGroupedQuantiles, qFullOuter, qCogroup, qSnapshotDiff,
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
     qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase,
-    qGrowthAccounting, qSeqPatterns, qActivityHeatmap, qGini)
+    qGrowthAccounting, qSeqPatterns, qActivityHeatmap, qGini,
+    qJoinSizeEstimate)
 }

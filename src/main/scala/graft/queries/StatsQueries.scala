@@ -899,7 +899,54 @@ object StatsQueries {
     """),
   )
 
+  /** 10%-trimmed mean of purchase value — the outlier-robust location
+    * estimate, computed EXACTLY by integer rank accounting over the
+    * distinct-cents rollup (no global row sort, no approximation):
+    * each value contributes min(cum, hi) − max(cum − c, lo) copies
+    * (clamped ≥0) to the kept middle 80%, so the trimmed sum is a
+    * pure int product sum — the conformal/KS bounded-grain counting
+    * pattern applied to robust statistics.
+    */
+  val qTrimmedMean: Q = Q(
+    "q_trimmed_mean",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val roll = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(round(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val n = roll.agg(sum(col("c"))).head().getLong(0)
+      val lo = n / 10
+      val hi = n - lo
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val take = greatest(
+        least(col("cum"), lit(hi)) - greatest(col("cum") - col("c"), lit(lo)),
+        lit(0L))
+      val t = roll.withColumn("cum", sum(col("c")).over(w))
+        .agg(sum(take.cast("decimal(38,0)") * col("v")).as("ts")).head()
+      val tsum = BigDecimal(t.getDecimal(0)).toBigInt
+      Seq((n, hi - lo, r6(tsum.toDouble / (hi - lo) / 100)))
+        .toDF("n", "n_kept", "trimmed_mean")
+    },
+    Some("""
+      WITH roll AS (SELECT round(value * 100)::BIGINT AS v, count(*)::BIGINT AS c
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (SELECT sum(c)::BIGINT AS n FROM roll),
+      b AS (SELECT n, n // 10 AS lo, n - n // 10 AS hi FROM t),
+      cum AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)::BIGINT AS cum FROM roll),
+      kept AS (SELECT sum(greatest(least(cum, hi) - greatest(cum - c, lo), 0)::HUGEINT * v) AS ts
+               FROM cum, b)
+      SELECT n, hi - lo AS n_kept,
+             round(ts::DOUBLE / (hi - lo) / 100, 6) AS trimmed_mean
+      FROM kept, b
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
-    qConformalInterval)
+    qConformalInterval, qTrimmedMean)
 }
