@@ -208,13 +208,12 @@ object DedupQueries {
     * signature construction, band join, and Hamming verification
     * bit-for-bit from the source table.
     */
-  val dedupSimhash: Q = Q(
-    "dedup_simhash",
-    (s, dir) => Dedup.simhashPairs(nearDupDocs(s, dir), "doc_id", "text",
-      maxHamming = 3)
-      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming")),
-    Some(s"""
-      WITH corpus AS ($nearDupDocsSql),
+  /** Full simhash-pair replay (signature construction, band join,
+    * Hamming verify) as one SQL query — the dedup_simhash oracle,
+    * shared by the dedup_prf evaluation.
+    */
+  private def simhashPairsSql(corpusSql: String, maxHamming: Int): String = s"""
+      WITH corpus AS ($corpusSql),
       tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
       tw AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
@@ -248,7 +247,61 @@ object DedupQueries {
               + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)))::BIGINT
                  AS hamming
         FROM cand JOIN sigs x ON id_a = x.doc_id JOIN sigs y ON id_b = y.doc_id)
-      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $maxHamming
+  """
+
+  val dedupSimhash: Q = Q(
+    "dedup_simhash",
+    (s, dir) => Dedup.simhashPairs(nearDupDocs(s, dir), "doc_id", "text",
+      maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming")),
+    Some(simhashPairsSql(nearDupDocsSql, 3)),
+  )
+
+  /** Dedup-quality evaluation: precision / recall / F1 of the SimHash
+    * band+Hamming candidate generator against exact word-3-gram
+    * Jaccard ≥ 0.5 ground truth on the near-dup corpus — the
+    * report a curation team reads before trusting a near-dup pass at
+    * 100 TB (where the exact truth is uncomputable and must be
+    * extrapolated from samples like this). Both pair sets come from
+    * index-shaped plans (band join / shingle inverted index — never
+    * all-pairs); TP is one equi-join on the pair key; P/R/F1 are
+    * fixed-order doubles over exact counts. Both sides replay fully
+    * in DuckDB (simhash md5 signatures + exact Jaccard).
+    */
+  val dedupPrf: Q = Q(
+    "dedup_prf",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = nearDupDocs(s, dir)
+      val pred = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val tru = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        blockCols = Seq.empty, shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val np = pred.count()
+      val nt = tru.count()
+      val tp = pred.join(tru, Seq("id_a", "id_b")).count()
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val p = tp.toDouble / np
+      val r = tp.toDouble / nt
+      val f1 = if (tp == 0) 0.0 else 2.0 * p * r / (p + r)
+      Seq((np, nt, tp, r6(p), r6(r), r6(f1)))
+        .toDF("n_pred", "n_truth", "tp", "precision", "recall", "f1")
+    },
+    Some(s"""
+      WITH pred AS (SELECT id_a, id_b FROM (${simhashPairsSql(nearDupDocsSql, 3)})),
+      tru AS (SELECT id_a, id_b FROM (${exactJaccardSql(nearDupDocsSql, 3, 0.5)})),
+      np AS (SELECT count(*)::BIGINT AS n FROM pred),
+      nt AS (SELECT count(*)::BIGINT AS n FROM tru),
+      tpc AS (SELECT count(*)::BIGINT AS tp FROM pred JOIN tru USING (id_a, id_b))
+      SELECT np.n AS n_pred, nt.n AS n_truth, tpc.tp,
+             round(tp::DOUBLE / np.n, 6) AS precision,
+             round(tp::DOUBLE / nt.n, 6) AS recall,
+             CASE WHEN tp = 0 THEN 0.0
+                  ELSE round(2.0 * (tp::DOUBLE / np.n) * (tp::DOUBLE / nt.n)
+                    / (tp::DOUBLE / np.n + tp::DOUBLE / nt.n), 6) END AS f1
+      FROM np, nt, tpc
     """),
   )
 
@@ -1555,5 +1608,5 @@ object DedupQueries {
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
     qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
-    dedupGraphDegrees)
+    dedupGraphDegrees, dedupPrf)
 }

@@ -946,7 +946,106 @@ object StatsQueries {
     """),
   )
 
+  /** Slice-based model evaluation: tie-corrected Mann–Whitney AUC of
+    * the activity score per customer market segment — the fairness /
+    * subgroup-performance audit (a global AUC can hide a segment
+    * where the model inverts). Same exact-arithmetic shape as
+    * `Eval.auc`, evaluated COLUMNAR per segment: distinct-score
+    * rollup per (segment, score), rank window partitioned by segment
+    * over that bounded grain, S₂ in decimal(38,0)/HUGEINT, and the
+    * degenerate one-class segment reports null instead of an
+    * engine-dependent ±∞.
+    */
+  val qAucBySegment: Q = Q(
+    "q_auc_by_segment",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("user_id"), col("score"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("y"))
+      val seg = u.join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("user_id") === col("c_custkey"))
+      val byScore = seg.groupBy(col("segment"), col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      val w = Window.partitionBy(col("segment")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore
+        .withColumn("rank2", lit(2) * (sum(col("n")).over(w) - col("n")) + col("n") + 1)
+        .groupBy(col("segment"))
+        .agg(sum(col("npos")).as("np"), sum(col("n") - col("npos")).as("nn"),
+          sum(col("npos").cast("decimal(38,0)") * col("rank2")).as("s2"))
+        .select(col("segment"), col("np").as("n_pos"), col("nn").as("n_neg"),
+          when(col("np") === 0 || col("nn") === 0, lit(null).cast("double"))
+            .otherwise(round((col("s2").cast("double") / 2 -
+              col("np").cast("double") * (col("np") + 1) / 2)
+              / (col("np").cast("double") * col("nn")), 6)).as("auc"))
+    },
+    Some("""
+      WITH u AS (SELECT user_id, count(*)::BIGINT AS score,
+               (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                     THEN 1 ELSE 0 END)::BIGINT AS y
+             FROM events GROUP BY 1),
+      sgm AS (SELECT u.user_id, u.score, u.y, c.c_mktsegment AS segment
+              FROM u JOIN customer c ON u.user_id = c.c_custkey),
+      bs AS (SELECT segment, score, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos
+             FROM sgm GROUP BY 1, 2),
+      rk AS (SELECT segment, n, npos,
+               2 * (sum(n) OVER (PARTITION BY segment ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) + n + 1 AS rank2
+             FROM bs),
+      a AS (SELECT segment, sum(npos)::BIGINT AS np, sum(n - npos)::BIGINT AS nn,
+              sum(npos::HUGEINT * rank2) AS s2 FROM rk GROUP BY 1)
+      SELECT segment, np AS n_pos, nn AS n_neg,
+             CASE WHEN np = 0 OR nn = 0 THEN NULL
+                  ELSE round((s2::DOUBLE / 2 - np::DOUBLE * (np + 1) / 2)
+                    / (np::DOUBLE * nn), 6) END AS auc
+      FROM a
+    """),
+  )
+
+  /** Demographic-parity report over customer market segments: the
+    * high-intent selection rate per segment plus each segment's gap
+    * to the best-treated segment — the selection-rate-parity audit a
+    * model gate runs next to its slice AUCs. One exact rollup; the
+    * max-rate window rides the ≤|segments| grain.
+    */
+  val qParityReport: Q = Q(
+    "q_parity_report",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("user_id"), when(col("np") >= 14, 1L).otherwise(0L).as("y"))
+      val g = u.join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      val w = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val rate = col("k").cast("double") / col("n")
+      g.select(col("segment"), col("n"), col("k"),
+        round(rate, 6).as("rate"),
+        round(max(rate).over(w) - rate, 6).as("gap_to_best"))
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+               (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                     THEN 1 ELSE 0 END)::BIGINT AS y
+             FROM events GROUP BY 1),
+      g AS (SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n, sum(y)::BIGINT AS k
+            FROM u JOIN customer c ON u.user_id = c.c_custkey GROUP BY 1)
+      SELECT segment, n, k,
+             round(k::DOUBLE / n, 6) AS rate,
+             round(max(k::DOUBLE / n) OVER () - k::DOUBLE / n, 6) AS gap_to_best
+      FROM g
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
-    qConformalInterval, qTrimmedMean)
+    qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport)
 }
