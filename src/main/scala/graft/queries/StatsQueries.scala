@@ -1045,7 +1045,65 @@ object StatsQueries {
     """),
   )
 
+  /** Entropy rate of the user-behavior Markov chain — the
+    * predictability scalar over the `q_event_transitions` matrix
+    * (0 = deterministic journeys, ln k = uniform random):
+    * H = −Σ (c_ab/N)·ln(c_ab/c_a) over the k²-bounded transition
+    * grid, per-cell terms nano-quantized (×1e9) and summed as exact
+    * ints in a fixed (a, b) order, plus the ratio to the ln k
+    * maximum. The only data-scale pass is the lead-window transition
+    * rollup on the series key.
+    */
+  val qMarkovEntropy: Q = Q(
+    "q_markov_entropy",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val cells = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as long)").as("t"),
+          col("event_id"), col("event_type").as("a"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .where(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .collect()
+      val n = cells.map(_.getLong(2)).sum
+      val rowTot = cells.groupBy(_.getString(0))
+        .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+      val k = (cells.map(_.getString(0)) ++ cells.map(_.getString(1)))
+        .distinct.length.toLong
+      val sm = cells.map { r =>
+        val c = r.getLong(2); val ca = rowTot(r.getString(0))
+        rL((c.toDouble / n) * math.log(c.toDouble / ca) * 1e9)
+      }.sum
+      val h = -sm / 1e9
+      Seq((n, k, r6(h), r6(h / math.log(k))))
+        .toDF("n_transitions", "n_states", "entropy_rate", "ratio_to_max")
+    },
+    Some("""
+      WITH tr AS (SELECT event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS b
+             FROM events),
+      cells AS (SELECT a, b, count(*)::BIGINT AS c FROM tr WHERE b IS NOT NULL
+                GROUP BY 1, 2),
+      tot AS (SELECT sum(c)::BIGINT AS n FROM cells),
+      rt AS (SELECT a, sum(c)::BIGINT AS ca FROM cells GROUP BY 1),
+      st AS (SELECT count(*)::BIGINT AS k
+             FROM (SELECT a FROM cells UNION SELECT b FROM cells)),
+      terms AS (SELECT round((c::DOUBLE / tot.n) * ln(c::DOUBLE / rt.ca)
+                  * 1000000000)::BIGINT AS tm
+                FROM cells JOIN rt USING (a), tot),
+      hs AS (SELECT sum(tm)::BIGINT AS sm FROM terms)
+      SELECT tot.n AS n_transitions, st.k AS n_states,
+             round(-sm / 1000000000.0, 6) AS entropy_rate,
+             round((-sm / 1000000000.0) / ln(st.k), 6) AS ratio_to_max
+      FROM tot, st, hs
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
-    qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport)
+    qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
+    qMarkovEntropy)
 }

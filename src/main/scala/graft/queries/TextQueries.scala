@@ -1429,10 +1429,69 @@ object TextQueries {
     """),
   )
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995,
+    * fixed discount D=0.75) — the LM-smoothing step a from-scratch
+    * n-gram pipeline runs after the surprisal counts: continuation
+    * probability from distinct-left-context counts, discounted MLE
+    * plus back-off mass, reported next to raw MLE for the top-20
+    * bigrams. Everything derives from four map-side-combined count
+    * rollups (bigram, left-total, distinct-followers, distinct-
+    * predecessors) joined on their token keys; the probability is a
+    * fixed-order double over exact counts. Top-k via TakeOrdered —
+    * no global sort materialized.
+    */
+  val textKneserNey: Q = Q(
+    "text_kneser_ney",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " ", -1))
+          .as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .where(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .localCheckpoint()
+      val left = bi.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+      val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val nTypes = bi.count()
+      val pkn = (greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) / col("c1"))
+        .plus((lit(0.75) * col("n1f") / col("c1")) *
+          (col("n1b").cast("double") / lit(nTypes)))
+      bi.join(left, Seq("w1")).join(right, Seq("w2"))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("c12").cast("double") / col("c1"), 6).as("p_mle"),
+          round(pkn, 6).as("p_kn"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+             FROM documents),
+      pr AS (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             FROM t),
+      bi AS (SELECT w AS w1, w2, count(*)::BIGINT AS c12
+             FROM pr WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      lft AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f
+              FROM bi GROUP BY 1),
+      rgt AS (SELECT w2, count(*)::BIGINT AS n1b FROM bi GROUP BY 1),
+      nt AS (SELECT count(*)::BIGINT AS n FROM bi)
+      SELECT w1, w2, c12,
+             round(c12::DOUBLE / c1, 6) AS p_mle,
+             round(greatest(c12::DOUBLE - 0.75, 0.0) / c1
+               + (0.75 * n1f / c1) * (n1b::DOUBLE / nt.n), 6) AS p_kn
+      FROM bi JOIN lft USING (w1) JOIN rgt USING (w2), nt
+      ORDER BY c12 DESC, w1, w2 LIMIT 20
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
     textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
-    textBpeStep, textLix)
+    textBpeStep, textLix, textKneserNey)
 }
