@@ -298,4 +298,85 @@ class StatsSpec extends SparkSpec {
   test("text_lix is a pure narrow projection (no Exchange)") {
     assert(exchanges(TextQueries.textLix) === 0)
   }
+
+  test("q_trimmed_mean equals the naive sort-and-trim replay") {
+    val row = StatsQueries.qTrimmedMean.run(spark, sf).head()
+    val vs = Tables.events(spark, sf).where(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val lo = vs.length / 10
+    val kept = vs.slice(lo, vs.length - lo)
+    assert(row.getLong(0) === vs.length.toLong)
+    assert(row.getLong(1) === kept.length.toLong)
+    assert(row.getDouble(2) ===
+      r6(kept.map(BigInt(_)).sum.toDouble / kept.length / 100))
+  }
+
+  test("q_join_size_estimate reports the exact self-join cardinality per key") {
+    val rows = StatsSpecHelpers.joinSize(spark, sf)
+    val naive = Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      val counts = Tables.lineitem(spark, sf).groupBy(col(k)).count()
+        .collect().map(_.getLong(1))
+      k -> (counts.length.toLong, counts.sum,
+        counts.map(c => BigInt(c) * c).sum.toDouble, counts.max)
+    }.toMap
+    rows.foreach { r =>
+      val (nk, nr, sj, mx) = naive(r.getString(0))
+      assert(r.getLong(1) === nk)
+      assert(r.getLong(2) === nr)
+      assert(r.getDouble(3) === sj)
+      assert(r.getLong(4) === mx)
+    }
+  }
+
+  test("dedup_prf rates are consistent with their exact counts") {
+    val r = DedupQueries.dedupPrf.run(spark, sf).head()
+    val (np, nt, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= np && tp <= nt && tp > 0)
+    assert(r.getDouble(3) === r6(tp.toDouble / np))
+    assert(r.getDouble(4) === r6(tp.toDouble / nt))
+  }
+
+  test("q_auc_by_segment matches Eval.auc run on each segment slice") {
+    val rows = StatsQueries.qAucBySegment.run(spark, sf).collect()
+    val seg = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(col("user_id"), col("score"),
+        when(col("np") >= 14, 1L).otherwise(0L).as("y"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("user_id") === col("c_custkey"))
+    rows.foreach { r =>
+      val slice = seg.where(col("segment") === r.getString(0))
+      val (np, nn, auc) = operators.Eval.auc(slice, "score", "y")
+      assert(r.getLong(1) === np)
+      assert(r.getLong(2) === nn)
+      if (np > 0 && nn > 0) assert(math.abs(r.getDouble(3) - auc) < 1e-6)
+    }
+  }
+
+  test("q_markov_entropy sits inside [0, ln k] with a sane ratio") {
+    val r = StatsQueries.qMarkovEntropy.run(spark, sf).head()
+    val k = r.getLong(1)
+    assert(r.getDouble(2) >= 0.0)
+    assert(r.getDouble(2) <= math.log(k.toDouble) + 1e-9)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("text_kneser_ney probabilities discount below MLE and stay in (0, 1]") {
+    val rows = TextQueries.textKneserNey.run(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (mle, kn) = (r.getDouble(3), r.getDouble(4))
+      assert(mle > 0.0 && mle <= 1.0)
+      assert(kn > 0.0 && kn <= 1.0 + 1e-9)
+    }
+  }
+}
+
+/** q_join_size_estimate's Q.run via a helper so the spec reads clean. */
+private object StatsSpecHelpers {
+  def joinSize(s: org.apache.spark.sql.SparkSession, dir: String) =
+    queries.RelationalQueries.qJoinSizeEstimate.run(s, dir).collect()
 }
