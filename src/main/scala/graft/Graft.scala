@@ -20,5 +20,11 @@ object Graft {
       case t        => Tables.t(spark, dir, t).createOrReplaceTempView(t)
     }
     graft.functions.GraftFunctions.register(spark)
+    // opt-in AQP rewrite (spark.graft.approxDistinct=true) — idempotent
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ApproxDistinctRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
+    }
   }
 }

@@ -691,8 +691,12 @@ object GraftFunctions {
   * calling [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, (info, builder)) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // opt-in count(DISTINCT) → deterministic-HLL AQP rewrite
+    // (identity unless spark.graft.approxDistinct=true)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+  }
 }

@@ -496,31 +496,39 @@ object PipelineQueries {
     * the estimate — DuckDB-replayable, unlike `approx_count_distinct`
     * (HLL++ over xxhash64).
     */
-  val qHllDistinct: Q = {
+  /** DuckDB replay of the deterministic m=512 HLL estimate over one
+    * column — `estExpr` is the un-rounded estimate, usable as a
+    * scalar subquery body (shared by q_hll_distinct's 6-dp probe and
+    * the AQP-rewrite oracle's integer rounding).
+    */
+  private[queries] def hllEstFromSql(table: String, vc: String): String = {
     val m = 512
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    def probeSql(table: String, vc: String, label: String): String = {
-      val h = OracleExact.h32Sql(s"md5(($vc)::VARCHAR)")
+    val h = OracleExact.h32Sql(s"md5(($vc)::VARCHAR)")
+    s"""(
+        SELECT CASE WHEN ($alpha)::DOUBLE * $m * $m / s <= ${2.5 * m} AND v > 0
+                    THEN $m * ln($m / v)
+                    ELSE ($alpha)::DOUBLE * $m * $m / s END AS est
+        FROM (
+          SELECT sum(power(2.0, -mr)) + ($m - count(*)) AS s,
+                 $m - count(*) AS v
+          FROM (
+            SELECT j, max(r) AS mr
+            FROM (
+              SELECT h % $m AS j,
+                     CASE WHEN h // $m = 0 THEN 24
+                          ELSE 24 - length(bin(h // $m)) END AS r
+              FROM (SELECT $h AS h FROM $table WHERE $vc IS NOT NULL))
+            GROUP BY j)))"""
+  }
+
+  val qHllDistinct: Q = {
+    def probeSql(table: String, vc: String, label: String): String =
       s"""
       SELECT '$label' AS column_name,
              (SELECT count(DISTINCT $vc) FROM $table WHERE $vc IS NOT NULL)
                AS n_exact,
-             round(CASE WHEN ($alpha)::DOUBLE * $m * $m / s <= ${2.5 * m} AND v > 0
-                        THEN $m * ln($m / v)
-                        ELSE ($alpha)::DOUBLE * $m * $m / s END, 6)
-               AS est
-      FROM (
-        SELECT sum(power(2.0, -mr)) + ($m - count(*)) AS s,
-               $m - count(*) AS v
-        FROM (
-          SELECT j, max(r) AS mr
-          FROM (
-            SELECT h % $m AS j,
-                   CASE WHEN h // $m = 0 THEN 24
-                        ELSE 24 - length(bin(h // $m)) END AS r
-            FROM (SELECT $h AS h FROM $table WHERE $vc IS NOT NULL))
-          GROUP BY j))"""
-    }
+             round((SELECT est FROM ${hllEstFromSql(table, vc)} e), 6) AS est"""
     Q(
       "q_hll_distinct",
       (s, dir) => {
@@ -538,6 +546,44 @@ object PipelineQueries {
       ).mkString("", "\nUNION ALL\n", "")),
     )
   }
+
+  /** The AQP optimizer rewrite exercised END TO END through plain
+    * SQL: with `spark.graft.approxDistinct=true`,
+    * `count(DISTINCT x)` text is silently re-planned onto the
+    * deterministic HLL aggregate
+    * ([[graft.plans.ApproxDistinctRewrite]]) — one map-side pass, no
+    * Expand, 512-byte state — and because the sketch is
+    * md5-deterministic the APPROXIMATE answers still hash-match a
+    * DuckDB replay of the register file. The flag flips on only for
+    * this query's materialization (eager localCheckpoint) and
+    * restores after.
+    */
+  val qApproxDistinct: Q = Q(
+    "q_approx_distinct",
+    (s, dir) => {
+      graft.Graft.registerAll(s, dir)
+      s.conf.set("spark.graft.approxDistinct", "true")
+      try {
+        s.sql("""
+          SELECT 'user_id' AS column_name, count(DISTINCT user_id) AS est FROM events
+          UNION ALL
+          SELECT 'o_custkey', count(DISTINCT o_custkey) FROM orders
+          UNION ALL
+          SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+        """).localCheckpoint()
+      } finally s.conf.set("spark.graft.approxDistinct", "false")
+    },
+    Some(s"""
+      SELECT 'user_id' AS column_name,
+             round((SELECT est FROM ${hllEstFromSql("events", "user_id")} e))::BIGINT AS est
+      UNION ALL
+      SELECT 'o_custkey',
+             round((SELECT est FROM ${hllEstFromSql("orders", "o_custkey")} e))::BIGINT
+      UNION ALL
+      SELECT 'l_partkey',
+             round((SELECT est FROM ${hllEstFromSql("lineitem", "l_partkey")} e))::BIGINT
+    """),
+  )
 
   /** Equi-width numeric histogram (k=20) — the profiler's
     * distribution-shape companion: min/max fit in the same pass
@@ -1186,5 +1232,6 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(prepPipeline, prepRoundtrip, qProfile, mlDataset,
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
-    qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford)
+    qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford,
+    qApproxDistinct)
 }
