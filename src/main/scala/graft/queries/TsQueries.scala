@@ -2042,10 +2042,89 @@ object TsQueries {
     """),
   )
 
+  /** Top-k trajectory-similarity search (the REPOSE/top-k-similarity
+    * problem class, Spark-shaped): each series compresses to its
+    * 8-point PAA vector in EXACT integer micros, candidate pairs are
+    * generated by SAX-WORD equality blocking (same quartile shape
+    * class — the reference-point/trie pruning idea expressed as a
+    * bucketed equi-join, never all-pairs), and the within-block exact
+    * Euclidean distance ranks globally (top-20 by (d², ids) —
+    * distance² an exact HUGEINT/decimal sum of micro diffs, tie-free
+    * ordering). At 100 TB the word key is what bounds the join; a
+    * coarser prefix (first 4 letters) trades recall for block size
+    * without changing the shape.
+    */
+  val tsSimilarityTopk: Q = Q(
+    "ts_similarity_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.ExactAgg
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val paa = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as long)").as("t"),
+          col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select(col("user_id"), expr("((rn - 1) * 8) div n").as("seg"), col("value"))
+        .groupBy(col("user_id"), col("seg"))
+        .agg(round(ExactAgg.microAvg(col("value")) * lit(1e6)).cast("long").as("paam"))
+        .localCheckpoint()
+      val wRank = Window.partitionBy(col("user_id")).orderBy(col("paam"), col("seg"))
+      val sax = paa.withColumn("sym", ntile(4).over(wRank))
+        .withColumn("ch", expr("substring('abcd', sym, 1)"))
+        .groupBy(col("user_id"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(seg, ch))), x -> x.ch), '')")
+          .as("sax"))
+      val cand = sax.as("a").join(sax.as("b"),
+        col("a.sax") === col("b.sax") && col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("ida"), col("b.user_id").as("idb"),
+          col("a.sax").as("sax"))
+      val d2 = cand
+        .join(paa.select(col("user_id").as("ida"), col("seg"), col("paam").as("pa")),
+          Seq("ida"))
+        .join(paa.select(col("user_id").as("idb"), col("seg"), col("paam").as("pb")),
+          Seq("idb", "seg"))
+        .groupBy(col("ida"), col("idb"), col("sax"))
+        .agg(sum((col("pa") - col("pb")).cast("decimal(38,0)") *
+          (col("pa") - col("pb"))).as("d2"))
+      d2.select(col("ida").as("id_a"), col("idb").as("id_b"), col("sax"),
+          col("d2").cast("double").as("d2d"))
+        .orderBy(col("d2d"), col("id_a"), col("id_b")).limit(20)
+        .select(col("id_a"), col("id_b"), col("sax"),
+          round(sqrt(col("d2d")) / lit(1e6), 6).as("dist"))
+    },
+    Some(s"""
+      WITH r AS (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+             FROM events),
+      paa AS (SELECT user_id, ((rn - 1) * 8) // n AS seg,
+                round((${OracleExact.microAvgSql("value")}) * 1000000)::BIGINT AS paam
+              FROM r GROUP BY user_id, seg),
+      sym AS (SELECT user_id, seg,
+                ntile(4) OVER (PARTITION BY user_id ORDER BY paam, seg) AS sym
+              FROM paa),
+      sax AS (SELECT user_id, string_agg(substr('abcd', sym, 1), '' ORDER BY seg) AS sax
+              FROM sym GROUP BY user_id),
+      cand AS (SELECT a.user_id AS ida, b.user_id AS idb, a.sax
+               FROM sax a JOIN sax b ON a.sax = b.sax AND a.user_id < b.user_id),
+      d AS (SELECT ida, idb, cand.sax,
+              sum((pa.paam - pb.paam)::HUGEINT * (pa.paam - pb.paam)) AS d2
+            FROM cand
+            JOIN paa pa ON pa.user_id = ida
+            JOIN paa pb ON pb.user_id = idb AND pb.seg = pa.seg
+            GROUP BY 1, 2, 3)
+      SELECT ida AS id_a, idb AS id_b, sax,
+             round(sqrt(d2::DOUBLE) / 1000000, 6) AS dist
+      FROM d ORDER BY d2::DOUBLE, id_a, id_b LIMIT 20
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
-    tsForecastEval, tsHurst, tsPeaks, tsSax)
+    tsForecastEval, tsHurst, tsPeaks, tsSax, tsSimilarityTopk)
 }
