@@ -956,6 +956,52 @@ object DedupQueries {
     """),
   )
 
+  /** Principal-direction projection histogram — the embedding
+    * whitening/visualization step after the PCA power iteration:
+    * every vector projects onto the round-6-quantized dominant
+    * direction (the quantization makes the collected vector an exact
+    * literal both engines share), via the same codegen `graft_dot` ↔
+    * `list_dot_product` fold the kNN parity already pins, into a
+    * 20-bucket equi-width histogram on the exact projection range.
+    * Scale shape: the gram/power fit is d²-bounded state; the
+    * projection pass is one narrow map + a 20-key rollup.
+    */
+  val qEmbedProject: Q = Q(
+    "q_embed_project",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val vRows = graft.operators.Pca.powerStep(
+        graft.operators.Pca.gramCells(e, "embedding", upperOnly = false))
+        .collect()
+      val v = vRows.map(r => (r.getAs[Number]("dim").longValue, r.getDouble(1)))
+        .sortBy(_._1).map(_._2)
+      val varr = array(v.map(lit(_)): _*)
+      val proj = e.select(col("vec_id"),
+        graft.operators.Ann.dot(col("embedding").cast("array<double>"), varr)
+          .as("p"))
+        .localCheckpoint()
+      val mm = proj.agg(min(col("p")).as("mn"), max(col("p")).as("mx")).head()
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      proj.groupBy(
+          least(floor((col("p") - lit(mn)) / lit(mx - mn) * 20), lit(19.0))
+            .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(s"""
+      WITH ${gramSql("")},
+      y AS (SELECT i, sum(g * (1 + j % 7))::BIGINT AS y FROM gm GROUP BY i),
+      n2 AS (SELECT sum(y::HUGEINT * y)::DOUBLE AS n2 FROM y),
+      vv AS (SELECT list(round(y::DOUBLE / sqrt((SELECT n2 FROM n2)), 6) ORDER BY i) AS vl
+             FROM y),
+      pr AS (SELECT vec_id, list_dot_product(embedding::DOUBLE[], vv.vl) AS p
+             FROM embeddings, vv),
+      mm AS (SELECT min(p) AS mn, max(p) AS mx FROM pr)
+      SELECT least(floor((p - mn) / (mx - mn) * 20), 19)::BIGINT AS bucket,
+             count(*)::BIGINT AS n
+      FROM pr, mm GROUP BY 1
+    """),
+  )
+
   /** One damped PageRank iteration (d=0.85, value-iteration form
     * r' = 0.15 + 0.85·Σ_{u→v} r_u/outdeg_u from uniform r₀=1) — the
     * graph-analytics step beyond connected components: on a real
@@ -1608,5 +1654,5 @@ object DedupQueries {
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
     qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
-    dedupGraphDegrees, dedupPrf)
+    dedupGraphDegrees, dedupPrf, qEmbedProject)
 }

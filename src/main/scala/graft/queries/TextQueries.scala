@@ -1488,10 +1488,90 @@ object TextQueries {
     """),
   )
 
+
+  /** DSIR-style importance-resampled data selection (Xie et al. 2023,
+    * public: Data Selection via Importance Resampling) — rank every
+    * document by its log importance weight under a target
+    * distribution (here the 'en' slice) vs the raw corpus, and keep
+    * the top 10%: per-token log p_target/p_raw ratios (Laplace
+    * smoothed) micro-quantize so each doc's weight is an order-free
+    * int sum; the selection threshold τ comes from the weight-grain
+    * cumulative rollup (the §14 counting pattern — no global doc
+    * sort), and quota ties at τ resolve by doc_id over the bounded
+    * tie group. Output: every doc with its weight and selected flag.
+    */
+  lazy val textDsirSelect: Q = Q(
+    "text_dsir_select",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ", -1)).as("w"))
+        .localCheckpoint()
+      val counts = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        .localCheckpoint()
+      val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+        count(lit(1)).as("v")).head()
+      val (nr, nt, vocab) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      val term = round(log(((col("ct") + 1).cast("double") / lit(nt + vocab)) /
+        ((col("cr") + 1).cast("double") / lit(nr + vocab))) * lit(1e6)).cast("long")
+      val docW = toks.join(counts, Seq("w"))
+        .groupBy(col("doc_id")).agg(sum(term).as("lw"))
+        .localCheckpoint()
+      val nDocs = docW.count()
+      val k = (nDocs + 9) / 10
+      val wDesc = Window.orderBy(col("lw").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tau = docW.groupBy(col("lw")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wDesc))
+        .where(col("cum") >= k).agg(max(col("lw"))).head().getLong(0)
+      val nAbove = docW.where(col("lw") > tau).count()
+      val quota = k - nAbove
+      val tie = docW.where(col("lw") === tau)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("doc_id"))).as("rn"))
+      docW.join(tie, Seq("doc_id"), "left")
+        .select(col("doc_id"), round(col("lw") / lit(1e6), 6).as("log_weight"),
+          when(col("lw") > tau, 1L)
+            .when(col("lw") === tau && col("rn") <= quota, 1L)
+            .otherwise(0L).as("selected"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+      counts AS (SELECT w, count(*)::BIGINT AS cr,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+                 FROM toks GROUP BY 1),
+      tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt,
+                count(*)::BIGINT AS v FROM counts),
+      dw AS (SELECT doc_id,
+               sum(round(ln(((ct + 1)::DOUBLE / (nt + v)) /
+                 ((cr + 1)::DOUBLE / (nr + v))) * 1000000)::BIGINT)::BIGINT AS lw
+             FROM toks JOIN counts USING (w), tot GROUP BY doc_id),
+      nd AS (SELECT count(*)::BIGINT AS n FROM dw),
+      kk AS (SELECT (n + 9) // 10 AS k FROM nd),
+      roll AS (SELECT lw, count(*)::BIGINT AS c FROM dw GROUP BY 1),
+      thr AS (SELECT max(lw) AS tau
+              FROM (SELECT lw, sum(c) OVER (ORDER BY lw DESC ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM roll), kk
+              WHERE cum >= kk.k),
+      na AS (SELECT count(*)::BIGINT AS nabove FROM dw, thr WHERE lw > tau),
+      tie AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+              FROM dw, thr WHERE lw = tau)
+      SELECT d.doc_id, round(d.lw / 1000000.0, 6) AS log_weight,
+             (CASE WHEN d.lw > thr.tau THEN 1
+                   WHEN d.lw = thr.tau AND tie.rn <= kk.k - na.nabove THEN 1
+                   ELSE 0 END)::BIGINT AS selected
+      FROM dw d LEFT JOIN tie ON d.doc_id = tie.doc_id, thr, kk, na
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
     textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
-    textBpeStep, textLix, textKneserNey)
+    textBpeStep, textLix, textKneserNey, textDsirSelect)
 }
