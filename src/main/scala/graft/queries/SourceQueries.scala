@@ -162,6 +162,31 @@ object SourceQueries {
     """),
   )
 
+  /** The custom DataSourceV2 ([[graft.sources.RangeV2]]) driven
+    * end-to-end through a filtered aggregate: the id-range predicate
+    * pushes INTO the connector (pruned splits never planned, no
+    * residual Filter — RangeV2Spec pins the plan shape), and the
+    * deterministic generator replays in DuckDB via generate_series,
+    * so a from-scratch V2 source is oracle-checked like any table.
+    */
+  val rangeV2: Q = Q(
+    "source_rangev2",
+    (s, dir) => {
+      import graft.operators.ExactAgg
+      s.read.format("graft.sources.RangeV2")
+        .option("start", "0").option("end", "100000").option("slices", "8")
+        .load()
+        .where(col("id") >= 25000 && col("id") < 75000)
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          round(ExactAgg.decSum(col("val")), 6).as("sum_val"))
+    },
+    Some(s"""
+      SELECT count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_id,
+             round(${OracleExact.decSumSql("((i * 2654435761) % 1000003) / 1000003.0")}, 6) AS sum_val
+      FROM generate_series(25000, 74999) t(i)
+    """),
+  )
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, avroRoundtrip,
-    sinkPartitioned, textRoundtrip, binaryRoundtrip, schemaEvolution)
+    sinkPartitioned, textRoundtrip, binaryRoundtrip, schemaEvolution, rangeV2)
 }
