@@ -1631,6 +1631,42 @@ object RelationalQueries {
     },
   )
 
+  /** Incremental view maintenance of an aggregate: the base period
+    * and the delta period each produce MERGEABLE partials (exact
+    * count + exact micro-cents sum per key) and the refresh is a
+    * partial-combine — the base is never rescanned. The oracle is
+    * the FULL-table rollup, so the row proves partial ∪ partial =
+    * full exactly (the property that makes nightly refreshes and
+    * `stream_window`'s micro-batch folds sound). Exact int
+    * arithmetic end to end; at 100 TB the partials are the
+    * materialized view state and the delta is the day's ingest.
+    */
+  val qIvmAgg: Q = Q(
+    "q_ivm_agg",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mm = ev.agg(min(expr("cast(ts as long)")).as("mn"),
+        max(expr("cast(ts as long)")).as("mx")).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * lit(1e6)).cast("long")).as("sv"))
+      val base = partial(ev.where(expr("cast(ts as long)") < lit(mid)))
+      val delta = partial(ev.where(expr("cast(ts as long)") >= lit(mid)))
+      base.unionAll(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("svm"))
+        .select(col("event_type"), col("n"),
+          round(col("svm") / lit(1e6), 6).as("sum_v"))
+    },
+    Some("""
+      SELECT event_type, count(*)::BIGINT AS n,
+             round(sum(round(value * 1000000)::BIGINT)::BIGINT / 1000000.0, 6) AS sum_v
+      FROM events GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
@@ -1638,5 +1674,5 @@ object RelationalQueries {
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
     qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase,
     qGrowthAccounting, qSeqPatterns, qActivityHeatmap, qGini,
-    qJoinSizeEstimate)
+    qJoinSizeEstimate, qIvmAgg)
 }
