@@ -51,21 +51,17 @@ object StatsQueries {
     * The cumulative window rides the bounded rollup, not the event
     * stream (the gini/ntile adjudication, SURVEY §12).
     */
-  val qKsTest: Q = Q(
-    "q_ks_test",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val u = Tables.events(s, dir)
-        .where(col("event_type") === "purchase")
-        .select(round(col("value") * 100).cast("long").as("v"),
-          arm(col("user_id")).as("g"))
-      // one materialization — totals AND the cumulative scan both read
+  /** KS tail shared with the streaming twin: the (v, na, nb)
+    * value-grain rollup -> (D, p) report.
+    */
+  private[graft] def ksFromRoll(roll0: DataFrame): DataFrame = {
+    val s = roll0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
+      // one materialization -- totals AND the cumulative scan both read
       // the rollup (the §13 shared-subtree rule)
-      val roll = u.groupBy(col("v"))
-        .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
-          sum(when(col("g") === 1, 1L).otherwise(0L)).as("nb"))
-        .localCheckpoint()
+      val roll = roll0.localCheckpoint()
       val t = roll.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb")).head()
       val (ta, tb) = (t.getLong(0), t.getLong(1))
       val w = Window.orderBy(col("v"))
@@ -84,7 +80,22 @@ object StatsQueries {
       val p = if (dnum == 0) 1.0
         else math.min(1.0, math.max(0.0, 2.0 * sp / 1e6))
       Seq((ta, tb, r6(dd), r6(p))).toDF("n_a", "n_b", "d", "p")
-    },
+    }
+  }
+
+  /** The (v, na, nb) purchase-cents rollup by md5 arm. */
+  private[graft] def ksRoll(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("v"),
+        arm(col("user_id")).as("g"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("nb"))
+
+  val qKsTest: Q = Q(
+    "q_ks_test",
+    (s, dir) => ksFromRoll(ksRoll(Tables.events(s, dir))),
     Some(s"""
       WITH u AS (SELECT round(value * 100)::BIGINT AS v, $armSql AS g
                  FROM events WHERE event_type = 'purchase'),
@@ -907,16 +918,15 @@ object StatsQueries {
     * pure int product sum — the conformal/KS bounded-grain counting
     * pattern applied to robust statistics.
     */
-  val qTrimmedMean: Q = Q(
-    "q_trimmed_mean",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val roll = Tables.events(s, dir)
-        .where(col("event_type") === "purchase")
-        .select(round(col("value") * 100).cast("long").as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+  /** Trimmed-mean tail shared with the streaming twin: the (v, c)
+    * value-grain rollup -> 10%-trimmed mean report.
+    */
+  private[graft] def trimmedFromRoll(roll0: DataFrame): DataFrame = {
+    val s = roll0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
+      val roll = roll0.localCheckpoint()
       val n = roll.agg(sum(col("c"))).head().getLong(0)
       val lo = n / 10
       val hi = n - lo
@@ -930,7 +940,16 @@ object StatsQueries {
       val tsum = BigDecimal(t.getDecimal(0)).toBigInt
       Seq((n, hi - lo, r6(tsum.toDouble / (hi - lo) / 100)))
         .toDF("n", "n_kept", "trimmed_mean")
-    },
+    }
+  }
+
+  val qTrimmedMean: Q = Q(
+    "q_trimmed_mean",
+    (s, dir) => trimmedFromRoll(
+      Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(round(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))),
     Some("""
       WITH roll AS (SELECT round(value * 100)::BIGINT AS v, count(*)::BIGINT AS c
                     FROM events WHERE event_type = 'purchase' GROUP BY 1),
@@ -1054,19 +1073,14 @@ object StatsQueries {
     * maximum. The only data-scale pass is the lead-window transition
     * rollup on the series key.
     */
-  val qMarkovEntropy: Q = Q(
-    "q_markov_entropy",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-      val cells = Tables.events(s, dir)
-        .select(col("user_id"), expr("cast(ts as long)").as("t"),
-          col("event_id"), col("event_type").as("a"))
-        .withColumn("b", lead(col("a"), 1).over(w))
-        .where(col("b").isNotNull)
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-        .collect()
+  /** Entropy tail shared with the streaming twin: the (a, b, c)
+    * transition grid -> entropy-rate report.
+    */
+  private[graft] def entropyFromCells(cellsDf: DataFrame): DataFrame = {
+    val s = cellsDf.sparkSession
+    import s.implicits._
+    {
+      val cells = cellsDf.collect()
       val n = cells.map(_.getLong(2)).sum
       val rowTot = cells.groupBy(_.getString(0))
         .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
@@ -1079,6 +1093,21 @@ object StatsQueries {
       val h = -sm / 1e9
       Seq((n, k, r6(h), r6(h / math.log(k))))
         .toDF("n_transitions", "n_states", "entropy_rate", "ratio_to_max")
+    }
+  }
+
+  val qMarkovEntropy: Q = Q(
+    "q_markov_entropy",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      entropyFromCells(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr("cast(ts as long)").as("t"),
+            col("event_id"), col("event_type").as("a"))
+          .withColumn("b", lead(col("a"), 1).over(w))
+          .where(col("b").isNotNull)
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c")))
     },
     Some("""
       WITH tr AS (SELECT event_type AS a,

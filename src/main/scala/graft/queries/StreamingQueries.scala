@@ -1102,6 +1102,56 @@ object StreamingQueries {
     },
     RelationalQueries.qAbLift.oracle)
 
+  /** Streaming KS twin: the (cents × arm) rollup is a BOUNDED-grain
+    * complete-mode aggregate (state = distinct purchase cents per
+    * arm, the same grain the batch test rides), drained into the
+    * shared KS tail — live distribution-drift monitoring that equals
+    * `q_ks_test` and shares its oracle.
+    */
+  val streamKsTest: Q = Q(
+    "stream_ks_test",
+    (s, dir) => StatsQueries.ksFromRoll(
+      StreamOps.runToBatch(s,
+        StatsQueries.ksRoll(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    StatsQueries.qKsTest.oracle)
+
+  /** Streaming trimmed-mean twin: same bounded value-grain
+    * complete-mode rollup, shared exact rank-accounting tail — the
+    * robust live KPI next to the streaming quantile sketch, equal to
+    * `q_trimmed_mean` with a shared oracle.
+    */
+  val streamTrimmedMean: Q = Q(
+    "stream_trimmed_mean",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val roll = StreamOps.eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(round(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      StatsQueries.trimmedFromRoll(StreamOps.runToBatch(s, roll, mode = "complete"))
+    },
+    StatsQueries.qTrimmedMean.oracle)
+
+  /** Streaming Markov-entropy twin: transitions stream live from the
+    * O(1)-state `eventTransitions` machine, the drained rows roll up
+    * to the k²-bounded grid, and the shared entropy tail makes the
+    * live predictability scalar equal `q_markov_entropy` — shared
+    * oracle.
+    */
+  val streamMarkovEntropy: Q = Q(
+    "stream_markov_entropy",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.eventTransitions(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      StatsQueries.entropyFromCells(
+        drained.groupBy(col("event_type").as("a"), col("next_type").as("b"))
+          .agg(count(lit(1)).as("c")))
+    },
+    StatsQueries.qMarkovEntropy.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1110,5 +1160,6 @@ object StreamingQueries {
     streamCountDistinct, streamEventTransitions, streamFunnel,
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
     streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns,
-    streamSurvivalKm, streamAbLift)
+    streamSurvivalKm, streamAbLift, streamKsTest, streamTrimmedMean,
+    streamMarkovEntropy)
 }
