@@ -323,7 +323,53 @@ object MultimodalQueries {
     """),
   )
 
+  /** CLIP-style contrastive pair construction: each media record
+    * pairs with its own caption (label 1) plus three hash-drawn
+    * negative captions (label 0, md5(media:j) mod corpus — no RNG,
+    * replayable; self-collisions filtered). The inner join back to
+    * documents keeps only real caption ids and attaches the caption
+    * length the batch packer needs. One narrow build + one key join —
+    * the image-text training-pair assembly step for a contrastive
+    * pretraining corpus.
+    */
+  val multimodalClipPairs: Q = Q(
+    "multimodal_clip_pairs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count()
+      val media = Multimodal.mediaFromDocuments(s, docs).toDF()
+        .select(col("media_id"))
+      val pos = media.select(col("media_id"), col("media_id").as("doc_id"),
+        lit(1L).as("label"))
+      val neg = media
+        .select(col("media_id"), explode(sequence(lit(1), lit(3))).as("j"))
+        .select(col("media_id"),
+          (conv(substring(md5(concat(col("media_id").cast("string"), lit(":"),
+            col("j").cast("string"))), 1, 4), 16, 10).cast("long") % nDocs)
+            .as("doc_id"),
+          lit(0L).as("label"))
+        .where(col("doc_id") =!= col("media_id"))
+      pos.unionAll(neg)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("media_id"), col("doc_id"), col("label"), col("n_chars"))
+    },
+    Some(s"""
+      WITH m AS (SELECT doc_id AS media_id FROM documents),
+      nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+      pos AS (SELECT media_id, media_id AS doc_id, 1::BIGINT AS label FROM m),
+      neg AS (SELECT media_id,
+                ${OracleExact.h16Sql("md5(media_id::VARCHAR || ':' || j::VARCHAR)")} % (SELECT n FROM nd) AS doc_id,
+                0::BIGINT AS label
+              FROM m, generate_series(1, 3) t(j)),
+      pairs AS (SELECT * FROM pos
+                UNION ALL
+                SELECT * FROM neg WHERE doc_id <> media_id)
+      SELECT p.media_id, p.doc_id, p.label, d.n_chars
+      FROM pairs p JOIN documents d ON p.doc_id = d.doc_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames,
     multimodalPatches, multimodalAudio, multimodalDedup, multimodalPhash,
-    multimodalBatchPlan)
+    multimodalBatchPlan, multimodalClipPairs)
 }
