@@ -28,7 +28,7 @@ object StatsQueries {
     * for NEGATIVE values too (math.round = floor(x+½) disagrees at
     * exact negative .5 ties).
     */
-  private def rL(x: Double): Long =
+  private[graft] def rL(x: Double): Long =
     BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** md5 A/B arm (0/1) — the q_ab_lift split, single convention. */
