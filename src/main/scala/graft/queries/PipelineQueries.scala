@@ -306,6 +306,87 @@ object PipelineQueries {
     * (<0.1 ok, <0.25 warning, else drift). ONE data-scale pass: all
     * features' two-period bin counts ride a single unpivoted rollup.
     */
+  /** Multi-feature two-sample KS drift monitor — `q_psi_multi`'s
+    * distribution-sensitive sibling (PSI's fixed bins can miss a
+    * shape change that KS catches): every lineitem numeric feature,
+    * stacked in ONE pass, tested across the shipdate halves. Fully
+    * distributed — per-feature ECDF gaps ride cumulative windows
+    * PARTITIONED by feature over the bounded value grain (exact
+    * integer numerators, decimal/HUGEINT), verdict = D vs the 95%
+    * two-sample critical value 1.36·√((n_a+n_b)/(n_a·n_b)) — no
+    * driver loops, one stacked rollup materialized for both the
+    * totals and the cumulative scan.
+    */
+  val qKsMulti: Q = Q(
+    "q_ks_multi",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val b = li.agg(min(unix_micros(col("l_shipdate").cast("timestamp"))),
+        max(unix_micros(col("l_shipdate").cast("timestamp")))).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stack = feats.map(f => s"'$f', round($f * 10000)").mkString(", ")
+      val roll = li
+        .select(expr(s"stack(${feats.size}, $stack) AS (feature, vf)"),
+          (unix_micros(col("l_shipdate").cast("timestamp")) < mid)
+            .cast("long").as("isA"))
+        .select(col("feature"), col("vf").cast("long").as("v"), col("isA"))
+        .groupBy(col("feature"), col("v"))
+        .agg(sum(col("isA")).as("na"), sum(lit(1L) - col("isA")).as("nb"))
+        .localCheckpoint()
+      val tot = roll.groupBy(col("feature"))
+        .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val w = Window.partitionBy(col("feature")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gaps = roll
+        .withColumn("ca", sum(col("na")).over(w))
+        .withColumn("cb", sum(col("nb")).over(w))
+        .join(tot, Seq("feature"))
+        .groupBy(col("feature"))
+        .agg(max(abs(col("ca").cast("decimal(38,0)") * col("tb") -
+          col("cb").cast("decimal(38,0)") * col("ta"))).as("dn"),
+          max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+      val d = col("dn").cast("double") / (col("ta").cast("double") * col("tb"))
+      val crit = lit(1.36) * sqrt((col("ta") + col("tb")).cast("double") /
+        (col("ta").cast("double") * col("tb")))
+      gaps.select(col("feature"), col("ta").as("n_a"), col("tb").as("n_b"),
+        round(d, 6).as("d"), round(crit, 6).as("crit_95"),
+        when(d > crit, "drift").otherwise("ok").as("verdict"))
+    },
+    Some("""
+      WITH bd AS (SELECT min(epoch_us(l_shipdate)) +
+                         (max(epoch_us(l_shipdate)) - min(epoch_us(l_shipdate))) // 2 AS mid
+                  FROM lineitem),
+      ev AS (SELECT u.feature, round(u.x * 10000)::BIGINT AS v,
+               (epoch_us(l_shipdate) < bd.mid)::BIGINT AS isA
+             FROM lineitem, bd,
+                  LATERAL (VALUES ('l_quantity', l_quantity),
+                                  ('l_extendedprice', l_extendedprice),
+                                  ('l_discount', l_discount),
+                                  ('l_tax', l_tax)) AS u(feature, x)),
+      g AS (SELECT feature, v, sum(isA)::BIGINT AS na, sum(1 - isA)::BIGINT AS nb
+            FROM ev GROUP BY 1, 2),
+      tt AS (SELECT feature, sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+             FROM g GROUP BY 1),
+      c AS (SELECT feature, v,
+              sum(na) OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+              sum(nb) OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+            FROM g),
+      dm AS (SELECT c.feature,
+               max(abs(ca::HUGEINT * tb - cb::HUGEINT * ta)) AS dn,
+               max(ta) AS ta, max(tb) AS tb
+             FROM c JOIN tt ON c.feature = tt.feature GROUP BY 1)
+      SELECT feature, ta AS n_a, tb AS n_b,
+             round(dn::DOUBLE / (ta::DOUBLE * tb), 6) AS d,
+             round(1.36 * sqrt((ta + tb)::DOUBLE / (ta::DOUBLE * tb)), 6) AS crit_95,
+             CASE WHEN dn::DOUBLE / (ta::DOUBLE * tb) >
+                       1.36 * sqrt((ta + tb)::DOUBLE / (ta::DOUBLE * tb))
+                  THEN 'drift' ELSE 'ok' END AS verdict
+      FROM dm
+    """),
+  )
+
   val qPsiMulti: Q = Q(
     "q_psi_multi",
     (s, dir) => {
@@ -1233,5 +1314,5 @@ object PipelineQueries {
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
     qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford,
-    qApproxDistinct)
+    qApproxDistinct, qKsMulti)
 }
