@@ -579,6 +579,154 @@ object StatsQueries {
     """),
   )
 
+  /** One greedy level deeper than `q_decision_stump`: the depth-2
+    * decision tree (root split, then the best split INSIDE each
+    * child), i.e. one full iteration of recursive partitioning — the
+    * loop a distributed tree learner runs per level. The level-2
+    * search is a SINGLE pass: the per-side candidate windows
+    * partition by the side label, so both children's argmins ride
+    * one Exchange; a pure child (no valid candidate) reports a null
+    * split and its majority-class accuracy. Same exact arithmetic as
+    * the stump (decimal squares, nano-quantized argmin keys, value-
+    * grain cumulative counting). Output: root/L/R rows with node
+    * size, split, Gini, and subtree accuracy (root = the full
+    * depth-2 training accuracy).
+    */
+  val qTreeDepth2: Q = Q(
+    "q_tree_depth2",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("x"), when(col("np") >= 14, 1L).otherwise(0L).as("y"))
+        .localCheckpoint()
+      // per-side best split over a (side, x, c1, c0) rollup: the
+      // candidate windows and the argmin rank all partition by side
+      def bestSplits(rollSided: DataFrame): DataFrame = {
+        val tots = rollSided.groupBy(col("side"))
+          .agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+        val w = Window.partitionBy(col("side")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nl = col("l1") + col("l0")
+        val nr = col("r1") + col("r0")
+        val gl = nl.cast("double") -
+          (col("l1").cast("decimal(38,0)") * col("l1") +
+            col("l0").cast("decimal(38,0)") * col("l0")).cast("double") / nl
+        val gr = nr.cast("double") -
+          (col("r1").cast("decimal(38,0)") * col("r1") +
+            col("r0").cast("decimal(38,0)") * col("r0")).cast("double") / nr
+        val imp = (gl + gr) / (col("t1") + col("t0")).cast("double")
+        val wSel = Window.partitionBy(col("side")).orderBy(col("impm"), col("x"))
+        rollSided
+          .withColumn("l1", sum(col("c1")).over(w))
+          .withColumn("l0", sum(col("c0")).over(w))
+          .join(tots, Seq("side"))
+          .where(col("l1") + col("l0") < col("t1") + col("t0"))
+          .select(col("side"), col("x"), col("l1"), col("l0"),
+            (col("t1") - col("l1")).as("r1"), (col("t0") - col("l0")).as("r0"),
+            col("t1"), col("t0"))
+          .select(col("side"), col("x"),
+            round(imp * lit(1e9)).cast("long").as("impm"), imp.as("imp"),
+            (greatest(col("l1"), col("l0")) +
+              greatest(col("r1"), col("r0"))).as("okn"))
+          .withColumn("rk", row_number().over(wSel)).where(col("rk") === 1)
+      }
+      val rootRoll = u.groupBy(col("x"))
+        .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+        .withColumn("side", lit("root"))
+      val root = bestSplits(rootRoll).head()
+      val rootX = root.getAs[Long]("x")
+      val roll2 = u
+        .select(when(col("x") <= rootX, "L").otherwise("R").as("side"),
+          col("x"), col("y"))
+        .groupBy(col("side"), col("x"))
+        .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+        .localCheckpoint()
+      val best2 = bestSplits(roll2).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val tots2 = roll2.groupBy(col("side"))
+        .agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val n = tots2.values.map(t => t._1 + t._2).sum
+      def sideRow(sd: String): (String, Long, Option[Long], Option[Double], Double) = {
+        val (t1, t0) = tots2(sd)
+        val nn = t1 + t0
+        best2.get(sd) match {
+          case Some(b) => (sd, nn, Some(b.getAs[Long]("x")),
+            Some(r6(b.getAs[Double]("imp"))),
+            r6(b.getAs[Long]("okn").toDouble / nn))
+          case None => (sd, nn, None, None,
+            r6(math.max(t1, t0).toDouble / nn))
+        }
+      }
+      val leafOk = Seq("L", "R").map { sd =>
+        best2.get(sd).map(_.getAs[Long]("okn"))
+          .getOrElse(math.max(tots2(sd)._1, tots2(sd)._2))
+      }.sum
+      val rows = Seq(
+        ("root", n, Some(rootX), Some(r6(root.getAs[Double]("imp"))),
+          r6(leafOk.toDouble / n)),
+        sideRow("L"), sideRow("R"))
+      rows.toDF("node", "n_node", "split_x", "gini", "acc")
+    },
+    Some("""
+      WITH u AS (SELECT count(*)::BIGINT AS x,
+               (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                     THEN 1 ELSE 0 END)::BIGINT AS y
+             FROM events GROUP BY user_id),
+      r0 AS (SELECT x, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0 FROM u GROUP BY 1),
+      tt0 AS (SELECT sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0 FROM r0),
+      cum0 AS (SELECT x,
+                 sum(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS l1,
+                 sum(c0) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS l0
+               FROM r0),
+      sc0 AS (SELECT x,
+                (((l1 + l0) - (l1::HUGEINT * l1 + l0::HUGEINT * l0)::DOUBLE / (l1 + l0))
+                 + (((t1 - l1) + (t0 - l0)) - ((t1 - l1)::HUGEINT * (t1 - l1)
+                     + (t0 - l0)::HUGEINT * (t0 - l0))::DOUBLE / ((t1 - l1) + (t0 - l0))))
+                  / (t1 + t0) AS imp
+              FROM cum0, tt0 WHERE l1 + l0 < t1 + t0),
+      b0 AS (SELECT x, imp FROM sc0 ORDER BY round(imp * 1000000000)::BIGINT, x LIMIT 1),
+      u2 AS (SELECT CASE WHEN x <= (SELECT x FROM b0) THEN 'L' ELSE 'R' END AS side, x, y
+             FROM u),
+      r2 AS (SELECT side, x, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0
+             FROM u2 GROUP BY 1, 2),
+      t2 AS (SELECT side, sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0 FROM r2 GROUP BY 1),
+      cum2 AS (SELECT side, x,
+                 sum(c1) OVER (PARTITION BY side ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS l1,
+                 sum(c0) OVER (PARTITION BY side ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS l0
+               FROM r2),
+      sc2 AS (SELECT cum2.side, x,
+                (((l1 + l0) - (l1::HUGEINT * l1 + l0::HUGEINT * l0)::DOUBLE / (l1 + l0))
+                 + (((t1 - l1) + (t0 - l0)) - ((t1 - l1)::HUGEINT * (t1 - l1)
+                     + (t0 - l0)::HUGEINT * (t0 - l0))::DOUBLE / ((t1 - l1) + (t0 - l0))))
+                  / (t1 + t0) AS imp,
+                greatest(l1, l0) + greatest(t1 - l1, t0 - l0) AS okn
+              FROM cum2 JOIN t2 ON cum2.side = t2.side
+              WHERE l1 + l0 < t1 + t0),
+      b2 AS (SELECT side, x, imp, okn
+             FROM (SELECT *, row_number() OVER (PARTITION BY side
+                     ORDER BY round(imp * 1000000000)::BIGINT, x) AS rk FROM sc2)
+             WHERE rk = 1),
+      sides AS (SELECT t2.side AS node, (t2.t1 + t2.t0)::BIGINT AS n_node,
+                  b2.x AS split_x, round(b2.imp, 6) AS gini,
+                  round(coalesce(b2.okn, greatest(t2.t1, t2.t0))::DOUBLE
+                    / (t2.t1 + t2.t0), 6) AS acc
+                FROM t2 LEFT JOIN b2 ON t2.side = b2.side),
+      acc2 AS (SELECT sum(coalesce(b2.okn, greatest(t2.t1, t2.t0)))::BIGINT AS ok
+               FROM t2 LEFT JOIN b2 ON t2.side = b2.side)
+      SELECT 'root' AS node, (SELECT t1 + t0 FROM tt0)::BIGINT AS n_node,
+             (SELECT x FROM b0) AS split_x,
+             (SELECT round(imp, 6) FROM b0) AS gini,
+             round((SELECT ok FROM acc2)::DOUBLE / (SELECT t1 + t0 FROM tt0), 6) AS acc
+      UNION ALL
+      SELECT node, n_node, split_x, gini, acc FROM sides
+    """),
+  )
+
   /** Multinomial Naive Bayes language classifier over the documents
     * corpus — train on the 80% md5 hash split (the `text_hash_split`
     * convention), classify the held-out 20%, emit the confusion
@@ -1134,5 +1282,5 @@ object StatsQueries {
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
-    qMarkovEntropy)
+    qMarkovEntropy, qTreeDepth2)
 }
