@@ -727,6 +727,132 @@ object StatsQueries {
     """),
   )
 
+  /** Hash-bagged stump forest (5 bags): the bagging loop of a random
+    * forest as ONE pass per stage — every user joins each bag with a
+    * deterministic Poisson(1) weight (the bootstrap-CI thresholds on
+    * md5(user‖bag)), the per-bag weighted Gini stump search runs in
+    * a single bag-partitioned window pass (weighted counts stay
+    * exact integers), and the 5 collected stumps vote per user as
+    * pure literal expressions — no per-tree jobs, no RNG, the whole
+    * ensemble replays bit-for-bit. Zero-weight prefixes are filtered
+    * from the candidate set (nl, nr > 0) so weighted impurity never
+    * divides by zero.
+    */
+  val qForestVote: Q = Q(
+    "q_forest_vote",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("user_id"), col("x"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("y"))
+        .localCheckpoint()
+      val h = conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":"), col("bag").cast("string"))), 1, 4), 16, 10).cast("long")
+      val wgt = when(h < 24109, 0L).when(h < 48218, 1L).when(h < 60273, 2L)
+        .when(h < 64291, 3L).when(h < 65296, 4L).when(h < 65497, 5L)
+        .when(h < 65530, 6L).otherwise(7L)
+      val roll = u
+        .select(col("user_id"), col("x"), col("y"),
+          explode(sequence(lit(0L), lit(4L))).as("bag"))
+        .select(col("bag"), col("x"), (wgt * col("y")).as("wy"),
+          (wgt * (lit(1L) - col("y"))).as("wn"))
+        .groupBy(col("bag"), col("x"))
+        .agg(sum(col("wy")).as("c1"), sum(col("wn")).as("c0"))
+        .localCheckpoint()
+      val tots = roll.groupBy(col("bag"))
+        .agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+      val w = Window.partitionBy(col("bag")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nl = col("l1") + col("l0")
+      val nr = col("r1") + col("r0")
+      val gl = nl.cast("double") -
+        (col("l1").cast("decimal(38,0)") * col("l1") +
+          col("l0").cast("decimal(38,0)") * col("l0")).cast("double") / nl
+      val gr = nr.cast("double") -
+        (col("r1").cast("decimal(38,0)") * col("r1") +
+          col("r0").cast("decimal(38,0)") * col("r0")).cast("double") / nr
+      val imp = (gl + gr) / (col("t1") + col("t0")).cast("double")
+      val wSel = Window.partitionBy(col("bag")).orderBy(col("impm"), col("x"))
+      val best = roll
+        .withColumn("l1", sum(col("c1")).over(w))
+        .withColumn("l0", sum(col("c0")).over(w))
+        .join(tots, Seq("bag"))
+        .select(col("bag"), col("x"), col("l1"), col("l0"),
+          (col("t1") - col("l1")).as("r1"), (col("t0") - col("l0")).as("r0"),
+          col("t1"), col("t0"))
+        .where(nl > 0 && nr > 0)
+        .select(col("bag"), col("x"),
+          round(imp * lit(1e9)).cast("long").as("impm"), imp.as("imp"),
+          (col("l1") >= col("l0")).cast("long").as("majl"),
+          (col("r1") >= col("r0")).cast("long").as("majr"))
+        .withColumn("rk", row_number().over(wSel)).where(col("rk") === 1)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(4), r.getLong(5), r.getDouble(3))).toMap
+      val votes = (0L to 4L).map { b =>
+        val (t, majl, majr, _) = best(b)
+        when(col("x") <= t, lit(majl)).otherwise(lit(majr))
+      }.reduce(_ + _)
+      val acc = u.agg(count(lit(1)).as("n"),
+        sum(when((votes >= 3L) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"))
+        .head()
+      val accF = r6(acc.getLong(1).toDouble / acc.getLong(0))
+      (0L to 4L).map { b =>
+        val (t, majl, majr, g) = best(b)
+        (b, t, majl, majr, r6(g), accF)
+      }.toDF("bag", "split_x", "maj_left", "maj_right", "gini", "acc_forest")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, count(*)::BIGINT AS x,
+               (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                     THEN 1 ELSE 0 END)::BIGINT AS y
+             FROM events GROUP BY user_id),
+      ub AS (SELECT user_id, x, y, b.b AS bag,
+               ((strpos('0123456789abcdef', substr(md5(user_id::VARCHAR || ':' || b.b::VARCHAR), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(user_id::VARCHAR || ':' || b.b::VARCHAR), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(user_id::VARCHAR || ':' || b.b::VARCHAR), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(user_id::VARCHAR || ':' || b.b::VARCHAR), 4, 1)) - 1)) AS h
+             FROM u, generate_series(0, 4) b(b)),
+      uw AS (SELECT user_id, x, y, bag,
+               (CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1
+                     WHEN h < 60273 THEN 2 WHEN h < 64291 THEN 3
+                     WHEN h < 65296 THEN 4 WHEN h < 65497 THEN 5
+                     WHEN h < 65530 THEN 6 ELSE 7 END)::BIGINT AS w
+             FROM ub),
+      roll AS (SELECT bag, x, sum(w * y)::BIGINT AS c1, sum(w * (1 - y))::BIGINT AS c0
+               FROM uw GROUP BY 1, 2),
+      t2 AS (SELECT bag, sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0 FROM roll GROUP BY 1),
+      cum AS (SELECT bag, x,
+                sum(c1) OVER (PARTITION BY bag ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS l1,
+                sum(c0) OVER (PARTITION BY bag ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS l0
+              FROM roll),
+      sc AS (SELECT cum.bag, x,
+               (((l1 + l0) - (l1::HUGEINT * l1 + l0::HUGEINT * l0)::DOUBLE / (l1 + l0))
+                + (((t1 - l1) + (t0 - l0)) - ((t1 - l1)::HUGEINT * (t1 - l1)
+                    + (t0 - l0)::HUGEINT * (t0 - l0))::DOUBLE / ((t1 - l1) + (t0 - l0))))
+                 / (t1 + t0) AS imp,
+               (l1 >= l0)::BIGINT AS majl,
+               (t1 - l1 >= t0 - l0)::BIGINT AS majr
+             FROM cum JOIN t2 ON cum.bag = t2.bag
+             WHERE l1 + l0 > 0 AND (t1 - l1) + (t0 - l0) > 0),
+      b2 AS (SELECT bag, x, imp, majl, majr
+             FROM (SELECT *, row_number() OVER (PARTITION BY bag
+                     ORDER BY round(imp * 1000000000)::BIGINT, x) AS rk FROM sc)
+             WHERE rk = 1),
+      pred AS (SELECT u.user_id, u.y,
+                 sum(CASE WHEN u.x <= b2.x THEN b2.majl ELSE b2.majr END)::BIGINT AS v
+               FROM u CROSS JOIN b2 GROUP BY 1, 2),
+      af AS (SELECT round(sum(CASE WHEN (v >= 3) = (y = 1) THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 6) AS acc FROM pred)
+      SELECT bag, x AS split_x, majl AS maj_left, majr AS maj_right,
+             round(imp, 6) AS gini, (SELECT acc FROM af) AS acc_forest
+      FROM b2
+    """),
+  )
+
   /** Multinomial Naive Bayes language classifier over the documents
     * corpus — train on the 80% md5 hash split (the `text_hash_split`
     * convention), classify the held-out 20%, emit the confusion
@@ -1282,5 +1408,5 @@ object StatsQueries {
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
-    qMarkovEntropy, qTreeDepth2)
+    qMarkovEntropy, qTreeDepth2, qForestVote)
 }
