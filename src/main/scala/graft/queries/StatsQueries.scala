@@ -402,65 +402,11 @@ object StatsQueries {
     },
   )
 
-  /** Two full gradient-descent steps of logistic regression (bias +
-    * event count + purchase count → high-intent label), the
-    * distributed-ML-step family next to `q_kmeans_step` /
-    * `q_pagerank_step` / `q_pca_power`. Step 1 from w=0 is EXACTLY
-    * integral (σ(0)=½ ⇒ 2·grad = Σ(1−2y)·x, an int64 sum); published
-    * weights are micro-quantized after each step, so step 2's per-row
-    * σ(w·x) evaluates on exact micro rationals and its gradient terms
-    * micro-quantize into an order-free int sum — the whole fit
-    * replays bit-for-bit. Three aggregate passes over ONE
-    * materialized user rollup (§13); log-loss clamps p away from
-    * exact 0/1 (1e-12) in both engines so saturated rows stay finite.
+  /** The DuckDB replay of the two-step logistic fit — CTE bodies
+    * u/u2/g1/w1/pr/g2/w2 ending in the micro weights (n, va, vb, vc);
+    * shared by q_logreg_step and the explainability oracles.
     */
-  val qLogregStep: Q = Q(
-    "q_logreg_step",
-    (s, dir) => {
-      import s.implicits._
-      val lr = 0.1
-      val u = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("x1"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"))
-        .select(col("x1"), col("x2"),
-          when(col("x2") >= 14, 1L).otherwise(0L).as("y"))
-        .localCheckpoint()
-      val g1 = u.agg(count(lit(1)).as("n"),
-        sum(lit(1L) - lit(2L) * col("y")).as("g0t"),
-        sum((lit(1L) - lit(2L) * col("y")) * col("x1")).as("g1t"),
-        sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2t")).head()
-      val n = g1.getLong(0)
-      def w1m(gt: Long): Long = rL(-lr * (gt.toDouble / 2 / n) * 1e6)
-      val (wa, wb, wc) = (w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)))
-      val z1 = (lit(wa) + lit(wb) * col("x1") + lit(wc) * col("x2"))
-        .cast("double") / lit(1e6)
-      val p1 = lit(1.0) / (lit(1.0) + exp(-z1))
-      val g2 = u.select(col("y"), col("x1"), col("x2"), p1.as("p"))
-        .agg(
-          sum(round((col("p") - col("y")) * lit(1e6)).cast("long")).as("h0"),
-          sum(round((col("p") - col("y")) * col("x1") * lit(1e6)).cast("long")).as("h1"),
-          sum(round((col("p") - col("y")) * col("x2") * lit(1e6)).cast("long")).as("h2"))
-        .head()
-      def w2m(w1: Long, hm: Long): Long =
-        rL((w1 / 1e6 - lr * ((hm / 1e6) / n)) * 1e6)
-      val (va, vb, vc) = (w2m(wa, g2.getLong(0)), w2m(wb, g2.getLong(1)),
-        w2m(wc, g2.getLong(2)))
-      val z2i = lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2")
-      val p2 = lit(1.0) / (lit(1.0) + exp(-(z2i.cast("double") / lit(1e6))))
-      val fin = u.select(col("y"), z2i.as("zi"), p2.as("p2"))
-        .agg(
-          sum(when((col("zi") > 0) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"),
-          sum(round((-(col("y") * log(greatest(col("p2"), lit(1e-12))) +
-            (lit(1L) - col("y")) * log(greatest(lit(1.0) - col("p2"), lit(1e-12)))))
-            * lit(1e6)).cast("long")).as("llm")).head()
-      val acc = fin.getLong(0).toDouble / n
-      val loss = (fin.getLong(1).toDouble / n) / 1e6
-      Seq((n, r6(va / 1e6), r6(vb / 1e6), r6(vc / 1e6), r6(acc), r6(loss)))
-        .toDF("n", "w_bias", "w_events", "w_purch", "acc", "log_loss")
-    },
-    Some("""
-      WITH u AS (SELECT count(*)::BIGINT AS x1,
+  private val logregFitSql: String = """u AS (SELECT count(*)::BIGINT AS x1,
                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x2
              FROM events GROUP BY user_id),
       u2 AS (SELECT x1, x2, (CASE WHEN x2 >= 14 THEN 1 ELSE 0 END)::BIGINT AS y FROM u),
@@ -483,7 +429,78 @@ object StatsQueries {
                round((wa / 1000000.0 - 0.1 * ((h0 / 1000000.0) / n)) * 1000000)::BIGINT AS va,
                round((wb / 1000000.0 - 0.1 * ((h1 / 1000000.0) / n)) * 1000000)::BIGINT AS vb,
                round((wc / 1000000.0 - 0.1 * ((h2 / 1000000.0) / n)) * 1000000)::BIGINT AS vc
-             FROM w1, g2),
+             FROM w1, g2)"""
+
+  /** Two full gradient-descent steps of logistic regression (bias +
+    * event count + purchase count → high-intent label), the
+    * distributed-ML-step family next to `q_kmeans_step` /
+    * `q_pagerank_step` / `q_pca_power`. Step 1 from w=0 is EXACTLY
+    * integral (σ(0)=½ ⇒ 2·grad = Σ(1−2y)·x, an int64 sum); published
+    * weights are micro-quantized after each step, so step 2's per-row
+    * σ(w·x) evaluates on exact micro rationals and its gradient terms
+    * micro-quantize into an order-free int sum — the whole fit
+    * replays bit-for-bit. Three aggregate passes over ONE
+    * materialized user rollup (§13); log-loss clamps p away from
+    * exact 0/1 (1e-12) in both engines so saturated rows stay finite.
+    */
+  /** The (x1, x2, y) user frame the logreg family fits on. */
+  private[graft] def logregFrame(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"))
+      .select(col("x1"), col("x2"),
+        when(col("x2") >= 14, 1L).otherwise(0L).as("y"))
+
+  /** The two micro-quantized gradient steps from w=0 (see
+    * q_logreg_step) — returns (n, w_bias, w_events, w_purch) in
+    * integer micros; shared by the fit query and the
+    * explainability pair.
+    */
+  private[graft] def logregFit(u: DataFrame): (Long, Long, Long, Long) = {
+    val lr = 0.1
+    val g1 = u.agg(count(lit(1)).as("n"),
+      sum(lit(1L) - lit(2L) * col("y")).as("g0t"),
+      sum((lit(1L) - lit(2L) * col("y")) * col("x1")).as("g1t"),
+      sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2t")).head()
+    val n = g1.getLong(0)
+    def w1m(gt: Long): Long = rL(-lr * (gt.toDouble / 2 / n) * 1e6)
+    val (wa, wb, wc) = (w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)))
+    val z1 = (lit(wa) + lit(wb) * col("x1") + lit(wc) * col("x2"))
+      .cast("double") / lit(1e6)
+    val p1 = lit(1.0) / (lit(1.0) + exp(-z1))
+    val g2 = u.select(col("y"), col("x1"), col("x2"), p1.as("p"))
+      .agg(
+        sum(round((col("p") - col("y")) * lit(1e6)).cast("long")).as("h0"),
+        sum(round((col("p") - col("y")) * col("x1") * lit(1e6)).cast("long")).as("h1"),
+        sum(round((col("p") - col("y")) * col("x2") * lit(1e6)).cast("long")).as("h2"))
+      .head()
+    def w2m(w1: Long, hm: Long): Long =
+      rL((w1 / 1e6 - lr * ((hm / 1e6) / n)) * 1e6)
+    (n, w2m(wa, g2.getLong(0)), w2m(wb, g2.getLong(1)), w2m(wc, g2.getLong(2)))
+  }
+
+  val qLogregStep: Q = Q(
+    "q_logreg_step",
+    (s, dir) => {
+      import s.implicits._
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val (n, va, vb, vc) = logregFit(u)
+      val z2i = lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2")
+      val p2 = lit(1.0) / (lit(1.0) + exp(-(z2i.cast("double") / lit(1e6))))
+      val fin = u.select(col("y"), z2i.as("zi"), p2.as("p2"))
+        .agg(
+          sum(when((col("zi") > 0) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"),
+          sum(round((-(col("y") * log(greatest(col("p2"), lit(1e-12))) +
+            (lit(1L) - col("y")) * log(greatest(lit(1.0) - col("p2"), lit(1e-12)))))
+            * lit(1e6)).cast("long")).as("llm")).head()
+      val acc = fin.getLong(0).toDouble / n
+      val loss = (fin.getLong(1).toDouble / n) / 1e6
+      Seq((n, r6(va / 1e6), r6(vb / 1e6), r6(vc / 1e6), r6(acc), r6(loss)))
+        .toDF("n", "w_bias", "w_events", "w_purch", "acc", "log_loss")
+    },
+    Some(s"""
+      WITH $logregFitSql,
       fin AS (SELECT
           sum(CASE WHEN ((va + vb * x1 + vc * x2) > 0) = (y = 1) THEN 1 ELSE 0 END)::BIGINT AS ok,
           sum(round((-(y * ln(greatest(1.0 / (1.0 + exp(-((va + vb * x1 + vc * x2)::DOUBLE / 1000000.0))), 1e-12))
@@ -850,6 +867,107 @@ object StatsQueries {
       SELECT bag, x AS split_x, majl AS maj_left, majr AS maj_right,
              round(imp, 6) AS gini, (SELECT acc FROM af) AS acc_forest
       FROM b2
+    """),
+  )
+
+  /** Exact Shapley feature importance for the fitted two-feature
+    * logistic model — with d=2 the Shapley value has a closed 4-term
+    * coalition form (no sampling): φ₁ = ½[(f(x₁,x₂)−f(0,x₂)) +
+    * (f(x₁,0)−f(0,0))], per-user values micro-quantized into
+    * order-free int sums, reported as mean |φ| (global importance)
+    * and signed mean per feature. One pass over the user rollup with
+    * the collected micro weights as literals — model explainability
+    * at the engine's exact-replay standard.
+    */
+  val qShapleyImportance: Q = Q(
+    "q_shapley_importance",
+    (s, dir) => {
+      import s.implicits._
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val (n, va, vb, vc) = logregFit(u)
+      def sig(zi: Column): Column =
+        lit(1.0) / (lit(1.0) + exp(-(zi.cast("double") / lit(1e6))))
+      val f12 = sig(lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2"))
+      val f2 = sig(lit(va) + lit(vc) * col("x2"))
+      val f1 = sig(lit(va) + lit(vb) * col("x1"))
+      val f0 = sig(lit(va))
+      val phi1 = ((f12 - f2) + (f1 - f0)) * lit(0.5)
+      val phi2 = ((f12 - f1) + (f2 - f0)) * lit(0.5)
+      val a = u.agg(
+        sum(round(abs(phi1) * lit(1e6)).cast("long")).as("a1"),
+        sum(round(phi1 * lit(1e6)).cast("long")).as("m1"),
+        sum(round(abs(phi2) * lit(1e6)).cast("long")).as("a2"),
+        sum(round(phi2 * lit(1e6)).cast("long")).as("m2")).head()
+      Seq(
+        ("x_events", r6(a.getLong(0).toDouble / n / 1e6),
+          r6(a.getLong(1).toDouble / n / 1e6)),
+        ("x_purchases", r6(a.getLong(2).toDouble / n / 1e6),
+          r6(a.getLong(3).toDouble / n / 1e6)))
+        .toDF("feature", "mean_abs_shap", "mean_shap")
+    },
+    Some(s"""
+      WITH $logregFitSql,
+      fs AS (SELECT
+               1.0 / (1.0 + exp(-((va + vb * x1 + vc * x2)::DOUBLE / 1000000.0))) AS f12,
+               1.0 / (1.0 + exp(-((va + vc * x2)::DOUBLE / 1000000.0))) AS f2,
+               1.0 / (1.0 + exp(-((va + vb * x1)::DOUBLE / 1000000.0))) AS f1,
+               1.0 / (1.0 + exp(-((va)::DOUBLE / 1000000.0))) AS f0
+             FROM u2, w2),
+      sh AS (SELECT ((f12 - f2) + (f1 - f0)) * 0.5 AS phi1,
+                    ((f12 - f1) + (f2 - f0)) * 0.5 AS phi2 FROM fs),
+      ag AS (SELECT sum(round(abs(phi1) * 1000000)::BIGINT)::BIGINT AS a1,
+                    sum(round(phi1 * 1000000)::BIGINT)::BIGINT AS m1,
+                    sum(round(abs(phi2) * 1000000)::BIGINT)::BIGINT AS a2,
+                    sum(round(phi2 * 1000000)::BIGINT)::BIGINT AS m2
+             FROM sh)
+      SELECT 'x_events' AS feature,
+             round(a1::DOUBLE / (SELECT n FROM w2) / 1000000.0, 6) AS mean_abs_shap,
+             round(m1::DOUBLE / (SELECT n FROM w2) / 1000000.0, 6) AS mean_shap
+      FROM ag
+      UNION ALL
+      SELECT 'x_purchases',
+             round(a2::DOUBLE / (SELECT n FROM w2) / 1000000.0, 6),
+             round(m2::DOUBLE / (SELECT n FROM w2) / 1000000.0, 6)
+      FROM ag
+    """),
+  )
+
+  /** Partial-dependence profile of the fitted model along the event
+    * count: a 10-point integer grid over [min, max], PDP(g) = the
+    * mean prediction with x₁ forced to g and x₂ marginalized over
+    * the real population (the standard PDP estimator) — one ×10
+    * explode of the user rollup into a grid-keyed exact micro mean.
+    */
+  val qPdp: Q = Q(
+    "q_pdp",
+    (s, dir) => {
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val (n, va, vb, vc) = logregFit(u)
+      val mm = u.agg(min(col("x1")), max(col("x1"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val z = (lit(va) + lit(vb) * col("g") + lit(vc) * col("x2"))
+        .cast("double") / lit(1e6)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      u.select(col("x2"), explode(sequence(lit(0L), lit(9L))).as("i"))
+        .select(col("x2"), col("i"),
+          expr(s"$mn + ((${mx - mn}) * i) div 9").as("g"))
+        .groupBy(col("i"), col("g"))
+        .agg(sum(round(p * lit(1e6)).cast("long")).as("sm"))
+        .select(col("i").as("grid_idx"), col("g").as("x_events"),
+          round(col("sm").cast("double") / lit(n) / lit(1e6), 6).as("pdp"))
+    },
+    Some(s"""
+      WITH $logregFitSql,
+      mm AS (SELECT min(x1) AS mn, max(x1) AS mx FROM u2),
+      gr AS (SELECT x2, t.i, (mm.mn + ((mm.mx - mm.mn) * t.i) // 9)::BIGINT AS g
+             FROM u2, mm, generate_series(0, 9) t(i)),
+      pd AS (SELECT i, g,
+               sum(round(1.0 / (1.0 + exp(-((va + vb * g + vc * x2)::DOUBLE / 1000000.0)))
+                 * 1000000)::BIGINT)::BIGINT AS sm
+             FROM gr, w2 GROUP BY 1, 2)
+      SELECT i AS grid_idx, g AS x_events,
+             round(sm::DOUBLE / (SELECT n FROM w2) / 1000000.0, 6) AS pdp
+      FROM pd
     """),
   )
 
@@ -1408,5 +1526,5 @@ object StatsQueries {
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
-    qMarkovEntropy, qTreeDepth2, qForestVote)
+    qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp)
 }
