@@ -971,6 +971,139 @@ object StatsQueries {
     """),
   )
 
+  /** Cumulative-gains / lift table at score deciles — the
+    * campaign-targeting chart behind every propensity model: users
+    * rank by (activity score desc, user_id), decile assignment uses
+    * the §13 two-level decomposition (value-grain prefix counts
+    * joined back + a window PARTITIONED by score for within-tie
+    * order — no single-partition global sort), and each decile
+    * reports its exact positive count, cumulative capture share, and
+    * lift over the base rate.
+    */
+  val qGainsCurve: Q = Q(
+    "q_gains_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val uu = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("user_id"), col("score"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("y"))
+        .localCheckpoint()
+      val t = uu.agg(count(lit(1)).as("n"), sum(col("y")).as("p")).head()
+      val (n, totPos) = (t.getLong(0), t.getLong(1))
+      // two-level exact rank: prefix = users with a STRICTLY higher
+      // score (bounded value-grain rollup), within-tie by user_id
+      val wv = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefix = uu.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wv))
+        .select(col("score"), (col("cum") - col("c")).as("before"))
+      val wTie = Window.partitionBy(col("score")).orderBy(col("user_id"))
+      val ranked = uu.join(prefix, Seq("score"))
+        .withColumn("rk", col("before") + row_number().over(wTie))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .select(expr(s"((rk - 1) * 10) div $n").as("decile"), col("y"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("y")).as("pos"))
+        .withColumn("cum_pos", sum(col("pos")).over(wCum))
+        .select(col("decile"), col("n_users"), col("pos"),
+          round(col("cum_pos").cast("double") / lit(totPos), 6).as("cum_capture"),
+          round((col("pos").cast("double") / col("n_users")) /
+            (lit(totPos).cast("double") / lit(n)), 6).as("lift"))
+    },
+    Some("""
+      WITH u AS (SELECT user_id, count(*)::BIGINT AS score,
+               (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                     THEN 1 ELSE 0 END)::BIGINT AS y
+             FROM events GROUP BY user_id),
+      t AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS p FROM u),
+      pre AS (SELECT score,
+                (sum(c) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) - c)::BIGINT AS before
+              FROM (SELECT score, count(*)::BIGINT AS c FROM u GROUP BY 1)),
+      rk AS (SELECT u.y,
+               pre.before + row_number() OVER (PARTITION BY u.score ORDER BY u.user_id) AS rk
+             FROM u JOIN pre ON u.score = pre.score),
+      d AS (SELECT ((rk - 1) * 10) // (SELECT n FROM t) AS decile, y FROM rk),
+      g AS (SELECT decile, count(*)::BIGINT AS n_users, sum(y)::BIGINT AS pos
+            FROM d GROUP BY 1)
+      SELECT decile, n_users, pos,
+             round((sum(pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))::DOUBLE / (SELECT p FROM t), 6) AS cum_capture,
+             round((pos::DOUBLE / n_users) /
+               ((SELECT p FROM t)::DOUBLE / (SELECT n FROM t)), 6) AS lift
+      FROM g
+    """),
+  )
+
+  /** Weight-of-evidence / information value over 10 equi-width score
+    * bins — the credit-scoring feature-strength report: per-bin
+    * WoE = ln((pos_b/P)/(neg_b/N)) with half-count smoothing (no
+    * ±∞ on pure bins), IV = Σ (pos_b/P − neg_b/N)·WoE_b with terms
+    * micro-quantized into an order-free int total. One bounded
+    * 10-bin rollup over the user frame.
+    */
+  val qWoeIv: Q = Q(
+    "q_woe_iv",
+    (s, dir) => {
+      import s.implicits._
+      val uu = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("score"), when(col("np") >= 14, 1L).otherwise(0L).as("y"))
+        .localCheckpoint()
+      val mm = uu.agg(min(col("score")), max(col("score"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val bins = uu
+        .select(least(expr(s"(((score - $mn) * 10) div ${math.max(mx - mn + 1, 1)})"),
+          lit(9L)).as("bin"), col("y"))
+        .groupBy(col("bin"))
+        .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+        .orderBy(col("bin")).collect()
+      val totP = bins.map(_.getLong(1)).sum
+      val totN = bins.map(_.getLong(2)).sum
+      def shares(p: Long, nn: Long): (Double, Double) =
+        ((p + 0.5) / (totP + bins.length / 2.0), (nn + 0.5) / (totN + bins.length / 2.0))
+      val rows = bins.map { r =>
+        val (b, p, nn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val (sp, sn) = shares(p, nn)
+        val woe = math.log(sp / sn)
+        (b, p, nn, r6(woe), rL((sp - sn) * woe * 1e6))
+      }
+      val iv = rows.map(_._5).sum / 1e6
+      rows.map { case (b, p, nn, woe, _) => (b, p, nn, woe, r6(iv)) }.toSeq
+        .toDF("bin", "pos", "neg", "woe", "iv_total")
+    },
+    Some("""
+      WITH u AS (SELECT count(*)::BIGINT AS score,
+               (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                     THEN 1 ELSE 0 END)::BIGINT AS y
+             FROM events GROUP BY user_id),
+      mm AS (SELECT min(score) AS mn, max(score) AS mx FROM u),
+      b AS (SELECT least(((score - mm.mn) * 10) // greatest(mm.mx - mm.mn + 1, 1), 9) AS bin, y
+            FROM u, mm),
+      g AS (SELECT bin, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+            FROM b GROUP BY 1),
+      t AS (SELECT sum(pos)::BIGINT AS tp, sum(neg)::BIGINT AS tn,
+              count(*)::BIGINT AS k FROM g),
+      w AS (SELECT bin, pos, neg,
+              ln(((pos + 0.5) / (tp + k / 2.0)) / ((neg + 0.5) / (tn + k / 2.0))) AS woe,
+              round((((pos + 0.5) / (tp + k / 2.0)) - ((neg + 0.5) / (tn + k / 2.0)))
+                * ln(((pos + 0.5) / (tp + k / 2.0)) / ((neg + 0.5) / (tn + k / 2.0)))
+                * 1000000)::BIGINT AS ivm
+            FROM g, t),
+      iv AS (SELECT sum(ivm)::BIGINT AS s FROM w)
+      SELECT bin, pos, neg, round(woe, 6) AS woe,
+             round((SELECT s FROM iv) / 1000000.0, 6) AS iv_total
+      FROM w
+    """),
+  )
+
   /** Multinomial Naive Bayes language classifier over the documents
     * corpus — train on the 80% md5 hash split (the `text_hash_split`
     * convention), classify the held-out 20%, emit the confusion
@@ -1526,5 +1659,6 @@ object StatsQueries {
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
-    qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp)
+    qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
+    qGainsCurve, qWoeIv)
 }
