@@ -1104,6 +1104,138 @@ object StatsQueries {
     """),
   )
 
+  /** Spearman rank correlation between activity and purchase counts
+    * across users — the monotone-association statistic next to the
+    * relevance batteries' Kendall tau, computed EXACTLY under ties:
+    * doubled midranks 2·before + (c+1) are integers derived from the
+    * value-grain rollup (two-level rank, no global row sort, no
+    * within-tie window needed — ties share a midrank), and ρ is the
+    * Pearson formula over those exact integer ranks (BigInt/HUGEINT
+    * product sums, one fixed-order double at the end).
+    */
+  val qSpearman: Q = Q(
+    "q_spearman",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"))
+        .localCheckpoint()
+      def rank2(vc: String): DataFrame = {
+        val w = Window.orderBy(col(vc))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.groupBy(col(vc)).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .select(col(vc),
+            (lit(2L) * (col("cum") - col("c")) + col("c") + 1).as(s"r_$vc"))
+      }
+      val ranked = u.join(rank2("x1"), Seq("x1")).join(rank2("x2"), Seq("x2"))
+      val r = ranked.agg(count(lit(1)).as("n"),
+        sum(col("r_x1")).as("sa"), sum(col("r_x2")).as("sb"),
+        sum(col("r_x1").cast("decimal(38,0)") * col("r_x2")).as("sab"),
+        sum(col("r_x1").cast("decimal(38,0)") * col("r_x1")).as("saa"),
+        sum(col("r_x2").cast("decimal(38,0)") * col("r_x2")).as("sbb")).head()
+      val n = BigInt(r.getLong(0))
+      val (sa, sb) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)))
+      val sab = BigDecimal(r.getDecimal(3)).toBigInt
+      val saa = BigDecimal(r.getDecimal(4)).toBigInt
+      val sbb = BigDecimal(r.getDecimal(5)).toBigInt
+      val rho = (n * sab - sa * sb).toDouble /
+        (math.sqrt((n * saa - sa * sa).toDouble) *
+          math.sqrt((n * sbb - sb * sb).toDouble))
+      Seq((r.getLong(0), r6(rho))).toDF("n", "spearman_rho")
+    },
+    Some("""
+      WITH u AS (SELECT count(*)::BIGINT AS x1,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x2
+             FROM events GROUP BY user_id),
+      r1 AS (SELECT x1, (2 * (sum(c) OVER (ORDER BY x1 ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) - c) + c + 1)::BIGINT AS ra
+             FROM (SELECT x1, count(*)::BIGINT AS c FROM u GROUP BY 1)),
+      r2 AS (SELECT x2, (2 * (sum(c) OVER (ORDER BY x2 ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) - c) + c + 1)::BIGINT AS rb
+             FROM (SELECT x2, count(*)::BIGINT AS c FROM u GROUP BY 1)),
+      j AS (SELECT ra, rb FROM u JOIN r1 USING (x1) JOIN r2 USING (x2)),
+      a AS (SELECT count(*)::BIGINT AS n, sum(ra)::BIGINT AS sa, sum(rb)::BIGINT AS sb,
+              sum(ra::HUGEINT * rb) AS sab, sum(ra::HUGEINT * ra) AS saa,
+              sum(rb::HUGEINT * rb) AS sbb
+            FROM j)
+      SELECT n,
+             round((n * sab - sa::HUGEINT * sb)::DOUBLE /
+               (sqrt((n * saa - sa::HUGEINT * sa)::DOUBLE) *
+                sqrt((n * sbb - sb::HUGEINT * sb)::DOUBLE)), 6) AS spearman_rho
+      FROM a
+    """),
+  )
+
+  /** Power analysis for the A/B test: at the OBSERVED pooled rate and
+    * lift, the detection power of the current arm size and its 4×/16×
+    * scale-ups (normal approximation, α=0.05 two-sided), plus the 80%-
+    * power minimal detectable effect at each size — the "how long must
+    * this experiment run" table, a pure function of three exact
+    * counts through the shared A&S normal tail.
+    */
+  val qAbPower: Q = Q(
+    "q_ab_power",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TsFeatures
+      val r = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(when(col("np") >= 14, 1).otherwise(0).as("conv"),
+          arm(col("user_id")).as("g"))
+        .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("g") === 0, col("conv")).otherwise(0)).as("k_a"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("g") === 1, col("conv")).otherwise(0)).as("k_b")).head()
+      val (nA, kA, nB, kB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val pp = (kA + kB).toDouble / (nA + nB)
+      val delta = math.abs(kA.toDouble / nA - kB.toDouble / nB)
+      // P(Z > a) via the shared two-sided tail: a>=0 -> pT(a)/2
+      def upperTail(a: Double): Double =
+        if (a >= 0) TsFeatures.normTwoSidedP(a) / 2
+        else 1.0 - TsFeatures.normTwoSidedP(-a) / 2
+      val rows = Seq(1L, 4L, 16L).map { m =>
+        val n = nA * m
+        val se = math.sqrt(2.0 * pp * (1 - pp) / n)
+        val power = upperTail(1.959964 - delta / se)
+        val mde = (1.959964 + 0.841621) * se
+        (m, n, r6(se), r6(power), r6(mde))
+      }
+      rows.toDF("scale", "n_per_arm", "se", "power_at_observed", "mde_80")
+    },
+    Some(s"""
+      WITH u AS (SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS conv,
+               $armSql AS g
+             FROM events GROUP BY user_id),
+      a AS (SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+              sum(CASE WHEN g = 0 THEN conv ELSE 0 END)::BIGINT AS k_a,
+              sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+              sum(CASE WHEN g = 1 THEN conv ELSE 0 END)::BIGINT AS k_b
+            FROM u),
+      base AS (SELECT (k_a + k_b)::DOUBLE / (n_a + n_b) AS pp,
+                abs(k_a::DOUBLE / n_a - k_b::DOUBLE / n_b) AS delta, n_a
+              FROM a),
+      grid AS (SELECT m.m AS scale, base.n_a * m.m AS n_per_arm,
+                 sqrt(2.0 * pp * (1 - pp) / (base.n_a * m.m)) AS se,
+                 delta
+               FROM base, (VALUES (1), (4), (16)) m(m))
+      SELECT scale::BIGINT AS scale, n_per_arm::BIGINT AS n_per_arm,
+             round(se, 6) AS se,
+             round(CASE WHEN (1.959964 - delta / se) >= 0
+                        THEN (${OracleExact.phiTailSql("(1.959964 - delta / se)")}) / 2
+                        ELSE 1.0 - (${OracleExact.phiTailSql("(-(1.959964 - delta / se))")}) / 2
+                   END, 6) AS power_at_observed,
+             round((1.959964 + 0.841621) * se, 6) AS mde_80
+      FROM grid
+    """),
+  )
+
   /** Multinomial Naive Bayes language classifier over the documents
     * corpus — train on the 80% md5 hash split (the `text_hash_split`
     * convention), classify the held-out 20%, emit the confusion
@@ -1660,5 +1792,5 @@ object StatsQueries {
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
-    qGainsCurve, qWoeIv)
+    qGainsCurve, qWoeIv, qSpearman, qAbPower)
 }
