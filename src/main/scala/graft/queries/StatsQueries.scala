@@ -1236,6 +1236,52 @@ object StatsQueries {
     """),
   )
 
+  /** Day-of-week uniformity test — the seasonality detector a
+    * scheduling/capacity dashboard runs: chi-squared goodness-of-fit
+    * of the 7 day-of-week event counts against uniform (integer dow
+    * arithmetic, (epoch_days+4)%7), per-cell (O−E)²/E terms
+    * micro-quantized into an order-free total, p via the
+    * Wilson–Hilferty cube-root normal approximation through the
+    * shared A&S tail (the q_cramers_v convention, df=6). One 7-cell
+    * rollup.
+    */
+  val qDowUniformity: Q = Q(
+    "q_dow_uniformity",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TsFeatures
+      val cells = Tables.events(s, dir)
+        .select(expr("(cast(ts as long) div 86400000000000 + 4) % 7").as("dow"))
+        .groupBy(col("dow")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val n = cells.map(_._2).sum
+      val e = n / 7.0
+      val chi2m = cells.map { case (_, o) => rL((o - e) * (o - e) / e * 1e6) }.sum
+      val chi2 = chi2m / 1e6
+      val df = 6.0
+      val z = (math.cbrt(chi2 / df) - (1 - 2 / (9 * df))) / math.sqrt(2 / (9 * df))
+      val p = if (z >= 0) TsFeatures.normTwoSidedP(z) / 2
+        else 1.0 - TsFeatures.normTwoSidedP(-z) / 2
+      Seq((n, r6(chi2), r6(p))).toDF("n", "chi2", "p_wh")
+    },
+    Some(s"""
+      WITH g AS (SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+               count(*)::BIGINT AS n
+             FROM events GROUP BY 1),
+      t AS (SELECT sum(n)::BIGINT AS n FROM g),
+      c AS (SELECT sum(round((g.n - t.n / 7.0) * (g.n - t.n / 7.0) / (t.n / 7.0)
+              * 1000000)::BIGINT)::BIGINT AS cm
+            FROM g, t),
+      x AS (SELECT t.n, cm / 1000000.0 AS chi2,
+              (cbrt((cm / 1000000.0) / 6.0) - (1 - 2 / (9 * 6.0))) / sqrt(2 / (9 * 6.0)) AS z
+            FROM c, t)
+      SELECT n, round(chi2, 6) AS chi2,
+             round(CASE WHEN z >= 0 THEN (${OracleExact.phiTailSql("z")}) / 2
+                        ELSE 1.0 - (${OracleExact.phiTailSql("(-z)")}) / 2 END, 6) AS p_wh
+      FROM x
+    """),
+  )
+
   /** Multinomial Naive Bayes language classifier over the documents
     * corpus — train on the 80% md5 hash split (the `text_hash_split`
     * convention), classify the held-out 20%, emit the confusion
@@ -1792,5 +1838,5 @@ object StatsQueries {
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
-    qGainsCurve, qWoeIv, qSpearman, qAbPower)
+    qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity)
 }
