@@ -980,17 +980,13 @@ object StatsQueries {
     * reports its exact positive count, cumulative capture share, and
     * lift over the base rate.
     */
-  val qGainsCurve: Q = Q(
-    "q_gains_curve",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val uu = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("score"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
-        .select(col("user_id"), col("score"),
-          when(col("np") >= 14, 1L).otherwise(0L).as("y"))
-        .localCheckpoint()
+  /** Gains tail shared with the streaming twin: the (user_id, score,
+    * y) frame -> decile gains/lift table.
+    */
+  private[graft] def gainsFromUsers(users: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    {
+      val uu = users.localCheckpoint()
       val t = uu.agg(count(lit(1)).as("n"), sum(col("y")).as("p")).head()
       val (n, totPos) = (t.getLong(0), t.getLong(1))
       // two-level exact rank: prefix = users with a STRICTLY higher
@@ -1014,7 +1010,18 @@ object StatsQueries {
           round(col("cum_pos").cast("double") / lit(totPos), 6).as("cum_capture"),
           round((col("pos").cast("double") / col("n_users")) /
             (lit(totPos).cast("double") / lit(n)), 6).as("lift"))
-    },
+    }
+  }
+
+  val qGainsCurve: Q = Q(
+    "q_gains_curve",
+    (s, dir) => gainsFromUsers(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("user_id"), col("score"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("y"))),
     Some("""
       WITH u AS (SELECT user_id, count(*)::BIGINT AS score,
                (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14

@@ -1152,6 +1152,30 @@ object StreamingQueries {
     },
     StatsQueries.qMarkovEntropy.oracle)
 
+  /** Streaming gains-curve twin: live per-user activity snapshots
+    * (`StreamOps.userActivity`, O(1) monotone state), drained
+    * most-advanced snapshot per user → the shared exact-decile gains
+    * tail — the live campaign-targeting table equals `q_gains_curve`
+    * and shares its oracle.
+    */
+  val streamGainsCurve: Q = Q(
+    "stream_gains_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.userActivity(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      val rank = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc, col("np").desc)
+      StatsQueries.gainsFromUsers(
+        drained.withColumn("__rk", row_number().over(rank))
+          .where(col("__rk") === 1)
+          .select(col("user_id"), col("n_events").as("score"),
+            when(col("np") >= 14, 1L).otherwise(0L).as("y")))
+    },
+    StatsQueries.qGainsCurve.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1161,5 +1185,5 @@ object StreamingQueries {
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
     streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns,
     streamSurvivalKm, streamAbLift, streamKsTest, streamTrimmedMean,
-    streamMarkovEntropy)
+    streamMarkovEntropy, streamGainsCurve)
 }

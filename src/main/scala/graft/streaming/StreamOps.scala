@@ -1143,6 +1143,33 @@ object StreamOps {
       }
   }
 
+  final case class ActState(ne: Long, np: Long)
+  final case class ActRow(user_id: Long, n_events: Long, np: Long)
+
+  /** Streaming per-user activity counters (total events + purchases):
+    * O(1) state, each batch emits the current snapshot. Both counters
+    * are monotone, so the drained max-by-(n_events, np) snapshot per
+    * user equals the batch rollup — the gains-curve twin scores on it
+    * and shares `q_gains_curve`'s oracle.
+    */
+  def userActivity(events: DataFrame): Dataset[ActRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .as[NpEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ActState, ActRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          var (ne, np) = state.getOption.map(s0 => (s0.ne, s0.np)).getOrElse((0L, 0L))
+          it.foreach { e => ne += 1; np += e.is_p }
+          state.update(ActState(ne, np))
+          Iterator.single(ActRow(uid, ne, np))
+      }
+  }
+
   final case class NpEvent(user_id: Long, is_p: Long)
   final case class NpState(np: Long)
   final case class NpRow(user_id: Long, np: Long)
