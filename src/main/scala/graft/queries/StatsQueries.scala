@@ -1054,16 +1054,14 @@ object StatsQueries {
     * micro-quantized into an order-free int total. One bounded
     * 10-bin rollup over the user frame.
     */
-  val qWoeIv: Q = Q(
-    "q_woe_iv",
-    (s, dir) => {
-      import s.implicits._
-      val uu = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("score"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
-        .select(col("score"), when(col("np") >= 14, 1L).otherwise(0L).as("y"))
-        .localCheckpoint()
+  /** WoE/IV tail shared with the streaming twin: (score, y) frame ->
+    * 10-bin report.
+    */
+  private[graft] def woeFromUsers(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    {
+      val uu = users.localCheckpoint()
       val mm = uu.agg(min(col("score")), max(col("score"))).head()
       val (mn, mx) = (mm.getLong(0), mm.getLong(1))
       val bins = uu
@@ -1085,7 +1083,17 @@ object StatsQueries {
       val iv = rows.map(_._5).sum / 1e6
       rows.map { case (b, p, nn, woe, _) => (b, p, nn, woe, r6(iv)) }.toSeq
         .toDF("bin", "pos", "neg", "woe", "iv_total")
-    },
+    }
+  }
+
+  val qWoeIv: Q = Q(
+    "q_woe_iv",
+    (s, dir) => woeFromUsers(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("score"), when(col("np") >= 14, 1L).otherwise(0L).as("y"))),
     Some("""
       WITH u AS (SELECT count(*)::BIGINT AS score,
                (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
@@ -1120,16 +1128,15 @@ object StatsQueries {
     * Pearson formula over those exact integer ranks (BigInt/HUGEINT
     * product sums, one fixed-order double at the end).
     */
-  val qSpearman: Q = Q(
-    "q_spearman",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val u = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("x1"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"))
-        .localCheckpoint()
+  /** Spearman tail shared with the streaming twin: (x1, x2) frame ->
+    * tie-exact rho.
+    */
+  private[graft] def spearmanFromUsers(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
+      val u = users.localCheckpoint()
       def rank2(vc: String): DataFrame = {
         val w = Window.orderBy(col(vc))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1153,7 +1160,17 @@ object StatsQueries {
         (math.sqrt((n * saa - sa * sa).toDouble) *
           math.sqrt((n * sbb - sb * sb).toDouble))
       Seq((r.getLong(0), r6(rho))).toDF("n", "spearman_rho")
-    },
+    }
+  }
+
+  val qSpearman: Q = Q(
+    "q_spearman",
+    (s, dir) => spearmanFromUsers(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"))
+        .select(col("x1"), col("x2"))),
     Some("""
       WITH u AS (SELECT count(*)::BIGINT AS x1,
                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x2
@@ -1286,6 +1303,194 @@ object StatsQueries {
              round(CASE WHEN z >= 0 THEN (${OracleExact.phiTailSql("z")}) / 2
                         ELSE 1.0 - (${OracleExact.phiTailSql("(-z)")}) / 2 END, 6) AS p_wh
       FROM x
+    """),
+  )
+
+  /** 2×2 odds ratio of high intent across the md5 arms with its
+    * 95% log-normal CI (Woolf interval, +½ Haldane–Anscombe
+    * correction so empty cells stay finite) — the effect-size report
+    * next to the z-test's significance. Pure scalar function of the
+    * four exact counts in a fixed op order.
+    */
+  val qOddsRatio: Q = Q(
+    "q_odds_ratio",
+    (s, dir) => {
+      import s.implicits._
+      val r = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(when(col("np") >= 14, 1L).otherwise(0L).as("conv"),
+          arm(col("user_id")).as("g"))
+        .agg(sum(when(col("g") === 0 && col("conv") === 1L, 1L).otherwise(0L)).as("a"),
+          sum(when(col("g") === 0 && col("conv") === 0L, 1L).otherwise(0L)).as("b"),
+          sum(when(col("g") === 1 && col("conv") === 1L, 1L).otherwise(0L)).as("c"),
+          sum(when(col("g") === 1 && col("conv") === 0L, 1L).otherwise(0L)).as("d"))
+        .head()
+      val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val or = ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))
+      val se = math.sqrt(1 / (a + 0.5) + 1 / (b + 0.5) + 1 / (c + 0.5) + 1 / (d + 0.5))
+      val lnOr = math.log(or)
+      Seq((a, b, c, d, r6(or),
+        r6(math.exp(lnOr - 1.959964 * se)), r6(math.exp(lnOr + 1.959964 * se))))
+        .toDF("a", "b", "c", "d", "odds_ratio", "ci_lo", "ci_hi")
+    },
+    Some(s"""
+      WITH u AS (SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS conv,
+               $armSql AS g
+             FROM events GROUP BY user_id),
+      t AS (SELECT
+          sum(CASE WHEN g = 0 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+          sum(CASE WHEN g = 0 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+          sum(CASE WHEN g = 1 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+          sum(CASE WHEN g = 1 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM u),
+      x AS (SELECT a, b, c, d,
+              ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)) AS orr,
+              sqrt(1 / (a + 0.5) + 1 / (b + 0.5) + 1 / (c + 0.5) + 1 / (d + 0.5)) AS se
+            FROM t)
+      SELECT a, b, c, d, round(orr, 6) AS odds_ratio,
+             round(exp(ln(orr) - 1.959964 * se), 6) AS ci_lo,
+             round(exp(ln(orr) + 1.959964 * se), 6) AS ci_hi
+      FROM x
+    """),
+  )
+
+  /** Bowley quartile skewness of purchase value — the robust shape
+    * scalar next to the trimmed mean: Q1/Q2/Q3 by exact rank
+    * counting over the distinct-cents rollup (k-th smallest =
+    * ⌈q·n⌉, the §14 pattern), skew = (Q3 + Q1 − 2·Q2)/(Q3 − Q1) on
+    * exact cents.
+    */
+  val qBowleySkew: Q = Q(
+    "q_bowley_skew",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val roll = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(round(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val n = roll.agg(sum(col("c"))).head().getLong(0)
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = roll.withColumn("cum", sum(col("c")).over(w)).localCheckpoint()
+      def kth(k: Long): Long =
+        cum.where(col("cum") >= k).agg(min(col("v"))).head().getLong(0)
+      val (q1, q2, q3) = (kth((n + 3) / 4), kth((n + 1) / 2), kth((3 * n + 3) / 4))
+      val skew = (q3 + q1 - 2.0 * q2) / (q3 - q1)
+      Seq((n, q1, q2, q3, r6(skew)))
+        .toDF("n", "q1_cents", "q2_cents", "q3_cents", "bowley_skew")
+    },
+    Some("""
+      WITH roll AS (SELECT round(value * 100)::BIGINT AS v, count(*)::BIGINT AS c
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (SELECT sum(c)::BIGINT AS n FROM roll),
+      cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)::BIGINT AS cum FROM roll),
+      q AS (SELECT
+          (SELECT min(v) FROM cum, t WHERE cum >= (n + 3) // 4) AS q1,
+          (SELECT min(v) FROM cum, t WHERE cum >= (n + 1) // 2) AS q2,
+          (SELECT min(v) FROM cum, t WHERE cum >= (3 * n + 3) // 4) AS q3)
+      SELECT t.n, q1 AS q1_cents, q2 AS q2_cents, q3 AS q3_cents,
+             round((q3 + q1 - 2.0 * q2) / (q3 - q1), 6) AS bowley_skew
+      FROM q, t
+    """),
+  )
+
+  /** Lorenz curve of revenue concentration at population deciles —
+    * `q_gini`'s curve companion: users rank by (cents, user_id)
+    * (two-level exact rank, value-grain prefix + within-tie window),
+    * each decile reports its exact cents and the cumulative revenue
+    * share — the chart the scalar Gini summarizes.
+    */
+  val qLorenz: Q = Q(
+    "q_lorenz",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .localCheckpoint()
+      val t = u.agg(count(lit(1)).as("n"), sum(col("cents")).as("sx")).head()
+      val (n, sx) = (t.getLong(0), t.getLong(1))
+      val wv = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefix = u.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wv))
+        .select(col("cents"), (col("cum") - col("c")).as("before"))
+      val wTie = Window.partitionBy(col("cents")).orderBy(col("user_id"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.join(prefix, Seq("cents"))
+        .withColumn("rk", col("before") + row_number().over(wTie))
+        .select(expr(s"((rk - 1) * 10) div $n").as("decile"), col("cents"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+        .withColumn("cumc", sum(col("cents")).over(wCum))
+        .select(col("decile"), col("n_users"), col("cents"),
+          round(col("cumc").cast("double") / lit(sx), 6).as("cum_share"))
+    },
+    Some("""
+      WITH u AS (SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS cents
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx FROM u),
+      pre AS (SELECT cents,
+                (sum(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) - c)::BIGINT AS before
+              FROM (SELECT cents, count(*)::BIGINT AS c FROM u GROUP BY 1)),
+      rk AS (SELECT u.cents,
+               pre.before + row_number() OVER (PARTITION BY u.cents ORDER BY u.user_id) AS rk
+             FROM u JOIN pre ON u.cents = pre.cents),
+      d AS (SELECT ((rk - 1) * 10) // (SELECT n FROM t) AS decile, cents FROM rk),
+      g AS (SELECT decile, count(*)::BIGINT AS n_users, sum(cents)::BIGINT AS cents
+            FROM d GROUP BY 1)
+      SELECT decile, n_users, cents,
+             round((sum(cents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))::DOUBLE / (SELECT sx FROM t), 6) AS cum_share
+      FROM g
+    """),
+  )
+
+  /** Per-day churn hazard — the discrete hazard function λ(d) =
+    * deaths/n_risk alongside the KM survival curve (what retention
+    * teams actually act on: WHEN users churn, not just how many
+    * remain); derived from the same spans/day-grain rollup and
+    * risk-set telescoping as `q_survival_km`.
+    */
+  val qChurnHazard: Q = Q(
+    "q_churn_hazard",
+    (s, dir) => {
+      val km = kmCurve(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr("cast(ts as long)").as("t"))
+          .groupBy(col("user_id"))
+          .agg(min(col("t")).as("f"), max(col("t")).as("l")))
+      km.select(col("day"), col("n_risk"), col("deaths"),
+        round(col("deaths").cast("double") / col("n_risk"), 6).as("hazard"))
+    },
+    Some("""
+      WITH mx AS (SELECT max(epoch_ns(ts)) AS mt FROM events),
+      u AS (SELECT user_id, min(epoch_ns(ts)) AS f, max(epoch_ns(ts)) AS l
+            FROM events GROUP BY 1),
+      lab AS (SELECT (l - f) // 86400000000000 AS day,
+                CASE WHEN (mt - l) < 604800000000000 THEN 1 ELSE 0 END AS cens
+              FROM u, mx),
+      roll AS (SELECT day,
+                 sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END)::BIGINT AS deaths,
+                 sum(cens)::BIGINT AS censored
+               FROM lab GROUP BY day),
+      tot AS (SELECT count(*)::BIGINT AS n FROM lab),
+      r2 AS (SELECT day, deaths, censored,
+               ((SELECT n FROM tot) - coalesce(sum(deaths + censored) OVER
+                 (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+             FROM roll)
+      SELECT day, n_risk, deaths,
+             round(deaths::DOUBLE / n_risk, 6) AS hazard
+      FROM r2
     """),
   )
 
@@ -1845,5 +2050,6 @@ object StatsQueries {
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
-    qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity)
+    qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
+    qOddsRatio, qBowleySkew, qLorenz, qChurnHazard)
 }

@@ -1176,6 +1176,48 @@ object StreamingQueries {
     },
     StatsQueries.qGainsCurve.oracle)
 
+  /** Streaming WoE/IV twin: the same activity snapshots feed the
+    * shared 10-bin tail — live feature-strength monitoring equal to
+    * `q_woe_iv`, shared oracle.
+    */
+  val streamWoeIv: Q = Q(
+    "stream_woe_iv",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.userActivity(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      val rank = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc, col("np").desc)
+      StatsQueries.woeFromUsers(
+        drained.withColumn("__rk", row_number().over(rank))
+          .where(col("__rk") === 1)
+          .select(col("n_events").as("score"),
+            when(col("np") >= 14, 1L).otherwise(0L).as("y")))
+    },
+    StatsQueries.qWoeIv.oracle)
+
+  /** Streaming Spearman twin: activity snapshots -> shared tie-exact
+    * midrank tail, equal to `q_spearman`, shared oracle.
+    */
+  val streamSpearman: Q = Q(
+    "stream_spearman",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.userActivity(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      val rank = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc, col("np").desc)
+      StatsQueries.spearmanFromUsers(
+        drained.withColumn("__rk", row_number().over(rank))
+          .where(col("__rk") === 1)
+          .select(col("n_events").as("x1"), col("np").as("x2")))
+    },
+    StatsQueries.qSpearman.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1185,5 +1227,5 @@ object StreamingQueries {
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
     streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns,
     streamSurvivalKm, streamAbLift, streamKsTest, streamTrimmedMean,
-    streamMarkovEntropy, streamGainsCurve)
+    streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman)
 }
