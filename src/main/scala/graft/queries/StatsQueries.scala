@@ -2046,10 +2046,145 @@ object StatsQueries {
     """),
   )
 
+  /** Mann–Whitney U test (tie-exact rank-sum form) of purchase value
+    * across the md5 A/B arms — the nonparametric location test next
+    * to q_ks_test's distribution test. Midranks under ties come
+    * DOUBLED (2·before + c + 1, exact integers off the same
+    * distinct-cents rollup as KS — the q_spearman device), so the
+    * doubled arm-A rank sum 2·R_A is an exact decimal(38,0) sum and
+    * U_A = (2R_A − nA(nA+1)) / 2 is exact. The tie-corrected normal
+    * z uses σ² = nA·nB/12·((N+1) − Σ(c³−c)/(N(N−1))) with the tie
+    * term Σ(c³−c) an exact integer off the rollup; p through the
+    * shared A&S tail. Data-scale pass = one bounded value-grain
+    * rollup (map-side combined); the cumulative window rides the
+    * rollup, never the event stream (SURVEY §12/§14).
+    */
+  val qMannWhitney: Q = Q(
+    "q_mann_whitney",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TsFeatures
+      val roll = ksRoll(Tables.events(s, dir)).localCheckpoint()
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = roll
+        .withColumn("c", col("na") + col("nb"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+          sum(col("na").cast("decimal(38,0)") *
+            (lit(2L) * (col("cum") - col("c")) + col("c") + 1)).as("ra2"),
+          sum(col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
+            .as("ties")).head()
+      val (ta, tb) = (r.getLong(0), r.getLong(1))
+      val ra2 = BigDecimal(r.getDecimal(2)).toBigInt
+      val ties = BigDecimal(r.getDecimal(3)).toBigInt
+      val n = ta + tb
+      val ua = (ra2 - BigInt(ta) * (ta + 1)).toDouble / 2
+      val mu = ta.toDouble * tb / 2.0
+      val sig = math.sqrt(ta.toDouble * tb / 12.0 *
+        ((n + 1.0) - ties.toDouble / (n.toDouble * (n - 1.0))))
+      val z = (ua - mu) / sig
+      val p = TsFeatures.normTwoSidedP(math.abs(z))
+      Seq((ta, tb, ua, r6(z), r6(p))).toDF("n_a", "n_b", "u_a", "z", "p")
+    },
+    Some(s"""
+      WITH roll AS (SELECT round(value * 100)::BIGINT AS v,
+               sum(CASE WHEN $armSql = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+               sum(CASE WHEN $armSql = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      c AS (SELECT v, na, nb, (na + nb)::BIGINT AS c,
+              sum(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)::BIGINT AS cum
+            FROM roll),
+      a AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+              sum(na::HUGEINT * (2 * (cum - c) + c + 1)) AS ra2,
+              sum(c::HUGEINT * c * c - c) AS ties
+            FROM c),
+      x AS (SELECT ta, tb, ta + tb AS n,
+              (ra2 - ta::HUGEINT * (ta + 1))::DOUBLE / 2 AS ua, ties
+            FROM a),
+      z AS (SELECT ta, tb, ua,
+              (ua - ta::DOUBLE * tb / 2.0) /
+                sqrt(ta::DOUBLE * tb / 12.0 *
+                  ((n + 1.0) - ties::DOUBLE / (n::DOUBLE * (n - 1.0)))) AS z
+            FROM x),
+      az AS (SELECT ta, tb, ua, z, abs(z) AS at FROM z)
+      SELECT ta AS n_a, tb AS n_b, ua AS u_a, round(z, 6) AS z,
+             round(${OracleExact.phiTailSql("at")}, 6) AS p
+      FROM az
+    """),
+  )
+
+  /** Wald–Wolfowitz runs test on the daily event-count series — "is
+    * activity serially random or trending/clustered": days are marked
+    * above/below the exact lower median of the daily counts (k-th
+    * smallest, k = (n_days+1) div 2 — the §14 rank pattern; days AT
+    * the median are discarded, the classical convention), runs of the
+    * resulting ± sequence are counted by lag inequality, and
+    * z = (R − μ)/σ with μ = 1 + 2n₁n₂/N, σ² = 2n₁n₂(2n₁n₂−N) /
+    * (N²(N−1)) — pure scalars of exact integer counts. The day grain
+    * is bounded by the calendar (does not grow with corpus size), so
+    * the driver-side fold is O(days) after one map-side-combined
+    * rollup.
+    */
+  val qRunsTest: Q = Q(
+    "q_runs_test",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TsFeatures
+      val days = Tables.events(s, dir)
+        .select(expr("cast(ts as long) div 86400000000000").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val nd = days.length
+      val med = days.map(_._2).sorted.apply((nd + 1) / 2 - 1)
+      val signs = days.filter(_._2 != med).map(t => if (t._2 > med) 1 else 0)
+      val nn = signs.length.toLong
+      val n1 = signs.count(_ == 1).toLong
+      val n2 = nn - n1
+      val runs = (1L +: signs.sliding(2).collect {
+        case Array(a, b) if a != b => 1L
+      }.toSeq).sum
+      val mu = 1 + 2.0 * n1 * n2 / nn
+      val sig = math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) /
+        (nn.toDouble * nn * (nn - 1.0)))
+      val z = (runs - mu) / sig
+      val p = TsFeatures.normTwoSidedP(math.abs(z))
+      Seq((nd.toLong, med, n1, n2, runs, r6(z), r6(p)))
+        .toDF("n_days", "median_n", "n_above", "n_below", "runs", "z", "p")
+    },
+    Some(s"""
+      WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS d, count(*)::BIGINT AS n
+             FROM events GROUP BY 1),
+      nd AS (SELECT count(*)::BIGINT AS nd FROM d),
+      m AS (SELECT n AS med
+            FROM (SELECT n, row_number() OVER (ORDER BY n) AS rk FROM d), nd
+            WHERE rk = (nd.nd + 1) // 2),
+      sg AS (SELECT d.d, CASE WHEN d.n > m.med THEN 1 ELSE 0 END AS sg
+             FROM d, m WHERE d.n <> m.med),
+      r AS (SELECT sg, lag(sg) OVER (ORDER BY d) AS pg FROM sg),
+      a AS (SELECT count(*)::BIGINT AS nn, sum(sg)::BIGINT AS n1,
+              sum(CASE WHEN pg IS NULL OR sg <> pg THEN 1 ELSE 0 END)::BIGINT AS runs
+            FROM r),
+      z AS (SELECT nd.nd, m.med, a.n1, a.nn - a.n1 AS n2, a.runs,
+              (a.runs - (1 + 2.0 * a.n1 * (a.nn - a.n1) / a.nn)) /
+                sqrt(2.0 * a.n1 * (a.nn - a.n1) *
+                  (2.0 * a.n1 * (a.nn - a.n1) - a.nn) /
+                  (a.nn::DOUBLE * a.nn * (a.nn - 1.0))) AS z
+            FROM a, m, nd),
+      az AS (SELECT *, abs(z) AS at FROM z)
+      SELECT nd AS n_days, med AS median_n, n1 AS n_above, n2 AS n_below,
+             runs, round(z, 6) AS z,
+             round(${OracleExact.phiTailSql("at")}, 6) AS p
+      FROM az
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
-    qOddsRatio, qBowleySkew, qLorenz, qChurnHazard)
+    qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest)
 }
