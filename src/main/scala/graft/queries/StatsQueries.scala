@@ -2181,10 +2181,163 @@ object StatsQueries {
     """),
   )
 
+  /** Ljung–Box portmanteau test (lags 1..6) on the hourly event-count
+    * series — "is traffic white noise or autocorrelated", the
+    * seasonality detector one level above q_dow_uniformity. The
+    * series is the ZERO-FILLED hourly grid between the first and last
+    * observed hour (gaps are real observations of 0, not missing
+    * data). Each lag-k sample autocorrelation is an exact integer
+    * ratio off the grid: N²-scaled numerator N²·M_k − N·S·(A_k+B_k) +
+    * (N−k)·S² over denominator N·(N·SS − S²), all BigInt — one
+    * double division per lag, then the Q terms r_k²/(N−k) are
+    * pico-quantized (×1e12) so the 6-term total is an order-free
+    * integer sum; p via Wilson–Hilferty (df=6) through the shared
+    * A&S tail (the q_dow_uniformity device). The hour grain is
+    * bounded by the calendar, so the driver-side fold is O(hours)
+    * after one map-side-combined rollup.
+    */
+  val qLjungBox: Q = Q(
+    "q_ljung_box",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TsFeatures
+      val cells = Tables.events(s, dir)
+        .select(expr("cast(ts as long) div 3600000000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val (h0, h1) = (cells.keys.min, cells.keys.max)
+      val xs = (h0 to h1).map(h => cells.getOrElse(h, 0L)).toArray
+      val nH = xs.length.toLong
+      val sB = BigInt(xs.sum)
+      val ssB = xs.map(x => BigInt(x) * x).sum
+      val den = BigInt(nH) * (BigInt(nH) * ssB - sB * sB)
+      val terms = (1 to 6).map { k =>
+        val m = (k until xs.length).map(t => BigInt(xs(t)) * xs(t - k)).sum
+        val a = BigInt((k until xs.length).map(xs).sum)
+        val b = BigInt((0 until xs.length - k).map(xs).sum)
+        val num = BigInt(nH) * nH * m - BigInt(nH) * sB * (a + b) +
+          BigInt(nH - k) * sB * sB
+        val rk = num.toDouble / den.toDouble
+        rL(rk * rk / (nH - k) * 1e12)
+      }.sum
+      val q = nH * (nH + 2.0) * (terms / 1e12)
+      val df = 6.0
+      val z = (math.cbrt(q / df) - (1 - 2 / (9 * df))) / math.sqrt(2 / (9 * df))
+      val p = if (z >= 0) TsFeatures.normTwoSidedP(z) / 2
+        else 1.0 - TsFeatures.normTwoSidedP(-z) / 2
+      Seq((nH, r6(q), r6(p))).toDF("n_hours", "q_lb", "p_wh")
+    },
+    Some(s"""
+      WITH b AS (SELECT epoch_ns(ts) // 3600000000000 AS h, count(*)::BIGINT AS n
+             FROM events GROUP BY 1),
+      r AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+      grid AS (SELECT unnest(generate_series(r.h0, r.h1)) AS h FROM r),
+      x AS (SELECT grid.h, coalesce(b.n, 0)::BIGINT AS x
+            FROM grid LEFT JOIN b USING (h)),
+      t AS (SELECT count(*)::BIGINT AS nn, sum(x)::BIGINT AS s,
+              sum(x::HUGEINT * x) AS ss FROM x),
+      l AS (SELECT ks.k, sum(a.x::HUGEINT * c.x) AS m,
+              sum(a.x)::BIGINT AS sa, sum(c.x)::BIGINT AS sb
+            FROM generate_series(1, 6) ks(k)
+            JOIN x a ON true JOIN x c ON a.h = c.h + ks.k
+            GROUP BY ks.k),
+      rk AS (SELECT l.k,
+              (t.nn::HUGEINT * t.nn * l.m - t.nn::HUGEINT * t.s * (l.sa + l.sb)
+                + (t.nn - l.k)::HUGEINT * t.s * t.s)::DOUBLE /
+              (t.nn::HUGEINT * (t.nn::HUGEINT * t.ss - t.s::HUGEINT * t.s))::DOUBLE
+                AS rk
+            FROM l, t),
+      tm AS (SELECT sum(round(rk.rk * rk.rk / (t.nn - rk.k)
+                * 1000000000000)::BIGINT)::BIGINT AS sm
+             FROM rk, t),
+      qq AS (SELECT t.nn, t.nn * (t.nn + 2.0) * (tm.sm / 1000000000000.0) AS q,
+              (cbrt((t.nn * (t.nn + 2.0) * (tm.sm / 1000000000000.0)) / 6.0)
+                - (1 - 2 / (9 * 6.0))) / sqrt(2 / (9 * 6.0)) AS z
+             FROM t, tm)
+      SELECT nn AS n_hours, round(q, 6) AS q_lb,
+             round(CASE WHEN z >= 0 THEN (${OracleExact.phiTailSql("z")}) / 2
+                        ELSE 1.0 - (${OracleExact.phiTailSql("(-z)")}) / 2 END, 6) AS p_wh
+      FROM qq
+    """),
+  )
+
+  /** Two-sided CUSUM drift monitor on the daily purchase-revenue
+    * series — WHEN did the metric level shift, the change-point
+    * companion to q_psi's did-it-shift. The recursion
+    * C⁺_t = max(0, C⁺_{t−1} + (x_t − x̄)) is computed EXACTLY via the
+    * cumsum-minus-running-min identity on D-scaled integer deviations
+    * e_t = D·cents_t − S (so the target x̄ = S/D needs no division):
+    * C⁺_t = cum_t − min_{j≤t} cum_j, C⁻_t = max_{j≤t} cum_j − cum_t,
+    * all exact cents·D integers. Reports both maxima (descaled to
+    * cents) and the FIRST day each is attained. Day grain is
+    * calendar-bounded; one map-side-combined rollup feeds an O(days)
+    * driver fold.
+    */
+  val qCusumDrift: Q = Q(
+    "q_cusum_drift",
+    (s, dir) => {
+      import s.implicits._
+      val days = Tables.events(s, dir)
+        .select(expr("cast(ts as long) div 86400000000000").as("d"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L).as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val nD = days.length.toLong
+      val sB = days.map(t => BigInt(t._2)).sum
+      var cum = BigInt(0); var rmin = BigInt(0); var rmax = BigInt(0)
+      var maxPos = BigInt(0); var dayPos = days.head._1
+      var maxNeg = BigInt(0); var dayNeg = days.head._1
+      days.foreach { case (d, v) =>
+        cum += BigInt(v) * nD - sB
+        if (cum < rmin) rmin = cum
+        if (cum > rmax) rmax = cum
+        val pos = cum - rmin
+        val neg = rmax - cum
+        if (pos > maxPos) { maxPos = pos; dayPos = d }
+        if (neg > maxNeg) { maxNeg = neg; dayNeg = d }
+      }
+      Seq((nD, r6(sB.toDouble / nD / 100),
+        r6(maxPos.toDouble / nD / 100), dayPos,
+        r6(maxNeg.toDouble / nD / 100), dayNeg))
+        .toDF("n_days", "mean_daily", "cusum_pos", "day_pos",
+          "cusum_neg", "day_neg")
+    },
+    Some("""
+      WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+               sum(CASE WHEN event_type = 'purchase'
+                   THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS v
+             FROM events GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS nd, sum(v)::HUGEINT AS s FROM d),
+      c AS (SELECT d.d,
+              sum(d.v::HUGEINT * t.nd - t.s) OVER (ORDER BY d.d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d, t),
+      w AS (SELECT d, cum,
+              cum - least(min(cum) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS pos,
+              greatest(max(cum) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - cum AS neg
+            FROM c),
+      mp AS (SELECT max(pos) AS m FROM w),
+      mn AS (SELECT max(neg) AS m FROM w),
+      dp AS (SELECT min(d) AS d FROM w, mp WHERE pos = mp.m),
+      dn AS (SELECT min(d) AS d FROM w, mn WHERE neg = mn.m)
+      SELECT t.nd AS n_days,
+             round(t.s::DOUBLE / t.nd / 100, 6) AS mean_daily,
+             round(mp.m::DOUBLE / t.nd / 100, 6) AS cusum_pos,
+             dp.d AS day_pos,
+             round(mn.m::DOUBLE / t.nd / 100, 6) AS cusum_neg,
+             dn.d AS day_neg
+      FROM t, mp, mn, dp, dn
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
-    qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest)
+    qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest,
+    qLjungBox, qCusumDrift)
 }
