@@ -2333,11 +2333,150 @@ object StatsQueries {
     """),
   )
 
+  /** Brown–Forsythe (median-centered Levene) test of variance
+    * homogeneity of event value across event types — "did the
+    * SPREAD move per segment", the scale companion to q_anova's
+    * location F. Per-group exact lower medians come off the
+    * (type, cents) rollup by rank counting (smallest v with
+    * cum ≥ (n_g+1) div 2 — the §14 pattern, bounded value grain,
+    * map-side combined); the absolute deviations z = |cents − med_g|
+    * are exact integers, and the one-way F on z reuses the q_anova
+    * arithmetic verbatim (per-group Σz / Σz² exact, group terms
+    * micro-quantized at unit² scale so the totals are order-free
+    * integer sums). Two passes over events + one bounded-grain
+    * window; the median broadcast is k rows.
+    */
+  val qLevene: Q = Q(
+    "q_levene",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("v"))
+      val roll = ev.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = roll.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = roll.withColumn("cum", sum(col("c")).over(w))
+        .join(tot, "g")
+        .where(col("cum") >= expr("(ng + 1) div 2"))
+        .groupBy(col("g")).agg(min(col("v")).as("med"))
+      val ga = ev.join(broadcast(med), "g")
+        .select(col("g"), abs(col("v") - col("med")).as("z"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+          sum(col("z").cast("decimal(38,0)") * col("z")).as("qz"))
+        .collect()
+      val k = ga.length.toLong
+      val n = ga.map(_.getLong(1)).sum
+      val sTot = ga.map(r => BigInt(r.getLong(2))).sum
+      def term(sg: Double, ng: Long): Long = rL((sg * sg / ng) / 1e4 * 1e6)
+      val a = ga.map(r => term(r.getLong(2).toDouble, r.getLong(1))).sum
+      val q = ga.map(r => rL(BigDecimal(r.getDecimal(3)).toDouble / 1e4 * 1e6)).sum
+      val cf = term(sTot.toDouble, n)
+      val ssb = (a - cf) / 1e6
+      val ssw = (q - a) / 1e6
+      val f = (ssb / (k - 1)) / (ssw / (n - k))
+      Seq((k, n, r6(ssb), r6(ssw), r6(f)))
+        .toDF("k", "n", "ssb", "ssw", "f_bf")
+    },
+    Some("""
+      WITH ev AS (SELECT event_type AS g, round(value * 100)::BIGINT AS v
+             FROM events),
+      roll AS (SELECT g, v, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      tot AS (SELECT g, sum(c)::BIGINT AS ng FROM roll GROUP BY 1),
+      cm AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+             FROM roll),
+      med AS (SELECT cm.g, min(v)::BIGINT AS med
+              FROM cm JOIN tot USING (g)
+              WHERE cum >= (ng + 1) // 2 GROUP BY 1),
+      z AS (SELECT ev.g, abs(ev.v - med.med)::BIGINT AS z
+            FROM ev JOIN med USING (g)),
+      ga AS (SELECT g, count(*)::BIGINT AS n, sum(z)::BIGINT AS sz,
+               sum(z::HUGEINT * z) AS qz
+             FROM z GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+              sum(round((sz::DOUBLE * sz::DOUBLE / n) / 10000.0 * 1000000.0)::BIGINT)::BIGINT AS a,
+              sum(round(qz::DOUBLE / 10000.0 * 1000000.0)::BIGINT)::BIGINT AS q,
+              sum(sz)::HUGEINT AS stot
+            FROM ga),
+      f AS (SELECT k, n, a, q,
+              round((stot::DOUBLE * stot::DOUBLE / n) / 10000.0 * 1000000.0)::BIGINT AS cf
+            FROM t)
+      SELECT k, n,
+             round((a - cf) / 1000000.0, 6) AS ssb,
+             round((q - a) / 1000000.0, 6) AS ssw,
+             round((((a - cf) / 1000000.0) / (k - 1)) /
+                   (((q - a) / 1000000.0) / (n - k)), 6) AS f_bf
+      FROM f
+    """),
+  )
+
+  /** Calibration (reliability) table + expected calibration error for
+    * the fitted logistic model — "can you trust the score as a
+    * probability", the deployment gate after q_logreg_step's fit and
+    * q_auc_by_segment's ranking check. Reuses the SAME micro-quantized
+    * two-step weights (logregFit / logregFitSql), so per-user
+    * σ(w·x) evaluates on exact micro rationals in both engines;
+    * users land in 10 equal-width probability bins, per-bin
+    * confidence is the micro-quantized mean prediction, accuracy the
+    * exact label rate, and ECE = Σ n_b·|conf_b − acc_b| / N with each
+    * bin term micro-quantized so the total is an order-free integer
+    * sum. One aggregate pass over the shared user rollup; the bin
+    * grain is 10 rows.
+    */
+  val qCalibration: Q = Q(
+    "q_calibration",
+    (s, dir) => {
+      import s.implicits._
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val (n, va, vb, vc) = logregFit(u)
+      val z2i = lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2")
+      val p2 = lit(1.0) / (lit(1.0) + exp(-(z2i.cast("double") / lit(1e6))))
+      val bins = u.select(col("y"), p2.as("p"))
+        .withColumn("b", least(floor(col("p") * 10), lit(9L)))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("nb"),
+          sum(round(col("p") * 1e6).cast("long")).as("sm"),
+          sum(col("y")).as("sy"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val em = bins.map { case (_, nb, sm, sy) =>
+        rL(math.abs(sm.toDouble / nb / 1e6 - sy.toDouble / nb) * nb * 1e6)
+      }.sum
+      val ece = r6(em.toDouble / n / 1e6)
+      bins.map { case (b, nb, sm, sy) =>
+        (b, nb, r6(sm.toDouble / nb / 1e6), r6(sy.toDouble / nb), ece)
+      }.toSeq.toDF("bin", "n", "conf", "acc", "ece")
+    },
+    Some(s"""
+      WITH $logregFitSql,
+      p AS (SELECT y,
+              1.0 / (1.0 + exp(-((va + vb * x1 + vc * x2)::DOUBLE / 1000000.0))) AS p
+            FROM u2, w2),
+      b AS (SELECT least(floor(p * 10), 9)::BIGINT AS b, count(*)::BIGINT AS nb,
+              sum(round(p * 1000000)::BIGINT)::BIGINT AS sm,
+              sum(y)::BIGINT AS sy
+            FROM p GROUP BY 1),
+      e AS (SELECT sum(round(abs(sm::DOUBLE / nb / 1000000.0 - sy::DOUBLE / nb)
+                * nb * 1000000)::BIGINT)::BIGINT AS em
+            FROM b)
+      SELECT b.b AS bin, b.nb AS n,
+             round(sm::DOUBLE / nb / 1000000.0, 6) AS conf,
+             round(sy::DOUBLE / nb, 6) AS acc,
+             round(e.em::DOUBLE / w2.n / 1000000.0, 6) AS ece
+      FROM b, e, w2
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
     qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest,
-    qLjungBox, qCusumDrift)
+    qLjungBox, qCusumDrift, qLevene, qCalibration)
 }
