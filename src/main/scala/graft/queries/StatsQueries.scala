@@ -2059,13 +2059,16 @@ object StatsQueries {
     * rollup (map-side combined); the cumulative window rides the
     * rollup, never the event stream (SURVEY §12/§14).
     */
-  val qMannWhitney: Q = Q(
-    "q_mann_whitney",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      import graft.operators.TsFeatures
-      val roll = ksRoll(Tables.events(s, dir)).localCheckpoint()
+  /** MW tail shared with the streaming twin: (v, na, nb) rollup →
+    * (n_a, n_b, u_a, z, p) report.
+    */
+  private[graft] def mwFromRoll(roll0: DataFrame): DataFrame = {
+    val s = roll0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TsFeatures
+    {
+      val roll = roll0.localCheckpoint()
       val w = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val r = roll
@@ -2087,7 +2090,12 @@ object StatsQueries {
       val z = (ua - mu) / sig
       val p = TsFeatures.normTwoSidedP(math.abs(z))
       Seq((ta, tb, ua, r6(z), r6(p))).toDF("n_a", "n_b", "u_a", "z", "p")
-    },
+    }
+  }
+
+  val qMannWhitney: Q = Q(
+    "q_mann_whitney",
+    (s, dir) => mwFromRoll(ksRoll(Tables.events(s, dir))),
     Some(s"""
       WITH roll AS (SELECT round(value * 100)::BIGINT AS v,
                sum(CASE WHEN $armSql = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
@@ -2273,15 +2281,14 @@ object StatsQueries {
     * calendar-bounded; one map-side-combined rollup feeds an O(days)
     * driver fold.
     */
-  val qCusumDrift: Q = Q(
-    "q_cusum_drift",
-    (s, dir) => {
-      import s.implicits._
-      val days = Tables.events(s, dir)
-        .select(expr("cast(ts as long) div 86400000000000").as("d"),
-          when(col("event_type") === "purchase",
-            round(col("value") * 100).cast("long")).otherwise(0L).as("c"))
-        .groupBy(col("d")).agg(sum(col("c")).as("v"))
+  /** CUSUM tail shared with the streaming twin: (d, v) day rollup →
+    * drift report.
+    */
+  private[graft] def cusumFromDays(daysDf: DataFrame): DataFrame = {
+    val s = daysDf.sparkSession
+    import s.implicits._
+    {
+      val days = daysDf
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val nD = days.length.toLong
       val sB = days.map(t => BigInt(t._2)).sum
@@ -2302,7 +2309,20 @@ object StatsQueries {
         r6(maxNeg.toDouble / nD / 100), dayNeg))
         .toDF("n_days", "mean_daily", "cusum_pos", "day_pos",
           "cusum_neg", "day_neg")
-    },
+    }
+  }
+
+  /** The (d, v) daily purchase-cents rollup the CUSUM family folds. */
+  private[graft] def cusumDays(events: DataFrame): DataFrame =
+    events
+      .select(expr("cast(ts as long) div 86400000000000").as("d"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L).as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("v"))
+
+  val qCusumDrift: Q = Q(
+    "q_cusum_drift",
+    (s, dir) => cusumFromDays(cusumDays(Tables.events(s, dir))),
     Some("""
       WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
                sum(CASE WHEN event_type = 'purchase'

@@ -1218,6 +1218,33 @@ object StreamingQueries {
     },
     StatsQueries.qSpearman.oracle)
 
+  /** Streaming Mann–Whitney twin: the SAME bounded purchase-cents
+    * value-grain rollup as `stream_ks_test` (complete-mode, map-side
+    * combined) drained into the shared tie-exact rank-sum tail —
+    * the live nonparametric location monitor, equal to
+    * `q_mann_whitney` with a shared oracle.
+    */
+  val streamMannWhitney: Q = Q(
+    "stream_mann_whitney",
+    (s, dir) => StatsQueries.mwFromRoll(
+      StreamOps.runToBatch(s,
+        StatsQueries.ksRoll(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    StatsQueries.qMannWhitney.oracle)
+
+  /** Streaming CUSUM twin: the calendar-bounded daily purchase-cents
+    * rollup in complete mode, drained into the shared exact
+    * cumsum-minus-running-extremum fold — the live change-point
+    * monitor, equal to `q_cusum_drift` with a shared oracle.
+    */
+  val streamCusum: Q = Q(
+    "stream_cusum",
+    (s, dir) => StatsQueries.cusumFromDays(
+      StreamOps.runToBatch(s,
+        StatsQueries.cusumDays(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    StatsQueries.qCusumDrift.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1227,5 +1254,6 @@ object StreamingQueries {
     streamExpectations, streamRetention, streamPsi, qLatenessReport, streamScd2,
     streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns,
     streamSurvivalKm, streamAbLift, streamKsTest, streamTrimmedMean,
-    streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman)
+    streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman,
+    streamMannWhitney, streamCusum)
 }
