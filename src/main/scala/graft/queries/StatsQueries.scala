@@ -2492,11 +2492,72 @@ object StatsQueries {
     """),
   )
 
+  /** Theil–Sen tail shared with the streaming twin: (d, v) day
+    * rollup → robust-slope report.
+    */
+  private[graft] def theilSenFromDays(daysDf: DataFrame): DataFrame = {
+    val s = daysDf.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
+      val d = daysDf.localCheckpoint()
+      val nD = d.count()
+      val pairs = d.as("a").join(d.as("b"),
+          col("b.d") > col("a.d"))
+        .select(((col("b.v") - col("a.v")).cast("double") /
+          (col("b.d") - col("a.d"))).as("s"))
+      val roll = pairs.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val m = roll.agg(sum(col("c"))).head().getLong(0)
+      val w = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = roll.withColumn("cum", sum(col("c")).over(w))
+        .where(col("cum") >= lit((m + 1) / 2))
+        .agg(min(col("s"))).head().getDouble(0)
+      Seq((nD, m, r6(med / 100)))
+        .toDF("n_days", "n_pairs", "slope_per_day")
+    }
+  }
+
+  /** Theil–Sen robust trend of daily purchase revenue — the
+    * outlier-immune answer to "is revenue drifting", next to
+    * q_linreg's OLS slope. The estimator is the exact LOWER MEDIAN
+    * (rank (m+1) div 2, the §14 pattern) of all pairwise day-slopes
+    * (v_j−v_i)/(d_j−d_i). The pair explosion rides the
+    * CALENDAR-BOUNDED day grain (days², independent of corpus row
+    * count — the same bound that makes the CUSUM fold safe), and the
+    * median comes off a slope-grain rollup + cumulative window, never
+    * a global row sort. Slopes are exact-integer-ratio doubles, so
+    * both engines rank them identically.
+    */
+  val qTheilSen: Q = Q(
+    "q_theil_sen",
+    (s, dir) => theilSenFromDays(cusumDays(Tables.events(s, dir))),
+    Some("""
+      WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+               sum(CASE WHEN event_type = 'purchase'
+                   THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS v
+             FROM events GROUP BY 1),
+      p AS (SELECT (b.v - a.v)::DOUBLE / (b.d - a.d) AS s
+            FROM d a JOIN d b ON b.d > a.d),
+      roll AS (SELECT s, count(*)::BIGINT AS c FROM p GROUP BY 1),
+      m AS (SELECT sum(c)::BIGINT AS m FROM roll),
+      nd AS (SELECT count(*)::BIGINT AS nd FROM d),
+      r AS (SELECT s, sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)::BIGINT AS cum
+            FROM roll),
+      sel AS (SELECT min(s) AS med FROM r, m WHERE cum >= (m.m + 1) // 2)
+      SELECT nd.nd AS n_days, m.m AS n_pairs,
+             round(sel.med / 100, 6) AS slope_per_day
+      FROM sel, m, nd
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
     qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest,
-    qLjungBox, qCusumDrift, qLevene, qCalibration)
+    qLjungBox, qCusumDrift, qLevene, qCalibration, qTheilSen)
 }

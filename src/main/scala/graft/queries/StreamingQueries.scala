@@ -1245,6 +1245,18 @@ object StreamingQueries {
         mode = "complete")),
     StatsQueries.qCusumDrift.oracle)
 
+  /** Streaming Theil–Sen twin: the same calendar-bounded daily
+    * rollup in complete mode through the shared robust-slope tail,
+    * equal to `q_theil_sen` with a shared oracle.
+    */
+  val streamTheilSen: Q = Q(
+    "stream_theil_sen",
+    (s, dir) => StatsQueries.theilSenFromDays(
+      StreamOps.runToBatch(s,
+        StatsQueries.cusumDays(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    StatsQueries.qTheilSen.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1255,5 +1267,5 @@ object StreamingQueries {
     streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns,
     streamSurvivalKm, streamAbLift, streamKsTest, streamTrimmedMean,
     streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman,
-    streamMannWhitney, streamCusum)
+    streamMannWhitney, streamCusum, streamTheilSen)
 }
