@@ -2553,11 +2553,87 @@ object StatsQueries {
     """),
   )
 
+  /** Partial correlation of user activity vs purchase count
+    * CONTROLLING for revenue — "is the activity–conversion link real
+    * or just both riding spend", the confounder-adjusted row next to
+    * q_corr_matrix's raw Pearson grid. All three pairwise r's come
+    * from ONE aggregate pass of exact integer sums (counts + cents,
+    * squares/cross-terms in decimal(38,0)/HUGEINT), then
+    * r_ab·c = (r_ab − r_ac·r_bc)/√((1−r_ac²)(1−r_bc²)) is a fixed-op-
+    * order scalar both engines replay identically.
+    */
+  val qPartialCorr: Q = Q(
+    "q_partial_corr",
+    (s, dir) => {
+      import s.implicits._
+      val r = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("c"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"), sum(col("c")).as("sc"),
+          sum(col("a").cast("decimal(38,0)") * col("a")).as("saa"),
+          sum(col("b").cast("decimal(38,0)") * col("b")).as("sbb"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("scc"),
+          sum(col("a").cast("decimal(38,0)") * col("b")).as("sab"),
+          sum(col("a").cast("decimal(38,0)") * col("c")).as("sac"),
+          sum(col("b").cast("decimal(38,0)") * col("c")).as("sbc"))
+        .head()
+      val n = BigInt(r.getLong(0))
+      val (sa, sb, sc) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3)))
+      def dec(i: Int): BigInt = BigDecimal(r.getDecimal(i)).toBigInt
+      val (saa, sbb, scc) = (dec(4), dec(5), dec(6))
+      val (sab, sac, sbc) = (dec(7), dec(8), dec(9))
+      def corr(sxy: BigInt, sx: BigInt, sy: BigInt, sxx: BigInt, syy: BigInt): Double =
+        (n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+            math.sqrt((n * syy - sy * sy).toDouble))
+      val rab = corr(sab, sa, sb, saa, sbb)
+      val rac = corr(sac, sa, sc, saa, scc)
+      val rbc = corr(sbc, sb, sc, sbb, scc)
+      val part = (rab - rac * rbc) /
+        math.sqrt((1.0 - rac * rac) * (1.0 - rbc * rbc))
+      Seq((r.getLong(0), r6(rab), r6(rac), r6(rbc), r6(part)))
+        .toDF("n", "r_ab", "r_ac", "r_bc", "r_ab_given_c")
+    },
+    Some("""
+      WITH u AS (SELECT count(*)::BIGINT AS a,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS b,
+               sum(CASE WHEN event_type = 'purchase'
+                   THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS c
+             FROM events GROUP BY user_id),
+      t AS (SELECT count(*)::BIGINT AS n,
+              sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb, sum(c)::BIGINT AS sc,
+              sum(a::HUGEINT * a) AS saa, sum(b::HUGEINT * b) AS sbb,
+              sum(c::HUGEINT * c) AS scc, sum(a::HUGEINT * b) AS sab,
+              sum(a::HUGEINT * c) AS sac, sum(b::HUGEINT * c) AS sbc
+            FROM u),
+      rr AS (SELECT n,
+              (n * sab - sa::HUGEINT * sb)::DOUBLE /
+                (sqrt((n * saa - sa::HUGEINT * sa)::DOUBLE) *
+                 sqrt((n * sbb - sb::HUGEINT * sb)::DOUBLE)) AS rab,
+              (n * sac - sa::HUGEINT * sc)::DOUBLE /
+                (sqrt((n * saa - sa::HUGEINT * sa)::DOUBLE) *
+                 sqrt((n * scc - sc::HUGEINT * sc)::DOUBLE)) AS rac,
+              (n * sbc - sb::HUGEINT * sc)::DOUBLE /
+                (sqrt((n * sbb - sb::HUGEINT * sb)::DOUBLE) *
+                 sqrt((n * scc - sc::HUGEINT * sc)::DOUBLE)) AS rbc
+            FROM t)
+      SELECT n, round(rab, 6) AS r_ab, round(rac, 6) AS r_ac,
+             round(rbc, 6) AS r_bc,
+             round((rab - rac * rbc) /
+               sqrt((1.0 - rac * rac) * (1.0 - rbc * rbc)), 6) AS r_ab_given_c
+      FROM rr
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
     qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest,
-    qLjungBox, qCusumDrift, qLevene, qCalibration, qTheilSen)
+    qLjungBox, qCusumDrift, qLevene, qCalibration, qTheilSen, qPartialCorr)
 }
