@@ -2629,11 +2629,94 @@ object StatsQueries {
     """),
   )
 
+  /** STL-style additive decomposition of daily purchase revenue:
+    * trend = centered 7-day moving average over the ZERO-FILLED day
+    * grid (defined only where the full window exists), detrended
+    * values kept EXACT by 7-scaling (y = 7·cents − Σ₇, no division in
+    * the data path), per-day-of-week seasonal components = group
+    * means of y (one exact division at the end), and
+    * seasonal_strength = 1 − SSW/SST of y grouped by dow (the
+    * q_anova arithmetic on the 7-scaled integers, terms
+    * micro-quantized at dollars² so totals are order-free). The
+    * day grid is calendar-bounded; one map-side-combined rollup
+    * feeds an O(days) driver fold. Overflow grid (§13 convention):
+    * the dollars²-micro terms overflow int64 when Σy²/49 exceeds
+    * ~9·10¹² dollars² — i.e. sustained daily-revenue deviations
+    * beyond ~$5M·√days; accumulate as decimal beyond that.
+    */
+  val qStlDecompose: Q = Q(
+    "q_stl_decompose",
+    (s, dir) => {
+      import s.implicits._
+      val cells = cusumDays(Tables.events(s, dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val (d0, d1) = (cells.keys.min, cells.keys.max)
+      val xs = (d0 to d1).map(d => cells.getOrElse(d, 0L)).toArray
+      val n = xs.length
+      val ys = (3 until n - 3).map { i =>
+        val s7 = (i - 3 to i + 3).map(xs).sum
+        ((d0 + i + 4) % 7, 7L * xs(i) - s7)
+      }
+      val g = ys.groupBy(_._1).toSeq.map { case (dow, vs) =>
+        (dow, vs.length.toLong, vs.map(v => BigInt(v._2)).sum,
+          vs.map(v => BigInt(v._2) * v._2).sum)
+      }.sortBy(_._1)
+      val nY = ys.length.toLong
+      val sTot = g.map(_._3).sum
+      def term(sg: BigInt, ng: Long): Long =
+        rL((sg.toDouble * sg.toDouble / ng) / 4.9e5 * 1e6)
+      val a = g.map(r => term(r._3, r._2)).sum
+      val q = g.map(r => rL(r._4.toDouble / 4.9e5 * 1e6)).sum
+      val cf = rL((sTot.toDouble * sTot.toDouble / nY) / 4.9e5 * 1e6)
+      val sst = (q - cf) / 1e6
+      val ssw = (q - a) / 1e6
+      val strength = 1.0 - ssw / sst
+      g.map { case (dow, ng, sg, _) =>
+        (dow, ng, r6(sg.toDouble / ng / 700), r6(sst), r6(ssw), r6(strength))
+      }.toDF("dow", "n_days", "seasonal", "sst", "ssw", "seasonal_strength")
+    },
+    Some("""
+      WITH b AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+               sum(CASE WHEN event_type = 'purchase'
+                   THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS v
+             FROM events GROUP BY 1),
+      r AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+      grid AS (SELECT unnest(generate_series(r.d0, r.d1)) AS d FROM r),
+      x AS (SELECT grid.d, coalesce(b.v, 0)::BIGINT AS x
+            FROM grid LEFT JOIN b USING (d)),
+      w AS (SELECT d,
+              7 * x - sum(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                AND 3 FOLLOWING) AS y,
+              count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                AND 3 FOLLOWING) AS cnt
+            FROM x),
+      yy AS (SELECT (d + 4) % 7 AS dow, y::BIGINT AS y FROM w WHERE cnt = 7),
+      g AS (SELECT dow, count(*)::BIGINT AS ng, sum(y)::HUGEINT AS sg,
+              sum(y::HUGEINT * y) AS qg
+            FROM yy GROUP BY 1),
+      t AS (SELECT sum(ng)::BIGINT AS ny, sum(sg)::HUGEINT AS stot,
+              sum(round((sg::DOUBLE * sg::DOUBLE / ng) / 490000.0 * 1000000.0)::BIGINT)::BIGINT AS a,
+              sum(round(qg::DOUBLE / 490000.0 * 1000000.0)::BIGINT)::BIGINT AS q
+            FROM g),
+      f AS (SELECT ny, a, q,
+              round((stot::DOUBLE * stot::DOUBLE / ny) / 490000.0 * 1000000.0)::BIGINT AS cf
+            FROM t)
+      SELECT g.dow, g.ng AS n_days,
+             round(sg::DOUBLE / ng / 700, 6) AS seasonal,
+             round((f.q - f.cf) / 1000000.0, 6) AS sst,
+             round((f.q - f.a) / 1000000.0, 6) AS ssw,
+             round(1.0 - ((f.q - f.a) / 1000000.0) /
+               ((f.q - f.cf) / 1000000.0), 6) AS seasonal_strength
+      FROM g, f
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
     qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest,
-    qLjungBox, qCusumDrift, qLevene, qCalibration, qTheilSen, qPartialCorr)
+    qLjungBox, qCusumDrift, qLevene, qCalibration, qTheilSen, qPartialCorr,
+    qStlDecompose)
 }
