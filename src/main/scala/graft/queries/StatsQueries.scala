@@ -2711,6 +2711,139 @@ object StatsQueries {
     """),
   )
 
+  /** Binary-segmentation changepoint on daily purchase revenue —
+    * WHERE the level shifted, the locator next to q_cusum_drift's
+    * detector. For every candidate split t the between-segment gain
+    * S_L²/n_L + S_R²/n_R − S²/n (≥ 0 by the variance decomposition)
+    * is computed from exact prefix sums over the calendar-bounded day
+    * grain, micro-quantized at dollars², and the argmax key is
+    * (gain_micros DESC, day ASC) — identical rank order in both
+    * engines (the q_decision_stump device). One rollup + one
+    * bounded-grain window; no global row sort.
+    */
+  val qChangepoint: Q = Q(
+    "q_changepoint_binary",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = cusumDays(Tables.events(s, dir)).localCheckpoint()
+      val t = d.agg(count(lit(1)).as("n"), sum(col("v")).as("s")).head()
+      val (n, sTot) = (t.getLong(0), t.getLong(1))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gain = (col("sl").cast("double") * col("sl") / col("nl") +
+        (lit(sTot) - col("sl")).cast("double") * (lit(sTot) - col("sl")) /
+          (lit(n) - col("nl")) -
+        lit(sTot).cast("double") * lit(sTot) / lit(n)) / lit(10000.0) * lit(1000000.0)
+      val best = d
+        .withColumn("nl", count(lit(1)).over(w))
+        .withColumn("sl", sum(col("v")).over(w))
+        .where(col("nl") < n)
+        .withColumn("gm", round(gain).cast("long"))
+        .orderBy(col("gm").desc, col("d").asc)
+        .limit(1).head()
+      val (sd, nl, sl, gm) = (best.getLong(0), best.getLong(2),
+        best.getLong(3), best.getLong(4))
+      Seq((sd, nl, n - nl,
+        r6(sl.toDouble / nl / 100),
+        r6((sTot - sl).toDouble / (n - nl) / 100),
+        r6(gm / 1e6)))
+        .toDF("split_day", "n_left", "n_right", "mean_before",
+          "mean_after", "gain")
+    },
+    Some("""
+      WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+               sum(CASE WHEN event_type = 'purchase'
+                   THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS v
+             FROM events GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS s FROM d),
+      c AS (SELECT d, count(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)::BIGINT AS nl,
+              sum(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)::BIGINT AS sl
+            FROM d),
+      g AS (SELECT c.d, c.nl, c.sl,
+              round((c.sl::DOUBLE * c.sl / c.nl +
+                (t.s - c.sl)::DOUBLE * (t.s - c.sl) / (t.n - c.nl) -
+                t.s::DOUBLE * t.s / t.n) / 10000.0 * 1000000.0)::BIGINT AS gm
+            FROM c, t WHERE c.nl < t.n),
+      best AS (SELECT * FROM g ORDER BY gm DESC, d ASC LIMIT 1)
+      SELECT best.d AS split_day, best.nl AS n_left, t.n - best.nl AS n_right,
+             round(best.sl::DOUBLE / best.nl / 100, 6) AS mean_before,
+             round((t.s - best.sl)::DOUBLE / (t.n - best.nl) / 100, 6) AS mean_after,
+             round(best.gm / 1000000.0, 6) AS gain
+      FROM best, t
+    """),
+  )
+
+  /** Per-event-type Tukey-fence outlier audit: exact Q1/Q3 by rank
+    * counting over the (type, cents) rollup (k = ⌈q·n⌉, the
+    * q_bowley_skew convention), fences kept INTEGER-EXACT by
+    * 2-scaling (x < Q1 − 1.5·IQR ⟺ 2x < 2·Q1 − 3·IQR — no fractional
+    * cents anywhere), and out-of-fence counts from one more pass —
+    * the per-segment data-QC row next to q_mad's global robust
+    * z-scores. Bounded value grain; the fence broadcast is k rows.
+    */
+  val qOutlierFences: Q = Q(
+    "q_outlier_fences",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("v"))
+      val roll = ev.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = roll.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cm = roll.withColumn("cum", sum(col("c")).over(w)).join(tot, "g")
+      val q1 = cm.where(col("cum") >= expr("(ng + 3) div 4"))
+        .groupBy(col("g")).agg(min(col("v")).as("q1"))
+      val q3 = cm.where(col("cum") >= expr("(3 * ng + 3) div 4"))
+        .groupBy(col("g")).agg(min(col("v")).as("q3"))
+      val fences = q1.join(q3, "g")
+        .select(col("g"), col("q1"), col("q3"),
+          (lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1"))).as("lo2"),
+          (lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1"))).as("hi2"))
+      ev.join(broadcast(fences), "g")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          max(col("q1") / lit(100.0)).as("q1d"),
+          max(col("q3") / lit(100.0)).as("q3d"),
+          sum(when(lit(2L) * col("v") < col("lo2"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(lit(2L) * col("v") > col("hi2"), 1L).otherwise(0L)).as("n_high"))
+        .select(col("g").as("event_type"), col("n"),
+          round(col("q1d"), 6).as("q1"), round(col("q3d"), 6).as("q3"),
+          col("n_low"), col("n_high"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type AS g, round(value * 100)::BIGINT AS v
+             FROM events),
+      roll AS (SELECT g, v, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      tot AS (SELECT g, sum(c)::BIGINT AS ng FROM roll GROUP BY 1),
+      cm AS (SELECT roll.g, v, sum(c) OVER (PARTITION BY roll.g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+               tot.ng
+             FROM roll JOIN tot USING (g)),
+      q1 AS (SELECT g, min(v)::BIGINT AS q1 FROM cm
+             WHERE cum >= (ng + 3) // 4 GROUP BY 1),
+      q3 AS (SELECT g, min(v)::BIGINT AS q3 FROM cm
+             WHERE cum >= (3 * ng + 3) // 4 GROUP BY 1),
+      f AS (SELECT q1.g, q1.q1, q3.q3,
+              2 * q1.q1 - 3 * (q3.q3 - q1.q1) AS lo2,
+              2 * q3.q3 + 3 * (q3.q3 - q1.q1) AS hi2
+            FROM q1 JOIN q3 USING (g))
+      SELECT ev.g AS event_type, count(*)::BIGINT AS n,
+             round(max(f.q1 / 100.0), 6) AS q1,
+             round(max(f.q3 / 100.0), 6) AS q3,
+             sum(CASE WHEN 2 * ev.v < f.lo2 THEN 1 ELSE 0 END)::BIGINT AS n_low,
+             sum(CASE WHEN 2 * ev.v > f.hi2 THEN 1 ELSE 0 END)::BIGINT AS n_high
+      FROM ev JOIN f USING (g)
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
@@ -2718,5 +2851,5 @@ object StatsQueries {
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
     qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest,
     qLjungBox, qCusumDrift, qLevene, qCalibration, qTheilSen, qPartialCorr,
-    qStlDecompose)
+    qStlDecompose, qChangepoint, qOutlierFences)
 }
