@@ -2844,6 +2844,89 @@ object StatsQueries {
     """),
   )
 
+  /** Covariate-stratified average treatment effect on the treated —
+    * the deterministic core of propensity matching: users are
+    * stratified into activity deciles by EXACT rank over the
+    * event-count value grain (decile = 10·rank_before div n, stable
+    * for every user sharing a value — no ntile, no RNG), and
+    * ATT = Σ_b n_tb·(ȳ_tb − ȳ_cb) / Σ_b n_tb over strata containing
+    * BOTH arms, with each stratum term micro-quantized so the total
+    * is an order-free integer sum. Reported next to the naive
+    * difference so the adjustment is visible. One user rollup + one
+    * bounded value-grain window + a ≤ 20-cell collect.
+    */
+  val qStratifiedAtt: Q = Q(
+    "q_stratified_att",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x1"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("yc"))
+        .select(col("x1"), col("yc"), arm(col("user_id")).as("t"))
+        .localCheckpoint()
+      val n = users.count()
+      val w = Window.orderBy(col("x1"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bins = users.groupBy(col("x1")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .select(col("x1"), expr(s"((cum - c) * 10) div $n").as("b"))
+      val cells = users.join(broadcast(bins), "x1")
+        .groupBy(col("b"), col("t"))
+        .agg(count(lit(1)).as("nb"), sum(col("yc")).as("yb"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      val usedBins = cells.keys.map(_._1).toSeq.distinct.sorted
+        .filter(b => cells.contains((b, 0L)) && cells.contains((b, 1L)))
+      val (nt, yt) = cells.filterKeys(_._2 == 1L).values
+        .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      val (nc, yc) = cells.filterKeys(_._2 == 0L).values
+        .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      val naive = yt.toDouble / nt / 100 - yc.toDouble / nc / 100
+      val ntUsed = usedBins.map(b => cells((b, 1L))._1).sum
+      val attM = usedBins.map { b =>
+        val (ntb, ytb) = cells((b, 1L))
+        val (ncb, ycb) = cells((b, 0L))
+        rL((ytb.toDouble / ntb - ycb.toDouble / ncb) * ntb / 100 * 1e6)
+      }.sum
+      val att = attM / 1e6 / ntUsed
+      Seq((nt, nc, usedBins.length.toLong, r6(naive), r6(att)))
+        .toDF("n_treated", "n_control", "n_strata", "naive_diff", "att")
+    },
+    Some(s"""
+      WITH u AS (SELECT user_id, count(*)::BIGINT AS x1,
+               sum(CASE WHEN event_type = 'purchase'
+                   THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS yc,
+               $armSql AS t
+             FROM events GROUP BY user_id),
+      nn AS (SELECT count(*)::BIGINT AS n FROM u),
+      xr AS (SELECT x1, count(*)::BIGINT AS c FROM u GROUP BY 1),
+      bb AS (SELECT x1, ((sum(c) OVER (ORDER BY x1 ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - c) * 10) // nn.n AS b
+             FROM xr, nn),
+      cells AS (SELECT bb.b, u.t, count(*)::BIGINT AS nb, sum(u.yc)::BIGINT AS yb
+                FROM u JOIN bb USING (x1) GROUP BY 1, 2),
+      arms AS (SELECT t, sum(nb)::BIGINT AS na, sum(yb)::BIGINT AS ya
+               FROM cells GROUP BY 1),
+      used AS (SELECT tr.b, tr.nb AS ntb, tr.yb AS ytb, co.nb AS ncb, co.yb AS ycb
+               FROM (SELECT * FROM cells WHERE t = 1) tr
+               JOIN (SELECT * FROM cells WHERE t = 0) co USING (b)),
+      agg AS (SELECT count(*)::BIGINT AS n_strata, sum(ntb)::BIGINT AS nt_used,
+                sum(round((ytb::DOUBLE / ntb - ycb::DOUBLE / ncb) * ntb / 100
+                  * 1000000)::BIGINT)::BIGINT AS attm
+              FROM used)
+      SELECT t1.na AS n_treated, t0.na AS n_control, agg.n_strata,
+             round(t1.ya::DOUBLE / t1.na / 100 - t0.ya::DOUBLE / t0.na / 100, 6)
+               AS naive_diff,
+             round(agg.attm / 1000000.0 / agg.nt_used, 6) AS att
+      FROM agg,
+           (SELECT * FROM arms WHERE t = 1) t1,
+           (SELECT * FROM arms WHERE t = 0) t0
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
@@ -2851,5 +2934,5 @@ object StatsQueries {
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
     qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest,
     qLjungBox, qCusumDrift, qLevene, qCalibration, qTheilSen, qPartialCorr,
-    qStlDecompose, qChangepoint, qOutlierFences)
+    qStlDecompose, qChangepoint, qOutlierFences, qStratifiedAtt)
 }
