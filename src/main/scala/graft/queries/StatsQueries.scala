@@ -2721,12 +2721,15 @@ object StatsQueries {
     * engines (the q_decision_stump device). One rollup + one
     * bounded-grain window; no global row sort.
     */
-  val qChangepoint: Q = Q(
-    "q_changepoint_binary",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val d = cusumDays(Tables.events(s, dir)).localCheckpoint()
+  /** Changepoint tail shared with the streaming twin: (d, v) day
+    * rollup → best-split report.
+    */
+  private[graft] def changepointFromDays(daysDf: DataFrame): DataFrame = {
+    val s = daysDf.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
+      val d = daysDf.localCheckpoint()
       val t = d.agg(count(lit(1)).as("n"), sum(col("v")).as("s")).head()
       val (n, sTot) = (t.getLong(0), t.getLong(1))
       val w = Window.orderBy(col("d"))
@@ -2750,7 +2753,12 @@ object StatsQueries {
         r6(gm / 1e6)))
         .toDF("split_day", "n_left", "n_right", "mean_before",
           "mean_after", "gain")
-    },
+    }
+  }
+
+  val qChangepoint: Q = Q(
+    "q_changepoint_binary",
+    (s, dir) => changepointFromDays(cusumDays(Tables.events(s, dir))),
     Some("""
       WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
                sum(CASE WHEN event_type = 'purchase'
@@ -2784,16 +2792,17 @@ object StatsQueries {
     * the per-segment data-QC row next to q_mad's global robust
     * z-scores. Bounded value grain; the fence broadcast is k rows.
     */
-  val qOutlierFences: Q = Q(
-    "q_outlier_fences",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir)
-        .select(col("event_type").as("g"),
-          round(col("value") * 100).cast("long").as("v"))
-      val roll = ev.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+  /** Fences tail shared with the streaming twin: (g, v, c) rollup →
+    * per-group fence report. Everything — quartiles AND out-of-fence
+    * counts — reads the bounded rollup; the raw stream is scanned
+    * exactly once (by the rollup), never again.
+    */
+  private[graft] def fencesFromRoll(roll0: DataFrame): DataFrame = {
+    val s = roll0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
+      val roll = roll0.localCheckpoint()
       val tot = roll.groupBy(col("g")).agg(sum(col("c")).as("ng"))
       val w = Window.partitionBy(col("g")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2806,21 +2815,33 @@ object StatsQueries {
         .select(col("g"), col("q1"), col("q3"),
           (lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1"))).as("lo2"),
           (lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1"))).as("hi2"))
-      ev.join(broadcast(fences), "g")
+      roll.join(broadcast(fences), "g")
         .groupBy(col("g"))
-        .agg(count(lit(1)).as("n"),
+        .agg(sum(col("c")).as("n"),
           max(col("q1") / lit(100.0)).as("q1d"),
           max(col("q3") / lit(100.0)).as("q3d"),
-          sum(when(lit(2L) * col("v") < col("lo2"), 1L).otherwise(0L)).as("n_low"),
-          sum(when(lit(2L) * col("v") > col("hi2"), 1L).otherwise(0L)).as("n_high"))
+          sum(when(lit(2L) * col("v") < col("lo2"), col("c")).otherwise(0L)).as("n_low"),
+          sum(when(lit(2L) * col("v") > col("hi2"), col("c")).otherwise(0L)).as("n_high"))
         .select(col("g").as("event_type"), col("n"),
           round(col("q1d"), 6).as("q1"), round(col("q3d"), 6).as("q3"),
           col("n_low"), col("n_high"))
-    },
+    }
+  }
+
+  /** The (g, v, c) per-type value-cents rollup the fence family reads. */
+  private[graft] def fencesRoll(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+
+  val qOutlierFences: Q = Q(
+    "q_outlier_fences",
+    (s, dir) => fencesFromRoll(fencesRoll(Tables.events(s, dir))),
     Some("""
-      WITH ev AS (SELECT event_type AS g, round(value * 100)::BIGINT AS v
-             FROM events),
-      roll AS (SELECT g, v, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      WITH roll AS (SELECT event_type AS g, round(value * 100)::BIGINT AS v,
+               count(*)::BIGINT AS c
+             FROM events GROUP BY 1, 2),
       tot AS (SELECT g, sum(c)::BIGINT AS ng FROM roll GROUP BY 1),
       cm AS (SELECT roll.g, v, sum(c) OVER (PARTITION BY roll.g ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
@@ -2834,12 +2855,12 @@ object StatsQueries {
               2 * q1.q1 - 3 * (q3.q3 - q1.q1) AS lo2,
               2 * q3.q3 + 3 * (q3.q3 - q1.q1) AS hi2
             FROM q1 JOIN q3 USING (g))
-      SELECT ev.g AS event_type, count(*)::BIGINT AS n,
+      SELECT roll.g AS event_type, sum(roll.c)::BIGINT AS n,
              round(max(f.q1 / 100.0), 6) AS q1,
              round(max(f.q3 / 100.0), 6) AS q3,
-             sum(CASE WHEN 2 * ev.v < f.lo2 THEN 1 ELSE 0 END)::BIGINT AS n_low,
-             sum(CASE WHEN 2 * ev.v > f.hi2 THEN 1 ELSE 0 END)::BIGINT AS n_high
-      FROM ev JOIN f USING (g)
+             sum(CASE WHEN 2 * roll.v < f.lo2 THEN roll.c ELSE 0 END)::BIGINT AS n_low,
+             sum(CASE WHEN 2 * roll.v > f.hi2 THEN roll.c ELSE 0 END)::BIGINT AS n_high
+      FROM roll JOIN f USING (g)
       GROUP BY 1
     """),
   )

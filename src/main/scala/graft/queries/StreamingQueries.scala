@@ -1257,6 +1257,31 @@ object StreamingQueries {
         mode = "complete")),
     StatsQueries.qTheilSen.oracle)
 
+  /** Streaming changepoint twin: daily rollup in complete mode
+    * through the shared binary-segmentation tail — the live "where
+    * did the level shift" locator, equal to `q_changepoint_binary`
+    * with a shared oracle.
+    */
+  val streamChangepoint: Q = Q(
+    "stream_changepoint",
+    (s, dir) => StatsQueries.changepointFromDays(
+      StreamOps.runToBatch(s,
+        StatsQueries.cusumDays(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    StatsQueries.qChangepoint.oracle)
+
+  /** Streaming Tukey-fence twin: the bounded (type, cents) rollup in
+    * complete mode through the shared fence tail — live per-segment
+    * outlier rates, equal to `q_outlier_fences` with a shared oracle.
+    */
+  val streamOutlierFences: Q = Q(
+    "stream_outlier_fences",
+    (s, dir) => StatsQueries.fencesFromRoll(
+      StreamOps.runToBatch(s,
+        StatsQueries.fencesRoll(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    StatsQueries.qOutlierFences.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1267,5 +1292,6 @@ object StreamingQueries {
     streamGroupedLinreg, streamCohortLtv, streamAttribution, streamSeqPatterns,
     streamSurvivalKm, streamAbLift, streamKsTest, streamTrimmedMean,
     streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman,
-    streamMannWhitney, streamCusum, streamTheilSen)
+    streamMannWhitney, streamCusum, streamTheilSen, streamChangepoint,
+    streamOutlierFences)
 }
