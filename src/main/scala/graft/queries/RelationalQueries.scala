@@ -1667,6 +1667,48 @@ object RelationalQueries {
     """),
   )
 
+  /** Incremental JOIN-view maintenance: the four-term delta identity
+    * (O_b ∪ ΔO) ⋈ (C_b ∪ ΔC) = O_b⋈C_b + ΔO⋈C_b + O_b⋈ΔC + ΔO⋈ΔC,
+    * proved equal to the direct join by the oracle. Both inputs are
+    * split deterministically (orderkey / custkey parity — the
+    * "yesterday's snapshot vs today's ingest" shape); each term
+    * aggregates revenue per nation in exact cents BEFORE the union,
+    * so at 100 TB the maintained state is the per-nation partial of
+    * each term (O(nations)), and a delta refresh touches only the
+    * two Δ terms — never the base⋈base re-join. Companion to
+    * q_ivm_agg (aggregate views) and q_snapshot_diff (CDC diffs).
+    */
+  val qIvmJoin: Q = Q(
+    "q_ivm_join",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("ck"),
+        round(col("o_totalprice") * 100).cast("long").as("p"),
+        col("o_orderkey"))
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"))
+      val (ob, dOr) = (o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1))
+      val (cb, dC) = (c.where(col("ck") % 2 === 0),
+        c.where(col("ck") % 2 === 1))
+      def term(l: DataFrame, r: DataFrame): DataFrame =
+        l.join(r, "ck").groupBy(col("nk"))
+          .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+      term(ob, cb).unionAll(term(dOr, cb))
+        .unionAll(term(ob, dC)).unionAll(term(dOr, dC))
+        .groupBy(col("nk"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("sp")).as("spc"))
+        .select(col("nk").as("nationkey"), col("n_orders"),
+          round(col("spc") / lit(100.0), 6).as("revenue"))
+    },
+    Some("""
+      SELECT c_nationkey AS nationkey, count(*)::BIGINT AS n_orders,
+             round(sum(round(o_totalprice * 100)::BIGINT)::BIGINT / 100.0, 6)
+               AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
@@ -1674,5 +1716,5 @@ object RelationalQueries {
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
     qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase,
     qGrowthAccounting, qSeqPatterns, qActivityHeatmap, qGini,
-    qJoinSizeEstimate, qIvmAgg)
+    qJoinSizeEstimate, qIvmAgg, qIvmJoin)
 }
