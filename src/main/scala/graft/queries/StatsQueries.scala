@@ -2562,16 +2562,14 @@ object StatsQueries {
     * r_ab·c = (r_ab − r_ac·r_bc)/√((1−r_ac²)(1−r_bc²)) is a fixed-op-
     * order scalar both engines replay identically.
     */
-  val qPartialCorr: Q = Q(
-    "q_partial_corr",
-    (s, dir) => {
-      import s.implicits._
-      val r = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("a"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"),
-          sum(when(col("event_type") === "purchase",
-            round(col("value") * 100).cast("long")).otherwise(0L)).as("c"))
+  /** Partial-corr tail shared with the streaming twin: (a, b, c)
+    * user frame → report.
+    */
+  private[graft] def partialCorrFromUsers(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    {
+      val r = users
         .agg(count(lit(1)).as("n"),
           sum(col("a")).as("sa"), sum(col("b")).as("sb"), sum(col("c")).as("sc"),
           sum(col("a").cast("decimal(38,0)") * col("a")).as("saa"),
@@ -2597,7 +2595,24 @@ object StatsQueries {
         math.sqrt((1.0 - rac * rac) * (1.0 - rbc * rbc))
       Seq((r.getLong(0), r6(rab), r6(rac), r6(rbc), r6(part)))
         .toDF("n", "r_ab", "r_ac", "r_bc", "r_ab_given_c")
-    },
+    }
+  }
+
+  /** The (a, b, c) = (events, purchases, revenue-cents) user frame
+    * the partial-corr family reads.
+    */
+  private[graft] def partialCorrUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("c"))
+      .select(col("a"), col("b"), col("c"))
+
+  val qPartialCorr: Q = Q(
+    "q_partial_corr",
+    (s, dir) => partialCorrFromUsers(partialCorrUsers(Tables.events(s, dir))),
     Some("""
       WITH u AS (SELECT count(*)::BIGINT AS a,
                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS b,
@@ -2644,11 +2659,14 @@ object StatsQueries {
     * ~9·10¹² dollars² — i.e. sustained daily-revenue deviations
     * beyond ~$5M·√days; accumulate as decimal beyond that.
     */
-  val qStlDecompose: Q = Q(
-    "q_stl_decompose",
-    (s, dir) => {
-      import s.implicits._
-      val cells = cusumDays(Tables.events(s, dir))
+  /** STL tail shared with the streaming twin: (d, v) day rollup →
+    * per-dow decomposition report.
+    */
+  private[graft] def stlFromDays(daysDf: DataFrame): DataFrame = {
+    val s = daysDf.sparkSession
+    import s.implicits._
+    {
+      val cells = daysDf
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       val (d0, d1) = (cells.keys.min, cells.keys.max)
       val xs = (d0 to d1).map(d => cells.getOrElse(d, 0L)).toArray
@@ -2674,7 +2692,12 @@ object StatsQueries {
       g.map { case (dow, ng, sg, _) =>
         (dow, ng, r6(sg.toDouble / ng / 700), r6(sst), r6(ssw), r6(strength))
       }.toDF("dow", "n_days", "seasonal", "sst", "ssw", "seasonal_strength")
-    },
+    }
+  }
+
+  val qStlDecompose: Q = Q(
+    "q_stl_decompose",
+    (s, dir) => stlFromDays(cusumDays(Tables.events(s, dir))),
     Some("""
       WITH b AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
                sum(CASE WHEN event_type = 'purchase'

@@ -1282,6 +1282,41 @@ object StreamingQueries {
         mode = "complete")),
     StatsQueries.qOutlierFences.oracle)
 
+  /** Streaming STL twin: the daily rollup in complete mode through
+    * the shared decomposition tail — the live seasonality panel,
+    * equal to `q_stl_decompose` with a shared oracle.
+    */
+  val streamStl: Q = Q(
+    "stream_stl",
+    (s, dir) => StatsQueries.stlFromDays(
+      StreamOps.runToBatch(s,
+        StatsQueries.cusumDays(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    StatsQueries.qStlDecompose.oracle)
+
+  /** Streaming partial-correlation twin: live (events, purchases,
+    * revenue) snapshots from `StreamOps.userRevActivity` (O(1)
+    * monotone state), drained most-advanced snapshot per user →
+    * the shared exact-sum tail, equal to `q_partial_corr` with a
+    * shared oracle.
+    */
+  val streamPartialCorr: Q = Q(
+    "stream_partial_corr",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val drained = StreamOps.runToBatch(s,
+        StreamOps.userRevActivity(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "append")
+      val rank = Window.partitionBy(col("user_id"))
+        .orderBy(col("ne").desc, col("np").desc, col("rc").desc)
+      StatsQueries.partialCorrFromUsers(
+        drained.withColumn("__rk", row_number().over(rank))
+          .where(col("__rk") === 1)
+          .select(col("ne").as("a"), col("np").as("b"), col("rc").as("c")))
+    },
+    StatsQueries.qPartialCorr.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1293,5 +1328,5 @@ object StreamingQueries {
     streamSurvivalKm, streamAbLift, streamKsTest, streamTrimmedMean,
     streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman,
     streamMannWhitney, streamCusum, streamTheilSen, streamChangepoint,
-    streamOutlierFences)
+    streamOutlierFences, streamStl, streamPartialCorr)
 }

@@ -1170,6 +1170,38 @@ object StreamOps {
       }
   }
 
+  final case class RevEvent(user_id: Long, is_p: Long, cents: Long)
+  final case class RevState(ne: Long, np: Long, rc: Long)
+  final case class RevRow(user_id: Long, ne: Long, np: Long, rc: Long)
+
+  /** Streaming per-user (events, purchases, revenue-cents) snapshot —
+    * the 3-counter extension of [[userActivity]]: O(1) monotone state
+    * per user, each batch emits the current snapshot, and the drained
+    * most-advanced snapshot (max by all three counters — they move
+    * together) equals the batch rollup. Feeds the partial-correlation
+    * twin.
+    */
+  def userRevActivity(events: DataFrame): Dataset[RevRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(
+      col("user_id").cast("long").as("user_id"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"),
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      .as[RevEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RevState, RevRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          var (ne, np, rc) = state.getOption
+            .map(s0 => (s0.ne, s0.np, s0.rc)).getOrElse((0L, 0L, 0L))
+          it.foreach { e => ne += 1; np += e.is_p; rc += e.cents }
+          state.update(RevState(ne, np, rc))
+          Iterator.single(RevRow(uid, ne, np, rc))
+      }
+  }
+
   final case class NpEvent(user_id: Long, is_p: Long)
   final case class NpState(np: Long)
   final case class NpRow(user_id: Long, np: Long)
