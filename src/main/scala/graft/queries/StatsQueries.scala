@@ -2971,6 +2971,89 @@ object StatsQueries {
     """),
   )
 
+  /** Per-segment A/B test with multiple-testing control — the
+    * "which day-of-week did the treatment move" drill-down that
+    * naive per-segment peeking gets wrong: a two-proportion z-test
+    * per first-touch-dow segment (exact 2×2 counts, pooled-variance
+    * z in a fixed op order, p through the shared A&S tail), then
+    * Benjamini–Hochberg at α=0.05 across the 7 segments (rank by
+    * (p, dow), keep rk ≤ k with the keep-all fallback — the
+    * TsFeatures.bhKeep convention). Segment grain is 7; one user
+    * rollup is the only data-scale pass.
+    */
+  val qAbBySegment: Q = Q(
+    "q_ab_by_segment",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TsFeatures
+      val cells = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select((col("user_id") % 7).as("seg"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("conv"),
+          arm(col("user_id")).as("g"))
+        .groupBy(col("seg"))
+        .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 1 && col("conv") === 1L, 1L).otherwise(0L)).as("x1"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 0 && col("conv") === 1L, 1L).otherwise(0L)).as("x0"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      val stats = cells.map { case (seg, n1, x1, n0, x0) =>
+        val pt = (x1 + x0).toDouble / (n1 + n0)
+        val z = (x1.toDouble / n1 - x0.toDouble / n0) /
+          math.sqrt(pt * (1 - pt) * (1.0 / n1 + 1.0 / n0))
+        val p = TsFeatures.normTwoSidedP(math.abs(z))
+        (seg, n1, x1, n0, x0, z, p)
+      }
+      val m = stats.length
+      val ranked = stats.sortBy(t => (t._7, t._1)).zipWithIndex
+        .map { case (t, i) => (t._1, i + 1) }.toMap
+      val k = stats.map(t => (ranked(t._1), t._7))
+        .filter { case (rk, p) => p <= rk * 0.05 / m }
+        .map(_._1).reduceOption(_ max _).getOrElse(0)
+      stats.map { case (seg, n1, x1, n0, x0, z, p) =>
+        (seg, n1, x1, n0, x0, r6(z), r6(p),
+          if (k == 0) true else ranked(seg) <= k)
+      }.toSeq
+        .toDF("seg", "n_treat", "conv_treat", "n_ctrl", "conv_ctrl",
+          "z", "p", "kept")
+    },
+    Some(s"""
+      WITH u AS (SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS conv,
+               $armSql AS g
+             FROM events GROUP BY user_id),
+      seg AS (SELECT user_id % 7 AS seg,
+               sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN g = 1 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS x1,
+               sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               sum(CASE WHEN g = 0 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS x0
+             FROM u GROUP BY 1),
+      z AS (SELECT seg, n1, x1, n0, x0,
+              (x1::DOUBLE / n1 - x0::DOUBLE / n0) /
+                sqrt(((x1 + x0)::DOUBLE / (n1 + n0)) *
+                  (1 - (x1 + x0)::DOUBLE / (n1 + n0)) *
+                  (1.0 / n1 + 1.0 / n0)) AS z
+            FROM seg),
+      az AS (SELECT *, abs(z) AS at FROM z),
+      pp AS (SELECT seg, n1, x1, n0, x0, z,
+               ${OracleExact.phiTailSql("at")} AS p
+             FROM az),
+      ranked AS (SELECT seg, p, row_number() OVER (ORDER BY p, seg) AS rk FROM pp),
+      mm AS (SELECT count(*) AS m FROM pp),
+      ks AS (SELECT coalesce(max(CASE WHEN p <= rk * 0.05 / mm.m THEN rk END), 0) AS k
+             FROM ranked, mm)
+      SELECT pp.seg, n1 AS n_treat, x1 AS conv_treat, n0 AS n_ctrl,
+             x0 AS conv_ctrl, round(z, 6) AS z, round(pp.p, 6) AS p,
+             CASE WHEN (SELECT k FROM ks) = 0 THEN true
+                  ELSE ranked.rk <= (SELECT k FROM ks) END AS kept
+      FROM pp JOIN ranked USING (seg)
+    """),
+  )
+
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
     qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
@@ -2978,5 +3061,5 @@ object StatsQueries {
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
     qOddsRatio, qBowleySkew, qLorenz, qChurnHazard, qMannWhitney, qRunsTest,
     qLjungBox, qCusumDrift, qLevene, qCalibration, qTheilSen, qPartialCorr,
-    qStlDecompose, qChangepoint, qOutlierFences, qStratifiedAtt)
+    qStlDecompose, qChangepoint, qOutlierFences, qStratifiedAtt, qAbBySegment)
 }
