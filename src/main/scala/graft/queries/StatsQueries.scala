@@ -3000,6 +3000,10 @@ object StatsQueries {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .sortBy(_._1)
+        // a segment is testable only with both arms present and a
+        // pooled rate strictly inside (0, 1) — mirrored in the oracle
+        .filter { case (_, n1, x1, n0, x0) =>
+          n1 > 0 && n0 > 0 && x1 + x0 > 0 && x1 + x0 < n1 + n0 }
       val stats = cells.map { case (seg, n1, x1, n0, x0) =>
         val pt = (x1 + x0).toDouble / (n1 + n0)
         val z = (x1.toDouble / n1 - x0.toDouble / n0) /
@@ -3037,7 +3041,8 @@ object StatsQueries {
                 sqrt(((x1 + x0)::DOUBLE / (n1 + n0)) *
                   (1 - (x1 + x0)::DOUBLE / (n1 + n0)) *
                   (1.0 / n1 + 1.0 / n0)) AS z
-            FROM seg),
+            FROM seg
+            WHERE n1 > 0 AND n0 > 0 AND x1 + x0 > 0 AND x1 + x0 < n1 + n0),
       az AS (SELECT *, abs(z) AS at FROM z),
       pp AS (SELECT seg, n1, x1, n0, x0, z,
                ${OracleExact.phiTailSql("at")} AS p
