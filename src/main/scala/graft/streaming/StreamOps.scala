@@ -259,6 +259,14 @@ object StreamOps {
     if (v.isNaN || v.isInfinite) v
     else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** `event_id` as the in-batch sort tie-breaker where the input frame
+    * carries one; `lit(0)` otherwise (ad-hoc test frames), degrading
+    * the (ts_ns, event_id) sort back to ts-only.
+    */
+  private def eventIdOr0(events: DataFrame) =
+    (if (events.columns.contains("event_id")) col("event_id") else lit(0L))
+      .cast("long").as("event_id")
+
   /** Exact microunit quantization of v, matching Spark's
     * double→decimal(·,6) cast: non-finite values cast to NULL there, so
     * they contribute 0 here instead of throwing in `BigDecimal(v)`.
@@ -623,7 +631,8 @@ object StreamOps {
     q.awaitTermination()
   }
 
-  final case class SessionEvent(user_id: Long, ts_ns: Long, value: Double)
+  final case class SessionEvent(user_id: Long, ts_ns: Long, event_id: Long,
+                                value: Double)
   /** sumMicros: Σ halfUp6(value)·1e6 as int64 — the ExactAgg.decSum
     * mirror (order-free, batch-boundary-independent), emitted as
     * sumMicros/1e6.
@@ -654,6 +663,7 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
+      eventIdOr0(events),
       col("value").cast("double").as("value"),
       timestamp_micros(expr("cast(ts as long) div 1000")).as("tse"))
       .withWatermark("tse", watermarkDelay)
@@ -668,8 +678,9 @@ object StreamOps {
             Iterator.single(Session(uid, s.start_ns, s.end_ns, s.n, s.sumMicros / 1e6))
           } else {
             // per-microbatch buffer+sort: bounded by one user's events in
-            // ONE microbatch, not the stream
-            val evs = it.toSeq.sortBy(_.ts_ns)
+            // ONE microbatch, not the stream; event_id makes the sort
+            // total even if the (user, ts)-uniqueness contract breaks
+            val evs = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
             val out = scala.collection.mutable.ListBuffer.empty[Session]
             def micros(v: Double): Long = microsOrZero(v)
             var cur = state.getOption
@@ -852,7 +863,8 @@ object StreamOps {
       }
   }
 
-  final case class ZEvent(user_id: Long, ts_ns: Long, value: Double)
+  final case class ZEvent(user_id: Long, ts_ns: Long, event_id: Long,
+                          value: Double)
   /** Ring buffer of the last `window` 3-dp-quantized values, oldest
     * first — O(window) state per key, the whole monitoring contract.
     */
@@ -890,6 +902,7 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
+      eventIdOr0(events),
       col("value").cast("double").as("value")).as[ZEvent]
     def micro(v: Double): Long =
       BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -899,7 +912,7 @@ object StreamOps {
       .flatMapGroupsWithState[HoltState, HoltRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, it, state) =>
-          val evs = it.toSeq.sortBy(_.ts_ns)
+          val evs = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var st = state.getOption.getOrElse(HoltState(0L, 0L, started = false))
           val out = evs.map { e =>
             if (!st.started) st = HoltState(micro(e.value), 0L, started = true)
@@ -924,6 +937,7 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
+      eventIdOr0(events),
       col("value").cast("double").as("value")).as[ZEvent]
     def micro3(v: Double): Long =
       BigDecimal(v * 1e3).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -931,7 +945,7 @@ object StreamOps {
       .flatMapGroupsWithState[ZState, ZScore](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, it, state) =>
-          val evs = it.toSeq.sortBy(_.ts_ns)
+          val evs = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
           var buf = state.getOption.map(_.m.toVector).getOrElse(Vector.empty[Long])
           val out = evs.map { e =>
             val m = micro3(e.value)

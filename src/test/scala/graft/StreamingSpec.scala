@@ -476,4 +476,16 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() === expected)               // exactly-once: no re-emits
     assert(got.distinct().count() === expected)    // and every key present once
   }
+
+  test("corpus contract: (user_id, ts) unique in events, (user_id, ts, event_id) total") {
+    // Every stateful twin buffers one key's micro-batch and sorts by
+    // (ts_ns, event_id); batch twins window-order by ts alone. Those
+    // agree as long as (user_id, ts) is unique — assert it, so a future
+    // corpus that breaks the contract fails HERE, loudly, instead of as
+    // a nondeterministic stream/batch hash divergence.
+    val ev = Tables.events(spark, sf)
+    assert(ev.groupBy("user_id", "ts").count().filter("count > 1").count() === 0L)
+    // and event_id itself is globally unique, so the sort key is total
+    assert(ev.groupBy("event_id").count().filter("count > 1").count() === 0L)
+  }
 }
