@@ -57,6 +57,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full registry key list (oracled + bench-only) for the
+    // SURVEY↔registry consistency guard in tools/check.py — every key
+    // here must have a SURVEY §2 row (r8/r9 orphan-recurrence close)
+    val keys = (SparkEntry.queries.keySet ++ SparkEntry.benchQueries.keySet)
+      .toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/registry_keys.json"), keys)
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed global ranking. `Window.orderBy(...)` with no partition
@@ -30,16 +30,43 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Adds `outCol` = row_number() over (ORDER BY sortExprs) — exact,
+    * 1-based, DISTRIBUTED: range shuffle on the sort key +
+    * per-partition offsets, never a single-partition window. The
+    * caller must pass a TOTAL order (include a unique tiebreaker such
+    * as user_id) — positions of true ties would otherwise depend on
+    * physical placement. Same offset device (and the same 2³³
+    * rows-per-partition guard) as [[withPercentRank]].
+    */
+  def withRowNumber(df: DataFrame, sortExprs: Seq[Column], outCol: String): DataFrame = {
+    val (seqDf, _) = sequenced(df, sortExprs)
+    seqDf.withColumn(outCol, col("__seq") + 1L).drop("__mid", "__seq")
+  }
+
   /** Adds `outCol` = percent_rank() over (ORDER BY valueCol) — ties
     * share the rank of their first row; output in [0,1].
     * Nulls must be handled by the caller (SQL window semantics order
     * them; here they would rank first).
     */
   def withPercentRank(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val (seqDf, n) = sequenced(df, Seq(col(valueCol)))
+    val ranks = seqDf.groupBy(col(valueCol)).agg(min(col("__seq")).as("__rank"))
+    seqDf.join(ranks, valueCol)
+      .withColumn(outCol,
+        if (n <= 1) lit(0.0) else col("__rank").cast("double") / lit((n - 1).toDouble))
+      .drop("__mid", "__seq", "__rank")
+  }
+
+  /** Shared core: range-shuffle on `sortExprs`, pin the layout, turn
+    * per-partition row counts into offsets, and return (df + `__seq`
+    * = exact 0-based global sequence in sort order, total row count).
+    * `__mid` stays on the frame for callers that drop it themselves.
+    */
+  private def sequenced(df: DataFrame, sortExprs: Seq[Column]): (DataFrame, Long) = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val sorted = df.repartitionByRange(par, col(valueCol))
-      .sortWithinPartitions(valueCol)
+    val sorted = df.repartitionByRange(par, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint()
     val pidCol = shiftright(col("__mid"), 33)
@@ -73,10 +100,6 @@ object Rank {
         }: _*)
         sorted.withColumn("__seq", element_at(offMap, pidCol) + locCol)
       }
-    val ranks = seqDf.groupBy(col(valueCol)).agg(min(col("__seq")).as("__rank"))
-    seqDf.join(ranks, valueCol)
-      .withColumn(outCol,
-        if (n <= 1) lit(0.0) else col("__rank").cast("double") / lit((n - 1).toDouble))
-      .drop("__mid", "__seq", "__rank")
+    (seqDf, n)
   }
 }

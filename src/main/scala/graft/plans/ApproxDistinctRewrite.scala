@@ -35,7 +35,8 @@ import graft.functions.HllAgg
 object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString("spark.graft.approxDistinct", "false").toBoolean) plan
+    if (!conf.getConfString("spark.graft.approxDistinct", "false")
+        .trim.equalsIgnoreCase("true")) plan
     else plan.transform {
       case agg: Aggregate =>
         agg.transformExpressions {
@@ -53,6 +54,15 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   /** md5(cast(x as string)) — the [[graft.operators.HllSketch]]
     * hashing convention, so the rewritten estimate is bit-identical
     * to the relational sketch path and its DuckDB mirror.
+    *
+    * Caveat (scope guard): distinct-equivalence is over the STRING
+    * RENDERING of the value, which can split equality classes that
+    * exact `count(DISTINCT)` merges — e.g. `-0.0` and `0.0` doubles
+    * render as two strings and count as two HLL values. That delta is
+    * within the documented ±4.6% envelope and affects only
+    * floating-point children with mixed zero signs (or NaN payload
+    * variants); normalize upstream (`nanvl(x, x) + 0.0`) if exact
+    * zero-sign merging matters.
     */
   private def md5Of(c: Expression): Expression =
     Md5(Cast(Cast(c, StringType), BinaryType))

@@ -715,12 +715,16 @@ object TextQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // orderBy+limit plans TakeOrderedAndProject (distributed partial
+      // top-k) — the rank window then sorts only the k surviving rows,
+      // never the corpus (r9-verdict q_gini-class fix; same total
+      // order, so the kept set and ranks are unchanged)
       val sparse = graft.operators.Retrieval.bm25(
         docs, "doc_id", "text", bm25Terms, bm25K1, bm25B)
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
         .select(col("doc_id"), row_number()
           .over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast("long").as("r_sparse"))
-        .where(col("r_sparse") <= 100)
       val e = Tables.embeddings(s, dir)
       val qv = e.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
@@ -728,14 +732,16 @@ object TextQueries {
         .select(col("vec_id").as("doc_id"),
           graft.operators.Ann.cosine(array(qv.map(lit): _*),
             col("embedding").cast("array<double>")).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(100)
         .select(col("doc_id"), row_number()
           .over(Window.orderBy(col("cosine").desc, col("doc_id")))
           .cast("long").as("r_dense"))
-        .where(col("r_dense") <= 100)
       val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
         .select(col("doc_id"), col("r_sparse"), col("r_dense"),
           (coalesce(lit(1.0) / (lit(60L) + col("r_sparse")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60L) + col("r_dense")), lit(0.0))).as("rrf"))
+      // fused is ≤200 rows by construction (full outer of two top-100
+      // lists) — the rank window rides that bounded set
       fused
         .select(col("doc_id"), col("r_sparse"), col("r_dense"), col("rrf"),
           row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
@@ -1529,9 +1535,12 @@ object TextQueries {
         .where(col("cum") >= k).agg(max(col("lw"))).head().getLong(0)
       val nAbove = docW.where(col("lw") > tau).count()
       val quota = k - nAbove
-      val tie = docW.where(col("lw") === tau)
-        .select(col("doc_id"),
-          row_number().over(Window.orderBy(col("doc_id"))).as("rn"))
+      // tie ranks via the distributed row-number device (range shuffle
+      // + offsets) — the tie group is usually tiny, but an all-equal-
+      // weight corpus would make an unpartitioned window sort every doc
+      val tie = graft.operators.Rank.withRowNumber(
+        docW.where(col("lw") === tau).select(col("doc_id")),
+        Seq(col("doc_id").asc), "rn")
       docW.join(tie, Seq("doc_id"), "left")
         .select(col("doc_id"), round(col("lw") / lit(1e6), 6).as("log_weight"),
           when(col("lw") > tau, 1L)

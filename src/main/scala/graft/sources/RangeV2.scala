@@ -70,14 +70,22 @@ private[sources] class RangeV2ScanBuilder(start: Long, end: Long, slices: Int)
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = RangeV2.schema
 
+  // v + 1 clamped at Long.MaxValue. Exact, not approximate: rows satisfy
+  // id < hi <= Long.MaxValue (hi is an exclusive Long bound), so id ==
+  // Long.MaxValue is unrepresentable in this source — `id <= MaxValue` is
+  // vacuously true (clamp leaves hi alone) and `id = MaxValue` /
+  // `id > MaxValue - 1` correctly yield an empty scan instead of a
+  // wrapped-negative bound that would silently drop every row.
+  private def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
       case LessThan("id", v: Long)           => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, succ(v)); true
       case EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case _ => false
     }
     accepted = handled

@@ -153,11 +153,11 @@ object StreamOps {
                        joinType: String = "inner"): DataFrame = {
     val l = left.select(col("user_id").as("l_uid"),
       timestamp_micros(expr("cast(ts as long) div 1000")).as("l_tse"),
-      col("event_id").as("eid_a"))
+      eventIdOr0(left, "eid_a"))
       .withWatermark("l_tse", watermarkDelay)
     val r = right.select(col("user_id").as("r_uid"),
       timestamp_micros(expr("cast(ts as long) div 1000")).as("r_tse"),
-      col("event_id").as("eid_b"))
+      eventIdOr0(right, "eid_b"))
       .withWatermark("r_tse", watermarkDelay)
     l.join(r,
       col("l_uid") === col("r_uid") &&
@@ -196,11 +196,11 @@ object StreamOps {
     val l = left.select(col("user_id").as("l_uid"),
       timestamp_micros(expr("cast(ts as long) div 1000")).as("l_tse"),
       sliceL.as("l_slice"),
-      col("event_id").as("eid_a"))
+      eventIdOr0(left, "eid_a"))
       .withWatermark("l_tse", watermarkDelay)
     val r = right.select(col("user_id").as("r_uid"),
       timestamp_micros(expr("cast(ts as long) div 1000")).as("r_tse"),
-      col("event_id").as("eid_b"),
+      eventIdOr0(right, "eid_b"),
       explode(array(sliceL, sliceL - 1)).as("r_slice"))
       .withWatermark("r_tse", watermarkDelay)
     l.join(r,
@@ -261,11 +261,13 @@ object StreamOps {
 
   /** `event_id` as the in-batch sort tie-breaker where the input frame
     * carries one; `lit(0)` otherwise (ad-hoc test frames), degrading
-    * the (ts_ns, event_id) sort back to ts-only.
+    * the (ts_ns, event_id) sort back to ts-only. Every stateful path
+    * selects event_id through this, so the input contract is uniform
+    * across sibling operators: frames without the column still run.
     */
-  private def eventIdOr0(events: DataFrame) =
+  private def eventIdOr0(events: DataFrame, alias: String = "event_id") =
     (if (events.columns.contains("event_id")) col("event_id") else lit(0L))
-      .cast("long").as("event_id")
+      .cast("long").as(alias)
 
   /** Exact microunit quantization of v, matching Spark's
     * double→decimal(·,6) cast: non-finite values cast to NULL there, so
@@ -308,7 +310,7 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
-      col("event_id").cast("long").as("event_id"),
+      eventIdOr0(events),
       col("value").cast("double").as("value"))
       .as[ProfileEvent]
     ds.groupByKey(_.user_id)
@@ -410,7 +412,7 @@ object StreamOps {
     val ds = events.select(
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
-      col("event_id").cast("long").as("event_id"),
+      eventIdOr0(events),
       col("event_type").cast("string").as("event_type"),
       col("value").cast("double").as("value"))
       .as[KeyedEvent]
@@ -760,7 +762,7 @@ object StreamOps {
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
       col("event_type").cast("string").as("event_type"),
-      col("event_id").cast("long").as("event_id")).as[TypedEvent]
+      eventIdOr0(events)).as[TypedEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -801,7 +803,7 @@ object StreamOps {
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
       col("event_type").cast("string").as("event_type"),
-      col("event_id").cast("long").as("event_id")).as[TypedEvent]
+      eventIdOr0(events)).as[TypedEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, Scd2Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -841,7 +843,7 @@ object StreamOps {
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
       col("event_type").cast("string").as("event_type"),
-      col("event_id").cast("long").as("event_id")).as[TypedEvent]
+      eventIdOr0(events)).as[TypedEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -997,7 +999,7 @@ object StreamOps {
       col("user_id").cast("long").as("user_id"),
       col("ts").cast("long").as("ts_ns"),
       col("event_type").cast("string").as("event_type"),
-      col("event_id").cast("long").as("event_id")).as[TypedEvent]
+      eventIdOr0(events)).as[TypedEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SeqState, SeqRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1041,7 +1043,7 @@ object StreamOps {
       when(col("event_type") === "purchase",
         round(col("value") * 100).cast("long")).otherwise(0L).as("cents"),
       ch.as("channel"),
-      col("event_id").cast("long").as("event_id")).as[AttrEvent]
+      eventIdOr0(events)).as[AttrEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[AttrState, AttrRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1085,7 +1087,7 @@ object StreamOps {
       col("ts").cast("long").as("ts_ns"),
       when(col("event_type") === "purchase",
         round(col("value") * 100).cast("long")).otherwise(0L).as("cents"),
-      col("event_id").cast("long").as("event_id"))
+      eventIdOr0(events))
       .as[LtvEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[LtvState, LtvRow](

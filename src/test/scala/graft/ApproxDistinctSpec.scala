@@ -25,6 +25,19 @@ class ApproxDistinctSpec extends SparkSpec {
     assert(df.head().getLong(0) === exact)
   }
 
+  test("conf typos parse tolerantly: '1'/'yes'/garbage mean off, never a planning failure") {
+    for (v <- Seq("1", "yes", "TRUE ", "garbage")) {
+      spark.conf.set("spark.graft.approxDistinct", v)
+      try {
+        val df = sql("SELECT count(DISTINCT user_id) AS n FROM events")
+        val rewritten = df.queryExecution.executedPlan.toString.contains("hll_agg")
+        // only a case/whitespace variant of "true" turns the rule on
+        assert(rewritten === v.trim.equalsIgnoreCase("true"), s"conf value '$v'")
+        assert(df.head().getLong(0) > 0L)
+      } finally spark.conf.set("spark.graft.approxDistinct", "false")
+    }
+  }
+
   test("flag on: single-column distinct re-plans onto hll_agg, no Expand, answer in the error envelope") {
     spark.conf.set("spark.graft.approxDistinct", "true")
     try {

@@ -53,4 +53,12 @@ class RangeV2Spec extends SparkSpec {
     val empty = ranged(0, 1000).where(col("id") > 5000)
     assert(empty.count() === 0L)
   }
+
+  test("Long.MaxValue bounds don't wrap: <= MaxValue is a no-op, = / > MaxValue are empty") {
+    // id <= MaxValue is vacuously true — the clamp must not shrink the scan
+    assert(ranged(0, 1000).where(col("id") <= Long.MaxValue).count() === 1000L)
+    // id = MaxValue / id > MaxValue-1: unrepresentable rows -> empty, not wrapped-negative
+    assert(ranged(0, 1000).where(col("id") === Long.MaxValue).count() === 0L)
+    assert(ranged(0, 1000).where(col("id") > Long.MaxValue - 1).count() === 0L)
+  }
 }

@@ -17,6 +17,24 @@ class RankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("distributed row_number equals the window row_number over a total order") {
+    val df = Seq((3L, 5.0), (1L, 1.0), (7L, 3.0), (4L, 3.0), (9L, 2.0),
+      (2L, 8.0), (6L, 3.0), (8L, 1.0)).toDF("id", "v")
+    val got = Rank.withRowNumber(df, Seq($"v".asc, $"id".asc), "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val want = df.select($"id",
+      row_number().over(Window.orderBy($"v", $"id")).cast("long").as("rn"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // descending key direction flows through repartitionByRange too
+    val gotD = Rank.withRowNumber(df, Seq($"v".desc, $"id".asc), "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val wantD = df.select($"id",
+      row_number().over(Window.orderBy($"v".desc, $"id")).cast("long").as("rn"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotD == wantD)
+  }
+
   test("single row ranks 0.0") {
     val df = Seq((1L, 42.0)).toDF("id", "v")
     val r = Rank.withPercentRank(df, "v", "pr").select("pr").as[Double].collect()

@@ -17,6 +17,13 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify"
     only = set(sys.argv[3:])
 
+    # SURVEY<->registry consistency guard (runs whenever Verify dumped the
+    # key list): every registered query key — oracled or bench-only — must
+    # appear in a SURVEY §2 row. Two rounds of manual sweeps missed
+    # operators (7 orphans green-but-undocumented since r8); this makes
+    # the contract self-enforcing.
+    n_orphan = survey_guard(outdir)
+
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -50,8 +57,23 @@ def main():
         else:
             n_fail += 1
             print(f"  FAIL {name}: {msg}")
-    print(f"[check] pass={n_pass} fail={n_fail}")
-    sys.exit(1 if n_fail else 0)
+    print(f"[check] pass={n_pass} fail={n_fail} survey_orphans={n_orphan}")
+    sys.exit(1 if (n_fail or n_orphan) else 0)
+
+def survey_guard(outdir):
+    """Return the number of registry keys with no SURVEY §2 row."""
+    keys_path = os.path.join(outdir, "registry_keys.json")
+    survey_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SURVEY.md")
+    if not (os.path.exists(keys_path) and os.path.exists(survey_path)):
+        return 0  # older Verify output: guard is a no-op, compare still runs
+    keys = json.load(open(keys_path))
+    text = open(survey_path).read()
+    s2 = text.split("## §2 ", 1)[-1].split("\n## §3 ", 1)[0]
+    orphans = [k for k in keys if f"`{k}`" not in s2]
+    for k in orphans:
+        print(f"  ORPHAN (no SURVEY §2 row): {k}")
+    return len(orphans)
 
 def duck_types(con, sql):
     rows = con.execute(f"DESCRIBE {sql}").fetchall()
