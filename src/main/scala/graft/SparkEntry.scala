@@ -74,21 +74,10 @@ object SparkEntry {
         graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
         "user_id", Seq("ts"), "value")
     }),
-    // the four former tsfresh skips (SURVEY §3), all sequential-per-
+    // the remaining former tsfresh skips (SURVEY §3), sequential-per-
     // series GroupedApply folds like ts_adf — bench + spec coverage
-    // (TsAdvancedSpec pins each against closed forms / naive replays)
-    "ts_pacf" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      graft.operators.TsFeatures.pacf(
-        graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
-        "user_id", Seq("ts"), "value")
-    }),
-    "ts_cwt" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      graft.operators.TsFeatures.cwt(
-        graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
-        "user_id", Seq("ts"), "value")
-    }),
+    // (TsAdvancedSpec pins each against closed forms / naive replays).
+    // ts_cwt and ts_pacf moved to TsQueries (oracled, distributed) in r10
     "ts_matrix_profile" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.operators.TsFeatures.matrixProfile(

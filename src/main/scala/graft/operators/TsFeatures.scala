@@ -1550,6 +1550,159 @@ object TsFeatures {
     }
   }
 
+  /** DISTRIBUTED `partial_autocorrelation` (SURVEY §15 #2) — the same
+    * statsmodels `pacf(x, method="ld")` semantics as [[pacf]] without
+    * the sequential per-series fold, and oracle-replayable:
+    *
+    *  - Biased ACF as an EXACT integer ratio: with micro-quantized
+    *    values xq and d_t = n·xq_t − Σxq (exact int64), the biased
+    *    autocovariance ratio r_k = Σd_t·d_{t+k} / Σd_t² — the n and μ
+    *    divisions cancel — so r_k is one double division of two exact
+    *    decimal(38,0) sums, BIT-IDENTICAL on both engines. The lag
+    *    products ride `lead()` over one partitioned sort (the
+    *    lag-join machinery), then a single map-side-combined groupBy.
+    *  - Durbin–Levinson UNROLLED as fixed-op-order column arithmetic
+    *    (lags 2..nlags, each step publishing its φ row as columns):
+    *    only + − × ÷ on bit-identical doubles, so every engine
+    *    replays every φ and every pacf bit-for-bit — no quantization
+    *    of intermediates needed (the logreg-step recipe, simplified).
+    *
+    * Nulls follow tsfresh: zero-variance series (Σd² = 0) and lags
+    * with n ≤ lag+1 yield null; a zero Durbin denominator nulls that
+    * lag and propagates (the fold's NaN convention). Envelope: |d| ≤
+    * n·|x|·1e6, Σd·d ≤ n·d² must fit decimal(38,0) — holds to ~1e6-pt
+    * series of 1e6-magnitude values, then re-scale the quantization.
+    */
+  def pacfDurbin(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                 valueCol: String, nlags: Int = 10): DataFrame = {
+    require(nlags >= 2, s"pacfDurbin needs nlags >= 2, got $nlags")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(seriesKey))
+    val dec = "decimal(38,0)"
+    val base = df
+      .withColumn("xq", round(col(valueCol) * lit(1e6)).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("xq")).over(wAll))
+      .withColumn("d", col("n") * col("xq") - col("s"))
+    val withLeads = base.select(
+      (col(seriesKey) +: col("n") +: col("d") +:
+        (1 to nlags).map(k => lead(col("d"), k).over(wOrd).as(s"d$k"))): _*)
+    val sums =
+      sum(col("d").cast(dec) * col("d").cast(dec)).as("b0") +:
+        (1 to nlags).map(k =>
+          sum(col("d").cast(dec) * col(s"d$k").cast(dec)).as(s"b$k"))
+    val acfB = withLeads.groupBy(col(seriesKey), col("n"))
+      .agg(sums.head, sums.tail: _*)
+    val acf = acfB.select(
+      (col(seriesKey) +: col("n") +: col("b0") +:
+        (1 to nlags).map(k => when(col("b0") === 0, lit(null))
+          .otherwise(col(s"b$k").cast("double") / col("b0").cast("double"))
+          .as(s"r$k"))): _*)
+    // Durbin–Levinson, unrolled: f{k}_{j} = φ after step k. The oracle
+    // SQL (TsQueries.pacfOracleSql) is GENERATED from the same loops —
+    // keep the op order here and there in lockstep.
+    var cur = acf.withColumn("f1_1", col("r1"))
+    for (k <- 2 to nlags) {
+      val num = (1 until k).foldLeft(col(s"r$k"))((acc, j) =>
+        acc - col(s"f${k - 1}_$j") * col(s"r${k - j}"))
+      val den = (1 until k).foldLeft(lit(1.0))((acc, j) =>
+        acc - col(s"f${k - 1}_$j") * col(s"r$j"))
+      cur = cur.withColumn(s"k$k",
+        when(den === 0.0, lit(null)).otherwise(num / den))
+      for (j <- 1 until k)
+        cur = cur.withColumn(s"f${k}_$j",
+          col(s"f${k - 1}_$j") - col(s"k$k") * col(s"f${k - 1}_${k - j}"))
+      cur = cur.withColumn(s"f${k}_$k", col(s"k$k"))
+    }
+    val lagCols = (1 to nlags).map { k =>
+      val v = if (k == 1) col("r1") else col(s"k$k")
+      when(col("b0") === 0 || col("n") <= k + 1, lit(null))
+        .otherwise(round(v, 6)).as(s"p$k")
+    }
+    val stacked = cur.select((col(seriesKey) +: lagCols): _*)
+    stacked.select(col(seriesKey),
+      expr("stack(" + nlags + ", " +
+        (1 to nlags).map(k => s"cast($k as bigint), p$k").mkString(", ") +
+        ") as (lag, pacf)"))
+  }
+
+  /** SCATTER-SHAPED `cwt_coefficients` (SURVEY §15 #1) — the same
+    * semantics as [[cwt]] (scipy `signal.cwt(x, ricker, widths)`,
+    * first `nCoeffs` coefficients per width) re-expressed as one
+    * map-side-combinable shuffle instead of a sequential per-series
+    * fold: each input row scatters into its ≤ nCoeffs live target
+    * indices per width (t ∈ [i−off, i−off+m−1] ∩ [0, nCoeffs)), the
+    * kernel value is computed INLINE as pure column arithmetic, and
+    * the coefficient is an exact decimal sum both engines replay.
+    *
+    * Cross-engine determinism: the only transcendental in the Ricker
+    * kernel is exp, whose libm differs between JVM and DuckDB — so
+    * the kernel uses a FIXED-OP-ORDER exp: k = ⌊y/ln2 + ½⌋,
+    * r = y − k·ln2, degree-9 Taylor in explicit left-associated
+    * order, ×2^k via 1/(1<<−k) (exact). Every remaining op (+ − × ÷
+    * sqrt) is IEEE-correctly-rounded, so the kernel doubles are
+    * BIT-IDENTICAL on both engines; π^¼ is sqrt(sqrt(π)) for the same
+    * reason. Kernel quantizes to pico-units (×1e12), values to
+    * micro-units (×1e6); terms are exact int products summed in
+    * decimal(38,0) (≤1e23 ≪ 1e38), so the sum is order-free. Total
+    * quantization error ≲ 1e-6 on the 6-dp-rounded output (measured
+    * 5e-7 max vs the exact double convolution at sf0.001).
+    *
+    * Scale shape: one hash Exchange on the series key for the
+    * (i, n) windows, then a narrow ≤(4·nCoeffs)-fold explode and one
+    * partial-aggregated shuffle on (series, width, idx) — no
+    * per-series collect, no sequential fold; reference
+    * preprocessor.py:558-638 → tsfresh cwt_coefficients delegation.
+    */
+  def cwtScatter(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                 valueCol: String, nCoeffs: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val LN2 = 0.6931471805599453
+    val qpi = math.sqrt(math.sqrt(3.141592653589793)) // pi^(1/4), 2 exact sqrts
+    val wOrd = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(seriesKey))
+    val base = df
+      .withColumn("xq", round(col(valueCol) * lit(1e6)).cast("long"))
+      .withColumn("i0", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col(seriesKey), col("i0"), col("xq"), col("n"))
+    val wd = col("w").cast("double")
+    def pw(k: Int): Column = Seq.fill(k)(col("r")).reduceLeft(_ * _)
+    base
+      .withColumn("w", explode(array(Seq(2L, 5L, 10L, 20L).map(lit): _*)))
+      .withColumn("m", least(col("w") * 10L, col("n")))
+      .withColumn("off", expr("(m - 1) DIV 2"))
+      .withColumn("t_lo", greatest(lit(0L), col("i0") - col("off")))
+      .withColumn("t_hi", least(least(lit(nCoeffs.toLong), col("n")) - 1L,
+        col("i0") - col("off") + col("m") - 1L))
+      .where(col("t_hi") >= col("t_lo"))
+      .withColumn("t", explode(sequence(col("t_lo"), col("t_hi"))))
+      .withColumn("j", col("m") - 1L - (col("t") + col("off") - col("i0")))
+      .withColumn("x",
+        col("j").cast("double") - (col("m") - 1L).cast("double") / lit(2.0))
+      .withColumn("xa", col("x") / wd)
+      .withColumn("y", -(col("x") * col("x")) / (lit(2.0) * wd * wd))
+      .withColumn("kk", floor(col("y") / lit(LN2) + lit(0.5)))
+      .withColumn("r", col("y") - col("kk") * lit(LN2))
+      .withColumn("p",
+        lit(1.0) + col("r") + pw(2) / lit(2.0) + pw(3) / lit(6.0) +
+          pw(4) / lit(24.0) + pw(5) / lit(120.0) + pw(6) / lit(720.0) +
+          pw(7) / lit(5040.0) + pw(8) / lit(40320.0) + pw(9) / lit(362880.0))
+      .withColumn("dx", col("p") *
+        (lit(1.0) /
+          expr("cast(shiftleft(cast(1 as bigint), cast(-kk as int)) as double)")))
+      .withColumn("kern",
+        (lit(2.0) / (sqrt(lit(3.0) * wd) * lit(qpi))) *
+          (lit(1.0) - col("xa") * col("xa")) * col("dx"))
+      .withColumn("kq", round(col("kern") * lit(1e12)).cast("long"))
+      .groupBy(col(seriesKey), col("w"), col("t"))
+      .agg(sum(col("xq").cast("decimal(38,0)") * col("kq").cast("decimal(38,0)"))
+        .as("s"))
+      .select(col(seriesKey), col("w").as("width"), col("t").as("idx"),
+        round(col("s").cast("double") / lit(1e18), 6).as("coeff"))
+  }
+
   /** One same-mode Ricker CWT row: convolve(x, ricker(min(10w, n),
     * w)[::-1], mode='same') — scipy `signal.cwt` row semantics.
     */

@@ -2121,10 +2121,125 @@ object TsQueries {
     """),
   )
 
+  /** tsfresh `cwt_coefficients` (Ricker CWT, widths 2/5/10/20, first
+    * 15 coefficients) — the SCATTER-SHAPED redesign (SURVEY §15 #1)
+    * that moved this row from bench-only into the cross-engine hash
+    * protocol: [[graft.operators.TsFeatures.cwtScatter]] computes the
+    * kernel inline with a fixed-op-order deterministic exp (both
+    * engines produce bit-identical doubles), scatters each row into
+    * its ≤15 live targets per width, and sums exact pico×micro
+    * integer products. The oracle replays the identical arithmetic —
+    * same op order, same quantization — so the result hash-matches.
+    */
+  val tsCwt: Q = Q(
+    "ts_cwt",
+    (s, dir) => graft.operators.TsFeatures.cwtScatter(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", Seq("ts"), "value"),
+    Some("""
+      WITH ev AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i0,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               round(value * 1e6)::BIGINT AS xq
+        FROM events),
+      sc0 AS (SELECT ev.*, wd.w FROM ev, (VALUES (2::BIGINT),(5),(10),(20)) wd(w)),
+      sc1 AS (SELECT *, least(w * 10, n) AS m FROM sc0),
+      sc2 AS (SELECT *, (m - 1) // 2 AS off FROM sc1),
+      sc3 AS (
+        SELECT user_id, w, xq, i0, m, off,
+               unnest(generate_series(greatest(0, i0 - off),
+                                      least(least(15, n) - 1, i0 - off + m - 1))) AS t
+        FROM sc2
+        WHERE least(least(15, n) - 1, i0 - off + m - 1) >= greatest(0, i0 - off)),
+      k0 AS (SELECT user_id, w, xq, t, m, m - 1 - (t + off - i0) AS j FROM sc3),
+      k1 AS (SELECT *, (j - (m - 1) / 2.0) AS x FROM k0),
+      k2 AS (SELECT *, x / w AS xa, -(x * x) / (2.0 * w * w) AS y FROM k1),
+      k3 AS (SELECT *, floor(y / 0.6931471805599453 + 0.5) AS kk FROM k2),
+      k4 AS (SELECT *, y - kk * 0.6931471805599453 AS r FROM k3),
+      k5 AS (SELECT *,
+        ((((((((1.0 + r) + r*r/2.0) + r*r*r/6.0) + r*r*r*r/24.0)
+           + r*r*r*r*r/120.0) + r*r*r*r*r*r/720.0)
+           + r*r*r*r*r*r*r/5040.0) + r*r*r*r*r*r*r*r/40320.0)
+           + r*r*r*r*r*r*r*r*r/362880.0 AS p FROM k4),
+      k6 AS (SELECT *, p * (1.0 / (1::BIGINT << (-kk)::INT)) AS dx FROM k5),
+      k7 AS (SELECT *,
+        (2.0 / (sqrt(3.0 * w) * sqrt(sqrt(3.141592653589793))))
+          * (1.0 - xa * xa) * dx AS kern FROM k6),
+      k8 AS (SELECT user_id, w, t, round(kern * 1e12)::BIGINT AS kq, xq FROM k7),
+      ag AS (SELECT user_id, w AS width, t AS idx, sum(xq::HUGEINT * kq) AS s
+             FROM k8 GROUP BY 1, 2, 3)
+      SELECT user_id, width, idx, round((s::DOUBLE) / 1e18, 6) AS coeff FROM ag
+    """),
+  )
+
+  /** GENERATED oracle for `ts_pacf` — built from the same k/j loops as
+    * [[graft.operators.TsFeatures.pacfDurbin]] so the Durbin–Levinson
+    * op order is identical by construction: r_k is one double division
+    * of two exact HUGEINT sums (Σd·d_{+k} / Σd², d = n·xq − Σxq), then
+    * each unrolled step publishes its φ row as CTE columns.
+    */
+  private def pacfOracleSql(nlags: Int): String = {
+    val leads = (1 to nlags)
+      .map(k => s"lead(n*xq - s, $k) OVER (PARTITION BY user_id ORDER BY ts) AS d$k")
+      .mkString(",\n               ")
+    val bsums = (1 to nlags).map(k => s"sum(d::HUGEINT * d$k) AS b$k")
+      .mkString(", ")
+    val rs = (1 to nlags)
+      .map(k => s"CASE WHEN b0 = 0 THEN NULL ELSE (b$k::DOUBLE) / (b0::DOUBLE) END AS r$k")
+      .mkString(",\n             ")
+    val chain = new StringBuilder
+    chain ++= "p1 AS (SELECT *, r1 AS f1_1 FROM rc)"
+    for (k <- 2 to nlags) {
+      val num = (1 until k).foldLeft(s"r$k")((acc, j) => s"($acc - f${k - 1}_$j * r${k - j})")
+      val den = (1 until k).foldLeft("1.0")((acc, j) => s"($acc - f${k - 1}_$j * r$j)")
+      chain ++= s",\n      q$k AS (SELECT *, CASE WHEN $den = 0 THEN NULL ELSE $num / $den END AS k$k FROM ${if (k == 2) "p1" else s"p${k - 1}"})"
+      val phis = ((1 until k).map(j => s"f${k - 1}_$j - k$k * f${k - 1}_${k - j} AS f${k}_$j") :+ s"k$k AS f${k}_$k").mkString(", ")
+      chain ++= s",\n      p$k AS (SELECT *, $phis FROM q$k)"
+    }
+    val rows = (1 to nlags).map { k =>
+      val v = if (k == 1) "r1" else s"k$k"
+      s"SELECT user_id, $k::BIGINT AS lag, CASE WHEN b0 = 0 OR n <= ${k + 1} THEN NULL ELSE round($v, 6) END AS pacf FROM p$nlags"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH base AS (
+        SELECT user_id, ts, round(value * 1e6)::BIGINT AS xq FROM events),
+      st AS (SELECT user_id, ts, xq,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               sum(xq) OVER (PARTITION BY user_id) AS s
+             FROM base),
+      dl AS (SELECT user_id, n, n*xq - s AS d,
+               $leads
+             FROM st),
+      ac AS (SELECT user_id, n, sum(d::HUGEINT * d) AS b0, $bsums
+             FROM dl GROUP BY 1, 2),
+      rc AS (SELECT user_id, n, b0,
+             $rs
+             FROM ac),
+      ${chain.result()}
+      $rows
+    """
+  }
+
+  /** tsfresh `partial_autocorrelation` lags 1..10 — the r10 redesign
+    * (SURVEY §15 #2) that moved this row from bench-only into the
+    * hash protocol: exact-integer biased-ACF ratios + unrolled
+    * Durbin–Levinson in bit-identical fixed-op-order doubles on both
+    * engines ([[graft.operators.TsFeatures.pacfDurbin]]); the oracle
+    * text is GENERATED from the same loops.
+    */
+  val tsPacf: Q = Q(
+    "ts_pacf",
+    (s, dir) => graft.operators.TsFeatures.pacfDurbin(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", Seq("ts"), "value"),
+    Some(pacfOracleSql(10)),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
-    tsForecastEval, tsHurst, tsPeaks, tsSax, tsSimilarityTopk)
+    tsForecastEval, tsHurst, tsPeaks, tsSax, tsSimilarityTopk, tsCwt, tsPacf)
 }

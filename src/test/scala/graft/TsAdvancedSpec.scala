@@ -111,6 +111,56 @@ class TsAdvancedSpec extends SparkSpec {
     }
   }
 
+  test("pacfDurbin equals the sequential Durbin-Levinson fold within quantization tolerance") {
+    // the distributed version works on micro-quantized values (exact
+    // integer ACF ratios); the fold uses raw doubles — differences are
+    // O(1e-6) on r_k, amplified mildly by the recursion
+    val xs = lcgSeries(80, seed = 11L).map(v => v * 50.0 + 3.0)
+    val df = toSeriesDF(xs)
+    val got = TsFeatures.pacfDurbin(df, "user_id", Seq("ts"), "value")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val want = TsFeatures.pacf(df, "user_id", Seq("ts"), "value")
+      .collect().map(r => (r.getInt(1).toLong, r.getDouble(2))).toMap
+    assert(got.keySet == (1L to 10L).toSet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-4, s"lag=$k got=$v want=${want(k)}")
+    }
+  }
+
+  test("pacfDurbin: zero-variance series yields all-null pacf") {
+    val df = toSeriesDF(Array.fill(30)(7.5))
+    val rows = TsFeatures.pacfDurbin(df, "user_id", Seq("ts"), "value").collect()
+    assert(rows.length == 10 && rows.forall(_.isNullAt(2)))
+  }
+
+  test("cwtScatter equals the sequential cwt fold within quantization tolerance") {
+    // scatter semantics = the GroupedApply fold's, modulo the documented
+    // pico-kernel/micro-value quantization (measured ≲ 1e-6 end to end;
+    // outputs round at 6 dp). lcg values are in [-0.5, 0.5] so the
+    // micro-quantization error dominates: allow 2e-6.
+    val xs = lcgSeries(60, seed = 7L).map(v => v * 100.0)
+    val df = toSeriesDF(xs)
+    val got = TsFeatures.cwtScatter(df, "user_id", Seq("ts"), "value")
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val want = TsFeatures.cwt(df, "user_id", Seq("ts"), "value")
+      .collect().map(r => ((r.getInt(1).toLong, r.getInt(2).toLong), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 2e-6, s"(width,idx)=$k got=$v want=${want(k)}")
+    }
+  }
+
+  test("cwtScatter plan: no GroupedApply object fold — scatter + one partial agg") {
+    val df = toSeriesDF(lcgSeries(50, seed = 9L))
+    val plan = TsFeatures.cwtScatter(df, "user_id", Seq("ts"), "value")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups") && !plan.contains("mapPartitions"),
+      plan.take(2000))
+    assert(plan.contains("Generate explode"), plan.take(2000)) // the scatter
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      plan.take(2000)) // map-side-combinable coefficient sum
+  }
+
   test("cwt of a centered unit impulse replays the wavelet peak") {
     // impulse at the same-mode center offset: coeff(t) walks the kernel
     val n = 30
