@@ -78,18 +78,6 @@ object SparkEntry {
     // series GroupedApply folds like ts_adf — bench + spec coverage
     // (TsAdvancedSpec pins each against closed forms / naive replays).
     // ts_cwt and ts_pacf moved to TsQueries (oracled, distributed) in r10
-    "ts_matrix_profile" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      graft.operators.TsFeatures.matrixProfile(
-        graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
-        "user_id", Seq("ts"), "value")
-    }),
-    "ts_friedrich" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      graft.operators.TsFeatures.friedrich(
-        graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
-        "user_id", Seq("ts"), "value")
-    }),
     "ts_cwt_peaks" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.operators.TsFeatures.numberCwtPeaks(

@@ -1550,6 +1550,296 @@ object TsFeatures {
     }
   }
 
+  /** Shared expression-text builders for the BANDED matrix profile
+    * (SURVEY §15 #4) — same engine-symmetry device as [[Friedrich]]:
+    * the per-pair z-normalized distance and the percentile tail are
+    * built once as SQL text and evaluated by both engines, so every
+    * IEEE double matches bit-for-bit. All pair statistics come from
+    * ONE window pass of `band + window − 1` leads in exact int64:
+    * QT(i, i+o) = xq·l_o + Σ_{k<m} l_k·l_{o+k},
+    * Sx_j = Σ_k l_{o+k}, m²·var = m·S2 − Sx² — no second pass, no
+    * per-series fold. Envelope: m²·xq² must fit int64 (|x| ≤ ~7.6e8
+    * micro-units at m=4, i.e. values to ~760 — the events domain;
+    * larger values re-scale the quantization).
+    */
+  private[graft] object MatrixProfileShared {
+    def sx(m: Int): String = (Seq("xq") ++ (1 until m).map(k => s"l$k")).mkString(" + ")
+    def s2(m: Int): String =
+      (Seq("xq*xq") ++ (1 until m).map(k => s"l$k*l$k")).mkString(" + ")
+    def qt(o: Int, m: Int): String =
+      (Seq(s"xq*l$o") ++ (1 until m).map(k => s"l$k*l${o + k}")).mkString(" + ")
+    def sxj(o: Int, m: Int): String = (0 until m).map(k => s"l${o + k}").mkString(" + ")
+    def s2j(o: Int, m: Int): String =
+      (0 until m).map(k => s"l${o + k}*l${o + k}").mkString(" + ")
+
+    /** d(i, i+o): null when the partner window runs off the series;
+      * degenerate (zero-variance) windows use the fold's convention
+      * (both flat → 0, one flat → √(2m)); else the dot-product
+      * identity d = √(2m·(1 − corr)) with corr a double division of
+      * exact int64 terms. `castD` wraps engine cast syntax.
+      */
+    def dStr(o: Int, m: Int, castD: String => String): String = {
+      val twoM = s"${2.0 * m}"
+      val vj = s"($m*(${s2j(o, m)}) - (${sxj(o, m)})*(${sxj(o, m)}))"
+      val num = s"($m*(${qt(o, m)}) - sx*(${sxj(o, m)}))"
+      val corr = s"${castD(num)} / sqrt(${castD("vi")} * ${castD(vj)})"
+      s"CASE WHEN l${o + m - 1} IS NULL THEN NULL " +
+        s"WHEN vi = 0 AND $vj = 0 THEN 0.0 " +
+        s"WHEN vi = 0 OR $vj = 0 THEN sqrt($twoM) " +
+        s"ELSE sqrt(greatest($twoM * (1.0 - least($corr, 1.0)), 0.0)) END"
+    }
+
+    /** numpy-default linear-interpolated percentile from the exact
+      * order statistics vlo/vhi at ranks ⌊h⌋/min(⌊h⌋+1, n−1),
+      * h = (n−1)·p — the rank picks ride the §14 value-grain rollup.
+      */
+    def pctStr(p: String, vlo: String, vhi: String): String =
+      s"$vlo + ((n - 1) * $p - floor((n - 1) * $p)) * ($vhi - $vlo)"
+
+    /** rank-pick: the unique rollup row whose [bef, bef+c) covers r. */
+    def pickStr(r: String): String =
+      s"max(CASE WHEN bef <= $r AND $r < bef + c THEN pv END)"
+  }
+
+  /** BANDED z-normalized matrix profile (SURVEY §15 #4) — the same
+    * distance/summary semantics as [[matrixProfile]] restricted to a
+    * bounded offset band excl ≤ j − i ≤ band (the documented §3
+    * tie-break: the nearest non-trivial neighbor is searched within
+    * `band` steps, not the whole series — the bound that survives
+    * 100 TB, where O(n²) per series does not). Fully relational:
+    * one partitioned window pass (band+m−1 leads), per-pair distances
+    * as shared-text arithmetic over exact int64 window moments, a
+    * stack-scatter of each distance to both endpoints, min-combine
+    * per window index, and the §14 exact-rank percentile tail
+    * (numpy-style linear interpolation; the mean micro-quantizes so
+    * the sum is order-free).
+    */
+  def matrixProfileBanded(df: DataFrame, seriesKey: String,
+                          orderCols: Seq[String], valueCol: String,
+                          window: Int = 4, band: Int = 20): DataFrame = {
+    val m = window
+    val excl = (m + 1) / 2
+    require(m >= 2 && band >= excl, s"window=$m band=$band invalid")
+    import org.apache.spark.sql.expressions.Window
+    val MP = MatrixProfileShared
+    val castD = (s: String) => s"cast($s as double)"
+    val wOrd = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    var w1 = df
+      .withColumn("xq", round(col(valueCol) * lit(1e6)).cast("long"))
+      .withColumn("i0", row_number().over(wOrd).cast("long") - 1L)
+    for (k <- 1 to band + m - 1)
+      w1 = w1.withColumn(s"l$k", lead(col("xq"), k).over(wOrd))
+    var w2 = w1
+      .withColumn("sx", expr(MP.sx(m)))
+      .withColumn("vi", expr(s"$m*(${MP.s2(m)}) - (${MP.sx(m)})*(${MP.sx(m)})"))
+    for (o <- excl to band)
+      w2 = w2.withColumn(s"d$o", expr(MP.dStr(o, m, castD)))
+    val stackArgs = (excl to band)
+      .flatMap(o => Seq(s"i0, d$o", s"i0 + $o, d$o")).mkString(", ")
+    val pairs = w2.select(col(seriesKey),
+      expr(s"stack(${2 * (band - excl + 1)}, $stackArgs) as (idx, d)"))
+      .where(col("d").isNotNull)
+    val prof = pairs.groupBy(col(seriesKey), col("idx"))
+      .agg(min(col("d")).as("pv"))
+    val wAll = Window.partitionBy(col(seriesKey))
+    val wCum = Window.partitionBy(col(seriesKey)).orderBy(col("pv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vg = prof.groupBy(col(seriesKey), col("pv"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cnt", sum(col("c")).over(wAll))
+      .withColumn("bef", coalesce(sum(col("c")).over(wCum), lit(0L)))
+    val picks = Seq("0.25" -> "25", "0.5" -> "50", "0.75" -> "75").flatMap {
+      case (p, tag) => Seq(
+        expr(MP.pickStr(s"cast(floor((cnt - 1) * $p) as bigint)")).as(s"v${tag}lo"),
+        expr(MP.pickStr(s"least(cast(floor((cnt - 1) * $p) as bigint) + 1, cnt - 1)"))
+          .as(s"v${tag}hi"))
+    }
+    val agg = vg.groupBy(col(seriesKey)).agg(
+      min(col("pv")).as("mn"),
+      (Seq(max(col("pv")).as("mx"),
+        sum(expr("c * cast(round(pv * 1000000.0) as bigint)")).as("ssum"),
+        max(col("cnt")).as("n")) ++ picks): _*)
+    agg.select(col(seriesKey),
+      round(col("mn"), 6).as("mp_min"), round(col("mx"), 6).as("mp_max"),
+      round(expr(s"${castD("ssum")} / (${castD("n")} * 1000000.0)"), 6).as("mp_mean"),
+      round(expr(MP.pctStr("0.5", "v50lo", "v50hi")), 6).as("mp_median"),
+      round(expr(MP.pctStr("0.25", "v25lo", "v25hi")), 6).as("mp_p25"),
+      round(expr(MP.pctStr("0.75", "v75lo", "v75hi")), 6).as("mp_p75"))
+  }
+
+  /** Shared expression-text builders for the DISTRIBUTED
+    * `friedrich_coefficients` (SURVEY §15 #3): every scalar step from
+    * the per-bin means onward is built ONCE as SQL text and evaluated
+    * by BOTH engines (Spark via `expr`, DuckDB via the generated
+    * oracle), so the op order — and therefore every IEEE double — is
+    * identical by construction. Only three things differ per engine
+    * and are wrapped at the call sites: the exact-integer term cast
+    * (decimal(38,0) vs HUGEINT), int→double casts, and the bisection
+    * fold construct (`aggregate` vs `list_reduce`).
+    */
+  private[graft] object Friedrich {
+    /** 3×3 determinant, cofactor expansion along the first row. */
+    def det3(m: Seq[Seq[String]]): String =
+      s"(${m(0)(0)}*(${m(1)(1)}*${m(2)(2)} - ${m(1)(2)}*${m(2)(1)}) - " +
+        s"${m(0)(1)}*(${m(1)(0)}*${m(2)(2)} - ${m(1)(2)}*${m(2)(0)}) + " +
+        s"${m(0)(2)}*(${m(1)(0)}*${m(2)(1)} - ${m(1)(1)}*${m(2)(0)}))"
+
+    /** 4×4 determinant, cofactor expansion along the first row. */
+    def det4(m: Seq[Seq[String]]): String = {
+      def minor(c: Int) =
+        (1 to 3).map(r => (0 to 3).filterNot(_ == c).map(cc => m(r)(cc)))
+      s"(${m(0)(0)}*${det3(minor(0))} - ${m(0)(1)}*${det3(minor(1))} + " +
+        s"${m(0)(2)}*${det3(minor(2))} - ${m(0)(3)}*${det3(minor(3))})"
+    }
+
+    /** Normal-equations matrix of the cubic fit: A[a][b] = P_{a+b}. */
+    val aMat: Seq[Seq[String]] =
+      (0 to 3).map(r => (0 to 3).map(c => s"p${r + c}"))
+
+    /** A with column i replaced by the R vector (Cramer numerator). */
+    def aWith(i: Int): Seq[Seq[String]] =
+      aMat.indices.map(r => aMat(r).zipWithIndex.map {
+        case (_, c) if c == i => s"r$r"
+        case (v, _) => v
+      })
+
+    /** Quantized-moment term: ⌊mx^a·(md)·1e6⌉ as exact-int text; the
+      * per-engine cast wraps this. a = 0 without md is the constant.
+      */
+    def termInner(a: Int, withMd: Boolean): String = {
+      val pows = Seq.fill(a)("mx") ++ (if (withMd) Seq("md") else Nil)
+      if (pows.isEmpty) "1000000.0"
+      else s"${pows.mkString("*")} * 1000000.0"
+    }
+
+    // depressed cubic t³ + pp·t + qq, x = t + sh; disc > 0 → one real
+    // root; disc ≤ 0 → three, largest ≥ the rightmost critical point
+    val pExpr = "(3.0*b3*b1 - b2*b2) / (3.0*b3*b3)"
+    val qExpr = "(2.0*b2*b2*b2 - 9.0*b3*b2*b1 + 27.0*b3*b3*b0) / (27.0*b3*b3*b3)"
+    val shExpr = "-b2 / (3.0*b3)"
+    val ddExpr = "qq*qq/4.0 + pp*pp*pp/27.0"
+    // Cauchy bound: every root of t³+pt+q lies in [-t0, t0]
+    val t0Expr = "1.0 + greatest(abs(pp), abs(qq))"
+    // bisection lower bracket: disc>0 → -t0 (single sign change);
+    // disc≤0 → the rightmost critical point sqrt(-p/3) (p ≤ 0 is
+    // implied by disc ≤ 0), where f ≤ 0 and only the largest root is
+    // to the right — bisection then converges to THE LARGEST root
+    val blExpr = "CASE WHEN dd > 0.0 THEN -t0 ELSE sqrt(-pp/3.0) END"
+    /** Bisection step predicate/midpoint (engine fold wraps these),
+      * parameterized by the engine's accumulator names — Spark's HOF
+      * uses `acc.lo`/`acc.hi`, the DuckDB oracle's recursive CTE uses
+      * plain columns (DuckDB 1.0's `list_reduce` lambda captures are
+      * BROKEN under multithreading — values scramble across vector
+      * chunks — so the oracle must not use it). 200 fixed iterations:
+      * the interval collapses to one double and the iteration becomes
+      * a fixpoint, so early exit is unnecessary and both engines run
+      * the identical op sequence.
+      */
+    def midStr(lo: String, hi: String): String = s"(($lo + $hi) / 2.0)"
+    def fMidPos(lo: String, hi: String, p: String = "pp", q: String = "qq"): String = {
+      val m = midStr(lo, hi)
+      s"($m*$m*$m + $p*$m + $q) > 0.0"
+    }
+    /** max over real parts of the cubic's roots (numpy
+      * max(real(roots)) semantics), degrading to quadratic/linear.
+      */
+    val fpExpr: String = """CASE
+      WHEN b3 IS NULL THEN NULL
+      WHEN b3 <> 0.0 THEN
+        CASE WHEN dd > 0.0 THEN greatest(tn + sh, -tn/2.0 + sh)
+             ELSE tn + sh END
+      WHEN b2 <> 0.0 THEN
+        CASE WHEN b1*b1 - 4.0*b2*b0 >= 0.0
+             THEN greatest((-b1 + sqrt(b1*b1 - 4.0*b2*b0))/(2.0*b2),
+                           (-b1 - sqrt(b1*b1 - 4.0*b2*b0))/(2.0*b2))
+             ELSE -b1/(2.0*b2) END
+      WHEN b1 <> 0.0 THEN -b0/b1
+      ELSE NULL END"""
+  }
+
+  /** DISTRIBUTED `friedrich_coefficients` / `max_langevin_fixed_point`
+    * (SURVEY §15 #3) — the same estimator family as [[friedrich]]
+    * with the per-series sequential fold replaced by relational
+    * stages, and oracle-replayable:
+    *
+    *  - 30 equal-frequency bins by EXACT RANK over the per-series
+    *    value grain (bin = (last_rank−1)·30 div len): equal values
+    *    share a bin like pandas qcut; the qcut linear-interpolated
+    *    edges are replaced by rank cuts — the documented §3 tie-break
+    *    (boundary values can shift one bin vs pandas).
+    *  - Per-bin mean (x, Δx) pairs from exact micro-integer sums; the
+    *    seven x-moments and four xy-moments quantize each bin term to
+    *    micro-units and sum exactly (order-free), then every later
+    *    step — Cramer's-rule 4×4 solve, depressed-cubic reduction,
+    *    200-step bisection for the largest real root, the
+    *    quadratic/linear degradations — is built from SHARED
+    *    expression text ([[Friedrich]]), so both engines run
+    *    bit-identical IEEE arithmetic (no acos/cbrt libm calls — the
+    *    Cardano trig branch is replaced by deterministic bisection
+    *    from the Cauchy bound / rightmost critical point).
+    *
+    * Nulls: < 4 distinct bin means or a singular normal matrix, like
+    * the fold's. One value-grain rollup + one bin rollup + one
+    * series-grain aggregate — no per-series collect.
+    */
+  def friedrichDistributed(df: DataFrame, seriesKey: String,
+                           orderCols: Seq[String], valueCol: String,
+                           bins: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val F = Friedrich
+    val wOrd = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(seriesKey))
+    val wCum = Window.partitionBy(col(seriesKey)).orderBy(col("xq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sig = df
+      .withColumn("xq", round(col(valueCol) * lit(1e6)).cast("long"))
+      .withColumn("dq", lead(col("xq"), 1).over(wOrd) - col("xq"))
+      .where(col("dq").isNotNull)
+    val vg = sig.groupBy(col(seriesKey), col("xq"))
+      .agg(count(lit(1)).as("c"), sum(col("dq")).as("sd"))
+      .withColumn("len", sum(col("c")).over(wAll))
+      .withColumn("bef", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .withColumn("bin", expr(s"((bef + c - 1) * $bins) DIV len"))
+    val bn = vg.groupBy(col(seriesKey), col("bin"))
+      .agg(sum(expr("xq * c")).as("sx"), sum(col("sd")).as("sdd"),
+        sum(col("c")).as("cb"))
+    val pts = bn.selectExpr(seriesKey,
+      "cast(sx as double) / (cast(cb as double) * 1000000.0) as mx",
+      "cast(sdd as double) / (cast(cb as double) * 1000000.0) as md")
+    def t(a: Int, withMd: Boolean) =
+      s"cast(round(${F.termInner(a, withMd)}) as decimal(38,0))"
+    val sums =
+      (0 to 6).map(a => sum(expr(t(a, withMd = false))).as(s"ip$a")) ++
+        (0 to 3).map(a => sum(expr(t(a, withMd = true))).as(s"ir$a"))
+    val mo = pts.groupBy(col(seriesKey))
+      .agg(countDistinct(col("mx")).as("ndist"), sums: _*)
+    val mo2 = mo.selectExpr(Seq(seriesKey, "ndist") ++
+      (0 to 6).map(a => s"cast(ip$a as double) / 1000000.0 as p$a") ++
+      (0 to 3).map(a => s"cast(ir$a as double) / 1000000.0 as r$a"): _*)
+    var cur = mo2.withColumn("det_a", expr(F.det4(F.aMat)))
+    for (i <- 3 to 0 by -1)
+      cur = cur.withColumn(s"b$i", expr(
+        s"CASE WHEN ndist < 4 OR det_a = 0.0 THEN NULL " +
+          s"ELSE (${F.det4(F.aWith(i))} / det_a) END"))
+    cur = cur
+      .withColumn("pp", expr(F.pExpr))
+      .withColumn("qq", expr(F.qExpr))
+      .withColumn("sh", expr(F.shExpr))
+      .withColumn("dd", expr(F.ddExpr))
+      .withColumn("t0", expr(F.t0Expr))
+      .withColumn("bl", expr(F.blExpr))
+      .withColumn("tn", expr(
+        s"aggregate(sequence(1, 200), named_struct('lo', bl, 'hi', t0), " +
+          s"(acc, i) -> CASE WHEN ${F.fMidPos("acc.lo", "acc.hi")} " +
+          s"THEN named_struct('lo', acc.lo, 'hi', ${F.midStr("acc.lo", "acc.hi")}) " +
+          s"ELSE named_struct('lo', ${F.midStr("acc.lo", "acc.hi")}, 'hi', acc.hi) END)")
+        .getField("hi"))
+    cur.select(col(seriesKey),
+      round(col("b3"), 6).as("coeff_3"), round(col("b2"), 6).as("coeff_2"),
+      round(col("b1"), 6).as("coeff_1"), round(col("b0"), 6).as("coeff_0"),
+      round(expr(F.fpExpr), 6).as("max_fixed_point"))
+  }
+
   /** DISTRIBUTED `partial_autocorrelation` (SURVEY §15 #2) — the same
     * statsmodels `pacf(x, method="ld")` semantics as [[pacf]] without
     * the sequential per-series fold, and oracle-replayable:

@@ -2236,10 +2236,166 @@ object TsQueries {
     Some(pacfOracleSql(10)),
   )
 
+  /** GENERATED oracle for `ts_friedrich` — shares every scalar
+    * expression string with
+    * [[graft.operators.TsFeatures.friedrichDistributed]] (the
+    * `Friedrich` builders), so the Cramer solve, cubic reduction, and
+    * bisection run the identical op sequence; only the exact-int
+    * casts and the fold construct are DuckDB-specific.
+    */
+  private def friedrichOracleSql(bins: Int): String = {
+    val F = graft.operators.TsFeatures.Friedrich
+    def t(a: Int, withMd: Boolean) = s"round(${F.termInner(a, withMd)})::HUGEINT"
+    val moSums = ((0 to 6).map(a => s"sum(${t(a, withMd = false)}) AS ip$a") ++
+      (0 to 3).map(a => s"sum(${t(a, withMd = true)}) AS ir$a")).mkString(", ")
+    val moCasts = ((0 to 6).map(a => s"(ip$a::DOUBLE) / 1000000.0 AS p$a") ++
+      (0 to 3).map(a => s"(ir$a::DOUBLE) / 1000000.0 AS r$a")).mkString(", ")
+    val betas = (3 to 0 by -1).map(i =>
+      s"CASE WHEN ndist < 4 OR det_a = 0.0 THEN NULL " +
+        s"ELSE (${F.det4(F.aWith(i))} / det_a) END AS b$i").mkString(",\n        ")
+    // bisection as a RECURSIVE CTE, not list_reduce: DuckDB 1.0's
+    // lambda captures scramble under multithreading (verified: the
+    // same fold returned different fp values run-to-run with threads>1
+    // and the correct Spark-matching value with threads=1)
+    val fold =
+      s"""rec(user_id, pp, qq, lo, hi, it) AS (
+        SELECT user_id, pp, qq, bl, t0, 0 FROM c4
+        UNION ALL
+        SELECT user_id, pp, qq,
+          CASE WHEN ${F.fMidPos("lo", "hi")} THEN lo ELSE ${F.midStr("lo", "hi")} END,
+          CASE WHEN ${F.fMidPos("lo", "hi")} THEN ${F.midStr("lo", "hi")} ELSE hi END,
+          it + 1
+        FROM rec WHERE it < 200),
+      tnq AS (SELECT user_id, hi AS tn FROM rec WHERE it = 200),
+      c5 AS (SELECT c4.*, tnq.tn FROM c4 LEFT JOIN tnq USING (user_id))"""
+    s"""
+      WITH RECURSIVE base AS (
+        SELECT user_id, ts, round(value * 1e6)::BIGINT AS xq FROM events),
+      sg AS (SELECT user_id, xq,
+               lead(xq, 1) OVER (PARTITION BY user_id ORDER BY ts) - xq AS dq
+             FROM base),
+      sig AS (SELECT * FROM sg WHERE dq IS NOT NULL),
+      vg AS (SELECT user_id, xq, count(*) AS c, sum(dq) AS sd
+             FROM sig GROUP BY 1, 2),
+      vg2 AS (SELECT *, sum(c) OVER (PARTITION BY user_id) AS len,
+                coalesce(sum(c) OVER (PARTITION BY user_id ORDER BY xq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM vg),
+      bn AS (SELECT user_id, ((bef + c - 1) * $bins) // len AS bin,
+               sum(xq * c) AS sx, sum(sd) AS sdd, sum(c) AS cb
+             FROM vg2 GROUP BY 1, 2),
+      pts AS (SELECT user_id,
+                (sx::DOUBLE) / ((cb::DOUBLE) * 1000000.0) AS mx,
+                (sdd::DOUBLE) / ((cb::DOUBLE) * 1000000.0) AS md
+              FROM bn),
+      mo AS (SELECT user_id, count(DISTINCT mx) AS ndist, $moSums
+             FROM pts GROUP BY 1),
+      mo2 AS (SELECT user_id, ndist, $moCasts FROM mo),
+      dt AS (SELECT *, ${F.det4(F.aMat)} AS det_a FROM mo2),
+      bt AS (SELECT *,
+        $betas
+        FROM dt),
+      c1 AS (SELECT *, ${F.pExpr} AS pp, ${F.qExpr} AS qq, ${F.shExpr} AS sh FROM bt),
+      c2 AS (SELECT *, ${F.ddExpr} AS dd FROM c1),
+      c3 AS (SELECT *, ${F.t0Expr} AS t0 FROM c2),
+      c4 AS (SELECT *, ${F.blExpr} AS bl FROM c3),
+      $fold
+      SELECT user_id, round(b3, 6) AS coeff_3, round(b2, 6) AS coeff_2,
+             round(b1, 6) AS coeff_1, round(b0, 6) AS coeff_0,
+             round(${F.fpExpr}, 6) AS max_fixed_point
+      FROM c5
+    """
+  }
+
+  /** tsfresh `friedrich_coefficients` + `max_langevin_fixed_point` —
+    * the r10 redesign (SURVEY §15 #3) that moved this row from
+    * bench-only into the hash protocol: exact-rank bins, quantized
+    * moments, Cramer + bisection in shared-text arithmetic
+    * ([[graft.operators.TsFeatures.friedrichDistributed]]).
+    */
+  val tsFriedrich: Q = Q(
+    "ts_friedrich",
+    (s, dir) => graft.operators.TsFeatures.friedrichDistributed(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", Seq("ts"), "value"),
+    Some(friedrichOracleSql(30)),
+  )
+
+  /** GENERATED oracle for `ts_matrix_profile` — shares the distance
+    * and percentile expression text with
+    * [[graft.operators.TsFeatures.matrixProfileBanded]] so both
+    * engines replay bit-identical doubles; the lead columns, the
+    * struct-unnest pair scatter, and the cast syntax are the only
+    * DuckDB-specific parts.
+    */
+  private def matrixProfileOracleSql(m: Int, band: Int): String = {
+    val MP = graft.operators.TsFeatures.MatrixProfileShared
+    val excl = (m + 1) / 2
+    val castD = (s: String) => s"($s::DOUBLE)"
+    val leads = (1 to band + m - 1)
+      .map(k => s"lead(xq, $k) OVER win AS l$k").mkString(",\n               ")
+    val ds = (excl to band)
+      .map(o => s"${MP.dStr(o, m, castD)} AS d$o").mkString(",\n               ")
+    val scatter = (excl to band).flatMap(o => Seq(
+      s"struct_pack(idx := i0, d := d$o)",
+      s"struct_pack(idx := i0 + $o, d := d$o)")).mkString(", ")
+    val picks = Seq("0.25" -> "25", "0.5" -> "50", "0.75" -> "75").flatMap {
+      case (p, tag) => Seq(
+        s"${MP.pickStr(s"floor((cnt - 1) * $p)::BIGINT")} AS v${tag}lo",
+        s"${MP.pickStr(s"least(floor((cnt - 1) * $p)::BIGINT + 1, cnt - 1)")} AS v${tag}hi")
+    }.mkString(",\n               ")
+    s"""
+      WITH base AS (SELECT user_id, ts, round(value * 1e6)::BIGINT AS xq FROM events),
+      w1 AS (SELECT user_id, xq,
+               row_number() OVER win - 1 AS i0,
+               $leads
+             FROM base WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+      w2 AS (SELECT *, ${MP.sx(m)} AS sx,
+               $m*(${MP.s2(m)}) - (${MP.sx(m)})*(${MP.sx(m)}) AS vi
+             FROM w1),
+      w3 AS (SELECT user_id, i0,
+               $ds
+             FROM w2),
+      pr AS (SELECT user_id, unnest([$scatter]) AS s FROM w3),
+      pp AS (SELECT user_id, s.idx AS idx, s.d AS d FROM pr WHERE s.d IS NOT NULL),
+      prof AS (SELECT user_id, idx, min(d) AS pv FROM pp GROUP BY 1, 2),
+      vg AS (SELECT user_id, pv, count(*) AS c FROM prof GROUP BY 1, 2),
+      vg2 AS (SELECT *, sum(c) OVER (PARTITION BY user_id) AS cnt,
+                coalesce(sum(c) OVER (PARTITION BY user_id ORDER BY pv
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM vg),
+      ag AS (SELECT user_id, min(pv) AS mn, max(pv) AS mx,
+               sum(c * round(pv * 1000000.0)::BIGINT) AS ssum, max(cnt) AS n,
+               $picks
+             FROM vg2 GROUP BY 1)
+      SELECT user_id, round(mn, 6) AS mp_min, round(mx, 6) AS mp_max,
+             round((ssum::DOUBLE) / ((n::DOUBLE) * 1000000.0), 6) AS mp_mean,
+             round(${MP.pctStr("0.5", "v50lo", "v50hi")}, 6) AS mp_median,
+             round(${MP.pctStr("0.25", "v25lo", "v25hi")}, 6) AS mp_p25,
+             round(${MP.pctStr("0.75", "v75lo", "v75hi")}, 6) AS mp_p75
+      FROM ag
+    """
+  }
+
+  /** tsfresh matrix-profile summary features — the r10 redesign
+    * (SURVEY §15 #4) that moved this row from bench-only into the
+    * hash protocol, with the documented BAND tie-break: nearest
+    * non-trivial neighbor within 20 offsets (exclusion ⌈m/2⌉), not
+    * the full O(n²) profile.
+    */
+  val tsMatrixProfile: Q = Q(
+    "ts_matrix_profile",
+    (s, dir) => graft.operators.TsFeatures.matrixProfileBanded(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", Seq("ts"), "value"),
+    Some(matrixProfileOracleSql(4, 20)),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
-    tsForecastEval, tsHurst, tsPeaks, tsSax, tsSimilarityTopk, tsCwt, tsPacf)
+    tsForecastEval, tsHurst, tsPeaks, tsSax, tsSimilarityTopk, tsCwt, tsPacf,
+    tsFriedrich, tsMatrixProfile)
 }

@@ -282,6 +282,111 @@ class TsAdvancedSpec extends SparkSpec {
     assert(math.abs(out.getDouble(5) - 1.0) < 0.1, s"fp ${out.getDouble(5)}")
   }
 
+  // naive banded matrix-profile replay: same semantics as
+  // matrixProfileBanded, written as the obvious per-series double loop
+  private def naiveBandedMp(xs: Array[Double], m: Int, band: Int): Array[Double] = {
+    val excl = (m + 1) / 2
+    val q = xs.map(v => math.round(v * 1e6).toDouble / 1e6)
+    val nw = q.length - m + 1
+    val prof = Array.fill(nw)(Double.PositiveInfinity)
+    def stats(i: Int) = {
+      val w = q.slice(i, i + m)
+      val mu = w.sum / m
+      (mu, w.map(v => (v - mu) * (v - mu)).sum / m)
+    }
+    for (i <- 0 until nw; o <- excl to band if i + o < nw) {
+      val j = i + o
+      val (mi, vi) = stats(i); val (mj, vj) = stats(j)
+      val d =
+        if (vi == 0 && vj == 0) 0.0
+        else if (vi == 0 || vj == 0) math.sqrt(2.0 * m)
+        else {
+          val qt = (0 until m).map(k => q(i + k) * q(j + k)).sum
+          val corr = (qt - m * mi * mj) / (m * math.sqrt(vi) * math.sqrt(vj))
+          math.sqrt(math.max(2.0 * m * (1.0 - math.min(corr, 1.0)), 0.0))
+        }
+      if (d < prof(i)) prof(i) = d
+      if (d < prof(j)) prof(j) = d
+    }
+    prof.filter(java.lang.Double.isFinite)
+  }
+
+  test("matrixProfileBanded matches a naive banded replay (min/max/mean/percentiles)") {
+    val xs = lcgSeries(70, seed = 31L).map(v => v * 200.0 + 300.0)
+    val out = TsFeatures.matrixProfileBanded(toSeriesDF(xs), "user_id",
+      Seq("ts"), "value").collect()(0)
+    val prof = naiveBandedMp(xs, 4, 20).sorted
+    def pct(p: Double): Double = {
+      val h = (prof.length - 1) * p
+      val lo = h.toInt; val hi = math.min(lo + 1, prof.length - 1)
+      prof(lo) + (h - lo) * (prof(hi) - prof(lo))
+    }
+    // integer-exact moments vs naive double arithmetic: tiny drift only
+    assert(math.abs(out.getDouble(1) - prof.head) < 1e-4, s"min ${out.getDouble(1)} vs ${prof.head}")
+    assert(math.abs(out.getDouble(2) - prof.last) < 1e-4, s"max")
+    assert(math.abs(out.getDouble(3) - prof.sum / prof.length) < 1e-4, s"mean")
+    assert(math.abs(out.getDouble(4) - pct(0.5)) < 1e-4, s"median")
+    assert(math.abs(out.getDouble(5) - pct(0.25)) < 1e-4, s"p25")
+    assert(math.abs(out.getDouble(6) - pct(0.75)) < 1e-4, s"p75")
+  }
+
+  test("matrixProfileBanded: a planted in-band motif drives mp_min to zero") {
+    // two identical 4-point subsequences 6 apart (inside the band,
+    // outside the exclusion zone) -> z-normalized distance 0
+    val base = lcgSeries(40, seed = 41L).map(v => v * 10.0)
+    val motif = Array(1.0, 5.0, 2.0, 8.0)
+    val xs = base.take(10) ++ motif ++ base.slice(10, 12) ++ motif ++ base.drop(12)
+    val out = TsFeatures.matrixProfileBanded(toSeriesDF(xs), "user_id",
+      Seq("ts"), "value").collect()(0)
+    assert(out.getDouble(1) == 0.0, s"mp_min ${out.getDouble(1)}")
+  }
+
+  test("friedrichDistributed recovers the drift of a noiseless cubic Langevin map") {
+    // same fixture as the fold test: h(x) = 0.1·x·(1 − x²); rank bins
+    // (vs qcut interpolated edges) shift boundary values at most one
+    // bin, so the recovered drift stays within the same tolerance
+    val starts = Seq(-1.8, -1.2, -0.6, -0.2, 0.3, 0.7, 1.1, 1.5, 1.9)
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (s0 <- starts) {
+      var x = s0
+      for (_ <- 0 until 40) {
+        xs += x
+        x = x + 0.1 * x * (1 - x * x)
+      }
+    }
+    val out = TsFeatures.friedrichDistributed(toSeriesDF(xs.toArray), "user_id",
+      Seq("ts"), "value", bins = 30).collect()(0)
+    assert(math.abs(out.getDouble(1) + 0.1) < 0.02, s"coeff_3 ${out.getDouble(1)}")
+    assert(math.abs(out.getDouble(3) - 0.1) < 0.02, s"coeff_1 ${out.getDouble(3)}")
+    assert(math.abs(out.getDouble(5) - 1.0) < 0.1, s"fp ${out.getDouble(5)}")
+  }
+
+  test("friedrichDistributed yields nulls when the bins collapse (constant series)") {
+    val out = TsFeatures.friedrichDistributed(toSeriesDF(Array.fill(50)(1.0)),
+      "user_id", Seq("ts"), "value").collect()(0)
+    for (i <- 1 to 5) assert(out.isNullAt(i))
+  }
+
+  test("friedrichDistributed bisection agrees with the Cardano max-real-root") {
+    // compare the query's fp against cubicMaxRealPart on the query's
+    // own (6-dp-rounded) coefficients — use a fixture with O(0.1)
+    // coefficients so the output rounding doesn't move the root (a
+    // tiny-b3 fit would: 6-dp rounding on b3 ~ 1e-5 shifts it ~1e-2)
+    val starts = Seq(-1.7, -1.1, -0.5, 0.2, 0.6, 1.2, 1.8)
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (s0 <- starts) {
+      var x = s0
+      for (_ <- 0 until 40) { xs += x; x = x + 0.1 * x * (1 - x * x) }
+    }
+    val out = TsFeatures.friedrichDistributed(toSeriesDF(xs.toArray), "user_id",
+      Seq("ts"), "value").collect()(0)
+    assert(!out.isNullAt(5))
+    val fp = TsFeatures.cubicMaxRealPart(out.getDouble(1), out.getDouble(2),
+      out.getDouble(3), out.getDouble(4))
+    assert(fp.isDefined && math.abs(out.getDouble(5) - fp.get) < 1e-4,
+      s"bisection ${out.getDouble(5)} vs cardano $fp")
+  }
+
   test("friedrich yields nulls when the bins collapse (constant series)") {
     val out = TsFeatures.friedrich(toSeriesDF(Array.fill(50)(1.0)), "user_id",
       Seq("ts"), "value").collect()(0)
