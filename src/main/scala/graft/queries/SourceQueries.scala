@@ -187,6 +187,32 @@ object SourceQueries {
     """),
   )
 
+  /** AGGREGATE pushdown at the connector boundary (r10, the
+    * engine-ladder rung above `source_rangev2`'s filter pushdown):
+    * count/min/max/sum(id) over the filter-narrowed range collapse
+    * into [[graft.sources.RangeV2]]'s closed forms — the plan's leaf
+    * is a ONE-ROW `GraftRangeV2Agg` scan, no rows are generated at
+    * all (the "answer count(*) from metadata" property a 100 TB table
+    * format gets from file statistics). The oracle recomputes the
+    * same aggregates from the replayed generator.
+    */
+  val rangeV2Agg: Q = Q(
+    "source_rangev2_agg",
+    (s, dir) =>
+      s.read.format("graft.sources.RangeV2")
+        .option("start", "0").option("end", "1000000").option("slices", "8")
+        .load()
+        .where(col("id") >= 12345 && col("id") < 678901)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("id")).as("sum_id")),
+    Some("""
+      SELECT count(*)::BIGINT AS n, min(i)::BIGINT AS min_id,
+             max(i)::BIGINT AS max_id, sum(i)::BIGINT AS sum_id
+      FROM generate_series(12345, 678900) t(i)
+    """),
+  )
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, avroRoundtrip,
-    sinkPartitioned, textRoundtrip, binaryRoundtrip, schemaEvolution, rangeV2)
+    sinkPartitioned, textRoundtrip, binaryRoundtrip, schemaEvolution, rangeV2,
+    rangeV2Agg)
 }

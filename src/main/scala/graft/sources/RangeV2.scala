@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -63,12 +64,46 @@ private[sources] class RangeV2Table(start: Long, end: Long, slices: Int)
 
 private[sources] class RangeV2ScanBuilder(start: Long, end: Long, slices: Int)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = start
   private var hi = end // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = RangeV2.schema
+  private var pushedAggs: Option[Seq[AggregateFunc]] = None
+
+  /** COUNT(*) / COUNT(id) / MIN(id) / MAX(id) / SUM(id) over the
+    * (filter-narrowed) range have CLOSED FORMS — n, lo, hi−1,
+    * n·(lo+hi−1)/2 — so the whole aggregation COLLAPSES INTO THE
+    * CONNECTOR: no rows are generated at all, the scan emits one
+    * pre-aggregated row (the engine-ladder rung above filter
+    * pushdown — at 100 TB this is "answer count(*) from metadata",
+    * the property real table formats get from file statistics).
+    * DISTINCT variants are accepted because id is unique by
+    * construction. Anything over `val`, or any GROUP BY, declines
+    * (returns false) and runs as a normal scan + Spark aggregate.
+    */
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def supported(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case c: Count => isId(c.column())
+      case m: Min => isId(m.column())
+      case m: Max => isId(m.column())
+      case s: Sum => isId(s.column())
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = supported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!supported(agg)) false
+    else { pushedAggs = Some(agg.aggregateExpressions().toSeq); true }
 
   // v + 1 clamped at Long.MaxValue. Exact, not approximate: rows satisfy
   // id < hi <= Long.MaxValue (hi is an exclusive Long bound), so id ==
@@ -97,7 +132,58 @@ private[sources] class RangeV2ScanBuilder(start: Long, end: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeV2Scan(lo, math.max(lo, hi), slices, required)
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new RangeV2AggScan(lo, math.max(lo, hi), aggs)
+    case None => new RangeV2Scan(lo, math.max(lo, hi), slices, required)
+  }
+}
+
+/** One-row, one-partition scan carrying the closed-form aggregate
+  * values for the pruned range [lo, hi): n rows exist, ids are the
+  * integers lo..hi−1. Long-sum overflow wraps exactly like Spark's
+  * own non-ANSI long sum (BigInt arithmetic truncated to int64).
+  */
+private[sources] class RangeV2AggScan(lo: Long, hi: Long,
+                                      aggs: Seq[AggregateFunc])
+  extends Scan with Batch with Serializable {
+
+  private val n = math.max(0L, hi - lo)
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (f, i) =>
+      StructField(s"agg_$i", LongType, nullable = !f.isInstanceOf[CountStar] &&
+        !f.isInstanceOf[Count])
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeV2Agg[$lo,$hi) ${aggs.map(_.toString).mkString(", ")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangeV2Partition(0, 1)) // one synthetic split for the one row
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = aggs.map {
+      case _: CountStar => java.lang.Long.valueOf(n)
+      case _: Count => java.lang.Long.valueOf(n)
+      case _: Min => if (n > 0) java.lang.Long.valueOf(lo) else null
+      case _: Max => if (n > 0) java.lang.Long.valueOf(hi - 1) else null
+      case _: Sum =>
+        if (n == 0) null
+        else {
+          val s = (BigInt(lo) + BigInt(hi - 1)) * BigInt(n) / 2
+          java.lang.Long.valueOf(s.longValue)
+        }
+    }.toArray
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = new GenericInternalRow(values)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 private[sources] case class RangeV2Partition(lo: Long, hi: Long)

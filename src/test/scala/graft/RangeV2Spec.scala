@@ -54,6 +54,36 @@ class RangeV2Spec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("aggregate pushdown: count/min/max/sum(id) collapse into the connector") {
+    val df = ranged(0, 1000000).where(col("id") >= 100 && col("id") < 500000)
+      .selectExpr("count(*) as n", "count(id) as nid", "min(id) as mn",
+        "max(id) as mx", "sum(id) as s")
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan IS the aggregate — no row generation, no HashAggregate input rows
+    assert(plan.contains("GraftRangeV2Agg[100,500000)"), plan)
+    val r = df.head()
+    val n = 500000L - 100L
+    assert(r.getLong(0) === n && r.getLong(1) === n)
+    assert(r.getLong(2) === 100L && r.getLong(3) === 499999L)
+    assert(r.getLong(4) === (100L + 499999L) * n / 2)
+  }
+
+  test("aggregate pushdown declines val-column aggs and GROUP BY (normal scan)") {
+    val g = ranged(0, 1000).groupBy(expr("id % 10").as("k")).count()
+    assert(!g.queryExecution.executedPlan.toString.contains("GraftRangeV2Agg"))
+    assert(g.count() === 10L)
+    val v = ranged(0, 1000).agg(sum(col("val")))
+    assert(!v.queryExecution.executedPlan.toString.contains("GraftRangeV2Agg"))
+    assert(v.head().getDouble(0) > 0.0)
+  }
+
+  test("aggregate pushdown on an empty pruned range yields count 0, null min/max/sum") {
+    val df = ranged(0, 1000).where(col("id") > 5000)
+      .selectExpr("count(*) as n", "min(id) as mn", "max(id) as mx", "sum(id) as s")
+    val r = df.head()
+    assert(r.getLong(0) === 0L && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("Long.MaxValue bounds don't wrap: <= MaxValue is a no-op, = / > MaxValue are empty") {
     // id <= MaxValue is vacuously true — the clamp must not shrink the scan
     assert(ranged(0, 1000).where(col("id") <= Long.MaxValue).count() === 1000L)
