@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries.all ++ NumPrepQueries.all ++ CatPrepQueries.all ++
       PipelineQueries.all ++ TsQueries.all ++ DedupQueries.all ++
       TextQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
-      SourceQueries.all ++ ScaleOpsQueries.all ++ StatsQueries.all
+      SourceQueries.all ++ ScaleOpsQueries.all ++ StatsQueries.all ++
+      MetricsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,572 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Round-10 evaluation/agreement/effect-size battery — the model-QA
+  * report cards a training platform runs next to the round-9
+  * inference tests: confusion-matrix classification report,
+  * MCC/Cohen's-kappa agreement, Welch's unequal-variance t,
+  * Cohen's-d effect size, Jensen–Shannon drift, Kendall's τ-b over a
+  * bounded contingency grid, Cronbach's-α item reliability, and the
+  * Hosmer–Lemeshow calibration χ².
+  *
+  * Shared discipline (SURVEY §6): the only data-scale passes are
+  * bounded exact rollups (map-side combined); scalar statistics are
+  * pure functions of exact int64/decimal(38,0) sums in a fixed op
+  * order, with transcendental terms micro-quantized (×1e6) so
+  * cross-term totals are order-free integer sums that replay
+  * bit-for-bit in DuckDB. Reference scope: the 100 TB operational
+  * layer around preprocessor.py (which has no evaluation battery).
+  */
+object MetricsQueries {
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def rL(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  // ---------------------------------------------------------------
+  // Confusion-matrix family: q_auc's deterministic label (md5 16-bit
+  // bucket vs value·2 — the synthetic "truth" whose base rate tracks
+  // purchase size) against the fixed-threshold prediction ŷ = value
+  // ≥ 34 (the corpus median, a calibrated-ish rule so every cell of
+  // the matrix is populated). ONE data-scale pass: the 4-cell exact
+  // rollup.
+  // ---------------------------------------------------------------
+
+  /** (tp, fp, fn, tn) exact counts; shared with the streaming twin. */
+  private[graft] def confusionCounts(events: DataFrame): DataFrame = {
+    val y = (graft.operators.Sampling.hashBucket(col("event_id")) % 1000 <
+      col("value") * 2).cast("long")
+    val yhat = (round(col("value") * 100).cast("long") >= 3400L).cast("long")
+    events
+      .select(y.as("y"), yhat.as("p"))
+      .agg(sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("p") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("p") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0 && col("p") === 0, 1L).otherwise(0L)).as("tn"))
+  }
+
+  private val confusionSql: String =
+    s"""cm AS (
+      SELECT
+        sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+        sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+        sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+      FROM (SELECT
+              (${OracleExact.h16Sql("md5(event_id::VARCHAR)")} % 1000 < value * 2)::BIGINT AS y,
+              (round(value * 100)::BIGINT >= 3400)::BIGINT AS p
+            FROM events))"""
+
+  /** Classification report tail shared with the streaming twin:
+    * the 1-row (tp, fp, fn, tn) frame → metrics row. All four rates
+    * are pure double functions of the exact counts in a fixed op
+    * order (identical to the oracle's expression text).
+    */
+  private[graft] def confusionReport(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val r = counts.head()
+    val (tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val acc = (tp + tn).toDouble / (tp + fp + fn + tn)
+    val prec = tp.toDouble / (tp + fp)
+    val rec = tp.toDouble / (tp + fn)
+    val f1 = 2.0 * prec * rec / (prec + rec)
+    Seq((tp, fp, fn, tn, r6(acc), r6(prec), r6(rec), r6(f1)))
+      .toDF("tp", "fp", "fn", "tn", "accuracy", "precision", "recall", "f1")
+  }
+
+  /** Confusion matrix + accuracy/precision/recall/F1 — the basic
+    * classifier report card over the deterministic synthetic truth.
+    */
+  val qConfusionMatrix: Q = Q(
+    "q_confusion_matrix",
+    (s, dir) => confusionReport(confusionCounts(Tables.events(s, dir))),
+    Some(s"""
+      WITH $confusionSql
+      SELECT tp, fp, fn, tn,
+             round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 6) AS accuracy,
+             round(tp::DOUBLE / (tp + fp), 6) AS precision,
+             round(tp::DOUBLE / (tp + fn), 6) AS recall,
+             round(2.0 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn)) /
+                   ((tp::DOUBLE / (tp + fp)) + (tp::DOUBLE / (tp + fn))), 6) AS f1
+      FROM cm
+    """),
+  )
+
+  /** Matthews correlation + Cohen's κ from the same confusion rollup
+    * — the two chance-corrected agreement coefficients (MCC for the
+    * skew-robust single number, κ for rater-agreement reporting).
+    * Numerators/marginals are exact int64; the final ratios are
+    * fixed-op-order doubles of those ints (counts enter the MCC
+    * denominator product as doubles — at 10¹² rows each marginal
+    * still converts exactly below 2⁵³, and both engines share the
+    * identical rounding when not).
+    */
+  val qMccKappa: Q = Q(
+    "q_mcc_kappa",
+    (s, dir) => {
+      import s.implicits._
+      val r = confusionCounts(Tables.events(s, dir)).head()
+      val (tp, fp, fn, tn) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val n = tp + fp + fn + tn
+      val mcc = (tp.toDouble * tn - fp.toDouble * fn) /
+        math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn))
+      val po = (tp + tn).toDouble / n
+      val pe = ((tp + fp).toDouble * (tp + fn) + (tn + fn).toDouble * (tn + fp)) /
+        (n.toDouble * n)
+      val kappa = (po - pe) / (1.0 - pe)
+      Seq((n, r6(mcc), r6(po), r6(pe), r6(kappa)))
+        .toDF("n", "mcc", "po", "pe", "kappa")
+    },
+    Some(s"""
+      WITH $confusionSql
+      SELECT (tp + fp + fn + tn)::BIGINT AS n,
+             round((tp::DOUBLE * tn - fp::DOUBLE * fn) /
+                   sqrt((tp + fp)::DOUBLE * (tp + fn) * (tn + fp) * (tn + fn)), 6) AS mcc,
+             round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 6) AS po,
+             round(((tp + fp)::DOUBLE * (tp + fn) + (tn + fn)::DOUBLE * (tn + fp)) /
+                   ((tp + fp + fn + tn)::DOUBLE * (tp + fp + fn + tn)), 6) AS pe,
+             round(((tp + tn)::DOUBLE / (tp + fp + fn + tn) -
+                    ((tp + fp)::DOUBLE * (tp + fn) + (tn + fn)::DOUBLE * (tn + fp)) /
+                    ((tp + fp + fn + tn)::DOUBLE * (tp + fp + fn + tn))) /
+                   (1.0 - ((tp + fp)::DOUBLE * (tp + fn) + (tn + fn)::DOUBLE * (tn + fp)) /
+                    ((tp + fp + fn + tn)::DOUBLE * (tp + fp + fn + tn))), 6) AS kappa
+      FROM cm
+    """),
+  )
+
+  // ---------------------------------------------------------------
+  // Two-sample moment family: purchase value by md5 arm. ONE
+  // data-scale pass: the 2-row (n, Σm, Σm²) exact rollup (m =
+  // micro-quantized value), the q_anova moment discipline.
+  // ---------------------------------------------------------------
+
+  /** Per-arm exact moments; shared with Welch/Cohen's-d and their
+    * streaming twins.
+    */
+  private[graft] def armMoments(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .select(StatsQueries.arm(col("user_id")).as("g"),
+        round(col("value") * lit(1e6)).cast("long").as("m"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("m").cast("decimal(38,0)")).as("sm"),
+        sum(col("m").cast("decimal(38,0)") * col("m")).as("qm"))
+
+  private val armMomentsSql: String =
+    s"""g AS (SELECT ${StatsQueries.armSql} AS g,
+               round(value * 1000000)::BIGINT AS m
+             FROM events WHERE event_type = 'purchase'),
+      mo AS (SELECT g, count(*)::BIGINT AS n, sum(m)::HUGEINT AS sm,
+               sum(m::HUGEINT * m) AS qm
+             FROM g GROUP BY g),
+      ab AS (SELECT
+          max(CASE WHEN g = 0 THEN n END) AS na,
+          max(CASE WHEN g = 1 THEN n END) AS nb,
+          max(CASE WHEN g = 0 THEN sm END) AS sma,
+          max(CASE WHEN g = 1 THEN sm END) AS smb,
+          max(CASE WHEN g = 0 THEN qm END) AS qma,
+          max(CASE WHEN g = 1 THEN qm END) AS qmb
+        FROM mo)"""
+
+  /** (n, mean, var) per arm from the collected 2-row moments — the
+    * shared fixed-op-order scalar tail (op order mirrored in
+    * [[meanVarSqlA]]/[[meanVarSqlB]]).
+    */
+  private[graft] def armMeanVar(moments: DataFrame)
+      : (Long, Long, Double, Double, Double, Double) = {
+    val rows = moments.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)),
+        BigDecimal(r.getDecimal(3))))
+    }.toMap
+    val (na, sma, qma) = rows(0L)
+    val (nb, smb, qmb) = rows(1L)
+    def mean(sm: BigDecimal, n: Long) = sm.toDouble / n / 1e6
+    def vr(qm: BigDecimal, sm: BigDecimal, n: Long) =
+      (qm.toDouble - sm.toDouble * sm.toDouble / n) / (n - 1) / 1e12
+    (na, nb, mean(sma, na), mean(smb, nb), vr(qma, sma, na), vr(qmb, smb, nb))
+  }
+
+  private val meanVarSql: String =
+    """mv AS (SELECT na, nb,
+          sma::DOUBLE / na / 1000000.0 AS ma,
+          smb::DOUBLE / nb / 1000000.0 AS mb,
+          (qma::DOUBLE - sma::DOUBLE * sma::DOUBLE / na) / (na - 1) / 1000000000000.0 AS va,
+          (qmb::DOUBLE - smb::DOUBLE * smb::DOUBLE / nb) / (nb - 1) / 1000000000000.0 AS vb
+        FROM ab)"""
+
+  /** Welch's unequal-variance t-test of mean purchase value across
+    * the md5 A/B arms — the experimentation-platform default for
+    * continuous metrics (the z-proportion test `q_ab_lift` can't
+    * serve). t and the Welch–Satterthwaite df are fixed-op-order
+    * doubles of the exact per-arm moments; p is the asymptotic
+    * normal tail through the shared A&S mirror (`normTwoSidedP` ↔
+    * `phiTailSql` — df > 1000 here, where t ≈ z far beyond the
+    * report precision).
+    */
+  val qWelchTtest: Q = Q(
+    "q_welch_ttest",
+    (s, dir) => {
+      import s.implicits._
+      val (na, nb, ma, mb, va, vb) = armMeanVar(armMoments(Tables.events(s, dir)))
+      val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+      val df = (va / na + vb / nb) * (va / na + vb / nb) /
+        ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+      val p = graft.operators.TsFeatures.normTwoSidedP(math.abs(t))
+      Seq((na, nb, r6(ma), r6(mb), r6(t), r6(df), r6(p)))
+        .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "p")
+    },
+    Some(s"""
+      WITH $armMomentsSql, $meanVarSql
+      SELECT na AS n_a, nb AS n_b,
+             round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t,
+             round((va / na + vb / nb) * (va / na + vb / nb) /
+                   ((va / na) * (va / na) / (na - 1) +
+                    (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df,
+             round(${OracleExact.phiTailSql(
+               "abs((ma - mb) / sqrt(va / na + vb / nb))")}, 6) AS p
+      FROM mv
+    """),
+  )
+
+  /** Cohen's d standardized effect size between the arms (pooled-SD
+    * flavor) — the "is the lift big enough to matter" companion to
+    * [[qWelchTtest]]'s "is it real". Same 2-row moment rollup.
+    */
+  val qCohensD: Q = Q(
+    "q_cohens_d",
+    (s, dir) => {
+      import s.implicits._
+      val (na, nb, ma, mb, va, vb) = armMeanVar(armMoments(Tables.events(s, dir)))
+      val sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+      val d = (ma - mb) / sp
+      Seq((na, nb, r6(ma), r6(mb), r6(sp), r6(d)))
+        .toDF("n_a", "n_b", "mean_a", "mean_b", "sd_pooled", "d")
+    },
+    Some(s"""
+      WITH $armMomentsSql, $meanVarSql
+      SELECT na AS n_a, nb AS n_b,
+             round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             round(sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)), 6) AS sd_pooled,
+             round((ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)), 6) AS d
+      FROM mv
+    """),
+  )
+
+  // ---------------------------------------------------------------
+  // Jensen–Shannon drift
+  // ---------------------------------------------------------------
+
+  /** The (bin, n_a, n_b) 10-equi-width-bin rollup of purchase value
+    * by arm (bin edges fit on the global min/max — fit-offline
+    * scalars); shared with the streaming twin.
+    */
+  private[graft] def jsBins(events: DataFrame): DataFrame = {
+    val ev = events.where(col("event_type") === "purchase")
+      .select(col("value"), StatsQueries.arm(col("user_id")).as("g"))
+      .localCheckpoint()
+    val mm = ev.agg(min(col("value")), max(col("value"))).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = (hi - lo) / 10.0
+    val bin = least(greatest(floor((col("value") - lit(lo)) / lit(width)),
+      lit(0.0)), lit(9.0)).cast("long")
+    ev.select(bin.as("bin"), col("g"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"))
+  }
+
+  private val jsBinsSql: String =
+    s"""ev AS (SELECT value, ${StatsQueries.armSql} AS g
+             FROM events WHERE event_type = 'purchase'),
+      ft AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+      bb AS (SELECT least(greatest(floor((value - ft.lo) / ((ft.hi - ft.lo) / 10.0)), 0.0), 9.0)::BIGINT AS bin,
+                    g
+             FROM ev, ft),
+      bins AS (SELECT bin,
+                 sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+               FROM bb GROUP BY 1)"""
+
+  /** JS tail shared with the streaming twin: the k-bounded (bin,
+    * n_a, n_b) rollup → per-bin JS terms + total. Laplace-smoothed
+    * shares ((n+½)/(N+k/2), the PSI discipline) so an empty bin
+    * cannot produce log 0; each bin's ½(p·ln(p/m) + q·ln(q/m)) term
+    * is micro-quantized before the cross-bin total (order-free int
+    * sum).
+    */
+  private[graft] def jsFromBins(binsDf: DataFrame): DataFrame = {
+    val s = binsDf.sparkSession
+    import s.implicits._
+    val rows = binsDf.orderBy(col("bin")).collect() // k-bounded (k <= 10)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = rows.length
+    val (ta, tb) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val terms = rows.map { case (b, na2, nb2) =>
+      val p = (na2 + 0.5) / (ta + k / 2.0)
+      val q = (nb2 + 0.5) / (tb + k / 2.0)
+      val m = (p + q) / 2.0
+      (b, na2, nb2,
+        rL((0.5 * (p * math.log(p / m)) + 0.5 * (q * math.log(q / m))) * 1e6))
+    }
+    val total = terms.map(_._4).sum
+    terms.map { case (b, na2, nb2, micro) =>
+      (b, na2, nb2, micro / 1e6, total / 1e6)
+    }.toSeq.toDF("bin", "n_a", "n_b", "js_term", "js_total")
+  }
+
+  /** Jensen–Shannon divergence between the arms' purchase-value
+    * distributions — the bounded (≤ ln 2), symmetric drift measure
+    * used where PSI's unbounded terms misbehave. Same 10-bin rollup
+    * discipline as `q_psi`.
+    */
+  val qJsDivergence: Q = Q(
+    "q_js_divergence",
+    (s, dir) => jsFromBins(jsBins(Tables.events(s, dir))),
+    Some(s"""
+      WITH $jsBinsSql,
+      tt AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb,
+               count(*)::BIGINT AS k FROM bins),
+      t AS (SELECT bin, n_a, n_b,
+              round((0.5 * (((n_a + 0.5) / (ta + k / 2.0)) *
+                      ln(((n_a + 0.5) / (ta + k / 2.0)) /
+                         ((((n_a + 0.5) / (ta + k / 2.0)) + ((n_b + 0.5) / (tb + k / 2.0))) / 2.0))) +
+                     0.5 * (((n_b + 0.5) / (tb + k / 2.0)) *
+                      ln(((n_b + 0.5) / (tb + k / 2.0)) /
+                         ((((n_a + 0.5) / (ta + k / 2.0)) + ((n_b + 0.5) / (tb + k / 2.0))) / 2.0)))) * 1e6)::BIGINT AS micro
+            FROM bins, tt)
+      SELECT bin, n_a, n_b, micro / 1e6 AS js_term,
+             (SELECT sum(micro) FROM t) / 1e6 AS js_total
+      FROM t
+    """),
+  )
+
+  // ---------------------------------------------------------------
+  // Kendall's τ-b
+  // ---------------------------------------------------------------
+
+  /** Kendall's τ-b rank correlation between l_quantity and
+    * l_discount — the ordinal-association companion to `q_spearman`,
+    * computed WITHOUT any pairwise pass: both columns are bounded
+    * grains (50 quantities × 11 discount cents), so concordant/
+    * discordant/tie counts are exact integer functions of the ≤550-
+    * cell contingency rollup (the `q_cramers_v` shape). The O(cells²)
+    * pair scan runs on the collected grid, never on rows; at any
+    * corpus size the data-scale cost stays the one map-side-combined
+    * rollup.
+    */
+  val qKendallTau: Q = Q(
+    "q_kendall_tau",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").cast("long").as("x"),
+          round(col("l_discount") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // bounded: <= 50 x 11 cells
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val n = cells.map(_._3).sum
+      var conc = BigInt(0); var disc = BigInt(0)
+      for ((x1, y1, c1) <- cells; (x2, y2, c2) <- cells) {
+        if (x2 > x1 && y2 > y1) conc += BigInt(c1) * c2
+        if (x2 > x1 && y2 < y1) disc += BigInt(c1) * c2
+      }
+      val n0 = BigInt(n) * (n - 1) / 2
+      val n1 = cells.groupBy(_._1).values
+        .map(g => { val t = g.map(_._3).sum; BigInt(t) * (t - 1) / 2 }).sum
+      val n2 = cells.groupBy(_._2).values
+        .map(g => { val t = g.map(_._3).sum; BigInt(t) * (t - 1) / 2 }).sum
+      val tau = (conc - disc).toDouble /
+        math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+      Seq((n, conc.toLong, disc.toLong, r6(tau)))
+        .toDF("n", "concordant", "discordant", "tau_b")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT l_quantity::BIGINT AS x, round(l_discount * 100)::BIGINT AS y,
+               count(*)::BIGINT AS c
+        FROM lineitem GROUP BY 1, 2),
+      pairs AS (SELECT
+          sum(CASE WHEN c2.x > c1.x AND c2.y > c1.y THEN c1.c::HUGEINT * c2.c ELSE 0 END) AS conc,
+          sum(CASE WHEN c2.x > c1.x AND c2.y < c1.y THEN c1.c::HUGEINT * c2.c ELSE 0 END) AS disc
+        FROM cells c1, cells c2),
+      tots AS (SELECT sum(c)::BIGINT AS n FROM cells),
+      tx AS (SELECT sum(t::HUGEINT * (t - 1) / 2) AS n1
+             FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY x)),
+      ty AS (SELECT sum(t::HUGEINT * (t - 1) / 2) AS n2
+             FROM (SELECT sum(c)::BIGINT AS t FROM cells GROUP BY y)),
+      n0 AS (SELECT n::HUGEINT * (n - 1) / 2 AS n0 FROM tots)
+      SELECT tots.n AS n, conc::BIGINT AS concordant, disc::BIGINT AS discordant,
+             round((conc - disc)::DOUBLE /
+                   sqrt((n0.n0 - tx.n1)::DOUBLE * (n0.n0 - ty.n2)::DOUBLE), 6) AS tau_b
+      FROM pairs, tots, tx, ty, n0
+    """),
+  )
+
+  // ---------------------------------------------------------------
+  // Cronbach's α
+  // ---------------------------------------------------------------
+
+  /** Cronbach's-α internal-consistency coefficient over three
+    * per-order "item scores" (line count, total quantity, total
+    * cents/100 — the do-these-measure-one-construct reliability
+    * check a metrics platform runs on composite KPIs). Two passes:
+    * the order-grain item rollup (exact ints), then ONE global
+    * aggregate of the six Σx/Σx² moment pairs plus the composite's
+    * (decimal(38,0), map-side combined). α = k/(k−1)·(1 − Σσ²ᵢ/σ²ₜ)
+    * with every variance the same fixed-op-order function of exact
+    * sums as `q_welch_ttest`.
+    */
+  val qCronbachAlpha: Q = Q(
+    "q_cronbach_alpha",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          sum(col("l_quantity").cast("long")).as("x2"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("c100"))
+        .select(col("x1"), col("x2"), expr("c100 div 100").as("x3"))
+        .select(col("x1"), col("x2"), col("x3"),
+          (col("x1") + col("x2") + col("x3")).as("tot"))
+      val m = items.agg(count(lit(1)).as("n"),
+        sum(col("x1").cast("decimal(38,0)")).as("s1"),
+        sum(col("x1").cast("decimal(38,0)") * col("x1")).as("q1"),
+        sum(col("x2").cast("decimal(38,0)")).as("s2"),
+        sum(col("x2").cast("decimal(38,0)") * col("x2")).as("q2"),
+        sum(col("x3").cast("decimal(38,0)")).as("s3"),
+        sum(col("x3").cast("decimal(38,0)") * col("x3")).as("q3"),
+        sum(col("tot").cast("decimal(38,0)")).as("st"),
+        sum(col("tot").cast("decimal(38,0)") * col("tot")).as("qt")).head()
+      val n = m.getLong(0)
+      def vr(qi: java.math.BigDecimal, si: java.math.BigDecimal) = {
+        val (q, ss) = (BigDecimal(qi).toDouble, BigDecimal(si).toDouble)
+        (q - ss * ss / n) / (n - 1)
+      }
+      val v1 = vr(m.getDecimal(2), m.getDecimal(1))
+      val v2 = vr(m.getDecimal(4), m.getDecimal(3))
+      val v3 = vr(m.getDecimal(6), m.getDecimal(5))
+      val vt = vr(m.getDecimal(8), m.getDecimal(7))
+      val alpha = 3.0 / 2.0 * (1.0 - (v1 + v2 + v3) / vt)
+      Seq((n, r6(v1), r6(v2), r6(v3), r6(vt), r6(alpha)))
+        .toDF("n", "var_1", "var_2", "var_3", "var_total", "alpha")
+    },
+    Some("""
+      WITH it AS (SELECT l_orderkey, count(*)::BIGINT AS x1,
+               sum(l_quantity::BIGINT)::BIGINT AS x2,
+               (sum(round(l_extendedprice * 100)::BIGINT)::BIGINT // 100)::BIGINT AS x3
+             FROM lineitem GROUP BY 1),
+      it2 AS (SELECT x1, x2, x3, (x1 + x2 + x3)::BIGINT AS tot FROM it),
+      m AS (SELECT count(*)::BIGINT AS n,
+              sum(x1)::HUGEINT AS s1, sum(x1::HUGEINT * x1) AS q1,
+              sum(x2)::HUGEINT AS s2, sum(x2::HUGEINT * x2) AS q2,
+              sum(x3)::HUGEINT AS s3, sum(x3::HUGEINT * x3) AS q3,
+              sum(tot)::HUGEINT AS st, sum(tot::HUGEINT * tot) AS qt
+            FROM it2),
+      v AS (SELECT n,
+              (q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1) AS v1,
+              (q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n) / (n - 1) AS v2,
+              (q3::DOUBLE - s3::DOUBLE * s3::DOUBLE / n) / (n - 1) AS v3,
+              (qt::DOUBLE - st::DOUBLE * st::DOUBLE / n) / (n - 1) AS vt
+            FROM m)
+      SELECT n, round(v1, 6) AS var_1, round(v2, 6) AS var_2,
+             round(v3, 6) AS var_3, round(vt, 6) AS var_total,
+             round(3.0 / 2.0 * (1.0 - (v1 + v2 + v3) / vt), 6) AS alpha
+      FROM v
+    """),
+  )
+
+  // ---------------------------------------------------------------
+  // Hosmer–Lemeshow calibration χ²
+  // ---------------------------------------------------------------
+
+  /** Hosmer–Lemeshow goodness-of-fit over 10 score deciles — the
+    * calibration χ² for the deterministic synthetic model (predicted
+    * p = min(value·2, 1000)/1000, the exact generating probability
+    * of q_auc's label). Deciles assign by the §13 two-level exact
+    * rank (cents-grain prefix + within-tie window partitioned BY
+    * cents — no global row sort); observed positives are exact ints,
+    * expected positives exact micro-int sums of p, and the 10 χ²
+    * terms (O−E)²/(E(1−E/n)) micro-quantize into an order-free
+    * total.
+    */
+  val qHosmerLemeshow: Q = Q(
+    "q_hosmer_lemeshow",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (graft.operators.Sampling.hashBucket(col("event_id")) % 1000 <
+            col("value") * 2).cast("long").as("y"),
+          least(round(col("value") * 2 * 1000), lit(1000000L)).cast("long")
+            .as("pmicro")) // p in millionths: min(value*2,1000)/1000
+        .localCheckpoint()
+      val n = ev.count()
+      val wv = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefix = ev.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wv))
+        .select(col("cents"), (col("cum") - col("c")).as("before"))
+      val wTie = Window.partitionBy(col("cents")).orderBy(col("event_id"))
+      val dec = ev.join(prefix, Seq("cents"))
+        .withColumn("rk", col("before") + row_number().over(wTie))
+        .select(expr(s"((rk - 1) * 10) div $n").as("decile"),
+          col("y"), col("pmicro"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_d"), sum(col("y")).as("obs"),
+          sum(col("pmicro")).as("expm"))
+        .orderBy(col("decile")).collect() // k-bounded (k = 10)
+      val terms = dec.map { r =>
+        val (d, nd, obs, expm) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val e = expm / 1e6
+        val term = (obs - e) * (obs - e) / (e * (1.0 - e / nd))
+        (d, nd, obs, r6(e), rL(term * 1e6))
+      }
+      val chi2 = terms.map(_._5).sum / 1e6
+      terms.map { case (d, nd, obs, e, _) => (d, nd, obs, e, r6(chi2)) }
+        .toSeq.toDF("decile", "n", "obs_pos", "exp_pos", "chi2_total")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, round(value * 100)::BIGINT AS cents,
+               (${OracleExact.h16Sql("md5(event_id::VARCHAR)")} % 1000 < value * 2)::BIGINT AS y,
+               least(round(value * 2 * 1000), 1000000)::BIGINT AS pmicro
+        FROM events),
+      t AS (SELECT count(*)::BIGINT AS n FROM ev),
+      pre AS (SELECT cents,
+                (sum(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) - c)::BIGINT AS before
+              FROM (SELECT cents, count(*)::BIGINT AS c FROM ev GROUP BY 1)),
+      rk AS (SELECT ev.y, ev.pmicro,
+               pre.before + row_number() OVER (PARTITION BY ev.cents ORDER BY ev.event_id) AS rk
+             FROM ev JOIN pre ON ev.cents = pre.cents),
+      d AS (SELECT ((rk - 1) * 10) // (SELECT n FROM t) AS decile, y, pmicro FROM rk),
+      g AS (SELECT decile, count(*)::BIGINT AS n_d, sum(y)::BIGINT AS obs,
+              sum(pmicro)::BIGINT AS expm
+            FROM d GROUP BY 1),
+      tm AS (SELECT decile, n_d, obs, expm,
+               round((obs - expm / 1e6) * (obs - expm / 1e6) /
+                     ((expm / 1e6) * (1.0 - (expm / 1e6) / n_d)) * 1e6)::BIGINT AS micro
+             FROM g)
+      SELECT decile, n_d AS n, obs AS obs_pos,
+             round(expm / 1e6, 6) AS exp_pos,
+             round((SELECT sum(micro) FROM tm) / 1e6, 6) AS chi2_total
+      FROM tm
+    """),
+  )
+
+  val all: Seq[Q] = Seq(qConfusionMatrix, qMccKappa, qWelchTtest, qCohensD,
+    qJsDivergence, qKendallTau, qCronbachAlpha, qHosmerLemeshow)
+}

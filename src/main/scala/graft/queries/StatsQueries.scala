@@ -32,10 +32,10 @@ object StatsQueries {
     BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** md5 A/B arm (0/1) — the q_ab_lift split, single convention. */
-  private def arm(c: Column): Column =
+  private[graft] def arm(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 2
 
-  private val armSql = s"${OracleExact.h16Sql("md5(user_id::VARCHAR)")} % 2"
+  private[graft] val armSql = s"${OracleExact.h16Sql("md5(user_id::VARCHAR)")} % 2"
 
   /** Two-sample Kolmogorov–Smirnov test of purchase-value
     * distributions across the md5 A/B arms — the standard "did the
