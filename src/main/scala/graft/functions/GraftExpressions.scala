@@ -698,5 +698,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // opt-in count(DISTINCT) → deterministic-HLL AQP rewrite
     // (identity unless spark.graft.approxDistinct=true)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // native as-of join: plans graft.plans.AsofJoinNode (a no-op for
+    // every other plan shape)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

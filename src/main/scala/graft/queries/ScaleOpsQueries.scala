@@ -42,6 +42,38 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** The same backward as-of join through the NATIVE physical operator
+    * ([[graft.plans.AsofJoinExec]] — custom LogicalPlan + Strategy +
+    * SparkPlan): identical semantics and oracle as `q_asof_join`, but
+    * the plan is two key-clustered exchanges into a streaming sorted
+    * merge instead of the union+window device — no union row, no
+    * window buffer, left partitioning/ordering preserved downstream.
+    */
+  val qAsofNative: Q = Q(
+    "q_asof_native",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.plans.AsofExec.asof(clicks, errors, "user_id", "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("ts", "value"), prefix = "err_")
+        .select(
+          col("event_id"), col("user_id"),
+          expr("err_ts div 1000").as("err_ts_us"),
+          round(col("err_value"), 6).as("err_value"))
+    },
+    Some("""
+      SELECT l.event_id, l.user_id,
+             epoch_us(r.ts) AS err_ts_us,
+             round(r.value, 6) AS err_value
+      FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """),
+  )
+
   /** Forward as-of: for every click, the EARLIEST error at or after it
     * (same user). DuckDB's ASOF JOIN takes the mirrored inequality
     * natively.
@@ -538,7 +570,8 @@ object ScaleOpsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAsof, qAsofForward, qAsofNearest, qAsofTolerance,
-    qAggSalted, qRangeJoin, qBucketedJoin, qJoinSalted, qDppJoin, qSkewReport,
-    qZorder, qBloomJoin, qIntervalOverlap, qDimAsofEnrich)
+  val all: Seq[Q] = Seq(qAsof, qAsofNative, qAsofForward, qAsofNearest,
+    qAsofTolerance, qAggSalted, qRangeJoin, qBucketedJoin, qJoinSalted,
+    qDppJoin, qSkewReport, qZorder, qBloomJoin, qIntervalOverlap,
+    qDimAsofEnrich)
 }

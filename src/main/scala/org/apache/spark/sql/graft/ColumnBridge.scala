@@ -25,6 +25,22 @@ object ColumnBridge {
       .toAggregateExpression())
   }
 
+  /** Bridge to `private[sql]` Dataset.ofRows — the standard
+    * extension-library entry point for planning a custom logical node
+    * (the injected strategy turns it into its physical operator).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a DataFrame (classic runtime). */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
   /** might_contain probe against a fit-time serialized bloom filter. */
   def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
