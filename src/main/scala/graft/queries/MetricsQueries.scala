@@ -212,18 +212,24 @@ object MetricsQueries {
     * `phiTailSql` — df > 1000 here, where t ≈ z far beyond the
     * report precision).
     */
+  /** Welch tail shared with the streaming twin: the 2-row per-arm
+    * moment frame → the 1-row report.
+    */
+  private[graft] def welchFromMoments(moments: DataFrame): DataFrame = {
+    val s = moments.sparkSession
+    import s.implicits._
+    val (na, nb, ma, mb, va, vb) = armMeanVar(moments)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    val df = (va / na + vb / nb) * (va / na + vb / nb) /
+      ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    val p = graft.operators.TsFeatures.normTwoSidedP(math.abs(t))
+    Seq((na, nb, r6(ma), r6(mb), r6(t), r6(df), r6(p)))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "p")
+  }
+
   val qWelchTtest: Q = Q(
     "q_welch_ttest",
-    (s, dir) => {
-      import s.implicits._
-      val (na, nb, ma, mb, va, vb) = armMeanVar(armMoments(Tables.events(s, dir)))
-      val t = (ma - mb) / math.sqrt(va / na + vb / nb)
-      val df = (va / na + vb / nb) * (va / na + vb / nb) /
-        ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
-      val p = graft.operators.TsFeatures.normTwoSidedP(math.abs(t))
-      Seq((na, nb, r6(ma), r6(mb), r6(t), r6(df), r6(p)))
-        .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "p")
-    },
+    (s, dir) => welchFromMoments(armMoments(Tables.events(s, dir))),
     Some(s"""
       WITH $armMomentsSql, $meanVarSql
       SELECT na AS n_a, nb AS n_b,
@@ -364,32 +370,37 @@ object MetricsQueries {
     * corpus size the data-scale cost stays the one map-side-combined
     * rollup.
     */
+  /** τ-b tail shared with the streaming twin: the collected bounded
+    * contingency grid → the 1-row report.
+    */
+  private[graft] def tauFromCells(cellsDf: DataFrame): DataFrame = {
+    val s = cellsDf.sparkSession
+    import s.implicits._
+    val cells = cellsDf.collect() // bounded: <= 50 x 11 cells
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = cells.map(_._3).sum
+    var conc = BigInt(0); var disc = BigInt(0)
+    for ((x1, y1, c1) <- cells; (x2, y2, c2) <- cells) {
+      if (x2 > x1 && y2 > y1) conc += BigInt(c1) * c2
+      if (x2 > x1 && y2 < y1) disc += BigInt(c1) * c2
+    }
+    val n0 = BigInt(n) * (n - 1) / 2
+    val n1 = cells.groupBy(_._1).values
+      .map(g => { val t = g.map(_._3).sum; BigInt(t) * (t - 1) / 2 }).sum
+    val n2 = cells.groupBy(_._2).values
+      .map(g => { val t = g.map(_._3).sum; BigInt(t) * (t - 1) / 2 }).sum
+    val tau = (conc - disc).toDouble /
+      math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+    Seq((n, conc.toLong, disc.toLong, r6(tau)))
+      .toDF("n", "concordant", "discordant", "tau_b")
+  }
+
   val qKendallTau: Q = Q(
     "q_kendall_tau",
-    (s, dir) => {
-      import s.implicits._
-      val cells = Tables.lineitem(s, dir)
-        .groupBy(col("l_quantity").cast("long").as("x"),
-          round(col("l_discount") * 100).cast("long").as("y"))
-        .agg(count(lit(1)).as("c"))
-        .collect() // bounded: <= 50 x 11 cells
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val n = cells.map(_._3).sum
-      var conc = BigInt(0); var disc = BigInt(0)
-      for ((x1, y1, c1) <- cells; (x2, y2, c2) <- cells) {
-        if (x2 > x1 && y2 > y1) conc += BigInt(c1) * c2
-        if (x2 > x1 && y2 < y1) disc += BigInt(c1) * c2
-      }
-      val n0 = BigInt(n) * (n - 1) / 2
-      val n1 = cells.groupBy(_._1).values
-        .map(g => { val t = g.map(_._3).sum; BigInt(t) * (t - 1) / 2 }).sum
-      val n2 = cells.groupBy(_._2).values
-        .map(g => { val t = g.map(_._3).sum; BigInt(t) * (t - 1) / 2 }).sum
-      val tau = (conc - disc).toDouble /
-        math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
-      Seq((n, conc.toLong, disc.toLong, r6(tau)))
-        .toDF("n", "concordant", "discordant", "tau_b")
-    },
+    (s, dir) => tauFromCells(Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))),
     Some("""
       WITH cells AS (
         SELECT l_quantity::BIGINT AS x, round(l_discount * 100)::BIGINT AS y,

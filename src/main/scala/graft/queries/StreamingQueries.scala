@@ -1317,6 +1317,80 @@ object StreamingQueries {
     },
     StatsQueries.qPartialCorr.oracle)
 
+  /** Streaming confusion-matrix twin: the 4-cell (tp, fp, fn, tn)
+    * global rollup is a complete-mode aggregate with O(1) state, the
+    * drained row feeds the shared classification-report tail — the
+    * live model-QA report card equals `q_confusion_matrix` and shares
+    * its oracle.
+    */
+  val streamConfusionMatrix: Q = Q(
+    "stream_confusion_matrix",
+    (s, dir) => MetricsQueries.confusionReport(
+      StreamOps.runToBatch(s,
+        MetricsQueries.confusionCounts(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    MetricsQueries.qConfusionMatrix.oracle)
+
+  /** Streaming Welch-t twin: the per-arm (n, Σm, Σm²) exact moment
+    * rollup is a 2-row complete-mode aggregate, the shared scalar
+    * tail makes the live continuous-metric experiment readout equal
+    * `q_welch_ttest` with a shared oracle.
+    */
+  val streamWelchTtest: Q = Q(
+    "stream_welch_ttest",
+    (s, dir) => MetricsQueries.welchFromMoments(
+      StreamOps.runToBatch(s,
+        MetricsQueries.armMoments(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    MetricsQueries.qWelchTtest.oracle)
+
+  /** Streaming Jensen–Shannon twin: bin edges are fit-offline scalars
+    * (the stream_psi discipline — same global min/max the batch query
+    * fits), the (bin × arm) rollup is a 10-row complete-mode
+    * aggregate, and the shared smoothed-term tail equals
+    * `q_js_divergence` with a shared oracle.
+    */
+  val streamJsDivergence: Q = Q(
+    "stream_js_divergence",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val mm = graft.Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      val width = (hi - lo) / 10.0
+      val counts = StreamOps.eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(
+          least(greatest(floor((col("value") - lit(lo)) / lit(width)),
+            lit(0.0)), lit(9.0)).cast("long").as("bin"),
+          StatsQueries.arm(col("user_id")).as("g"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"))
+      MetricsQueries.jsFromBins(StreamOps.runToBatch(s, counts, mode = "complete"))
+    },
+    MetricsQueries.qJsDivergence.oracle)
+
+  /** Streaming Kendall-τ twin: the ≤550-cell (quantity × discount)
+    * contingency rollup is a bounded complete-mode aggregate over the
+    * lineitem stream (the generic `tableStream` source), the shared
+    * grid tail equals `q_kendall_tau` with a shared oracle — live
+    * ordinal-association monitoring with value-grain state.
+    */
+  val streamKendallTau: Q = Q(
+    "stream_kendall_tau",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      MetricsQueries.tauFromCells(StreamOps.runToBatch(s,
+        StreamOps.tableStream(s, dir, "lineitem")
+          .groupBy(col("l_quantity").cast("long").as("x"),
+            round(col("l_discount") * 100).cast("long").as("y"))
+          .agg(count(lit(1)).as("c")),
+        mode = "complete"))
+    },
+    MetricsQueries.qKendallTau.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1328,5 +1402,6 @@ object StreamingQueries {
     streamSurvivalKm, streamAbLift, streamKsTest, streamTrimmedMean,
     streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman,
     streamMannWhitney, streamCusum, streamTheilSen, streamChangepoint,
-    streamOutlierFences, streamStl, streamPartialCorr)
+    streamOutlierFences, streamStl, streamPartialCorr, streamConfusionMatrix,
+    streamWelchTtest, streamJsDivergence, streamKendallTau)
 }

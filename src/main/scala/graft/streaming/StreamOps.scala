@@ -37,6 +37,18 @@ object StreamOps {
         .parquet(dir))
   }
 
+  /** File-source stream over any testdata table (schema from a batch
+    * probe) — the generic sibling of [[eventsStream]] for twins whose
+    * batch query reads a non-events table.
+    */
+  def tableStream(s: SparkSession, dir: String, table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+  }
+
   /** Watermarked tumbling 1-hour window aggregation per event_type.
     * Works identically on a batch events DataFrame (batch equivalence).
     * Event time comes from integer-microsecond arithmetic (`div 1000`),
