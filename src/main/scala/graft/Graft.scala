@@ -20,11 +20,14 @@ object Graft {
       case t        => Tables.t(spark, dir, t).createOrReplaceTempView(t)
     }
     graft.functions.GraftFunctions.register(spark)
-    // opt-in AQP rewrite (spark.graft.approxDistinct=true) — idempotent
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.ApproxDistinctRewrite)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
-    }
+    // opt-in AQP rewrites (spark.graft.approxDistinct /
+    // spark.graft.approxPercentile = true) — idempotent
+    Seq(graft.plans.ApproxDistinctRewrite, graft.plans.ApproxPercentileRewrite)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule)) {
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+        }
+      }
   }
 }

@@ -698,6 +698,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // opt-in count(DISTINCT) → deterministic-HLL AQP rewrite
     // (identity unless spark.graft.approxDistinct=true)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // opt-in exact-percentile → log-histogram sketch rewrite
+    // (identity unless spark.graft.approxPercentile=true)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
     // native as-of join: plans graft.plans.AsofJoinNode (a no-op for
     // every other plan shape)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

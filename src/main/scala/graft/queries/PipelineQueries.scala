@@ -666,6 +666,55 @@ object PipelineQueries {
     """),
   )
 
+  /** The second AQP rung proven end-to-end: untouched exact
+    * `percentile(x, p)` SQL, rewritten by
+    * [[graft.plans.ApproxPercentileRewrite]] (flag-gated, like the
+    * distinct rewrite) into the deterministic log-histogram sketch
+    * aggregate — per-group state drops from every-distinct-value (the
+    * exact percentile OOM shape at 100 TB) to one count per occupied
+    * γ-bucket, and the DuckDB oracle replays the bucket arithmetic +
+    * first-rep-reaching-q·n selection verbatim. localCheckpoint
+    * materializes under the flag so the shared session's other
+    * percentiles stay exact.
+    */
+  val qApproxPercentile: Q = Q(
+    "q_approx_percentile",
+    (s, dir) => {
+      graft.Graft.registerAll(s, dir)
+      s.conf.set("spark.graft.approxPercentile", "true")
+      try {
+        s.sql("""
+          SELECT l_returnflag AS flag,
+                 round(percentile(l_extendedprice, 0.5), 6) AS p50,
+                 round(percentile(l_extendedprice, 0.9), 6) AS p90
+          FROM lineitem GROUP BY 1
+        """).localCheckpoint()
+      } finally s.conf.set("spark.graft.approxPercentile", "false")
+    },
+    Some {
+      val ln = graft.operators.QuantileSketch.LnGamma
+      s"""
+      WITH r AS (
+        SELECT l_returnflag AS flag,
+               CASE WHEN l_extendedprice = 0 THEN 0.0
+                    ELSE sign(l_extendedprice) *
+                         exp((floor(ln(abs(l_extendedprice)) / $ln) + 0.5) * $ln) END AS rep
+        FROM lineitem),
+      g AS (SELECT flag, rep, count(*) AS c FROM r GROUP BY 1, 2),
+      cum AS (
+        SELECT flag, rep, c,
+               sum(c) OVER (PARTITION BY flag ORDER BY rep
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY flag) AS n
+        FROM g)
+      SELECT flag,
+             round(min(CASE WHEN cum >= 0.5 * n THEN rep END), 6) AS p50,
+             round(min(CASE WHEN cum >= 0.9 * n THEN rep END), 6) AS p90
+      FROM cum GROUP BY flag
+    """
+    },
+  )
+
   /** Equi-width numeric histogram (k=20) — the profiler's
     * distribution-shape companion: min/max fit in the same pass
     * shape as NumericalTransformer (exact, order-free), then one
@@ -1314,5 +1363,5 @@ object PipelineQueries {
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
     qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford,
-    qApproxDistinct, qKsMulti)
+    qApproxDistinct, qApproxPercentile, qKsMulti)
 }
