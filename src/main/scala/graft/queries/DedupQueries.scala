@@ -1648,11 +1648,54 @@ object DedupQueries {
     """),
   )
 
+  /** One k-core peel step (k = 2) over the near-dup similarity graph
+    * — the dense-cluster extractor that separates genuinely-replicated
+    * content families from incidental pairwise matches before cluster
+    * review (iterate to a fixpoint for the full k-core; each step is
+    * the same plan). One step = degree rollup → semi-join filter on
+    * BOTH endpoints → recomputed degree histogram. All equi-joins on
+    * node ids; the pair generator is the bucketed minhash index (no
+    * all-pairs anywhere), and the report is the bounded degree-grain
+    * histogram.
+    */
+  val qKcoreStep: Q = Q(
+    "q_kcore_step",
+    (s, dir) => {
+      val pairs = Dedup.minhashPairs(nearDupDocs(s, dir), "doc_id", "text",
+        shingleK = 3, numPerms = 128, numBands = 32, threshold = 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val keep = pairs.select(col("id_a").as("id"))
+        .unionAll(pairs.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 2).select(col("id")).localCheckpoint()
+      val kept = pairs
+        .join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      kept.select(col("id_a").as("id")).unionAll(kept.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""
+      WITH p AS (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
+      d AS (SELECT id, count(*)::BIGINT AS deg
+            FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p) e
+            GROUP BY 1),
+      keep AS (SELECT id FROM d WHERE deg >= 2),
+      kp AS (SELECT id_a, id_b FROM p
+             WHERE id_a IN (SELECT id FROM keep)
+               AND id_b IN (SELECT id FROM keep)),
+      d2 AS (SELECT id, count(*)::BIGINT AS deg
+             FROM (SELECT id_a AS id FROM kp UNION ALL SELECT id_b FROM kp) e
+             GROUP BY 1)
+      SELECT deg, count(*)::BIGINT AS n_nodes FROM d2 GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
     qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
-    dedupGraphDegrees, dedupPrf, qEmbedProject)
+    dedupGraphDegrees, dedupPrf, qEmbedProject, qKcoreStep)
 }

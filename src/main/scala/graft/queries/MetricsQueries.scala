@@ -268,6 +268,137 @@ object MetricsQueries {
     """),
   )
 
+  /** One-sided upper normal tail P(Z ≥ t) via the shared A&S mirror
+    * (`normTwoSidedP` is 2·P(Z ≥ |t|)); SQL mirror in [[upperPSql]].
+    */
+  private def upperP(t: Double): Double =
+    if (t >= 0) graft.operators.TsFeatures.normTwoSidedP(t) / 2.0
+    else 1.0 - graft.operators.TsFeatures.normTwoSidedP(-t) / 2.0
+
+  private def upperPSql(t: String): String =
+    s"CASE WHEN $t >= 0 THEN ${OracleExact.phiTailSql(t)} / 2.0 " +
+      s"ELSE 1.0 - ${OracleExact.phiTailSql(s"-($t)")} / 2.0 END"
+
+  /** TOST equivalence test (two one-sided tests, margin δ = 0.5) of
+    * mean purchase value across the arms — the "are they the SAME"
+    * companion to `q_welch_ttest`'s "are they different" (the
+    * launch-safety / non-inferiority readout an experimentation
+    * platform reports before shipping a neutral change). Same 2-row
+    * exact moment rollup; t_lower/t_upper and both one-sided ps are
+    * fixed-op-order doubles of the moments, equivalent ⇔
+    * max(p) ≤ 0.05 (a double compare both engines share).
+    */
+  val qTost: Q = Q(
+    "q_tost",
+    (s, dir) => {
+      import s.implicits._
+      val (na, nb, ma, mb, va, vb) = armMeanVar(armMoments(Tables.events(s, dir)))
+      val se = math.sqrt(va / na + vb / nb)
+      val delta = 0.5
+      val tLo = ((ma - mb) + delta) / se
+      val tUp = ((ma - mb) - delta) / se
+      val pLo = upperP(tLo)        // H0: diff <= -δ
+      val pUp = upperP(-tUp)       // H0: diff >= +δ  (lower tail of tUp)
+      val pTost = math.max(pLo, pUp)
+      Seq((na, nb, r6(ma - mb), r6(se), r6(tLo), r6(tUp), r6(pLo), r6(pUp),
+        r6(pTost), pTost <= 0.05))
+        .toDF("n_a", "n_b", "diff", "se", "t_lower", "t_upper",
+          "p_lower", "p_upper", "p_tost", "equivalent")
+    },
+    Some(s"""
+      WITH $armMomentsSql, $meanVarSql,
+      tt AS (SELECT na, nb, ma - mb AS d, sqrt(va / na + vb / nb) AS se
+             FROM mv),
+      ts AS (SELECT na, nb, d, se,
+               (d + 0.5) / se AS tlo, (d - 0.5) / se AS tup
+             FROM tt),
+      ps AS (SELECT na, nb, d, se, tlo, tup,
+               ${upperPSql("tlo")} AS plo,
+               ${upperPSql("-tup")} AS pup
+             FROM ts)
+      SELECT na AS n_a, nb AS n_b, round(d, 6) AS diff, round(se, 6) AS se,
+             round(tlo, 6) AS t_lower, round(tup, 6) AS t_upper,
+             round(plo, 6) AS p_lower, round(pup, 6) AS p_upper,
+             round(greatest(plo, pup), 6) AS p_tost,
+             greatest(plo, pup) <= 0.05 AS equivalent
+      FROM ps
+    """),
+  )
+
+  /** Wald SPRT (sequential probability ratio test) of the daily
+    * purchase rate against a 20% uplift alternative — the
+    * early-stopping monitor an always-on experimentation platform
+    * runs instead of a fixed-horizon test: after each day, the
+    * cumulative log-likelihood ratio either crosses ln((1−β)/α)
+    * (accept H1), ln(β/(1−α)) (accept H0), or continues. ONE day-grain
+    * rollup (bounded, map-side combined); p0 is the corpus rate (fit
+    * scalar from exact counts), per-day LLR terms micro-quantize so
+    * the running sum is an exact integer prefix over the bounded day
+    * grain (unpartitioned window over the day-grain Aggregate — the
+    * §14 bounded-grain shape).
+    */
+  val qSprt: Q = Q(
+    "q_sprt",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // NOT checkpointed: the day-grain Aggregate must stay visible
+      // beneath the window so the bounded-grain plan guard can prove
+      // the window's input is O(days); the fit re-runs the cheap
+      // rollup once more instead
+      val d = Tables.events(s, dir)
+        .groupBy(expr("cast(ts as long) div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+      val t = d.agg(sum(col("x")), sum(col("n"))).head()
+      val (xs, ns) = (t.getLong(0), t.getLong(1))
+      val p0 = xs.toDouble / ns
+      val p1 = math.min(1.2 * p0, 0.999)
+      val c1 = java.lang.StrictMath.log(p1 / p0)
+      val c2 = java.lang.StrictMath.log((1 - p1) / (1 - p0))
+      // alpha = 0.05, beta = 0.2: constants interpolated into the
+      // oracle so both engines compare against the identical double
+      val a = java.lang.StrictMath.log((1 - 0.2) / 0.05)
+      val b = java.lang.StrictMath.log(0.2 / (1 - 0.05))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("micro",
+        round((col("x") * lit(c1) + (col("n") - col("x")) * lit(c2)) * lit(1e6))
+          .cast("long"))
+        .withColumn("cum", sum(col("micro")).over(w))
+        .select(col("day"), col("n"), col("x"),
+          (col("cum") / 1e6).as("llr_cum"),
+          when(col("cum") / 1e6 >= lit(a), "accept_h1")
+            .when(col("cum") / 1e6 <= lit(b), "accept_h0")
+            .otherwise("continue").as("decision"))
+    },
+    Some {
+      val a = java.lang.StrictMath.log((1 - 0.2) / 0.05)
+      val b = java.lang.StrictMath.log(0.2 / (1 - 0.05))
+      s"""
+      WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x
+             FROM events GROUP BY 1),
+      t AS (SELECT sum(x)::BIGINT AS xs, sum(n)::BIGINT AS ns FROM d),
+      c AS (SELECT xs::DOUBLE / ns AS p0,
+              least(1.2 * (xs::DOUBLE / ns), 0.999) AS p1 FROM t),
+      k AS (SELECT ln(p1 / p0) AS c1, ln((1 - p1) / (1 - p0)) AS c2 FROM c),
+      l AS (SELECT day, n, x,
+              round((x * c1 + (n - x) * c2) * 1e6)::BIGINT AS micro
+            FROM d, k),
+      w AS (SELECT day, n, x,
+              sum(micro) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM l)
+      SELECT day, n, x, cum / 1e6 AS llr_cum,
+             CASE WHEN cum / 1e6 >= $a THEN 'accept_h1'
+                  WHEN cum / 1e6 <= $b THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM w
+    """
+    },
+  )
+
   // ---------------------------------------------------------------
   // Jensen–Shannon drift
   // ---------------------------------------------------------------
@@ -579,5 +710,5 @@ object MetricsQueries {
   )
 
   val all: Seq[Q] = Seq(qConfusionMatrix, qMccKappa, qWelchTtest, qCohensD,
-    qJsDivergence, qKendallTau, qCronbachAlpha, qHosmerLemeshow)
+    qJsDivergence, qKendallTau, qCronbachAlpha, qHosmerLemeshow, qTost, qSprt)
 }

@@ -48,7 +48,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_lorenz",           // revenue-cents value grain + decile grain
     "q_parity_report",    // segment grain (7 cohorts)
     "q_rrf_fusion",       // ranks over top-k LIMIT outputs (≤100/≤200 rows)
-    "q_hosmer_lemeshow")  // score-cents value-grain prefix (§13 two-level rank)
+    "q_hosmer_lemeshow",  // score-cents value-grain prefix (§13 two-level rank)
+    "q_sprt")             // calendar-day grain (cumulative LLR over days)
 
   test("unpartitioned windows only over enumerated bounded-grain rollups") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
