@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow,
-  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+  Ascending, Attribute, AttributeReference, AttributeSet, Descending,
+  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -57,7 +57,8 @@ case class AsofJoinNode(
     rightKey: Attribute,
     rightTs: Attribute,
     rightPayload: Seq[Attribute],
-    payloadOut: Seq[Attribute]) extends BinaryNode {
+    payloadOut: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
   override protected def withNewChildrenInternal(
@@ -73,7 +74,7 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsofJoinNode =>
       AsofJoinExec(planLater(n.left), planLater(n.right), n.leftKey, n.leftTs,
-        n.rightKey, n.rightTs, n.rightPayload, n.payloadOut) :: Nil
+        n.rightKey, n.rightTs, n.rightPayload, n.payloadOut, n.forward) :: Nil
     case _ => Nil
   }
 }
@@ -99,7 +100,8 @@ case class AsofJoinExec(
     rightKey: Attribute,
     rightTs: Attribute,
     rightPayload: Seq[Attribute],
-    payloadOut: Seq[Attribute]) extends SparkPlan with BinaryExecNode {
+    payloadOut: Seq[Attribute],
+    forward: Boolean = false) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
@@ -111,7 +113,8 @@ case class AsofJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
-      rightPayload.map(SortOrder(_, Ascending)))
+      rightPayload.map(SortOrder(_,
+        if (forward) Descending else Ascending)))
 
   // the merge emits left rows in their incoming order — downstream
   // operators on the same key reuse both properties shuffle-free
@@ -141,19 +144,36 @@ case class AsofJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
       var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
-      var held: InternalRow = null
-      lIter.map { lRow =>
-        val lp = lPrefix(lRow)
-        // advance while (rKey, rTs) <= (lKey, lTs): rows passed are
-        // either earlier keys (stale holds, filtered by the key check
-        // below) or this key at ts <= lTs — the last one is the match
-        while (rNext != null && prefixOrd.compare(rPrefix(rNext), lp) <= 0) {
-          held = rNext.copy()
-          rNext = if (rIter.hasNext) rIter.next() else null
+      if (forward) {
+        // earliest right at or after: advance STRICTLY-before rows
+        // (they can never match this or any later left row — left ts
+        // is non-decreasing per key), then the head matches iff its
+        // key equals; ties at (key, ts) sorted payload-DESC so the
+        // head is the greatest payload, matching the composed operator
+        lIter.map { lRow =>
+          val lp = lPrefix(lRow)
+          while (rNext != null && prefixOrd.compare(rPrefix(rNext), lp) < 0) {
+            rNext = if (rIter.hasNext) rIter.next() else null
+          }
+          val matched =
+            rNext != null && keyOrd.compare(rKeyP(rNext), lKeyP(lRow)) == 0
+          outProj(joined(lRow, if (matched) rNext else nullRight))
         }
-        val matched =
-          held != null && keyOrd.compare(rKeyP(held), lKeyP(lRow)) == 0
-        outProj(joined(lRow, if (matched) held else nullRight))
+      } else {
+        var held: InternalRow = null
+        lIter.map { lRow =>
+          val lp = lPrefix(lRow)
+          // advance while (rKey, rTs) <= (lKey, lTs): rows passed are
+          // either earlier keys (stale holds, filtered by the key check
+          // below) or this key at ts <= lTs — the last one is the match
+          while (rNext != null && prefixOrd.compare(rPrefix(rNext), lp) <= 0) {
+            held = rNext.copy()
+            rNext = if (rIter.hasNext) rIter.next() else null
+          }
+          val matched =
+            held != null && keyOrd.compare(rKeyP(held), lKeyP(lRow)) == 0
+          outProj(joined(lRow, if (matched) held else nullRight))
+        }
       }
     }
   }
@@ -188,7 +208,27 @@ object AsofExec {
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       leftCols: Seq[String], rightCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    build(left, right, keyCol, tsCol, leftCols, rightCols, prefix,
+      forward = false)
+
+  /** Forward direction: each left row picks the EARLIEST right row at
+    * or after its timestamp — drop-in equivalent of
+    * [[graft.operators.AsofJoin.asofForward]].
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      leftCols: Seq[String], rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    build(left, right, keyCol, tsCol, leftCols, rightCols, prefix,
+      forward = true)
+
+  private def build(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      leftCols: Seq[String], rightCols: Seq[String],
+      prefix: String, forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val l = left.select(col(keyCol) +: col(tsCol) +: leftCols.map(col): _*)
@@ -205,7 +245,7 @@ object AsofExec {
       AttributeReference(s"$prefix$c", a.dataType, nullable = true)()
     }
     val node = AsofJoinNode(lPlan, rPlan, lOut.head, lOut(1),
-      rOut.head, rOut(1), payload, payloadOut)
+      rOut.head, rOut(1), payload, payloadOut, forward)
     // column order matches AsofJoin.asof: key, ts, leftCols, prefixed
     ColumnBridge.ofRows(spark, node)
   }

@@ -103,6 +103,37 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** The forward as-of through the native operator (the
+    * direction-generalized [[graft.plans.AsofJoinExec]]): earliest
+    * right at or after, same oracle as `q_asof_forward`; the forward
+    * merge needs NO held row at all — the right head after advancing
+    * strictly-before rows IS the candidate.
+    */
+  val qAsofForwardNative: Q = Q(
+    "q_asof_forward_native",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.plans.AsofExec.asofForward(clicks, errors, "user_id", "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("ts", "value"), prefix = "err_")
+        .select(
+          col("event_id"), col("user_id"),
+          expr("err_ts div 1000").as("err_ts_us"),
+          round(col("err_value"), 6).as("err_value"))
+    },
+    Some("""
+      SELECT l.event_id, l.user_id,
+             epoch_us(r.ts) AS err_ts_us,
+             round(r.value, 6) AS err_value
+      FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+    """),
+  )
+
   /** NEAREST as-of: for every click, the error of the same user
     * closest in time, either direction; exact distance ties resolve
     * backward. DuckDB has no nearest ASOF, so the oracle ranks the
@@ -570,8 +601,8 @@ object ScaleOpsQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(qAsof, qAsofNative, qAsofForward, qAsofNearest,
-    qAsofTolerance, qAggSalted, qRangeJoin, qBucketedJoin, qJoinSalted,
-    qDppJoin, qSkewReport, qZorder, qBloomJoin, qIntervalOverlap,
+  val all: Seq[Q] = Seq(qAsof, qAsofNative, qAsofForward, qAsofForwardNative,
+    qAsofNearest, qAsofTolerance, qAggSalted, qRangeJoin, qBucketedJoin,
+    qJoinSalted, qDppJoin, qSkewReport, qZorder, qBloomJoin, qIntervalOverlap,
     qDimAsofEnrich)
 }

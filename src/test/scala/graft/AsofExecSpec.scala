@@ -65,6 +65,38 @@ class AsofExecSpec extends SparkSpec {
     assert(composed === out)
   }
 
+  test("native forward asof equals the composed forward operator") {
+    val (clicks, errors) = clicksErrors
+    val native = AsofExec.asofForward(clicks, errors, "user_id", "ts",
+      Seq("event_id"), Seq("ts", "value"), prefix = "err_")
+    val composed = AsofJoin.asofForward(clicks, errors, "user_id", "ts",
+      Seq("event_id"), Seq("ts", "value"), prefix = "err_")
+    assert(native.count() === clicks.count())
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
+  test("forward ties on (key, ts) resolve to the greatest payload") {
+    val left = Seq((1L, 100L, "a"), (1L, 150L, "b")).toDF("k", "t", "lbl")
+    val right = Seq((1L, 100L, 5.0), (1L, 100L, 9.0), (1L, 120L, 1.0))
+      .toDF("k", "t", "v")
+    val native = AsofExec.asofForward(left, right, "k", "t",
+      Seq("lbl"), Seq("t", "v"), prefix = "m_")
+      .select(col("lbl"), col("m_t"), col("m_v"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    // lbl=a: ties at t=100 -> greatest payload; lbl=b: nothing at or
+    // after 150 -> null
+    assert(native === Set(("a", 100L, 9.0), ("b", -1L, -1.0)))
+    val composed = AsofJoin.asofForward(left, right, "k", "t",
+      Seq("lbl"), Seq("t", "v"), prefix = "m_")
+      .select(col("lbl"), col("m_t"), col("m_v"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(composed === native)
+  }
+
   test("left rows before any right row get null payload") {
     val left = Seq((1L, 5L, "early"), (1L, 50L, "late")).toDF("k", "t", "lbl")
     val right = Seq((1L, 10L, 2.0)).toDF("k", "t", "v")
