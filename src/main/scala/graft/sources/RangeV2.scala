@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -186,24 +187,62 @@ private[sources] class RangeV2AggScan(lo: Long, hi: Long,
   }
 }
 
-private[sources] case class RangeV2Partition(lo: Long, hi: Long)
+private[graft] case class RangeV2Partition(lo: Long, hi: Long)
   extends InputPartition
 
 private[sources] class RangeV2Scan(lo: Long, hi: Long, slices: Int,
                                    required: StructType)
-  extends Scan with Batch with Serializable {
+  extends Scan with Batch with Serializable
+  with SupportsRuntimeV2Filtering {
+
+  // runtime-narrowed bounds (RUNTIME filtering — the rung above static
+  // pushdown): when this scan is the probe side of a join whose build
+  // side is broadcastable, Spark's dynamic partition pruning delivers
+  // the build side's join-key values as an IN predicate AT EXECUTION
+  // TIME; narrowing [lo, hi) to the values' min/max envelope prunes
+  // splits that static planning could not know to drop — the DSv2
+  // equivalent of partition-level DPP on a 100 TB partitioned table.
+  // Best-effort by contract: the join's own equality re-filters, so
+  // envelope narrowing (not exact membership) is sufficient AND keeps
+  // split planning O(1) regardless of the value-list size.
+  private var rlo = lo
+  private var rhi = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty && isId(p.children().head)) {
+        val vals = p.children().drop(1).toSeq.collect {
+          case l: V2Literal[_] if l.value().isInstanceOf[java.lang.Long] =>
+            l.value().asInstanceOf[java.lang.Long].longValue()
+        }
+        if (vals.nonEmpty) {
+          rlo = math.max(rlo, vals.min)
+          rhi = math.min(rhi, if (vals.max == Long.MaxValue) Long.MaxValue
+            else vals.max + 1)
+        } else rhi = rlo // empty build side: nothing can match
+      }
+    }
+
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"GraftRangeV2[$lo,$hi) slices=$slices"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = hi - lo
+    val n = rhi - rlo
     if (n <= 0) Array.empty
     else {
       val k = math.min(slices.toLong, n).toInt
       (0 until k).map { i =>
-        RangeV2Partition(lo + n * i / k, lo + n * (i + 1) / k)
+        RangeV2Partition(rlo + n * i / k, rlo + n * (i + 1) / k)
       }.toArray
     }
   }

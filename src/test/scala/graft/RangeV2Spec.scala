@@ -84,6 +84,51 @@ class RangeV2Spec extends SparkSpec {
     assert(r.getLong(0) === 0L && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("runtime V2 filtering: an IN predicate narrows planned splits to the value envelope") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val table = new graft.sources.RangeV2().getTable(
+      graft.sources.RangeV2.schema, Array.empty,
+      java.util.Map.of("start", "0", "end", "1000000", "slices", "8"))
+    def freshScan() = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new CaseInsensitiveStringMap(java.util.Map.of())).build()
+    val scan = freshScan()
+    assert(scan.isInstanceOf[SupportsRuntimeV2Filtering])
+    val rt = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(rt.filterAttributes().map(_.describe()).toSeq === Seq("id"))
+    // before: 8 splits over [0, 1e6); after IN(700000, 700123): the
+    // envelope [700000, 700124) — 8 tiny splits, none outside it
+    val before = scan.toBatch.planInputPartitions()
+    assert(before.length === 8)
+    rt.filter(Array(new Predicate("IN", Array(
+      Expressions.column("id"),
+      Expressions.literal(java.lang.Long.valueOf(700000L)),
+      Expressions.literal(java.lang.Long.valueOf(700123L))))))
+    val after = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.RangeV2Partition])
+    assert(after.forall(p => p.lo >= 700000L && p.hi <= 700124L), after.toSeq)
+    // empty build side prunes everything
+    val scan2 = freshScan().asInstanceOf[SupportsRuntimeV2Filtering]
+    scan2.filter(Array(new Predicate("IN", Array(Expressions.column("id")))))
+    assert(scan2.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().isEmpty)
+  }
+
+  test("runtime filtering end-to-end: broadcast join delivers DPP and results stay exact") {
+    import spark.implicits._
+    val dim = Seq(1234L, 99999L, 567890L).toDF("k").where(col("k") > 0)
+    val fact = ranged(0, 1000000)
+    val j = fact.join(broadcast(dim), fact("id") === dim("k"))
+      .select(col("id"), col("val"))
+    val rows = j.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === Set(1234L, 99999L, 567890L))
+    rows.foreach { case (id, v) =>
+      assert(v === graft.sources.RangeV2.valOf(id))
+    }
+  }
+
   test("Long.MaxValue bounds don't wrap: <= MaxValue is a no-op, = / > MaxValue are empty") {
     // id <= MaxValue is vacuously true — the clamp must not shrink the scan
     assert(ranged(0, 1000).where(col("id") <= Long.MaxValue).count() === 1000L)
