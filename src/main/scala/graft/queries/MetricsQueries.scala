@@ -337,40 +337,49 @@ object MetricsQueries {
     * grain (unpartitioned window over the day-grain Aggregate — the
     * §14 bounded-grain shape).
     */
+  /** SPRT tail shared with the streaming twin: the (day, n, x)
+    * day-grain rollup frame → per-day cumulative LLR + decision. The
+    * caller keeps an Aggregate visible beneath the window (the
+    * bounded-grain guard contract); totals re-run the cheap rollup.
+    */
+  private[graft] def sprtReport(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = d.agg(sum(col("x")), sum(col("n"))).head()
+    val (xs, ns) = (t.getLong(0), t.getLong(1))
+    val p0 = xs.toDouble / ns
+    val p1 = math.min(1.2 * p0, 0.999)
+    val c1 = java.lang.StrictMath.log(p1 / p0)
+    val c2 = java.lang.StrictMath.log((1 - p1) / (1 - p0))
+    // alpha = 0.05, beta = 0.2: constants interpolated into the
+    // oracle so both engines compare against the identical double
+    val a = java.lang.StrictMath.log((1 - 0.2) / 0.05)
+    val b = java.lang.StrictMath.log(0.2 / (1 - 0.05))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("micro",
+      round((col("x") * lit(c1) + (col("n") - col("x")) * lit(c2)) * lit(1e6))
+        .cast("long"))
+      .withColumn("cum", sum(col("micro")).over(w))
+      .select(col("day"), col("n"), col("x"),
+        (col("cum") / 1e6).as("llr_cum"),
+        when(col("cum") / 1e6 >= lit(a), "accept_h1")
+          .when(col("cum") / 1e6 <= lit(b), "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
+  /** The (day, n, x) rollup; shared with the streaming twin. */
+  private[graft] def sprtDays(events: DataFrame): DataFrame =
+    events
+      .groupBy(expr("cast(ts as long) div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+
   val qSprt: Q = Q(
     "q_sprt",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // NOT checkpointed: the day-grain Aggregate must stay visible
-      // beneath the window so the bounded-grain plan guard can prove
-      // the window's input is O(days); the fit re-runs the cheap
-      // rollup once more instead
-      val d = Tables.events(s, dir)
-        .groupBy(expr("cast(ts as long) div 86400000000000").as("day"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
-      val t = d.agg(sum(col("x")), sum(col("n"))).head()
-      val (xs, ns) = (t.getLong(0), t.getLong(1))
-      val p0 = xs.toDouble / ns
-      val p1 = math.min(1.2 * p0, 0.999)
-      val c1 = java.lang.StrictMath.log(p1 / p0)
-      val c2 = java.lang.StrictMath.log((1 - p1) / (1 - p0))
-      // alpha = 0.05, beta = 0.2: constants interpolated into the
-      // oracle so both engines compare against the identical double
-      val a = java.lang.StrictMath.log((1 - 0.2) / 0.05)
-      val b = java.lang.StrictMath.log(0.2 / (1 - 0.05))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.withColumn("micro",
-        round((col("x") * lit(c1) + (col("n") - col("x")) * lit(c2)) * lit(1e6))
-          .cast("long"))
-        .withColumn("cum", sum(col("micro")).over(w))
-        .select(col("day"), col("n"), col("x"),
-          (col("cum") / 1e6).as("llr_cum"),
-          when(col("cum") / 1e6 >= lit(a), "accept_h1")
-            .when(col("cum") / 1e6 <= lit(b), "accept_h0")
-            .otherwise("continue").as("decision"))
-    },
+    // NOT checkpointed: the day-grain Aggregate must stay visible
+    // beneath the window so the bounded-grain plan guard can prove
+    // the window's input is O(days)
+    (s, dir) => sprtReport(sprtDays(Tables.events(s, dir))),
     Some {
       val a = java.lang.StrictMath.log((1 - 0.2) / 0.05)
       val b = java.lang.StrictMath.log(0.2 / (1 - 0.05))

@@ -1391,6 +1391,26 @@ object StreamingQueries {
     },
     MetricsQueries.qKendallTau.oracle)
 
+  /** Streaming SPRT twin: the day-grain (n, x) rollup streams in
+    * complete mode (bounded calendar-day state), the drained snapshot
+    * re-aggregates per day (idempotent max — also the Aggregate the
+    * bounded-grain window guard requires beneath the LLR window) and
+    * feeds the shared SPRT tail — the live early-stopping monitor
+    * equals `q_sprt` and shares its oracle.
+    */
+  val streamSprt: Q = Q(
+    "stream_sprt",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val drained = StreamOps.runToBatch(s,
+        MetricsQueries.sprtDays(StreamOps.eventsStream(s, dir)),
+        mode = "complete")
+      MetricsQueries.sprtReport(
+        drained.groupBy(col("day"))
+          .agg(max(col("n")).as("n"), max(col("x")).as("x")))
+    },
+    MetricsQueries.qSprt.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1403,5 +1423,5 @@ object StreamingQueries {
     streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman,
     streamMannWhitney, streamCusum, streamTheilSen, streamChangepoint,
     streamOutlierFences, streamStl, streamPartialCorr, streamConfusionMatrix,
-    streamWelchTtest, streamJsDivergence, streamKendallTau)
+    streamWelchTtest, streamJsDivergence, streamKendallTau, streamSprt)
 }

@@ -49,7 +49,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_parity_report",    // segment grain (7 cohorts)
     "q_rrf_fusion",       // ranks over top-k LIMIT outputs (≤100/≤200 rows)
     "q_hosmer_lemeshow",  // score-cents value-grain prefix (§13 two-level rank)
-    "q_sprt")             // calendar-day grain (cumulative LLR over days)
+    "q_sprt",             // calendar-day grain (cumulative LLR over days)
+    "stream_sprt")        // same day grain over the drained snapshot
 
   test("unpartitioned windows only over enumerated bounded-grain rollups") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
