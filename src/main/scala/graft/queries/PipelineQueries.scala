@@ -715,6 +715,47 @@ object PipelineQueries {
     },
   )
 
+  /** Subject-access fan-out (the GDPR/DSAR governance op): for a
+    * deterministic subject set (user_id ≡ 3 mod 997 — an arithmetic
+    * predicate, so membership pushes into every scan as a filter, no
+    * subject-list shuffle at all), count the rows each table holds
+    * about those subjects — events by user_id, customer by c_custkey,
+    * orders by o_custkey, lineitem via its order (the one join,
+    * broadcast-sized: the filtered orders side is |subjects|·orders
+    * per customer). This is the "what do we store about these users"
+    * report a deletion/compliance pipeline runs first; at 100 TB
+    * every branch is a filtered scan + count, and the union is 4
+    * one-row aggregates.
+    */
+  val qSubjectAccess: Q = Q(
+    "q_subject_access",
+    (s, dir) => {
+      val subj = (c: org.apache.spark.sql.Column) => c % 997 === 3
+      val ev = Tables.events(s, dir).where(subj(col("user_id")))
+        .agg(count(lit(1)).as("n_rows")).select(lit("events").as("table_name"), col("n_rows"))
+      val cu = Tables.customer(s, dir).where(subj(col("c_custkey")))
+        .agg(count(lit(1)).as("n_rows")).select(lit("customer").as("table_name"), col("n_rows"))
+      val or = Tables.orders(s, dir).where(subj(col("o_custkey")))
+        .agg(count(lit(1)).as("n_rows")).select(lit("orders").as("table_name"), col("n_rows"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.orders(s, dir).where(subj(col("o_custkey")))
+          .select(col("o_orderkey").as("l_orderkey"))), Seq("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_rows")).select(lit("lineitem").as("table_name"), col("n_rows"))
+      ev.unionAll(cu).unionAll(or).unionAll(li)
+    },
+    Some("""
+      SELECT 'events' AS table_name, count(*)::BIGINT AS n_rows
+      FROM events WHERE user_id % 997 = 3
+      UNION ALL
+      SELECT 'customer', count(*)::BIGINT FROM customer WHERE c_custkey % 997 = 3
+      UNION ALL
+      SELECT 'orders', count(*)::BIGINT FROM orders WHERE o_custkey % 997 = 3
+      UNION ALL
+      SELECT 'lineitem', count(*)::BIGINT FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey % 997 = 3)
+    """),
+  )
+
   /** Equi-width numeric histogram (k=20) — the profiler's
     * distribution-shape companion: min/max fit in the same pass
     * shape as NumericalTransformer (exact, order-free), then one
@@ -1363,5 +1404,5 @@ object PipelineQueries {
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
     qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford,
-    qApproxDistinct, qApproxPercentile, qKsMulti)
+    qApproxDistinct, qApproxPercentile, qKsMulti, qSubjectAccess)
 }

@@ -34,6 +34,11 @@ class ApproxPercentileSpec extends SparkSpec {
       val q = "SELECT percentile(l_extendedprice, 0.5) AS p FROM lineitem"
       val plan = planOf(q)
       assert(plan.contains("log_hist_quantile"), plan)
+      // TypedImperativeAggregate plans as ObjectHashAggregate with a
+      // partial (map-side) stage — the sketch merges by count addition
+      // before the 1-row exchange
+      assert(plan.contains("ObjectHashAggregate"), plan)
+      assert(plan.contains("partial_log_hist_quantile"), plan)
       val est = sql(q).head().getDouble(0)
       val exact = Tables.lineitem(spark, sf)
         .select(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
