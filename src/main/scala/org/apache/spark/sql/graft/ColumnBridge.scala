@@ -41,6 +41,21 @@ object ColumnBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** Bridges to the `private[sql]` SparkSessionExtensions builders so
+    * specs can assert what a deployed `spark.sql.extensions` session
+    * would actually receive.
+    */
+  def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
+  def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
   /** might_contain probe against a fit-time serialized bloom filter. */
   def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

@@ -41,5 +41,13 @@ class GraftSqlSpec extends SparkSpec {
     new graft.functions.GraftExtensions()(ext)
     assert(graft.functions.GraftFunctions.builders.map(_._1).distinct.size ==
       graft.functions.GraftFunctions.builders.size)
+    // the deployment hook carries the whole engine layer: both AQP
+    // optimizer rules and the native as-of planner strategy
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rules = ColumnBridge.optimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.ApproxDistinctRewrite))
+    assert(rules.contains(graft.plans.ApproxPercentileRewrite))
+    assert(ColumnBridge.plannerStrategies(ext, spark)
+      .contains(graft.plans.AsofJoinStrategy))
   }
 }
