@@ -681,6 +681,20 @@ object GraftFunctions {
       "graft_winnow_count" -> (info(classOf[WinnowCountExpr], "graft_winnow_count"),
         (children: Seq[Expression]) => WinnowCountExpr(children.head,
           intArg(children, 1, 5), intArg(children, 2, 4))),
+      // the sketch AGGREGATES, callable directly from SQL (the AQP
+      // rules swap them in implicitly; these names opt in explicitly).
+      // A bare AggregateFunction from a builder is wrapped in its
+      // AggregateExpression by the analyzer.
+      "graft_quantile_sketch" -> (info(classOf[LogHistQuantileAgg], "graft_quantile_sketch"),
+        (children: Seq[Expression]) => LogHistQuantileAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(children.head, DoubleType),
+          children.lift(1).map(_.eval(null).toString.toDouble).getOrElse(0.5))),
+      "graft_approx_distinct" -> (info(classOf[HllAgg], "graft_approx_distinct"),
+        (children: Seq[Expression]) => HllAgg(
+          org.apache.spark.sql.catalyst.expressions.Md5(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                children.head, StringType), BinaryType)))),
     )
   }
 }

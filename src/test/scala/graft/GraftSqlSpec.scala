@@ -50,4 +50,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(ColumnBridge.plannerStrategies(ext, spark)
       .contains(graft.plans.AsofJoinStrategy))
   }
+
+  test("sketch aggregates are callable directly from SQL") {
+    Graft.registerAll(spark, sf)
+    // the explicit aggregate equals the relational sketch path
+    val viaSql = spark.sql("""SELECT l_returnflag AS k,
+        graft_quantile_sketch(l_quantity, 0.5) AS p50
+      FROM lineitem GROUP BY 1""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaProfile = graft.operators.QuantileSketch.profile(
+      Tables.lineitem(spark, sf)
+        .select(org.apache.spark.sql.functions.col("l_returnflag").as("k"),
+          org.apache.spark.sql.functions.col("l_quantity").cast("double").as("v")),
+      "k", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    assert(viaSql === viaProfile)
+    // the explicit HLL lands within the m=512 envelope of exact
+    val est = spark.sql(
+      "SELECT graft_approx_distinct(l_partkey) AS n FROM lineitem")
+      .head().getDouble(0)
+    val exact = spark.sql(
+      "SELECT count(DISTINCT l_partkey) FROM lineitem").head().getLong(0)
+    assert(math.abs(est - exact) / exact < 0.20)
+  }
 }
