@@ -28,6 +28,15 @@ object MetricsQueries {
   private def rL(x: Double): Long =
     BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
+  /** Cross-engine scalar constants for the Gumbel fit, interpolated
+    * into the oracle so both engines use the identical doubles.
+    */
+  private[graft] val Sqrt6OverPi: Double = math.sqrt(6.0) / math.Pi
+  private[graft] val EulerGamma: Double = 0.5772156649015329
+  private[graft] val LnLn99: Double =
+    java.lang.StrictMath.log(-java.lang.StrictMath.log(0.99))
+
+
   // ---------------------------------------------------------------
   // Confusion-matrix family: q_auc's deterministic label (md5 16-bit
   // bucket vs value·2 — the synthetic "truth" whose base rate tracks
@@ -108,11 +117,12 @@ object MetricsQueries {
     * still converts exactly below 2⁵³, and both engines share the
     * identical rounding when not).
     */
-  val qMccKappa: Q = Q(
-    "q_mcc_kappa",
-    (s, dir) => {
-      import s.implicits._
-      val r = confusionCounts(Tables.events(s, dir)).head()
+  /** MCC/κ tail shared with the streaming twin. */
+  private[graft] def mccFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    {
+      val r = counts.head()
       val (tp, fp, fn, tn) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val n = tp + fp + fn + tn
@@ -124,7 +134,12 @@ object MetricsQueries {
       val kappa = (po - pe) / (1.0 - pe)
       Seq((n, r6(mcc), r6(po), r6(pe), r6(kappa)))
         .toDF("n", "mcc", "po", "pe", "kappa")
-    },
+    }
+  }
+
+  val qMccKappa: Q = Q(
+    "q_mcc_kappa",
+    (s, dir) => mccFromCounts(confusionCounts(Tables.events(s, dir))),
     Some(s"""
       WITH $confusionSql
       SELECT (tp + fp + fn + tn)::BIGINT AS n,
@@ -288,11 +303,11 @@ object MetricsQueries {
     * fixed-op-order doubles of the moments, equivalent ⇔
     * max(p) ≤ 0.05 (a double compare both engines share).
     */
-  val qTost: Q = Q(
-    "q_tost",
-    (s, dir) => {
-      import s.implicits._
-      val (na, nb, ma, mb, va, vb) = armMeanVar(armMoments(Tables.events(s, dir)))
+  /** TOST tail shared with the streaming twin. */
+  private[graft] def tostFromMoments(moments: DataFrame): DataFrame = {
+    val s = moments.sparkSession
+    import s.implicits._
+    val (na, nb, ma, mb, va, vb) = armMeanVar(moments)
       val se = math.sqrt(va / na + vb / nb)
       val delta = 0.5
       val tLo = ((ma - mb) + delta) / se
@@ -304,7 +319,11 @@ object MetricsQueries {
         r6(pTost), pTost <= 0.05))
         .toDF("n_a", "n_b", "diff", "se", "t_lower", "t_upper",
           "p_lower", "p_upper", "p_tost", "equivalent")
-    },
+  }
+
+  val qTost: Q = Q(
+    "q_tost",
+    (s, dir) => tostFromMoments(armMoments(Tables.events(s, dir))),
     Some(s"""
       WITH $armMomentsSql, $meanVarSql,
       tt AS (SELECT na, nb, ma - mb AS d, sqrt(va / na + vb / nb) AS se
@@ -406,6 +425,96 @@ object MetricsQueries {
       FROM w
     """
     },
+  )
+
+  /** Hill tail-index estimator over the top-k order statistics of
+    * purchase value (k = 200) — the heavy-tail diagnosis a platform
+    * runs before trusting means/variances at 100 TB (α ≤ 2 means the
+    * variance the other reports assume doesn't exist). The top-k is a
+    * TakeOrdered (bounded, no global sort); boundary ties are
+    * value-equal so the value MULTISET is deterministic regardless of
+    * tie split; the k ln-ratio terms micro-quantize into an
+    * order-free integer sum both engines replay.
+    */
+  val qHillEstimator: Q = Q(
+    "q_hill_estimator",
+    (s, dir) => {
+      import s.implicits._
+      val k = 200
+      val top = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("value"))
+        .orderBy(col("value").desc).limit(k)
+        .collect().map(_.getDouble(0)) // k-bounded
+      val thr = top.min
+      val sumMicro = top.map(v => rL(java.lang.StrictMath.log(v / thr) * 1e6)).sum
+      val h = sumMicro.toDouble / k / 1e6
+      Seq((k.toLong, r6(thr), r6(h), r6(1.0 / h)))
+        .toDF("k", "threshold", "hill_h", "alpha")
+    },
+    Some("""
+      WITH top AS (SELECT value FROM events WHERE event_type = 'purchase'
+                   ORDER BY value DESC LIMIT 200),
+      thr AS (SELECT min(value) AS t FROM top),
+      terms AS (SELECT round(ln(value / thr.t) * 1e6)::BIGINT AS micro
+                FROM top, thr),
+      sm AS (SELECT sum(micro)::BIGINT AS s FROM terms)
+      SELECT 200::BIGINT AS k, round(thr.t, 6) AS threshold,
+             round(sm.s::DOUBLE / 200 / 1e6, 6) AS hill_h,
+             round(1.0 / (sm.s::DOUBLE / 200 / 1e6), 6) AS alpha
+      FROM thr, sm
+    """),
+  )
+
+  /** Gumbel fit of daily purchase-value maxima by the method of
+    * moments — extreme-value theory's block-maxima readout ("what
+    * does a 1-in-100-day peak look like"), the capacity-planning
+    * companion to [[qHillEstimator]]'s tail exponent. ONE day-grain
+    * rollup of exact max-cents, exact (Σx, Σx²) moments over the
+    * bounded day grain, then σ̂ = s·√6/π, μ̂ = m − γ·σ̂ and the 99%
+    * quantile μ̂ − σ̂·ln(−ln 0.99) as fixed-op-order doubles (the
+    * √6/π, Euler–Mascheroni, and −ln(−ln p) constants are Scala
+    * doubles interpolated into the oracle text).
+    */
+  val qGumbelMaxima: Q = Q(
+    "q_gumbel_maxima",
+    (s, dir) => {
+      import s.implicits._
+      val m = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(expr("cast(ts as long) div 86400000000000").as("day"))
+        .agg(max(round(col("value") * 100).cast("long")).as("mx"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("mx").cast("decimal(38,0)")).as("sm"),
+          sum(col("mx").cast("decimal(38,0)") * col("mx")).as("qm")).head()
+      val n = m.getLong(0)
+      val (sm, qm) = (BigDecimal(m.getDecimal(1)), BigDecimal(m.getDecimal(2)))
+      val mean = sm.toDouble / n / 100.0
+      val sd = math.sqrt(
+        (qm.toDouble - sm.toDouble * sm.toDouble / n) / (n - 1)) / 100.0
+      val sigma = sd * MetricsQueries.Sqrt6OverPi
+      val mu = mean - MetricsQueries.EulerGamma * sigma
+      val q99 = mu - sigma * MetricsQueries.LnLn99
+      Seq((n, r6(mean), r6(sd), r6(sigma), r6(mu), r6(q99)))
+        .toDF("n_days", "mean_max", "sd_max", "sigma", "mu", "q99")
+    },
+    Some(s"""
+      WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+               max(round(value * 100)::BIGINT)::BIGINT AS mx
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      m AS (SELECT count(*)::BIGINT AS n, sum(mx)::HUGEINT AS sm,
+              sum(mx::HUGEINT * mx) AS qm FROM d),
+      v AS (SELECT n,
+              sm::DOUBLE / n / 100.0 AS mean,
+              sqrt((qm::DOUBLE - sm::DOUBLE * sm::DOUBLE / n) / (n - 1)) / 100.0 AS sd
+            FROM m)
+      SELECT n AS n_days, round(mean, 6) AS mean_max, round(sd, 6) AS sd_max,
+             round(sd * ${MetricsQueries.Sqrt6OverPi}, 6) AS sigma,
+             round(mean - ${MetricsQueries.EulerGamma} * (sd * ${MetricsQueries.Sqrt6OverPi}), 6) AS mu,
+             round((mean - ${MetricsQueries.EulerGamma} * (sd * ${MetricsQueries.Sqrt6OverPi})) -
+                   (sd * ${MetricsQueries.Sqrt6OverPi}) * ${MetricsQueries.LnLn99}, 6) AS q99
+      FROM v
+    """),
   )
 
   // ---------------------------------------------------------------
@@ -719,5 +828,6 @@ object MetricsQueries {
   )
 
   val all: Seq[Q] = Seq(qConfusionMatrix, qMccKappa, qWelchTtest, qCohensD,
-    qJsDivergence, qKendallTau, qCronbachAlpha, qHosmerLemeshow, qTost, qSprt)
+    qJsDivergence, qKendallTau, qCronbachAlpha, qHosmerLemeshow, qTost, qSprt,
+    qHillEstimator, qGumbelMaxima)
 }

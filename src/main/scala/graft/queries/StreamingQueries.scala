@@ -1411,6 +1411,30 @@ object StreamingQueries {
     },
     MetricsQueries.qSprt.oracle)
 
+  /** Streaming TOST twin: same 2-row complete-mode moment rollup as
+    * the Welch twin, shared equivalence tail — equals `q_tost`,
+    * shared oracle.
+    */
+  val streamTost: Q = Q(
+    "stream_tost",
+    (s, dir) => MetricsQueries.tostFromMoments(
+      StreamOps.runToBatch(s,
+        MetricsQueries.armMoments(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    MetricsQueries.qTost.oracle)
+
+  /** Streaming MCC/κ twin: the shared 4-cell complete-mode confusion
+    * rollup into the chance-corrected-agreement tail — equals
+    * `q_mcc_kappa`, shared oracle.
+    */
+  val streamMccKappa: Q = Q(
+    "stream_mcc_kappa",
+    (s, dir) => MetricsQueries.mccFromCounts(
+      StreamOps.runToBatch(s,
+        MetricsQueries.confusionCounts(StreamOps.eventsStream(s, dir)),
+        mode = "complete")),
+    MetricsQueries.qMccKappa.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1423,5 +1447,5 @@ object StreamingQueries {
     streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman,
     streamMannWhitney, streamCusum, streamTheilSen, streamChangepoint,
     streamOutlierFences, streamStl, streamPartialCorr, streamConfusionMatrix,
-    streamWelchTtest, streamJsDivergence, streamKendallTau, streamSprt)
+    streamWelchTtest, streamJsDivergence, streamKendallTau, streamSprt, streamTost, streamMccKappa)
 }
