@@ -517,6 +517,54 @@ object MetricsQueries {
     """),
   )
 
+  /** Delete-one jackknife variance of the mean daily purchase value —
+    * the classic "how stable is this daily KPI" uncertainty readout
+    * (the resampling sibling of the Poisson bootstrap, exact instead
+    * of replicated): per-day micro-quantized means off the bounded
+    * day-grain rollup, leave-one-day-out deviations as fixed-op-order
+    * doubles of those exact ints, squared terms re-quantized so the
+    * cross-day total is an order-free integer sum.
+    */
+  val qJackknifeVariance: Q = Q(
+    "q_jackknife_variance",
+    (s, dir) => {
+      import s.implicits._
+      val days = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(expr("cast(ts as long) div 86400000000000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n"))
+        .collect() // bounded day grain
+        .map(r => rL(r.getLong(1).toDouble * 1e4 / r.getLong(2))) // micro-$ day mean
+      val d = days.length
+      val sMicro = days.sum
+      val theta = sMicro.toDouble / d
+      val terms = days.map { mi =>
+        val dev = (sMicro - mi).toDouble / (d - 1) - theta
+        rL(dev * dev)
+      }
+      val varJack = (d - 1).toDouble / d * terms.sum / 1e12
+      Seq((d.toLong, r6(theta / 1e6), r6(varJack), r6(math.sqrt(varJack))))
+        .toDF("n_days", "theta", "var_jack", "se_jack")
+    },
+    Some("""
+      WITH dd AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+               count(*)::BIGINT AS n
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      m AS (SELECT round(cents::DOUBLE * 1e4 / n)::BIGINT AS micro FROM dd),
+      t AS (SELECT count(*)::BIGINT AS d, sum(micro)::BIGINT AS s FROM m),
+      terms AS (SELECT round(((t.s - micro)::DOUBLE / (t.d - 1) - t.s::DOUBLE / t.d) *
+                            ((t.s - micro)::DOUBLE / (t.d - 1) - t.s::DOUBLE / t.d))::BIGINT AS term
+                FROM m, t)
+      SELECT t.d AS n_days,
+             round(t.s::DOUBLE / t.d / 1e6, 6) AS theta,
+             round((t.d - 1)::DOUBLE / t.d * (SELECT sum(term) FROM terms) / 1e12, 6) AS var_jack,
+             round(sqrt((t.d - 1)::DOUBLE / t.d * (SELECT sum(term) FROM terms) / 1e12), 6) AS se_jack
+      FROM t
+    """),
+  )
+
   // ---------------------------------------------------------------
   // Jensen–Shannon drift
   // ---------------------------------------------------------------
@@ -829,5 +877,5 @@ object MetricsQueries {
 
   val all: Seq[Q] = Seq(qConfusionMatrix, qMccKappa, qWelchTtest, qCohensD,
     qJsDivergence, qKendallTau, qCronbachAlpha, qHosmerLemeshow, qTost, qSprt,
-    qHillEstimator, qGumbelMaxima)
+    qHillEstimator, qGumbelMaxima, qJackknifeVariance)
 }

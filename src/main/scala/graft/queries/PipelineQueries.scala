@@ -756,6 +756,53 @@ object PipelineQueries {
     """),
   )
 
+  /** Chapman capture–recapture estimate of the distinct-user
+    * population from two INDEPENDENT deterministic tag samples
+    * (md5(user‖'cra') and md5(user‖'crb'), each ~1/16 of users) —
+    * the "how many distinct entities are there really" estimator
+    * when a full distinct pass is off-budget and the HLL sketch
+    * needs an independent cross-check: N̂ = (n_a+1)(n_b+1)/(n_ab+1)−1.
+    * ONE distinct-user rollup; tags are pure column arithmetic on it;
+    * the exact distinct count rides along for the error readout.
+    */
+  val qCaptureRecapture: Q = Q(
+    "q_capture_recapture",
+    (s, dir) => {
+      import s.implicits._
+      def tag(salt: String) =
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(salt))),
+          1, 4), 16, 10).cast("long") % 16 === 0
+      val r = Tables.events(s, dir).select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(tag("cra"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(tag("crb"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(tag("cra") && tag("crb"), 1L).otherwise(0L)).as("n_ab"))
+        .head()
+      val (ne, na, nb, nab) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val nHat = (na + 1.0) * (nb + 1.0) / (nab + 1.0) - 1.0
+      Seq((ne, na, nb, nab,
+        BigDecimal(nHat).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_exact", "n_a", "n_b", "n_both", "n_hat")
+    },
+    Some(s"""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      t AS (SELECT
+          count(*)::BIGINT AS n_exact,
+          sum(CASE WHEN ${OracleExact.h16Sql("md5(user_id::VARCHAR || 'cra')")} % 16 = 0
+              THEN 1 ELSE 0 END)::BIGINT AS n_a,
+          sum(CASE WHEN ${OracleExact.h16Sql("md5(user_id::VARCHAR || 'crb')")} % 16 = 0
+              THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          sum(CASE WHEN ${OracleExact.h16Sql("md5(user_id::VARCHAR || 'cra')")} % 16 = 0
+                AND ${OracleExact.h16Sql("md5(user_id::VARCHAR || 'crb')")} % 16 = 0
+              THEN 1 ELSE 0 END)::BIGINT AS n_ab
+        FROM u)
+      SELECT n_exact, n_a, n_b, n_ab AS n_both,
+             round((n_a + 1.0) * (n_b + 1.0) / (n_ab + 1.0) - 1.0, 6) AS n_hat
+      FROM t
+    """),
+  )
+
   /** Equi-width numeric histogram (k=20) — the profiler's
     * distribution-shape companion: min/max fit in the same pass
     * shape as NumericalTransformer (exact, order-free), then one
@@ -1404,5 +1451,6 @@ object PipelineQueries {
     qQuantileSketch, qHllDistinct, qHistogram, qCorrMatrix, qMad, qHllSetOps,
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
     qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford,
-    qApproxDistinct, qApproxPercentile, qKsMulti, qSubjectAccess)
+    qApproxDistinct, qApproxPercentile, qKsMulti, qSubjectAccess,
+    qCaptureRecapture)
 }

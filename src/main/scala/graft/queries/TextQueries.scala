@@ -1577,10 +1577,60 @@ object TextQueries {
     """),
   )
 
+  /** Good–Turing frequency smoothing over the corpus vocabulary — the
+    * "how much probability mass belongs to unseen words" estimate
+    * (Katz backoff's core quantity, and the coverage answer to "is
+    * this corpus big enough"): count-of-counts N_r over the word
+    * rollup (a VALUE-grain aggregate — distinct r values are
+    * O(√tokens), never row-scale), adjusted count r* = (r+1)·N_{r+1}
+    * /N_r for r ≤ 9, unseen mass p₀ = N₁/N. One word rollup, one
+    * count-of-counts rollup, one tiny self-join on r+1.
+    */
+  val qGoodTuring: Q = Q(
+    "q_good_turing",
+    (s, dir) => {
+      val ff = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+        .localCheckpoint() // reused three times below (totals, n1, join)
+      val tot = ff.agg(sum(col("r") * col("n_r"))).head().getLong(0)
+      // unseen mass needs the hapax count; 0 when the corpus has no
+      // singletons (the smoothed estimate of unseen mass is then 0)
+      val n1 = ff.where(col("r") === 1)
+        .agg(coalesce(sum(col("n_r")), lit(0L))).head().getLong(0)
+      // the 9 SMALLEST observed counts (not r<=9): GT adjusts the low
+      // tail wherever it sits, and a corpus with no rare words still
+      // produces a report
+      val low = ff.orderBy(col("r")).limit(9)
+      low.as("a")
+        .join(ff.as("b"), col("b.r") === col("a.r") + 1, "left")
+        .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+          round((col("a.r") + 1) * col("b.n_r").cast("double") / col("a.n_r"), 6)
+            .as("r_star"),
+          round(lit(n1.toDouble / tot), 6).as("p_unseen"))
+    },
+    Some("""
+      WITH w AS (SELECT w, count(*)::BIGINT AS r
+                 FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents)
+                 WHERE w <> '' GROUP BY w),
+      ff AS (SELECT r, count(*)::BIGINT AS n_r FROM w GROUP BY r),
+      t AS (SELECT sum(r * n_r)::BIGINT AS total FROM ff),
+      n1 AS (SELECT coalesce(sum(n_r), 0)::BIGINT AS n1 FROM ff WHERE r = 1),
+      low AS (SELECT r, n_r FROM ff ORDER BY r LIMIT 9)
+      SELECT a.r, a.n_r,
+             round((a.r + 1) * b.n_r::DOUBLE / a.n_r, 6) AS r_star,
+             round((SELECT n1 FROM n1)::DOUBLE / (SELECT total FROM t), 6) AS p_unseen
+      FROM low a LEFT JOIN ff b ON b.r = a.r + 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangid, textFingerprint,
     textPipeline, textHashSplit, textPack, textVocab, textBalance, textKfold,
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
     textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
-    textBpeStep, textLix, textKneserNey, textDsirSelect)
+    textBpeStep, textLix, textKneserNey, textDsirSelect, qGoodTuring)
 }
