@@ -78,7 +78,8 @@ object SparkEntry {
     // the remaining former tsfresh skips (SURVEY §3), sequential-per-
     // series GroupedApply folds like ts_adf — bench + spec coverage
     // (TsAdvancedSpec pins each against closed forms / naive replays).
-    // ts_cwt and ts_pacf moved to TsQueries (oracled, distributed) in r10
+    // ts_cwt, ts_pacf, ts_friedrich, and ts_matrix_profile all moved to
+    // TsQueries (oracled, distributed) in r10
     "ts_cwt_peaks" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.operators.TsFeatures.numberCwtPeaks(

@@ -22,11 +22,9 @@ import graft.{Q, Tables}
   */
 object MetricsQueries {
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-  private def rL(x: Double): Long =
-    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  // the single repo-wide rounding convention (StatsQueries owns it)
+  private def r6(x: Double): Double = StatsQueries.r6(x)
+  private def rL(x: Double): Long = StatsQueries.rL(x)
 
   /** Cross-engine scalar constants for the Gumbel fit, interpolated
     * into the oracle so both engines use the identical doubles.
@@ -202,8 +200,12 @@ object MetricsQueries {
       r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)),
         BigDecimal(r.getDecimal(3))))
     }.toMap
-    val (na, sma, qma) = rows(0L)
-    val (nb, smb, qmb) = rows(1L)
+    // a missing arm degrades to (0, 0, 0) — downstream ratios go
+    // NaN/Inf and r6 passes them through, mirroring the oracle's
+    // NULL-on-degenerate rather than crashing the dump
+    val zero = (0L, BigDecimal(0), BigDecimal(0))
+    val (na, sma, qma) = rows.getOrElse(0L, zero)
+    val (nb, smb, qmb) = rows.getOrElse(1L, zero)
     def mean(sm: BigDecimal, n: Long) = sm.toDouble / n / 1e6
     def vr(qm: BigDecimal, sm: BigDecimal, n: Long) =
       (qm.toDouble - sm.toDouble * sm.toDouble / n) / (n - 1) / 1e12
@@ -688,6 +690,12 @@ object MetricsQueries {
       .map(g => { val t = g.map(_._3).sum; BigInt(t) * (t - 1) / 2 }).sum
     val tau = (conc - disc).toDouble /
       math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+    // pair counts published as BIGINT: beyond int64 (n ≳ 6·10⁹ rows)
+    // the oracle's ::BIGINT cast of the HUGEINT raises — fail loudly
+    // here too instead of BigInt.toLong's silent wrap
+    require(conc.isValidLong && disc.isValidLong,
+      s"kendall pair counts exceed int64 (conc=$conc disc=$disc); " +
+        "widen the report columns to decimal before running at this scale")
     Seq((n, conc.toLong, disc.toLong, r6(tau)))
       .toDF("n", "concordant", "discordant", "tau_b")
   }

@@ -21,8 +21,14 @@ import graft.{Q, Tables}
   */
 object StatsQueries {
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** 6-dp HALF_UP — the cross-engine report rounding. NaN/Inf pass
+    * through unchanged (BigDecimal would throw): a degenerate input
+    * (empty cell, zero marginal) must degrade the report row, never
+    * crash the dump while the SQL oracle returns NULL/NaN.
+    */
+  private[graft] def r6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Half-up-away-from-zero long rounding — DuckDB round() semantics
     * for NEGATIVE values too (math.round = floor(x+½) disagrees at

@@ -51,6 +51,16 @@ object RangeV2 {
     StructField("val", DoubleType, nullable = false)))
 
   def valOf(id: Long): Double = ((id * 2654435761L) % 1000003L) / 1000003.0
+
+  /** Shared id-column matcher for the filter/aggregate/runtime
+    * pushdown paths — one rule so the three boundaries cannot drift.
+    */
+  private[sources] def isId(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
 }
 
 private[sources] class RangeV2Table(start: Long, end: Long, slices: Int)
@@ -84,19 +94,13 @@ private[sources] class RangeV2ScanBuilder(start: Long, end: Long, slices: Int)
     * construction. Anything over `val`, or any GROUP BY, declines
     * (returns false) and runs as a normal scan + Spark aggregate.
     */
-  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-    e match {
-      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
-      case _ => false
-    }
-
   private def supported(agg: Aggregation): Boolean =
     agg.groupByExpressions().isEmpty && agg.aggregateExpressions().forall {
       case _: CountStar => true
-      case c: Count => isId(c.column())
-      case m: Min => isId(m.column())
-      case m: Max => isId(m.column())
-      case s: Sum => isId(s.column())
+      case c: Count => RangeV2.isId(c.column())
+      case m: Min => RangeV2.isId(m.column())
+      case m: Max => RangeV2.isId(m.column())
+      case s: Sum => RangeV2.isId(s.column())
       case _ => false
     }
 
@@ -213,8 +217,10 @@ private[sources] class RangeV2Scan(lo: Long, hi: Long, slices: Int,
 
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
-      if (p.name() == "IN" && p.children().nonEmpty && isId(p.children().head)) {
-        val vals = p.children().drop(1).toSeq.collect {
+      if (p.name() == "IN" && p.children().nonEmpty &&
+          RangeV2.isId(p.children().head)) {
+        val given = p.children().drop(1).toSeq
+        val vals = given.collect {
           case l: V2Literal[_] if l.value().isInstanceOf[java.lang.Long] =>
             l.value().asInstanceOf[java.lang.Long].longValue()
         }
@@ -222,14 +228,13 @@ private[sources] class RangeV2Scan(lo: Long, hi: Long, slices: Int,
           rlo = math.max(rlo, vals.min)
           rhi = math.min(rhi, if (vals.max == Long.MaxValue) Long.MaxValue
             else vals.max + 1)
-        } else rhi = rlo // empty build side: nothing can match
+        } else if (given.isEmpty) {
+          rhi = rlo // GENUINELY empty build side: nothing can match
+        }
+        // values present but not long literals (a representation this
+        // best-effort filter doesn't know): NO-OP — an uninterpreted
+        // runtime filter must widen to the full scan, never empty it
       }
-    }
-
-  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-    e match {
-      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
-      case _ => false
     }
 
   override def readSchema(): StructType = required
