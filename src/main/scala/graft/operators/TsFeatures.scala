@@ -1834,10 +1834,15 @@ object TsFeatures {
           s"THEN named_struct('lo', acc.lo, 'hi', ${F.midStr("acc.lo", "acc.hi")}) " +
           s"ELSE named_struct('lo', ${F.midStr("acc.lo", "acc.hi")}, 'hi', acc.hi) END)")
         .getField("hi"))
+    // `+ 0.0` normalizes IEEE-754 signed zero (-0.0 → +0.0) so the
+    // hash boundary is representation-stable across engines: float ==
+    // treats the zeros as equal but a byte hash does not.
     cur.select(col(seriesKey),
-      round(col("b3"), 6).as("coeff_3"), round(col("b2"), 6).as("coeff_2"),
-      round(col("b1"), 6).as("coeff_1"), round(col("b0"), 6).as("coeff_0"),
-      round(expr(F.fpExpr), 6).as("max_fixed_point"))
+      (round(col("b3"), 6) + lit(0.0)).as("coeff_3"),
+      (round(col("b2"), 6) + lit(0.0)).as("coeff_2"),
+      (round(col("b1"), 6) + lit(0.0)).as("coeff_1"),
+      (round(col("b0"), 6) + lit(0.0)).as("coeff_0"),
+      (round(expr(F.fpExpr), 6) + lit(0.0)).as("max_fixed_point"))
   }
 
   /** DISTRIBUTED `partial_autocorrelation` (SURVEY §15 #2) — the same

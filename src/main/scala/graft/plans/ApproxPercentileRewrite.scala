@@ -44,8 +44,11 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
           case ae: AggregateExpression if !ae.isDistinct =>
             ae.aggregateFunction match {
               case p: Percentile if inScope(p) =>
+                // reverse (ORDER BY x DESC) percentile at q == ascending
+                // percentile at 1-q; the sketch only sorts ascending.
+                val q = pctOf(p.percentageExpression)
                 ae.copy(aggregateFunction = LogHistQuantileAgg(
-                  Cast(p.child, DoubleType), pctOf(p.percentageExpression)))
+                  Cast(p.child, DoubleType), if (p.reverse) 1.0 - q else q))
               case _ => ae
             }
         }

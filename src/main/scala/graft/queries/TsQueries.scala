@@ -2300,9 +2300,10 @@ object TsQueries {
       c3 AS (SELECT *, ${F.t0Expr} AS t0 FROM c2),
       c4 AS (SELECT *, ${F.blExpr} AS bl FROM c3),
       $fold
-      SELECT user_id, round(b3, 6) AS coeff_3, round(b2, 6) AS coeff_2,
-             round(b1, 6) AS coeff_1, round(b0, 6) AS coeff_0,
-             round(${F.fpExpr}, 6) AS max_fixed_point
+      SELECT user_id,
+             round(b3, 6) + 0.0 AS coeff_3, round(b2, 6) + 0.0 AS coeff_2,
+             round(b1, 6) + 0.0 AS coeff_1, round(b0, 6) + 0.0 AS coeff_0,
+             round(${F.fpExpr}, 6) + 0.0 AS max_fixed_point
       FROM c5
     """
   }

@@ -60,6 +60,24 @@ class ApproxPercentileSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.approxPercentile", "false")
   }
 
+  test("flag on: reverse (DESC) percentile maps to 1-q, not the ascending q") {
+    spark.conf.set("spark.graft.approxPercentile", "true")
+    try {
+      val q = """SELECT percentile_cont(0.25) WITHIN GROUP
+                   (ORDER BY l_extendedprice DESC) AS p FROM lineitem"""
+      val plan = planOf(q)
+      assert(plan.contains("log_hist_quantile"), plan)
+      val est = sql(q).head().getDouble(0)
+      // DESC p25 == ASC p75; it must NOT land near the ASC p25
+      val exact75 = Tables.lineitem(spark, sf)
+        .select(expr("percentile(l_extendedprice, 0.75)")).head().getDouble(0)
+      val exact25 = Tables.lineitem(spark, sf)
+        .select(expr("percentile(l_extendedprice, 0.25)")).head().getDouble(0)
+      assert(math.abs(est - exact75) / exact75 < 0.05, s"est=$est exact75=$exact75")
+      assert(math.abs(est - exact25) / exact25 > 0.05, s"est=$est exact25=$exact25")
+    } finally spark.conf.set("spark.graft.approxPercentile", "false")
+  }
+
   test("grouped sketch aggregate equals the relational QuantileSketch path") {
     spark.conf.set("spark.graft.approxPercentile", "true")
     try {

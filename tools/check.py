@@ -127,10 +127,12 @@ def cell_eq(a, b):
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
-            # EXACT compare — the driver hash-compares values exactly, so any
-            # tolerance here makes local green a lie (round-1 lesson: 4 driver
-            # hash-fails that this check called passing at 1e-9).
-            return fa == fb
+            # BIT-EXACT compare — the driver hash is representation-
+            # sensitive, so float == is not enough: +0.0 == -0.0 yet they
+            # hash differently (round-11 lesson: ts_friedrich red for two
+            # driver rounds on one -0.0 cell this check called passing).
+            import struct
+            return struct.pack("<d", fa) == struct.pack("<d", fb)
     except (TypeError, ValueError):
         pass
     if (a is None) != (b is None):
