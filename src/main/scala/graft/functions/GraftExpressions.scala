@@ -688,7 +688,16 @@ object GraftFunctions {
       "graft_quantile_sketch" -> (info(classOf[LogHistQuantileAgg], "graft_quantile_sketch"),
         (children: Seq[Expression]) => LogHistQuantileAgg(
           org.apache.spark.sql.catalyst.expressions.Cast(children.head, DoubleType),
-          children.lift(1).map(_.eval(null).toString.toDouble).getOrElse(0.5))),
+          children.lift(1).map { q =>
+            // the quantile must be a literal: a column reference here
+            // would otherwise eval(null) into an opaque NPE instead of
+            // the analyzer's non-foldable-argument error
+            if (!q.foldable)
+              throw org.apache.spark.sql.graft.ColumnBridge
+                .nonFoldableArgumentError("graft_quantile_sketch", "quantile",
+                  q.dataType)
+            Option(q.eval(null)).map(_.toString.toDouble).getOrElse(0.5)
+          }.getOrElse(0.5))),
       "graft_approx_distinct" -> (info(classOf[HllAgg], "graft_approx_distinct"),
         (children: Seq[Expression]) => HllAgg(
           org.apache.spark.sql.catalyst.expressions.Md5(

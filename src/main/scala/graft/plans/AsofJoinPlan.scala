@@ -35,9 +35,10 @@ import org.apache.spark.sql.graft.ColumnBridge
   * its own timestamp within the same key; right rows sharing
   * (key, ts) resolve to the greatest payload (the exec sorts the
   * right side by the payload columns after ts, and the merge keeps
-  * the LAST row advanced past). Null keys compare as values (IS NOT
-  * DISTINCT FROM semantics — the testdata key columns carry no
-  * nulls). Keys and timestamps must be atomic orderable types.
+  * the LAST row advanced past). Null keys NEVER match (equi-join
+  * semantics, same as the oracle's SQL join — a null-keyed left row
+  * gets null payload). Keys and timestamps must be atomic orderable
+  * types.
   *
   * At 100 TB: two hash shuffles (each side its own size — the same
   * total bytes as the union's single shuffle), per-partition sorted
@@ -155,8 +156,11 @@ case class AsofJoinExec(
           while (rNext != null && prefixOrd.compare(rPrefix(rNext), lp) < 0) {
             rNext = if (rIter.hasNext) rIter.next() else null
           }
-          val matched =
-            rNext != null && keyOrd.compare(rKeyP(rNext), lKeyP(lRow)) == 0
+          // null left keys never match (equi-join semantics — the
+          // natural ordering would otherwise pair null with null)
+          val lKeyRow = lKeyP(lRow)
+          val matched = rNext != null && !lKeyRow.isNullAt(0) &&
+            keyOrd.compare(rKeyP(rNext), lKeyRow) == 0
           outProj(joined(lRow, if (matched) rNext else nullRight))
         }
       } else {
@@ -170,8 +174,11 @@ case class AsofJoinExec(
             held = rNext.copy()
             rNext = if (rIter.hasNext) rIter.next() else null
           }
-          val matched =
-            held != null && keyOrd.compare(rKeyP(held), lKeyP(lRow)) == 0
+          // null left keys never match (equi-join semantics — the
+          // natural ordering would otherwise pair null with null)
+          val lKeyRow = lKeyP(lRow)
+          val matched = held != null && !lKeyRow.isNullAt(0) &&
+            keyOrd.compare(rKeyP(held), lKeyRow) == 0
           outProj(joined(lRow, if (matched) held else nullRight))
         }
       }

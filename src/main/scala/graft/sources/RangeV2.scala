@@ -224,16 +224,20 @@ private[sources] class RangeV2Scan(lo: Long, hi: Long, slices: Int,
           case l: V2Literal[_] if l.value().isInstanceOf[java.lang.Long] =>
             l.value().asInstanceOf[java.lang.Long].longValue()
         }
-        if (vals.nonEmpty) {
+        if (vals.nonEmpty && vals.length == given.length) {
+          // narrow ONLY when EVERY value parsed as a Long literal: a
+          // mixed list (some values in a representation this
+          // best-effort filter doesn't know) must not shrink the
+          // envelope to the parsed subset's min/max — that could prune
+          // splits an unparsed value would have matched
           rlo = math.max(rlo, vals.min)
           rhi = math.min(rhi, if (vals.max == Long.MaxValue) Long.MaxValue
             else vals.max + 1)
         } else if (given.isEmpty) {
           rhi = rlo // GENUINELY empty build side: nothing can match
         }
-        // values present but not long literals (a representation this
-        // best-effort filter doesn't know): NO-OP — an uninterpreted
-        // runtime filter must widen to the full scan, never empty it
+        // any unparsed value present: NO-OP — an uninterpreted runtime
+        // filter must widen to the full scan, never narrow or empty it
       }
     }
 

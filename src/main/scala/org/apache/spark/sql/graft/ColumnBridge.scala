@@ -56,6 +56,16 @@ object ColumnBridge {
       : Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark)
 
+  /** Bridge to the `private[sql]` analyzer error for a non-foldable
+    * literal-only function argument — function builders raise it so a
+    * column reference fails with the standard AnalysisException
+    * instead of an eval(null) NPE.
+    */
+  def nonFoldableArgumentError(funcName: String, paramName: String,
+      dataType: org.apache.spark.sql.types.DataType): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .nonFoldableArgumentError(funcName, paramName, dataType)
+
   /** might_contain probe against a fit-time serialized bloom filter. */
   def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

@@ -106,4 +106,24 @@ class AsofExecSpec extends SparkSpec {
       .toSet
     assert(out === Set(("early", -1.0), ("late", 2.0)))
   }
+
+  test("null keys never match, matching the oracle's equi-join") {
+    val left = Seq((Option(1L), 100L, "a"), (Option.empty[Long], 100L, "n1"),
+      (Option.empty[Long], 200L, "n2")).toDF("k", "t", "lbl")
+    val right = Seq((Option(1L), 50L, 5.0), (Option.empty[Long], 50L, 9.0))
+      .toDF("k", "t", "v")
+    def run(fwd: Boolean) = {
+      val df = if (fwd)
+        AsofExec.asofForward(left, right.withColumn("t", col("t") + 100),
+          "k", "t", Seq("lbl"), Seq("v"))
+      else AsofExec.asof(left, right, "k", "t", Seq("lbl"), Seq("v"))
+      df.select(col("lbl"), col("asof_v")).collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+        .toSet
+    }
+    // null-keyed left rows must get null payload even though a
+    // null-keyed right row at a matching ts exists on the right side
+    assert(run(fwd = false) === Set(("a", 5.0), ("n1", -1.0), ("n2", -1.0)))
+    assert(run(fwd = true) === Set(("a", 5.0), ("n1", -1.0), ("n2", -1.0)))
+  }
 }

@@ -73,4 +73,15 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT count(DISTINCT l_partkey) FROM lineitem").head().getLong(0)
     assert(math.abs(est - exact) / exact < 0.20)
   }
+
+  test("graft_quantile_sketch rejects a non-foldable quantile cleanly") {
+    Graft.registerAll(spark, sf)
+    // a column reference as the quantile must raise the analyzer's
+    // non-foldable-argument error, not an opaque NPE from eval(null)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""SELECT graft_quantile_sketch(l_quantity, l_tax)
+        FROM lineitem""").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"), err.getMessage)
+  }
 }

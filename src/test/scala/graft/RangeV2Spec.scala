@@ -114,6 +114,19 @@ class RangeV2Spec extends SparkSpec {
     scan2.filter(Array(new Predicate("IN", Array(Expressions.column("id")))))
     assert(scan2.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
       .planInputPartitions().isEmpty)
+    // a MIXED value list (one Long literal, one non-Long) must be a
+    // NO-OP: narrowing to the parsed subset's envelope could prune
+    // splits the unparsed value would have matched
+    val scan3 = freshScan().asInstanceOf[SupportsRuntimeV2Filtering]
+    scan3.filter(Array(new Predicate("IN", Array(
+      Expressions.column("id"),
+      Expressions.literal(java.lang.Long.valueOf(700000L)),
+      Expressions.literal("5")))))
+    val mixed = scan3.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.RangeV2Partition])
+    assert(mixed.length === 8)
+    assert(mixed.head.lo === 0L && mixed.last.hi === 1000000L, mixed.toSeq)
   }
 
   test("runtime filtering end-to-end: broadcast join delivers DPP and results stay exact") {
