@@ -66,20 +66,11 @@ object SparkEntry {
         graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
         "user_id", Seq("ts"), "value")
     }),
-    // fixed-lag ADF tau per series (GroupedApply OLS) — an SQL oracle
-    // would ride order-dependent distributed double sums; spec pins the
-    // statistic against an independent least-squares computation
-    "ts_adf" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      graft.operators.TsFeatures.adf(
-        graft.Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
-        "user_id", Seq("ts"), "value")
-    }),
     // the remaining former tsfresh skips (SURVEY §3), sequential-per-
-    // series GroupedApply folds like ts_adf — bench + spec coverage
-    // (TsAdvancedSpec pins each against closed forms / naive replays).
-    // ts_cwt, ts_pacf, ts_friedrich, and ts_matrix_profile all moved to
-    // TsQueries (oracled, distributed) in r10
+    // series GroupedApply folds — bench + spec coverage (TsAdvancedSpec
+    // pins each against closed forms / naive replays). ts_cwt, ts_pacf,
+    // ts_friedrich, and ts_matrix_profile moved to TsQueries (oracled,
+    // distributed) in r10; ts_adf followed in r12 (adfDistributed)
     "ts_cwt_peaks" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.operators.TsFeatures.numberCwtPeaks(

@@ -1445,6 +1445,126 @@ object TsFeatures {
     }
   }
 
+  /** Shared expression text for [[adfDistributed]] — the lag-1 ADF
+    * normal equations (3 regressors: y_{t−1}, Δy_{t−1}, constant)
+    * solved by Cramer's rule on moment doubles cast from exact
+    * integer sums; same engine-symmetry device as [[Friedrich]]: both
+    * engines evaluate these strings verbatim, so every IEEE double —
+    * and therefore the 6-dp tau — matches bit-for-bit.
+    */
+  private[graft] object Adf {
+    /** X'X with regressor order [y_{t−1}, Δy_{t−1}, 1]. */
+    val aMat: Seq[Seq[String]] = Seq(
+      Seq("m11", "m12", "m1"),
+      Seq("m12", "m22", "m2"),
+      Seq("m1", "m2", "nn"))
+    private val bVec = Seq("t1", "t2", "t0")
+
+    /** A with column i replaced by X'y (Cramer numerator). */
+    def aWith(i: Int): Seq[Seq[String]] =
+      aMat.indices.map(r => aMat(r).zipWithIndex.map {
+        case (_, c) if c == i => bVec(r)
+        case (v, _) => v
+      })
+
+    /** (moment, exact-sum source, micro-scale power): moment =
+      * sum/1e6^power — one double division of an exact integer, so
+      * the double is bit-identical on both engines.
+      */
+    val moments: Seq[(String, String, Int)] = Seq(
+      ("m11", "s11", 2), ("m12", "s12", 2), ("m22", "s22", 2),
+      ("m1", "s1", 1), ("m2", "s2", 1),
+      ("t1", "u1", 2), ("t2", "u2", 2), ("t0", "u0", 1), ("zz", "zq", 2))
+    def scaleDiv(power: Int): String =
+      if (power == 1) "1000000.0" else "1000000000000.0"
+
+    /** β_i by Cramer; < k+1 usable samples or a singular X'X → null
+      * (the [[adf]] fold's convention).
+      */
+    def beta(i: Int): String =
+      s"CASE WHEN nobs < 4 OR det_a = 0.0 THEN NULL " +
+        s"ELSE (${Friedrich.det3(aWith(i))} / det_a) END"
+
+    /** RSS via y'y − β'X'y — exact when β solves the normal equations;
+      * with float β both engines replay the identical op sequence.
+      */
+    val rssExpr = "(zz - (b0*t1 + b1*t2 + b2*t0))"
+
+    /** (X'X)⁻¹[0][0] as cofactor(0,0)/det — the β₀ variance scale;
+      * guarded like [[beta]] (ANSI division would throw on det 0).
+      */
+    val inv00Expr = "CASE WHEN nobs < 4 OR det_a = 0.0 THEN NULL " +
+      "ELSE ((m22*nn - m2*m2) / det_a) END"
+
+    /** tau = β₀/se(β₀); a non-positive variance estimate (constant
+      * series round-off) yields null like the fold's finite-guard.
+      */
+    val statExpr: String = """CASE
+      WHEN b0 IS NULL THEN NULL
+      WHEN (rss / (nn - 3.0)) * inv00 <= 0.0 THEN NULL
+      ELSE b0 / sqrt((rss / (nn - 3.0)) * inv00) END"""
+  }
+
+  /** DISTRIBUTED fixed-lag ADF tau (lag = 1) — the same statistic as
+    * [[adf]] (statsmodels `adfuller(x, maxlag=1, autolag=None,
+    * regression='c')` teststat) without the per-series fold, and
+    * oracle-replayable — the [[friedrichDistributed]] recipe applied
+    * to the ADF normal equations:
+    *
+    *  - Per-sample regressors from micro-quantized values via two
+    *    `lead()` columns over one partitioned sort: x1 = y_{t−1},
+    *    x2 = Δy_{t−1}, target z = Δy_t — all exact int64.
+    *  - The ten (co)moment sums accumulate as exact decimal(38,0)
+    *    (order-free), then each moment is ONE double division by the
+    *    micro scale — bit-identical across engines.
+    *  - Cramer's-rule 3×3 solve, RSS via y'y − β'X'y, and tau from
+    *    SHARED expression text ([[Adf]]), so both engines run the
+    *    identical IEEE op sequence.
+    *
+    * Series shorter than lag+2 points produce no samples (no output
+    * row); nobs < 4 or a singular X'X yields a null stat, like the
+    * fold. One window sort + one map-side-combined groupBy — no
+    * per-series collect, so the shape survives 100 TB.
+    */
+  def adfDistributed(df: DataFrame, seriesKey: String,
+                     orderCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val A = Adf
+    val wOrd = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val dec = "decimal(38,0)"
+    val sm = df
+      .withColumn("xq", round(col(valueCol) * lit(1e6)).cast("long"))
+      .withColumn("l1", lead(col("xq"), 1).over(wOrd))
+      .withColumn("l2", lead(col("xq"), 2).over(wOrd))
+      .where(col("l2").isNotNull)
+      .select(col(seriesKey),
+        col("l1").as("x1"),
+        (col("l1") - col("xq")).as("x2"),
+        (col("l2") - col("l1")).as("z"))
+    def prod(a: String, b: String) = expr(s"cast($a as $dec) * cast($b as $dec)")
+    val mo = sm.groupBy(col(seriesKey)).agg(
+      count(lit(1)).as("nobs"),
+      sum(prod("x1", "x1")).as("s11"), sum(prod("x1", "x2")).as("s12"),
+      sum(prod("x2", "x2")).as("s22"),
+      sum(col("x1").cast(dec)).as("s1"), sum(col("x2").cast(dec)).as("s2"),
+      sum(prod("x1", "z")).as("u1"), sum(prod("x2", "z")).as("u2"),
+      sum(col("z").cast(dec)).as("u0"), sum(prod("z", "z")).as("zq"))
+    val mo2 = mo.selectExpr(Seq(seriesKey, "nobs") ++
+      A.moments.map { case (m, s, p) =>
+        s"cast($s as double) / ${A.scaleDiv(p)} as $m" } :+
+      "cast(nobs as double) as nn": _*)
+    mo2
+      .withColumn("det_a", expr(Friedrich.det3(A.aMat)))
+      .withColumn("b0", expr(A.beta(0)))
+      .withColumn("b1", expr(A.beta(1)))
+      .withColumn("b2", expr(A.beta(2)))
+      .withColumn("rss", expr(A.rssExpr))
+      .withColumn("inv00", expr(A.inv00Expr))
+      .select(col(seriesKey),
+        (round(expr(A.statExpr), 6) + lit(0.0)).as("adf_stat"),
+        col("nobs").as("adf_nobs"))
+  }
+
   /** tsfresh `partial_autocorrelation` at ANY lag — closes the
     * documented "beyond lag 4" skip. statsmodels `pacf(x, method="ld",
     * nlags)`: biased sample autocorrelations r_k feed the

@@ -2322,6 +2322,60 @@ object TsQueries {
     Some(friedrichOracleSql(30)),
   )
 
+  /** GENERATED oracle for `ts_adf` — shares every scalar expression
+    * string with [[graft.operators.TsFeatures.adfDistributed]] (the
+    * `Adf` builders): the Cramer 3×3 solve, the RSS identity, and the
+    * tau expression run the identical op sequence; only the
+    * exact-int casts (HUGEINT vs decimal(38,0)) and window syntax are
+    * DuckDB-specific.
+    */
+  private def adfOracleSql: String = {
+    val A = graft.operators.TsFeatures.Adf
+    val F = graft.operators.TsFeatures.Friedrich
+    val sums = Seq(
+      "sum(x1::HUGEINT * x1::HUGEINT) AS s11",
+      "sum(x1::HUGEINT * x2::HUGEINT) AS s12",
+      "sum(x2::HUGEINT * x2::HUGEINT) AS s22",
+      "sum(x1::HUGEINT) AS s1", "sum(x2::HUGEINT) AS s2",
+      "sum(x1::HUGEINT * z::HUGEINT) AS u1",
+      "sum(x2::HUGEINT * z::HUGEINT) AS u2",
+      "sum(z::HUGEINT) AS u0",
+      "sum(z::HUGEINT * z::HUGEINT) AS zq").mkString(", ")
+    val casts = A.moments.map { case (m, s, p) =>
+      s"($s::DOUBLE) / ${A.scaleDiv(p)} AS $m" }.mkString(", ")
+    s"""
+      WITH base AS (
+        SELECT user_id, ts, round(value * 1e6)::BIGINT AS xq FROM events),
+      sg AS (SELECT user_id, xq,
+               lead(xq, 1) OVER win AS l1, lead(xq, 2) OVER win AS l2
+             FROM base WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+      sm AS (SELECT user_id, l1 AS x1, l1 - xq AS x2, l2 - l1 AS z
+             FROM sg WHERE l2 IS NOT NULL),
+      mo AS (SELECT user_id, count(*) AS nobs, $sums FROM sm GROUP BY 1),
+      mo2 AS (SELECT user_id, nobs, $casts, nobs::DOUBLE AS nn FROM mo),
+      dt AS (SELECT *, ${F.det3(A.aMat)} AS det_a FROM mo2),
+      bt AS (SELECT *, ${A.beta(0)} AS b0, ${A.beta(1)} AS b1,
+               ${A.beta(2)} AS b2 FROM dt),
+      fin AS (SELECT *, ${A.rssExpr} AS rss, ${A.inv00Expr} AS inv00 FROM bt)
+      SELECT user_id, round(${A.statExpr}, 6) + 0.0 AS adf_stat,
+             nobs AS adf_nobs
+      FROM fin
+    """
+  }
+
+  /** Fixed-lag-1 ADF tau per series — the r12 conversion of the
+    * GroupedApply fold (which stays, statsmodels-parity-spec'd) into
+    * the oracle protocol via the friedrich machinery: exact-integer
+    * moments, shared-text Cramer solve, 6-dp micro-stable output.
+    */
+  val tsAdf: Q = Q(
+    "ts_adf",
+    (s, dir) => graft.operators.TsFeatures.adfDistributed(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", Seq("ts"), "value"),
+    Some(adfOracleSql),
+  )
+
   /** GENERATED oracle for `ts_matrix_profile` — shares the distance
     * and percentile expression text with
     * [[graft.operators.TsFeatures.matrixProfileBanded]] so both
@@ -2398,5 +2452,5 @@ object TsQueries {
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
     tsForecastEval, tsHurst, tsPeaks, tsSax, tsSimilarityTopk, tsCwt, tsPacf,
-    tsFriedrich, tsMatrixProfile)
+    tsFriedrich, tsMatrixProfile, tsAdf)
 }

@@ -182,6 +182,31 @@ class TsSpec extends SparkSpec {
     assert(got("S")._2 == 10L)
   }
 
+  test("distributed ADF matches the GroupedApply fold on the pinned fixtures") {
+    import spark.implicits._
+    val trend = Array(1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5, 6.0)
+    val stat = Array(0.5, -0.3, 0.8, -0.6, 0.2, 0.9, -0.7, 0.1, -0.2, 0.6, -0.4, 0.3)
+    val in = (trend.zipWithIndex.map { case (v, i) => ("T", i.toLong, v) } ++
+      stat.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }).toSeq
+      .toDF("sk", "t", "v")
+    val got = TsFeatures.adfDistributed(in, "sk", Seq("t"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // fixture values are exact micro multiples, so quantization is
+    // exact and only the solve's op order differs from the fold
+    assert(math.abs(got("T")._1 - 1.3484) < 1e-4)
+    assert(got("T")._2 == 8L)
+    assert(math.abs(got("S")._1 - -3.876036) < 1e-5)
+    assert(got("S")._2 == 10L)
+    // degenerate shapes: nobs < 4 and singular X'X stay null
+    val deg = (Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("A", 4L, 2.5), ("A", 5L, 3.5)) ++
+      (1L to 7L).map(t => ("B", t, 5.0))).toDF("sk", "t", "v")
+    val nulls = TsFeatures.adfDistributed(deg, "sk", Seq("t"), "v")
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(nulls("A")) // 5 points -> nobs = 3 < 4 -> null
+    assert(nulls("B")) // constant series: singular X'X
+  }
+
   test("ADF of a too-short or constant series is null, not a crash") {
     import spark.implicits._
     val in = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
