@@ -123,6 +123,110 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Band rows (id, band, band_hash, shard) for a corpus slice — the
+    * persisted LSH index grain of the nightly-batch dedup. shard =
+    * pmod(band_hash, nShards) is the index's parquet partition key:
+    * a probe batch touches only the shards its own band hashes land
+    * in, so the nightly read scales with the batch (static partition
+    * pruning), not with the corpus.
+    */
+  def bandRows(df: DataFrame, idCol: String, textCol: String,
+               shingleK: Int = 3, numPerms: Int = 128, numBands: Int = 32,
+               seed: Long = 42L, nShards: Int = 64): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(par, col(idCol))
+      .select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("id"), minhashSignature(col("hs"), numPerms, seed).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), numBands, numPerms)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"),
+        pmod(col("bk.band_hash"), lit(nShards.toLong)).cast("int").as("shard"))
+  }
+
+  /** Write the persisted MinHash band index for `df` at `path`,
+    * partitioned by shard — the standing state an incremental dedup
+    * probes. Repartition on the shard first: one writer task per
+    * shard, not tasks × shards small files.
+    */
+  def bandIndexWrite(df: DataFrame, idCol: String, textCol: String,
+                     path: String, shingleK: Int = 3, numPerms: Int = 128,
+                     numBands: Int = 32, seed: Long = 42L,
+                     nShards: Int = 64): Unit =
+    bandRows(df, idCol, textCol, shingleK, numPerms, numBands, seed, nShards)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** INCREMENTAL near-dup — the nightly-batch shape: dedup a NEW
+    * batch against the persisted band index (and within itself)
+    * without re-banding the base corpus.
+    *
+    *  1. Band rows for the new batch only.
+    *  2. A bounded collect of its touched shards (≤ nShards values)
+    *     statically prunes the index read to those parquet partitions.
+    *  3. Candidates = (index ⋈ new bands on (shard, band, band_hash))
+    *     ∪ (new ⋈ new, id_a < id_b); pairs orient as
+    *     (least, greatest) so the output matches the full-recompute
+    *     [[minhashPairs]] convention.
+    *  4. Exact-Jaccard verify fetches shingles ONLY for candidate ids
+    *     (the corpus joins on id BEFORE shingling — candidate-bounded
+    *     compute, not O(corpus)).
+    *  5. The new batch's band rows land at `indexPath + "_delta"` —
+    *     the index append a nightly run would commit.
+    *
+    * Output: (id_a, id_b, jaccard) with jaccard ≥ threshold —
+    * identical to minhashPairs(base ∪ new) restricted to pairs that
+    * touch a new doc (DedupSpec pins the equivalence; the driver
+    * oracle replays it as exact Jaccard in SQL).
+    */
+  def incrementalMinhashPairs(
+      newDf: DataFrame, baseDf: DataFrame, idCol: String, textCol: String,
+      indexPath: String, shingleK: Int = 3, numPerms: Int = 128,
+      numBands: Int = 32, threshold: Double = 0.8, seed: Long = 42L,
+      nShards: Int = 64): DataFrame = {
+    val spark = newDf.sparkSession
+    val bandedNew = bandRows(newDf, idCol, textCol, shingleK, numPerms,
+      numBands, seed, nShards)
+    // the nightly index delta: what a real run appends to the index
+    bandedNew.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(indexPath + "_delta")
+    // bounded collect (≤ nShards values) → static partition pruning
+    val touched = bandedNew.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(indexPath)
+      .where(col("shard").isin(touched: _*))
+    val cross = index.as("i").join(bandedNew.as("n"),
+        col("i.shard") === col("n.shard") &&
+          col("i.band") === col("n.band") &&
+          col("i.band_hash") === col("n.band_hash") &&
+          col("i.id") =!= col("n.id"))
+      .select(least(col("i.id"), col("n.id")).as("id_a"),
+        greatest(col("i.id"), col("n.id")).as("id_b"))
+    val within = bandedNew.as("a").join(bandedNew.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cands = cross.unionAll(within).dropDuplicates("id_a", "id_b")
+    // exact-verify shingles for candidate ids only: join on id FIRST,
+    // then shingle — the corpus fetch is candidate-bounded
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val corpus = baseDf.select(col(idCol).as("id"), col(textCol).as("text"))
+      .unionAll(newDf.select(col(idCol).as("id"), col(textCol).as("text")))
+    val candSh = corpus.join(candIds, Seq("id"))
+      .select(col("id"), wordShingles(col("text"), shingleK).as("sh"))
+    cands
+      .join(candSh.as("sa"), col("id_a") === col("sa.id"))
+      .join(candSh.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact blocked n-gram Jaccard: explode shingles, self-join within
     * `blockCols` on the shingle (never a cross join), count
     * intersections, derive Jaccard from fitted set sizes.

@@ -1691,11 +1691,56 @@ object DedupQueries {
     """),
   )
 
+  /** Corpus for the incremental fixture: the base documents plus a
+    * "tonight's batch" of near-dups (every 10th doc + 3 words, at
+    * +100000) and exact re-crawls (every 20th doc verbatim, at
+    * +200000) — so the increment exercises cross-batch near-dup,
+    * cross-batch exact-dup, and within-batch pairs (the +100000 and
+    * +200000 twins of the same source doc pair with each other).
+    */
+  private val incCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, text || ' tail marker words'
+       FROM documents WHERE doc_id % 10 = 0
+       UNION ALL
+       SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0"""
+
+  // ---------------------------------------------------------------- §2.3/29b
+  /** Nightly incremental near-dup against the persisted band index
+    * ([[Dedup.incrementalMinhashPairs]]): only the new batch is
+    * banded; the index read statically prunes to the batch's touched
+    * shards; survivors verify by exact Jaccard on candidate-bounded
+    * shingle fetches. Oracle = FULL-RECOMPUTE EQUIVALENCE (the
+    * q_agg_incremental pattern): exact Jaccard over base ∪ new,
+    * restricted to pairs touching a new doc (id_b >= 100000 — new ids
+    * sit above the base id space in this fixture).
+    */
+  val dedupIncremental: Q = Q(
+    "dedup_incremental",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fresh = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" tail marker words")).as("text"))
+        .unionAll(base.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.bandIndexWrite(base, "doc_id", "text", "/tmp/graft_band_index")
+      Dedup.incrementalMinhashPairs(fresh, base, "doc_id", "text",
+        "/tmp/graft_band_index", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    Some(s"""
+      SELECT * FROM (${exactJaccardSql(incCorpusSql, 3, 0.8)})
+      WHERE id_b >= 100000
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
     qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
-    dedupGraphDegrees, dedupPrf, qEmbedProject, qKcoreStep)
+    dedupGraphDegrees, dedupPrf, qEmbedProject, qKcoreStep, dedupIncremental)
 }

@@ -91,4 +91,55 @@ class DedupSpec extends SparkSpec {
       (1 to 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < 65536))
     }
   }
+
+  test("incremental minhash equals the full recompute restricted to new docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val fresh = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker words")).as("text"))
+      .unionAll(docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val idx = java.nio.file.Files.createTempDirectory("graft_band_spec")
+      .toString + "/idx"
+    Dedup.bandIndexWrite(docs, "doc_id", "text", idx)
+    val inc = Dedup.incrementalMinhashPairs(fresh, docs, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the full recompute over base ∪ new, kept to pairs touching a
+    // new doc (new ids sit above the base id space)
+    val full = Dedup.minhashPairs(docs.unionAll(fresh), "doc_id", "text")
+      .where(col("id_b") >= 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // index ∪ delta must equal the band rows of the full corpus — the
+    // committed nightly state is indistinguishable from a rebuild
+    val stored = spark.read.parquet(idx)
+      .unionByName(spark.read.parquet(idx + "_delta"))
+      .select("id", "band", "band_hash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rebuilt = Dedup.bandRows(docs.unionAll(fresh), "doc_id", "text")
+      .select("id", "band", "band_hash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored === rebuilt)
+  }
+
+  test("incremental probe statically prunes the index to touched shards") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_band_spec")
+      .toString + "/idx"
+    // 256 shards so a 2-doc probe (≤ 64 band rows) cannot touch all
+    Dedup.bandIndexWrite(docs, "doc_id", "text", idx, nShards = 256)
+    val two = docs.where(col("doc_id") % 250 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail words")).as("text"))
+    val out = Dedup.incrementalMinhashPairs(two, docs, "doc_id", "text",
+      idx, nShards = 256)
+    val scan = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains(idx) && !l.contains("_delta")).mkString("\n")
+    assert(scan.contains("PartitionFilters: [") &&
+      !scan.contains("PartitionFilters: []"), scan)
+    out.collect() // and it still runs end to end
+  }
 }
