@@ -128,11 +128,15 @@ object Dedup {
     * pmod(band_hash, nShards) is the index's parquet partition key:
     * a probe batch touches only the shards its own band hashes land
     * in, so the nightly read scales with the batch (static partition
-    * pruning), not with the corpus.
+    * pruning), not with the corpus. nShards defaults low (16) because
+    * each shard is a parquet partition directory — small-file and
+    * listing overhead grows with it (measured 2× end-to-end at 64 on
+    * the sf0.1 fixture); a 100 TB index raises it so a shard stays a
+    * few GB, the usual partition-sizing rule.
     */
   def bandRows(df: DataFrame, idCol: String, textCol: String,
                shingleK: Int = 3, numPerms: Int = 128, numBands: Int = 32,
-               seed: Long = 42L, nShards: Int = 64): DataFrame = {
+               seed: Long = 42L, nShards: Int = 16): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     df.repartition(par, col(idCol))
       .select(col(idCol).as("id"),
@@ -154,7 +158,7 @@ object Dedup {
   def bandIndexWrite(df: DataFrame, idCol: String, textCol: String,
                      path: String, shingleK: Int = 3, numPerms: Int = 128,
                      numBands: Int = 32, seed: Long = 42L,
-                     nShards: Int = 64): Unit =
+                     nShards: Int = 16): Unit =
     bandRows(df, idCol, textCol, shingleK, numPerms, numBands, seed, nShards)
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
@@ -185,14 +189,18 @@ object Dedup {
       newDf: DataFrame, baseDf: DataFrame, idCol: String, textCol: String,
       indexPath: String, shingleK: Int = 3, numPerms: Int = 128,
       numBands: Int = 32, threshold: Double = 0.8, seed: Long = 42L,
-      nShards: Int = 64): DataFrame = {
+      nShards: Int = 16): DataFrame = {
     val spark = newDf.sparkSession
-    val bandedNew = bandRows(newDf, idCol, textCol, shingleK, numPerms,
-      numBands, seed, nShards)
-    // the nightly index delta: what a real run appends to the index
-    bandedNew.repartition(col("shard"))
+    // the nightly index delta: what a real run appends to the index.
+    // Written FIRST and read back as the probe side, so the signature
+    // projection runs ONCE — the shard collect and both candidate
+    // joins rescan the materialized parquet instead of re-banding
+    bandRows(newDf, idCol, textCol, shingleK, numPerms, numBands, seed,
+      nShards)
+      .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(indexPath + "_delta")
+    val bandedNew = spark.read.parquet(indexPath + "_delta")
     // bounded collect (≤ nShards values) → static partition pruning
     val touched = bandedNew.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).toSeq

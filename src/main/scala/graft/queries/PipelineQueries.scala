@@ -846,56 +846,68 @@ object PipelineQueries {
 
   /** Pairwise Pearson correlation matrix over the numeric lineitem
     * columns — the profiler's feature-redundancy report (what
-    * `df.corr()` gives the reference's pandas user). ONE scan, ONE
-    * 1-row aggregate: n + per-column Σx and per-pair Σxy as exact
-    * decimal(28,6) sums of per-row double products (deterministic per
-    * row, order-free sum — the ExactAgg convention); the d(d+1)/2
-    * correlations are then pure driver-side double arithmetic on
-    * exact sums, replayed term for term by the oracle. decimal(28,6)
-    * holds Σ(price²) to ~1e22 — a 100 TB run shifts the same sums to
-    * decimal(38,6).
+    * `df.corr()` gives the reference's pandas user). RESTRUCTURED in
+    * r12 onto the [[graft.functions.GramAgg]] in-place cell buffer
+    * (the q_pca_power 2.76 → 0.68 s device) after four rounds of
+    * bench creep on the 15-column decimal(28,6) hash-aggregate: the
+    * per-row vector is the four CENT-quantized columns (TPC-H money
+    * columns carry ≤ 2 dp, so round(x·100) is EXACT) plus a literal 1,
+    * and ONE 5-dim upper-triangle gram delivers every Σxᵢxⱼ, Σxᵢ, and
+    * n as 15 in-place long adds per row — one ~15-cell buffer per
+    * partition instead of 15 wide decimal aggregation columns. The
+    * quantization scale cancels in the correlation ratio, so the
+    * d(d+1)/2 correlations are pure driver-side double arithmetic on
+    * exact integer moments, replayed term for term by the oracle.
+    * GramBuffer's int64-partial + BigInt-total tiering keeps the cent²
+    * sums exact at any scale.
     */
   val qCorrMatrix: Q = Q(
     "q_corr_matrix",
     (s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.graft.ColumnBridge
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = Tables.lineitem(s, dir)
-      val sums = cols.map(c => sum(col(c).cast("decimal(28,6)")).as(s"s_$c")) ++
-        (for (i <- cols.indices; j <- i until cols.length) yield
-          sum((col(cols(i)) * col(cols(j))).cast("decimal(28,6)"))
-            .as(s"p_${i}_$j"))
-      val r = li.agg(count(lit(1)).as("n"), sums: _*).head()
-      val n = r.getLong(0).toDouble
-      def s1(i: Int) = r.getDecimal(1 + i).doubleValue()
-      def p(i: Int, j: Int) = {
-        val (a, b) = if (i <= j) (i, j) else (j, i)
-        val idx = (0 until a).map(k => cols.length - k).sum + (b - a)
-        r.getDecimal(1 + cols.length + idx).doubleValue()
-      }
+      val vec = array(cols.map(c =>
+        round(col(c) * lit(100)).cast("long")) :+ lit(1L): _*)
+      val gram = ColumnBridge.column(
+        graft.functions.GramAgg(ColumnBridge.expression(col("mv")),
+          cols.length + 1, upperOnly = true).toAggregateExpression())
+      val m = li.select(vec.as("mv")).agg(gram.as("cells"))
+        .select(inline(col("cells")))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
+        .toMap
+      val k = cols.length
+      val n = m((k, k))
+      def s1(i: Int) = m((i, k))
+      def p(i: Int, j: Int) = m((math.min(i, j), math.max(i, j)))
       def round6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val rows = for (i <- cols.indices; j <- (i + 1) until cols.length) yield {
         val corr = (n * p(i, j) - s1(i) * s1(j)) /
           (math.sqrt(n * p(i, i) - s1(i) * s1(i)) *
             math.sqrt(n * p(j, j) - s1(j) * s1(j)))
-        (cols(i), cols(j), round6(corr))
+        (cols(i), cols(j), round6(corr) + 0.0)
       }
       rows.toDF("col_a", "col_b", "corr")
     },
     Some {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = (cols.zipWithIndex.map { case (c, i) =>
-        s"sum($c::DECIMAL(28,6))::DOUBLE AS s$i" } ++
+      val qs = cols.zipWithIndex.map { case (c, i) =>
+        s"round($c * 100)::BIGINT AS x$i" }.mkString(", ")
+      val aggs = (cols.indices.map(i => s"sum(x$i::HUGEINT)::DOUBLE AS s$i") ++
         (for (i <- cols.indices; j <- i until cols.length) yield
-          s"sum((${cols(i)} * ${cols(j)})::DECIMAL(28,6))::DOUBLE AS p${i}_$j"))
+          s"sum(x$i::HUGEINT * x$j::HUGEINT)::DOUBLE AS p${i}_$j"))
         .mkString(", ")
       val pairs = (for (i <- cols.indices; j <- (i + 1) until cols.length) yield
         s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
             round((n * p${i}_$j - s$i * s$j) /
                   (sqrt(n * p${i}_$i - s$i * s$i) * sqrt(n * p${j}_$j - s$j * s$j)), 6)
-              AS corr FROM s""").mkString("\nUNION ALL\n")
-      s"WITH s AS (SELECT count(*)::DOUBLE AS n, $aggs FROM lineitem)\n$pairs"
+              + 0.0 AS corr FROM s""").mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT $qs FROM lineitem),
+          s AS (SELECT count(*)::DOUBLE AS n, $aggs FROM q)
+          $pairs"""
     },
   )
 
