@@ -1692,21 +1692,35 @@ object TsFeatures {
     def s2j(o: Int, m: Int): String =
       (0 until m).map(k => s"l${o + k}*l${o + k}").mkString(" + ")
 
-    /** d(i, i+o): null when the partner window runs off the series;
+    /** d(i, i+o) DOUBLE tail from integer-moment references — the
+      * text BOTH engines share verbatim (the moments themselves are
+      * exact int64, so each engine may assemble them in any order):
+      * null when the partner window runs off the series (nullRef);
       * degenerate (zero-variance) windows use the fold's convention
       * (both flat → 0, one flat → √(2m)); else the dot-product
       * identity d = √(2m·(1 − corr)) with corr a double division of
       * exact int64 terms. `castD` wraps engine cast syntax.
       */
-    def dStr(o: Int, m: Int, castD: String => String): String = {
+    def dCase(nullRef: String, viRef: String, vjRef: String,
+              numRef: String, m: Int, castD: String => String): String = {
       val twoM = s"${2.0 * m}"
+      val corr = s"${castD(numRef)} / sqrt(${castD(viRef)} * ${castD(vjRef)})"
+      s"CASE WHEN $nullRef IS NULL THEN NULL " +
+        s"WHEN $viRef = 0 AND $vjRef = 0 THEN 0.0 " +
+        s"WHEN $viRef = 0 OR $vjRef = 0 THEN sqrt($twoM) " +
+        s"ELSE sqrt(greatest($twoM * (1.0 - least($corr, 1.0)), 0.0)) END"
+    }
+
+    /** The fully-inlined d(i, i+o) the DuckDB oracle replays (partner
+      * moments re-expanded from the raw leads). Spark assembles the
+      * same exact integers as lead() of the own-window moment COLUMNS
+      * instead ([[graft.operators.TsFeatures.matrixProfileBanded]]) —
+      * same values, and the double tail is [[dCase]] in both engines.
+      */
+    def dStr(o: Int, m: Int, castD: String => String): String = {
       val vj = s"($m*(${s2j(o, m)}) - (${sxj(o, m)})*(${sxj(o, m)}))"
       val num = s"($m*(${qt(o, m)}) - sx*(${sxj(o, m)}))"
-      val corr = s"${castD(num)} / sqrt(${castD("vi")} * ${castD(vj)})"
-      s"CASE WHEN l${o + m - 1} IS NULL THEN NULL " +
-        s"WHEN vi = 0 AND $vj = 0 THEN 0.0 " +
-        s"WHEN vi = 0 OR $vj = 0 THEN sqrt($twoM) " +
-        s"ELSE sqrt(greatest($twoM * (1.0 - least($corr, 1.0)), 0.0)) END"
+      dCase(s"l${o + m - 1}", "vi", vj, num, m, castD)
     }
 
     /** numpy-default linear-interpolated percentile from the exact
@@ -1752,12 +1766,42 @@ object TsFeatures {
     var w2 = w1
       .withColumn("sx", expr(MP.sx(m)))
       .withColumn("vi", expr(s"$m*(${MP.s2(m)}) - (${MP.sx(m)})*(${MP.sx(m)})"))
+    // the partner window's moments are lead() of the own-window moment
+    // COLUMNS (a second pass over the SAME window spec — no new sort or
+    // shuffle), not a per-offset re-expansion of the raw leads: the r12
+    // restructure that shrank each distance to a small dCase over exact
+    // int columns (the per-offset inline s2j/sxj strings tripled in the
+    // CASE text and blew up the generated code). Values are identical —
+    // integer moments are exact — and the double tail is the SAME
+    // dCase text the oracle's dStr inlines.
     for (o <- excl to band)
-      w2 = w2.withColumn(s"d$o", expr(MP.dStr(o, m, castD)))
-    val stackArgs = (excl to band)
-      .flatMap(o => Seq(s"i0, d$o", s"i0 + $o, d$o")).mkString(", ")
-    val pairs = w2.select(col(seriesKey),
-      expr(s"stack(${2 * (band - excl + 1)}, $stackArgs) as (idx, d)"))
+      w2 = w2
+        .withColumn(s"sxj$o", lead(col("sx"), o).over(wOrd))
+        .withColumn(s"vj$o", lead(col("vi"), o).over(wOrd))
+    for (o <- excl to band)
+      w2 = w2
+        .withColumn(s"num$o", expr(s"$m*(${MP.qt(o, m)}) - sx*sxj$o"))
+        .withColumn(s"d$o",
+          expr(MP.dCase(s"vj$o", "vi", s"vj$o", s"num$o", m, castD)))
+    // per-row min-combine instead of a 2·(band−excl+1)-way stack
+    // scatter + groupBy (the r12 restructure: the Expand amplified
+    // 100k rows to 3.8M and dominated the runtime): window i's profile
+    // is least(forward d's at i, backward d's seen from i) where the
+    // backward distance d(i−o, i) is lag(d_o, o) — three window passes
+    // over ONE sort, no row amplification, and `least` skips nulls
+    // exactly like the min-combine did
+    // scatter each distance to both endpoints through ONE array
+    // explode (a Generate over a 2·(band−excl+1)-struct array built
+    // once per row — each dCase evaluates once, unlike a stack whose
+    // per-projection inlining re-expands them), then min-combine per
+    // window index; the groupBy's map-side partial min compacts the
+    // scatter to one row per (series, idx) before its single Exchange
+    val arr = array((excl to band).flatMap(o => Seq(
+      struct(col("i0").as("idx"), col(s"d$o").as("d")),
+      struct((col("i0") + o).as("idx"), col(s"d$o").as("d")))): _*)
+    val pairs = w2
+      .select(col(seriesKey), explode(arr).as("p"))
+      .select(col(seriesKey), col("p.idx").as("idx"), col("p.d").as("d"))
       .where(col("d").isNotNull)
     val prof = pairs.groupBy(col(seriesKey), col("idx"))
       .agg(min(col("d")).as("pv"))
