@@ -197,7 +197,27 @@ private[graft] case class RangeV2Partition(lo: Long, hi: Long)
 private[sources] class RangeV2Scan(lo: Long, hi: Long, slices: Int,
                                    required: StructType)
   extends Scan with Batch with Serializable
-  with SupportsRuntimeV2Filtering {
+  with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** Planning-time statistics from the STATIC pushdown envelope
+    * (runtime filters narrow later, after join planning): exact row
+    * count and 8 bytes per fixed-width projected column. This is the
+    * CBO rung above pushdown — a filtered slice of the source under
+    * the broadcast threshold broadcasts WITHOUT a hint, where the
+    * DSv2 default (defaultSizeInBytes = huge) would have forced a
+    * sort-merge join. `SupportsReportPartitioning` is deliberately
+    * NOT implemented: DSv2 key-grouped partitioning describes
+    * bucket/identity transforms, and this source's contiguous id
+    * ranges are neither — reporting UnknownPartitioning would claim
+    * nothing Spark can use.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    private val bytes = (BigInt(rows) * (8L * math.max(1, required.fields.length)))
+      .min(BigInt(Long.MaxValue)).toLong
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
 
   // runtime-narrowed bounds (RUNTIME filtering — the rung above static
   // pushdown): when this scan is the probe side of a join whose build

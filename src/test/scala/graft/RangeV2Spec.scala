@@ -142,6 +142,34 @@ class RangeV2Spec extends SparkSpec {
     }
   }
 
+  test("reported statistics drive broadcast: a filtered slice joins without a hint") {
+    // no broadcast() hint anywhere: the small side must broadcast
+    // because estimateStatistics reports its post-pushdown size
+    val big = ranged(0, 2000000)
+    val small = ranged(0, 2000000).where(col("id") >= 100 && col("id") < 200)
+      .select(col("id").as("k"))
+    val j = big.join(small, big("id") === small("k"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(j.count() === 100L)
+    // and the stats themselves are the pruned envelope, not a default
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val table = new graft.sources.RangeV2().getTable(
+      graft.sources.RangeV2.schema, Array.empty,
+      java.util.Map.of("start", "0", "end", "1000000", "slices", "8"))
+    val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L),
+        org.apache.spark.sql.sources.LessThan("id", 20L)))
+    val stats = sb.build().asInstanceOf[SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong === 10L)
+    assert(stats.sizeInBytes().getAsLong === 10L * 16L)
+  }
+
   test("Long.MaxValue bounds don't wrap: <= MaxValue is a no-op, = / > MaxValue are empty") {
     // id <= MaxValue is vacuously true — the clamp must not shrink the scan
     assert(ranged(0, 1000).where(col("id") <= Long.MaxValue).count() === 1000L)
