@@ -76,7 +76,7 @@ object DedupQueries {
     * the MinHash+LSH path (candidate recall is ~1 at J >= 0.9 with
     * 128 perms / 32 bands).
     */
-  private def exactJaccardSql(corpusSql: String, k: Int, threshold: Double) = s"""
+  private[queries] def exactJaccardSql(corpusSql: String, k: Int, threshold: Double) = s"""
     WITH corpus AS ($corpusSql),
     words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
@@ -1698,7 +1698,7 @@ object DedupQueries {
     * cross-batch exact-dup, and within-batch pairs (the +100000 and
     * +200000 twins of the same source doc pair with each other).
     */
-  private val incCorpusSql =
+  private[queries] val incCorpusSql =
     """SELECT doc_id, text FROM documents
        UNION ALL
        SELECT doc_id + 100000, text || ' tail marker words'

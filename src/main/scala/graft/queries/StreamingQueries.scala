@@ -1435,6 +1435,41 @@ object StreamingQueries {
         mode = "complete")),
     MetricsQueries.qMccKappa.oracle)
 
+  /** Streaming incremental near-dup ([[StreamOps.bandIndexProbe]]):
+    * tonight's crawl STREAM probes the persisted MinHash band index
+    * through stateless stream-static joins and emits exact-Jaccard-
+    * verified (new, base) pairs in append mode; the drained batch
+    * result dedups band-repeat copies. Oracle = full-recompute
+    * equivalence restricted to CROSS pairs (the stream probes the
+    * index only — within-batch pairs are dedup_incremental's job).
+    */
+  val streamDedupIncremental: Q = Q(
+    "stream_dedup_incremental",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.operators.Dedup.bandIndexWrite(base, "doc_id", "text",
+        "/tmp/graft_band_index_stream")
+      val index = s.read.parquet("/tmp/graft_band_index_stream")
+      def docsS = StreamOps.docsStream(s, dir).select(col("doc_id"), col("text"))
+      val fresh = docsS.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" tail marker words")).as("text"))
+        .unionAll(docsS.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      StreamOps.runToBatch(s,
+        StreamOps.bandIndexProbe(fresh, "doc_id", "text", index, base),
+        mode = "append")
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    Some(s"""
+      SELECT * FROM (${DedupQueries.exactJaccardSql(DedupQueries.incCorpusSql, 3, 0.8)})
+      WHERE id_a < 100000 AND id_b >= 100000
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1447,5 +1482,6 @@ object StreamingQueries {
     streamMarkovEntropy, streamGainsCurve, streamWoeIv, streamSpearman,
     streamMannWhitney, streamCusum, streamTheilSen, streamChangepoint,
     streamOutlierFences, streamStl, streamPartialCorr, streamConfusionMatrix,
-    streamWelchTtest, streamJsDivergence, streamKendallTau, streamSprt, streamTost, streamMccKappa)
+    streamWelchTtest, streamJsDivergence, streamKendallTau, streamSprt,
+    streamTost, streamMccKappa, streamDedupIncremental)
 }

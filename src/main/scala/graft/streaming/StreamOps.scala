@@ -124,6 +124,52 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("band", "band_val")
       .select(col("band"), col("band_val"))
 
+  /** Streaming INCREMENTAL near-dup — the crawl-firehose twin of
+    * [[graft.operators.Dedup.incrementalMinhashPairs]]: each incoming
+    * document bands STATELESSLY (shingles → MinHash signature → LSH
+    * band explode, all local projections, no stream shuffle), probes
+    * the PERSISTED band index through a stream-static join, fetches
+    * the matched base docs' shingles from the static corpus, and
+    * emits exact-Jaccard-verified pairs in append mode. No state
+    * store at all: both joins are stream-static (re-read per
+    * micro-batch), so the shape runs at firehose rates bounded only
+    * by the index read — at scale the static side is the
+    * shard-partitioned parquet index and Spark broadcasts or
+    * shuffle-hash-joins it per batch. A pair surfaces once per shared
+    * band; the caller dedups the drained batch result (order-free —
+    * every copy carries the identical exact-int-derived jaccard).
+    */
+  def bandIndexProbe(docs: DataFrame, idCol: String, textCol: String,
+                     index: DataFrame, baseCorpus: DataFrame,
+                     shingleK: Int = 3, numPerms: Int = 128,
+                     numBands: Int = 32, threshold: Double = 0.8,
+                     seed: Long = 42L): DataFrame = {
+    import graft.operators.Dedup
+    val banded = docs
+      .select(col(idCol).as("id"),
+        Dedup.wordShingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), Dedup.shingleHashes(col("sh")).as("hs"))
+      .select(col("id"), col("sh"),
+        Dedup.minhashSignature(col("hs"), numPerms, seed).as("sig"))
+      .select(col("id"), col("sh"),
+        explode(Dedup.lshBands(col("sig"), numBands, numPerms)).as("bk"))
+      .select(col("id"), col("sh"),
+        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val baseSh = baseCorpus.select(col(idCol).as("base_id"),
+      Dedup.wordShingles(col(textCol), shingleK).as("base_sh"))
+    banded
+      .join(index.select(col("id").as("base_id"), col("band"),
+        col("band_hash")), Seq("band", "band_hash"))
+      .where(col("base_id") =!= col("id"))
+      .join(baseSh, Seq("base_id"))
+      .select(
+        least(col("base_id"), col("id")).as("id_a"),
+        greatest(col("base_id"), col("id")).as("id_b"),
+        Dedup.jaccard(col("base_sh"), col("sh")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Stream-static enrichment: the event stream joins a BROADCAST
     * static dimension (no shuffle of the stream, no state — the dim
     * snapshot is re-broadcast per micro-batch), then aggregates per

@@ -477,6 +477,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.distinct().count() === expected)    // and every key present once
   }
 
+  test("band-index probe runs stateless: no state store in the streaming plan") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_probe_spec")
+      .toString + "/idx"
+    graft.operators.Dedup.bandIndexWrite(base, "doc_id", "text", idx)
+    val index = spark.read.parquet(idx)
+    val fresh = StreamOps.docsStream(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker words")).as("text"))
+    val probe = StreamOps.bandIndexProbe(fresh, "doc_id", "text", index, base)
+    val name = s"graft_probe_${System.nanoTime()}"
+    val q = probe.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    // both joins are stream-static: the executed micro-batch must
+    // report NO stateful operator — that's the firehose-rate property
+    assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    // and the emitted pairs are all cross-batch (new id >= 100000 on
+    // exactly one side) with verified jaccard
+    val rows = spark.table(name).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < 100000L && r.getLong(1) >= 100000L)
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
   test("corpus contract: (user_id, ts) unique in events, (user_id, ts, event_id) total") {
     // Every stateful twin buffers one key's micro-batch and sorts by
     // (ts_ns, event_id); batch twins window-order by ts alone. Those
