@@ -207,6 +207,28 @@ class TsSpec extends SparkSpec {
     assert(nulls("B")) // constant series: singular X'X
   }
 
+  test("distributed ADF tracks the fold on seeded random series") {
+    import spark.implicits._
+    // values pre-snapped to the 1e-6 grid so micro-quantization is
+    // exact and any residual difference is pure solve op-order
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      s <- 0 until 6
+      t <- 0 until 40
+    } yield (s"s$s", t.toLong,
+      math.floor((rnd.nextDouble() * 20 - 10) * 1e6) / 1e6 +
+        (if (s % 2 == 0) t * 0.05 else 0.0))
+    val in = rows.toDF("sk", "t", "v")
+    val fold = TsFeatures.adf(in, "sk", Seq("t"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = TsFeatures.adfDistributed(in, "sk", Seq("t"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fold.keySet === dist.keySet)
+    fold.foreach { case (k, v) =>
+      assert(math.abs(dist(k) - v) < 1e-3, s"$k: fold $v vs dist ${dist(k)}")
+    }
+  }
+
   test("ADF of a too-short or constant series is null, not a crash") {
     import spark.implicits._
     val in = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
