@@ -54,6 +54,34 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic MIXTURE sampling — the target-proportion curation
+    * draw (the data-mixture/DoReMi shape: "40% en, 20% zh, …"): keep
+    * the hash-rank top k_c = total·num_c div den rows of each class,
+    * so the kept corpus approaches the target mixture exactly up to
+    * class exhaustion (a class smaller than its quota contributes all
+    * its rows — the rank cap is free). Weights are integer rationals
+    * and k_c is pure int64 arithmetic, so an external engine replays
+    * the exact draw; membership is md5-deterministic like
+    * [[balanceClasses]]. Classes absent from `weights` drop (weight
+    * 0). At extreme class cardinality swap the per-class rank for the
+    * threshold filter ([[balanceClassesThreshold]]'s no-sort path).
+    */
+  def mixtureSample(df: DataFrame, classCol: String, idCol: String,
+                    weights: Seq[(String, Long)], den: Long,
+                    total: Long): DataFrame = {
+    require(weights.nonEmpty && den > 0 && total >= 0,
+      s"mixtureSample needs weights, den > 0, total >= 0")
+    val kc = weights.foldLeft(lit(null).cast("long")) { case (acc, (cls, num)) =>
+      when(col(classCol) <=> lit(cls), lit(total * num / den)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__k", kc).where(col("__k").isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__k"))
+      .drop("__k", "__rk")
+  }
+
   /** Hash-THRESHOLD class balancing — the extreme-cardinality variant
     * [[balanceClasses]] documents: keep a row iff its 16-bit hash
     * bucket < ⌊65536·m/n_class⌋. No per-class rank/window at all —

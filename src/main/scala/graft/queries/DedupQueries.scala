@@ -1736,11 +1736,85 @@ object DedupQueries {
     """),
   )
 
+  // ---------------------------------------------------------------- §2.3/36h
+  /** Embedding-distribution drift report — the monitoring row an
+    * embedding pipeline runs between snapshots (new encoder, new
+    * crawl): both halves of the corpus (vec_id parity stands in for
+    * old/new snapshots) assign to the SAME 16 md5-sampled centroids
+    * (the replayable knn_ivf selection), and the per-cell occupancy
+    * distributions compare by Jensen–Shannon divergence (the
+    * [[MetricsQueries.jsFromBins]] tail — Laplace-smoothed,
+    * micro-quantized terms). Scalar-PSI watches a column; THIS
+    * watches the embedding space itself, at one assignment pass +
+    * one 16-cell rollup of cost.
+    */
+  val qEmbeddingDrift: Q = Q(
+    "q_embedding_drift",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val c = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val centroids = Ann.sampleCentroids(c, "id", "cv", nCells = 16)
+      val assigned = c.withColumn("cell",
+        element_at(graft.functions.GraftFunctions.topCells(col("cv"),
+          centroids, 1), 1).getField("cell"))
+      val bins = assigned
+        .groupBy(col("cell").cast("long").as("bin"))
+        .agg(sum(when(pmod(col("id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(pmod(col("id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+      MetricsQueries.jsFromBins(bins)
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      h AS (
+        SELECT vec_id, v, md5(vec_id::VARCHAR) AS hx FROM e),
+      sel AS (
+        SELECT vec_id, v,
+               ${OracleExact.h16Sql("hx")} AS h16
+        FROM h),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        FROM sel
+        WHERE h16 % greatest(1, (SELECT count(*) FROM e) // 16) = 0
+        ORDER BY vec_id LIMIT 16),
+      cc AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      scores AS (
+        SELECT n.vec_id, cc.cell,
+               list_dot_product(n.v, cc.cv) / (n.nrm * cc.cnrm) AS s
+        FROM n CROSS JOIN cc),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+          FROM scores) WHERE rn = 1),
+      bins AS (
+        SELECT cell::BIGINT AS bin,
+               sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+        FROM assigned GROUP BY 1),
+      tt AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb,
+               count(*)::BIGINT AS k FROM bins),
+      t AS (SELECT bin, n_a, n_b,
+              round((0.5 * (((n_a + 0.5) / (ta + k / 2.0)) *
+                      ln(((n_a + 0.5) / (ta + k / 2.0)) /
+                         ((((n_a + 0.5) / (ta + k / 2.0)) + ((n_b + 0.5) / (tb + k / 2.0))) / 2.0))) +
+                     0.5 * (((n_b + 0.5) / (tb + k / 2.0)) *
+                      ln(((n_b + 0.5) / (tb + k / 2.0)) /
+                         ((((n_a + 0.5) / (ta + k / 2.0)) + ((n_b + 0.5) / (tb + k / 2.0))) / 2.0)))) * 1e6)::BIGINT AS micro
+            FROM bins, tt)
+      SELECT bin, n_a, n_b, micro / 1e6 AS js_term,
+             (SELECT sum(micro) FROM t) / 1e6 AS js_total
+      FROM t
+    """),
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
     dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
     qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
-    dedupGraphDegrees, dedupPrf, qEmbedProject, qKcoreStep, dedupIncremental)
+    dedupGraphDegrees, dedupPrf, qEmbedProject, qKcoreStep, dedupIncremental,
+    qEmbeddingDrift)
 }

@@ -601,8 +601,51 @@ object ScaleOpsQueries {
     """),
   )
 
+  /** Small-file compaction planner — the lakehouse maintenance op a
+    * 100 TB table needs nightly (the OPTIMIZE/bin-pack planning step):
+    * the file grain is a (day, bucket) rollup standing in for the
+    * table's physical files (bytes = 64·rows), and within each DAY the
+    * files next-fit into target-size groups by cumulative bytes over
+    * the (bytes DESC, bucket) order — group = cum_before div target,
+    * so a group exceeds the target by at most one file, and the
+    * cumsum window is PARTITIONED by day (never a global sort; a day
+    * with a pathological file count salts on a bucket prefix). Output
+    * is the rewrite plan (day, bucket, bytes, group_id) a compactor
+    * executes group-by-group.
+    */
+  val qCompactionPlan: Q = Q(
+    "q_compaction_plan",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = Tables.events(s, dir)
+        .groupBy(expr("ts div 86400000000000").as("day"),
+          pmod(col("user_id"), lit(8)).as("bucket"))
+        .agg((count(lit(1)) * 64).as("bytes"))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("bytes").desc, col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .select(col("day"), col("bucket"), col("bytes"),
+          expr("cum_before div 8192").as("group_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day, user_id % 8 AS bucket,
+               count(*) * 64 AS bytes
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT day, bucket, bytes,
+               coalesce(sum(bytes) OVER (PARTITION BY day
+                 ORDER BY bytes DESC, bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM f)
+      SELECT day, bucket, bytes, (cb // 8192)::BIGINT AS group_id FROM c
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAsof, qAsofNative, qAsofForward, qAsofForwardNative,
     qAsofNearest, qAsofTolerance, qAggSalted, qRangeJoin, qBucketedJoin,
     qJoinSalted, qDppJoin, qSkewReport, qZorder, qBloomJoin, qIntervalOverlap,
-    qDimAsofEnrich)
+    qDimAsofEnrich, qCompactionPlan)
 }

@@ -363,6 +363,41 @@ object TextQueries {
     """),
   )
 
+  /** Deterministic mixture sampling to TARGET language proportions
+    * ([[graft.operators.Sampling.mixtureSample]]) — the data-mixture
+    * curation draw (40% en / 20% zh / 20% es / 10% de / 10% fr over a
+    * 60%-of-corpus budget): per-class quotas are pure int64 rational
+    * arithmetic off one fit-boundary count, membership is
+    * md5-hash-rank, and the oracle replays quota and rank exactly.
+    */
+  val textMixtureSample: Q = Q(
+    "text_mixture_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val total = d.count() * 6 / 10
+      graft.operators.Sampling.mixtureSample(d, "lang", "doc_id",
+        Seq("en" -> 4L, "zh" -> 2L, "es" -> 2L, "de" -> 1L, "fr" -> 1L),
+        den = 10L, total = total)
+    },
+    Some(s"""
+      WITH t AS (SELECT count(*) * 6 // 10 AS total FROM documents),
+      h AS (
+        SELECT doc_id, lang, ${OracleExact.h16Sql("hx")} AS h16
+        FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS hx FROM documents)),
+      k AS (
+        SELECT 'en' AS lang, total * 4 // 10 AS k FROM t
+        UNION ALL SELECT 'zh', total * 2 // 10 FROM t
+        UNION ALL SELECT 'es', total * 2 // 10 FROM t
+        UNION ALL SELECT 'de', total * 1 // 10 FROM t
+        UNION ALL SELECT 'fr', total * 1 // 10 FROM t),
+      r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h16, doc_id) AS rk
+        FROM h)
+      SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rk <= k.k
+    """),
+  )
+
   /** Stratified 5-fold split ([[graft.operators.Sampling
     * .stratifiedKFold]]): every language contributes an equal (±1)
     * share to each fold by hash-rank round-robin — the deterministic
@@ -1632,5 +1667,6 @@ object TextQueries {
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
     textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
-    textBpeStep, textLix, textKneserNey, textDsirSelect, qGoodTuring)
+    textBpeStep, textLix, textKneserNey, textDsirSelect, qGoodTuring,
+    textMixtureSample)
 }
