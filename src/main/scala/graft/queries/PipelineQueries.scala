@@ -1338,55 +1338,72 @@ object PipelineQueries {
   /** Closed-form distributed OLS — multi-feature linear regression via
     * the normal equations, the d-bounded exact-sums pattern that makes
     * regression a SINGLE aggregate at any scale (the GramAgg/PCA story
-    * applied to supervised fitting): ONE scan, ONE 1-row aggregate of
-    * ten exact decimal(28,6) sums (all terms are ≤6-dp decimals —
-    * quantity integral, discount 2 dp, price 2 dp — so every sum is
-    * exact and order-free), then the 3×3 Cramer's-rule solve, SSE via
-    * the optimum identity SSE = Σy² − bᵀXᵀy, and R² as pure driver
-    * double arithmetic the oracle spells out in the IDENTICAL op
-    * order. `regr_slope`-style streaming moments would diverge in the
-    * low bits under distributed accumulation; exact sums make the fit
+    * applied to supervised fitting): ONE scan, ONE 1-row GramAgg over
+    * the cent-quantized [quantity, discount, price, 1] vector — ten
+    * exact integer moments from 10 in-place long adds per row (cents
+    * are exact: quantity integral, discount 2 dp, price 2 dp) — then
+    * the 3×3 Cramer's-rule solve, SSE via the optimum identity
+    * SSE = Σy² − bᵀXᵀy, and R² as pure driver double arithmetic the
+    * oracle spells out in the IDENTICAL op order (each moment is one
+    * int→double cast + one scale division on both engines).
+    * `regr_slope`-style streaming moments would diverge in the low
+    * bits under distributed accumulation; exact sums make the fit
     * replayable bit-for-bit. 100 TB: same plan shape — the aggregate
     * is d²-bounded state, mergeable by addition.
     */
   val qLinreg: Q = Q(
     "q_linreg",
     (s, dir) => {
-      import graft.operators.ExactAgg.decSum
+      // r12: the ten moment sums ride ONE GramAgg buffer over the
+      // cent-quantized [x1, x2, y, 1] vector (the q_corr_matrix
+      // restructure — 15 in-place long adds per row instead of 9 wide
+      // decimal aggregation columns; cents are exact for these ≤2-dp
+      // columns). Moments rescale to raw units by one double division
+      // each, in the SAME op order the oracle spells out.
+      import org.apache.spark.sql.graft.ColumnBridge
       val li = Tables.lineitem(s, dir)
-      val r = li.agg(
-        count(lit(1)).as("n"),
-        decSum(col("l_quantity")).as("s1"),
-        decSum(col("l_discount")).as("s2"),
-        decSum(col("l_extendedprice")).as("sy"),
-        decSum(col("l_quantity") * col("l_quantity")).as("s11"),
-        decSum(col("l_quantity") * col("l_discount")).as("s12"),
-        decSum(col("l_discount") * col("l_discount")).as("s22"),
-        decSum(col("l_quantity") * col("l_extendedprice")).as("s1y"),
-        decSum(col("l_discount") * col("l_extendedprice")).as("s2y"),
-        decSum(col("l_extendedprice") * col("l_extendedprice")).as("syy")).head()
+      val vec = array(
+        round(col("l_quantity") * lit(100)).cast("long"),
+        round(col("l_discount") * lit(100)).cast("long"),
+        round(col("l_extendedprice") * lit(100)).cast("long"),
+        lit(1L))
+      val gram = ColumnBridge.column(
+        graft.functions.GramAgg(ColumnBridge.expression(col("mv")), 4,
+          upperOnly = true).toAggregateExpression())
+      val m = li.select(vec.as("mv")).agg(gram.as("cells"))
+        .select(inline(col("cells")))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
+        .toMap
+      val n = m((3, 3))
+      def c1(i: Int) = m((i, 3)) / 100.0
+      def c2(i: Int, j: Int) = m((math.min(i, j), math.max(i, j))) / 10000.0
       val (b0, b1, b2, r2) = graft.operators.Eval.ols2(
-        r.getLong(0).toDouble, r.getDouble(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
-        r.getDouble(8), r.getDouble(9))
+        n, c1(0), c1(1), c1(2),
+        c2(0, 0), c2(0, 1), c2(1, 1), c2(0, 2), c2(1, 2), c2(2, 2))
       def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
-      Seq((r.getLong(0), r6(b0), r6(b1), r6(b2), r6(r2)))
+      Seq((n.toLong, r6(b0), r6(b1), r6(b2), r6(r2)))
         .toDF("n", "b_intercept", "b_quantity", "b_discount", "r2")
     },
     Some("""
-      WITH a AS (SELECT
-          count(*)::DOUBLE AS n,
-          sum((l_quantity)::DECIMAL(28,6))::DOUBLE AS s1,
-          sum((l_discount)::DECIMAL(28,6))::DOUBLE AS s2,
-          sum((l_extendedprice)::DECIMAL(28,6))::DOUBLE AS sy,
-          sum((l_quantity * l_quantity)::DECIMAL(28,6))::DOUBLE AS s11,
-          sum((l_quantity * l_discount)::DECIMAL(28,6))::DOUBLE AS s12,
-          sum((l_discount * l_discount)::DECIMAL(28,6))::DOUBLE AS s22,
-          sum((l_quantity * l_extendedprice)::DECIMAL(28,6))::DOUBLE AS s1y,
-          sum((l_discount * l_extendedprice)::DECIMAL(28,6))::DOUBLE AS s2y,
-          sum((l_extendedprice * l_extendedprice)::DECIMAL(28,6))::DOUBLE AS syy
+      WITH q AS (SELECT
+          round(l_quantity * 100)::BIGINT AS x1,
+          round(l_discount * 100)::BIGINT AS x2,
+          round(l_extendedprice * 100)::BIGINT AS y
         FROM lineitem),
+      a AS (SELECT
+          count(*)::DOUBLE AS n,
+          sum(x1::HUGEINT)::DOUBLE / 100.0 AS s1,
+          sum(x2::HUGEINT)::DOUBLE / 100.0 AS s2,
+          sum(y::HUGEINT)::DOUBLE / 100.0 AS sy,
+          sum(x1::HUGEINT * x1::HUGEINT)::DOUBLE / 10000.0 AS s11,
+          sum(x1::HUGEINT * x2::HUGEINT)::DOUBLE / 10000.0 AS s12,
+          sum(x2::HUGEINT * x2::HUGEINT)::DOUBLE / 10000.0 AS s22,
+          sum(x1::HUGEINT * y::HUGEINT)::DOUBLE / 10000.0 AS s1y,
+          sum(x2::HUGEINT * y::HUGEINT)::DOUBLE / 10000.0 AS s2y,
+          sum(y::HUGEINT * y::HUGEINT)::DOUBLE / 10000.0 AS syy
+        FROM q),
       d AS (SELECT *,
           n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det
         FROM a),
