@@ -16,6 +16,34 @@ object Urls {
   val UrlRe = "https?://[a-z0-9.-]+[a-z0-9/._-]*"
   val DomainRe = "https?://([a-z0-9.-]+)"
 
+  /** Canonical form of a URL column — the CCNet/C4 URL-dedup key:
+    * lowercase, strip the scheme, a leading `www.`, any query/fragment
+    * tail (where the tracking params live), and a trailing slash.
+    * Each step is one regexp_replace in the RE2 ∩ Java common subset,
+    * so an external engine replays the key bit-for-bit.
+    */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lower0 = lower(url)
+    val noScheme = regexp_replace(lower0, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noQuery = regexp_replace(noWww, "[?#].*$", "")
+    regexp_replace(noQuery, "/$", "")
+  }
+
+  /** URL-keyed keep-first dedup — the stage crawl pipelines run
+    * BEFORE any content pass (same page re-crawled under scheme/www/
+    * tracking-param variants must not reach the expensive near-dup
+    * machinery): group on [[canonicalUrl]], survivor = min id. One
+    * narrow projection + one hash groupBy on a balanced key — the
+    * [[Dedup.exact]] shape with the canonical URL as content hash.
+    */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
+      .select(col(idCol), col("canonical_url"), col("n_variants"))
+
   /** Per-document URL counts and blocklist verdict: one narrow
     * extract + explode_outer (keeps URL-free docs), a broadcast left
     * join on the domain, one map-side-combined groupBy back to doc

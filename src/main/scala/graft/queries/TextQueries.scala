@@ -1166,6 +1166,54 @@ object TextQueries {
     """),
   )
 
+  /** URL-keyed keep-first dedup ([[graft.operators.Urls.dedupByUrl]])
+    * — the crawl stage BEFORE content dedup: each doc carries a
+    * synthetic crawl URL whose scheme / www / tracking-param /
+    * trailing-slash variants collide onto a canonical key
+    * (`site{id%7}.example.com/p/{id%13}`), and the keep-first
+    * groupBy collapses re-crawls of the same page. The oracle replays
+    * the four-step canonicalization regex chain.
+    */
+  val textUrlDedup: Q = Q(
+    "text_url_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("https://"))
+            .otherwise(lit("HTTP://www.")),
+          lit("Site"), col("doc_id") % 7, lit(".example.com/p/"),
+          col("doc_id") % 13,
+          when(col("doc_id") % 3 === 0, lit("/?utm_source=feed&ref=x"))
+            .when(col("doc_id") % 5 === 0, lit("#section-2"))
+            .otherwise(lit(""))))
+      graft.operators.Urls.dedupByUrl(d, "doc_id", "url")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://www.' END)
+               || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id % 13 AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=x'
+                        WHEN doc_id % 5 = 0 THEN '#section-2'
+                        ELSE '' END) AS url
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '^https?://', ''),
+                     '^www\.', ''),
+                   '[?#].*$', ''),
+                 '/$', '') AS canonical_url
+        FROM u)
+      SELECT min(doc_id) AS doc_id, canonical_url,
+             count(*) AS n_variants
+      FROM c GROUP BY canonical_url
+    """),
+  )
+
   /** nDCG@10 of the BM25 ranking — the GRADED retrieval-quality eval
     * next to `q_recall_at_k`'s set-overlap (nDCG rewards putting the
     * most-relevant docs highest, not just finding them): relevance
@@ -1668,5 +1716,5 @@ object TextQueries {
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
     textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
     textBpeStep, textLix, textKneserNey, textDsirSelect, qGoodTuring,
-    textMixtureSample)
+    textMixtureSample, textUrlDedup)
 }
