@@ -235,6 +235,37 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus SENTENCE dedup with document reconstruction — the
+    * Dolma-style stage between URL dedup and near-dup: split each doc
+    * on `sep`, keep each distinct sentence only at its FIRST
+    * occurrence ((doc, pos)-min over the corpus — boilerplate
+    * "subscribe now" lines survive once), and reassemble every doc
+    * from its kept sentences in original order. One explode + one
+    * sentence-partitioned window (balanced keys — a sentence's
+    * partition is its occurrence count) + one doc-grain rollup; no
+    * self-join, no all-pairs. Returns (id, n_sents, n_kept, cleaned).
+    */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
+                    sep: String = "\\. ", joiner: String = ". "): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sep)).as(Seq("pos0", "s")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("s"))
+    val w = Window.partitionBy(col("s")).orderBy(col("id"), col("pos"))
+    val kept = p.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(joiner,
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s"))).as("cleaned"))
+    p.groupBy(col("id")).agg(count(lit(1)).as("n_sents"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Exact blocked n-gram Jaccard: explode shingles, self-join within
     * `blockCols` on the shingle (never a cross join), count
     * intersections, derive Jaccard from fitted set sizes.

@@ -1214,6 +1214,56 @@ object TextQueries {
     """),
   )
 
+  /** Cross-corpus sentence dedup with document reconstruction
+    * ([[graft.operators.Dedup.sentenceDedup]]) — the Dolma-style
+    * boilerplate-removal stage: the fixture builds sentence-structured
+    * docs (per-lang intro ∪ unique body ∪ corpus-wide newsletter
+    * boilerplate ∪ per-site footer, plus verbatim re-crawls of every
+    * 10th doc at +100000), so shared sentences survive only at their
+    * first (doc, pos) occurrence and the re-crawls clean to empty.
+    * The oracle replays the split, the first-occurrence window, and
+    * the ordered reassembly.
+    */
+  val textParagraphDedup: Q = Q(
+    "text_paragraph_dedup",
+    (s, dir) => {
+      val e = Tables.documents(s, dir).select(col("doc_id"), concat(
+        lit("intro for "), col("lang"),
+        lit(". body "), substring(col("text"), 1, 80),
+        lit(". subscribe to our newsletter today. visit site"),
+        col("doc_id") % 7).as("text"))
+      val corpus = e.unionAll(e.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.operators.Dedup.sentenceDedup(corpus, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT doc_id,
+               'intro for ' || lang || '. body ' || substr(text, 1, 80)
+               || '. subscribe to our newsletter today. visit site'
+               || CAST(doc_id % 7 AS VARCHAR) AS text
+        FROM documents),
+      c AS (SELECT doc_id, text FROM e
+            UNION ALL
+            SELECT doc_id + 100000, text FROM e WHERE doc_id % 10 = 0),
+      w AS (SELECT doc_id, string_split(text, '. ') AS ws FROM c),
+      p AS (SELECT doc_id, pos, ws[pos] AS s
+            FROM w, unnest(range(1, len(ws) + 1)) AS t(pos)),
+      r AS (SELECT doc_id, pos, s,
+                   row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rk
+            FROM p),
+      k AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(s, '. ' ORDER BY pos) AS cleaned
+            FROM r WHERE rk = 1 GROUP BY doc_id),
+      t AS (SELECT doc_id, count(*) AS n_sents FROM p GROUP BY doc_id)
+      SELECT t.doc_id, t.n_sents,
+             coalesce(k.n_kept, 0) AS n_kept,
+             coalesce(k.cleaned, '') AS cleaned
+      FROM t LEFT JOIN k USING (doc_id)
+    """),
+  )
+
   /** nDCG@10 of the BM25 ranking — the GRADED retrieval-quality eval
     * next to `q_recall_at_k`'s set-overlap (nDCG rewards putting the
     * most-relevant docs highest, not just finding them): relevance
@@ -1716,5 +1766,5 @@ object TextQueries {
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
     textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
     textBpeStep, textLix, textKneserNey, textDsirSelect, qGoodTuring,
-    textMixtureSample, textUrlDedup)
+    textMixtureSample, textUrlDedup, textParagraphDedup)
 }
