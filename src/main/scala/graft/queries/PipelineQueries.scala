@@ -911,6 +911,72 @@ object PipelineQueries {
     },
   )
 
+  /** PER-GROUP correlation matrices — [[qCorrMatrix]]'s grouped twin
+    * and the "fit a million small gram matrices in one pass" shape:
+    * the SAME GramAgg buffer rides a groupBy, so every key accumulates
+    * its own 15 exact integer moments with map-side combine and the
+    * shuffle carries one ≤ ~200 B buffer per (partition, key). The
+    * per-key correlations are driver doubles off the bounded
+    * (3 flags × 15 cells) collect, replayed term for term.
+    */
+  val qGroupedCorr: Q = Q(
+    "q_grouped_corr",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.ColumnBridge
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables.lineitem(s, dir)
+      val vec = array(cols.map(c =>
+        round(col(c) * lit(100)).cast("long")) :+ lit(1L): _*)
+      val gram = ColumnBridge.column(
+        graft.functions.GramAgg(ColumnBridge.expression(col("mv")),
+          cols.length + 1, upperOnly = true).toAggregateExpression())
+      val m = li.select(col("l_returnflag"), vec.as("mv"))
+        .groupBy(col("l_returnflag")).agg(gram.as("cells"))
+        .select(col("l_returnflag"), inline(col("cells")))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+          r.getDecimal(3).doubleValue())
+        .toMap
+      val k = cols.length
+      val flags = m.keySet.map(_._1).toSeq.sorted
+      def round6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = for {
+        f <- flags
+        i <- cols.indices
+        j <- (i + 1) until cols.length
+      } yield {
+        val n = m((f, k, k))
+        def s1(a: Int) = m((f, a, k))
+        def p(a: Int, b: Int) = m((f, math.min(a, b), math.max(a, b)))
+        val corr = (n * p(i, j) - s1(i) * s1(j)) /
+          (math.sqrt(n * p(i, i) - s1(i) * s1(i)) *
+            math.sqrt(n * p(j, j) - s1(j) * s1(j)))
+        (f, cols(i), cols(j), round6(corr) + 0.0)
+      }
+      rows.toDF("l_returnflag", "col_a", "col_b", "corr")
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val qs = cols.zipWithIndex.map { case (c, i) =>
+        s"round($c * 100)::BIGINT AS x$i" }.mkString(", ")
+      val aggs = (cols.indices.map(i => s"sum(x$i::HUGEINT)::DOUBLE AS s$i") ++
+        (for (i <- cols.indices; j <- i until cols.length) yield
+          s"sum(x$i::HUGEINT * x$j::HUGEINT)::DOUBLE AS p${i}_$j"))
+        .mkString(", ")
+      val pairs = (for (i <- cols.indices; j <- (i + 1) until cols.length) yield
+        s"""SELECT l_returnflag, '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+            round((n * p${i}_$j - s$i * s$j) /
+                  (sqrt(n * p${i}_$i - s$i * s$i) * sqrt(n * p${j}_$j - s$j * s$j)), 6)
+              + 0.0 AS corr FROM s""").mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT l_returnflag, $qs FROM lineitem),
+          s AS (SELECT l_returnflag, count(*)::DOUBLE AS n, $aggs
+                FROM q GROUP BY 1)
+          $pairs"""
+    },
+  )
+
   /** Grouped median absolute deviation (per return flag) — the robust
     * dispersion stat next to [[qHistogram]]/`q_grouped_quantiles`:
     * exact per-group median (quantile_cont parity), broadcast back
@@ -1481,5 +1547,5 @@ object PipelineQueries {
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
     qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford,
     qApproxDistinct, qApproxPercentile, qKsMulti, qSubjectAccess,
-    qCaptureRecapture)
+    qCaptureRecapture, qGroupedCorr)
 }

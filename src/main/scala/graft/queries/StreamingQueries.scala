@@ -1470,6 +1470,57 @@ object StreamingQueries {
     """),
   )
 
+  /** Streaming URL dedup — the crawl-firehose twin of
+    * `text_url_dedup`: canonicalize statelessly
+    * ([[graft.operators.Urls.canonicalUrl]]) and pass each canonical
+    * key's FIRST occurrence through `dropDuplicatesWithinWatermark`
+    * (watermark-evicted state, bounded by the key rate within the
+    * horizon — the stream_neardup discipline). Emitted key set equals
+    * batch DISTINCT; the oracle replays the regex chain.
+    */
+  val streamUrlDedup: Q = Q(
+    "stream_url_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docsS = StreamOps.docsStream(s, dir).select(col("doc_id"))
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("https://"))
+            .otherwise(lit("HTTP://www.")),
+          lit("Site"), col("doc_id") % 7, lit(".example.com/p/"),
+          col("doc_id") % 13,
+          when(col("doc_id") % 3 === 0, lit("/?utm_source=feed&ref=x"))
+            .when(col("doc_id") % 5 === 0, lit("#section-2"))
+            .otherwise(lit(""))))
+      StreamOps.runToBatch(s, docsS
+        .withColumn("tse", timestamp_micros(col("doc_id").cast("long") + 1))
+        .withColumn("canonical_url",
+          graft.operators.Urls.canonicalUrl(col("url")))
+        .withWatermark("tse", "1 hour")
+        .dropDuplicatesWithinWatermark("canonical_url")
+        .select(col("canonical_url")), mode = "append")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://www.' END)
+               || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id % 13 AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=x'
+                        WHEN doc_id % 5 = 0 THEN '#section-2'
+                        ELSE '' END) AS url
+        FROM documents)
+      SELECT DISTINCT
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '^https?://', ''),
+                   '^www\.', ''),
+                 '[?#].*$', ''),
+               '/$', '') AS canonical_url
+      FROM u
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1483,5 +1534,5 @@ object StreamingQueries {
     streamMannWhitney, streamCusum, streamTheilSen, streamChangepoint,
     streamOutlierFences, streamStl, streamPartialCorr, streamConfusionMatrix,
     streamWelchTtest, streamJsDivergence, streamKendallTau, streamSprt,
-    streamTost, streamMccKappa, streamDedupIncremental)
+    streamTost, streamMccKappa, streamDedupIncremental, streamUrlDedup)
 }
