@@ -1722,6 +1722,73 @@ object RelationalQueries {
     """),
   )
 
+  /** Incremental view maintenance under DELETIONS — the retraction
+    * half q_ivm_agg's insert-only delta lacks: the maintained per-type
+    * (n, Σv) state absorbs a delete batch as SIGNED multiplicities
+    * (count −1, value negated in exact micro units), and the result
+    * must equal a full recompute WITHOUT the deleted rows — the GDPR
+    * erasure / late-correction shape, where re-scanning 100 TB per
+    * delete batch is not an option. Delete set = event_id ≡ 0 mod 13
+    * (deterministic, every type touched).
+    */
+  val qIvmDelete: Q = Q(
+    "q_ivm_delete",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * lit(1e6)).cast("long").as("vm"))
+      def partial(df: DataFrame, sign: Int): DataFrame =
+        df.groupBy(col("event_type"))
+          .agg((count(lit(1)) * sign).as("n"),
+            (sum(col("vm")) * sign).as("sv"))
+      val snap = partial(ev, 1)
+      val retract = partial(ev.where(col("event_id") % 13 === 0), -1)
+      snap.unionAll(retract)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("svm"))
+        .select(col("event_type"), col("n"),
+          round(col("svm") / lit(1e6), 6).as("sum_v"))
+    },
+    Some("""
+      SELECT event_type, count(*)::BIGINT AS n,
+             round(sum(round(value * 1000000)::BIGINT)::BIGINT / 1000000.0, 6)
+               AS sum_v
+      FROM events WHERE event_id % 13 <> 0 GROUP BY 1
+    """),
+  )
+
+  /** k-anonymity report over the customer quasi-identifiers
+    * (nationkey, market segment) — the governance check run before any
+    * data release, next to `q_subject_access`: every QI combination's
+    * group size, its violation verdict against k = 10, and the
+    * table-level anonymity (min group size) on every row. One
+    * map-side-combined rollup; the QI grain is bounded (25 nations ×
+    * 5 segments), so the report never shuffles row-grain data.
+    */
+  val qKAnonymity: Q = Q(
+    "q_k_anonymity",
+    (s, dir) => {
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_size"))
+      // table-level k from a one-value fit-boundary collect — never an
+      // unpartitioned window (PlanGuardSpec forbids the global sort)
+      val kMin = g.agg(min(col("group_size"))).head().getLong(0)
+      g.select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+        (col("group_size") < 10).cast("int").as("violates_k10"),
+        lit(kMin).as("anonymity_k"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS group_size
+        FROM customer GROUP BY 1, 2)
+      SELECT c_nationkey, c_mktsegment, group_size,
+             (group_size < 10)::INT AS violates_k10,
+             (SELECT min(group_size) FROM g)::BIGINT AS anonymity_k
+      FROM g
+    """),
+  )
+
   val all: Seq[Q] = Seq(qAgg, qJoinAgg, qWindow, qTopK, qPivot, qUnpivot, qRollup,
     qCube, qGroupingSets, qWindowRange, qSessionize, qGroupedApply, qJsonExtract,
     qLatestByKey, qSemiJoin, qAntiJoin, qNtile, qSetOps, qScd2, qAggIncremental,
@@ -1729,5 +1796,5 @@ object RelationalQueries {
     qEventTransitions, qUserJourney, qFunnel, qRetentionCohorts, qAbLift, qRfm,
     qAbSrm, qFunnelTime, qCohortLtv, qAttribution, qSkyline, qCopurchase,
     qGrowthAccounting, qSeqPatterns, qActivityHeatmap, qGini,
-    qJoinSizeEstimate, qIvmAgg, qIvmJoin)
+    qJoinSizeEstimate, qIvmAgg, qIvmJoin, qIvmDelete, qKAnonymity)
 }
