@@ -441,6 +441,60 @@ object DedupQueries {
     """),
   )
 
+  // ---------------------------------------------------------------- §2.3/31d
+  /** Quality-weighted survivor selection — what production keep-lists
+    * actually do (keep the BEST member of each near-dup cluster, not
+    * the first-seen): clusters from the same minhash→CC chain as
+    * `dedup_clusters`, survivor = argmax(score, tie min id) per
+    * cluster via one cluster-partitioned window, singletons survive
+    * as their own cluster. Score here = length(text) (the "keep the
+    * longest variant" heuristic — the near-dup copies are LONGER than
+    * their originals, so keep-best visibly inverts keep-first's
+    * choice); any replayable quality column drops in.
+    */
+  val dedupKeepBest: Q = Q(
+    "dedup_keep_best",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = nearDupDocs(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        shingleK = 3, numPerms = 128, numBands = 32, threshold = 0.8)
+      val canon = Dedup.connectedComponents(pairs)
+      val labeled = corpus
+        .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+        .join(canon, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), col("score"),
+          coalesce(col("canonical"), col("doc_id")).as("cluster"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col("doc_id"))
+      labeled.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("cluster"), col("doc_id"), col("score"))
+    },
+    Some(s"""
+      WITH RECURSIVE p AS (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+      canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+      c AS ($nearDupDocsSql),
+      l AS (
+        SELECT c.doc_id, length(c.text)::BIGINT AS score,
+               coalesce(canon.canonical, c.doc_id) AS cluster
+        FROM c LEFT JOIN canon ON c.doc_id = canon.id),
+      r AS (
+        SELECT cluster, doc_id, score,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY score DESC, doc_id) AS rk
+        FROM l)
+      SELECT cluster, doc_id, score FROM r WHERE rk = 1
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.3/31c
   /** The COMPOSED dedup pipeline, exactly as the operator scaladoc
     * mandates for scale: exact dedup FIRST (so viral exact duplicates
@@ -1816,5 +1870,5 @@ object DedupQueries {
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
     qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
     dedupGraphDegrees, dedupPrf, qEmbedProject, qKcoreStep, dedupIncremental,
-    qEmbeddingDrift)
+    qEmbeddingDrift, dedupKeepBest)
 }
