@@ -80,6 +80,47 @@ object Multimodal {
         greatest(floor(col("width") * col("scale")), lit(1)).cast("int").as("out_w"),
         greatest(floor(col("height") * col("scale")), lit(1)).cast("int").as("out_h"))
 
+  /** SDXL-style ASPECT-RATIO buckets — diffusion-training batch
+    * assembly groups images into fixed aspect buckets so batch crops
+    * stay minimal. The ln(bucket) constants interpolate as Scala
+    * double literals into BOTH engines' expression text (the Gumbel
+    * convention) and the argmin unrolls to a fixed first-match CASE
+    * (ties to the smaller bucket index) — pure column arithmetic,
+    * shuffle-free until the bounded per-bucket rollup.
+    */
+  val AspectBuckets: Seq[Double] = Seq(0.5, 0.75, 1.0, 4.0 / 3.0, 2.0)
+
+  /** |ln(w/h) − ln(bucket_k)| as engine-shared text. */
+  def aspectScoreSql(k: Int, castD: String => String): String =
+    s"abs(ln(${castD("width")} / ${castD("height")}) - " +
+      s"(${math.log(AspectBuckets(k))}))"
+
+  /** First-match argmin over the s0..s{n−1} score columns. */
+  def aspectBucketSql: String = {
+    val n = AspectBuckets.length
+    val cases = (0 until n - 1).map { k =>
+      val conds = ((k + 1) until n).map(j => s"s$k <= s$j").mkString(" AND ")
+      s"WHEN $conds THEN $k"
+    }.mkString(" ")
+    s"CASE $cases ELSE ${n - 1} END"
+  }
+
+  /** Per-bucket occupancy report (bucket, n, min/max aspect ratio). */
+  def aspectBucketReport(media: DataFrame): DataFrame = {
+    val castD = (s: String) => s"cast($s as double)"
+    var cur = media.where(col("kind") === "image")
+      .select(col("media_id"), col("width"), col("height"))
+    for (k <- AspectBuckets.indices)
+      cur = cur.withColumn(s"s$k", expr(aspectScoreSql(k, castD)))
+    cur
+      .withColumn("bucket", expr(aspectBucketSql))
+      .withColumn("ar", expr(s"${castD("width")} / ${castD("height")}"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("ar")), 6).as("min_ar"),
+        round(max(col("ar")), 6).as("max_ar"))
+  }
+
   /** ViT-style patch-grid planning on top of [[resizeDims]]: pad the
     * resized dims UP to the patch size multiple (ceil), emit the patch
     * grid and token count (+1 CLS token). Pure column arithmetic —

@@ -369,7 +369,41 @@ object MultimodalQueries {
     """),
   )
 
+  /** Aspect-ratio bucketing ([[Multimodal.aspectBucketReport]]) — the
+    * SDXL/diffusion batch-assembly stage: each image lands in the
+    * fixed aspect bucket minimizing |ln(ar) − ln(bucket)| (ties to the
+    * smaller bucket), reported as bounded per-bucket occupancy. The
+    * ln constants and the unrolled argmin CASE are the SAME text in
+    * both engines.
+    */
+  val multimodalAspectBucket: Q = Q(
+    "multimodal_aspect_bucket",
+    (s, dir) => graft.operators.Multimodal.aspectBucketReport(
+      graft.operators.Multimodal.mediaFromDocuments(
+        s, Tables.documents(s, dir)).toDF()),
+    Some {
+      val M = graft.operators.Multimodal
+      val castD = (x: String) => s"$x::DOUBLE"
+      val scores = M.AspectBuckets.indices
+        .map(k => s"${M.aspectScoreSql(k, castD)} AS s$k").mkString(", ")
+      s"""
+      WITH media AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 640 + 1)::INT AS width,
+               (doc_id % 480 + 1)::INT AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      s AS (SELECT media_id, width, height, $scores FROM media),
+      b AS (SELECT *, ${M.aspectBucketSql} AS bucket,
+              width::DOUBLE / height::DOUBLE AS ar
+            FROM s)
+      SELECT bucket, count(*) AS n,
+             round(min(ar), 6) AS min_ar, round(max(ar), 6) AS max_ar
+      FROM b GROUP BY 1
+    """
+    },
+  )
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames,
     multimodalPatches, multimodalAudio, multimodalDedup, multimodalPhash,
-    multimodalBatchPlan, multimodalClipPairs)
+    multimodalBatchPlan, multimodalClipPairs, multimodalAspectBucket)
 }

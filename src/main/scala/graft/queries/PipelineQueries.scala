@@ -977,6 +977,44 @@ object PipelineQueries {
     },
   )
 
+  /** Differentially-private count release (ε = 1 Laplace mechanism)
+    * over the per-nation customer counts — the privacy-release shape
+    * next to `q_k_anonymity`: noise = −b·sgn(u−½)·ln(1−2|u−½|) with
+    * u the md5-h16 uniform of the group key, so the release is
+    * REPLAYABLE for testing (true count, noise, and noisy count all
+    * emitted — a production release publishes only the noisy column
+    * and draws u from a real RNG; the mechanism, scale, and plumbing
+    * are what this row pins). One bounded-grain rollup; noise is pure
+    * column arithmetic on it.
+    */
+  val qDpCounts: Q = Q(
+    "q_dp_counts",
+    (s, dir) => {
+      val g = Tables.customer(s, dir).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u",
+          (graft.operators.Sampling.hashBucket(col("c_nationkey")) + 1)
+            .cast("double") / 65537.0)
+      g.withColumn("noise", expr(
+          "round(-1.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) " +
+            "* ln(1.0 - 2.0 * abs(u - 0.5)), 6) + 0.0"))
+        .select(col("c_nationkey"), col("n"), col("noise"),
+          (col("n") + col("noise")).as("noisy_n"))
+    },
+    Some(s"""
+      WITH g AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),
+      h AS (SELECT c_nationkey, n,
+              (${OracleExact.h16Sql("md5(c_nationkey::VARCHAR)")} + 1.0)
+                / 65537.0 AS u
+            FROM g),
+      t AS (SELECT c_nationkey, n,
+              round(-1.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                * ln(1.0 - 2.0 * abs(u - 0.5)), 6) + 0.0 AS noise
+            FROM h)
+      SELECT c_nationkey, n, noise, n + noise AS noisy_n FROM t
+    """),
+  )
+
   /** Grouped median absolute deviation (per return flag) — the robust
     * dispersion stat next to [[qHistogram]]/`q_grouped_quantiles`:
     * exact per-group median (quantile_cont parity), broadcast back
@@ -1547,5 +1585,5 @@ object PipelineQueries {
     qExpectations, qIsotonic, qAuc, qPsi, qCramersV, qLinreg, qMutualInfo,
     qGroupedLinreg, qQuantileSketchError, qEce, qPsiMulti, qBenford,
     qApproxDistinct, qApproxPercentile, qKsMulti, qSubjectAccess,
-    qCaptureRecapture, qGroupedCorr)
+    qCaptureRecapture, qGroupedCorr, qDpCounts)
 }

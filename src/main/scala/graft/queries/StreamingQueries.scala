@@ -1521,6 +1521,39 @@ object StreamingQueries {
     """),
   )
 
+  /** Streaming k-anonymity monitor — the release gate running
+    * continuously over the ingest: complete-mode QI-grain counts
+    * (bounded state: 25 nations × 5 segments), drained snapshot
+    * re-aggregated idempotently (max), violation verdict and
+    * table-level k from the bounded grain. Shares q_k_anonymity's
+    * oracle.
+    */
+  val streamKAnonymity: Q = Q(
+    "stream_k_anonymity",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val snap = StreamOps.runToBatch(s,
+        StreamOps.tableStream(s, dir, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("group_size")))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(max(col("group_size")).as("group_size"))
+      val kMin = snap.agg(min(col("group_size"))).head().getLong(0)
+      snap.select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+        (col("group_size") < 10).cast("int").as("violates_k10"),
+        lit(kMin).as("anonymity_k"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS group_size
+        FROM customer GROUP BY 1, 2)
+      SELECT c_nationkey, c_mktsegment, group_size,
+             (group_size < 10)::INT AS violates_k10,
+             (SELECT min(group_size) FROM g)::BIGINT AS anonymity_k
+      FROM g
+    """),
+  )
+
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
@@ -1534,5 +1567,6 @@ object StreamingQueries {
     streamMannWhitney, streamCusum, streamTheilSen, streamChangepoint,
     streamOutlierFences, streamStl, streamPartialCorr, streamConfusionMatrix,
     streamWelchTtest, streamJsDivergence, streamKendallTau, streamSprt,
-    streamTost, streamMccKappa, streamDedupIncremental, streamUrlDedup)
+    streamTost, streamMccKappa, streamDedupIncremental, streamUrlDedup,
+    streamKAnonymity)
 }
