@@ -70,6 +70,47 @@ class CurationSpec extends SparkSpec {
     assert(again === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("aspect buckets agree with a brute-force argmin and tie to the lower index") {
+    import graft.operators.Multimodal
+    val media = Seq((1L, "image", 100, 200), (2L, "image", 300, 300),
+      (3L, "image", 400, 300), (4L, "image", 500, 250),
+      (5L, "image", 424, 424), // exact tie candidates stay bucket-stable
+      (6L, "video", 999, 1)) // non-image rows drop
+      .toDF("media_id", "kind", "width", "height")
+    val castD = (s: String) => s"cast($s as double)"
+    var cur = media.where(col("kind") === "image")
+      .select(col("media_id"), col("width"), col("height"))
+    for (k <- Multimodal.AspectBuckets.indices)
+      cur = cur.withColumn(s"s$k", expr(Multimodal.aspectScoreSql(k, castD)))
+    val got = cur.withColumn("bucket", expr(Multimodal.aspectBucketSql))
+      .select(col("media_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def brute(w: Int, h: Int): Int = {
+      val scores = Multimodal.AspectBuckets
+        .map(b => math.abs(math.log(w.toDouble / h) - math.log(b)))
+      scores.indexOf(scores.min) // indexOf = first minimum = lower index
+    }
+    assert(got === Map(1L -> brute(100, 200), 2L -> brute(300, 300),
+      3L -> brute(400, 300), 4L -> brute(500, 250), 5L -> brute(424, 424)))
+    assert(got(2L) === 2) // square image -> the 1.0 bucket
+  }
+
+  test("dp counts: noise is deterministic, zero at no displacement, bounded by the tail") {
+    val out = SparkEntry.queries("q_dp_counts")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 25)
+    out.foreach { case (_, n, noise, noisy) =>
+      // noisy = true + noise exactly, and the ε=1 Laplace tail bound:
+      // |noise| = |ln(1 - 2|u - 1/2|)| <= ln(65537/2) for h16 uniforms
+      assert(math.abs(noisy - (n + noise)) < 1e-12)
+      assert(math.abs(noise) <= math.log(65537.0 / 2.0) + 1e-9)
+    }
+    // deterministic: a second run produces the identical release
+    val again = SparkEntry.queries("q_dp_counts")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).toMap
+    out.foreach { case (k, _, noise, _) => assert(again(k) === noise) }
+  }
+
   test("ivm delete state equals the recompute without the deleted rows") {
     // signed-multiplicity retraction on a hand corpus
     val ev = Seq((1L, "c", 1.25), (2L, "c", 2.5), (13L, "c", 4.0),
