@@ -689,14 +689,16 @@ object GraftFunctions {
         (children: Seq[Expression]) => LogHistQuantileAgg(
           org.apache.spark.sql.catalyst.expressions.Cast(children.head, DoubleType),
           children.lift(1).map { q =>
-            // the quantile must be a literal: a column reference here
-            // would otherwise eval(null) into an opaque NPE instead of
-            // the analyzer's non-foldable-argument error
+            // the quantile must be a NON-NULL literal: a column
+            // reference here would otherwise eval(null) into an opaque
+            // NPE, and a null literal would silently become the median
             if (!q.foldable)
               throw org.apache.spark.sql.graft.ColumnBridge
                 .nonFoldableArgumentError("graft_quantile_sketch", "quantile",
                   q.dataType)
-            Option(q.eval(null)).map(_.toString.toDouble).getOrElse(0.5)
+            Option(q.eval(null)).map(_.toString.toDouble).getOrElse(
+              throw new IllegalArgumentException(
+                "graft_quantile_sketch: quantile must be a non-null literal"))
           }.getOrElse(0.5))),
       "graft_approx_distinct" -> (info(classOf[HllAgg], "graft_approx_distinct"),
         (children: Seq[Expression]) => HllAgg(

@@ -1783,19 +1783,16 @@ object TsFeatures {
         .withColumn(s"num$o", expr(s"$m*(${MP.qt(o, m)}) - sx*sxj$o"))
         .withColumn(s"d$o",
           expr(MP.dCase(s"vj$o", "vi", s"vj$o", s"num$o", m, castD)))
-    // per-row min-combine instead of a 2·(band−excl+1)-way stack
-    // scatter + groupBy (the r12 restructure: the Expand amplified
-    // 100k rows to 3.8M and dominated the runtime): window i's profile
-    // is least(forward d's at i, backward d's seen from i) where the
-    // backward distance d(i−o, i) is lag(d_o, o) — three window passes
-    // over ONE sort, no row amplification, and `least` skips nulls
-    // exactly like the min-combine did
     // scatter each distance to both endpoints through ONE array
     // explode (a Generate over a 2·(band−excl+1)-struct array built
     // once per row — each dCase evaluates once, unlike a stack whose
     // per-projection inlining re-expands them), then min-combine per
     // window index; the groupBy's map-side partial min compacts the
-    // scatter to one row per (series, idx) before its single Exchange
+    // scatter to one row per (series, idx) before its single Exchange.
+    // (A lag()-based per-row min-combine with no amplification was
+    // A/B'd too — all formulations land inside the row's session-noise
+    // band, see SURVEY §12g; this one keeps single evaluation and the
+    // one-Exchange plan.)
     val arr = array((excl to band).flatMap(o => Seq(
       struct(col("i0").as("idx"), col(s"d$o").as("d")),
       struct((col("i0") + o).as("idx"), col(s"d$o").as("d")))): _*)

@@ -1779,9 +1779,12 @@ object DedupQueries {
           concat(col("text"), lit(" tail marker words")).as("text"))
         .unionAll(base.where(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      Dedup.bandIndexWrite(base, "doc_id", "text", "/tmp/graft_band_index")
+      // sf-scoped path: concurrent runs over different testdata dirs
+      // must not overwrite each other's standing index mid-read
+      val idx = "/tmp/graft_band_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.bandIndexWrite(base, "doc_id", "text", idx)
       Dedup.incrementalMinhashPairs(fresh, base, "doc_id", "text",
-        "/tmp/graft_band_index", threshold = 0.8)
+        idx, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
     Some(s"""

@@ -861,54 +861,73 @@ object PipelineQueries {
     * GramBuffer's int64-partial + BigInt-total tiering keeps the cent²
     * sums exact at any scale.
     */
+  // -- corr machinery SHARED by q_corr_matrix and q_grouped_corr ----
+  // (one definition of the vector, the driver arithmetic, and every
+  // oracle fragment — the two rows can never drift apart)
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Cent-quantized [features..., 1] vector (exact for 2-dp money). */
+  private def corrVec = array(corrCols.map(c =>
+    round(col(c) * lit(100)).cast("long")) :+ lit(1L): _*)
+
+  private def corrGramCol = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.GramAgg(
+      ColumnBridge.expression(col("mv")), corrCols.length + 1,
+      upperOnly = true).toAggregateExpression())
+  }
+
+  /** The d(d−1)/2 (col_a, col_b, corr) rows off an upper-triangle
+    * moment lookup — exactly the op order the oracle spells out.
+    */
+  private def corrRows(m: (Int, Int) => Double): Seq[(String, String, Double)] = {
+    val k = corrCols.length
+    val n = m(k, k)
+    def s1(i: Int) = m(i, k)
+    def p(i: Int, j: Int) = m(math.min(i, j), math.max(i, j))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for {
+      i <- corrCols.indices
+      j <- (i + 1) until corrCols.length
+    } yield {
+      val corr = (n * p(i, j) - s1(i) * s1(j)) /
+        (math.sqrt(n * p(i, i) - s1(i) * s1(i)) *
+          math.sqrt(n * p(j, j) - s1(j) * s1(j)))
+      (corrCols(i), corrCols(j), round6(corr) + 0.0)
+    }
+  }
+
+  private def corrQsSql = corrCols.zipWithIndex.map { case (c, i) =>
+    s"round($c * 100)::BIGINT AS x$i" }.mkString(", ")
+  private def corrAggsSql =
+    (corrCols.indices.map(i => s"sum(x$i::HUGEINT)::DOUBLE AS s$i") ++
+      (for (i <- corrCols.indices; j <- i until corrCols.length) yield
+        s"sum(x$i::HUGEINT * x$j::HUGEINT)::DOUBLE AS p${i}_$j"))
+      .mkString(", ")
+  /** `leading` prefixes each pair select (e.g. "l_returnflag, "). */
+  private def corrPairsSql(leading: String) =
+    (for (i <- corrCols.indices; j <- (i + 1) until corrCols.length) yield
+      s"""SELECT $leading'${corrCols(i)}' AS col_a, '${corrCols(j)}' AS col_b,
+          round((n * p${i}_$j - s$i * s$j) /
+                (sqrt(n * p${i}_$i - s$i * s$i) * sqrt(n * p${j}_$j - s$j * s$j)), 6)
+            + 0.0 AS corr FROM s""").mkString("\nUNION ALL\n")
+
   val qCorrMatrix: Q = Q(
     "q_corr_matrix",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.graft.ColumnBridge
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val li = Tables.lineitem(s, dir)
-      val vec = array(cols.map(c =>
-        round(col(c) * lit(100)).cast("long")) :+ lit(1L): _*)
-      val gram = ColumnBridge.column(
-        graft.functions.GramAgg(ColumnBridge.expression(col("mv")),
-          cols.length + 1, upperOnly = true).toAggregateExpression())
-      val m = li.select(vec.as("mv")).agg(gram.as("cells"))
+      val m = Tables.lineitem(s, dir)
+        .select(corrVec.as("mv")).agg(corrGramCol.as("cells"))
         .select(inline(col("cells")))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
         .toMap
-      val k = cols.length
-      val n = m((k, k))
-      def s1(i: Int) = m((i, k))
-      def p(i: Int, j: Int) = m((math.min(i, j), math.max(i, j)))
-      def round6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val rows = for (i <- cols.indices; j <- (i + 1) until cols.length) yield {
-        val corr = (n * p(i, j) - s1(i) * s1(j)) /
-          (math.sqrt(n * p(i, i) - s1(i) * s1(i)) *
-            math.sqrt(n * p(j, j) - s1(j) * s1(j)))
-        (cols(i), cols(j), round6(corr) + 0.0)
-      }
-      rows.toDF("col_a", "col_b", "corr")
+      corrRows((i, j) => m((i, j))).toDF("col_a", "col_b", "corr")
     },
-    Some {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val qs = cols.zipWithIndex.map { case (c, i) =>
-        s"round($c * 100)::BIGINT AS x$i" }.mkString(", ")
-      val aggs = (cols.indices.map(i => s"sum(x$i::HUGEINT)::DOUBLE AS s$i") ++
-        (for (i <- cols.indices; j <- i until cols.length) yield
-          s"sum(x$i::HUGEINT * x$j::HUGEINT)::DOUBLE AS p${i}_$j"))
-        .mkString(", ")
-      val pairs = (for (i <- cols.indices; j <- (i + 1) until cols.length) yield
-        s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
-            round((n * p${i}_$j - s$i * s$j) /
-                  (sqrt(n * p${i}_$i - s$i * s$i) * sqrt(n * p${j}_$j - s$j * s$j)), 6)
-              + 0.0 AS corr FROM s""").mkString("\nUNION ALL\n")
-      s"""WITH q AS (SELECT $qs FROM lineitem),
-          s AS (SELECT count(*)::DOUBLE AS n, $aggs FROM q)
-          $pairs"""
-    },
+    Some(s"""WITH q AS (SELECT $corrQsSql FROM lineitem),
+          s AS (SELECT count(*)::DOUBLE AS n, $corrAggsSql FROM q)
+          ${corrPairsSql("")}"""),
   )
 
   /** PER-GROUP correlation matrices — [[qCorrMatrix]]'s grouped twin
@@ -923,58 +942,23 @@ object PipelineQueries {
     "q_grouped_corr",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.graft.ColumnBridge
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val li = Tables.lineitem(s, dir)
-      val vec = array(cols.map(c =>
-        round(col(c) * lit(100)).cast("long")) :+ lit(1L): _*)
-      val gram = ColumnBridge.column(
-        graft.functions.GramAgg(ColumnBridge.expression(col("mv")),
-          cols.length + 1, upperOnly = true).toAggregateExpression())
-      val m = li.select(col("l_returnflag"), vec.as("mv"))
-        .groupBy(col("l_returnflag")).agg(gram.as("cells"))
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), corrVec.as("mv"))
+        .groupBy(col("l_returnflag")).agg(corrGramCol.as("cells"))
         .select(col("l_returnflag"), inline(col("cells")))
         .collect()
         .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
           r.getDecimal(3).doubleValue())
         .toMap
-      val k = cols.length
       val flags = m.keySet.map(_._1).toSeq.sorted
-      def round6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val rows = for {
-        f <- flags
-        i <- cols.indices
-        j <- (i + 1) until cols.length
-      } yield {
-        val n = m((f, k, k))
-        def s1(a: Int) = m((f, a, k))
-        def p(a: Int, b: Int) = m((f, math.min(a, b), math.max(a, b)))
-        val corr = (n * p(i, j) - s1(i) * s1(j)) /
-          (math.sqrt(n * p(i, i) - s1(i) * s1(i)) *
-            math.sqrt(n * p(j, j) - s1(j) * s1(j)))
-        (f, cols(i), cols(j), round6(corr) + 0.0)
-      }
+      val rows = flags.flatMap(f =>
+        corrRows((i, j) => m((f, i, j))).map { case (a, b, c) => (f, a, b, c) })
       rows.toDF("l_returnflag", "col_a", "col_b", "corr")
     },
-    Some {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val qs = cols.zipWithIndex.map { case (c, i) =>
-        s"round($c * 100)::BIGINT AS x$i" }.mkString(", ")
-      val aggs = (cols.indices.map(i => s"sum(x$i::HUGEINT)::DOUBLE AS s$i") ++
-        (for (i <- cols.indices; j <- i until cols.length) yield
-          s"sum(x$i::HUGEINT * x$j::HUGEINT)::DOUBLE AS p${i}_$j"))
-        .mkString(", ")
-      val pairs = (for (i <- cols.indices; j <- (i + 1) until cols.length) yield
-        s"""SELECT l_returnflag, '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
-            round((n * p${i}_$j - s$i * s$j) /
-                  (sqrt(n * p${i}_$i - s$i * s$i) * sqrt(n * p${j}_$j - s$j * s$j)), 6)
-              + 0.0 AS corr FROM s""").mkString("\nUNION ALL\n")
-      s"""WITH q AS (SELECT l_returnflag, $qs FROM lineitem),
-          s AS (SELECT l_returnflag, count(*)::DOUBLE AS n, $aggs
+    Some(s"""WITH q AS (SELECT l_returnflag, $corrQsSql FROM lineitem),
+          s AS (SELECT l_returnflag, count(*)::DOUBLE AS n, $corrAggsSql
                 FROM q GROUP BY 1)
-          $pairs"""
-    },
+          ${corrPairsSql("l_returnflag, ")}"""),
   )
 
   /** Differentially-private count release (ε = 1 Laplace mechanism)

@@ -1746,6 +1746,9 @@ object RelationalQueries {
       snap.unionAll(retract)
         .groupBy(col("event_type"))
         .agg(sum(col("n")).as("n"), sum(col("sv")).as("svm"))
+        // a fully-retracted group must VANISH like the recompute's
+        // (a recompute never sees an erased group at all)
+        .where(col("n") > 0)
         .select(col("event_type"), col("n"),
           round(col("svm") / lit(1e6), 6).as("sum_v"))
     },

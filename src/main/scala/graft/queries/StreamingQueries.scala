@@ -1449,9 +1449,11 @@ object StreamingQueries {
       import org.apache.spark.sql.functions._
       import graft.Tables
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      graft.operators.Dedup.bandIndexWrite(base, "doc_id", "text",
-        "/tmp/graft_band_index_stream")
-      val index = s.read.parquet("/tmp/graft_band_index_stream")
+      // sf-scoped path, distinct from the batch twin's (see
+      // dedup_incremental): concurrent runs must not clobber it
+      val idx = "/tmp/graft_band_index_s_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Dedup.bandIndexWrite(base, "doc_id", "text", idx)
+      val index = s.read.parquet(idx)
       def docsS = StreamOps.docsStream(s, dir).select(col("doc_id"), col("text"))
       val fresh = docsS.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -1483,14 +1485,7 @@ object StreamingQueries {
     (s, dir) => {
       import org.apache.spark.sql.functions._
       val docsS = StreamOps.docsStream(s, dir).select(col("doc_id"))
-        .withColumn("url", concat(
-          when(col("doc_id") % 2 === 0, lit("https://"))
-            .otherwise(lit("HTTP://www.")),
-          lit("Site"), col("doc_id") % 7, lit(".example.com/p/"),
-          col("doc_id") % 13,
-          when(col("doc_id") % 3 === 0, lit("/?utm_source=feed&ref=x"))
-            .when(col("doc_id") % 5 === 0, lit("#section-2"))
-            .otherwise(lit(""))))
+        .withColumn("url", TextQueries.crawlUrl(col("doc_id")))
       StreamOps.runToBatch(s, docsS
         .withColumn("tse", timestamp_micros(col("doc_id").cast("long") + 1))
         .withColumn("canonical_url",
@@ -1499,24 +1494,9 @@ object StreamingQueries {
         .dropDuplicatesWithinWatermark("canonical_url")
         .select(col("canonical_url")), mode = "append")
     },
-    Some("""
-      WITH u AS (
-        SELECT doc_id,
-               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://www.' END)
-               || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
-               || CAST(doc_id % 13 AS VARCHAR)
-               || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=x'
-                        WHEN doc_id % 5 = 0 THEN '#section-2'
-                        ELSE '' END) AS url
-        FROM documents)
-      SELECT DISTINCT
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(lower(url), '^https?://', ''),
-                   '^www\.', ''),
-                 '[?#].*$', ''),
-               '/$', '') AS canonical_url
+    Some(s"""
+      WITH u AS (${TextQueries.crawlUrlSql})
+      SELECT DISTINCT ${TextQueries.canonicalUrlSql("url")} AS canonical_url
       FROM u
     """),
   )
@@ -1543,15 +1523,7 @@ object StreamingQueries {
         (col("group_size") < 10).cast("int").as("violates_k10"),
         lit(kMin).as("anonymity_k"))
     },
-    Some("""
-      WITH g AS (
-        SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS group_size
-        FROM customer GROUP BY 1, 2)
-      SELECT c_nationkey, c_mktsegment, group_size,
-             (group_size < 10)::INT AS violates_k10,
-             (SELECT min(group_size) FROM g)::BIGINT AS anonymity_k
-      FROM g
-    """),
+    RelationalQueries.qKAnonymity.oracle,
   )
 
   val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,

@@ -1174,22 +1174,22 @@ object TextQueries {
     * groupBy collapses re-crawls of the same page. The oracle replays
     * the four-step canonicalization regex chain.
     */
-  val textUrlDedup: Q = Q(
-    "text_url_dedup",
-    (s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"))
-        .withColumn("url", concat(
-          when(col("doc_id") % 2 === 0, lit("https://"))
-            .otherwise(lit("HTTP://www.")),
-          lit("Site"), col("doc_id") % 7, lit(".example.com/p/"),
-          col("doc_id") % 13,
-          when(col("doc_id") % 3 === 0, lit("/?utm_source=feed&ref=x"))
-            .when(col("doc_id") % 5 === 0, lit("#section-2"))
-            .otherwise(lit(""))))
-      graft.operators.Urls.dedupByUrl(d, "doc_id", "url")
-    },
-    Some("""
-      WITH u AS (
+  /** Synthetic crawl-URL fixture SHARED by `text_url_dedup` and its
+    * streaming twin (one definition per engine, so the batch and
+    * stream rows can never silently test different keys): scheme /
+    * www / tracking-param / fragment variants over the small
+    * `site{id%7}.example.com/p/{id%13}` canonical space.
+    */
+  private[queries] def crawlUrl(docId: org.apache.spark.sql.Column) =
+    concat(
+      when(docId % 2 === 0, lit("https://")).otherwise(lit("HTTP://www.")),
+      lit("Site"), docId % 7, lit(".example.com/p/"), docId % 13,
+      when(docId % 3 === 0, lit("/?utm_source=feed&ref=x"))
+        .when(docId % 5 === 0, lit("#section-2"))
+        .otherwise(lit("")))
+
+  /** The fixture's DuckDB twin (a `u(doc_id, url)` CTE body). */
+  private[queries] val crawlUrlSql = """
         SELECT doc_id,
                (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://www.' END)
                || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
@@ -1197,16 +1197,31 @@ object TextQueries {
                || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=x'
                         WHEN doc_id % 5 = 0 THEN '#section-2'
                         ELSE '' END) AS url
-        FROM documents),
-      c AS (
-        SELECT doc_id,
-               regexp_replace(
+        FROM documents"""
+
+  /** DuckDB twin of [[graft.operators.Urls.canonicalUrl]]'s four-step
+    * chain — one definition, referenced by both URL-dedup oracles.
+    */
+  private[queries] def canonicalUrlSql(url: String): String =
+    s"""regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(lower(url), '^https?://', ''),
-                     '^www\.', ''),
-                   '[?#].*$', ''),
-                 '/$', '') AS canonical_url
+                     regexp_replace(lower($url), '^https?://', ''),
+                     '^www\\.', ''),
+                   '[?#].*$$', ''),
+                 '/$$', '')"""
+
+  val textUrlDedup: Q = Q(
+    "text_url_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", crawlUrl(col("doc_id")))
+      graft.operators.Urls.dedupByUrl(d, "doc_id", "url")
+    },
+    Some(s"""
+      WITH u AS ($crawlUrlSql),
+      c AS (
+        SELECT doc_id, ${canonicalUrlSql("url")} AS canonical_url
         FROM u)
       SELECT min(doc_id) AS doc_id, canonical_url,
              count(*) AS n_variants

@@ -129,15 +129,17 @@ object StreamOps {
     * document bands STATELESSLY (shingles → MinHash signature → LSH
     * band explode, all local projections, no stream shuffle), probes
     * the PERSISTED band index through a stream-static join, fetches
-    * the matched base docs' shingles from the static corpus, and
-    * emits exact-Jaccard-verified pairs in append mode. No state
-    * store at all: both joins are stream-static (re-read per
-    * micro-batch), so the shape runs at firehose rates bounded only
-    * by the index read — at scale the static side is the
-    * shard-partitioned parquet index and Spark broadcasts or
-    * shuffle-hash-joins it per batch. A pair surfaces once per shared
-    * band; the caller dedups the drained batch result (order-free —
-    * every copy carries the identical exact-int-derived jaccard).
+    * the matched base docs' text from the static corpus, and emits
+    * exact-Jaccard-verified pairs in append mode. No state store at
+    * all: both joins are stream-static (re-read per micro-batch), so
+    * per-batch cost is the two static SCANS plus candidate-bounded
+    * compute — base-side shingling happens AFTER the candidate join,
+    * never over the whole corpus (the batch twin's discipline); at
+    * scale the static index is the shard-partitioned parquet and
+    * Spark broadcasts or shuffle-hash-joins it per batch. A pair
+    * surfaces once per shared band; the caller dedups the drained
+    * batch result (order-free — every copy carries the identical
+    * exact-int-derived jaccard).
     */
   def bandIndexProbe(docs: DataFrame, idCol: String, textCol: String,
                      index: DataFrame, baseCorpus: DataFrame,
@@ -156,17 +158,19 @@ object StreamOps {
         explode(Dedup.lshBands(col("sig"), numBands, numPerms)).as("bk"))
       .select(col("id"), col("sh"),
         col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-    val baseSh = baseCorpus.select(col(idCol).as("base_id"),
-      Dedup.wordShingles(col(textCol), shingleK).as("base_sh"))
+    // candidate join FIRST, base shingling AFTER: the expensive
+    // shingle projection runs per candidate row, never per corpus row
     banded
       .join(index.select(col("id").as("base_id"), col("band"),
         col("band_hash")), Seq("band", "band_hash"))
       .where(col("base_id") =!= col("id"))
-      .join(baseSh, Seq("base_id"))
+      .join(baseCorpus.select(col(idCol).as("base_id"),
+        col(textCol).as("base_text")), Seq("base_id"))
       .select(
         least(col("base_id"), col("id")).as("id_a"),
         greatest(col("base_id"), col("id")).as("id_b"),
-        Dedup.jaccard(col("base_sh"), col("sh")).as("jaccard"))
+        Dedup.jaccard(Dedup.wordShingles(col("base_text"), shingleK),
+          col("sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -84,4 +84,15 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("foldable"), err.getMessage)
   }
+
+  test("graft_quantile_sketch rejects a NULL quantile literal, never defaults it") {
+    Graft.registerAll(spark, sf)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    val err = intercept[Exception] {
+      spark.sql("""SELECT graft_quantile_sketch(l_quantity,
+        CAST(NULL AS DOUBLE)) FROM lineitem""").collect()
+    }
+    assert(msgs(err).contains("non-null literal"), msgs(err))
+  }
 }

@@ -122,6 +122,20 @@ def compare(got, want):
 def cell_eq(a, b):
     if a is None and b is None:
         return True
+    import numbers
+    a_int = isinstance(a, numbers.Integral) and not isinstance(a, bool)
+    b_int = isinstance(b, numbers.Integral) and not isinstance(b, bool)
+    if a_int and b_int:
+        return int(a) == int(b)
+    # one side integer, the other an INTEGRAL float (pandas upcasts
+    # nullable int columns to float64): compare exactly as integers —
+    # a float(a) == float(b) round-trip would collapse distinct int64s
+    # above 2^53 into "equal" and let a local green lie about a
+    # type-sensitive driver hash
+    if a_int and isinstance(b, float) and not math.isnan(b) and b.is_integer():
+        return int(a) == int(b)
+    if b_int and isinstance(a, float) and not math.isnan(a) and a.is_integer():
+        return int(a) == int(b)
     try:
         if isinstance(a, float) or isinstance(b, float):
             fa, fb = float(a), float(b)
