@@ -177,8 +177,19 @@ object Dedup {
     *  4. Exact-Jaccard verify fetches shingles ONLY for candidate ids
     *     (the corpus joins on id BEFORE shingling — candidate-bounded
     *     compute, not O(corpus)).
-    *  5. The new batch's band rows land at `indexPath + "_delta"` —
-    *     the index append a nightly run would commit.
+    *  5. The new batch's band rows land at `deltaPath` (default
+    *     `indexPath + "_delta"`) — the index append a nightly run
+    *     would commit. Concurrent runs against the same index MUST
+    *     pass distinct `deltaPath`s (e.g. a run-id suffix): the delta
+    *     is written `mode=overwrite` and read back mid-query, so two
+    *     runs sharing the default path would clobber each other.
+    *
+    * REQUIRES ids globally unique across `baseDf ∪ newDf`: a
+    * re-crawled id present in both sides would duplicate its shingle
+    * rows (garbling the exact-Jaccard verify) and pair a doc with its
+    * own re-crawl. Dedup the corpus on id first (e.g. a
+    * latest-by-key on crawl time) — the nightly contract is
+    * "newDf is net-new ids"; DedupSpec pins the precondition.
     *
     * Output: (id_a, id_b, jaccard) with jaccard ≥ threshold —
     * identical to minhashPairs(base ∪ new) restricted to pairs that
@@ -189,8 +200,9 @@ object Dedup {
       newDf: DataFrame, baseDf: DataFrame, idCol: String, textCol: String,
       indexPath: String, shingleK: Int = 3, numPerms: Int = 128,
       numBands: Int = 32, threshold: Double = 0.8, seed: Long = 42L,
-      nShards: Int = 16): DataFrame = {
+      nShards: Int = 16, deltaPath: String = ""): DataFrame = {
     val spark = newDf.sparkSession
+    val delta = if (deltaPath.nonEmpty) deltaPath else indexPath + "_delta"
     // the nightly index delta: what a real run appends to the index.
     // Written FIRST and read back as the probe side, so the signature
     // projection runs ONCE — the shard collect and both candidate
@@ -199,8 +211,8 @@ object Dedup {
       nShards)
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
-      .parquet(indexPath + "_delta")
-    val bandedNew = spark.read.parquet(indexPath + "_delta")
+      .parquet(delta)
+    val bandedNew = spark.read.parquet(delta)
     // bounded collect (≤ nShards values) → static partition pruning
     val touched = bandedNew.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -240,20 +252,26 @@ object Dedup {
     * on `sep`, keep each distinct sentence only at its FIRST
     * occurrence ((doc, pos)-min over the corpus — boilerplate
     * "subscribe now" lines survive once), and reassemble every doc
-    * from its kept sentences in original order. One explode + one
-    * sentence-partitioned window (balanced keys — a sentence's
-    * partition is its occurrence count) + one doc-grain rollup; no
-    * self-join, no all-pairs. Returns (id, n_sents, n_kept, cleaned).
+    * from its kept sentences in original order. The winner per
+    * sentence is `groupBy(s).agg(min(struct(id, pos)))` — a map-side
+    * combinable aggregate, so corpus-wide boilerplate (a maximally hot
+    * sentence key) costs each task one running min, never a skewed
+    * sort/buffer of every occurrence the way a sentence-partitioned
+    * row_number window would. Winners join back on (s, id, pos)
+    * (winners are unique per sentence, so the inner join IS a
+    * semi-join), then one doc-grain rollup; no self-join, no
+    * all-pairs. Returns (id, n_sents, n_kept, cleaned).
     */
   def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
                     sep: String = "\\. ", joiner: String = ". "): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = df
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), sep)).as(Seq("pos0", "s")))
       .select(col("id"), (col("pos0") + 1).as("pos"), col("s"))
-    val w = Window.partitionBy(col("s")).orderBy(col("id"), col("pos"))
-    val kept = p.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+    val winners = p.groupBy(col("s"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("s"), col("w.id").as("id"), col("w.pos").as("pos"))
+    val kept = p.join(winners, Seq("s", "id", "pos"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(joiner,

@@ -966,10 +966,18 @@ object PipelineQueries {
     * next to `q_k_anonymity`: noise = −b·sgn(u−½)·ln(1−2|u−½|) with
     * u the md5-h16 uniform of the group key, so the release is
     * REPLAYABLE for testing (true count, noise, and noisy count all
-    * emitted — a production release publishes only the noisy column
-    * and draws u from a real RNG; the mechanism, scale, and plumbing
-    * are what this row pins). One bounded-grain rollup; noise is pure
-    * column arithmetic on it.
+    * emitted). One bounded-grain rollup; noise is pure column
+    * arithmetic on it.
+    *
+    * WARNING — NOT A PRIVACY MECHANISM AS WRITTEN: the uniform u is a
+    * deterministic public function of the (public) group key, so the
+    * released "noise" carries ZERO actual privacy — anyone can replay
+    * it and recover the true count exactly. The emitted column is
+    * named `replay_noise` to make this impossible to miss. A
+    * production ε=1 release swaps u for a fresh cryptographic RNG
+    * draw per release and publishes ONLY the noisy column; the
+    * mechanism shape, scale b=1/ε, and plumbing are what this row
+    * pins.
     */
   val qDpCounts: Q = Q(
     "q_dp_counts",
@@ -979,11 +987,11 @@ object PipelineQueries {
         .withColumn("u",
           (graft.operators.Sampling.hashBucket(col("c_nationkey")) + 1)
             .cast("double") / 65537.0)
-      g.withColumn("noise", expr(
+      g.withColumn("replay_noise", expr(
           "round(-1.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) " +
             "* ln(1.0 - 2.0 * abs(u - 0.5)), 6) + 0.0"))
-        .select(col("c_nationkey"), col("n"), col("noise"),
-          (col("n") + col("noise")).as("noisy_n"))
+        .select(col("c_nationkey"), col("n"), col("replay_noise"),
+          (col("n") + col("replay_noise")).as("noisy_n"))
     },
     Some(s"""
       WITH g AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),
@@ -993,9 +1001,9 @@ object PipelineQueries {
             FROM g),
       t AS (SELECT c_nationkey, n,
               round(-1.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
-                * ln(1.0 - 2.0 * abs(u - 0.5)), 6) + 0.0 AS noise
+                * ln(1.0 - 2.0 * abs(u - 0.5)), 6) + 0.0 AS replay_noise
             FROM h)
-      SELECT c_nationkey, n, noise, n + noise AS noisy_n FROM t
+      SELECT c_nationkey, n, replay_noise, n + replay_noise AS noisy_n FROM t
     """),
   )
 

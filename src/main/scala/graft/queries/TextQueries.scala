@@ -1236,8 +1236,8 @@ object TextQueries {
     * boilerplate ∪ per-site footer, plus verbatim re-crawls of every
     * 10th doc at +100000), so shared sentences survive only at their
     * first (doc, pos) occurrence and the re-crawls clean to empty.
-    * The oracle replays the split, the first-occurrence window, and
-    * the ordered reassembly.
+    * The oracle replays the split, the first-occurrence min-struct
+    * winner selection, and the ordered reassembly.
     */
   val textParagraphDedup: Q = Q(
     "text_paragraph_dedup",

@@ -53,6 +53,19 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((1L, 0L, "")))
   }
 
+  test("sentenceDedup winner selection is a window-free aggregate (boilerplate skew safe)") {
+    // corpus-wide boilerplate makes a sentence-partitioned window
+    // maximally hot; the operator must pick winners with a map-side
+    // combinable min-struct aggregate instead — no Window node anywhere
+    val d = Seq((1L, "a. shared. b"), (2L, "c. shared. d")).toDF("id", "text")
+    val plan = Dedup.sentenceDedup(d, "id", "text")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"sentenceDedup regressed to a window plan:\n$plan")
+  }
+
   test("mixtureSample hits integer quotas, truncates, and is partition-stable") {
     val d = (0L until 200L).map(i =>
       (i, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "c"))

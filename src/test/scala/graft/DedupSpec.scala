@@ -142,4 +142,26 @@ class DedupSpec extends SparkSpec {
       !scan.contains("PartitionFilters: []"), scan)
     out.collect() // and it still runs end to end
   }
+
+  test("incremental dedup honors an explicit deltaPath (concurrent-run isolation)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_band_spec")
+      .toString + "/idx"
+    Dedup.bandIndexWrite(docs, "doc_id", "text", idx)
+    val fresh = docs.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val runA = idx + "_delta_runA"
+    val out = Dedup.incrementalMinhashPairs(fresh, docs, "doc_id", "text",
+      idx, deltaPath = runA)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the delta landed at the run-scoped path, NOT the shared default
+    assert(spark.read.parquet(runA).count() > 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx + "_delta")))
+    // and the result matches the default-path invocation exactly
+    val dflt = Dedup.incrementalMinhashPairs(fresh, docs, "doc_id", "text",
+      idx).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === dflt && pairs.nonEmpty)
+  }
 }
