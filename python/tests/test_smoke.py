@@ -1,0 +1,168 @@
+"""End-to-end smoke of the Python surface: the session extensions, the
+Preprocessor fit -> transform -> inverse_transform round trip, and the
+query registry checked against the same DuckDB oracle protocol the
+driver runs (tools/check.py compare, imported — not re-implemented).
+"""
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+import check  # tools/check.py — the driver-protocol compare helpers
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+# the three smoke queries: one relational, one prep round-trip, one
+# LLM-pipeline dedup — each oracled in the driver protocol
+SMOKE_QUERIES = ["q_agg", "prep_roundtrip", "dedup_minhash"]
+
+
+# --------------------------------------------------------------- extensions
+
+def test_sql_functions_registered_by_extensions(spark):
+    row = spark.sql(
+        "SELECT graft_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d").head()
+    assert row.d == pytest.approx(11.0)
+    n = spark.sql(
+        "SELECT size(graft_word_shingles('a b c d', 3)) AS n").head().n
+    assert n == 2  # "a b c", "b c d"
+
+
+def test_asof_strategy_active(spark, sf_dir):
+    # the extensions inject the as-of planner strategy: the native
+    # q_asof_native row only plans when it is installed
+    from graft import queries
+    out = queries.run(spark, "q_asof_native", sf_dir)
+    assert out.count() > 0
+
+
+# -------------------------------------------------------------- preprocessor
+
+def test_preprocessor_roundtrip_customer(spark, sf_dir):
+    from graft import Preprocessor
+
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    prep = Preprocessor(df, scaling="standardize",
+                        excluded_col=["c_custkey"],
+                        num_fill_null="mean")
+    encoded = prep.transform(df)
+    # every categorical became one-hot columns, numericals standardized
+    assert set(prep.encoded_columns()) <= set(encoded.columns)
+    restored = prep.inverse_transform(encoded)
+
+    orig = {r["c_custkey"]: r for r in df.collect()}
+    back = {r["c_custkey"]: r for r in restored.collect()}
+    assert sorted(orig) == sorted(back)
+    for k, o in orig.items():
+        b = back[k]
+        assert b["c_mktsegment"] == o["c_mktsegment"]
+        assert b["c_nationkey"] == pytest.approx(o["c_nationkey"], abs=1e-6)
+        assert b["c_acctbal"] == pytest.approx(o["c_acctbal"], abs=1e-4)
+
+
+def test_preprocessor_metadata(spark, sf_dir):
+    from graft import Preprocessor
+
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    prep = Preprocessor(df, excluded_col=["c_custkey"])
+    nums = prep.get_numerical_features()
+    cats = prep.get_categorical_features()
+    assert "c_acctbal" in nums
+    assert "c_mktsegment" in cats
+    num_sizes, cat_sizes = prep.get_features_sizes()
+    assert num_sizes == [len(nums)]
+    assert len(cat_sizes) == len(cats) and all(s > 0 for s in cat_sizes)
+    assert prep.discarded_columns().keys().isdisjoint(nums)
+
+
+def test_preprocessor_rejects_bad_args(spark, sf_dir):
+    from graft import Preprocessor
+    from pyspark.errors.exceptions.captured import IllegalArgumentException
+
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    with pytest.raises(IllegalArgumentException, match="cat_labels_threshold"):
+        Preprocessor(df, cat_labels_threshold=1.5)
+    with pytest.raises(IllegalArgumentException, match="scaling"):
+        Preprocessor(df, scaling="bogus")
+
+
+def test_extract_ts_features(spark, sf_dir):
+    from graft import Preprocessor
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    series = df.select("user_id", "ts", "value")
+    labels = (df.groupBy("user_id")
+                .agg((F.avg("value") > F.lit(0)).cast("int").alias("y")))
+    feats = Preprocessor.extract_ts_features(
+        series, labels, column_id="user_id", time="ts")
+    assert feats.columns[0] == "user_id"
+    assert len(feats.columns) > 1
+    assert feats.count() == labels.count()
+
+
+# ------------------------------------------------------------ query registry
+
+def test_registry_shape(spark):
+    from graft import queries
+
+    names = queries.names(spark)
+    assert len(names) >= 369
+    for q in SMOKE_QUERIES:
+        assert q in names
+        assert queries.oracle_sql(spark, q)
+    bench = queries.bench_names(spark)
+    assert "ts_lempel_ziv" in bench
+    assert queries.oracle_sql(spark, "ts_lempel_ziv") is None
+
+
+@pytest.mark.parametrize("name", SMOKE_QUERIES)
+def test_query_matches_duckdb_oracle(spark, sf_dir, name, tmp_path):
+    """The driver protocol, from Python: run the registry query, dump
+    to parquet, run the oracle SQL in DuckDB on the same tables, and
+    compare with tools/check.py's type/row/bit-exact-float logic."""
+    from graft import queries
+
+    out = queries.run(spark, name, sf_dir)
+    dump = str(tmp_path / name)
+    out.coalesce(1).write.mode("overwrite").parquet(dump)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    spark_glob = os.path.join(dump, "*.parquet")
+    assert glob.glob(spark_glob)
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{spark_glob}')").fetch_df()
+    want = con.execute(queries.oracle_sql(spark, name)).fetch_df()
+    ok, msg = check.compare_types(
+        check.duck_types(con, f"SELECT * FROM read_parquet('{spark_glob}')"),
+        check.duck_types(con, queries.oracle_sql(spark, name)))
+    assert ok, msg
+    ok, msg = check.compare(got, want)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("name", SMOKE_QUERIES)
+def test_query_matches_scala_dump(spark, name):
+    """Byte-for-byte against the Scala Verify dump when one exists
+    (GRAFT_VERIFY_SF names the scale the dump was made at — the
+    driver's correctness runs use sf0.01)."""
+    verify_dir = os.environ.get("GRAFT_VERIFY_DIR", "/tmp/verify")
+    verify_sf = os.environ.get("GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
+    scala_glob = os.path.join(verify_dir, name, "*.parquet")
+    if not glob.glob(scala_glob):
+        pytest.skip(f"no Scala dump at {scala_glob} (run graft.Verify)")
+    from graft import queries
+
+    out = queries.run(spark, name, verify_sf)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT * FROM read_parquet(?)", [scala_glob]).fetch_df()
+    mine = out.toPandas()
+    ok, msg = check.compare(mine, got)
+    assert ok, msg

@@ -1,0 +1,189 @@
+package graft.python
+
+import java.{util => ju}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkEntry
+import graft.prep._
+
+/** Java-typed façade for the PySpark wrapper (`python/graft/`).
+  *
+  * py4j calls static forwarders on this object from Python; every
+  * signature here uses ONLY types py4j round-trips cleanly (String,
+  * primitives, java.util collections, DataFrame, and opaque object
+  * handles) — the Scala-native surface (case-class configs, sealed
+  * ADTs, Seq/Option) stays on [[graft.prep.Preprocessor]] where Scala
+  * callers use it directly. The Python package never re-implements
+  * semantics: each wrapper method is one hop into the same code the
+  * Scala API and the driver's correctness protocol exercise, so the
+  * two surfaces cannot drift.
+  *
+  * Reference parity: the string enums accepted here are the reference
+  * `Preprocessor.__init__` literals (preprocessor.py:109-122 —
+  * scaling ∈ none|normalize|standardize|quantile, num_fill_null ∈
+  * none|interpolate|forward|backward|min|max|mean|zero|one or a
+  * number, ml_task ∈ classification|regression, unseen_labels ∈
+  * ignore|error), plus graft's additive knobs (quantile_uniform,
+  * kbins via n_bins, series_key, quantile_fit, max_categories).
+  */
+object PyBridge {
+
+  // ------------------------------------------------------------ registry
+
+  /** Sorted oracled query names (the driver-correctness surface). */
+  def queryNames(): ju.List[String] =
+    SparkEntry.queries.keys.toSeq.sorted.asJava
+
+  /** Sorted bench-only query names (sketch/sequential rows, no oracle). */
+  def benchQueryNames(): ju.List[String] =
+    SparkEntry.benchQueries.keys.toSeq.sorted.asJava
+
+  /** Run a registered query against the parquet tables under `sfDir`. */
+  def runQuery(spark: SparkSession, name: String, sfDir: String): DataFrame =
+    SparkEntry.queries.get(name)
+      .orElse(SparkEntry.benchQueries.get(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown graft query: $name"))(spark, sfDir)
+
+  /** The DuckDB-runnable oracle SQL for `name` ("" for bench-only). */
+  def oracleSql(name: String): String =
+    SparkEntry.oracleSql.getOrElse(name, "")
+
+  /** Register every graft SQL function on a live session — the
+    * runtime twin of `spark.sql.extensions=graft.functions.GraftExtensions`
+    * for sessions built without the config (optimizer rules and the
+    * as-of planner strategy still need the extensions route).
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
+
+  // -------------------------------------------------------- preprocessor
+
+  private def parseScaling(scaling: String, nBins: Int): Scaling =
+    if (nBins > 0) Scaling.KBins(nBins)
+    else scaling match {
+      case null | "" | "none" => Scaling.None_
+      case "normalize"        => Scaling.Normalize
+      case "standardize"      => Scaling.Standardize
+      case "quantile"         => Scaling.Quantile(normal = true)
+      case "quantile_uniform" => Scaling.Quantile(normal = false)
+      case other => throw new IllegalArgumentException(
+        s"Invalid value for scaling: $other")
+    }
+
+  private def parseFill(s: String): (FillStrategy, Option[String]) =
+    s match {
+      case null | "" | "none" => (FillStrategy.None_, None)
+      case "mean"             => (FillStrategy.Mean, None)
+      case "min"              => (FillStrategy.Min, None)
+      case "max"              => (FillStrategy.Max, None)
+      case "zero"             => (FillStrategy.Zero, None)
+      case "one"              => (FillStrategy.One, None)
+      // order-dependent strategies ride the per-series window
+      case "forward" | "backward" | "interpolate" =>
+        (FillStrategy.None_, Some(s))
+      case num =>
+        val v = try num.toDouble catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"Invalid value for num_fill_null: $num")
+        }
+        (FillStrategy.Value(v), None)
+    }
+
+  private def parseQuantileFit(s: String): QuantileFitMode = s match {
+    case null | "" | "exact" => QuantileFitMode.Exact
+    case "sketch"            => QuantileFitMode.Sketch
+    case "tdigest"           => QuantileFitMode.TDigest
+    case other => throw new IllegalArgumentException(
+      s"Invalid value for quantile_fit: $other")
+  }
+
+  /** Fit a [[PrepModel]] — the reference `Preprocessor.__init__` knobs
+    * as py4j-friendly scalars; null/"" means "not set".
+    */
+  def fit(df: DataFrame,
+          catLabelsThreshold: Double,
+          excludedCols: ju.List[String],
+          timeId: String,
+          seriesKey: String,
+          missingValuesThreshold: Double,
+          nBins: Int,
+          scaling: String,
+          numFillNull: String,
+          unseenLabels: String,
+          mlTask: String,
+          targetColumn: String,
+          maxCategories: Int,
+          quantileFit: String): PrepModel = {
+    val (fill, orderedFill) = parseFill(numFillNull)
+    val task = mlTask match {
+      case null | ""        => None
+      case "classification" => Some(MlTask.Classification)
+      case "regression"     => Some(MlTask.Regression)
+      case other => throw new IllegalArgumentException(
+        s"Invalid value for ml_task: $other")
+    }
+    def opt(s: String): Option[String] = Option(s).filter(_.nonEmpty)
+    Preprocessor.fit(df, PrepConfig(
+      catLabelsThreshold = catLabelsThreshold,
+      excludedCols = excludedCols.asScala.toSeq,
+      timeId = opt(timeId),
+      seriesKey = opt(seriesKey),
+      missingValuesThreshold = missingValuesThreshold,
+      scaling = parseScaling(scaling, nBins),
+      numFillNull = fill,
+      orderedFill = orderedFill,
+      mlTask = task,
+      targetColumn = opt(targetColumn),
+      maxCategories = maxCategories,
+      quantileFit = parseQuantileFit(quantileFit),
+      unseenLabels = if (unseenLabels == null || unseenLabels.isEmpty) "ignore"
+                     else unseenLabels))
+  }
+
+  def transform(model: PrepModel, df: DataFrame): DataFrame =
+    model.transform(df)
+
+  def inverseTransform(model: PrepModel, df: DataFrame): DataFrame =
+    model.inverseTransform(df)
+
+  def numericalFeatures(model: PrepModel): ju.List[String] =
+    model.getNumericalFeatures.asJava
+
+  def categoricalFeatures(model: PrepModel): ju.List[String] =
+    model.getCategoricalFeatures.asJava
+
+  def datetimeFeatures(model: PrepModel): ju.List[String] =
+    model.datetimeFeatures.asJava
+
+  def booleanFeatures(model: PrepModel): ju.List[String] =
+    model.booleanFeatures.asJava
+
+  def encodedColumns(model: PrepModel): ju.List[String] =
+    model.encodedColumns.asJava
+
+  /** (numerical sizes, per-categorical category counts) as two lists. */
+  def numericalFeatureSizes(model: PrepModel): ju.List[Integer] =
+    model.getFeaturesSizes._1.map(Int.box).asJava
+
+  def categoricalFeatureSizes(model: PrepModel): ju.List[Integer] =
+    model.getFeaturesSizes._2.map(Int.box).asJava
+
+  /** column -> human-readable drop reason (feature selection). */
+  def droppedColumns(model: PrepModel): ju.Map[String, String] =
+    model.dropped.asJava
+
+  /** Reference `extract_ts_features(data, y, time, column_id)`
+    * (preprocessor.py:558-638): per-series tsfresh-style matrix
+    * filtered to the BH-relevant features, all features when none
+    * survive.
+    */
+  def extractTsFeatures(df: DataFrame, labels: DataFrame, columnId: String,
+                        timeCol: String, valueCol: String,
+                        labelCol: String, alpha: Double): DataFrame =
+    Preprocessor.extractTsFeatures(df, labels, columnId, timeCol, valueCol,
+      labelCol, alpha)
+}

@@ -57,8 +57,37 @@ def main():
         else:
             n_fail += 1
             print(f"  FAIL {name}: {msg}")
-    print(f"[check] pass={n_pass} fail={n_fail} survey_orphans={n_orphan}")
-    sys.exit(1 if (n_fail or n_orphan) else 0)
+    n_py = python_smoke(sfdir, outdir) if not only else 0
+    print(f"[check] pass={n_pass} fail={n_fail} survey_orphans={n_orphan}"
+          f" python_smoke_failures={n_py}")
+    sys.exit(1 if (n_fail or n_orphan or n_py) else 0)
+
+def python_smoke(sfdir, outdir):
+    """Run the python/tests pytest suite (the PySpark wrapper smoke:
+    extensions, Preprocessor round trip, registry-vs-oracle, and the
+    byte-for-byte compare against the Verify dump in `outdir`).
+    Returns the number of failures; 0 when the python deps are absent
+    (the Scala engine does not depend on them) or GRAFT_SKIP_PY=1."""
+    if os.environ.get("GRAFT_SKIP_PY") == "1":
+        return 0
+    try:
+        import pyspark, pytest  # noqa: F401
+    except ImportError:
+        print("  [py] pyspark/pytest not installed — python smoke skipped")
+        return 0
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, GRAFT_SF_DIR=sfdir, GRAFT_VERIFY_DIR=outdir)
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", os.path.join(root, "python", "tests"),
+         "-q", "--no-header"], env=env, cwd=root,
+        capture_output=True, text=True)
+    tail = (r.stdout or "").strip().splitlines()
+    print("  [py] " + (tail[-1] if tail else f"exit={r.returncode}"))
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-2000:])
+    return 1 if r.returncode != 0 else 0
 
 def survey_guard(outdir):
     """Return the number of registry keys with no SURVEY §2 row."""
