@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata; decode /
   * feature-extract runs batched per partition.
   *
-  * The decode kernel itself is a STUB — image/audio codecs aren't in
-  * this container — but everything Spark-side is real: schema, typed
-  * Dataset, partition-batched execution (the `mapPartitions` shape a
-  * vectorized/Arrow UDF would use), and deterministic fake features so
-  * tests can assert the plumbing end to end.
+  * The decode kernel dispatches on content: blobs whose magic bytes
+  * name a JDK-decodable image format (PNG/BMP/GIF/JPEG) decode FOR
+  * REAL through `javax.imageio.ImageIO` (no extra dependency) into
+  * true dims, mean luminance, and a 64-bit average-hash; opaque bytes
+  * (video/audio/unknown codecs not in this container) fall back to
+  * the deterministic stub so tests and oracles can assert the
+  * plumbing end to end. Everything Spark-side is real either way:
+  * schema, typed Dataset, partition-batched execution (the
+  * `mapPartitions` shape a vectorized/Arrow UDF would use).
   */
 object Multimodal {
 
@@ -45,6 +49,141 @@ object Multimodal {
     val mean = if (bytes.isEmpty) 0.0
                else bytes.iterator.map(b => (b & 0xff).toDouble).sum / bytes.length
     (crc, mean)
+  }
+
+  // ------------------------------------------------------ real image codec
+
+  /** Luminance plane of a really-decoded image (row-major ints 0-255). */
+  final case class DecodedImage(width: Int, height: Int, gray: Array[Int])
+
+  /** Magic-byte sniff: attempt the real decoder ONLY on blobs that
+    * claim a JDK-supported image container, so opaque media never pay
+    * an ImageIO reader scan on the hot path.
+    */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+
+  /** REAL decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG — public,
+    * zero added dependency): bytes -> luminance plane (BT.601 integer
+    * weights, deterministic across platforms). None when the bytes
+    * don't decode — the caller falls back to the stub path.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(w, h, gray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Box-average resize of a luminance plane (the real pixel kernel
+    * behind [[resizeDims]]'s engine-side plan): output cell (i,j)
+    * averages its exact source block [floor boundaries), pure integer
+    * accumulation — deterministic, no floating intermediate.
+    */
+  def grayResize(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+    val out = new Array[Int](outW * outH)
+    var j = 0
+    while (j < outH) {
+      val y0 = j * img.height / outH
+      val y1 = math.max((j + 1) * img.height / outH, y0 + 1)
+      var i = 0
+      while (i < outW) {
+        val x0 = i * img.width / outW
+        val x1 = math.max((i + 1) * img.width / outW, x0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += img.gray(y * img.width + x); x += 1 }
+          y += 1
+        }
+        out(j * outW + i) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        i += 1
+      }
+      j += 1
+    }
+    DecodedImage(outW, outH, out)
+  }
+
+  /** 64-bit average-hash over the REAL pixels: box-resize to 8x8,
+    * bit k = cell k brighter than the 64-cell mean (the same
+    * bit = pixel*64 > total structure `multimodal_phash` replays on
+    * synthetic pixels). Content-addressed: the same pixels encoded as
+    * PNG vs BMP hash identically, which no byte-level fingerprint can
+    * do — the property that makes cross-encode image dedup work.
+    */
+  def aHash64(img: DecodedImage): Long = {
+    val g = grayResize(img, 8, 8).gray
+    var total = 0L
+    var k = 0
+    while (k < 64) { total += g(k); k += 1 }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (g(k) * 64L > total) hash |= (1L << (63 - k))
+      k += 1
+    }
+    hash
+  }
+
+  /** Per-image features with REAL/STUB dispatch recorded. */
+  final case class ImageFeatures(
+      media_id: Long,
+      decoded: Boolean,      // true = real ImageIO decode ran
+      real_w: Int,           // decoded dims (metadata dims on stub path)
+      real_h: Int,
+      ahash: Long,           // real average-hash, or the stub checksum
+      mean_lum: Double,      // real mean luminance, or the stub byte mean
+      batch_size: Int,
+  )
+
+  /** Batched per-partition REAL image decode — the same mapPartitions
+    * batch shape as [[decodeFeatures]], dispatching per record:
+    * decodable bytes yield true dims + average-hash + mean luminance;
+    * everything else takes the deterministic stub (metadata dims, byte
+    * checksum/mean), so one pipeline serves mixed real/opaque corpora.
+    */
+  def imageFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val dec = if (looksLikeImage(r.bytes)) decodeImage(r.bytes) else None
+          dec match {
+            case Some(img) =>
+              val meanLum = if (img.gray.isEmpty) 0.0
+                else img.gray.foldLeft(0L)(_ + _).toDouble / img.gray.length
+              ImageFeatures(r.media_id, decoded = true, img.width, img.height,
+                aHash64(img), meanLum, batch.size)
+            case None =>
+              val (crc, mean) = stubDecode(r.bytes)
+              ImageFeatures(r.media_id, decoded = false, r.width, r.height,
+                crc, mean, batch.size)
+          }
+        }
+      }
+    }
   }
 
   /** Batched per-partition decode: drains the partition in
