@@ -212,7 +212,52 @@ object SourceQueries {
     """),
   )
 
+  /** The DSv2 WRITE rung driven end-to-end ([[graft.sources.VersionedV2]],
+    * the transactional-sink twin of RangeV2's five read rungs): an
+    * overwrite commit then an append commit onto the directory-
+    * versioned table (two-phase staging, manifest-over-immutable-files,
+    * atomic pointer publish — VersionedV2Spec pins the planted-failure
+    * atomicity), then BOTH snapshots read back through time travel and
+    * rolled up. The row data is the RangeV2 generator, so DuckDB
+    * replays every committed version exactly; the bit-exact id,valBits
+    * serialization makes the round trip hash-checkable.
+    */
+  val versionedWrite: Q = Q(
+    "source_versioned_write",
+    (s, dir) => {
+      import graft.operators.ExactAgg
+      val fmt = "graft.sources.VersionedV2"
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_versioned_q").toString + "/t"
+      def gen(lo: Int, hi: Int) = s.read.format("graft.sources.RangeV2")
+        .option("start", lo.toString).option("end", hi.toString)
+        .option("slices", "4").load()
+      gen(0, 5000).write.format(fmt).option("path", path)
+        .mode("overwrite").save()
+      gen(5000, 6000).write.format(fmt).option("path", path)
+        .mode("append").save()
+      def snap(v: Int) = s.read.format(fmt).option("path", path)
+        .option("version", v.toString).load()
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          round(ExactAgg.decSum(col("val")), 6).as("sum_val"))
+        .select(lit(v).as("version"), col("n"), col("sum_id"), col("sum_val"))
+      snap(1).unionAll(snap(2))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT i, ((i * 2654435761) % 1000003) / 1000003.0 AS v
+        FROM generate_series(0, 5999) t(i))
+      SELECT 1 AS version, count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_id,
+             round(${OracleExact.decSumSql("v")}, 6) AS sum_val
+      FROM g WHERE i < 5000
+      UNION ALL
+      SELECT 2 AS version, count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_id,
+             round(${OracleExact.decSumSql("v")}, 6) AS sum_val
+      FROM g
+    """),
+  )
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, avroRoundtrip,
     sinkPartitioned, textRoundtrip, binaryRoundtrip, schemaEvolution, rangeV2,
-    rangeV2Agg)
+    rangeV2Agg, versionedWrite)
 }

@@ -1,0 +1,269 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITE rung of the DSv2 engine ladder (`format("graft.sources.
+  * VersionedV2")`) — the transactional-sink shape every lakehouse
+  * writer needs, in miniature: a directory-versioned table with REAL
+  * commit/abort semantics, manifest-over-immutable-files layout (the
+  * Delta/Iceberg discipline), and snapshot reads.
+  *
+  * Write protocol (two-phase, all-or-nothing):
+  *  1. each task streams rows into its OWN staging file
+  *     (`_staging/<queryId>/part-<pid>-<tid>`); nothing a running or
+  *     failed task writes is ever visible — task `abort()` deletes
+  *     the partial file, and only task `commit()` names the file in a
+  *     [[WriterCommitMessage]];
+  *  2. driver `commit(messages)` moves the named files into the
+  *     immutable `data/` pool, writes manifest `v<N+1>/manifest.txt`
+  *     (append = previous manifest's lines + the new files — data is
+  *     NEVER copied or rewritten, versions share immutable files),
+  *     then publishes with ONE atomic move of the `_latest.txt`
+  *     pointer. A crash anywhere before the pointer move leaves
+  *     version N intact and visible — readers can never observe a
+  *     half-commit;
+  *  3. driver `abort(messages)` removes the staging directory.
+  *
+  * Read side resolves the pointer (or an explicit `version` option —
+  * time travel for free, snapshots are immutable) to a manifest and
+  * plans ONE InputPartition per data file, the split shape a real
+  * table format scans with. Rows serialize as `id,valBits` text with
+  * the double's raw long bits, so the write→read round trip is
+  * BIT-exact and the `source_versioned_write` oracle can replay it.
+  *
+  * Toy-table boundaries, by design: fixed (id BIGINT, val DOUBLE)
+  * schema, java.nio on a shared filesystem (a cluster deployment
+  * swaps in the Hadoop FileSystem API — same two-phase protocol), and
+  * single-writer (concurrent committers would race the version
+  * counter; the version-dir create is the failure that surfaces it).
+  */
+class VersionedV2 extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VersionedV2.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "VersionedV2 requires a path option")
+    new VersionedTable(path,
+      Option(properties.get("version")).map(_.toInt))
+  }
+}
+
+object VersionedV2 {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", DoubleType, nullable = false)))
+
+  /** Current committed version (0 = empty table, no pointer yet). */
+  def latestVersion(path: String): Int = {
+    val p = Paths.get(path, "_latest.txt")
+    if (Files.exists(p)) new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
+  /** The data files (relative names) visible at `version`. */
+  def manifest(path: String, version: Int): Seq[String] = {
+    if (version == 0) return Nil
+    val m = Paths.get(path, s"v$version", "manifest.txt")
+    require(Files.exists(m), s"VersionedV2: no committed version $version at $path")
+    new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private[sources] def writeAtomically(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+private[sources] class VersionedTable(path: String, readVersion: Option[Int])
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_versioned[$path]"
+  override def schema(): StructType = VersionedV2.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new VersionedScan(path,
+        readVersion.getOrElse(VersionedV2.latestVersion(path)))
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fields.map(f => (f.name, f.dataType)).sameElements(
+      VersionedV2.schema.fields.map(f => (f.name, f.dataType))),
+      s"VersionedV2 expects (id BIGINT, val DOUBLE), got ${info.schema().sql}")
+    new VersionedWriteBuilder(path, info.queryId(), truncate = false)
+  }
+}
+
+private[sources] class VersionedWriteBuilder(
+    path: String, queryId: String, truncate: Boolean)
+  extends WriteBuilder with SupportsTruncate {
+
+  // SaveMode.Overwrite arrives as truncate(): the new version's
+  // manifest starts empty instead of carrying the previous files
+  override def truncate(): WriteBuilder =
+    new VersionedWriteBuilder(path, queryId, truncate = true)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new VersionedBatchWrite(path, queryId, truncate)
+  }
+}
+
+/** Task message: the staged file this task committed, for the driver
+  * to publish. Only committed tasks contribute one.
+  */
+private[sources] case class StagedFile(name: String, rows: Long)
+  extends WriterCommitMessage
+
+private[sources] class VersionedBatchWrite(
+    path: String, queryId: String, truncate: Boolean) extends BatchWrite {
+
+  private def stagingDir = Paths.get(path, "_staging", queryId)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(stagingDir)
+    new VersionedWriterFactory(path, queryId)
+  }
+
+  /** Publish: move staged files into the immutable pool, write the
+    * new manifest, then ONE atomic pointer move. Nothing before the
+    * pointer move is visible to readers.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case s: StagedFile => s }
+    val dataDir = Paths.get(path, "data")
+    Files.createDirectories(dataDir)
+    val moved = staged.map { s =>
+      val finalName = s"$queryId-${s.name}"
+      Files.move(stagingDir.resolve(s.name), dataDir.resolve(finalName),
+        StandardCopyOption.ATOMIC_MOVE)
+      finalName
+    }
+    val current = VersionedV2.latestVersion(path)
+    val prev = if (truncate) Nil else VersionedV2.manifest(path, current)
+    val next = current + 1
+    val vdir = Paths.get(path, s"v$next")
+    // single-writer guard: a concurrent committer trips on the
+    // version-dir create instead of silently clobbering a manifest
+    Files.createDirectory(vdir)
+    VersionedV2.writeAtomically(vdir.resolve("manifest.txt"),
+      (prev ++ moved).mkString("\n"))
+    VersionedV2.writeAtomically(Paths.get(path, "_latest.txt"), next.toString)
+    cleanupStaging()
+  }
+
+  /** A failed job publishes NOTHING: staged files (committed tasks
+    * included) are deleted, the pointer never moves.
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging()
+
+  private def cleanupStaging(): Unit =
+    if (Files.exists(stagingDir)) {
+      val s = Files.list(stagingDir)
+      val staged = try s.iterator().asScala.toSeq finally s.close()
+      staged.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(stagingDir)
+    }
+}
+
+private[sources] class VersionedWriterFactory(path: String, queryId: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new VersionedDataWriter(path, queryId, partitionId, taskId)
+}
+
+/** Streams rows to this task's OWN staging file; `commit` names it,
+  * `abort` deletes it — a partial file from a failed attempt can
+  * never be published.
+  */
+private[sources] class VersionedDataWriter(
+    path: String, queryId: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val name = s"part-$partitionId-$taskId.txt"
+  private val file = Paths.get(path, "_staging", queryId, name)
+  private lazy val out = {
+    Files.createDirectories(file.getParent)
+    Files.newBufferedWriter(file, StandardCharsets.UTF_8)
+  }
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    // id,rawLongBits(val): bit-exact double round trip
+    out.write(record.getLong(0).toString)
+    out.write(',')
+    out.write(java.lang.Double.doubleToRawLongBits(record.getDouble(1)).toString)
+    out.write('\n')
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StagedFile(name, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    Files.deleteIfExists(file)
+  }
+
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------- read side
+
+private[sources] class VersionedScan(path: String, version: Int)
+  extends Scan with Batch with Serializable {
+  override def readSchema(): StructType = VersionedV2.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftVersionedV2[$path v$version]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    VersionedV2.manifest(path, version)
+      .map(f => VersionedFilePartition(s"$path/data/$f")).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val lines = Files.readAllLines(
+          Paths.get(p.asInstanceOf[VersionedFilePartition].file),
+          StandardCharsets.UTF_8)
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < lines.size }
+          override def get(): InternalRow = {
+            val Array(id, bits) = lines.get(i).split(",")
+            new GenericInternalRow(Array[Any](id.toLong,
+              java.lang.Double.longBitsToDouble(bits.toLong)))
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[graft] case class VersionedFilePartition(file: String)
+  extends InputPartition
