@@ -148,6 +148,62 @@ object Ann {
           col(s"s$d").cast("double")): _*).as("sum_vec"))
   }
 
+  /** Lloyd's k-means to CONVERGENCE (or `maxIter`) — [[kmeansStep]]
+    * iterated the way IVF/PQ codebook training actually runs: each
+    * iteration is one assignment pass + one `nCells × (dims+1)`
+    * aggregate; the new centroids are the 6-dp-ROUNDED per-dimension
+    * means (round(sum/n, 6) — the quantized model update both engines
+    * resolve identically, so every iteration's INPUT is bit-identical
+    * under external replay and the whole trajectory is oracle-
+    * checkable). Driver state per iteration is the bounded nCells ×
+    * dims centroid table (a fit boundary, like the CC fast path); the
+    * per-vector work stays distributed. Early stop when no centroid
+    * coordinate moves more than `tol` (tol = 0 forces exactly
+    * `maxIter` iterations — the fixed-T shape a static oracle can
+    * replay; a positive tol is the production setting, spec-covered).
+    *
+    * Returns the long-form trajectory (iter, cell, n, dim, m): every
+    * iteration's occupancy and rounded centroid coordinates.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+                  dims: Int, nCells: Int = 16, maxIter: Int = 3,
+                  tol: Double = 0.0): DataFrame = {
+    val c = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    var centroids = sampleCentroids(c, "id", "cv", nCells)
+    require(centroids.length == nCells,
+      s"kmeansTrain: sampled ${centroids.length} centroids, need $nCells")
+    var out: DataFrame = null
+    var it = 1
+    var converged = false
+    while (it <= maxIter && !converged) {
+      val step = kmeansStep(df, idCol, vecCol, centroids, dims)
+        .select(col("cell"), col("n"),
+          // + 0.0 normalizes a −0.0 mean (SURVEY §17 signed-zero rule:
+          // these doubles are both emitted AND fed back as centroids)
+          array((0 until dims).map(d =>
+            round(element_at(col("sum_vec"), d + 1) / col("n"), 6) + lit(0.0)): _*)
+            .as("m"))
+        .localCheckpoint() // one pass; the trajectory union reuses it
+      val fitted = step.collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2).toArray))
+        .toMap
+      require(fitted.size == nCells,
+        s"kmeansTrain: iteration $it left ${nCells - fitted.size} cells empty")
+      val next = (0 until nCells).map(k => fitted(k)._2).toArray
+      converged = (0 until nCells).forall(k =>
+        (0 until dims).forall(d =>
+          math.abs(next(k)(d) - centroids(k)(d)) <= tol))
+      val longForm = step
+        .select(lit(it).as("iter"), col("cell"), col("n"),
+          posexplode(col("m")).as(Seq("dim", "m")))
+      out = if (out == null) longForm else out.unionAll(longForm)
+      centroids = next
+      it += 1
+    }
+    out
+  }
+
   /** IVF with the index ON DISK: the assignment table is written
     * `partitionBy(cell)`, and a probe batch reads ONLY its probed
     * cells via parquet partition pruning — at 100 TB the serving read

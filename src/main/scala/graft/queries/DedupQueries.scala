@@ -665,6 +665,68 @@ object DedupQueries {
     """),
   )
 
+  /** One DuckDB k-means iteration given centroid CTE `cent$p`: score →
+    * argmax assignment (ties to the higher cell, the TopCells rule) →
+    * per-cell rounded means g$t → next centroid list cent$next.
+    */
+  private def kmeansIterSql(t: Int): String = {
+    val p = if (t == 1) "1" else t.toString
+    s"""sc$t AS (
+        SELECT n.vec_id, c.cell,
+               list_dot_product(n.v, c.cv)
+                 / (n.nrm * sqrt(list_dot_product(c.cv, c.cv))) AS s
+        FROM n CROSS JOIN cent$p c),
+      a$t AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+          FROM sc$t) WHERE rn = 1),
+      g$t AS (
+        SELECT a.cell, count(*) AS n, d.d AS dim,
+               round(sum(round(e2.v[d.d + 1], 6)::DECIMAL(18,6))::DOUBLE
+                 / count(*), 6) + 0.0 AS m
+        FROM a$t a JOIN e e2 USING (vec_id), range(64) d(d)
+        GROUP BY a.cell, d.d),
+      cent${t + 1} AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g$t GROUP BY cell)"""
+  }
+
+  /** Lloyd's k-means TRAINED for 3 chained iterations
+    * ([[Ann.kmeansTrain]] with tol=0 — the fixed-T trajectory a static
+    * oracle can replay): the convergence-loop composition over
+    * `q_kmeans_step`, emitting every iteration's (cell occupancy,
+    * 6-dp-rounded centroid coordinates). The rounded means are ALSO
+    * the next iteration's centroids, so the DuckDB replay chains the
+    * step oracle three times with bit-identical inputs at each
+    * boundary. Per iteration: one TopCells assignment pass + one
+    * nCells×(dims+1) aggregate + a bounded nCells×dims driver collect
+    * (the fit boundary) — the loop adds iterations, never width;
+    * AnnSpec covers positive-tol early stopping on a converged
+    * fixture and NewOpsPlanSpec budgets the per-iteration exchanges.
+    */
+  val kmeansTrain: Q = Q(
+    "q_kmeans_train",
+    (s, dir) =>
+      Ann.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, nCells = 16, maxIter = 3, tol = 0.0),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      h AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS hx FROM e),
+      sel AS (SELECT vec_id, v, ${OracleExact.h16Sql("hx")} AS h16 FROM h),
+      cent1 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        FROM sel
+        WHERE h16 % greatest(1, (SELECT count(*) FROM e) // 16) = 0
+        ORDER BY vec_id LIMIT 16),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      ${kmeansIterSql(1)},
+      ${kmeansIterSql(2)},
+      ${kmeansIterSql(3)}
+      SELECT 1 AS iter, cell, n, dim, m FROM g1
+      UNION ALL SELECT 2 AS iter, cell, n, dim, m FROM g2
+      UNION ALL SELECT 3 AS iter, cell, n, dim, m FROM g3
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.3/36d
   /** IVF with the index ON DISK (partitionBy cell): the probe batch
     * reads only its probed cells through parquet partition pruning —
@@ -1120,6 +1182,106 @@ object DedupQueries {
       FROM embeddings v LEFT JOIN s ON v.vec_id = s.dst
     """),
   )
+
+  /** One DuckDB PageRank iteration r$p -> r$t (pure int64 micro-unit
+    * arithmetic — round-half-up via `(x + d/2) // d`, damping via
+    * `(85·sm + 50) // 100`: order-free and bit-identical by
+    * construction on any engine).
+    */
+  private def pagerankIterSql(t: Int): String = {
+    val p = t - 1
+    s"""c$t AS (
+        SELECT e.dst, (r.r + od.outdeg // 2) // od.outdeg AS cm
+        FROM e JOIN od ON e.src = od.src JOIN r$p r ON r.vec_id = e.src),
+      s$t AS (SELECT dst, sum(cm)::BIGINT AS sm FROM c$t GROUP BY 1),
+      r$t AS (
+        SELECT v.vec_id,
+               (150000 + (85 * coalesce(s.sm, 0) + 50) // 100)::BIGINT AS r
+        FROM embeddings v LEFT JOIN s$t s ON v.vec_id = s.dst)"""
+  }
+
+  /** Damped PageRank ITERATED to tolerance-or-T (the convergence-loop
+    * composition over `q_pagerank_step`, value-iteration form): ranks
+    * live in int64 MICRO-UNITS end to end — per-edge contribution
+    * `(r + outdeg div 2) div outdeg`, damping `150000 + (85·sm + 50)
+    * div 100` — so every iteration is order-free integer arithmetic
+    * and the 4-step trajectory replays bit-for-bit in DuckDB (no
+    * float drift can compound across iterations, the property that
+    * makes a CHAINED oracle possible at all). The adjacency builds
+    * once (localCheckpoint) and each iteration is one join + one
+    * map-side-combined dst rollup + a one-scalar max|Δ| fit-boundary
+    * collect; the tolerance check (`tolMicro`) early-stops at the
+    * exact integer fixed point — tolMicro = -1 pins the fixed-T
+    * trajectory for the static oracle, the positive-tol path is
+    * spec-covered on a cycle graph that converges immediately.
+    */
+  val qPagerank: Q = Q(
+    "q_pagerank",
+    (s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+        .localCheckpoint()
+      val nN = nodes.count()
+      val dsts = (1 to 3).map { j =>
+        conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$j"))), 1, 4), 16, 10)
+          .cast("long") % nN
+      }
+      val adj = nodes
+        .select(col("vec_id").as("src"), explode(array(dsts: _*)).as("dst"))
+        .where(col("dst") =!= col("src"))
+        .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
+        .select(col("src"), size(col("dsts")).as("outdeg"),
+          explode(col("dsts")).as("dst"))
+        .localCheckpoint()
+      pagerankLoop(nodes, adj, maxIter = 4, tolMicro = -1L)
+    },
+    Some(s"""
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      e0 AS (
+        SELECT vec_id AS src,
+               ${OracleExact.h16Sql("md5(vec_id::VARCHAR || ':' || j::VARCHAR)")} % nn.n AS dst
+        FROM embeddings, nn, (SELECT unnest(generate_series(1, 3)) AS j) js),
+      e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst != src),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      r0 AS (SELECT vec_id, 1000000::BIGINT AS r FROM embeddings),
+      ${pagerankIterSql(1)},
+      ${pagerankIterSql(2)},
+      ${pagerankIterSql(3)},
+      ${pagerankIterSql(4)}
+      SELECT 1 AS iter, vec_id, r FROM r1
+      UNION ALL SELECT 2 AS iter, vec_id, r FROM r2
+      UNION ALL SELECT 3 AS iter, vec_id, r FROM r3
+      UNION ALL SELECT 4 AS iter, vec_id, r FROM r4
+    """),
+  )
+
+  /** The PageRank value-iteration loop over a prebuilt adjacency:
+    * emits the (iter, vec_id, r) trajectory, early-stopping when
+    * max|Δr| ≤ tolMicro (−1 = never: run exactly maxIter).
+    */
+  private[graft] def pagerankLoop(nodes: DataFrame, adj: DataFrame,
+                                  maxIter: Int, tolMicro: Long): DataFrame = {
+    var r = nodes.select(col("vec_id"), lit(1000000L).as("r"))
+    var out: DataFrame = null
+    var it = 1
+    var done = false
+    while (it <= maxIter && !done) {
+      val contrib = adj.join(r, adj("src") === r("vec_id"))
+        .select(adj("dst"), expr("(r + outdeg div 2) div outdeg").as("cm"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("cm")).as("sm"))
+      val rNext = nodes.join(sums, nodes("vec_id") === sums("dst"), "left")
+        .select(nodes("vec_id"),
+          (lit(150000L) + expr("(85 * coalesce(sm, 0L) + 50) div 100")).as("r"))
+        .localCheckpoint() // cut the per-iteration lineage (CC-loop rule)
+      val delta = rNext.as("a").join(r.as("b"), "vec_id")
+        .agg(max(abs(col("a.r") - col("b.r")))).head().getLong(0)
+      done = delta <= tolMicro
+      val step = rNext.select(lit(it).as("iter"), col("vec_id"), col("r"))
+      out = if (out == null) step else out.unionAll(step)
+      r = rNext
+      it += 1
+    }
+    out
+  }
 
   /** Blocked Levenshtein fuzzy matching over an entity-name fixture
     * ([[Dedup.blockedEditDistancePairs]]): part entities named
@@ -1868,8 +2030,9 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
-    dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, knnIvfPruned,
-    knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep,
+    dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, kmeansTrain,
+    knnIvfPruned,
+    knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep, qPagerank,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
     qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
     dedupGraphDegrees, dedupPrf, qEmbedProject, qKcoreStep, dedupIncremental,

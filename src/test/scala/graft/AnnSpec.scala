@@ -155,4 +155,51 @@ class AnnSpec extends SparkSpec {
     assert(out(0).getDouble(2) == twinRow.get.getDouble(2),
       "rank-1 distance differs from the exact twin's")
   }
+
+  test("kmeansTrain early-stops at the fixed point and emits the trajectory") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // four orthogonal one-hot-ish vectors: every vector is its own
+    // cluster, the rounded means equal the sampled centroids, so the
+    // very first iteration is already the fixed point
+    val vecs = Seq(
+      (0L, Seq(4.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 3.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 2.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 5.0)),
+    ).toDF("vec_id", "embedding")
+    val traj = graft.operators.Ann.kmeansTrain(vecs, "vec_id", "embedding",
+      dims = 4, nCells = 4, maxIter = 3, tol = 0.0)
+    val iters = traj.select("iter").distinct().collect().map(_.getInt(0)).toSet
+    assert(iters === Set(1), s"expected early stop after iter 1, ran $iters")
+    // each cell holds exactly its own vector
+    val occ = traj.where(col("dim") === 0).select("cell", "n").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occ.values.forall(_ == 1L) && occ.size == 4)
+    // tol = 0 with moving centroids runs all maxIter on the real table
+    val full = graft.operators.Ann.kmeansTrain(
+      Tables.embeddings(spark, sf), "vec_id", "embedding",
+      dims = 64, nCells = 16, maxIter = 2, tol = 0.0)
+    assert(full.select("iter").distinct().count() == 2)
+  }
+
+  test("pagerank loop: cycle graph converges after one iteration; trajectory plan is exchange-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // directed 6-cycle: outdeg 1 everywhere, uniform rank is the exact
+    // integer fixed point — r1 == r0 and the tol=0 loop stops at once
+    val nodes = (0L until 6L).toDF("vec_id")
+    val adj = (0L until 6L).map(i => (i, 1, (i + 1) % 6))
+      .toDF("src", "outdeg", "dst")
+    val traj = graft.queries.DedupQueries.pagerankLoop(
+      nodes, adj, maxIter = 4, tolMicro = 0L)
+    val rows = traj.collect()
+    assert(rows.map(_.getInt(0)).toSet === Set(1))
+    assert(rows.forall(_.getLong(2) == 1000000L))
+    // the emitted trajectory reads checkpointed iteration results —
+    // collecting it must not replan (or re-shuffle) any iteration
+    val plan = graft.queries.DedupQueries.qPagerank.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange (hash|range|Single)".r.findAllIn(plan).isEmpty, plan)
+  }
 }
