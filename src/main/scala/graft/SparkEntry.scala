@@ -50,6 +50,11 @@ object SparkEntry {
     // hot-key (~5% of events on one user) stream-stream interval
     // join: the state-partitioning-under-skew measurement (SURVEY §7.13)
     "stream_interval_join_skew" -> (StreamingQueries.intervalJoinSkew(_, _)),
+    // streaming state observability: the engine's own per-operator
+    // state accounting for three representative stateful shapes —
+    // metrics, not table data, so no DuckDB oracle exists; the bounds
+    // are pinned in StreamingSpec (SURVEY row 422)
+    "stream_state_report" -> (StreamingQueries.stateReport(_, _)),
     // the same skew fixture through the time-slice-salted join — the
     // mitigation's measured twin (SURVEY §12)
     "stream_interval_join_skew_salted" ->

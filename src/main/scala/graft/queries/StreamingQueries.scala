@@ -267,6 +267,38 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming STATE observability (bench + spec row): drain the three
+    * representative stateful shapes — flatMapGroupsWithState
+    * sessionization, the stream-stream interval join (four state
+    * stores per partition), and the mapGroupsWithState quantile-sketch
+    * profile — and emit the engine's OWN state accounting per operator
+    * (`StreamingQueryProgress.stateOperators`: rows held, rows
+    * updated, bytes, final watermark). This turns the repo's "bounded
+    * state" claims on the 60+ streaming rows into measured numbers:
+    * StreamingSpec pins profile state == distinct keys, sessionize
+    * state ≤ open sessions, and join state ≤ the within-horizon rows.
+    * No oracle — the metrics are engine accounting, not table data.
+    */
+  def stateReport(s: org.apache.spark.sql.SparkSession,
+                  dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val gap = 30L * 60 * 1000 * 1000 * 1000
+    val rows =
+      StreamOps.stateReport(s, "sessionize",
+        StreamOps.sessionize(StreamOps.eventsStream(s, dir)
+          .withColumn("ts", expr("ts div 1000 * 1000")), gap).toDF(),
+        mode = "append") ++
+      StreamOps.stateReport(s, "interval_join",
+        StreamOps.intervalSelfJoin(StreamOps.eventsStream(s, dir),
+          StreamOps.eventsStream(s, dir)),
+        mode = "append", statePartitions = Some(8)) ++
+      StreamOps.stateReport(s, "quantile_profile",
+        StreamOps.quantileProfileUpdate(StreamOps.eventsStream(s, dir)).toDF(),
+        mode = "update", statePartitions = Some(8))
+    rows.toDS().toDF()
+  }
+
   /** EVENT-TIME-SKEW bench of the stream-stream interval join (SURVEY
     * §7.13, open since round 4): one hot user carries ~5% of all
     * events (every event_id % 20 == 0 remapped), so one state-store

@@ -458,6 +458,52 @@ object StreamOps {
     s.table(name)
   }
 
+  /** One state operator's accounting from the engine's own
+    * `StreamingQueryProgress` after a full drain.
+    */
+  final case class StateOpReport(query: String, op: Int, operator: String,
+                                 state_rows: Long, rows_updated: Long,
+                                 mem_bytes: Long, watermark: String)
+
+  /** Drain a stateful stream and return the per-operator STATE
+    * accounting (rows held, rows updated, bytes, final watermark) —
+    * the observability row that turns the repo's "bounded state"
+    * claims on the streaming operators into measured numbers. Reads
+    * the engine's own metrics (`StreamingQueryProgress.stateOperators`),
+    * not a re-derivation, so what it reports is what the state stores
+    * actually held when the drain finished.
+    */
+  def stateReport(s: SparkSession, label: String, streamDf: DataFrame,
+                  mode: String,
+                  statePartitions: Option[Int] = None): Seq[StateOpReport] = {
+    val name = s"graft_state_${System.nanoTime()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = streamDf.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the LAST progress carrying state accounting (the final entry
+      // can be an idle/no-data commit with no stateOperators)
+      val p = q.recentProgress.reverseIterator
+        .find(_.stateOperators.nonEmpty)
+      val wm = p.map(pp => Option(pp.eventTime.get("watermark")).getOrElse(""))
+        .getOrElse("")
+      val out = p.toSeq.flatMap(_.stateOperators.toSeq).zipWithIndex.map {
+        case (o, i) => StateOpReport(label, i, o.operatorName,
+          o.numRowsTotal, o.numRowsUpdated, o.memoryUsedBytes, wm)
+      }
+      s.catalog.dropTempView(name)
+      out
+    } finally {
+      if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   final case class KeyedEvent(user_id: Long, ts_ns: Long, event_id: Long,
                               event_type: String, value: Double)
 

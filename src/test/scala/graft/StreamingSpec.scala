@@ -519,4 +519,41 @@ class StreamingSpec extends SparkSpec {
     // and event_id itself is globally unique, so the sort key is total
     assert(ev.groupBy("event_id").count().filter("count > 1").count() === 0L)
   }
+
+  test("stream_state_report: engine state accounting matches the bounded-state claims") {
+    import org.apache.spark.sql.functions._
+    val report = graft.queries.StreamingQueries.stateReport(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    val byQuery = report.groupBy(_._1)
+    assert(byQuery.keySet === Set("sessionize", "interval_join",
+      "quantile_profile"))
+
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+
+    // mapGroupsWithState profile: EXACTLY one state row per key
+    val (_, profRows, profUpd) = report.find(_._1 == "quantile_profile").get
+    assert(profRows === nUsers)
+    assert(profUpd > 0)
+
+    // sessionize (flatMapGroupsWithState): state is the OPEN sessions
+    // only — bounded by keys, far below the event count (eviction ran)
+    val (_, sessRows, _) = report.find(_._1 == "sessionize").get
+    assert(sessRows > 0 && sessRows <= nUsers,
+      s"sessionize state $sessRows vs $nUsers users")
+
+    // stream-stream interval join: both sides buffer within the
+    // watermark horizon — state is bounded by the buffered input rows
+    // (two sides), never more
+    val joinRows = report.filter(_._1 == "interval_join").map(_._2).sum
+    assert(joinRows > 0 && joinRows <= 2 * nEvents,
+      s"join state $joinRows vs ${2 * nEvents} bound")
+
+    // every operator reported real accounting (bytes + watermark land
+    // in the row; rows_updated is non-negative by construction)
+    val full = graft.queries.StreamingQueries.stateReport(spark, sf).collect()
+    assert(full.forall(_.getLong(5) > 0), "memoryUsedBytes must be reported")
+    assert(full.exists(_.getString(6).nonEmpty), "final watermark missing")
+  }
 }
