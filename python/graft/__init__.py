@@ -29,12 +29,13 @@ Quick start::
 
 from graft.session import GRAFT_EXTENSIONS_CLASS, graft_builder, activate
 from graft.preprocessor import Preprocessor
-from graft import queries
+from graft import operators, queries
 
 __all__ = [
     "GRAFT_EXTENSIONS_CLASS",
     "graft_builder",
     "activate",
     "Preprocessor",
+    "operators",
     "queries",
 ]

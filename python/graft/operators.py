@@ -1,0 +1,49 @@
+"""Flagship operator entry points from Python — the calls an LLM-data
+pipeline makes directly, outside the fixture-bound query registry.
+Each is one py4j hop into the Scala operator (same defaults).
+"""
+
+from pyspark.sql import DataFrame
+
+from graft.session import bridge
+
+
+def minhash_pairs(df, id_col, text_col, shingle_k=3, num_perms=128,
+                  num_bands=32, threshold=0.8, seed=42):
+    """MinHash -> LSH banded near-dup pairs: (id_a, id_b, jaccard >=
+    threshold). Candidates come from the band equi-join only — never
+    all pairs."""
+    spark = df.sparkSession
+    return DataFrame(bridge(spark).minhashPairs(
+        df._jdf, id_col, text_col, int(shingle_k), int(num_perms),
+        int(num_bands), float(threshold), int(seed)), spark)
+
+
+def knn_brute_force(corpus, queries, id_col, vec_col, k=5):
+    """Exact cosine top-k of each query vector over the corpus."""
+    spark = corpus.sparkSession
+    return DataFrame(bridge(spark).knnBruteForce(
+        corpus._jdf, queries._jdf, id_col, vec_col, int(k)), spark)
+
+
+def sentence_dedup(df, id_col, text_col):
+    """Corpus-wide sentence dedup with document reconstruction
+    (Dolma-style boilerplate removal): (id, n_sents, n_kept, cleaned)."""
+    spark = df.sparkSession
+    return DataFrame(bridge(spark).sentenceDedup(
+        df._jdf, id_col, text_col), spark)
+
+
+def dedup_by_url(docs, id_col, url_col):
+    """URL-canonicalizing keep-first dedup: (canonical key, kept id,
+    variant count)."""
+    spark = docs.sparkSession
+    return DataFrame(bridge(spark).dedupByUrl(
+        docs._jdf, id_col, url_col), spark)
+
+
+def ts_features(df, series_key, time_col, value_col):
+    """Per-series tsfresh-style feature matrix (one row per series)."""
+    spark = df.sparkSession
+    return DataFrame(bridge(spark).tsFeatures(
+        df._jdf, series_key, time_col, value_col), spark)

@@ -103,6 +103,46 @@ def test_extract_ts_features(spark, sf_dir):
     assert feats.count() == labels.count()
 
 
+# ----------------------------------------------------------------- operators
+
+def test_operator_entry_points(spark, sf_dir):
+    from graft import operators
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # near-dup pairs: the planted near-dup twins surface, exact text
+    # reproduces jaccard 1.0 pairs when present; shape is (a, b, j)
+    pairs = operators.minhash_pairs(docs, "doc_id", "text", threshold=0.8)
+    assert pairs.columns == ["id_a", "id_b", "jaccard"]
+    assert pairs.where("jaccard > 1.0").count() == 0
+
+    # sentence dedup reconstructs every doc
+    sd = operators.sentence_dedup(docs.limit(50), "doc_id", "text")
+    assert sd.count() == 50
+    assert sd.where("n_kept > n_sents").count() == 0
+
+    # knn: top-3 per query, self excluded
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    topk = operators.knn_brute_force(emb, emb.where("vec_id < 3"),
+                                     "vec_id", "embedding", k=3)
+    got = topk.groupBy("query_id").count().collect()
+    assert len(got) == 3 and all(r["count"] <= 3 for r in got)
+    assert topk.where("query_id = nn_id").count() == 0
+
+    # per-series features: one row per user
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    feats = operators.ts_features(ev.select("user_id", "ts", "value"),
+                                  "user_id", "ts", "value")
+    assert feats.count() == ev.select("user_id").distinct().count()
+
+    # url dedup collapses scheme/www variants
+    urls = docs.select("doc_id", F.concat(
+        F.lit("https://www.example.com/p/"),
+        (F.col("doc_id") % 5).cast("string")).alias("url"))
+    dd = operators.dedup_by_url(urls, "doc_id", "url")
+    assert dd.count() == 5
+
+
 # ------------------------------------------------------------ query registry
 
 def test_registry_shape(spark):

@@ -176,6 +176,43 @@ object PyBridge {
   def droppedColumns(model: PrepModel): ju.Map[String, String] =
     model.dropped.asJava
 
+  // ------------------------------------------------- operator entry points
+  // The flagship operators a Python pipeline calls directly (outside
+  // the fixture-bound query registry): near-dup pair generation, ANN
+  // top-k, sentence-level boilerplate removal, URL dedup, and the
+  // per-series feature matrix. Same one-hop rule as everything above.
+
+  /** MinHash→LSH near-dup pairs ([[graft.operators.Dedup.minhashPairs]]):
+    * (id_a, id_b, jaccard ≥ threshold), banded candidates only.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int, numPerms: Int, numBands: Int,
+                   threshold: Double, seed: Long): DataFrame =
+    graft.operators.Dedup.minhashPairs(df, idCol, textCol, shingleK,
+      numPerms, numBands, threshold, seed)
+
+  /** Exact cosine top-k ([[graft.operators.Ann.bruteForceTopK]]). */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame =
+    graft.operators.Ann.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+
+  /** Cross-corpus sentence dedup with document reconstruction
+    * ([[graft.operators.Dedup.sentenceDedup]]).
+    */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup.sentenceDedup(df, idCol, textCol)
+
+  /** URL-canonicalizing keep-first dedup ([[graft.operators.Urls.dedupByUrl]]). */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    graft.operators.Urls.dedupByUrl(docs, idCol, urlCol)
+
+  /** Per-series tsfresh-style feature matrix
+    * ([[graft.operators.TsFeatures.extract]]).
+    */
+  def tsFeatures(df: DataFrame, seriesKey: String, timeCol: String,
+                 valueCol: String): DataFrame =
+    graft.operators.TsFeatures.extract(df, seriesKey, Seq(timeCol), valueCol)
+
   /** Reference `extract_ts_features(data, y, time, column_id)`
     * (preprocessor.py:558-638): per-series tsfresh-style matrix
     * filtered to the BH-relevant features, all features when none
