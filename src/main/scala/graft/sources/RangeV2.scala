@@ -75,13 +75,27 @@ private[sources] class RangeV2Table(start: Long, end: Long, slices: Int)
 
 private[sources] class RangeV2ScanBuilder(start: Long, end: Long, slices: Int)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private var lo = start
   private var hi = end // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = RangeV2.schema
   private var pushedAggs: Option[Seq[AggregateFunc]] = None
+  private var limit: Option[Int] = None
+
+  /** Engine-ladder rung 6: LIMIT pushdown. The generator truncates its
+    * own range to the first `l` ids (any `l` rows satisfy a LIMIT, and
+    * the pruned-range prefix is the cheapest deterministic choice), so
+    * a `LIMIT 5` over a trillion-row range plans 5 rows of work — and
+    * because the truncation is EXACT (≤ l rows leave the source,
+    * across all slices), the push is total: `isPartiallyPushed =
+    * false` lets Spark drop its own global Limit instead of keeping a
+    * safety net.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = false
 
   /** COUNT(*) / COUNT(id) / MIN(id) / MAX(id) / SUM(id) over the
     * (filter-narrowed) range have CLOSED FORMS — n, lo, hi−1,
@@ -139,7 +153,12 @@ private[sources] class RangeV2ScanBuilder(start: Long, end: Long, slices: Int)
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new RangeV2AggScan(lo, math.max(lo, hi), aggs)
-    case None => new RangeV2Scan(lo, math.max(lo, hi), slices, required)
+    case None =>
+      val hiBound = math.max(lo, hi)
+      // limit truncation AFTER filter narrowing: the first l surviving ids
+      val hiLim = limit.fold(hiBound)(l =>
+        if (hiBound - lo > l) lo + l else hiBound)
+      new RangeV2Scan(lo, hiLim, slices, required, limit)
   }
 }
 
@@ -195,7 +214,8 @@ private[graft] case class RangeV2Partition(lo: Long, hi: Long)
   extends InputPartition
 
 private[sources] class RangeV2Scan(lo: Long, hi: Long, slices: Int,
-                                   required: StructType)
+                                   required: StructType,
+                                   pushedLimit: Option[Int] = None)
   extends Scan with Batch with Serializable
   with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
@@ -263,7 +283,8 @@ private[sources] class RangeV2Scan(lo: Long, hi: Long, slices: Int,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"GraftRangeV2[$lo,$hi) slices=$slices"
+  override def description(): String = s"GraftRangeV2[$lo,$hi) slices=$slices" +
+    pushedLimit.fold("")(l => s" PushedLimit=$l")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = rhi - rlo

@@ -177,4 +177,26 @@ class RangeV2Spec extends SparkSpec {
     assert(ranged(0, 1000).where(col("id") === Long.MaxValue).count() === 0L)
     assert(ranged(0, 1000).where(col("id") > Long.MaxValue - 1).count() === 0L)
   }
+
+  test("limit pushdown truncates the generator itself (rung 6)") {
+    // LIMIT 5 over a billion-id range: the scan must plan 5 rows of
+    // work, not a billion — the connector truncates and reports the
+    // pushed limit in its description
+    val df = ranged(0, 1000000000L).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit=5"), plan)
+    val got = df.collect().map(_.getLong(0)).sorted
+    assert(got.length === 5)
+    assert(got.forall(id => id >= 0 && id < 1000000000L))
+    // composes with filter pushdown: the limit truncates the
+    // FILTER-NARROWED range, so rows satisfy both
+    val both = ranged(0, 1000000000L).where(col("id") >= 500).limit(3)
+    val rows = both.collect().map(_.getLong(0))
+    assert(rows.length === 3 && rows.forall(_ >= 500))
+    assert(both.queryExecution.executedPlan.toString.contains("PushedLimit=3"))
+    // statistics reflect the truncated envelope: 5 rows, not 1e9
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.forall(_ <= 5) ||
+      stats.sizeInBytes <= BigInt(5 * 16))
+  }
 }

@@ -103,6 +103,23 @@ class VersionedV2Spec extends SparkSpec {
     assert(readTable(path).count() == 15)
   }
 
+  test("a lost version race fails loudly and publishes nothing") {
+    // single-writer contract: if another committer won version N+1
+    // between our staging and publish (simulated by pre-creating the
+    // version directory), the commit must THROW — never silently
+    // clobber the other writer's manifest — and the pointer must not
+    // move, so readers keep the last good snapshot
+    val path = tempTable()
+    rows(0, 10).write.format(FMT).option("path", path).mode("overwrite").save()
+    Files.createDirectory(Paths.get(path, "v2")) // the rival's commit-in-flight
+    val e = intercept[Exception] {
+      rows(10, 20).write.format(FMT).option("path", path).mode("append").save()
+    }
+    assert(e != null)
+    assert(VersionedV2.latestVersion(path) == 1)
+    assert(readTable(path).count() == 10)
+  }
+
   test("the writer rejects a mismatched schema loudly") {
     // Spark's DSv2 analyzer enforces the table schema before our own
     // newWriteBuilder guard even runs — either rejection is loud and
