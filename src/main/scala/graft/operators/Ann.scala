@@ -158,9 +158,12 @@ object Ann {
     * checkable). Driver state per iteration is the bounded nCells ×
     * dims centroid table (a fit boundary, like the CC fast path); the
     * per-vector work stays distributed. Early stop when no centroid
-    * coordinate moves more than `tol` (tol = 0 forces exactly
-    * `maxIter` iterations — the fixed-T shape a static oracle can
-    * replay; a positive tol is the production setting, spec-covered).
+    * coordinate moves more than `tol`; tol = 0 stops at the EXACT
+    * fixed point (reachable, because centroids are quantized), so the
+    * never-stop sentinel is tol < 0 — that pins exactly `maxIter`
+    * iterations, the fixed-T shape a static oracle can replay (the
+    * pagerankLoop tolMicro = −1 convention). Non-negative tol is the
+    * production setting, spec-covered on a converged fixture.
     *
     * Returns the long-form trajectory (iter, cell, n, dim, m): every
     * iteration's occupancy and rounded centroid coordinates.
@@ -191,7 +194,7 @@ object Ann {
       require(fitted.size == nCells,
         s"kmeansTrain: iteration $it left ${nCells - fitted.size} cells empty")
       val next = (0 until nCells).map(k => fitted(k)._2).toArray
-      converged = (0 until nCells).forall(k =>
+      converged = tol >= 0 && (0 until nCells).forall(k =>
         (0 until dims).forall(d =>
           math.abs(next(k)(d) - centroids(k)(d)) <= tol))
       val longForm = step

@@ -271,7 +271,13 @@ object Dedup {
     val winners = p.groupBy(col("s"))
       .agg(min(struct(col("id"), col("pos"))).as("w"))
       .select(col("s"), col("w.id").as("id"), col("w.pos").as("pos"))
-    val kept = p.join(winners, Seq("s", "id", "pos"))
+    // dropDuplicates before the join-back: a doc ingested twice under
+    // one id yields identical (id, pos, s) rows, and joining BOTH
+    // against the unique winner would double n_kept and duplicate
+    // sentences in `cleaned` (the row_number formulation kept exactly
+    // one; n_sents still counts the raw rows, matching it there too)
+    val kept = p.dropDuplicates("id", "pos", "s")
+      .join(winners, Seq("s", "id", "pos"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(joiner,

@@ -670,7 +670,7 @@ object DedupQueries {
     * per-cell rounded means g$t → next centroid list cent$next.
     */
   private def kmeansIterSql(t: Int): String = {
-    val p = if (t == 1) "1" else t.toString
+    val p = t.toString
     s"""sc$t AS (
         SELECT n.vec_id, c.cell,
                list_dot_product(n.v, c.cv)
@@ -697,17 +697,21 @@ object DedupQueries {
     * 6-dp-rounded centroid coordinates). The rounded means are ALSO
     * the next iteration's centroids, so the DuckDB replay chains the
     * step oracle three times with bit-identical inputs at each
-    * boundary. Per iteration: one TopCells assignment pass + one
-    * nCells×(dims+1) aggregate + a bounded nCells×dims driver collect
-    * (the fit boundary) — the loop adds iterations, never width;
-    * AnnSpec covers positive-tol early stopping on a converged
-    * fixture and NewOpsPlanSpec budgets the per-iteration exchanges.
+    * boundary. tol = −1 is the never-stop sentinel: the static oracle
+    * emits ALL THREE iterations unconditionally, so the engine must
+    * too, even if the quantized centroids hit their exact fixed point
+    * early at some scale factor (tol = 0 would stop there and
+    * row-count-mismatch). Per iteration: one TopCells assignment pass
+    * + one nCells×(dims+1) aggregate + a bounded nCells×dims driver
+    * collect (the fit boundary) — the loop adds iterations, never
+    * width; AnnSpec covers tol ≥ 0 early stopping on a converged
+    * fixture and pins the fixed-T sentinel on the real table.
     */
   val kmeansTrain: Q = Q(
     "q_kmeans_train",
     (s, dir) =>
       Ann.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, nCells = 16, maxIter = 3, tol = 0.0),
+        dims = 64, nCells = 16, maxIter = 3, tol = -1.0),
     Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       h AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS hx FROM e),

@@ -155,9 +155,17 @@ private[sources] class RangeV2ScanBuilder(start: Long, end: Long, slices: Int)
     case Some(aggs) => new RangeV2AggScan(lo, math.max(lo, hi), aggs)
     case None =>
       val hiBound = math.max(lo, hi)
-      // limit truncation AFTER filter narrowing: the first l surviving ids
-      val hiLim = limit.fold(hiBound)(l =>
-        if (hiBound - lo > l) lo + l else hiBound)
+      // limit truncation AFTER filter narrowing: the first l surviving
+      // ids. width wraps NEGATIVE when the range is wider than 2^63
+      // (lo deeply negative, hi huge) — that case must still truncate:
+      // Spark already dropped its global Limit on our total-push
+      // promise, so skipping truncation here would return the whole
+      // range, not l rows. lo + l cannot overflow on either branch
+      // (width < 0 forces lo < 0; otherwise width > l bounds l's room).
+      val hiLim = limit.fold(hiBound) { l =>
+        val width = hiBound - lo
+        if (width < 0 || width > l) lo + l else hiBound
+      }
       new RangeV2Scan(lo, hiLim, slices, required, limit)
   }
 }

@@ -153,6 +153,16 @@ private[sources] class VersionedBatchWrite(
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case s: StagedFile => s }
+    val current = VersionedV2.latestVersion(path)
+    val prev = if (truncate) Nil else VersionedV2.manifest(path, current)
+    val next = current + 1
+    val vdir = Paths.get(path, s"v$next")
+    // single-writer guard, claimed BEFORE the pool is touched: a lost
+    // version race fails here, so the loser's files never pollute the
+    // immutable pool as unreferenced orphans. (Recovery from a commit
+    // that crashed after claiming: delete the manifest-less v<N> dir —
+    // the pointer never moved, the snapshot is intact.)
+    Files.createDirectory(vdir)
     val dataDir = Paths.get(path, "data")
     Files.createDirectories(dataDir)
     val moved = staged.map { s =>
@@ -161,13 +171,6 @@ private[sources] class VersionedBatchWrite(
         StandardCopyOption.ATOMIC_MOVE)
       finalName
     }
-    val current = VersionedV2.latestVersion(path)
-    val prev = if (truncate) Nil else VersionedV2.manifest(path, current)
-    val next = current + 1
-    val vdir = Paths.get(path, s"v$next")
-    // single-writer guard: a concurrent committer trips on the
-    // version-dir create instead of silently clobbering a manifest
-    Files.createDirectory(vdir)
     VersionedV2.writeAtomically(vdir.resolve("manifest.txt"),
       (prev ++ moved).mkString("\n"))
     VersionedV2.writeAtomically(Paths.get(path, "_latest.txt"), next.toString)

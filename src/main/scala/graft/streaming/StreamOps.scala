@@ -430,13 +430,35 @@ object StreamOps {
     */
   def runToBatch(s: SparkSession, streamDf: DataFrame,
                  mode: String = "complete",
-                 statePartitions: Option[Int] = None): DataFrame = {
+                 statePartitions: Option[Int] = None): DataFrame =
+    drained(s, streamDf, mode, statePartitions) { (q, name) =>
+      // micro-batch accounting for bench attribution (GRAFT_STREAM_DEBUG=1)
+      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-debug] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+        }
+      }
+      s.table(name)
+    }
+
+  /** Shared drain scaffolding: start `streamDf` into a fresh memory
+    * sink, drain with AvailableNow, hand the TERMINATED query + sink
+    * view name to `f`. The shuffle-partitions conf (which freezes the
+    * state-store partitioning at query start) restores only AFTER the
+    * drain — micro-batches keep planning asynchronously after
+    * `.start()` returns, so an immediate restore races the first
+    * batch's plan and may silently not apply. On failure the sink
+    * view is dropped (a half-drained memory table is garbage).
+    */
+  private def drained[T](s: SparkSession, streamDf: DataFrame, mode: String,
+                         statePartitions: Option[Int])(
+                         f: (org.apache.spark.sql.streaming.StreamingQuery,
+                             String) => T): T = {
     val name = s"graft_stream_${System.nanoTime()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
-    // restore only AFTER the drain: micro-batches keep planning
-    // asynchronously after .start() returns, so an immediate restore
-    // races the first batch's plan and may silently not apply
+    var ok = false
     try {
       val q = streamDf.writeStream
         .format("memory")
@@ -445,17 +467,15 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // micro-batch accounting for bench attribution (GRAFT_STREAM_DEBUG=1)
-      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
-        q.recentProgress.foreach { p =>
-          System.err.println(s"[stream-debug] batch=${p.batchId} " +
-            s"rows=${p.numInputRows} durationMs=${p.durationMs}")
-        }
-      }
+      val r = f(q, name)
+      ok = true
+      r
     } finally {
+      if (!ok) {
+        try s.catalog.dropTempView(name) catch { case _: Exception => () }
+      }
       if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    s.table(name)
   }
 
   /** One state operator's accounting from the engine's own
@@ -475,34 +495,21 @@ object StreamOps {
     */
   def stateReport(s: SparkSession, label: String, streamDf: DataFrame,
                   mode: String,
-                  statePartitions: Option[Int] = None): Seq[StateOpReport] = {
-    val name = s"graft_state_${System.nanoTime()}"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
-    try {
-      val q = streamDf.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // the LAST progress carrying state accounting (the final entry
-      // can be an idle/no-data commit with no stateOperators)
-      val p = q.recentProgress.reverseIterator
-        .find(_.stateOperators.nonEmpty)
-      val wm = p.map(pp => Option(pp.eventTime.get("watermark")).getOrElse(""))
-        .getOrElse("")
-      val out = p.toSeq.flatMap(_.stateOperators.toSeq).zipWithIndex.map {
-        case (o, i) => StateOpReport(label, i, o.operatorName,
-          o.numRowsTotal, o.numRowsUpdated, o.memoryUsedBytes, wm)
-      }
-      s.catalog.dropTempView(name)
-      out
-    } finally {
-      if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
+                  statePartitions: Option[Int] = None): Seq[StateOpReport] =
+    drained(s, streamDf, mode, statePartitions) { (q, name) =>
+      try {
+        // the LAST progress carrying state accounting (the final entry
+        // can be an idle/no-data commit with no stateOperators)
+        val p = q.recentProgress.reverseIterator
+          .find(_.stateOperators.nonEmpty)
+        val wm = p.map(pp => Option(pp.eventTime.get("watermark")).getOrElse(""))
+          .getOrElse("")
+        p.toSeq.flatMap(_.stateOperators.toSeq).zipWithIndex.map {
+          case (o, i) => StateOpReport(label, i, o.operatorName,
+            o.numRowsTotal, o.numRowsUpdated, o.memoryUsedBytes, wm)
+        }
+      } finally s.catalog.dropTempView(name) // the report, not the view, is the result
     }
-  }
 
   final case class KeyedEvent(user_id: Long, ts_ns: Long, event_id: Long,
                               event_type: String, value: Double)

@@ -176,10 +176,15 @@ class AnnSpec extends SparkSpec {
     val occ = traj.where(col("dim") === 0).select("cell", "n").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(occ.values.forall(_ == 1L) && occ.size == 4)
-    // tol = 0 with moving centroids runs all maxIter on the real table
+    // tol = -1 is the never-stop sentinel: all maxIter iterations run
+    // even on the converged fixture (the fixed-T static-oracle shape)
+    val pinned = graft.operators.Ann.kmeansTrain(vecs, "vec_id", "embedding",
+      dims = 4, nCells = 4, maxIter = 3, tol = -1.0)
+    assert(pinned.select("iter").distinct().count() == 3)
+    // and on the real table
     val full = graft.operators.Ann.kmeansTrain(
       Tables.embeddings(spark, sf), "vec_id", "embedding",
-      dims = 64, nCells = 16, maxIter = 2, tol = 0.0)
+      dims = 64, nCells = 16, maxIter = 2, tol = -1.0)
     assert(full.select("iter").distinct().count() == 2)
   }
 

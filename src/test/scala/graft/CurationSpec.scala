@@ -53,6 +53,20 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((1L, 0L, "")))
   }
 
+  test("sentenceDedup: a doc ingested twice under one id keeps each sentence once") {
+    // identical duplicate rows must not double n_kept or duplicate
+    // sentences in cleaned (the join-back is deduped before joining)
+    val d = Seq((1L, "a one. b two"), (1L, "a one. b two"),
+      (2L, "c three")).toDF("id", "text")
+    val out = Dedup.sentenceDedup(d, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // n_sents counts raw exploded rows (4 for the doubled doc); kept
+    // sentences appear once each in original order
+    assert(out(1L) === ((4L, 2L, "a one. b two")))
+    assert(out(2L) === ((1L, 1L, "c three")))
+  }
+
   test("sentenceDedup winner selection is a window-free aggregate (boilerplate skew safe)") {
     // corpus-wide boilerplate makes a sentence-partitioned window
     // maximally hot; the operator must pick winners with a map-side

@@ -198,5 +198,12 @@ class RangeV2Spec extends SparkSpec {
     val stats = df.queryExecution.optimizedPlan.stats
     assert(stats.rowCount.forall(_ <= 5) ||
       stats.sizeInBytes <= BigInt(5 * 16))
+    // a range wider than 2^63 (width wraps negative) must STILL
+    // truncate — Spark dropped its own Limit on our total-push promise
+    val huge = ranged(Long.MinValue + 10, Long.MaxValue - 10).limit(4)
+    val hugeRows = huge.collect()
+    assert(hugeRows.length === 4)
+    assert(hugeRows.map(_.getLong(0)).toSet ===
+      (Long.MinValue + 10 until Long.MinValue + 14).toSet)
   }
 }

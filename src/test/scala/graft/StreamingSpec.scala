@@ -522,8 +522,11 @@ class StreamingSpec extends SparkSpec {
 
   test("stream_state_report: engine state accounting matches the bounded-state claims") {
     import org.apache.spark.sql.functions._
-    val report = graft.queries.StreamingQueries.stateReport(spark, sf)
-      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    // ONE drain of the three stateful queries; every assertion reads
+    // from this collect (a second stateReport call would re-drain all
+    // three streams just to look at two more columns)
+    val full = graft.queries.StreamingQueries.stateReport(spark, sf).collect()
+    val report = full.map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
     val byQuery = report.groupBy(_._1)
     assert(byQuery.keySet === Set("sessionize", "interval_join",
       "quantile_profile"))
@@ -552,7 +555,6 @@ class StreamingSpec extends SparkSpec {
 
     // every operator reported real accounting (bytes + watermark land
     // in the row; rows_updated is non-negative by construction)
-    val full = graft.queries.StreamingQueries.stateReport(spark, sf).collect()
     assert(full.forall(_.getLong(5) > 0), "memoryUsedBytes must be reported")
     assert(full.exists(_.getString(6).nonEmpty), "final watermark missing")
   }

@@ -118,6 +118,12 @@ class VersionedV2Spec extends SparkSpec {
     assert(e != null)
     assert(VersionedV2.latestVersion(path) == 1)
     assert(readTable(path).count() == 10)
+    // the race guard trips BEFORE the pool is touched: no orphaned
+    // files from the losing commit pollute the immutable data pool
+    val pool = Files.list(Paths.get(path, "data")).iterator()
+    val poolFiles = new scala.collection.mutable.ArrayBuffer[String]
+    while (pool.hasNext) poolFiles += pool.next().getFileName.toString
+    assert(poolFiles.toSet == VersionedV2.manifest(path, 1).toSet)
   }
 
   test("the writer rejects a mismatched schema loudly") {
