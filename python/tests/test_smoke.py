@@ -14,9 +14,11 @@ import check  # tools/check.py — the driver-protocol compare helpers
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-# the three smoke queries: one relational, one prep round-trip, one
-# LLM-pipeline dedup — each oracled in the driver protocol
-SMOKE_QUERIES = ["q_agg", "prep_roundtrip", "dedup_minhash"]
+# the smoke queries: one relational, one prep round-trip, one
+# LLM-pipeline dedup, the DSv2 transactional write, and a convergence
+# loop — each oracled in the driver protocol
+SMOKE_QUERIES = ["q_agg", "prep_roundtrip", "dedup_minhash",
+                 "source_versioned_write", "q_pagerank"]
 
 
 # --------------------------------------------------------------- extensions

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -85,6 +86,68 @@ object VersionedV2 {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  final case class VacuumReport(deletedVersions: Int, deletedFiles: Int,
+                                reclaimedClaims: Int, retainedFiles: Int)
+
+  /** Retention VACUUM — the maintenance half a manifest-over-
+    * immutable-files table needs (the runtime twin of
+    * `q_compaction_plan`'s planning): keep the newest `keepVersions`
+    * snapshots (the pointer's version always included), drop older
+    * version directories, and delete every data file no retained
+    * manifest references — which also collects orphans from crashed
+    * commits. Time travel to a vacuumed version fails loudly
+    * afterwards, by design: that is what retention means.
+    *
+    * `reclaimDeadClaims = true` additionally removes manifest-less
+    * version directories ABOVE the pointer — the residue of a commit
+    * that crashed after claiming its version. Off by default: under
+    * the single-writer contract only the (sole) writer may assert
+    * that no commit is in flight.
+    */
+  def vacuum(path: String, keepVersions: Int = 1,
+             reclaimDeadClaims: Boolean = false): VacuumReport = {
+    require(keepVersions >= 1, "vacuum must keep at least the current version")
+    val latest = latestVersion(path)
+    val keepFrom = math.max(1, latest - keepVersions + 1)
+    val retained: Set[String] =
+      (keepFrom to latest).flatMap(v => manifest(path, v)).toSet
+    var deletedVersions = 0
+    var reclaimed = 0
+    (1 until keepFrom).foreach { v =>
+      val d = Paths.get(path, s"v$v")
+      if (Files.exists(d)) {
+        Files.deleteIfExists(d.resolve("manifest.txt"))
+        Files.deleteIfExists(d)
+        deletedVersions += 1
+      }
+    }
+    if (reclaimDeadClaims) {
+      var v = latest + 1
+      var stop = false
+      while (!stop) {
+        val d = Paths.get(path, s"v$v")
+        if (Files.exists(d) && !Files.exists(d.resolve("manifest.txt"))) {
+          Files.deleteIfExists(d)
+          reclaimed += 1
+          v += 1
+        } else stop = true
+      }
+    }
+    var deletedFiles = 0
+    val dataDir = Paths.get(path, "data")
+    if (Files.exists(dataDir)) {
+      val s = Files.list(dataDir)
+      val files = try s.iterator().asScala.toSeq finally s.close()
+      files.foreach { f =>
+        if (!retained.contains(f.getFileName.toString)) {
+          Files.deleteIfExists(f)
+          deletedFiles += 1
+        }
+      }
+    }
+    VacuumReport(deletedVersions, deletedFiles, reclaimed, retained.size)
+  }
+
   private[sources] def writeAtomically(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
@@ -99,7 +162,7 @@ private[sources] class VersionedTable(path: String, readVersion: Option[Int])
   override def schema(): StructType = VersionedV2.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -127,6 +190,8 @@ private[sources] class VersionedWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new VersionedBatchWrite(path, queryId, truncate)
+    override def toStreaming: StreamingWrite =
+      new VersionedStreamingWrite(path, queryId, truncate)
   }
 }
 
@@ -139,11 +204,9 @@ private[sources] case class StagedFile(name: String, rows: Long)
 private[sources] class VersionedBatchWrite(
     path: String, queryId: String, truncate: Boolean) extends BatchWrite {
 
-  private def stagingDir = Paths.get(path, "_staging", queryId)
-
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(stagingDir)
+    Files.createDirectories(VersionedCommit.stagingDir(path, queryId))
     new VersionedWriterFactory(path, queryId)
   }
 
@@ -151,8 +214,48 @@ private[sources] class VersionedBatchWrite(
     * new manifest, then ONE atomic pointer move. Nothing before the
     * pointer move is visible to readers.
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case s: StagedFile => s }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    VersionedCommit.publish(path, queryId, truncate,
+      messages.collect { case s: StagedFile => s }, epoch = None)
+
+  /** A failed job publishes NOTHING: staged files (committed tasks
+    * included) are deleted, the pointer never moves.
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    VersionedCommit.cleanupStaging(path, queryId)
+}
+
+/** The shared two-phase publish both the batch and the streaming sink
+  * ride: claim the version directory (the single-writer guard, BEFORE
+  * the pool is touched), move staged files into the immutable pool,
+  * write the manifest (append = previous lines + new files), record
+  * the epoch for streaming replays, then ONE atomic pointer move.
+  */
+private[sources] object VersionedCommit {
+
+  def stagingDir(path: String, queryId: String): Path =
+    Paths.get(path, "_staging", queryId)
+
+  /** Has `epoch` already been published to this table? Scans the
+    * bounded version chain's epoch markers — the exactly-once check a
+    * restarted micro-batch replay hits.
+    */
+  def epochCommitted(path: String, epoch: Long): Boolean =
+    (1 to VersionedV2.latestVersion(path)).exists { v =>
+      val m = Paths.get(path, s"v$v", "epoch.txt")
+      Files.exists(m) && new String(Files.readAllBytes(m),
+        StandardCharsets.UTF_8).trim == epoch.toString
+    }
+
+  def publish(path: String, queryId: String, truncate: Boolean,
+              staged: Seq[StagedFile], epoch: Option[Long]): Unit = {
+    // exactly-once under epoch REPLAY: a restarted streaming query
+    // re-runs its last micro-batch; if that epoch already published,
+    // drop the replayed staging and keep the committed version
+    if (epoch.exists(e => epochCommitted(path, e))) {
+      cleanupStaging(path, queryId)
+      return
+    }
     val current = VersionedV2.latestVersion(path)
     val prev = if (truncate) Nil else VersionedV2.manifest(path, current)
     val next = current + 1
@@ -161,35 +264,76 @@ private[sources] class VersionedBatchWrite(
     // version race fails here, so the loser's files never pollute the
     // immutable pool as unreferenced orphans. (Recovery from a commit
     // that crashed after claiming: delete the manifest-less v<N> dir —
-    // the pointer never moved, the snapshot is intact.)
+    // the pointer never moved, the snapshot is intact; vacuum's
+    // reclaimDeadClaims automates it.)
     Files.createDirectory(vdir)
     val dataDir = Paths.get(path, "data")
     Files.createDirectories(dataDir)
     val moved = staged.map { s =>
       val finalName = s"$queryId-${s.name}"
-      Files.move(stagingDir.resolve(s.name), dataDir.resolve(finalName),
-        StandardCopyOption.ATOMIC_MOVE)
+      Files.move(stagingDir(path, queryId).resolve(s.name),
+        dataDir.resolve(finalName), StandardCopyOption.ATOMIC_MOVE)
       finalName
     }
+    // the epoch marker lands BEFORE the manifest/pointer: a replayed
+    // epoch is only skipped once its version is fully visible, so a
+    // crash between marker and pointer re-publishes (the marker is
+    // only consulted via committed versions' directories — see
+    // epochCommitted's pointer-bounded scan)
+    epoch.foreach(e =>
+      VersionedV2.writeAtomically(vdir.resolve("epoch.txt"), e.toString))
     VersionedV2.writeAtomically(vdir.resolve("manifest.txt"),
       (prev ++ moved).mkString("\n"))
     VersionedV2.writeAtomically(Paths.get(path, "_latest.txt"), next.toString)
-    cleanupStaging()
+    cleanupStaging(path, queryId)
   }
 
-  /** A failed job publishes NOTHING: staged files (committed tasks
-    * included) are deleted, the pointer never moves.
-    */
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    cleanupStaging()
-
-  private def cleanupStaging(): Unit =
-    if (Files.exists(stagingDir)) {
-      val s = Files.list(stagingDir)
+  def cleanupStaging(path: String, queryId: String): Unit = {
+    val dir = stagingDir(path, queryId)
+    if (Files.exists(dir)) {
+      val s = Files.list(dir)
       val staged = try s.iterator().asScala.toSeq finally s.close()
       staged.foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(stagingDir)
+      Files.deleteIfExists(dir)
     }
+  }
+}
+
+/** The STREAMING sink half (engine ladder: TableCapability.
+  * STREAMING_WRITE): every micro-batch epoch publishes as ONE new
+  * version through the same two-phase commit as the batch path, with
+  * an epoch marker recorded in the version directory — so a restarted
+  * query replaying its last epoch is EXACTLY-ONCE (the replay is
+  * recognized and dropped; VersionedV2Spec pins the double-commit).
+  * Complete-mode arrives as truncate: each epoch rewrites the
+  * manifest, append mode extends it — versions stay immutable
+  * snapshots either way, and readers time-travel across epochs.
+  */
+private[sources] class VersionedStreamingWrite(
+    path: String, queryId: String, truncate: Boolean) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(VersionedCommit.stagingDir(path, queryId))
+    new VersionedStreamingWriterFactory(path, queryId)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    VersionedCommit.publish(path, queryId, truncate,
+      messages.collect { case s: StagedFile => s }, epoch = Some(epochId))
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    VersionedCommit.cleanupStaging(path, queryId)
+}
+
+private[sources] class VersionedStreamingWriterFactory(
+    path: String, queryId: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new VersionedDataWriter(path, queryId, partitionId, taskId,
+      suffix = s"-e$epochId")
 }
 
 private[sources] class VersionedWriterFactory(path: String, queryId: String)
@@ -203,10 +347,11 @@ private[sources] class VersionedWriterFactory(path: String, queryId: String)
   * never be published.
   */
 private[sources] class VersionedDataWriter(
-    path: String, queryId: String, partitionId: Int, taskId: Long)
+    path: String, queryId: String, partitionId: Int, taskId: Long,
+    suffix: String = "")
   extends DataWriter[InternalRow] {
 
-  private val name = s"part-$partitionId-$taskId.txt"
+  private val name = s"part-$partitionId-$taskId$suffix.txt"
   private val file = Paths.get(path, "_staging", queryId, name)
   private lazy val out = {
     Files.createDirectories(file.getParent)

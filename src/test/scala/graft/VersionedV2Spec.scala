@@ -126,6 +126,117 @@ class VersionedV2Spec extends SparkSpec {
     assert(poolFiles.toSet == VersionedV2.manifest(path, 1).toSet)
   }
 
+  test("vacuum drops old versions, collects unreferenced files, keeps the live snapshot") {
+    val path = tempTable()
+    rows(0, 40).write.format(FMT).option("path", path).mode("overwrite").save()
+    rows(40, 50).write.format(FMT).option("path", path).mode("append").save()
+    rows(0, 7).write.format(FMT).option("path", path).mode("overwrite").save()
+    // plant an orphan (the crashed-commit residue vacuum must collect)
+    Files.write(Paths.get(path, "data", "orphan.txt"),
+      "1,0".getBytes("UTF-8"))
+    val r = VersionedV2.vacuum(path, keepVersions = 1)
+    assert(r.deletedVersions == 2) // v1, v2 dropped
+    // v1+v2's files AND the orphan collected; v3's files retained
+    assert(r.retainedFiles == VersionedV2.manifest(path, 3).size)
+    val pool = Files.list(Paths.get(path, "data")).iterator()
+    val poolFiles = new scala.collection.mutable.ArrayBuffer[String]
+    while (pool.hasNext) poolFiles += pool.next().getFileName.toString
+    assert(poolFiles.toSet == VersionedV2.manifest(path, 3).toSet)
+    // the live snapshot is untouched; vacuumed versions fail loudly
+    assert(VersionedV2.latestVersion(path) == 3)
+    assert(readTable(path).count() == 7)
+    intercept[Exception] { readTable(path, Some(1)).count() }
+  }
+
+  test("vacuum retention keeps time travel inside the window; dead claims reclaim only on request") {
+    val path = tempTable()
+    rows(0, 10).write.format(FMT).option("path", path).mode("overwrite").save()
+    rows(10, 20).write.format(FMT).option("path", path).mode("append").save()
+    // a commit that crashed after claiming v3 (manifest-less dir)
+    Files.createDirectory(Paths.get(path, "v3"))
+    val r1 = VersionedV2.vacuum(path, keepVersions = 2)
+    assert(r1.deletedVersions == 0 && r1.reclaimedClaims == 0)
+    assert(readTable(path, Some(1)).count() == 10) // inside the window
+    assert(readTable(path, Some(2)).count() == 20)
+    // reclaim on request: the dead claim goes, the next commit succeeds
+    val r2 = VersionedV2.vacuum(path, keepVersions = 2,
+      reclaimDeadClaims = true)
+    assert(r2.reclaimedClaims == 1)
+    rows(20, 25).write.format(FMT).option("path", path).mode("append").save()
+    assert(VersionedV2.latestVersion(path) == 3)
+    assert(readTable(path).count() == 25)
+  }
+
+  test("streaming sink: each micro-batch epoch publishes one immutable version") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tempTable()
+    val ckpt = Files.createTempDirectory("graft_versioned_ckpt").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("id", "val")
+      .writeStream.format(FMT)
+      .option("path", path).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 0.5), (2L, 1.5))
+      q.processAllAvailable()
+      assert(VersionedV2.latestVersion(path) == 1)
+      assert(readTable(path).count() == 2)
+      mem.addData((3L, 2.5))
+      q.processAllAvailable()
+      assert(VersionedV2.latestVersion(path) == 2)
+      assert(readTable(path).collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 3L))
+      // the first epoch stays readable as its own snapshot
+      assert(readTable(path, Some(1)).count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming sink: a replayed epoch commits exactly once") {
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val path = tempTable()
+    rows(0, 3).write.format(FMT).option("path", path).mode("overwrite").save()
+    // drive the StreamingWrite directly with a duplicated epoch — the
+    // shape a restarted query produces when it re-runs its last
+    // micro-batch after a crash between sink commit and checkpoint
+    val table = new graft.sources.VersionedV2().getTable(
+      VersionedV2.schema, Array.empty,
+      new java.util.HashMap[String, String] {
+        put("path", path)
+      })
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(new java.util.HashMap[String, String]())
+      override def queryId(): String = "replay_test"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        VersionedV2.schema
+    }
+    val sw = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).build().toStreaming
+    def runEpoch(epoch: Long, ids: Seq[Long]): Unit = {
+      val factory = sw.createStreamingWriterFactory(null)
+      val w = factory.createWriter(0, 0L, epoch)
+      ids.foreach(i => w.write(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](i, i / 2.0))))
+      val msg = w.commit()
+      sw.commit(epoch, Array(msg))
+    }
+    runEpoch(7L, Seq(10L, 11L))
+    assert(VersionedV2.latestVersion(path) == 2)
+    assert(readTable(path).count() == 5)
+    // the REPLAY: same epoch id arrives again — no new version, no
+    // duplicate rows, replayed staging dropped
+    runEpoch(7L, Seq(10L, 11L))
+    assert(VersionedV2.latestVersion(path) == 2)
+    assert(readTable(path).count() == 5)
+    assert(!Files.exists(Paths.get(path, "_staging", "replay_test")))
+    // a NEW epoch still publishes
+    runEpoch(8L, Seq(12L))
+    assert(VersionedV2.latestVersion(path) == 3)
+    assert(readTable(path).count() == 6)
+  }
+
   test("the writer rejects a mismatched schema loudly") {
     // Spark's DSv2 analyzer enforces the table schema before our own
     // newWriteBuilder guard even runs — either rejection is loud and
