@@ -1558,7 +1558,39 @@ object StreamingQueries {
     RelationalQueries.qKAnonymity.oracle,
   )
 
-  val all: Seq[Q] = Seq(streamWindow, streamSessionize, streamDedup, streamNeardup,
+  /** The exactly-once STREAMING SINK driven end-to-end: the events
+    * stream lands in the transactional [[graft.sources.VersionedV2]]
+    * table (one immutable version per micro-batch epoch, two-phase
+    * commit, atomic pointer publish — SURVEY rows 419/424) and the
+    * committed table is read back through the same connector. The
+    * id,rawLongBits serialization makes the parquet→stream→sink→scan
+    * round trip BIT-exact, so the oracle is simply the source table —
+    * any lost, duplicated, or corrupted epoch hash-mismatches.
+    */
+  val streamVersionedSink: Q = Q(
+    "stream_versioned_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_stream_sink").toString + "/t"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_sink_ckpt").toString
+      val q = StreamOps.eventsStream(s, dir)
+        .select(col("event_id").cast("long").as("id"),
+          col("value").cast("double").as("val"))
+        .writeStream.format("graft.sources.VersionedV2")
+        .option("path", path).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft.sources.VersionedV2").option("path", path).load()
+    },
+    Some("SELECT event_id AS id, value AS val FROM events"),
+  )
+
+  val all: Seq[Q] = Seq(streamVersionedSink,
+    streamWindow, streamSessionize, streamDedup, streamNeardup,
     streamEnrich, streamIntervalJoin, streamIntervalJoinSalted, streamProfile,
     streamProfileUpdate, streamVocab, streamIntervalJoinOuter, streamLatestByKey,
     streamQuantileProfile, streamDomainTopk, streamHeavyHitters, streamPii,
