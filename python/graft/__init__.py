@@ -29,7 +29,7 @@ Quick start::
 
 from graft.session import GRAFT_EXTENSIONS_CLASS, graft_builder, activate
 from graft.preprocessor import Preprocessor
-from graft import operators, queries
+from graft import operators, queries, versioned
 
 __all__ = [
     "GRAFT_EXTENSIONS_CLASS",
@@ -38,4 +38,5 @@ __all__ = [
     "Preprocessor",
     "operators",
     "queries",
+    "versioned",
 ]

@@ -1,0 +1,43 @@
+"""The transactional versioned table (graft.sources.VersionedV2) from
+Python: two-phase-commit writes, snapshot/time-travel reads, the
+exactly-once streaming sink, and retention vacuum.
+"""
+
+FORMAT = "graft.sources.VersionedV2"
+
+
+def write(df, path, mode="append"):
+    """Commit ``df`` as one new immutable version (mode='overwrite'
+    truncates: the new manifest starts empty)."""
+    df.write.format(FORMAT).option("path", path).mode(mode).save()
+
+
+def read(spark, path, version=None):
+    """The committed snapshot — latest, or an explicit version."""
+    r = spark.read.format(FORMAT).option("path", path)
+    if version is not None:
+        r = r.option("version", str(version))
+    return r.load()
+
+
+def write_stream(df, path, checkpoint):
+    """Start the exactly-once streaming sink (one immutable version per
+    micro-batch epoch; a replayed epoch after restart commits once).
+    Returns the StreamingQuery."""
+    return (df.writeStream.format(FORMAT)
+            .option("path", path).option("checkpointLocation", checkpoint)
+            .outputMode("append").start())
+
+
+def latest_version(spark, path):
+    from graft.session import bridge
+    return bridge(spark).versionedLatest(path)
+
+
+def vacuum(spark, path, keep_versions=1, reclaim_dead_claims=False):
+    """Retention vacuum: keep the newest ``keep_versions`` snapshots,
+    drop older version directories, delete unreferenced data files.
+    Returns a dict of counts."""
+    from graft.session import bridge
+    return dict(bridge(spark).vacuumVersioned(
+        path, int(keep_versions), bool(reclaim_dead_claims)))

@@ -213,6 +213,23 @@ object PyBridge {
                  valueCol: String): DataFrame =
     graft.operators.TsFeatures.extract(df, seriesKey, Seq(timeCol), valueCol)
 
+  /** VersionedV2 retention vacuum ([[graft.sources.VersionedV2.vacuum]])
+    * as a py4j-friendly map.
+    */
+  def vacuumVersioned(path: String, keepVersions: Int,
+                      reclaimDeadClaims: Boolean): ju.Map[String, Long] = {
+    val r = graft.sources.VersionedV2.vacuum(path, keepVersions,
+      reclaimDeadClaims)
+    Map("deleted_versions" -> r.deletedVersions.toLong,
+      "deleted_files" -> r.deletedFiles.toLong,
+      "reclaimed_claims" -> r.reclaimedClaims.toLong,
+      "retained_files" -> r.retainedFiles.toLong).asJava
+  }
+
+  /** Current committed version of a VersionedV2 table (0 = empty). */
+  def versionedLatest(path: String): Int =
+    graft.sources.VersionedV2.latestVersion(path)
+
   /** Reference `extract_ts_features(data, y, time, column_id)`
     * (preprocessor.py:558-638): per-series tsfresh-style matrix
     * filtered to the BH-relevant features, all features when none
