@@ -121,10 +121,16 @@ object Ann {
     * Returns (cell, n, centroid array of per-dim means).
     */
   def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
-                 centroids: Array[Array[Double]], dims: Int): DataFrame = {
+                 centroids: Array[Array[Double]], dims: Int,
+                 repartitionInput: Boolean = true): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v")).repartition(par, col("id"))
+    // repartitionInput=false is the LOOP caller's contract
+    // ([[kmeansTrain]]): the vectors were already spread + materialized
+    // ONCE, so re-shuffling the full corpus every iteration (the one
+    // genuinely expensive move at 100 TB — n×dims doubles) is skipped
+    val spread = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val v = if (repartitionInput) spread.repartition(par, col("id")) else spread
     val assigned = v.withColumn("cell",
       element_at(graft.functions.GraftFunctions.topCells(col("v"), centroids, 1), 1)
         .getField("cell"))
@@ -171,16 +177,24 @@ object Ann {
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
                   dims: Int, nCells: Int = 16, maxIter: Int = 3,
                   tol: Double = 0.0): DataFrame = {
-    val c = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("cv"))
-    var centroids = sampleCentroids(c, "id", "cv", nCells)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // spread + materialize the vectors ONCE: every iteration reads the
+    // checkpointed partitions instead of re-shuffling the full corpus
+    // (n×dims doubles — the dominant data motion at scale; the
+    // per-iteration shuffle that remains is the nCells×(dims+1)
+    // partial-agg rollup)
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .repartition(par, col("id")).localCheckpoint()
+    var centroids = sampleCentroids(vecs, "id", "v", nCells)
     require(centroids.length == nCells,
       s"kmeansTrain: sampled ${centroids.length} centroids, need $nCells")
     var out: DataFrame = null
     var it = 1
     var converged = false
     while (it <= maxIter && !converged) {
-      val step = kmeansStep(df, idCol, vecCol, centroids, dims)
+      val step = kmeansStep(vecs, "id", "v", centroids, dims,
+        repartitionInput = false)
         .select(col("cell"), col("n"),
           // + 0.0 normalizes a −0.0 mean (SURVEY §17 signed-zero rule:
           // these doubles are both emitted AND fed back as centroids)

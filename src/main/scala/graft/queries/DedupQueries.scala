@@ -1229,6 +1229,12 @@ object DedupQueries {
         conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$j"))), 1, 4), 16, 10)
           .cast("long") % nN
       }
+      // the adjacency materializes already HASH-PARTITIONED on src
+      // (the groupBy's partitioning survives the narrow explode AND
+      // the localCheckpoint — probe-verified: an explicit repartition
+      // adds nothing), so every iteration's contribution join moves
+      // only the small rank table; the edge list — the big side at
+      // scale — shuffles exactly once, at build
       val adj = nodes
         .select(col("vec_id").as("src"), explode(array(dsts: _*)).as("dst"))
         .where(col("dst") =!= col("src"))
