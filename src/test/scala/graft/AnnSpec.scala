@@ -188,6 +188,24 @@ class AnnSpec extends SparkSpec {
     assert(full.select("iter").distinct().count() == 2)
   }
 
+  test("a training iteration over checkpointed vectors plans exactly one Exchange (the cell rollup)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .repartition(4, col("id")).localCheckpoint()
+    val cents = graft.operators.Ann.sampleCentroids(vecs, "id", "v", 16)
+    val step = graft.operators.Ann.kmeansStep(vecs, "id", "v", cents,
+      dims = 64, repartitionInput = false)
+    val plan = step.queryExecution.executedPlan.toString
+    val n = "Exchange (hash|range|Single)".r.findAllIn(plan).size
+    // the corpus does NOT re-shuffle: only the nCells x (dims+1)
+    // partial-agg rollup exchanges
+    assert(n === 1, plan)
+  }
+
   test("pagerank loop: cycle graph converges after one iteration; trajectory plan is exchange-free") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
