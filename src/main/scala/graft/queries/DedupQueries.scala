@@ -337,6 +337,79 @@ object DedupQueries {
     """),
   )
 
+  /** SemDeDup (Abbas et al. 2023) — SEMANTIC dedup for LLM corpora:
+    * cluster the embeddings (the replayable md5-sampled centroids +
+    * TopCells argmax assignment knn_ivf/kmeans already use), generate
+    * candidate pairs ONLY within a cell, and drop every point with a
+    * LOWER-id in-cell neighbor above the cosine threshold (keep-first
+    * inside each semantic duplicate set). The cell structure is the
+    * scale knob: pair generation is Σ cell² — the paper's k ~ √n
+    * clusters keep cells bounded — never corpus-n². Same planted
+    * +0.01 twins as `dedup_embedding`, so the drop rule visibly
+    * fires; the oracle replays centroid sampling, argmax assignment,
+    * and the exists-lower-id-neighbor predicate exactly.
+    */
+  val dedupSemdedup: Q = Q(
+    "dedup_semdedup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dup = e.unionAll(e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v")))
+      val centroids = Ann.sampleCentroids(dup, "vec_id", "v", nCells = 16)
+      import graft.functions.GraftFunctions.{dot, topCells}
+      // assignment feeds BOTH sides of the pair join: materialize once
+      val assigned = dup
+        .withColumn("cell",
+          element_at(topCells(col("v"), centroids, 1), 1).getField("cell"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .localCheckpoint()
+      val droppers = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+        .where(round(dot(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6) >= 0.95)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("dropped", lit(true))
+      assigned.join(droppers, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("dropped"), lit(false)).as("dropped"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.01)
+        FROM embeddings WHERE vec_id % 20 = 0),
+      h AS (SELECT vec_id, v, md5(vec_id::VARCHAR) AS hx FROM e),
+      sel AS (SELECT vec_id, v, ${OracleExact.h16Sql("hx")} AS h16 FROM h),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        FROM sel
+        WHERE h16 % greatest(1, (SELECT count(*) FROM e) // 16) = 0
+        ORDER BY vec_id LIMIT 16),
+      cc AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      scores AS (
+        SELECT n.vec_id, cc.cell,
+               list_dot_product(n.v, cc.cv) / (n.nrm * cc.cnrm) AS s
+        FROM n CROSS JOIN cc),
+      assigned AS (
+        SELECT s.vec_id, s.cell, n.v, n.nrm FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+          FROM scores) s JOIN n ON s.vec_id = n.vec_id
+        WHERE s.rn = 1),
+      droppers AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id > b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.95)
+      SELECT x.vec_id, x.cell, d.vec_id IS NOT NULL AS dropped
+      FROM assigned x LEFT JOIN droppers d ON x.vec_id = d.vec_id
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.3/35
   val knnBruteforce: Q = Q(
     "knn_bruteforce",
@@ -2040,7 +2113,7 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupMinhash, dedupClusters,
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
-    dedupEmbedding, knnBruteforce, knnLsh, knnIvf, kmeansStep, kmeansTrain,
+    dedupEmbedding, dedupSemdedup, knnBruteforce, knnLsh, knnIvf, kmeansStep, kmeansTrain,
     knnIvfPruned,
     knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep, qPagerank,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
