@@ -522,6 +522,104 @@ object StatsQueries {
     """),
   )
 
+  /** One chained-oracle logreg iteration: combined agg at weights
+    * wt$t (gradient sums h0..h2, accuracy hits, micro log-loss), then
+    * weights wt${t+1} by the micro-quantized update.
+    */
+  private val trainLr = 0.001
+  private def logregIterSql(t: Int): String =
+    s"""p$t AS (
+        SELECT y, x1, x2, (wa + wb * x1 + wc * x2) AS zi,
+               1.0 / (1.0 + exp(-((wa + wb * x1 + wc * x2)::DOUBLE / 1000000.0))) AS p
+        FROM u2, wt$t),
+      a$t AS (SELECT
+          sum(round((p - y) * 1000000)::BIGINT)::BIGINT AS h0,
+          sum(round((p - y) * x1 * 1000000)::BIGINT)::BIGINT AS h1,
+          sum(round((p - y) * x2 * 1000000)::BIGINT)::BIGINT AS h2,
+          sum(CASE WHEN (zi > 0) = (y = 1) THEN 1 ELSE 0 END)::BIGINT AS ok,
+          sum(round((-(y * ln(greatest(p, 1e-12))
+            + (1 - y) * ln(greatest(1.0 - p, 1e-12)))) * 1000000)::BIGINT)::BIGINT AS llm
+        FROM p$t),
+      wt${t + 1} AS (SELECT n,
+          round((wa / 1000000.0 - $trainLr * ((h0 / 1000000.0) / n)) * 1000000)::BIGINT AS wa,
+          round((wb / 1000000.0 - $trainLr * ((h1 / 1000000.0) / n)) * 1000000)::BIGINT AS wb,
+          round((wc / 1000000.0 - $trainLr * ((h2 / 1000000.0) / n)) * 1000000)::BIGINT AS wc
+        FROM wt$t, a$t)"""
+
+  /** Logistic regression TRAINED for 4 chained gradient iterations
+    * (the convergence-loop composition over `q_logreg_step`, next to
+    * `q_kmeans_train`/`q_pagerank`): weights stay int64 MICROS across
+    * every boundary — per-row gradient terms micro-quantize before
+    * the order-free sum, the update re-quantizes — so the whole
+    * 4-iteration training CURVE (weights, accuracy, log-loss per
+    * iteration) replays bit-for-bit in DuckDB. ONE combined aggregate
+    * per iteration over one materialized user rollup carries the
+    * gradient AND the metrics at the same weights (no separate
+    * metrics pass); the loss clamp (1e-12) matches both engines.
+    */
+  val qLogregTrain: Q = Q(
+    "q_logreg_train",
+    (s, dir) => {
+      import s.implicits._
+      val lr = trainLr
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val g1 = u.agg(count(lit(1)).as("n"),
+        sum(lit(1L) - lit(2L) * col("y")).as("g0t"),
+        sum((lit(1L) - lit(2L) * col("y")) * col("x1")).as("g1t"),
+        sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2t")).head()
+      val n = g1.getLong(0)
+      def w1m(gt: Long): Long = rL(-lr * (gt.toDouble / 2 / n) * 1e6)
+      var w = (w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)))
+      val out = Seq.newBuilder[(Int, Long, Double, Double, Double, Double, Double)]
+      for (t <- 1 to 4) {
+        val z = lit(w._1) + lit(w._2) * col("x1") + lit(w._3) * col("x2")
+        val p = lit(1.0) / (lit(1.0) + exp(-(z.cast("double") / lit(1e6))))
+        val r = u.select(col("y"), col("x1"), col("x2"), z.as("zi"), p.as("p"))
+          .agg(
+            sum(round((col("p") - col("y")) * lit(1e6)).cast("long")).as("h0"),
+            sum(round((col("p") - col("y")) * col("x1") * lit(1e6)).cast("long")).as("h1"),
+            sum(round((col("p") - col("y")) * col("x2") * lit(1e6)).cast("long")).as("h2"),
+            sum(when((col("zi") > 0) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"),
+            sum(round((-(col("y") * log(greatest(col("p"), lit(1e-12))) +
+              (lit(1L) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-12)))))
+              * lit(1e6)).cast("long")).as("llm")).head()
+        out += ((t, n, r6(w._1 / 1e6), r6(w._2 / 1e6), r6(w._3 / 1e6),
+          r6(r.getLong(3).toDouble / n), r6((r.getLong(4).toDouble / n) / 1e6)))
+        def upd(wi: Long, hm: Long): Long =
+          rL((wi / 1e6 - lr * ((hm / 1e6) / n)) * 1e6)
+        w = (upd(w._1, r.getLong(0)), upd(w._2, r.getLong(1)),
+          upd(w._3, r.getLong(2)))
+      }
+      out.result().toDF("iter", "n", "w_bias", "w_events", "w_purch",
+        "acc", "log_loss")
+    },
+    Some(s"""
+      WITH u AS (SELECT count(*)::BIGINT AS x1,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x2
+             FROM events GROUP BY user_id),
+      u2 AS (SELECT x1, x2, (CASE WHEN x2 >= 14 THEN 1 ELSE 0 END)::BIGINT AS y FROM u),
+      g1 AS (SELECT count(*)::BIGINT AS n, sum(1 - 2 * y)::BIGINT AS g0t,
+               sum((1 - 2 * y) * x1)::BIGINT AS g1t,
+               sum((1 - 2 * y) * x2)::BIGINT AS g2t FROM u2),
+      wt1 AS (SELECT n,
+               round(-$trainLr * (g0t::DOUBLE / 2 / n) * 1000000)::BIGINT AS wa,
+               round(-$trainLr * (g1t::DOUBLE / 2 / n) * 1000000)::BIGINT AS wb,
+               round(-$trainLr * (g2t::DOUBLE / 2 / n) * 1000000)::BIGINT AS wc
+             FROM g1),
+      ${logregIterSql(1)},
+      ${logregIterSql(2)},
+      ${logregIterSql(3)},
+      ${logregIterSql(4)}
+      ${(1 to 4).map(t =>
+        s"""SELECT $t AS iter, n, round(wa / 1000000.0, 6) AS w_bias,
+             round(wb / 1000000.0, 6) AS w_events,
+             round(wc / 1000000.0, 6) AS w_purch,
+             round(ok::DOUBLE / n, 6) AS acc,
+             round((llm::DOUBLE / n) / 1000000.0, 6) AS log_loss
+           FROM wt$t, a$t""").mkString("\n      UNION ALL\n      ")}
+    """),
+  )
+
   /** Best single-feature decision stump (event count → high-intent
     * label) by weighted Gini impurity — the split search inside every
     * tree learner, run once over the DISTINCT-VALUE rollup: candidate
@@ -3066,7 +3164,7 @@ object StatsQueries {
   )
 
   val all: Seq[Q] = Seq(qKsTest, qCuped, qDiffInDiff, qSurvivalKm, qFkViolations,
-    qLogregStep, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
+    qLogregStep, qLogregTrain, qDecisionStump, qNaiveBayes, qAnova, qBootstrapCi, qAlsStep,
     qConformalInterval, qTrimmedMean, qAucBySegment, qParityReport,
     qMarkovEntropy, qTreeDepth2, qForestVote, qShapleyImportance, qPdp,
     qGainsCurve, qWoeIv, qSpearman, qAbPower, qDowUniformity,
