@@ -373,6 +373,19 @@ class StatsSpec extends SparkSpec {
       assert(kn > 0.0 && kn <= 1.0 + 1e-9)
     }
   }
+
+  test("q_logreg_train's loss curve descends monotonically (the loop actually trains)") {
+    val rows = queries.StatsQueries.qLogregTrain.run(spark, sf)
+      .orderBy("iter").collect()
+    assert(rows.length === 4)
+    val losses = rows.map(_.getDouble(6))
+    losses.zip(losses.tail).foreach { case (prev, next) =>
+      assert(next < prev, s"loss rose: ${losses.mkString(", ")}")
+    }
+    // weights move every iteration (no silent fixed point at this lr)
+    val ws = rows.map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(ws.distinct.length === 4)
+  }
 }
 
 /** q_join_size_estimate's Q.run via a helper so the spec reads clean. */
