@@ -20,12 +20,17 @@ def read(spark, path, version=None):
     return r.load()
 
 
-def write_stream(df, path, checkpoint):
+def write_stream(df, path, checkpoint, writer_id="default"):
     """Start the exactly-once streaming sink (one immutable version per
     micro-batch epoch; a replayed epoch after restart commits once).
+    ``writer_id`` scopes the replay detection — set a distinct id per
+    logical stream when several streams write one table (fresh
+    checkpoints restart epoch ids at 0, so an unscoped marker would
+    swallow a second stream's first batches as replays).
     Returns the StreamingQuery."""
     return (df.writeStream.format(FORMAT)
             .option("path", path).option("checkpointLocation", checkpoint)
+            .option("writerId", writer_id)
             .outputMode("append").start())
 
 

@@ -227,8 +227,9 @@ object SourceQueries {
     (s, dir) => {
       import graft.operators.ExactAgg
       val fmt = "graft.sources.VersionedV2"
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_versioned_q").toString + "/t"
+      // fixed scratch, wiped per run (same rationale as the streaming
+      // sink row: no /tmp accumulation, fresh version chain per run)
+      val path = IO.freshScratchDir("versioned_batch") + "/t"
       def gen(lo: Int, hi: Int) = s.read.format("graft.sources.RangeV2")
         .option("start", lo.toString).option("end", hi.toString)
         .option("slices", "4").load()

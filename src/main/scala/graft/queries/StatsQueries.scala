@@ -463,15 +463,33 @@ object StatsQueries {
     * integer micros; shared by the fit query and the
     * explainability pair.
     */
-  private[graft] def logregFit(u: DataFrame): (Long, Long, Long, Long) = {
-    val lr = 0.1
+  /** The exactly-integral first gradient step from w = 0 (sigma(0) = 1/2
+    * makes 2*grad an int64 sum), micro-quantized at learning rate `lr`
+    * — shared by the 2-step fit and the training loop so the
+    * quantization can never drift between them.
+    */
+  private[graft] def logregFirstStep(u: DataFrame,
+                                     lr: Double): (Long, Long, Long, Long) = {
     val g1 = u.agg(count(lit(1)).as("n"),
       sum(lit(1L) - lit(2L) * col("y")).as("g0t"),
       sum((lit(1L) - lit(2L) * col("y")) * col("x1")).as("g1t"),
       sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2t")).head()
     val n = g1.getLong(0)
     def w1m(gt: Long): Long = rL(-lr * (gt.toDouble / 2 / n) * 1e6)
-    val (wa, wb, wc) = (w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)))
+    (n, w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)))
+  }
+
+  /** The micro log-loss column both the step and train rows emit —
+    * one definition so the 1e-12 saturation clamp cannot diverge.
+    */
+  private def logLossMicro(p: Column, y: Column): Column =
+    round((-(y * log(greatest(p, lit(1e-12))) +
+      (lit(1L) - y) * log(greatest(lit(1.0) - p, lit(1e-12))))) * lit(1e6))
+      .cast("long")
+
+  private[graft] def logregFit(u: DataFrame): (Long, Long, Long, Long) = {
+    val lr = 0.1
+    val (n, wa, wb, wc) = logregFirstStep(u, lr)
     val z1 = (lit(wa) + lit(wb) * col("x1") + lit(wc) * col("x2"))
       .cast("double") / lit(1e6)
     val p1 = lit(1.0) / (lit(1.0) + exp(-z1))
@@ -497,9 +515,7 @@ object StatsQueries {
       val fin = u.select(col("y"), z2i.as("zi"), p2.as("p2"))
         .agg(
           sum(when((col("zi") > 0) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"),
-          sum(round((-(col("y") * log(greatest(col("p2"), lit(1e-12))) +
-            (lit(1L) - col("y")) * log(greatest(lit(1.0) - col("p2"), lit(1e-12)))))
-            * lit(1e6)).cast("long")).as("llm")).head()
+          sum(logLossMicro(col("p2"), col("y"))).as("llm")).head()
       val acc = fin.getLong(0).toDouble / n
       val loss = (fin.getLong(1).toDouble / n) / 1e6
       Seq((n, r6(va / 1e6), r6(vb / 1e6), r6(vc / 1e6), r6(acc), r6(loss)))
@@ -563,13 +579,8 @@ object StatsQueries {
       import s.implicits._
       val lr = trainLr
       val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
-      val g1 = u.agg(count(lit(1)).as("n"),
-        sum(lit(1L) - lit(2L) * col("y")).as("g0t"),
-        sum((lit(1L) - lit(2L) * col("y")) * col("x1")).as("g1t"),
-        sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2t")).head()
-      val n = g1.getLong(0)
-      def w1m(gt: Long): Long = rL(-lr * (gt.toDouble / 2 / n) * 1e6)
-      var w = (w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)))
+      val (n, wa0, wb0, wc0) = logregFirstStep(u, lr)
+      var w = (wa0, wb0, wc0)
       val out = Seq.newBuilder[(Int, Long, Double, Double, Double, Double, Double)]
       for (t <- 1 to 4) {
         val z = lit(w._1) + lit(w._2) * col("x1") + lit(w._3) * col("x2")
@@ -580,9 +591,7 @@ object StatsQueries {
             sum(round((col("p") - col("y")) * col("x1") * lit(1e6)).cast("long")).as("h1"),
             sum(round((col("p") - col("y")) * col("x2") * lit(1e6)).cast("long")).as("h2"),
             sum(when((col("zi") > 0) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"),
-            sum(round((-(col("y") * log(greatest(col("p"), lit(1e-12))) +
-              (lit(1L) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-12)))))
-              * lit(1e6)).cast("long")).as("llm")).head()
+            sum(logLossMicro(col("p"), col("y"))).as("llm")).head()
         out += ((t, n, r6(w._1 / 1e6), r6(w._2 / 1e6), r6(w._3 / 1e6),
           r6(r.getLong(3).toDouble / n), r6((r.getLong(4).toDouble / n) / 1e6)))
         def upd(wi: Long, hm: Long): Long =

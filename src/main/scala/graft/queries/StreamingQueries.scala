@@ -1571,10 +1571,12 @@ object StreamingQueries {
     "stream_versioned_sink",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_stream_sink").toString + "/t"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_stream_sink_ckpt").toString
+      // FIXED scratch paths, wiped per run: createTempDirectory here
+      // would leak a full events-table copy + checkpoint state into
+      // /tmp on every bench/verify execution (and VersionedV2 append
+      // semantics need a fresh table per run for determinism anyway)
+      val path = graft.sources.IO.freshScratchDir("versioned_stream") + "/t"
+      val ckpt = graft.sources.IO.freshScratchDir("versioned_stream_ckpt")
       val q = StreamOps.eventsStream(s, dir)
         .select(col("event_id").cast("long").as("id"),
           col("value").cast("double").as("val"))

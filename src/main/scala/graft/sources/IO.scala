@@ -11,6 +11,24 @@ import org.apache.spark.sql.types.StructType
   */
 object IO {
 
+  /** A FIXED scratch directory under /tmp/graft_io, wiped before
+    * return: repeated bench/verify runs reuse one bounded location
+    * instead of leaking a fresh createTempDirectory per execution —
+    * and sinks with append semantics (VersionedV2) get the clean
+    * slate determinism needs.
+    */
+  def freshScratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(s"/tmp/graft_io/$name")
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -113,10 +113,22 @@ object VersionedV2 {
       (keepFrom to latest).flatMap(v => manifest(path, v)).toSet
     var deletedVersions = 0
     var reclaimed = 0
+    // fold the doomed versions' epoch markers into the ledger FIRST:
+    // retention must never delete the marker a streaming replay's
+    // exactly-once check depends on
+    val folded = (1 until keepFrom).flatMap(v =>
+      VersionedCommit.markerAt(path, v))
+    if (folded.nonEmpty) {
+      val l = VersionedCommit.ledger(path)
+      val merged = folded.foldLeft(l) { case (acc, (w, e)) =>
+        acc.updated(w, math.max(e, acc.getOrElse(w, Long.MinValue)))
+      }
+      VersionedCommit.writeLedger(path, merged)
+    }
     (1 until keepFrom).foreach { v =>
       val d = Paths.get(path, s"v$v")
       if (Files.exists(d)) {
-        Files.deleteIfExists(d.resolve("manifest.txt"))
+        VersionedCommit.deleteDirContents(d) // manifest, epoch marker, all
         Files.deleteIfExists(d)
         deletedVersions += 1
       }
@@ -127,6 +139,7 @@ object VersionedV2 {
       while (!stop) {
         val d = Paths.get(path, s"v$v")
         if (Files.exists(d) && !Files.exists(d.resolve("manifest.txt"))) {
+          VersionedCommit.deleteDirContents(d) // a dead claim may hold a marker
           Files.deleteIfExists(d)
           reclaimed += 1
           v += 1
@@ -174,24 +187,25 @@ private[sources] class VersionedTable(path: String, readVersion: Option[Int])
     require(info.schema().fields.map(f => (f.name, f.dataType)).sameElements(
       VersionedV2.schema.fields.map(f => (f.name, f.dataType))),
       s"VersionedV2 expects (id BIGINT, val DOUBLE), got ${info.schema().sql}")
-    new VersionedWriteBuilder(path, info.queryId(), truncate = false)
+    new VersionedWriteBuilder(path, info.queryId(),
+      info.options().getOrDefault("writerId", "default"), truncate = false)
   }
 }
 
 private[sources] class VersionedWriteBuilder(
-    path: String, queryId: String, truncate: Boolean)
+    path: String, queryId: String, writerId: String, truncate: Boolean)
   extends WriteBuilder with SupportsTruncate {
 
   // SaveMode.Overwrite arrives as truncate(): the new version's
   // manifest starts empty instead of carrying the previous files
   override def truncate(): WriteBuilder =
-    new VersionedWriteBuilder(path, queryId, truncate = true)
+    new VersionedWriteBuilder(path, queryId, writerId, truncate = true)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new VersionedBatchWrite(path, queryId, truncate)
     override def toStreaming: StreamingWrite =
-      new VersionedStreamingWrite(path, queryId, truncate)
+      new VersionedStreamingWrite(path, queryId, writerId, truncate)
   }
 }
 
@@ -229,30 +243,73 @@ private[sources] class VersionedBatchWrite(
   * ride: claim the version directory (the single-writer guard, BEFORE
   * the pool is touched), move staged files into the immutable pool,
   * write the manifest (append = previous lines + new files), record
-  * the epoch for streaming replays, then ONE atomic pointer move.
+  * the writer-scoped epoch marker for streaming replays, then ONE
+  * atomic pointer move.
   */
 private[sources] object VersionedCommit {
 
   def stagingDir(path: String, queryId: String): Path =
     Paths.get(path, "_staging", queryId)
 
-  /** Has `epoch` already been published to this table? Scans the
-    * bounded version chain's epoch markers — the exactly-once check a
-    * restarted micro-batch replay hits.
+  private def readIfExists(p: Path): Option[String] =
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).trim)
+    else None
+
+  /** "writerId:epoch" — the marker is WRITER-scoped: two streaming
+    * queries (fresh checkpoints restart epoch ids at 0) writing the
+    * same table must not mistake each other's epochs for replays.
     */
-  def epochCommitted(path: String, epoch: Long): Boolean =
-    (1 to VersionedV2.latestVersion(path)).exists { v =>
-      val m = Paths.get(path, s"v$v", "epoch.txt")
-      Files.exists(m) && new String(Files.readAllBytes(m),
-        StandardCharsets.UTF_8).trim == epoch.toString
+  private def markerOf(writerId: String, epoch: Long) = s"$writerId:$epoch"
+
+  private[sources] def markerAt(path: String, v: Int): Option[(String, Long)] =
+    readIfExists(Paths.get(path, s"v$v", "epoch.txt")).flatMap { m =>
+      val i = m.lastIndexOf(':')
+      if (i < 0) None else Some((m.substring(0, i), m.substring(i + 1).toLong))
     }
 
+  /** Per-writer max epochs whose version DIRS were vacuumed away —
+    * vacuum folds the markers it deletes in here so retention can
+    * never re-enable a duplicate replay.
+    */
+  private[sources] def ledger(path: String): Map[String, Long] =
+    readIfExists(Paths.get(path, "_epochs.txt")).map(_.split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { m =>
+        val i = m.lastIndexOf(':')
+        m.substring(0, i) -> m.substring(i + 1).toLong
+      }.toMap).getOrElse(Map.empty)
+
+  private[sources] def writeLedger(path: String, l: Map[String, Long]): Unit =
+    VersionedV2.writeAtomically(Paths.get(path, "_epochs.txt"),
+      l.toSeq.sortBy(_._1).map { case (w, e) => markerOf(w, e) }
+        .mkString("\n"))
+
+  /** Has `writerId` already published `epoch`? Per-writer epochs
+    * commit in increasing order and a micro-batch replay can only be
+    * the writer's LAST committed epoch, so the answer is the FIRST of
+    * the writer's markers met scanning BACKWARD from the pointer —
+    * O(distance to that version), O(1) for the steady single-writer
+    * stream — with the vacuum ledger covering markers whose version
+    * dirs were retained away.
+    */
+  def epochCommitted(path: String, writerId: String, epoch: Long): Boolean = {
+    if (ledger(path).get(writerId).exists(_ >= epoch)) return true
+    var v = VersionedV2.latestVersion(path)
+    while (v >= 1) {
+      markerAt(path, v) match {
+        case Some((w, e)) if w == writerId => return e >= epoch
+        case _ => v -= 1
+      }
+    }
+    false
+  }
+
   def publish(path: String, queryId: String, truncate: Boolean,
-              staged: Seq[StagedFile], epoch: Option[Long]): Unit = {
+              staged: Seq[StagedFile], epoch: Option[(String, Long)]): Unit = {
     // exactly-once under epoch REPLAY: a restarted streaming query
     // re-runs its last micro-batch; if that epoch already published,
     // drop the replayed staging and keep the committed version
-    if (epoch.exists(e => epochCommitted(path, e))) {
+    if (epoch.exists { case (w, e) => epochCommitted(path, w, e) }) {
       cleanupStaging(path, queryId)
       return
     }
@@ -260,13 +317,34 @@ private[sources] object VersionedCommit {
     val prev = if (truncate) Nil else VersionedV2.manifest(path, current)
     val next = current + 1
     val vdir = Paths.get(path, s"v$next")
-    // single-writer guard, claimed BEFORE the pool is touched: a lost
-    // version race fails here, so the loser's files never pollute the
-    // immutable pool as unreferenced orphans. (Recovery from a commit
-    // that crashed after claiming: delete the manifest-less v<N> dir —
-    // the pointer never moved, the snapshot is intact; vacuum's
-    // reclaimDeadClaims automates it.)
-    Files.createDirectory(vdir)
+    // CRASH RECOVERY for a replayed epoch when a previous attempt died
+    // mid-publish (the pointer never moved, so epochCommitted said no):
+    //  - our own marker + a complete manifest already at v<next> means
+    //    only the pointer move was lost — finish it and drop the
+    //    replayed staging (the batch is deterministic, the rows are
+    //    already in the pool);
+    //  - a manifest-LESS claim is a dead earlier attempt (single-writer
+    //    contract: no live rival can exist on the replay path) —
+    //    reclaim it and publish normally; the dead attempt's pool
+    //    files are unreferenced orphans vacuum collects.
+    // The batch path (epoch = None) keeps the strict guard: an existing
+    // claim there IS a concurrent-writer conflict and must throw.
+    val replayedClaim = epoch.isDefined && Files.exists(vdir)
+    if (replayedClaim) {
+      val ourMarker = epoch.exists { case (w, e) =>
+        markerAt(path, next).contains((w, e)) }
+      if (ourMarker && Files.exists(vdir.resolve("manifest.txt"))) {
+        VersionedV2.writeAtomically(Paths.get(path, "_latest.txt"),
+          next.toString)
+        cleanupStaging(path, queryId)
+        return
+      }
+      require(!Files.exists(vdir.resolve("manifest.txt")),
+        s"VersionedV2: version $next already holds another writer's commit")
+      deleteDirContents(vdir)
+    } else {
+      Files.createDirectory(vdir)
+    }
     val dataDir = Paths.get(path, "data")
     Files.createDirectories(dataDir)
     val moved = staged.map { s =>
@@ -275,17 +353,21 @@ private[sources] object VersionedCommit {
         dataDir.resolve(finalName), StandardCopyOption.ATOMIC_MOVE)
       finalName
     }
-    // the epoch marker lands BEFORE the manifest/pointer: a replayed
-    // epoch is only skipped once its version is fully visible, so a
-    // crash between marker and pointer re-publishes (the marker is
-    // only consulted via committed versions' directories — see
-    // epochCommitted's pointer-bounded scan)
-    epoch.foreach(e =>
-      VersionedV2.writeAtomically(vdir.resolve("epoch.txt"), e.toString))
+    // the marker lands BEFORE the manifest/pointer: it only takes
+    // effect through epochCommitted once the pointer covers it, and
+    // the recovery above handles every crash point in between
+    epoch.foreach { case (w, e) =>
+      VersionedV2.writeAtomically(vdir.resolve("epoch.txt"), markerOf(w, e)) }
     VersionedV2.writeAtomically(vdir.resolve("manifest.txt"),
       (prev ++ moved).mkString("\n"))
     VersionedV2.writeAtomically(Paths.get(path, "_latest.txt"), next.toString)
     cleanupStaging(path, queryId)
+  }
+
+  private[sources] def deleteDirContents(dir: Path): Unit = {
+    val s = Files.list(dir)
+    val inside = try s.iterator().asScala.toSeq finally s.close()
+    inside.foreach(Files.deleteIfExists(_))
   }
 
   def cleanupStaging(path: String, queryId: String): Unit = {
@@ -310,7 +392,8 @@ private[sources] object VersionedCommit {
   * snapshots either way, and readers time-travel across epochs.
   */
 private[sources] class VersionedStreamingWrite(
-    path: String, queryId: String, truncate: Boolean) extends StreamingWrite {
+    path: String, queryId: String, writerId: String, truncate: Boolean)
+  extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -321,7 +404,8 @@ private[sources] class VersionedStreamingWrite(
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit =
     VersionedCommit.publish(path, queryId, truncate,
-      messages.collect { case s: StagedFile => s }, epoch = Some(epochId))
+      messages.collect { case s: StagedFile => s },
+      epoch = Some((writerId, epochId)))
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =

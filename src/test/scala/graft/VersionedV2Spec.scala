@@ -192,49 +192,127 @@ class VersionedV2Spec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming sink: a replayed epoch commits exactly once") {
+  /** Drive the StreamingWrite surface directly — the shape a
+    * restarted query produces when it re-runs its last micro-batch.
+    */
+  private def streamingWriter(path: String, writerId: String,
+                              qid: String = "replay_test") = {
     import org.apache.spark.sql.connector.write.LogicalWriteInfo
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
-    val path = tempTable()
-    rows(0, 3).write.format(FMT).option("path", path).mode("overwrite").save()
-    // drive the StreamingWrite directly with a duplicated epoch — the
-    // shape a restarted query produces when it re-runs its last
-    // micro-batch after a crash between sink commit and checkpoint
     val table = new graft.sources.VersionedV2().getTable(
       VersionedV2.schema, Array.empty,
-      new java.util.HashMap[String, String] {
-        put("path", path)
-      })
+      new java.util.HashMap[String, String] { put("path", path) })
+    val opts = new java.util.HashMap[String, String] {
+      put("writerId", writerId)
+    }
     val info = new LogicalWriteInfo {
       override def options(): CaseInsensitiveStringMap =
-        new CaseInsensitiveStringMap(new java.util.HashMap[String, String]())
-      override def queryId(): String = "replay_test"
+        new CaseInsensitiveStringMap(opts)
+      override def queryId(): String = qid
       override def schema(): org.apache.spark.sql.types.StructType =
         VersionedV2.schema
     }
-    val sw = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+    table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
       .newWriteBuilder(info).build().toStreaming
-    def runEpoch(epoch: Long, ids: Seq[Long]): Unit = {
-      val factory = sw.createStreamingWriterFactory(null)
-      val w = factory.createWriter(0, 0L, epoch)
-      ids.foreach(i => w.write(new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(Array[Any](i, i / 2.0))))
-      val msg = w.commit()
-      sw.commit(epoch, Array(msg))
-    }
-    runEpoch(7L, Seq(10L, 11L))
+  }
+
+  private def runEpoch(sw: org.apache.spark.sql.connector.write.streaming.StreamingWrite,
+                       epoch: Long, ids: Seq[Long]): Unit = {
+    val factory = sw.createStreamingWriterFactory(null)
+    val w = factory.createWriter(0, 0L, epoch)
+    ids.foreach(i => w.write(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](i, i / 2.0))))
+    val msg = w.commit()
+    sw.commit(epoch, Array(msg))
+  }
+
+  test("streaming sink: a replayed epoch commits exactly once") {
+    val path = tempTable()
+    rows(0, 3).write.format(FMT).option("path", path).mode("overwrite").save()
+    val sw = streamingWriter(path, "wA")
+    runEpoch(sw, 7L, Seq(10L, 11L))
     assert(VersionedV2.latestVersion(path) == 2)
     assert(readTable(path).count() == 5)
     // the REPLAY: same epoch id arrives again — no new version, no
     // duplicate rows, replayed staging dropped
-    runEpoch(7L, Seq(10L, 11L))
+    runEpoch(sw, 7L, Seq(10L, 11L))
     assert(VersionedV2.latestVersion(path) == 2)
     assert(readTable(path).count() == 5)
     assert(!Files.exists(Paths.get(path, "_staging", "replay_test")))
     // a NEW epoch still publishes
-    runEpoch(8L, Seq(12L))
+    runEpoch(sw, 8L, Seq(12L))
     assert(VersionedV2.latestVersion(path) == 3)
     assert(readTable(path).count() == 6)
+  }
+
+  test("epoch markers are writer-scoped: a second stream's epoch 0 is not a replay") {
+    val path = tempTable()
+    val a = streamingWriter(path, "streamA", qid = "qa")
+    runEpoch(a, 0L, Seq(1L))
+    runEpoch(a, 1L, Seq(2L))
+    assert(VersionedV2.latestVersion(path) == 2)
+    // a NEW query (fresh checkpoint, epoch ids restart at 0) must not
+    // have its first batches swallowed as stream A's replays
+    val b = streamingWriter(path, "streamB", qid = "qb")
+    runEpoch(b, 0L, Seq(10L))
+    runEpoch(b, 1L, Seq(11L))
+    assert(VersionedV2.latestVersion(path) == 4)
+    assert(readTable(path).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 10L, 11L))
+    // while each writer's OWN replay still dedups
+    runEpoch(b, 1L, Seq(11L))
+    assert(VersionedV2.latestVersion(path) == 4)
+  }
+
+  test("vacuum works on a streaming-written table and retention cannot re-enable a replay") {
+    val path = tempTable()
+    val sw = streamingWriter(path, "wV")
+    runEpoch(sw, 0L, Seq(1L))
+    runEpoch(sw, 1L, Seq(2L))
+    runEpoch(sw, 2L, Seq(3L))
+    // version dirs hold epoch markers too — vacuum must still delete them
+    val r = VersionedV2.vacuum(path, keepVersions = 1)
+    assert(r.deletedVersions == 2)
+    assert(readTable(path).count() == 3) // live snapshot intact (append chain)
+    // the vacuumed markers folded into the ledger: replaying epoch 1
+    // (whose version dir is GONE) must still be recognized, not
+    // re-published as duplicate rows
+    runEpoch(sw, 1L, Seq(2L))
+    assert(VersionedV2.latestVersion(path) == 3)
+    assert(readTable(path).count() == 3)
+  }
+
+  test("a commit that crashed mid-publish recovers on replay instead of wedging") {
+    val path = tempTable()
+    val sw = streamingWriter(path, "wC")
+    runEpoch(sw, 0L, Seq(1L, 2L))
+    assert(VersionedV2.latestVersion(path) == 1)
+
+    // crash point A: claimed v2 + wrote the marker, no manifest (died
+    // before/while moving files) — the replay must reclaim the dead
+    // claim and publish, not throw FileAlreadyExistsException forever
+    Files.createDirectory(Paths.get(path, "v2"))
+    Files.write(Paths.get(path, "v2", "epoch.txt"),
+      "wC:1".getBytes("UTF-8"))
+    runEpoch(sw, 1L, Seq(3L))
+    assert(VersionedV2.latestVersion(path) == 2)
+    assert(readTable(path).count() == 3)
+
+    // crash point B: marker + manifest fully written, died before the
+    // pointer move — the replay completes the commit (pointer moves to
+    // the already-published files) and drops its own staging
+    val dataFile = "recovered-part.txt"
+    Files.write(Paths.get(path, "data", dataFile), "99,0\n".getBytes("UTF-8"))
+    Files.createDirectory(Paths.get(path, "v3"))
+    Files.write(Paths.get(path, "v3", "epoch.txt"), "wC:2".getBytes("UTF-8"))
+    val prev = VersionedV2.manifest(path, 2)
+    Files.write(Paths.get(path, "v3", "manifest.txt"),
+      (prev :+ dataFile).mkString("\n").getBytes("UTF-8"))
+    runEpoch(sw, 2L, Seq(99L)) // the deterministic replay of that batch
+    assert(VersionedV2.latestVersion(path) == 3)
+    val ids = readTable(path).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 3L, 99L))
+    assert(readTable(path).count() == 4) // no duplicate 99
   }
 
   test("the writer rejects a mismatched schema loudly") {
