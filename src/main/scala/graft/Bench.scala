@@ -48,13 +48,19 @@ object Bench {
       val t = if (times.exists(_ < 0)) -1.0 else times.min
       (name, t, (gcMillis() - gc0) / 1e3)
     }
-    // Re-run the worst-N rows in a FRESH session and keep the min:
+    // Re-run the worst-N rows in a FRESH session, recorded SEPARATELY:
     // driver-tail sessions keep producing phantom 3-5x outliers on
     // individual rows (same code, same day — r12: stream_mann_whitney
     // 6.2s driver vs 1.3s clean) that cost an adjudication cycle every
     // round. A fresh-session floor measured IN the same bench run
-    // retires the noise at the source. Rerun failures are benign: the
-    // first-pass time stands and the reruns map records the -1.
+    // retires the noise at the source — but folding the rerun min into
+    // the headline numbers would give ONLY the slowest rows a second
+    // low-pressure chance (asymmetric methodology, breaks
+    // round-over-round comparability), so the headline "queries"/
+    // "value" stay on the uniform min-of-2 and the floors ride the
+    // full-detail file's "reruns"/"queries_floored" maps for
+    // adjudication. Rerun failures are benign: the first-pass time
+    // stands and the reruns map records the -1.
     val rerunN = sys.env.getOrElse("SPARK_GRAFT_RERUN_N", "8").toInt
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(rerunN).map(_._1)
     val reruns: Map[String, Double] = if (worst.isEmpty) Map.empty else {
@@ -88,13 +94,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
-    val adjusted = results.map { case (name, t, g) =>
+    // floored = min(uniform, fresh-session rerun) — adjudication view
+    // only, never the headline (see methodology note above)
+    val floored = results.map { case (name, t, g) =>
       reruns.get(name) match {
         case Some(r) if r >= 0 && t >= 0 => (name, math.min(t, r), g)
         case _ => (name, t, g)
       }
     }
-    val failed = adjusted.filter(_._2 < 0).map(_._1)
+    val failed = results.filter(_._2 < 0).map(_._1)
     // The driver keeps only the TAIL (~2.25KB) of sbt's output; sbt's own
     // trailing [success] lines eat ~100B of that. With 89+ queries even a
     // 3dp full map (~2.4KB) loses its head and the parse fails (rounds
@@ -116,26 +124,28 @@ object Bench {
     // headline set + AT MOST the 10 slowest other queries: the stdout
     // line must stay under the driver's ~2.25KB tail no matter how
     // many queries regress or how large the SF is
-    val slowExtra = adjusted.filter { case (k, v, _) => !headline(k) && v >= 1.0 }
+    val slowExtra = results.filter { case (k, v, _) => !headline(k) && v >= 1.0 }
       .sortBy(-_._2).take(10).map(_._1).toSet
-    val shown = adjusted.filter { case (k, _, _) => headline(k) || slowExtra(k) }
+    val shown = results.filter { case (k, _, _) => headline(k) || slowExtra(k) }
     val qs = shown.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL rows only (failures would subtract)
-    val total = adjusted.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // the stdout failed list is capped so the headline line never
     // outgrows the driver's ~2.25KB tail; the file carries the full list
     val failedJson = failed.map("\"" + _ + "\"")
     val failedHead = (if (failed.size > 8)
       failedJson.take(8) :+ "\"...\"" else failedJson).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${adjusted.size},"n_failed":${failed.size},"failed":$failedHead,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedHead,"queries":$qs,"sf":"$sfDir"}"""
     // full-detail maps (every query, 3dp, + per-query GC seconds) for
     // local round-over-round diffs and noise attribution
-    val fullQs = adjusted.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 3) }
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val gcQs = adjusted.map { case (k, _, g) => "\"" + k + "\":" + fmt(g, 3) }
+    val flooredQs = floored.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${adjusted.size},"n_failed":${failed.size},"failed":${failedJson.mkString("[", ",", "]")},"queries":$fullQs,"gc":$gcQs,"reruns":$rerunsJson,"sf":"$sfDir"}"""
+    val gcQs = results.map { case (k, _, g) => "\"" + k + "\":" + fmt(g, 3) }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":${failedJson.mkString("[", ",", "]")},"queries":$fullQs,"queries_floored":$flooredQs,"gc":$gcQs,"reruns":$rerunsJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     // async shutdown noise (state-store maintenance threads WARN with a

@@ -151,17 +151,25 @@ object Ann {
         // MEAN can land exactly on a 5e-7 rounding tie where engines'
         // round() implementations disagree
         array((0 until dims).map(d =>
-          col(s"s$d").cast("double")): _*).as("sum_vec"))
+          col(s"s$d").cast("double")): _*).as("sum_vec"),
+        // the same sums as exact int64 micro-units (decimal(18,6)·1e6
+        // is integral by construction): the loop caller derives the
+        // fed-forward centroid means from THESE via half-up integer
+        // division, never from a double division whose 5e-7 ties the
+        // engines break differently
+        array((0 until dims).map(d =>
+          (col(s"s$d") * lit(1000000)).cast("long")): _*).as("sum_micro"))
   }
 
   /** Lloyd's k-means to CONVERGENCE (or `maxIter`) — [[kmeansStep]]
     * iterated the way IVF/PQ codebook training actually runs: each
     * iteration is one assignment pass + one `nCells × (dims+1)`
-    * aggregate; the new centroids are the 6-dp-ROUNDED per-dimension
-    * means (round(sum/n, 6) — the quantized model update both engines
-    * resolve identically, so every iteration's INPUT is bit-identical
-    * under external replay and the whole trajectory is oracle-
-    * checkable). Driver state per iteration is the bounded nCells ×
+    * aggregate; the new centroids are the 6-dp-QUANTIZED per-dimension
+    * means, computed as a half-up int64 micro-unit quotient of the
+    * exact decimal sums ([[ExactAgg.microQuotient]] — the quantized
+    * model update both engines resolve identically even on exact 5e-7
+    * ties, so every iteration's INPUT is bit-identical under external
+    * replay and the whole trajectory is oracle-checkable). Driver state per iteration is the bounded nCells ×
     * dims centroid table (a fit boundary, like the CC fast path); the
     * per-vector work stays distributed. Early stop when no centroid
     * coordinate moves more than `tol`; tol = 0 stops at the EXACT
@@ -196,10 +204,16 @@ object Ann {
       val step = kmeansStep(vecs, "id", "v", centroids, dims,
         repartitionInput = false)
         .select(col("cell"), col("n"),
-          // + 0.0 normalizes a −0.0 mean (SURVEY §17 signed-zero rule:
-          // these doubles are both emitted AND fed back as centroids)
+          // half-up micro-unit mean from the exact int64 sums — the
+          // quantized model update BOTH engines resolve identically
+          // even on exact 5e-7 ties (round(sum/n, 6) on doubles does
+          // not: Spark's BigDecimal HALF_UP and DuckDB's scaled-double
+          // round() can disagree on a small-n cell's tie). + 0.0
+          // normalizes a −0.0 mean (SURVEY §17 signed-zero rule: these
+          // doubles are both emitted AND fed back as centroids).
           array((0 until dims).map(d =>
-            round(element_at(col("sum_vec"), d + 1) / col("n"), 6) + lit(0.0)): _*)
+            ExactAgg.microQuotient(element_at(col("sum_micro"), d + 1),
+              col("n")) + lit(0.0)): _*)
             .as("m"))
         .localCheckpoint() // one pass; the trajectory union reuses it
       val fitted = step.collect()

@@ -42,9 +42,15 @@ object ExactAgg {
       count(e).over(w))
 
   /** Half-up s/n in pure int64 (shared by the grouped and windowed
-    * micro means), returned as double units.
+    * micro means, and by any caller carrying a precomputed micro sum —
+    * e.g. the k-means training loop's fed-forward centroid means),
+    * returned as double units. Engine-unambiguous: no double division
+    * happens before the quantization digit is settled, so a replaying
+    * engine whose round() breaks 5e-7 ties differently (DuckDB's
+    * scaled-double round vs Spark's BigDecimal HALF_UP) still lands on
+    * the identical value.
     */
-  private def microQuotient(s: Column, n: Column): Column = {
+  def microQuotient(s: Column, n: Column): Column = {
     // exact integer division a div b for non-negative a: a - pmod is a
     // multiple of b, so the double division is exact
     def intDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b

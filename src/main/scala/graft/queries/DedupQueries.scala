@@ -756,8 +756,9 @@ object DedupQueries {
           FROM sc$t) WHERE rn = 1),
       g$t AS (
         SELECT a.cell, count(*) AS n, d.d AS dim,
-               round(sum(round(e2.v[d.d + 1], 6)::DECIMAL(18,6))::DOUBLE
-                 / count(*), 6) + 0.0 AS m
+               ${OracleExact.microQuotientSql(
+                 "(sum(round(e2.v[d.d + 1], 6)::DECIMAL(18,6)) * 1000000)::BIGINT",
+                 "count(*)")} + 0.0 AS m
         FROM a$t a JOIN e e2 USING (vec_id), range(64) d(d)
         GROUP BY a.cell, d.d),
       cent${t + 1} AS (SELECT cell, list(m ORDER BY dim) AS cv FROM g$t GROUP BY cell)"""

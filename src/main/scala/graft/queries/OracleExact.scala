@@ -11,12 +11,19 @@ private[queries] object OracleExact {
   def decSumSql(e: String): String = s"sum(($e)::DECIMAL(28,6))::DOUBLE"
 
   /** half-up integer-microunit mean (mirror of ExactAgg.microAvg). */
-  def microAvgSql(e: String): String = {
-    val s = s"sum(round(($e) * 1000000)::BIGINT)::BIGINT"
-    val n = s"count($e)"
-    s"((CASE WHEN $s >= 0 THEN (2 * $s + $n) // (2 * $n) " +
-      s"ELSE -((-2 * $s + $n) // (2 * $n)) END) / 1000000.0)"
-  }
+  def microAvgSql(e: String): String =
+    microQuotientSql(s"sum(round(($e) * 1000000)::BIGINT)::BIGINT", s"count($e)")
+
+  /** half-up s/n in pure int64, returned as double units (mirror of
+    * ExactAgg.microQuotient — for callers carrying a precomputed
+    * micro-unit sum, e.g. the k-means training loop's fed-forward
+    * centroid means). DuckDB `//` truncates toward zero, matching
+    * Spark's integer `div`, so the CASE split makes the half-up
+    * away-from-zero rule explicit on both engines.
+    */
+  def microQuotientSql(s: String, n: String): String =
+    s"((CASE WHEN ($s) >= 0 THEN (2 * ($s) + ($n)) // (2 * ($n)) " +
+      s"ELSE -((-2 * ($s) + ($n)) // (2 * ($n))) END) / 1000000.0)"
 
   /** First 16 bits of an md5 hex string as a 0..65535 integer —
     * DuckDB mirror of [[graft.operators.Sampling.hashBucket]]

@@ -10,7 +10,10 @@ import graft.sources.IO
   */
 object SourceQueries {
 
-  private def tmp(name: String) = s"/tmp/graft_io/$name"
+  // pid-scoped scratch: two concurrent processes (python smoke pytest
+  // alongside a Scala Verify/Bench run) must not overwrite each
+  // other's round-trip files mid-read
+  private def tmp(name: String) = IO.freshScratchDir(name)
 
   // CSV sink -> CSV source (explicit schema, header)
   val csvRoundtrip: Q = Q(

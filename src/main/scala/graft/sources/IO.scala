@@ -11,20 +11,42 @@ import org.apache.spark.sql.types.StructType
   */
 object IO {
 
-  /** A FIXED scratch directory under /tmp/graft_io, wiped before
-    * return: repeated bench/verify runs reuse one bounded location
-    * instead of leaking a fresh createTempDirectory per execution —
-    * and sinks with append semantics (VersionedV2) get the clean
-    * slate determinism needs.
+  /** A PER-PROCESS scratch directory under /tmp/graft_io, wiped before
+    * return: repeated bench/verify runs within one JVM reuse one
+    * bounded location instead of leaking a fresh createTempDirectory
+    * per execution — and sinks with append semantics (VersionedV2) get
+    * the clean slate determinism needs. The path carries the JVM's pid
+    * so two concurrent processes (e.g. the python smoke pytest
+    * alongside a Scala Verify/Bench run) cannot wipe each other's live
+    * table or checkpoint mid-query; accumulation stays bounded by
+    * best-effort removal of same-name dirs whose owning pid is dead.
     */
   def freshScratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(s"/tmp/graft_io/$name")
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    def wipe(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    val pid = ProcessHandle.current().pid()
+    val root = java.nio.file.Paths.get("/tmp/graft_io")
+    java.nio.file.Files.createDirectories(root)
+    // reclaim stale siblings left by crashed/finished runs: same name
+    // prefix, different pid, owner no longer alive
+    val stale = java.nio.file.Files.list(root)
+    try stale.forEach { d =>
+      val fn = d.getFileName.toString
+      if (fn.startsWith(s"$name-") && fn != s"$name-$pid") {
+        val owner = fn.substring(name.length + 1)
+        val alive = owner.nonEmpty && owner.length <= 18 &&
+          owner.forall(_.isDigit) &&
+          ProcessHandle.of(owner.toLong).map[Boolean](_.isAlive).orElse(false)
+        if (!alive) try wipe(d) catch { case _: java.io.IOException => () }
+      }
+    } finally stale.close()
+    val p = root.resolve(s"$name-$pid")
+    wipe(p)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

@@ -98,11 +98,20 @@ object VersionedV2 {
     * commits. Time travel to a vacuumed version fails loudly
     * afterwards, by design: that is what retention means.
     *
-    * `reclaimDeadClaims = true` additionally removes manifest-less
-    * version directories ABOVE the pointer — the residue of a commit
-    * that crashed after claiming its version. Off by default: under
-    * the single-writer contract only the (sole) writer may assert
-    * that no commit is in flight.
+    * `reclaimDeadClaims = true` additionally removes version
+    * directories ABOVE the pointer — the residue of a commit that
+    * crashed after claiming its version, at ANY crash point: a
+    * manifest-less claim, a marker-only claim, or a manifest-FULL dir
+    * whose pointer move was lost (without this last case a batch crash
+    * between manifest write and pointer move wedges the table
+    * permanently: every later batch commit hits the existing claim and
+    * every streaming commit trips the foreign-manifest guard). The
+    * reclaimed dirs' epoch markers are deliberately NOT folded into
+    * the ledger — the pointer never covered them, so the epoch never
+    * became visible, and folding would make a replaying stream drop
+    * the replay of data that was discarded. Off by default: under the
+    * single-writer contract only the (sole) writer may assert that no
+    * commit is in flight.
     */
   def vacuum(path: String, keepVersions: Int = 1,
              reclaimDeadClaims: Boolean = false): VacuumReport = {
@@ -138,8 +147,13 @@ object VersionedV2 {
       var stop = false
       while (!stop) {
         val d = Paths.get(path, s"v$v")
-        if (Files.exists(d) && !Files.exists(d.resolve("manifest.txt"))) {
-          VersionedCommit.deleteDirContents(d) // a dead claim may hold a marker
+        if (Files.exists(d)) {
+          // a dead claim may hold a marker and/or a full manifest (a
+          // crash between manifest write and pointer move) — delete
+          // both WITHOUT ledger folding: the epoch never became
+          // visible, and its pool files are unreferenced orphans the
+          // data sweep below collects
+          VersionedCommit.deleteDirContents(d)
           Files.deleteIfExists(d)
           reclaimed += 1
           v += 1

@@ -167,6 +167,31 @@ class VersionedV2Spec extends SparkSpec {
     assert(readTable(path).count() == 25)
   }
 
+  test("reclaimDeadClaims repairs a manifest-FULL dead claim (crash between manifest and pointer)") {
+    val path = tempTable()
+    rows(0, 10).write.format(FMT).option("path", path).mode("overwrite").save()
+    rows(10, 20).write.format(FMT).option("path", path).mode("append").save()
+    // plant the worst crash point: v3 claimed, manifest fully written,
+    // pointer move LOST — the table is wedged for every writer kind
+    Files.createDirectory(Paths.get(path, "v3"))
+    Files.writeString(Paths.get(path, "v3", "manifest.txt"),
+      VersionedV2.manifest(path, 2).mkString("\n"))
+    // batch commit hits the existing claim and must fail loudly
+    intercept[Exception] {
+      rows(20, 25).write.format(FMT).option("path", path).mode("append").save()
+    }
+    // reads are unaffected: the pointer still says v2
+    assert(readTable(path).count() == 20)
+    // repair: the manifest-full dead claim above the pointer reclaims
+    val r = VersionedV2.vacuum(path, keepVersions = 2, reclaimDeadClaims = true)
+    assert(r.reclaimedClaims == 1)
+    // and the table takes commits again — no manual directory surgery
+    rows(20, 25).write.format(FMT).option("path", path).mode("append").save()
+    assert(VersionedV2.latestVersion(path) == 3)
+    assert(readTable(path).count() == 25)
+    assert(readTable(path, Some(2)).count() == 20) // history intact
+  }
+
   test("streaming sink: each micro-batch epoch publishes one immutable version") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
