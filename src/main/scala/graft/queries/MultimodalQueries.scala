@@ -159,6 +159,74 @@ object MultimodalQueries {
     """),
   )
 
+  /** Windowed features over TRULY-DECODED audio — the real-codec rung
+    * above [[multimodalAudio]]'s byte-slice stub (the audio analog of
+    * r13's image-decode rung): each "audio" doc synthesizes a REAL
+    * RIFF/WAVE PCM16 file whose samples are a closed-form function of
+    * (media_id, k) — s_k = ((media_id·131 + k·7919) mod 65536) − 32768
+    * — the engine decodes it through `javax.sound.sampled` (the
+    * actual JDK codec, not a byte parser), then computes sliding-
+    * window RMS (exact int64 sum-of-squares) and zero-crossing counts
+    * over the DECODED samples. The oracle replays the features from
+    * the closed form directly, so any decoder deviation (wrong
+    * endianness, off-by-one frame, header misparse) breaks the hash —
+    * the decode itself is what the row verifies. `where(decoded)`
+    * makes a silent stub fallback a row-count mismatch, not a pass.
+    * Scale: encode+decode+window is one narrow mapPartitions batch —
+    * no shuffle; the 100 TB path is identical with bytes read from
+    * binaryFile/parquet instead of synthesized.
+    */
+  val multimodalAudioDecode: Q = Q(
+    "multimodal_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal.MediaRecord
+      val media = Tables.documents(s, dir)
+        .where(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (160 + id % 256).toInt
+          val samples = Array.tabulate(n)(k =>
+            (((id * 131 + k.toLong * 7919) % 65536) - 32768).toShort)
+          MediaRecord(id, "audio",
+            Multimodal.encodeWavPcm16(16000, samples), 0, 0, 16000)
+        }
+      Multimodal.audioFeatures(media, winSamples = 100, hopSamples = 40,
+        maxWindows = 20)
+        .toDF().where(col("decoded"))
+        .select(col("media_id"), col("win_idx"), col("start_sample"),
+          col("start_ms"), round(col("rms"), 6).as("rms"), col("zero_cross"))
+    },
+    Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, (160 + doc_id % 256)::BIGINT AS n_samples
+        FROM documents WHERE doc_id % 3 = 1),
+      w AS (
+        SELECT media_id, n_samples,
+               least(CASE WHEN n_samples >= 100
+                          THEN (n_samples - 100) // 40 + 1 ELSE 0 END,
+                     20)::INT AS n_win
+        FROM media),
+      idx AS (
+        SELECT media_id, unnest(range(n_win))::INT AS win_idx
+        FROM w WHERE n_win > 0),
+      samp AS (
+        SELECT media_id, win_idx, unnest(range(100))::BIGINT AS i
+        FROM idx),
+      sv AS (
+        SELECT media_id, win_idx, i,
+               ((media_id * 131 + (win_idx * 40 + i) * 7919) % 65536) - 32768 AS s,
+               ((media_id * 131 + (win_idx * 40 + i - 1) * 7919) % 65536) - 32768 AS sp
+        FROM samp)
+      SELECT media_id, win_idx,
+             (win_idx * 40)::BIGINT AS start_sample,
+             (win_idx::BIGINT * 40 * 1000 // 16000) AS start_ms,
+             round(sqrt(sum(s * s)::DOUBLE / 100), 6) AS rms,
+             sum(CASE WHEN i > 0 AND ((s >= 0) != (sp >= 0))
+                      THEN 1 ELSE 0 END)::INT AS zero_cross
+      FROM sv GROUP BY 1, 2
+    """),
+  )
+
   /** Content-checksum dedup over the media records — the baseline
     * image/audio dedup every multimodal corpus pipeline runs first
     * (LAION-style exact-bytes dedup, upstream of any perceptual
@@ -404,6 +472,7 @@ object MultimodalQueries {
   )
 
   val all: Seq[Q] = Seq(multimodalMeta, multimodalResize, multimodalFrames,
-    multimodalPatches, multimodalAudio, multimodalDedup, multimodalPhash,
+    multimodalPatches, multimodalAudio, multimodalAudioDecode,
+    multimodalDedup, multimodalPhash,
     multimodalBatchPlan, multimodalClipPairs, multimodalAspectBucket)
 }
