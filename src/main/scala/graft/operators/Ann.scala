@@ -510,6 +510,165 @@ object Ann {
     * duplicates well above threshold (near-identical vectors, miss
     * probability ≈ 0), as dedup_embedding's does.
     */
+  /** md5-deterministic layered small-world graph — the HNSW-class
+    * index tier above LSH/IVF/PQ (graph ANN is the industry-default
+    * high-recall serving index; Malkov & Yashunin 2018). Construction
+    * is the REPLAYABLE NSW variant: nodes shard by md5-h16 (shard =
+    * h16 % nShards — at 100 TB nShards scales with the corpus so
+    * shard SIZE stays fixed and per-shard build cost is bounded;
+    * 4 here keeps the oracle's pairwise replay small), each node
+    * links to its `m` nearest PREDECESSORS (id order — the classic
+    * incremental-insertion neighbor rule made closed-form) within its
+    * shard, edges symmetrize, and every node's degree caps at
+    * `degreeCap` by cosine rank. Layer 1 is the sparse md5-sampled
+    * subset (h16(md5("L:"+id)) % levelMod == 0 — the geometric level
+    * draw, derandomized) wired the same way, giving beam search a
+    * long-range entry layer. Every choice (shard, level, neighbor
+    * rank, tie = lower id) is a pure function of ids and vectors, so
+    * a SQL engine replays the whole graph — unlike true HNSW, whose
+    * graph depends on insertion-time search paths no oracle can
+    * follow. Distributed serving shape: shards ARE partitions (each
+    * executor holds whole shards' adjacency), queries broadcast, and
+    * the per-shard beams merge by cosine rank — SURVEY §4.
+    *
+    * Returns (level, src, dst).
+    */
+  def hnswBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                m: Int = 4, degreeCap: Int = 8, nShards: Int = 4,
+                levelMod: Int = 8): DataFrame = {
+    val h16 = conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val hl = conv(substring(md5(concat(lit("L:"), col("id").cast("string"))),
+      1, 4), 16, 10).cast("long")
+    val b = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"), norm(col("v")).as("nrm"),
+        pmod(h16, lit(nShards)).as("shard"),
+        when(pmod(hl, lit(levelMod)) === 0, 1).otherwise(0).as("lvl"))
+      // co-locate each shard's pairwise work (the build's only shuffle)
+      .repartition(math.max(nShards, 1), col("shard"))
+    def levelEdges(nodes: DataFrame, level: Int): DataFrame = {
+      val a = nodes.select(col("id"), col("v"), col("nrm"), col("shard"))
+      val pairs = a.as("a").join(a.as("b"),
+          col("a.shard") === col("b.shard") && col("b.id") < col("a.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"),
+          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cs"))
+      val wSrc = Window.partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+      val fwd = pairs.withColumn("rn", row_number().over(wSrc))
+        .where(col("rn") <= m).drop("rn")
+      // symmetrize (fwd links point down-id, reversed links up-id — the
+      // two sets are disjoint) then cap total degree by cosine rank
+      val sym = fwd.unionAll(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), col("cs")))
+      sym.withColumn("rn", row_number().over(wSrc)).where(col("rn") <= degreeCap)
+        .select(lit(level).as("level"), col("src"), col("dst"))
+    }
+    levelEdges(b, 0).unionAll(levelEdges(b.where(col("lvl") === 1), 1))
+  }
+
+  /** Greedy beam search over the [[hnswBuild]] graph — HNSW search
+    * with ef = beamWidth and a FIXED hop budget instead of a
+    * visited-set convergence test, so the whole trajectory unrolls
+    * into static SQL (the kmeansTrain fixed-T discipline): seed the
+    * beam from `nEntry` md5-sampled entry nodes with PER-SHARD
+    * fan-out — each query keeps its top beamWidth/nShards entries in
+    * EVERY shard (edges never cross shards, so a shard no seed lands
+    * in is unreachable; per-shard seeding is the distributed serving
+    * contract that every partition's graph gets probed) — then run
+    * `hops1` expand-and-prune rounds over the sparse layer-1 edges
+    * (long hops toward the neighborhood) and `hops0` rounds over
+    * layer 0 (local refinement); each round keeps the top `beamWidth`
+    * of beam ∪ neighbors(beam) by (cosine desc, id) PER SHARD — every
+    * shard runs its own ef=beamWidth search (a node's path can never
+    * leave its shard, so a global prune would abandon whole shards
+    * mid-search and strand the true neighbors living there), and the
+    * per-shard beams merge by global cosine rank only at the end —
+    * exactly the distributed serving contract (each executor searches
+    * its local graphs at full beam, the driver merges top-k). Self is
+    * excluded (the knn query≠neighbor convention), identically on
+    * both engines. Per round: one small join beam⋈edges + one
+    * re-score join against the corpus + one beamWidth window — beam
+    * cardinality is queries×beamWidth throughout, queries broadcast.
+    * Output (query_id, nn_id, cosine, rank), rank ≤ k.
+    */
+  def hnswSearch(corpus: DataFrame, queries: DataFrame, edges: DataFrame,
+                 idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
+                 hops1: Int = 2, hops0: Int = 3, nEntry: Int = 16,
+                 nShards: Int = 4): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.select(col(idCol).as("node"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .select(col("node"), col("cv"), norm(col("cv")).as("nrm"))
+      .repartition(par, col("node")).localCheckpoint()
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qnrm"))
+      .localCheckpoint()
+    // the graph is read once per hop: materialize it once
+    val ed = edges.localCheckpoint()
+    // deterministic entry points — the sampleCentroids h16 residue
+    // rule, but keeping (id, vec): a bounded nEntry-row fit boundary
+    val n = c.count()
+    val step = math.max(1L, n / nEntry)
+    val h16 = conv(substring(md5(col("node").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val entries = c.where(pmod(h16, lit(step)) === 0)
+      .orderBy(col("node")).limit(nEntry)
+      .select(col("node"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    // a node's shard is a pure function of its id — recomputed where
+    // needed instead of carried through the beam
+    val shardOfNode = pmod(conv(substring(md5(col("node").cast("string")),
+      1, 4), 16, 10).cast("long"), lit(nShards))
+    val wqs = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("cs").desc, col("node"))
+    def prune(cand: DataFrame): DataFrame =
+      cand.join(c, Seq("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          (dot(col("qv"), col("cv")) / (col("qnrm") * col("nrm"))).as("cs"))
+        .withColumn("shard", shardOfNode)
+        .withColumn("rn", row_number().over(wqs)).where(col("rn") <= beamWidth)
+        .select(col("query_id"), col("node"))
+    // seed beam with PER-SHARD fan-out: explode the bounded entry
+    // literal per query (nEntry rows — a broadcast-shaped constant,
+    // no cartesian plan node), score, keep the top beamWidth/nShards
+    // in EVERY shard so no shard's graph goes unprobed
+    val perShard = math.max(1, beamWidth / nShards)
+    val entryLit = typedLit(entries.toSeq) // array<struct<_1:bigint,_2:array<double>>>
+    val seedShard = pmod(conv(substring(md5(col("node").cast("string")), 1, 4),
+      16, 10).cast("long"), lit(nShards))
+    val ws = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("cs").desc, col("node"))
+    var beam = q.select(col("query_id"), col("qv"), col("qnrm"),
+        explode(entryLit).as("en"))
+      .select(col("query_id"), col("en._1").as("node"),
+        (dot(col("qv"), col("en._2")) / (col("qnrm") * norm(col("en._2"))))
+          .as("cs"))
+      .where(col("node") =!= col("query_id"))
+      .withColumn("shard", seedShard)
+      .withColumn("rn", row_number().over(ws)).where(col("rn") <= perShard)
+      .select(col("query_id"), col("node"))
+    def hop(level: Int): Unit = {
+      val lvlEdges = ed.where(col("level") === level)
+        .select(col("src").as("node"), col("dst"))
+      val grown = beam.unionAll(
+          beam.join(lvlEdges, Seq("node")).select(col("query_id"),
+            col("dst").as("node")))
+        .where(col("node") =!= col("query_id")).distinct()
+      beam = prune(grown)
+    }
+    (1 to hops1).foreach(_ => hop(1))
+    (1 to hops0).foreach(_ => hop(0))
+    beam.join(c, Seq("node")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("node").as("nn_id"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("nn_id"))))
+      .where(col("rank") <= k)
+  }
+
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, tables: Int = 16, bits: Int = 4,
                      dims: Int = 64, seed: Long = 7L): DataFrame = {

@@ -1018,6 +1018,133 @@ object DedupQueries {
     """),
   )
 
+  // ---------------------------------------------------------------- §2.3/36g
+  /** One [[Ann.hnswBuild]] level's edge CTEs (pairs→top-m fwd→
+    * symmetrize→degree cap) for the knn_hnsw oracle; `lvlCond`
+    * restricts layer 1 to the md5-sampled sparse subset.
+    */
+  private def hnswEdgesSql(l: Int, m: Int, cap: Int, lvlCond: String): String = s"""
+      pairs$l AS (
+        SELECT a.vec_id AS src, c.vec_id AS dst,
+               list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cs
+        FROM hb a JOIN hb c ON a.shard = c.shard AND c.vec_id < a.vec_id
+        $lvlCond),
+      fwd$l AS (
+        SELECT src, dst, cs FROM (
+          SELECT src, dst, cs,
+                 row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+          FROM pairs$l) WHERE rn <= $m),
+      sym$l AS (
+        SELECT src, dst, cs FROM fwd$l
+        UNION ALL SELECT dst AS src, src AS dst, cs FROM fwd$l),
+      he$l AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+          FROM sym$l) WHERE rn <= $cap)"""
+
+  /** One beam-search hop for the knn_hnsw oracle: expand the previous
+    * beam over level-`l` edges, dedup, drop self, re-score, keep the
+    * top `beam` by (cosine desc, id) PER SHARD — the
+    * [[Ann.hnswSearch]] round (per-shard beams, merged only at the
+    * final global rank).
+    */
+  private def hnswHopSql(t: Int, l: Int, beam: Int): String = s"""
+      hx$t AS (
+        SELECT DISTINCT query_id, node FROM (
+          SELECT query_id, node FROM hs${t - 1}
+          UNION ALL
+          SELECT s.query_id, ed.dst AS node
+          FROM hs${t - 1} s JOIN he$l ed ON s.node = ed.src)
+        WHERE node != query_id),
+      hsc$t AS (
+        SELECT x.query_id, x.node, c.shard,
+               list_dot_product(q.qv, c.v) / (q.qnrm * c.nrm) AS cs
+        FROM hx$t x JOIN hb c ON x.node = c.vec_id
+        JOIN hq q ON x.query_id = q.query_id),
+      hs$t AS (
+        SELECT query_id, node FROM (
+          SELECT query_id, node,
+                 row_number() OVER (PARTITION BY query_id, shard
+                                    ORDER BY cs DESC, node) AS rn
+          FROM hsc$t) WHERE rn <= $beam)"""
+
+  /** Graph ANN ([[Ann.hnswBuild]]/[[Ann.hnswSearch]] — the HNSW-class
+    * index tier above LSH/IVF/PQ): md5-deterministic layered
+    * small-world graph (shard by h16, link each node to its m=4
+    * nearest predecessors in-shard, symmetrize, cap degree 8; layer 1
+    * = the h16("L:"+id)%8==0 sparse subset wired the same way) +
+    * greedy beam search with a FIXED hop budget (2 layer-1 hops, 3
+    * layer-0 hops, ef=8) seeded from the 16 md5-sampled entry nodes
+    * with per-shard fan-out (top-2 per shard — edges never cross
+    * shards, so every shard's graph must receive a seed).
+    * Every choice is a pure function of ids and vectors, so the
+    * oracle replays the ENTIRE graph construction and all five
+    * unrolled beam rounds — the kmeansTrain fixed-T discipline
+    * applied to graph search. AnnSpec measures recall vs brute force
+    * (≥ the IVF row's at equal probe budget). Scale: shard size stays
+    * fixed (nShards grows with the corpus) so build cost is linear;
+    * serving holds whole shards per executor, queries broadcast,
+    * per-shard beams merge by rank — SURVEY §4.
+    */
+  val knnHnsw: Q = Q(
+    "knn_hnsw",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.where(col("vec_id") < 20)
+      val edges = Ann.hnswBuild(e, "vec_id", "embedding",
+        m = 4, degreeCap = 8, nShards = 4, levelMod = 8)
+      Ann.hnswSearch(e, queries, edges, "vec_id", "embedding", k = 5,
+        beamWidth = 8, hops1 = 2, hops0 = 3, nEntry = 16)
+        .select(col("query_id"), col("nn_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      hn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                    ${OracleExact.h16Sql("md5(vec_id::VARCHAR)")} AS h16,
+                    ${OracleExact.h16Sql("md5('L:' || vec_id::VARCHAR)")} AS hl
+             FROM e),
+      hb AS (SELECT vec_id, v, nrm, h16 % 4 AS shard,
+                    CASE WHEN hl % 8 = 0 THEN 1 ELSE 0 END AS lvl, h16
+             FROM hn),
+      ${hnswEdgesSql(0, m = 4, cap = 8, lvlCond = "")},
+      ${hnswEdgesSql(1, m = 4, cap = 8,
+        lvlCond = "AND a.lvl = 1 AND c.lvl = 1")},
+      hq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+             FROM hn WHERE vec_id < 20),
+      ent AS (
+        SELECT vec_id, v, nrm, shard FROM hb
+        WHERE h16 % greatest(1, (SELECT count(*) FROM e) // 16) = 0
+        ORDER BY vec_id LIMIT 16),
+      hsc0 AS (
+        SELECT q.query_id, ent.vec_id AS node, ent.shard,
+               list_dot_product(q.qv, ent.v) / (q.qnrm * ent.nrm) AS cs
+        FROM hq q CROSS JOIN ent
+        WHERE ent.vec_id != q.query_id),
+      hs0 AS (
+        SELECT query_id, node FROM (
+          SELECT query_id, node,
+                 row_number() OVER (PARTITION BY query_id, shard
+                                    ORDER BY cs DESC, node) AS rn
+          FROM hsc0) WHERE rn <= 2),
+      ${hnswHopSql(1, l = 1, beam = 8)},
+      ${hnswHopSql(2, l = 1, beam = 8)},
+      ${hnswHopSql(3, l = 0, beam = 8)},
+      ${hnswHopSql(4, l = 0, beam = 8)},
+      ${hnswHopSql(5, l = 0, beam = 8)},
+      fin AS (
+        SELECT x.query_id, x.node AS nn_id,
+               list_dot_product(q.qv, c.v) / (q.qnrm * c.nrm) AS cosine
+        FROM hs5 x JOIN hb c ON x.node = c.vec_id
+        JOIN hq q ON x.query_id = q.query_id)
+      SELECT query_id, nn_id, round(cosine, 6) AS cosine, rank FROM (
+        SELECT query_id, nn_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        FROM fin) WHERE rank <= 5
+    """),
+  )
+
   // ---------------------------------------------------------------- §2.3/36f
   /** Int8 affine embedding quantization report
     * ([[graft.operators.Quantize.int8Report]]): per-dim min/max fit,
@@ -2116,7 +2243,7 @@ object DedupQueries {
     dedupPipeline, dedupNgramJaccard, dedupContainment, dedupSimhash,
     dedupEmbedding, dedupSemdedup, knnBruteforce, knnLsh, knnIvf, kmeansStep, kmeansTrain,
     knnIvfPruned,
-    knnPq, knnIvfPq, vectorQuantize, pcaGram, pcaPower, qPagerankStep, qPagerank,
+    knnPq, knnIvfPq, knnHnsw, vectorQuantize, pcaGram, pcaPower, qPagerankStep, qPagerank,
     dedupEditDistance, qLabelPropStep, qTriangleCount, qRecallAtK, erClusters,
     qEmbedNorm, erGoldenRecord, qKnnClassify, qCentroidClassify,
     dedupGraphDegrees, dedupPrf, qEmbedProject, qKcoreStep, dedupIncremental,

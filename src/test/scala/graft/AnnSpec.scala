@@ -49,6 +49,59 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall too low")
   }
 
+  test("hnsw beam search: recall vs brute force at least matches ivf at equal probe budget") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where($"vec_id" < 10)
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val edges = Ann.hnswBuild(e, "vec_id", "embedding",
+      m = 4, degreeCap = 8, nShards = 4, levelMod = 8)
+    val hnsw = Ann.hnswSearch(e, q, edges, "vec_id", "embedding", k = 5,
+      beamWidth = 8, hops1 = 2, hops0 = 3, nEntry = 16)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val hnswRecall = (bf intersect hnsw).size.toDouble / bf.size
+    // equal probe budget: ivf scores nProbe/nCells = 1/4 of the corpus
+    // per query; the beam touches ≤ beamWidth·(1+degreeCap)·hops ≈ the
+    // same fraction of this fixture
+    val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", 5, nCells = 8, nProbe = 2)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = (bf intersect ivf).size.toDouble / bf.size
+    assert(hnswRecall >= ivfRecall,
+      s"hnsw recall $hnswRecall below ivf's $ivfRecall at equal budget")
+    assert(hnswRecall >= 0.4, s"hnsw recall $hnswRecall too low")
+    // rank/self-exclusion contract shared with the other knn rows
+    val rows = Ann.hnswSearch(e, q, edges, "vec_id", "embedding", k = 5).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(3)).sorted
+      .sameElements(1 to 5)))
+  }
+
+  test("hnsw graph: degree cap holds, layer-1 is the md5 subset, edges stay in-shard") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val edges = Ann.hnswBuild(e, "vec_id", "embedding",
+      m = 4, degreeCap = 8, nShards = 4, levelMod = 8).cache()
+    val deg = edges.groupBy($"level", $"src").count().agg(max($"count")).head.getLong(0)
+    assert(deg <= 8, s"degree cap violated: $deg")
+    val h16 = conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val shardOf = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("node"), pmod(h16, lit(4)).as("shard"))
+    val cross = edges
+      .join(shardOf.withColumnRenamed("node", "src").withColumnRenamed("shard", "s1"), "src")
+      .join(shardOf.withColumnRenamed("node", "dst").withColumnRenamed("shard", "s2"), "dst")
+      .where($"s1" =!= $"s2").count()
+    assert(cross == 0, "an edge crossed shards")
+    // layer-1 endpoints all satisfy the level draw
+    val hl = conv(substring(md5(concat(lit("L:"), $"node".cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    val l1nodes = edges.where($"level" === 1)
+      .select($"src".as("node")).union(edges.where($"level" === 1).select($"dst"))
+      .distinct().where(pmod(hl, lit(8)) =!= 0).count()
+    assert(l1nodes == 0, "a non-sampled node reached layer 1")
+    edges.unpersist()
+  }
+
   test("k-means step assigns every vector once and improves assignment cosine") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
