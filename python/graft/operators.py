@@ -47,3 +47,26 @@ def ts_features(df, series_key, time_col, value_col):
     spark = df.sparkSession
     return DataFrame(bridge(spark).tsFeatures(
         df._jdf, series_key, time_col, value_col), spark)
+
+
+def connected_components(pairs, max_iter=20):
+    """Connected components over an (id_a, id_b) pair table — the
+    cluster step after any pair generator: (id, component min-id)."""
+    spark = pairs.sparkSession
+    return DataFrame(bridge(spark).connectedComponents(
+        pairs._jdf, int(max_iter)), spark)
+
+
+def pii_scan(df, text_col):
+    """Per-document PII match counts by category plus redacted text."""
+    spark = df.sparkSession
+    return DataFrame(bridge(spark).piiScan(df._jdf, text_col), spark)
+
+
+def knn_ivf(corpus, queries, id_col, vec_col, k=5, n_cells=16, n_probe=4):
+    """IVF ANN top-k: md5-sampled coarse cells; only n_probe of
+    n_cells cells are scored per query."""
+    spark = corpus.sparkSession
+    return DataFrame(bridge(spark).knnIvf(
+        corpus._jdf, queries._jdf, id_col, vec_col, int(k), int(n_cells),
+        int(n_probe)), spark)

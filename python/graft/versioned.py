@@ -46,3 +46,25 @@ def vacuum(spark, path, keep_versions=1, reclaim_dead_claims=False):
     from graft.session import bridge
     return dict(bridge(spark).vacuumVersioned(
         path, int(keep_versions), bool(reclaim_dead_claims)))
+
+
+def delete_ids(spark, path, ids):
+    """Row-level copy-on-write DELETE of the given ids — the GDPR
+    erasure path. Publishes one new version rewriting only affected
+    files; older snapshots still see the rows until ``vacuum``.
+    Returns a dict report (version, rewritten_files, carried_files,
+    deleted_rows, kept_rows)."""
+    from graft.session import bridge
+    jlist = spark._jvm.java.util.ArrayList()
+    for i in ids:
+        jlist.add(spark._jvm.java.lang.Long(int(i)))
+    return dict(bridge(spark).deleteVersionedIds(path, jlist))
+
+
+def evolve_schema(spark, path, name, type_name):
+    """ADD-COLUMN schema evolution (nullable long/double/string):
+    publishes a metadata-only version; reads at or after it null-fill
+    the column for older files, earlier snapshots keep the old schema.
+    Returns the version the evolution published."""
+    from graft.session import bridge
+    return int(bridge(spark).evolveVersioned(path, name, type_name))

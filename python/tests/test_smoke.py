@@ -238,3 +238,54 @@ def test_versioned_table_from_python(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         versioned.read(spark, path, version=1).count()
+
+
+def test_versioned_delete_and_evolve_from_python(spark, tmp_path):
+    from graft import versioned
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "vt2")
+    versioned.write(spark.range(0, 40).select(
+        F.col("id"), (F.col("id") / 3.0).alias("val")), path, mode="overwrite")
+    rep = versioned.delete_ids(spark, path, [1, 5, 9])
+    assert rep["deleted_rows"] == 3 and rep["version"] == 2
+    assert versioned.read(spark, path).count() == 37
+    assert versioned.read(spark, path, version=1).count() == 40  # history
+
+    v = versioned.evolve_schema(spark, path, "tag", "string")
+    assert v == 3
+    d = versioned.read(spark, path)
+    assert d.columns == ["id", "val", "tag"]
+    assert d.where("tag is null").count() == 37  # null-fill on old files
+    versioned.write(spark.range(40, 43).select(
+        F.col("id"), (F.col("id") / 3.0).alias("val"),
+        F.lit("new").alias("tag")), path, mode="append")
+    assert versioned.read(spark, path).where("tag = 'new'").count() == 3
+    # pre-evolution snapshot keeps the old schema
+    assert versioned.read(spark, path, version=2).columns == ["id", "val"]
+
+
+def test_more_operator_entry_points(spark, sf_dir):
+    from graft import operators
+    from pyspark.sql import functions as F
+
+    # connected components over a tiny planted pair table
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    cc = {r["id"]: r["canonical"]
+          for r in operators.connected_components(pairs).collect()}
+    assert cc[1] == cc[2] == cc[3] and cc[10] == cc[11] and cc[1] != cc[10]
+
+    # pii scan redacts a planted email
+    df = spark.createDataFrame(
+        [(1, "contact me at jane@example.com please")], ["id", "text"])
+    row = operators.pii_scan(df, "text").collect()[0]
+    assert "jane@example.com" not in row["redacted"]
+
+    # IVF ANN: bounded per-query results, self excluded
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    topk = operators.knn_ivf(emb, emb.where("vec_id < 2"),
+                             "vec_id", "embedding", k=3)
+    assert topk.where("query_id = nn_id").count() == 0
+    assert all(r["count"] <= 3
+               for r in topk.groupBy("query_id").count().collect())

@@ -230,6 +230,49 @@ object PyBridge {
   def versionedLatest(path: String): Int =
     graft.sources.VersionedV2.latestVersion(path)
 
+  /** Row-level copy-on-write DELETE by explicit id list — the GDPR
+    * erasure shape ([[graft.sources.VersionedV2.delete]]; a Scala
+    * caller can pass any predicate, py4j gets the concrete id set).
+    */
+  def deleteVersionedIds(path: String,
+                         ids: ju.List[java.lang.Long]): ju.Map[String, Long] = {
+    val set = ids.asScala.map(_.longValue()).toSet
+    val r = graft.sources.VersionedV2.delete(path, set.contains)
+    Map("version" -> r.version.toLong,
+      "rewritten_files" -> r.rewrittenFiles.toLong,
+      "carried_files" -> r.carriedFiles.toLong,
+      "deleted_rows" -> r.deletedRows,
+      "kept_rows" -> r.keptRows).asJava
+  }
+
+  /** ADD-COLUMN schema evolution
+    * ([[graft.sources.VersionedV2.evolveSchema]]); returns the
+    * metadata-only version it published.
+    */
+  def evolveVersioned(path: String, name: String, typeName: String): Int =
+    graft.sources.VersionedV2.evolveSchema(path, name, typeName)
+
+  /** Connected components over a pair table
+    * ([[graft.operators.Dedup.connectedComponents]]) — the cluster
+    * step after any pair generator: (id, component min-id).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int): DataFrame =
+    graft.operators.Dedup.connectedComponents(pairs, maxIter)
+
+  /** PII scan ([[graft.operators.Pii.scan]]): per-document match
+    * counts by category plus the redacted text.
+    */
+  def piiScan(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.Pii.scan(df, textCol)
+
+  /** IVF ANN top-k ([[graft.operators.Ann.ivfTopK]]): md5-sampled
+    * coarse cells, nProbe cells scored per query.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame =
+    graft.operators.Ann.ivfTopK(corpus, queries, idCol, vecCol, k,
+      nCells, nProbe)
+
   /** Reference `extract_ts_features(data, y, time, column_id)`
     * (preprocessor.py:558-638): per-series tsfresh-style matrix
     * filtered to the BH-relevant features, all features when none

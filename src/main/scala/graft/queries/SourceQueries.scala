@@ -261,7 +261,110 @@ object SourceQueries {
     """),
   )
 
+  /** Row-level DELETE on the versioned table ([[graft.sources.
+    * VersionedV2.delete]] — copy-on-write, the GDPR-erasure path at
+    * the storage layer): two commits build v2 (so the table has
+    * several immutable files), the predicate `id % 7 = 0 AND id <
+    * 3000` touches only the FIRST commit's files (the second commit's
+    * carry by reference — VersionedV2Spec pins the file accounting),
+    * and the publish is the same claim→manifest→pointer sequence as a
+    * write. Both the pre-delete and post-delete snapshots read back
+    * through time travel — history is immutable until vacuum — and
+    * DuckDB replays them from the RangeV2 closed form.
+    */
+  val versionedDelete: Q = Q(
+    "source_versioned_delete",
+    (s, dir) => {
+      import graft.operators.ExactAgg
+      val fmt = "graft.sources.VersionedV2"
+      val path = IO.freshScratchDir("versioned_delete") + "/t"
+      def gen(lo: Int, hi: Int) = s.read.format("graft.sources.RangeV2")
+        .option("start", lo.toString).option("end", hi.toString)
+        .option("slices", "4").load()
+      gen(0, 3000).write.format(fmt).option("path", path)
+        .mode("overwrite").save()
+      gen(3000, 6000).write.format(fmt).option("path", path)
+        .mode("append").save()
+      graft.sources.VersionedV2.delete(path, id => id % 7 == 0 && id < 3000)
+      def snap(v: Int) = s.read.format(fmt).option("path", path)
+        .option("version", v.toString).load()
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          round(ExactAgg.decSum(col("val")), 6).as("sum_val"))
+        .select(lit(v).as("version"), col("n"), col("sum_id"), col("sum_val"))
+      snap(2).unionAll(snap(3))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT i, ((i * 2654435761) % 1000003) / 1000003.0 AS v
+        FROM generate_series(0, 5999) t(i))
+      SELECT 2 AS version, count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_id,
+             round(${OracleExact.decSumSql("v")}, 6) AS sum_val
+      FROM g
+      UNION ALL
+      SELECT 3 AS version, count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_id,
+             round(${OracleExact.decSumSql("v")}, 6) AS sum_val
+      FROM g WHERE NOT (i % 7 = 0 AND i < 3000)
+    """),
+  )
+
+  /** ADD-COLUMN schema evolution on the versioned table
+    * ([[graft.sources.VersionedV2.evolveSchema]] — the lake-format
+    * twin of row 256's parquet mergeSchema): v1 commits under the base
+    * (id, val) schema, the evolution publishes the METADATA-ONLY v2
+    * (same data files, new nullable `tag` column effective from v2),
+    * and v3 appends rows that carry the column. Reads across the
+    * boundary: v1 presents the OLD schema (time travel is honest), v2
+    * null-fills every pre-evolution row, v3 mixes null-filled old
+    * files with tagged new ones — all replayed by DuckDB from the
+    * RangeV2 closed form.
+    */
+  val versionedEvolve: Q = Q(
+    "source_versioned_evolve",
+    (s, dir) => {
+      val fmt = "graft.sources.VersionedV2"
+      val path = IO.freshScratchDir("versioned_evolve") + "/t"
+      def gen(lo: Int, hi: Int) = s.read.format("graft.sources.RangeV2")
+        .option("start", lo.toString).option("end", hi.toString)
+        .option("slices", "4").load()
+      gen(0, 3000).write.format(fmt).option("path", path)
+        .mode("overwrite").save()
+      graft.sources.VersionedV2.evolveSchema(path, "tag", "string")
+      gen(3000, 4000)
+        .withColumn("tag", concat(lit("t"), (col("id") % 3).cast("string")))
+        .write.format(fmt).option("path", path).mode("append").save()
+      def snap(v: Int) = {
+        val d = s.read.format(fmt).option("path", path)
+          .option("version", v.toString).load()
+        val tagged = if (d.columns.contains("tag")) col("tag")
+                     else lit(null).cast("string")
+        d.select(col("id"), tagged.as("tag"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+            count(col("tag")).as("n_tagged"),
+            coalesce(concat_ws("|", array_sort(collect_set(col("tag")))), lit(""))
+              .as("tags"))
+          .select(lit(v).as("version"), col("n"), col("sum_id"),
+            col("n_tagged"), col("tags"))
+      }
+      snap(1).unionAll(snap(2)).unionAll(snap(3))
+    },
+    Some("""
+      WITH g AS (SELECT i FROM generate_series(0, 3999) t(i))
+      SELECT 1 AS version, count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_id,
+             0::BIGINT AS n_tagged, '' AS tags
+      FROM g WHERE i < 3000
+      UNION ALL
+      SELECT 2 AS version, count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_id,
+             0::BIGINT AS n_tagged, '' AS tags
+      FROM g WHERE i < 3000
+      UNION ALL
+      SELECT 3 AS version, count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_id,
+             count(*) FILTER (WHERE i >= 3000)::BIGINT AS n_tagged,
+             't0|t1|t2' AS tags
+      FROM g
+    """),
+  )
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, avroRoundtrip,
     sinkPartitioned, textRoundtrip, binaryRoundtrip, schemaEvolution, rangeV2,
-    rangeV2Agg, versionedWrite)
+    rangeV2Agg, versionedWrite, versionedDelete, versionedEvolve)
 }

@@ -1481,10 +1481,10 @@ object StreamingQueries {
       import org.apache.spark.sql.functions._
       import graft.Tables
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      // sf-scoped path, distinct from the batch twin's (see
-      // dedup_incremental): concurrent runs must not clobber it
-      val idx = "/tmp/graft_band_index_s_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      graft.operators.Dedup.bandIndexWrite(base, "doc_id", "text", idx)
+      // shared pid+sf-scoped standing index (write-if-absent): the
+      // stream probes the same index the batch twin maintains — one
+      // build per JVM, never a clobber across processes
+      val idx = DedupQueries.standingBandIndex(s, dir)
       val index = s.read.parquet(idx)
       def docsS = StreamOps.docsStream(s, dir).select(col("doc_id"), col("text"))
       val fresh = docsS.where(col("doc_id") % 10 === 0)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.operators.{FreqSketch, TextAnalysis}
@@ -1440,6 +1441,109 @@ object TextQueries {
     """),
   )
 
+  /** DuckDB replay of the whole [[textBpeTrain]] loop: 5 unrolled
+    * merge rounds, each = pair rollup over the frequency-weighted
+    * symbol vocabulary → deterministic argmax (count desc, pair asc)
+    * → greedy left-to-right merge as ONE literal `replace` over the
+    * separator-framed word (both engines' `replace` scans left to
+    * right and never rematches inside a replacement — exactly BPE's
+    * greedy merge order). All counts are exact int64, so there is
+    * nothing to quantize: the chained oracle is bit-free.
+    */
+  private def bpeTrainOracleSql(steps: Int): String = {
+    val S = "chr(31)"
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH toks AS (
+        SELECT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents) t
+        WHERE w <> '' AND NOT contains(w, $S)),
+      f AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+      v0 AS (SELECT $S || array_to_string(string_split(w, ''), $S||$S) || $S
+                    AS w, c FROM f)"""
+    for (k <- 1 to steps) {
+      sb ++= s""",
+      p$k AS (SELECT syms[i.i] AS a, syms[i.i + 1] AS b, sum(c)::BIGINT AS n
+              FROM (SELECT string_split(trim(w, $S), $S||$S) AS syms, c
+                    FROM v${k - 1}) t,
+                   unnest(generate_series(1, len(syms) - 1)) AS i(i)
+              GROUP BY 1, 2),
+      m$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+      v$k AS (SELECT replace(v.w, $S||m.a||$S||$S||m.b||$S,
+                             $S||m.a||m.b||$S) AS w, v.c
+              FROM v${k - 1} v, m$k m)"""
+    }
+    sb ++= (1 to steps).map(k =>
+      s"\n      SELECT $k AS step, a, b, n FROM m$k")
+      .mkString("", "\n      UNION ALL", "\n")
+    sb.toString
+  }
+
+  /** The full BPE TRAINING loop (`text_bpe_train`) — `text_bpe_step`
+    * iterated to a 5-merge table with the chained-oracle discipline
+    * the kmeans/pagerank/logreg loops proved (SURVEY rows 420/421/428):
+    * every carried value is exact int64, every argmax tie-breaks on
+    * (count desc, pair asc), and DuckDB replays ALL rounds, so one
+    * wrong merge anywhere breaks the hash.
+    *
+    * Representation is the scale trick: words live as separator-framed
+    * symbol strings (`<S>h<S><S>i<S><S>s<S>`, S = U+001F)
+    * on the DISTINCT-WORD vocabulary weighted by frequency — merge
+    * work per round is one literal `replace` over Σ|w| vocab chars
+    * (left-to-right non-overlapping = greedy BPE), never a corpus
+    * pass; pair counting explodes bounded adjacent zips with map-side
+    * combine; the per-round argmax is a bounded LIMIT-1 collect (the
+    * fit-boundary grain); the vocab localCheckpoints each round so the
+    * loop input materializes once (the 065fc5d lesson).
+    */
+  /** The loop body, shared with TextSpec's hand-checked fixture:
+    * `words` is the frequency-weighted vocabulary (w string, c long).
+    * Returns the merge table (step, a, b, n).
+    */
+  private[graft] def bpeTrain(s: SparkSession, words: DataFrame,
+                              steps: Int): DataFrame = {
+      import s.implicits._
+      val SEP = "\u001f" // unit separator: frames each symbol as <S>sym<S>
+      var vocab = words
+        .where(!col("w").contains(SEP))
+        .select(concat(lit(SEP), concat_ws(SEP + SEP, split(col("w"), "")),
+          lit(SEP)).as("w"), col("c"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (step <- 1 to steps) {
+        val top = vocab
+          .select(col("c"),
+            split(trim(col("w"), SEP), SEP + SEP).as("syms"))
+          .where(size(col("syms")) >= 2)
+          .select(col("c"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect().head
+        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((step, a, b, n))
+        vocab = vocab
+          .select(replace(col("w"), lit(SEP + a + SEP + SEP + b + SEP),
+            lit(SEP + a + b + SEP)).as("w"), col("c"))
+          .localCheckpoint()
+      }
+      merges.result().toDF("step", "a", "b", "n")
+  }
+
+  val textBpeTrain: Q = Q(
+    "text_bpe_train",
+    (s, dir) => bpeTrain(s,
+      Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c")),
+      steps = 5),
+    Some(bpeTrainOracleSql(5)),
+  )
+
   /** Per-source duplication report — the dedup OBSERVABILITY rollup a
     * curation pipeline publishes per ingest source (which feeds are
     * mostly boilerplate, which are worth recrawling): exact text
@@ -1780,6 +1884,6 @@ object TextQueries {
     textBalanceThreshold, heavyHitters, textSurprisal, textDecontaminate,
     textTfidf, qBm25, qRrfFusion, textPii, textRepetition, textDedupSpans,
     textPmi, textUrlFilter, qNdcg, textZipf, textClusterTopics, qDupRateBySource,
-    textBpeStep, textLix, textKneserNey, textDsirSelect, qGoodTuring,
-    textMixtureSample, textUrlDedup, textParagraphDedup)
+    textBpeStep, textBpeTrain, textLix, textKneserNey, textDsirSelect,
+    qGoodTuring, textMixtureSample, textUrlDedup, textParagraphDedup)
 }

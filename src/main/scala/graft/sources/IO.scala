@@ -21,7 +21,20 @@ object IO {
     * table or checkpoint mid-query; accumulation stays bounded by
     * best-effort removal of same-name dirs whose owning pid is dead.
     */
-  def freshScratchDir(name: String): String = {
+  def freshScratchDir(name: String): String =
+    scratchDir(name, wipeOwn = true)
+
+  /** Like [[freshScratchDir]] but KEEPS the current process's existing
+    * contents: callers that maintain a standing artifact across
+    * queries within one JVM (the persisted MinHash band index that
+    * `dedup_incremental` probes, built once by the `band_index_write`
+    * bench row) get reuse instead of a rebuild per timed run, while
+    * stale same-name dirs of dead pids are still reclaimed.
+    */
+  def stableScratchDir(name: String): String =
+    scratchDir(name, wipeOwn = false)
+
+  private def scratchDir(name: String, wipeOwn: Boolean): String = {
     def wipe(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         val walk = java.nio.file.Files.walk(p)
@@ -46,7 +59,7 @@ object IO {
       }
     } finally stale.close()
     val p = root.resolve(s"$name-$pid")
-    wipe(p)
+    if (wipeOwn) wipe(p)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

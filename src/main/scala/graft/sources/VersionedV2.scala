@@ -13,8 +13,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The WRITE rung of the DSv2 engine ladder (`format("graft.sources.
   * VersionedV2")`) — the transactional-sink shape every lakehouse
@@ -52,8 +53,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * counter; the version-dir create is the failure that surfaces it).
   */
 class VersionedV2 extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    VersionedV2.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "VersionedV2 requires a path option")
+    VersionedV2.schemaAt(path,
+      Option(options.get("version")).map(_.toInt)
+        .getOrElse(VersionedV2.latestVersion(path)))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -68,6 +74,133 @@ object VersionedV2 {
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("val", DoubleType, nullable = false)))
+
+  // ------------------------------------------------------ schema evolution
+
+  private[sources] val addedTypes: Map[String, DataType] =
+    Map("long" -> LongType, "double" -> DoubleType, "string" -> StringType)
+
+  /** Columns ADDED by [[evolveSchema]]: `(name, typeName, sinceVersion)`
+    * lines in the table-root `_schema.txt` — table-level (not inside a
+    * version dir) so retention vacuum can never delete the schema
+    * history, with `sinceVersion` keeping time travel honest: a
+    * snapshot BEFORE the evolution reads with the schema it was
+    * written under.
+    */
+  private[sources] def addedColumns(path: String): Seq[(String, String, Int)] = {
+    val p = Paths.get(path, "_schema.txt")
+    if (!Files.exists(p)) Nil
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+        val Array(n, t, v) = l.split(":")
+        (n, t, v.toInt)
+      }
+  }
+
+  /** The schema visible at `version`: the base (id, val) plus every
+    * column whose evolution version is ≤ `version`, each nullable
+    * (old files null-fill on read).
+    */
+  def schemaAt(path: String, version: Int): StructType =
+    StructType(schema.fields ++ addedColumns(path)
+      .filter(_._3 <= version)
+      .map { case (n, t, _) => StructField(n, addedTypes(t), nullable = true) })
+
+  /** ADD-COLUMN schema evolution — the lake-format shape: publish a
+    * METADATA-ONLY version (manifest = previous files carried by
+    * reference, no data touched) and record the new nullable column as
+    * effective FROM that version. Reads at or after it null-fill the
+    * column for files written earlier; time travel to versions before
+    * it still presents the old schema; writes after it either supply
+    * the column or omit it (Spark null-extends missing nullable
+    * columns by name). Only nullable ADDs of long/double/string are supported —
+    * every other change (drop, rename, retype) stays a loud rejection,
+    * by design. Crash window: a crash after the pointer move but
+    * before `_schema.txt` lands leaves a harmless data-identical
+    * version with the OLD schema (the evolution simply did not
+    * happen); a crash before the pointer move leaves a dead claim that
+    * `vacuum(reclaimDeadClaims = true)` reclaims.
+    */
+  def evolveSchema(path: String, name: String, typeName: String): Int = {
+    require(addedTypes.contains(typeName),
+      s"VersionedV2 add-column supports ${addedTypes.keys.mkString("/")}, got $typeName")
+    val current = latestVersion(path)
+    require(current >= 1, s"VersionedV2: no committed table at $path to evolve")
+    require(!schemaAt(path, current).fieldNames.contains(name),
+      s"VersionedV2: column $name already exists")
+    val next = current + 1
+    val vdir = Paths.get(path, s"v$next")
+    Files.createDirectory(vdir) // strict single-writer claim, as batch
+    writeAtomically(vdir.resolve("manifest.txt"),
+      manifest(path, current).mkString("\n"))
+    writeAtomically(Paths.get(path, "_latest.txt"), next.toString)
+    writeAtomically(Paths.get(path, "_schema.txt"),
+      (addedColumns(path).map { case (n, t, v) => s"$n:$t:$v" } :+
+        s"$name:$typeName:$next").mkString("\n"))
+    next
+  }
+
+  // ------------------------------------------------------ row-level DELETE
+
+  final case class DeleteReport(version: Int, rewrittenFiles: Int,
+                                carriedFiles: Int, deletedRows: Long,
+                                keptRows: Long)
+
+  /** Row-level DELETE as COPY-ON-WRITE — the GDPR-erasure path at the
+    * storage layer (`q_subject_access` locates; THIS erases): scan the
+    * current snapshot's manifest, rewrite ONLY the files that hold a
+    * matching row (survivor lines stream into a new immutable pool
+    * file per affected file; a file whose every row matches simply
+    * drops out), carry every untouched file BY REFERENCE, and publish
+    * the new manifest through the same claim → pool → manifest →
+    * pointer sequence as a write — a crash at any point leaves the old
+    * snapshot intact (a dead claim reclaims via
+    * `vacuum(reclaimDeadClaims = true)`). History is immutable: the
+    * deleted rows remain visible via time travel to older versions
+    * until retention vacuum drops them — true erasure is
+    * `delete(...)` then `vacuum(keepVersions = 1)`, which also
+    * collects the pre-rewrite files. Lines rewrite VERBATIM (only the
+    * id field parses), so the rewrite is schema-era agnostic.
+    *
+    * Matching is by id predicate. Driver-side java.nio like every
+    * other maintenance op on this toy FS layer (vacuum, publish); the
+    * cluster shape is one rewrite TASK per affected file —
+    * embarrassingly parallel, no shuffle — with the same single
+    * driver-side manifest swap.
+    */
+  def delete(path: String, pred: Long => Boolean): DeleteReport = {
+    val current = latestVersion(path)
+    require(current >= 1, s"VersionedV2: no committed table at $path")
+    val next = current + 1
+    val vdir = Paths.get(path, s"v$next")
+    Files.createDirectory(vdir) // strict single-writer claim
+    val dataDir = Paths.get(path, "data")
+    var rewritten = 0
+    var carried = 0
+    var deleted = 0L
+    var kept = 0L
+    val newManifest = manifest(path, current).flatMap { f =>
+      val lines = Files.readAllLines(dataDir.resolve(f), StandardCharsets.UTF_8)
+        .asScala.toSeq.filter(_.nonEmpty)
+      val (drop, keep) =
+        lines.partition(l => pred(l.substring(0, l.indexOf(',')).toLong))
+      if (drop.isEmpty) { carried += 1; Some(f) }
+      else {
+        rewritten += 1
+        deleted += drop.size
+        kept += keep.size
+        if (keep.isEmpty) None
+        else {
+          val nf = s"cow-v$next-$f"
+          writeAtomically(dataDir.resolve(nf), keep.mkString("\n") + "\n")
+          Some(nf)
+        }
+      }
+    }
+    writeAtomically(vdir.resolve("manifest.txt"), newManifest.mkString("\n"))
+    writeAtomically(Paths.get(path, "_latest.txt"), next.toString)
+    DeleteReport(next, rewritten, carried, deleted, kept)
+  }
 
   /** Current committed version (0 = empty table, no pointer yet). */
   def latestVersion(path: String): Int = {
@@ -186,40 +319,48 @@ object VersionedV2 {
 private[sources] class VersionedTable(path: String, readVersion: Option[Int])
   extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_versioned[$path]"
-  override def schema(): StructType = VersionedV2.schema
+  override def schema(): StructType = VersionedV2.schemaAt(path,
+    readVersion.getOrElse(VersionedV2.latestVersion(path)))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new VersionedScan(path,
-        readVersion.getOrElse(VersionedV2.latestVersion(path)))
+      override def build(): Scan = {
+        val v = readVersion.getOrElse(VersionedV2.latestVersion(path))
+        new VersionedScan(path, v,
+          VersionedV2.addedColumns(path).filter(_._3 <= v).map(_._2))
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val want = VersionedV2.schemaAt(path, VersionedV2.latestVersion(path))
     require(info.schema().fields.map(f => (f.name, f.dataType)).sameElements(
-      VersionedV2.schema.fields.map(f => (f.name, f.dataType))),
-      s"VersionedV2 expects (id BIGINT, val DOUBLE), got ${info.schema().sql}")
+      want.fields.map(f => (f.name, f.dataType))),
+      s"VersionedV2 expects ${want.sql}, got ${info.schema().sql}")
     new VersionedWriteBuilder(path, info.queryId(),
-      info.options().getOrDefault("writerId", "default"), truncate = false)
+      info.options().getOrDefault("writerId", "default"), truncate = false,
+      extra = VersionedV2.addedColumns(path)
+        .filter(_._3 <= VersionedV2.latestVersion(path)).map(_._2))
   }
 }
 
 private[sources] class VersionedWriteBuilder(
-    path: String, queryId: String, writerId: String, truncate: Boolean)
+    path: String, queryId: String, writerId: String, truncate: Boolean,
+    extra: Seq[String])
   extends WriteBuilder with SupportsTruncate {
 
   // SaveMode.Overwrite arrives as truncate(): the new version's
   // manifest starts empty instead of carrying the previous files
   override def truncate(): WriteBuilder =
-    new VersionedWriteBuilder(path, queryId, writerId, truncate = true)
+    new VersionedWriteBuilder(path, queryId, writerId, truncate = true, extra)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new VersionedBatchWrite(path, queryId, truncate)
+      new VersionedBatchWrite(path, queryId, truncate, extra)
     override def toStreaming: StreamingWrite =
-      new VersionedStreamingWrite(path, queryId, writerId, truncate)
+      new VersionedStreamingWrite(path, queryId, writerId, truncate, extra)
   }
 }
 
@@ -230,12 +371,13 @@ private[sources] case class StagedFile(name: String, rows: Long)
   extends WriterCommitMessage
 
 private[sources] class VersionedBatchWrite(
-    path: String, queryId: String, truncate: Boolean) extends BatchWrite {
+    path: String, queryId: String, truncate: Boolean,
+    extra: Seq[String]) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(VersionedCommit.stagingDir(path, queryId))
-    new VersionedWriterFactory(path, queryId)
+    new VersionedWriterFactory(path, queryId, extra)
   }
 
   /** Publish: move staged files into the immutable pool, write the
@@ -406,13 +548,14 @@ private[sources] object VersionedCommit {
   * snapshots either way, and readers time-travel across epochs.
   */
 private[sources] class VersionedStreamingWrite(
-    path: String, queryId: String, writerId: String, truncate: Boolean)
+    path: String, queryId: String, writerId: String, truncate: Boolean,
+    extra: Seq[String])
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(VersionedCommit.stagingDir(path, queryId))
-    new VersionedStreamingWriterFactory(path, queryId)
+    new VersionedStreamingWriterFactory(path, queryId, extra)
   }
 
   override def commit(epochId: Long,
@@ -427,26 +570,37 @@ private[sources] class VersionedStreamingWrite(
 }
 
 private[sources] class VersionedStreamingWriterFactory(
-    path: String, queryId: String) extends StreamingDataWriterFactory {
+    path: String, queryId: String, extra: Seq[String])
+  extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new VersionedDataWriter(path, queryId, partitionId, taskId,
-      suffix = s"-e$epochId")
+      suffix = s"-e$epochId", extra = extra)
 }
 
-private[sources] class VersionedWriterFactory(path: String, queryId: String)
+private[sources] class VersionedWriterFactory(path: String, queryId: String,
+                                              extra: Seq[String])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new VersionedDataWriter(path, queryId, partitionId, taskId)
+    new VersionedDataWriter(path, queryId, partitionId, taskId, extra = extra)
 }
 
 /** Streams rows to this task's OWN staging file; `commit` names it,
   * `abort` deletes it — a partial file from a failed attempt can
   * never be published.
+  *
+  * Line format: `id,rawLongBits(val)` plus one field per evolved
+  * column in schema order — longs as decimal text, doubles as raw
+  * bits (the same bit-exact trick as `val`), strings base64-encoded
+  * (no comma/newline can escape into the framing), NULL as the
+  * one-byte marker `-` (outside the base64 and decimal alphabets). A
+  * file written before an evolution simply has fewer fields per line;
+  * the reader null-fills the missing tail, which is what add-column
+  * means.
   */
 private[sources] class VersionedDataWriter(
     path: String, queryId: String, partitionId: Int, taskId: Long,
-    suffix: String = "")
+    suffix: String = "", extra: Seq[String] = Nil)
   extends DataWriter[InternalRow] {
 
   private val name = s"part-$partitionId-$taskId$suffix.txt"
@@ -462,6 +616,18 @@ private[sources] class VersionedDataWriter(
     out.write(record.getLong(0).toString)
     out.write(',')
     out.write(java.lang.Double.doubleToRawLongBits(record.getDouble(1)).toString)
+    extra.zipWithIndex.foreach { case (t, j) =>
+      val i = 2 + j
+      out.write(',')
+      if (record.isNullAt(i)) out.write("-")
+      else t match {
+        case "long" => out.write(record.getLong(i).toString)
+        case "double" => out.write(
+          java.lang.Double.doubleToRawLongBits(record.getDouble(i)).toString)
+        case "string" => out.write(java.util.Base64.getEncoder.encodeToString(
+          record.getUTF8String(i).toString.getBytes(StandardCharsets.UTF_8)))
+      }
+    }
     out.write('\n')
     rows += 1
   }
@@ -481,9 +647,10 @@ private[sources] class VersionedDataWriter(
 
 // ---------------------------------------------------------------- read side
 
-private[sources] class VersionedScan(path: String, version: Int)
+private[sources] class VersionedScan(path: String, version: Int,
+                                     extra: Seq[String])
   extends Scan with Batch with Serializable {
-  override def readSchema(): StructType = VersionedV2.schema
+  override def readSchema(): StructType = VersionedV2.schemaAt(path, version)
   override def toBatch: Batch = this
   override def description(): String = s"GraftVersionedV2[$path v$version]"
 
@@ -491,7 +658,8 @@ private[sources] class VersionedScan(path: String, version: Int)
     VersionedV2.manifest(path, version)
       .map(f => VersionedFilePartition(s"$path/data/$f")).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val extraTypes = extra // serializable capture, not the Scan itself
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val lines = Files.readAllLines(
@@ -501,14 +669,29 @@ private[sources] class VersionedScan(path: String, version: Int)
           private var i = -1
           override def next(): Boolean = { i += 1; i < lines.size }
           override def get(): InternalRow = {
-            val Array(id, bits) = lines.get(i).split(",")
-            new GenericInternalRow(Array[Any](id.toLong,
-              java.lang.Double.longBitsToDouble(bits.toLong)))
+            val parts = lines.get(i).split(",", -1)
+            val vals = new Array[Any](2 + extraTypes.size)
+            vals(0) = parts(0).toLong
+            vals(1) = java.lang.Double.longBitsToDouble(parts(1).toLong)
+            extraTypes.zipWithIndex.foreach { case (t, j) =>
+              val k = 2 + j
+              // a pre-evolution file has fewer fields: null-fill
+              vals(k) =
+                if (k >= parts.length || parts(k) == "-") null
+                else t match {
+                  case "long" => parts(k).toLong
+                  case "double" => java.lang.Double.longBitsToDouble(parts(k).toLong)
+                  case "string" => UTF8String.fromBytes(
+                    java.util.Base64.getDecoder.decode(parts(k)))
+                }
+            }
+            new GenericInternalRow(vals)
           }
           override def close(): Unit = ()
         }
       }
     }
+  }
 }
 
 private[graft] case class VersionedFilePartition(file: String)

@@ -35,6 +35,26 @@ class TextSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("BPE training: hand-checked greedy merges and monotone compression") {
+    // the classic fixture: low x5, lower x2, newest x6, widest x3.
+    // Round-1 pair counts put (e,s) and (s,t) at 9 — the (count desc,
+    // pair asc) tie-break picks (e,s); after (es,t) wins round 2, the
+    // 7-count tie between (l,o) and (o,w) resolves to (l,o); round 4
+    // merges (lo,w). All four verified by hand.
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "c")
+    val m = graft.queries.TextQueries.bpeTrain(spark, words, 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+    // merge counts never increase round over round (a new pair around
+    // the merged symbol can match but not exceed the merged count)
+    val real = graft.queries.TextQueries.textBpeTrain.run(spark, sf)
+      .orderBy("step").collect().map(_.getLong(3))
+    assert(real.length == 5 && real.forall(_ > 0))
+    assert(real.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("token counts: whitespace, regex, char estimate") {
     val df = Seq("the quick brown fox", "hello, world! 42").toDF("t")
     val r = df.select(

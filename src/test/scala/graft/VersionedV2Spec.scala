@@ -340,6 +340,120 @@ class VersionedV2Spec extends SparkSpec {
     assert(readTable(path).count() == 4) // no duplicate 99
   }
 
+  test("delete is copy-on-write: only touched files rewrite, history time-travels, vacuum erases") {
+    val path = tempTable()
+    rows(0, 100).write.format(FMT).option("path", path).mode("overwrite").save()
+    rows(100, 200).write.format(FMT).option("path", path).mode("append").save()
+    val before = VersionedV2.manifest(path, 2)
+    val v2Only = before.toSet -- VersionedV2.manifest(path, 1).toSet
+    val rep = VersionedV2.delete(path, id => id % 10 == 0 && id < 100)
+    assert(rep.version == 3 && rep.deletedRows == 10)
+    val after = VersionedV2.manifest(path, 3).toSet
+    assert(rep.carriedFiles + rep.rewrittenFiles == before.size)
+    // the second commit's files (ids >= 100, no matches) carried by
+    // reference; every NEW file in the manifest is a cow rewrite
+    assert(v2Only.subsetOf(after))
+    assert(after.diff(before.toSet).forall(_.startsWith("cow-v3-")))
+    val replaced = before.toSet.diff(after)
+    assert(replaced.size == rep.rewrittenFiles && rep.rewrittenFiles > 0)
+    // snapshots: history intact pre-delete, rows gone post-delete
+    assert(readTable(path, Some(2)).count() == 200)
+    assert(readTable(path).count() == 190)
+    assert(readTable(path).where(col("id") % 10 === 0 && col("id") < 100).count() == 0)
+    // true erasure = delete + retention vacuum: the pre-rewrite files
+    // (and with them the deleted rows' bytes) leave the pool
+    val vr = VersionedV2.vacuum(path, keepVersions = 1)
+    assert(vr.deletedVersions == 2)
+    replaced.foreach { f =>
+      assert(!Files.exists(Paths.get(path, "data", f)), s"$f not erased")
+    }
+    assert(readTable(path).count() == 190)
+  }
+
+  test("delete of every row in a file drops the file from the manifest") {
+    val path = tempTable()
+    rows(0, 50).write.format(FMT).option("path", path).mode("overwrite").save()
+    val rep = VersionedV2.delete(path, _ => true)
+    assert(rep.keptRows == 0 && rep.deletedRows == 50)
+    assert(VersionedV2.manifest(path, rep.version).isEmpty)
+    assert(readTable(path).count() == 0)
+    assert(readTable(path, Some(1)).count() == 50) // history intact
+  }
+
+  test("add-column evolution: metadata-only version, null-fill on old files, honest time travel") {
+    val path = tempTable()
+    rows(0, 30).write.format(FMT).option("path", path).mode("overwrite").save()
+    val ev = VersionedV2.evolveSchema(path, "tag", "string")
+    assert(ev == 2)
+    // metadata-only: same data files, no rewrite
+    assert(VersionedV2.manifest(path, 2) == VersionedV2.manifest(path, 1))
+    // pre-evolution snapshot keeps the OLD schema
+    assert(readTable(path, Some(1)).columns.toSeq == Seq("id", "val"))
+    // post-evolution read null-fills
+    val v2 = readTable(path, Some(2))
+    assert(v2.columns.toSeq == Seq("id", "val", "tag"))
+    assert(v2.where(col("tag").isNull).count() == 30)
+    // writes after the evolution must carry the column...
+    rows(30, 40).withColumn("tag",
+        when(col("id") % 2 === 0, concat(lit("t"), col("id"))))
+      .write.format(FMT).option("path", path).mode("append").save()
+    val v3 = readTable(path)
+    assert(v3.count() == 40)
+    assert(v3.where(col("tag").isNotNull).count() == 5)
+    assert(v3.where(col("id") === 32).select("tag").head.getString(0) == "t32")
+    // ...or may omit it: Spark's TableOutputResolver null-extends a
+    // missing NULLABLE column by name (the lake-format courtesy for
+    // not-yet-migrated writers) — values land in the right columns
+    rows(40, 50).write.format(FMT).option("path", path).mode("append").save()
+    val v4 = readTable(path)
+    assert(v4.count() == 50)
+    assert(v4.where(col("id") >= 40 && col("tag").isNull).count() == 10)
+    assert(v4.where(col("id") === 45).select("val").head.getDouble(0) == 45 / 7.0)
+    // overwrite after evolution keeps the evolved schema
+    rows(0, 3).withColumn("tag", lit("x"))
+      .write.format(FMT).option("path", path).mode("overwrite").save()
+    assert(readTable(path).where(col("tag") === "x").count() == 3)
+  }
+
+  test("evolution survives vacuum, long/double columns round-trip, bad evolutions reject") {
+    val path = tempTable()
+    rows(0, 10).write.format(FMT).option("path", path).mode("overwrite").save()
+    VersionedV2.evolveSchema(path, "w", "double")
+    VersionedV2.evolveSchema(path, "k", "long")
+    rows(10, 20)
+      .withColumn("w", when(col("id") % 2 === 0, col("id") * 1.5))
+      .withColumn("k", when(col("id") % 3 === 0, col("id") * 10))
+      .write.format(FMT).option("path", path).mode("append").save()
+    // schema history is table-level: retention vacuum cannot lose it
+    VersionedV2.vacuum(path, keepVersions = 1)
+    val d = readTable(path)
+    assert(d.columns.toSeq == Seq("id", "val", "w", "k"))
+    assert(d.where(col("id") === 12).select("w").head.getDouble(0) == 18.0)
+    assert(d.where(col("id") === 12).select("k").head.getLong(0) == 120L)
+    assert(d.where(col("id") === 13).select("w").head.isNullAt(0))
+    assert(d.where(col("id") < 10 && col("w").isNull).count() == 10)
+    // duplicate name and unsupported type reject loudly
+    intercept[IllegalArgumentException] {
+      VersionedV2.evolveSchema(path, "w", "double")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedV2.evolveSchema(path, "m", "map")
+    }
+  }
+
+  test("delete and evolve claim the version chain like any commit: a dead claim blocks, reclaim repairs") {
+    val path = tempTable()
+    rows(0, 10).write.format(FMT).option("path", path).mode("overwrite").save()
+    // plant a dead claim (a crashed commit's residue)
+    Files.createDirectory(Paths.get(path, "v2"))
+    intercept[Exception] { VersionedV2.delete(path, _ => true) }
+    intercept[Exception] { VersionedV2.evolveSchema(path, "tag", "string") }
+    assert(VersionedV2.latestVersion(path) == 1) // nothing published
+    VersionedV2.vacuum(path, keepVersions = 1, reclaimDeadClaims = true)
+    val rep = VersionedV2.delete(path, id => id < 5)
+    assert(rep.version == 2 && readTable(path).count() == 5)
+  }
+
   test("the writer rejects a mismatched schema loudly") {
     // Spark's DSv2 analyzer enforces the table schema before our own
     // newWriteBuilder guard even runs — either rejection is loud and

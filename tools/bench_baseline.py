@@ -9,8 +9,15 @@ with no benchmark suite, so the DuckDB oracle engine — which computes
 the IDENTICAL result from the identical input — is the credible
 single-node stand-in. This makes bench_vs_baseline a measured number.
 
-usage: bench_baseline.py [sfdir] [verify_outdir] [bench_json]
+usage: bench_baseline.py [sfdir] [verify_outdir] [bench_json] [--all]
 (defaults: /root/testdata/sf0.1 /tmp/verify bench_out.json)
+
+--all measures EVERY oracled key instead of the headline set, skipping
+the stream_* twins (their DuckDB SQL is the batch equivalent — the
+honest comparison is the batch row) and interrupting any single oracle
+after BASELINE_TIMEOUT_S (default 120 s; recorded as timed out, never
+silently dropped). Writes BASELINE_MEASURED_ALL.json in that mode so
+the curated headline file stays stable.
 
 Writes BASELINE_MEASURED.json {query: {spark, duckdb, ratio}} and
 prints a markdown table for SURVEY §12h. Streaming rows are included
@@ -44,17 +51,23 @@ HEADLINE = [
 
 
 def main():
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify"
-    bench_path = sys.argv[3] if len(sys.argv) > 3 else "bench_out.json"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    full = "--all" in sys.argv[1:]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    outdir = args[1] if len(args) > 1 else "/tmp/verify"
+    bench_path = args[2] if len(args) > 2 else "bench_out.json"
+    timeout_s = float(os.environ.get("BASELINE_TIMEOUT_S", "120"))
 
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     spark_times = {}
     if os.path.exists(bench_path):
         spark_times = json.load(open(bench_path)).get("queries", {})
 
+    names = (sorted(n for n in oracles if not n.startswith("stream_"))
+             if full else HEADLINE)
+    timed_out = []
     rows = []
-    for name in HEADLINE:
+    for name in names:
         sql = oracles.get(name)
         if not sql:
             print(f"  skip {name}: no oracle SQL (bench-only row)")
@@ -62,6 +75,7 @@ def main():
         # fresh connection per query: no cross-query caching, and the
         # per-query view setup cost is the same full-scan entry Spark
         # pays through its own reader
+        import threading
         times = []
         for _ in range(2):
             con = duckdb.connect()
@@ -69,15 +83,23 @@ def main():
             for t in TABLES:
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                             f"read_parquet('{sfdir}/{t}.parquet')")
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
             t0 = time.monotonic()
             try:
                 con.execute(sql).fetchall()
                 times.append(time.monotonic() - t0)
             except Exception as e:
-                print(f"  FAIL {name}: {e}")
+                el = time.monotonic() - t0
+                if el >= timeout_s:
+                    print(f"  TIMEOUT {name}: >{timeout_s}s")
+                    timed_out.append(name)
+                else:
+                    print(f"  FAIL {name}: {e}")
                 times = None
                 break
             finally:
+                timer.cancel()
                 con.close()
         if not times:
             continue
@@ -110,17 +132,19 @@ def main():
         "total_duckdb_sec_batch": round(tot_d, 2),
         "total_ratio_spark_over_duckdb": total_ratio and round(total_ratio, 3),
         "n_measured": len(rows),
+        "timed_out": sorted(timed_out),
         "queries": {n: {"spark_sec": s, "duckdb_sec": round(d, 3),
                         "ratio": r and round(r, 2)}
                     for (n, s, d, r) in rows},
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BASELINE_MEASURED.json"), "w") as f:
+    fname = "BASELINE_MEASURED_ALL.json" if full else "BASELINE_MEASURED.json"
+    with open(os.path.join(root, fname), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"[baseline] geomean spark/duckdb (batch rows) = {geo and round(geo, 3)}"
           f" over {len(batch)} rows; total {tot_s:.1f}s vs {tot_d:.1f}s"
           f" (ratio {total_ratio and round(total_ratio, 3)})"
-          f" -> BASELINE_MEASURED.json")
+          f" -> " + fname)
 
     # markdown table for SURVEY §12h
     print("\n| Query | Spark s | DuckDB s | Spark/DuckDB |")

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Deterministic scale-up generator: replicate an existing sf dir N times
+with FK-consistent key offsets, producing a drop-in sf directory (one
+parquet FILE per table, same schemas) for sweeps at scale factors the
+driver did not ship (TESTDATA.md caps at sf0.1; VERDICT r13 task #1
+asks for the sf1 sweep).
+
+Replica 0 is a byte-identical copy of the source rows. Replica i>0
+offsets every primary/foreign key by i*span (spans = the source key
+cardinality, keys are dense 0..N-1) and perturbs continuous measures by
+*(1+i*1e-6) so cross-replica top-k ties cannot arise; integer, date,
+and string columns are unchanged, so distributions (and the dedup
+cluster shape: each document appears once per replica) scale exactly
+linearly. Everything is a pure function of (source row, i) — rerunning
+reproduces the same bytes, and both engines read the same parquet, so
+the perturbation never has to agree across engines.
+
+usage: gen_sf.py [src_sfdir] [dst_dir] [replicas]
+(defaults: /root/testdata/sf0.1 /tmp/graft_sf1 10)
+"""
+import sys, os
+import duckdb
+
+CK, SK, PK, OK = 15000, 1000, 20000, 150000
+EV, UV, DC, VE = 100000, 1500, 5000, 2000
+EPS = "1e-6"
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(f"SET threads={os.cpu_count()}")
+
+    def gen(table, select):
+        q = (f"COPY (SELECT {select} FROM read_parquet('{src}/{table}.parquet')"
+             f" CROSS JOIN range({n}) r(i) ORDER BY i) TO"
+             f" '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        con.execute(q)
+        rows = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
+        print(f"  {table}: {rows} rows")
+
+    # Fixed dimensions: copy once, no replication.
+    for t in ("region", "nation"):
+        con.execute(f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+                    f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"  {t}: copied")
+
+    gen("customer",
+        f"c_custkey + i*{CK} AS c_custkey, c_name, c_nationkey,"
+        f" c_acctbal * (1 + i*{EPS}) AS c_acctbal, c_mktsegment")
+    gen("supplier",
+        f"s_suppkey + i*{SK} AS s_suppkey, s_name, s_nationkey,"
+        f" s_acctbal * (1 + i*{EPS}) AS s_acctbal")
+    gen("part",
+        f"p_partkey + i*{PK} AS p_partkey, p_name, p_brand, p_type, p_size,"
+        f" p_retailprice * (1 + i*{EPS}) AS p_retailprice")
+    gen("orders",
+        f"o_orderkey + i*{OK} AS o_orderkey, o_custkey + i*{CK} AS o_custkey,"
+        f" o_orderstatus, o_totalprice * (1 + i*{EPS}) AS o_totalprice,"
+        f" o_orderdate, o_orderpriority")
+    gen("lineitem",
+        f"l_orderkey + i*{OK} AS l_orderkey, l_partkey + i*{PK} AS l_partkey,"
+        f" l_suppkey + i*{SK} AS l_suppkey, l_linenumber, l_quantity,"
+        f" l_extendedprice * (1 + i*{EPS}) AS l_extendedprice,"
+        f" l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate")
+    gen("events",
+        f"event_id + i*{EV} AS event_id, ts, user_id + i*{UV} AS user_id,"
+        f" event_type, value * (1 + i*{EPS}) AS value, props")
+    gen("documents",
+        f"doc_id + i*{DC} AS doc_id, text, lang, source, n_chars")
+    gen("embeddings",
+        f"vec_id + i*{VE} AS vec_id,"
+        f" [CAST(embedding[1] + i*0.0001 AS FLOAT)] || embedding[2:]"
+        f" AS embedding, label")
+
+if __name__ == "__main__":
+    main()
