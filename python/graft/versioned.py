@@ -57,7 +57,7 @@ def delete_ids(spark, path, ids):
     from graft.session import bridge
     jlist = spark._jvm.java.util.ArrayList()
     for i in ids:
-        jlist.add(spark._jvm.java.lang.Long(int(i)))
+        jlist.add(int(i))
     return dict(bridge(spark).deleteVersionedIds(path, jlist))
 
 

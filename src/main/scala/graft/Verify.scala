@@ -31,10 +31,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // per-query start marker on stderr: a big-SF sweep that wedges in
+      // one query should name it without a jstack safari
+      System.err.println(s"[verify] running $name")
+      val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         dumped += 1
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec > 30) System.err.println(f"[verify] $name took $sec%.1f s")
       } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -235,7 +235,7 @@ object PyBridge {
     * caller can pass any predicate, py4j gets the concrete id set).
     */
   def deleteVersionedIds(path: String,
-                         ids: ju.List[java.lang.Long]): ju.Map[String, Long] = {
+                         ids: ju.List[java.lang.Number]): ju.Map[String, Long] = {
     val set = ids.asScala.map(_.longValue()).toSet
     val r = graft.sources.VersionedV2.delete(path, set.contains)
     Map("version" -> r.version.toLong,

@@ -26,6 +26,11 @@ def main():
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # cap DuckDB's thread pool when sharing the box with a live Spark
+    # sweep (GRAFT_CHECK_THREADS; default = all cores, driver behavior)
+    n_threads = os.environ.get("GRAFT_CHECK_THREADS")
+    if n_threads:
+        con.execute(f"SET threads={int(n_threads)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
