@@ -55,10 +55,45 @@ def main():
             timer.start()
         t0 = _time.monotonic()
         try:
-            got = con.execute(f"SELECT * FROM read_parquet('{spark_glob}')").fetch_df()
-            want = con.execute(oracles[name]).fetch_df()
             got_types = duck_types(con, f"SELECT * FROM read_parquet('{spark_glob}')")
             want_types = duck_types(con, oracles[name])
+            # GRAFT_CHECK_HASH=1: compare an order-free multiset hash
+            # computed INSIDE DuckDB instead of shipping every row
+            # through pandas — the big-SF mode (a 6M-row pandas compare
+            # costs minutes in the harness itself). Types are still
+            # class-checked first; VARCHAR casts happen in ONE engine
+            # for both sides, so formatting cannot diverge, and no
+            # pandas int->float upcast artifacts exist to tolerate.
+            if os.environ.get("GRAFT_CHECK_HASH") == "1":
+                if sorted(got_types) != sorted(want_types):
+                    print(f"  FAIL {name}: schema mismatch: "
+                          f"spark={sorted(got_types)} oracle={sorted(want_types)}")
+                    n_fail += 1
+                    continue
+                ok, msg = compare_types(got_types, want_types)
+                if not ok:
+                    print(f"  FAIL {name}: {msg}")
+                    n_fail += 1
+                    continue
+                cols = sorted(set(got_types) & set(want_types))
+                rt = ("concat_ws('|', " + ", ".join(
+                    f"coalesce((\"{c}\")::VARCHAR, chr(1))" for c in cols) + ")")
+                def msig(src):
+                    return con.execute(
+                        f"SELECT count(*), sum(hash(rt)::HUGEINT) FROM "
+                        f"(SELECT {rt} AS rt FROM ({src}) s) t").fetchone()
+                g = msig(f"SELECT * FROM read_parquet('{spark_glob}')")
+                w = msig(oracles[name])
+                if g == w:
+                    n_pass += 1
+                    print(f"  ok   {name} ({g[0]} rows, multiset hash)")
+                else:
+                    n_fail += 1
+                    print(f"  FAIL {name}: multiset hash mismatch "
+                          f"spark={g} oracle={w}")
+                continue
+            got = con.execute(f"SELECT * FROM read_parquet('{spark_glob}')").fetch_df()
+            want = con.execute(oracles[name]).fetch_df()
         except Exception as e:
             if timeout_s > 0 and _time.monotonic() - t0 >= timeout_s:
                 print(f"  SLOW-SKIP {name}: oracle exceeded {timeout_s}s")
