@@ -24,16 +24,19 @@ def main():
     # the contract self-enforcing.
     n_orphan = survey_guard(outdir)
 
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    # cap DuckDB's thread pool when sharing the box with a live Spark
-    # sweep (GRAFT_CHECK_THREADS; default = all cores, driver behavior)
-    n_threads = os.environ.get("GRAFT_CHECK_THREADS")
-    if n_threads:
-        con.execute(f"SET threads={int(n_threads)}")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    def new_con():
+        c = duckdb.connect()
+        c.execute("SET TimeZone='UTC'")
+        # cap DuckDB's thread pool when sharing the box with a live Spark
+        # sweep (GRAFT_CHECK_THREADS; default = all cores, driver behavior)
+        n_threads = os.environ.get("GRAFT_CHECK_THREADS")
+        if n_threads:
+            c.execute(f"SET threads={int(n_threads)}")
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        return c
 
+    shared_con = new_con()
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracles):
@@ -49,6 +52,12 @@ def main():
         # silent pass — the driver's own runs leave this unset
         timeout_s = float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0"))
         import threading, time as _time
+        # timed mode gets a FRESH connection per query: a timer that fires
+        # after the query completes but before cancel() would otherwise
+        # interrupt the NEXT query on the shared connection and misreport
+        # it as an unrelated ERROR (advisory r14); a late interrupt on a
+        # per-query connection hits an idle one and is harmless
+        con = new_con() if timeout_s > 0 else shared_con
         timer = (threading.Timer(timeout_s, con.interrupt)
                  if timeout_s > 0 else None)
         if timer:
@@ -76,12 +85,21 @@ def main():
                     n_fail += 1
                     continue
                 cols = sorted(set(got_types) & set(want_types))
-                rt = ("concat_ws('|', " + ", ".join(
-                    f"coalesce((\"{c}\")::VARCHAR, chr(1))" for c in cols) + ")")
+                # hash a STRUCT of the VARCHAR-cast columns: field
+                # boundaries are part of the struct encoding, so a value
+                # containing '|' (or equal to a sentinel) cannot shift
+                # columns the way a concat_ws signature could, and NULL
+                # hashes distinctly from any string (advisory r14). The
+                # multiset signature is (count, sum, xor, min, max) of the
+                # row hashes — sum alone is forgeable by compensating
+                # pairs; xor+extrema close that.
+                rh = ("hash(ROW(" + ", ".join(
+                    f"(\"{c}\")::VARCHAR" for c in cols) + "))")
                 def msig(src):
                     return con.execute(
-                        f"SELECT count(*), sum(hash(rt)::HUGEINT) FROM "
-                        f"(SELECT {rt} AS rt FROM ({src}) s) t").fetchone()
+                        f"SELECT count(*), sum(h::HUGEINT), bit_xor(h), "
+                        f"min(h), max(h) FROM "
+                        f"(SELECT {rh} AS h FROM ({src}) s) t").fetchone()
                 g = msig(f"SELECT * FROM read_parquet('{spark_glob}')")
                 w = msig(oracles[name])
                 if g == w:
@@ -105,6 +123,8 @@ def main():
         finally:
             if timer:
                 timer.cancel()
+            if con is not shared_con:
+                con.close()
         ok, msg = compare_types(got_types, want_types)
         if ok:
             ok, msg = compare(got, want)
