@@ -65,6 +65,12 @@ object SparkEntry {
     // mitigation's measured twin (SURVEY §12)
     "stream_interval_join_skew_salted" ->
       (StreamingQueries.intervalJoinSkewSalted(_, _)),
+    // the corpus-adaptive twins of the two quadratic-parameter ANN
+    // rows (VERDICT r14 #1): same fixtures, (tables, bits) / nShards
+    // derived from the corpus count — the linear-at-any-SF configs;
+    // the fixed-parameter fixtures stay oracled for exact replay
+    "dedup_embedding_scaled" -> (DedupQueries.dedupEmbeddingScaled(_, _)),
+    "knn_hnsw_scaled" -> (DedupQueries.knnHnswScaled(_, _)),
     // one giant near-dup component (40% of a 10^5-node graph) through
     // the DISTRIBUTED CC loop — the hot-component shuffle measurement
     // (r6 VERDICT #8); output is a 3-field summary, no oracle needed

@@ -141,24 +141,38 @@ object Ann {
     val sums = (0 until dims).map(d =>
       sum(round(element_at(col("v"), d + 1), 6).cast("decimal(18,6)")).as(s"s$d"))
     val aggs = count(lit(1)).as("n") +: sums
-    assigned.groupBy(col("cell"))
+    // ONE decimal expression per dim leaves the aggregate: the exact
+    // int64 micro-unit sum (decimal(18,6)·1e6 is integral by
+    // construction). The double views below derive from it with plain
+    // long→double arithmetic — bit-identical to casting the decimal
+    // (|sum|·1e6 < 2^53 at any realistic cell mass, /1e6 is correctly
+    // rounded, so both paths yield nearest-double of the exact sum) —
+    // instead of the r14 3×dims decimal projection whose generated
+    // CheckOverflow code tripled q_kmeans_step's fixed cost. The wide
+    // decimal array is aliased in its own Project; CollapseProject
+    // keeps it separate (non-cheap, multiply-referenced), so the
+    // decimals evaluate once per cell row.
+    val micro = assigned.groupBy(col("cell"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("cell"), col("n"),
         array((0 until dims).map(d =>
-          col(s"s$d").cast("double") / col("n")): _*).as("centroid"),
-        // the exact decimal sums too: sums are tie-free (no division),
-        // so an external check compares them exactly — a small-n cell's
-        // MEAN can land exactly on a 5e-7 rounding tie where engines'
-        // round() implementations disagree
-        array((0 until dims).map(d =>
-          col(s"s$d").cast("double")): _*).as("sum_vec"),
-        // the same sums as exact int64 micro-units (decimal(18,6)·1e6
-        // is integral by construction): the loop caller derives the
-        // fed-forward centroid means from THESE via half-up integer
-        // division, never from a double division whose 5e-7 ties the
-        // engines break differently
-        array((0 until dims).map(d =>
           (col(s"s$d") * lit(1000000)).cast("long")): _*).as("sum_micro"))
+    micro.select(col("cell"), col("n"),
+      array((0 until dims).map(d =>
+        element_at(col("sum_micro"), d + 1).cast("double") / lit(1e6)
+          / col("n")): _*).as("centroid"),
+      // the exact sums as doubles too: sums are tie-free (no division),
+      // so an external check compares them exactly — a small-n cell's
+      // MEAN can land exactly on a 5e-7 rounding tie where engines'
+      // round() implementations disagree
+      array((0 until dims).map(d =>
+        element_at(col("sum_micro"), d + 1).cast("double") / lit(1e6)): _*)
+        .as("sum_vec"),
+      // the int64 micro-units verbatim: the loop caller derives the
+      // fed-forward centroid means from THESE via half-up integer
+      // division, never from a double division whose 5e-7 ties the
+      // engines break differently
+      col("sum_micro"))
   }
 
   /** Lloyd's k-means to CONVERGENCE (or `maxIter`) — [[kmeansStep]]
@@ -197,27 +211,48 @@ object Ann {
     var centroids = sampleCentroids(vecs, "id", "v", nCells)
     require(centroids.length == nCells,
       s"kmeansTrain: sampled ${centroids.length} centroids, need $nCells")
-    var out: DataFrame = null
+    // half-up micro-unit mean from the exact int64 sums, computed on
+    // the DRIVER over the bounded nCells×dims fit boundary — the exact
+    // Scala mirror of [[ExactAgg.microQuotient]] (pmod-based truncating
+    // int64 division; + 0.0 normalizes a −0.0 mean, SURVEY §17
+    // signed-zero rule: these doubles are both emitted AND fed back as
+    // centroids). The quantized model update BOTH engines resolve
+    // identically even on exact 5e-7 ties (round(sum/n, 6) on doubles
+    // does not: Spark's BigDecimal HALF_UP and DuckDB's scaled-double
+    // round() can disagree on a small-n cell's tie). Driver-side
+    // arithmetic over 16×64 longs replaces the r14 per-iteration
+    // 64-element CASE projection + localCheckpoint, whose generated
+    // code (3 sum_micro references per element) was q_kmeans_train's
+    // 2.15× fixed-cost regression — each iteration is now a single
+    // collect of (cell, n, sum_micro).
+    def microMean(s: Long, n: Long): Double = {
+      def pm(a: Long, b: Long): Long = { val m = a % b; if (m < 0) m + b else m }
+      def intDiv(a: Long, b: Long): Long = (a - pm(a, b)) / b
+      val q = if (s >= 0) intDiv(s * 2 + n, n * 2) else -intDiv(-(s * 2) + n, n * 2)
+      q / 1e6 + 0.0
+    }
+    val spark = df.sparkSession
+    val trajectory = Seq.newBuilder[(Int, Int, Long, Int, Double)]
+    // AQE splits each iteration's query into one job per stage to
+    // re-plan the shuffle — but the loop's only exchange is the
+    // nCells×(dims+1) rollup (16 rows): there is nothing to re-plan,
+    // and on a job-floor-bound box the extra job per iteration IS the
+    // loop's cost (§12m: ~0.3 s/job). Scoped off for the loop's own
+    // actions, restored after; at 100 TB the assignment scan's
+    // parallelism comes from the checkpointed input partitions either
+    // way.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var it = 1
     var converged = false
     while (it <= maxIter && !converged) {
-      val step = kmeansStep(vecs, "id", "v", centroids, dims,
+      val fitted = kmeansStep(vecs, "id", "v", centroids, dims,
         repartitionInput = false)
-        .select(col("cell"), col("n"),
-          // half-up micro-unit mean from the exact int64 sums — the
-          // quantized model update BOTH engines resolve identically
-          // even on exact 5e-7 ties (round(sum/n, 6) on doubles does
-          // not: Spark's BigDecimal HALF_UP and DuckDB's scaled-double
-          // round() can disagree on a small-n cell's tie). + 0.0
-          // normalizes a −0.0 mean (SURVEY §17 signed-zero rule: these
-          // doubles are both emitted AND fed back as centroids).
-          array((0 until dims).map(d =>
-            ExactAgg.microQuotient(element_at(col("sum_micro"), d + 1),
-              col("n")) + lit(0.0)): _*)
-            .as("m"))
-        .localCheckpoint() // one pass; the trajectory union reuses it
-      val fitted = step.collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2).toArray))
+        .select(col("cell"), col("n"), col("sum_micro"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1),
+          r.getSeq[Long](2).map(s => microMean(s, r.getLong(1))).toArray))
         .toMap
       require(fitted.size == nCells,
         s"kmeansTrain: iteration $it left ${nCells - fitted.size} cells empty")
@@ -225,14 +260,14 @@ object Ann {
       converged = tol >= 0 && (0 until nCells).forall(k =>
         (0 until dims).forall(d =>
           math.abs(next(k)(d) - centroids(k)(d)) <= tol))
-      val longForm = step
-        .select(lit(it).as("iter"), col("cell"), col("n"),
-          posexplode(col("m")).as(Seq("dim", "m")))
-      out = if (out == null) longForm else out.unionAll(longForm)
+      for (k <- 0 until nCells; d <- 0 until dims)
+        trajectory += ((it, k, fitted(k)._1, d, next(k)(d)))
       centroids = next
       it += 1
     }
-    out
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.createDataFrame(trajectory.result())
+      .toDF("iter", "cell", "n", "dim", "m")
   }
 
   /** IVF with the index ON DISK: the assignment table is written
@@ -668,6 +703,59 @@ object Ann {
           .orderBy(col("cosine").desc, col("nn_id"))))
       .where(col("rank") <= k)
   }
+
+  /** Corpus-adaptive LSH sizing (SURVEY §12j#2 made code — VERDICT r14
+    * task #1): a FIXED (tables, bits) is quadratic under corpus growth
+    * (expected bucket occupancy n/2^bits grows linearly, bucket-join
+    * pairs quadratically — 545 s at sf1 for the 16×4 default sized for
+    * n≈2k). The scale-correct configuration holds occupancy constant,
+    *
+    *   bits = ⌈log2(n / targetOccupancy)⌉,
+    *
+    * and raises `tables` in step so a pair at `simGrade` cosine still
+    * collides in at least one table: per-bit sign-agreement
+    * probability m = 1 − acos(simGrade)/π (Charikar 2002), per-table
+    * collision m^bits, and tables solves
+    * miss_all = (1 − m^bits)^tables ≤ missTarget. Candidate volume is
+    * then ≈ n · targetOccupancy/2 · tables — linear in n up to the
+    * log-growth of `tables`.
+    *
+    * `simGrade` is the similarity the index must catch RELIABLY — the
+    * duplicate grade (≈0.99), not the exact-verify `threshold`: LSH
+    * recall near the threshold itself is inherently probabilistic (see
+    * [[lshCosinePairs]]'s contract), and sizing for guaranteed recall
+    * AT 0.9 explodes `tables` faster than bits shrink buckets.
+    */
+  def autoLshParams(n: Long, simGrade: Double = 0.99,
+                    targetOccupancy: Int = 64,
+                    missTarget: Double = 1e-4,
+                    maxTables: Int = 64): (Int, Int) = {
+    require(simGrade > 0 && simGrade < 1, s"simGrade in (0,1): $simGrade")
+    val m = 1.0 - math.acos(simGrade) / math.Pi
+    def solveTables(bits: Int): Int = math.max(4, math.ceil(
+      math.log(missTarget) / math.log1p(-math.pow(m, bits))).toInt)
+    var bits = math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt)
+    // tables budget: each extra bit multiplies the per-table collision
+    // shortfall by 1/m, so at billion-row corpora with a low simGrade
+    // the recall solve can out-grow any sane band count. Shed bits
+    // (occupancy doubles per shed bit — a linear candidate-cost trade)
+    // until the band count fits the budget; the floor of 4 bits is the
+    // historical fixed config.
+    while (bits > 4 && solveTables(bits) > maxTables) bits -= 1
+    (math.min(maxTables, solveTables(bits)), bits)
+  }
+
+  /** Corpus-adaptive shard count for [[hnswBuild]] (VERDICT r14 task
+    * #1): the per-shard neighbor rule is a shard² self-join, linear
+    * overall ONLY if shard SIZE stays fixed — nShards = ⌈n /
+    * targetShard⌉ bounds build cost at n · targetShard/2 pairwise
+    * cosines. Search cost grows with nShards (every shard's graph is
+    * probed — the distributed serving contract); a 100 TB deployment
+    * routes queries to a shard subset the way IVF probes cells.
+    */
+  def autoShards(n: Long, targetShard: Int = 2048): Int =
+    math.max(1, ((n + targetShard - 1) / targetShard).toInt)
 
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, tables: Int = 16, bits: Int = 4,

@@ -524,12 +524,64 @@ object Dedup {
     */
   def blockedEditDistancePairs(df: DataFrame, idCol: String, nameCol: String,
                                blockCols: Seq[String], maxDist: Int): DataFrame = {
-    val a = df.alias("a")
-    val b = df.alias("b")
-    val block = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    a.join(b, block && col(s"a.$idCol") < col(s"b.$idCol"))
-      .where(levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol")) <= maxDist)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol")).cast("long").as("dist"))
+    val lev = levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol"))
+    if (maxDist == 1) {
+      // FastSS deletion-neighborhood join (Bocek et al. 2007; the
+      // SymSpell device): dist(a,b) <= 1 implies a and b share a
+      // string in {x} ∪ deletions1(x) — equality (share x), one
+      // deletion (the shorter IS a deletion of the longer), one
+      // substitution at i (deleting i from both sides agrees). So the
+      // candidate join keys on (block, variant) and its bucket sizes
+      // track the TRUE near-match density, not block size: under
+      // duplicate densification Σ block² explodes quadratically
+      // (er_golden_record 154 s at sf1 — VERDICT r14 #5) while the
+      // variant buckets stay small and candidates stay ∝ output.
+      // Junk variants from degenerate (empty) names only ever ADD
+      // candidates; the exact levenshtein verify removes them, so the
+      // result set is identical to the naive block join's.
+      val name = col(nameCol)
+      val variants = array_union(
+        array(name),
+        transform(sequence(lit(1), greatest(length(name), lit(1))), i =>
+          concat(name.substr(lit(1), i - lit(1)),
+            name.substr(i + lit(1), length(name)))))
+      val v = df.select(col(idCol).as("vid"),
+          struct(blockCols.map(col): _*).as("blk"),
+          explode(variants).as("vr"))
+      val cands = v.as("x").join(v.as("y"),
+          col("x.blk") === col("y.blk") && col("x.vr") === col("y.vr") &&
+            col("x.vid") < col("y.vid"))
+        .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val named = df.select(col(idCol), col(nameCol))
+      cands
+        .join(named.as("a"), col("id_a") === col(s"a.$idCol"))
+        .join(named.as("b"), col("id_b") === col(s"b.$idCol"))
+        .where(lev <= maxDist)
+        .select(col("id_a"), col("id_b"), lev.cast("long").as("dist"))
+    } else {
+      // general maxDist: length-banded sub-blocking — a pair at edit
+      // distance <= maxDist has |len(a) − len(b)| <= maxDist, so with
+      // bands of width maxDist+1 the match lives in the b-band or an
+      // adjacent one. The a-side explodes into its 3 candidate bands
+      // (each true pair matches exactly once: b carries ONE band), so
+      // Σ block² becomes Σ (block ∩ band)² — bounded by name-length
+      // spread instead of raw block density — and the result set is
+      // unchanged.
+      val w = maxDist + 1
+      val aSide = df.select(col("*"),
+        explode(sequence((length(col(nameCol)) / w).cast("int") - lit(1),
+          (length(col(nameCol)) / w).cast("int") + lit(1))).as("cand_band"))
+        .alias("a")
+      val bSide = df.select(col("*"),
+        (length(col(nameCol)) / w).cast("int").as("band")).alias("b")
+      val block = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+      aSide.join(bSide, block && col("a.cand_band") === col("b.band") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .where(abs(length(col(s"a.$nameCol")) - length(col(s"b.$nameCol"))) <= maxDist)
+        .where(lev <= maxDist)
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          lev.cast("long").as("dist"))
+    }
   }
 }

@@ -1445,6 +1445,103 @@ object TsFeatures {
     }
   }
 
+  /** ADF with statsmodels `autolag="AIC"` for ARBITRARY maxLag — the
+    * per-series GroupedApply generalization of
+    * [[adfAutolagDistributed]]'s shared-text maxLag-1 path (VERDICT
+    * r14 #8): every candidate lag 0..maxLag fits on the COMMON sample
+    * t ≥ maxLag+1 (statsmodels' equal-nobs comparison), AIC =
+    * nn·ln(ssr/nn) + 2k picks the lag by (aic, lag) tuple-min (tie →
+    * smaller lag; a zero-SSR perfect fit wins outright), and the
+    * winner refits over its own full t ≥ lag+1 sample. Returns
+    * (key, adf_stat, adf_lag, adf_nobs); series too short for the
+    * largest candidate, or with every candidate singular, yield nulls.
+    */
+  def adfAutolag(df: DataFrame, seriesKey: String, orderCols: Seq[String],
+                 valueCol: String, maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 0, s"adfAutolag maxLag must be >= 0, got $maxLag")
+    import org.apache.spark.sql.types._
+    val in = df.select((col(seriesKey) +: orderCols.map(col)) :+ col(valueCol): _*)
+    val vIdx = in.schema.fieldIndex(valueCol)
+    val keyField = in.schema(in.schema.fieldIndex(seriesKey))
+    val outSchema = StructType(Seq(keyField.copy(nullable = false),
+      StructField("adf_stat", DoubleType),
+      StructField("adf_lag", IntegerType),
+      StructField("adf_nobs", LongType)))
+    GroupedApply(in, Seq(seriesKey), orderCols, outSchema) { (key, it) =>
+      val y = it.map(_.getDouble(vIdx)).toArray
+      val n = y.length
+      def dy(t: Int): Double = y(t) - y(t - 1)
+      // one OLS of Δy_t on [y_{t−1}, Δy_{t−1..t−lag}, 1] over samples
+      // t = start..n−1; returns (ssr, tau, nobs) or null on a
+      // singular/underdetermined fit
+      def fit(lag: Int, start: Int): Option[(Double, Double, Int)] = {
+        val k = lag + 2
+        val nobs = n - start
+        if (nobs < k + 1) return None
+        val xtx = Array.ofDim[Double](k, k)
+        val xty = new Array[Double](k)
+        val row = new Array[Double](k)
+        var t = start
+        while (t < n) {
+          row(0) = y(t - 1)
+          var j = 1
+          while (j <= lag) { row(j) = dy(t - j); j += 1 }
+          row(k - 1) = 1.0
+          val tgt = dy(t)
+          var a = 0
+          while (a < k) {
+            var b = 0
+            while (b < k) { xtx(a)(b) += row(a) * row(b); b += 1 }
+            xty(a) += row(a) * tgt
+            a += 1
+          }
+          t += 1
+        }
+        val beta = solveLinear(xtx, xty)
+        val e0 = new Array[Double](k); e0(0) = 1.0
+        val inv0 = solveLinear(xtx, e0)
+        var rss = 0.0
+        t = start
+        while (t < n) {
+          var pred = beta(k - 1) + beta(0) * y(t - 1)
+          var j = 1
+          while (j <= lag) { pred += beta(j) * dy(t - j); j += 1 }
+          val e = dy(t) - pred
+          rss += e * e
+          t += 1
+        }
+        val se = math.sqrt(rss / (nobs - k) * inv0(0))
+        val tau = beta(0) / se
+        if (java.lang.Double.isFinite(rss) && java.lang.Double.isFinite(beta(0)))
+          Some((rss, tau, nobs))
+        else None
+      }
+      val commonStart = maxLag + 1
+      val nn = n - commonStart
+      val candidates = (0 to maxLag).flatMap { lag =>
+        fit(lag, commonStart).map { case (ssr, _, _) =>
+          val aic =
+            if (ssr <= 0.0) Double.NegativeInfinity
+            else nn * math.log(ssr / nn) + 2.0 * (lag + 2)
+          (aic, lag)
+        }
+      }
+      if (candidates.isEmpty)
+        Iterator.single(org.apache.spark.sql.Row(key.get(0), null, null, null))
+      else {
+        val lag = candidates.min._2
+        fit(lag, lag + 1) match {
+          case Some((_, tau, nobs)) if java.lang.Double.isFinite(tau) =>
+            Iterator.single(org.apache.spark.sql.Row(
+              key.get(0), tau, lag, nobs.toLong))
+          case _ =>
+            Iterator.single(org.apache.spark.sql.Row(
+              key.get(0), null, lag, null))
+        }
+      }
+    }
+  }
+
   /** Shared expression text for [[adfDistributed]] — the lag-1 ADF
     * normal equations (3 regressors: y_{t−1}, Δy_{t−1}, constant)
     * solved by Cramer's rule on moment doubles cast from exact
@@ -1503,6 +1600,49 @@ object TsFeatures {
       WHEN b0 IS NULL THEN NULL
       WHEN (rss / (nn - 3.0)) * inv00 <= 0.0 THEN NULL
       ELSE b0 / sqrt((rss / (nn - 3.0)) * inv00) END"""
+
+    // ---- autolag (maxLag = 1) shared text — VERDICT r14 #8 ----
+    // The statsmodels autolag="AIC" protocol at maxLag 1: both
+    // candidate fits run on the COMMON sample t >= 2 (which for
+    // maxLag 1 is exactly the lag-1 sample set, so the existing 3x3
+    // fit above is simultaneously the lag-1 selection fit AND its
+    // full-sample refit); the lag-0 candidate is a 2x2 on (y_{t-1}, 1)
+    // over the same rows, and the lag-0 FULL refit re-solves over the
+    // one-larger t >= 1 sample (f/g moment names). AIC compares as
+    // nn·ln(rss/nn) + 2k — the constant n(1+ln 2π) terms cancel at
+    // equal nn; a zero-RSS perfect fit takes the -1e308 sentinel (both
+    // engines, no ln(0) asymmetry), tie -> the SMALLER lag, exactly
+    // statsmodels' (aic, lag) tuple-min.
+    val det0cExpr = "(m11*nn - m1*m1)"
+    val b0cExpr =
+      "CASE WHEN nobs < 3 OR det0c = 0.0 THEN NULL ELSE ((t1*nn - m1*t0) / det0c) END"
+    val b2cExpr =
+      "CASE WHEN nobs < 3 OR det0c = 0.0 THEN NULL ELSE ((m11*t0 - m1*t1) / det0c) END"
+    val rss0cExpr = "(zz - (b0c*t1 + b2c*t0))"
+    val aic0Expr = "CASE WHEN b0c IS NULL THEN NULL " +
+      "WHEN rss0c <= 0.0 THEN -1e308 ELSE (nn * ln(rss0c / nn) + 4.0) END"
+    val aic1Expr = "CASE WHEN b0 IS NULL THEN NULL " +
+      "WHEN rss <= 0.0 THEN -1e308 ELSE (nn * ln(rss / nn) + 6.0) END"
+    val lagSelExpr = "CASE WHEN aic0 IS NULL OR aic1 IS NULL THEN NULL " +
+      "WHEN aic0 <= aic1 THEN 0 ELSE 1 END"
+    val det0fExpr = "(f11*fnn - f1*f1)"
+    val b0fExpr =
+      "CASE WHEN fnn < 3 OR det0f = 0.0 THEN NULL ELSE ((g1*fnn - f1*g0) / det0f) END"
+    val b2fExpr =
+      "CASE WHEN fnn < 3 OR det0f = 0.0 THEN NULL ELSE ((f11*g0 - f1*g1) / det0f) END"
+    val rss0fExpr = "(gq - (b0f*g1 + b2f*g0))"
+    val inv00fExpr =
+      "CASE WHEN fnn < 3 OR det0f = 0.0 THEN NULL ELSE (fnn / det0f) END"
+    val stat0Expr = """CASE
+      WHEN b0f IS NULL THEN NULL
+      WHEN (rss0f / (fnn - 2.0)) * inv00f <= 0.0 THEN NULL
+      ELSE b0f / sqrt((rss0f / (fnn - 2.0)) * inv00f) END"""
+    val statSelExpr =
+      "CASE WHEN lag IS NULL THEN NULL WHEN lag = 0 THEN stat0 ELSE stat1 END"
+    /** extra lag-0 moment names: (moment, exact-sum source, scale power). */
+    val momentsF: Seq[(String, String, Int)] = Seq(
+      ("f11", "p11", 2), ("f1", "p1", 1),
+      ("g1", "q1", 2), ("g0", "q0", 1), ("gq", "qq", 2))
   }
 
   /** DISTRIBUTED fixed-lag ADF tau (lag = 1) — the same statistic as
@@ -1563,6 +1703,85 @@ object TsFeatures {
       .select(col(seriesKey),
         (round(expr(A.statExpr), 6) + lit(0.0)).as("adf_stat"),
         col("nobs").as("adf_nobs"))
+  }
+
+  /** DISTRIBUTED ADF with statsmodels `autolag="AIC"` at maxLag 1
+    * (VERDICT r14 #8 — the default statsmodels path a user reaches
+    * for, where [[adfDistributed]] is the fixed-lag
+    * `autolag=None` variant): per series, BOTH candidate fits (lag 0
+    * and lag 1) run on the common t ≥ 2 sample — which at maxLag 1 is
+    * exactly the lag-1 sample set, so the existing 3×3 Cramer text is
+    * simultaneously the lag-1 selection fit AND its full refit — AIC
+    * picks the lag ((aic, lag) tuple-min: tie → smaller), and the
+    * lag-0 winner re-solves its 2×2 over the one-larger t ≥ 1 sample.
+    * All moments ride exact decimal sums off ONE window pass and ONE
+    * groupBy (conditional sums split the two sample sets); every
+    * double and the ln-based AIC compare are SHARED expression text
+    * ([[Adf]]), so the selection cannot drift between engines.
+    * Output (key, adf_stat, adf_lag, adf_nobs); degenerate series
+    * (either candidate unfittable) yield null stat/lag/nobs.
+    */
+  def adfAutolagDistributed(df: DataFrame, seriesKey: String,
+                            orderCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val A = Adf
+    val wOrd = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    val dec = "decimal(38,0)"
+    val sm = df
+      .withColumn("xq", round(col(valueCol) * lit(1e6)).cast("long"))
+      .withColumn("l1", lead(col("xq"), 1).over(wOrd))
+      .withColumn("l2", lead(col("xq"), 2).over(wOrd))
+      .where(col("l1").isNotNull)
+      .select(col(seriesKey),
+        // lag-0 FULL sample (every t >= 1): x0 = y_{t-1}, z0 = Δy_t
+        col("xq").as("x0"),
+        (col("l1") - col("xq")).as("z0"),
+        // common sample (t >= 2) columns, null on the last pre-row so
+        // the conditional sums skip it
+        when(col("l2").isNotNull, col("l1")).as("x1"),
+        when(col("l2").isNotNull, col("l1") - col("xq")).as("x2"),
+        when(col("l2").isNotNull, col("l2") - col("l1")).as("z"))
+    def prod(a: String, b: String) = expr(s"cast($a as $dec) * cast($b as $dec)")
+    val mo = sm.groupBy(col(seriesKey)).agg(
+      count(col("x1")).as("nobs"), count(lit(1)).as("fcount"),
+      sum(prod("x1", "x1")).as("s11"), sum(prod("x1", "x2")).as("s12"),
+      sum(prod("x2", "x2")).as("s22"),
+      sum(col("x1").cast(dec)).as("s1"), sum(col("x2").cast(dec)).as("s2"),
+      sum(prod("x1", "z")).as("u1"), sum(prod("x2", "z")).as("u2"),
+      sum(col("z").cast(dec)).as("u0"), sum(prod("z", "z")).as("zq"),
+      sum(prod("x0", "x0")).as("p11"), sum(col("x0").cast(dec)).as("p1"),
+      sum(prod("x0", "z0")).as("q1"), sum(col("z0").cast(dec)).as("q0"),
+      sum(prod("z0", "z0")).as("qq"))
+    val mo2 = mo.selectExpr(Seq(seriesKey, "nobs", "fcount") ++
+      (A.moments ++ A.momentsF).map { case (m, s, p) =>
+        s"cast($s as double) / ${A.scaleDiv(p)} as $m" } ++
+      Seq("cast(nobs as double) as nn", "cast(fcount as double) as fnn"): _*)
+    mo2
+      .withColumn("det_a", expr(Friedrich.det3(A.aMat)))
+      .withColumn("b0", expr(A.beta(0)))
+      .withColumn("b1", expr(A.beta(1)))
+      .withColumn("b2", expr(A.beta(2)))
+      .withColumn("rss", expr(A.rssExpr))
+      .withColumn("inv00", expr(A.inv00Expr))
+      .withColumn("stat1", expr(A.statExpr))
+      .withColumn("det0c", expr(A.det0cExpr))
+      .withColumn("b0c", expr(A.b0cExpr))
+      .withColumn("b2c", expr(A.b2cExpr))
+      .withColumn("rss0c", expr(A.rss0cExpr))
+      .withColumn("aic0", expr(A.aic0Expr))
+      .withColumn("aic1", expr(A.aic1Expr))
+      .withColumn("lag", expr(A.lagSelExpr))
+      .withColumn("det0f", expr(A.det0fExpr))
+      .withColumn("b0f", expr(A.b0fExpr))
+      .withColumn("b2f", expr(A.b2fExpr))
+      .withColumn("rss0f", expr(A.rss0fExpr))
+      .withColumn("inv00f", expr(A.inv00fExpr))
+      .withColumn("stat0", expr(A.stat0Expr))
+      .select(col(seriesKey),
+        (round(expr(A.statSelExpr), 6) + lit(0.0)).as("adf_stat"),
+        col("lag").cast("int").as("adf_lag"),
+        expr("CASE WHEN lag IS NULL THEN NULL " +
+          "WHEN lag = 0 THEN fcount ELSE nobs END").as("adf_nobs"))
   }
 
   /** tsfresh `partial_autocorrelation` at ANY lag — closes the
@@ -1748,9 +1967,14 @@ object TsFeatures {
     * (numpy-style linear interpolation; the mean micro-quantizes so
     * the sum is order-free).
     */
-  def matrixProfileBanded(df: DataFrame, seriesKey: String,
-                          orderCols: Seq[String], valueCol: String,
-                          window: Int = 4, band: Int = 20): DataFrame = {
+  /** The banded profile itself — (seriesKey, idx, pv): each window
+    * index's distance to its nearest non-trivial neighbor within the
+    * band. Shared trunk of [[matrixProfileBanded]] (summary stats) and
+    * [[matrixProfileIndices]] (motif/discord argmin — VERDICT r14 #7).
+    */
+  private[graft] def matrixProfileProf(df: DataFrame, seriesKey: String,
+                                       orderCols: Seq[String], valueCol: String,
+                                       window: Int = 4, band: Int = 20): DataFrame = {
     val m = window
     val excl = (m + 1) / 2
     require(m >= 2 && band >= excl, s"window=$m band=$band invalid")
@@ -1800,8 +2024,17 @@ object TsFeatures {
       .select(col(seriesKey), explode(arr).as("p"))
       .select(col(seriesKey), col("p.idx").as("idx"), col("p.d").as("d"))
       .where(col("d").isNotNull)
-    val prof = pairs.groupBy(col(seriesKey), col("idx"))
+    pairs.groupBy(col(seriesKey), col("idx"))
       .agg(min(col("d")).as("pv"))
+  }
+
+  def matrixProfileBanded(df: DataFrame, seriesKey: String,
+                          orderCols: Seq[String], valueCol: String,
+                          window: Int = 4, band: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val MP = MatrixProfileShared
+    val castD = (s: String) => s"cast($s as double)"
+    val prof = matrixProfileProf(df, seriesKey, orderCols, valueCol, window, band)
     val wAll = Window.partitionBy(col(seriesKey))
     val wCum = Window.partitionBy(col(seriesKey)).orderBy(col("pv"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1826,6 +2059,32 @@ object TsFeatures {
       round(expr(MP.pctStr("0.5", "v50lo", "v50hi")), 6).as("mp_median"),
       round(expr(MP.pctStr("0.25", "v25lo", "v25hi")), 6).as("mp_p25"),
       round(expr(MP.pctStr("0.75", "v75lo", "v75hi")), 6).as("mp_p75"))
+  }
+
+  /** Motif/discord LOCATIONS over the banded profile (VERDICT r14 #7 —
+    * the tsfresh-user ask the summary stats left out): per series, the
+    * window index whose nearest-neighbor distance is smallest (motif —
+    * it has a close repeat) and largest (discord — the anomaly), with
+    * the distances. Argmin/argmax by (pv, idx): the distance doubles
+    * are the same shared-text arithmetic both engines replay
+    * bit-identically, and the idx tie-break (SMALLEST index on equal
+    * distance, both ends) makes the pick deterministic even on flat
+    * series where many windows tie at 0. Same single-Exchange profile
+    * trunk; the argmax rides the same rollup as the argmin.
+    */
+  def matrixProfileIndices(df: DataFrame, seriesKey: String,
+                           orderCols: Seq[String], valueCol: String,
+                           window: Int = 4, band: Int = 20): DataFrame = {
+    val prof = matrixProfileProf(df, seriesKey, orderCols, valueCol, window, band)
+    prof.groupBy(col(seriesKey)).agg(
+      min_by(col("idx"), struct(col("pv"), col("idx"))).as("motif_idx"),
+      min(col("pv")).as("md"),
+      max_by(col("idx"), struct(col("pv"), (lit(-1L) * col("idx")).as("ni")))
+        .as("discord_idx"),
+      max(col("pv")).as("dd"))
+      .select(col(seriesKey), col("motif_idx"),
+        round(col("md"), 6).as("motif_dist"), col("discord_idx"),
+        round(col("dd"), 6).as("discord_dist"))
   }
 
   /** Shared expression-text builders for the DISTRIBUTED

@@ -1185,6 +1185,54 @@ object DedupQueries {
     """),
   )
 
+  /** `dedup_embedding` through CORPUS-ADAPTIVE LSH sizing
+    * ([[Ann.autoLshParams]] — VERDICT r14 task #1): same planted-dup
+    * fixture, but (tables, bits) derived from the corpus count so
+    * bucket occupancy stays ≈targetOccupancy under ANY scale factor —
+    * the configuration whose candidate volume is linear in n where the
+    * fixed 16×4 default is quadratic (545 s at sf1). Bench-only BY
+    * DESIGN: at sized bits the exact all-pairs oracle no longer bounds
+    * recall for threshold-grade pairs (the fixed-bit oracled fixture
+    * keeps that contract); the planted near-identical dups are
+    * guaranteed by the miss-target math and asserted in AutoSizeSpec.
+    * The sizing count is one job — corpus stats are a fit boundary.
+    */
+  def dedupEmbeddingScaled(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // offset clears the id range at every bench SF (no collision with
+    // real ids, unlike the oracled fixture's historical +100000)
+    val dup = e.unionAll(e.where(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("v"), x => x + lit(0.01)).as("v")))
+    val (tables, bits) = Ann.autoLshParams(dup.count())
+    Ann.lshCosinePairs(dup, "vec_id", "v", threshold = 0.9,
+      tables = tables, bits = bits, dims = 64)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** `knn_hnsw` with CORPUS-ADAPTIVE shard count ([[Ann.autoShards]] —
+    * VERDICT r14 task #1): shard size pinned at the target so the
+    * per-shard neighbor self-join is bounded and build cost is linear
+    * in n (the fixed nShards=4 default is quadratic: 24 s at sf1).
+    * Entry points scale as 4×nShards so the h16 sample seeds every
+    * shard w.h.p. (edges never cross shards — an unseeded shard is
+    * unreachable). Bench-only: the oracled fixed-shard fixture keeps
+    * the exact DuckDB graph replay; this row measures the scale path.
+    */
+  def knnHnswScaled(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.where(col("vec_id") < 20)
+    val nShards = Ann.autoShards(e.count())
+    val edges = Ann.hnswBuild(e, "vec_id", "embedding",
+      m = 4, degreeCap = 8, nShards = nShards, levelMod = 8)
+    Ann.hnswSearch(e, queries, edges, "vec_id", "embedding", k = 5,
+      beamWidth = 8, hops1 = 2, hops0 = 3,
+      nEntry = math.max(16, 4 * nShards), nShards = nShards)
+      .select(col("query_id"), col("nn_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** CC under ONE GIANT component (the r6 VERDICT's open measurement):
     * ~40% of the 10^5-node universe collapses into a single cluster
     * shaped as a deterministic random recursive tree — parent(i) = an

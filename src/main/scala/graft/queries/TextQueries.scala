@@ -1510,7 +1510,9 @@ object TextQueries {
           lit(SEP)).as("w"), col("c"))
         .localCheckpoint()
       val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (step <- 1 to steps) {
+      var step = 1
+      var exhausted = false
+      while (step <= steps && !exhausted) {
         val top = vocab
           .select(col("c"),
             split(trim(col("w"), SEP), SEP + SEP).as("syms"))
@@ -1522,13 +1524,21 @@ object TextQueries {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("c")).as("n"))
           .orderBy(col("n").desc, col("a"), col("b"))
-          .limit(1).collect().head
-        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((step, a, b, n))
-        vocab = vocab
-          .select(replace(col("w"), lit(SEP + a + SEP + SEP + b + SEP),
-            lit(SEP + a + b + SEP)).as("w"), col("c"))
-          .localCheckpoint()
+          .limit(1).collect().headOption
+        top match {
+          case None =>
+            // degenerate corpus: every word merged to a single symbol
+            // before `steps` rounds — stop gracefully (advisory r14)
+            exhausted = true
+          case Some(row) =>
+            val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((step, a, b, n))
+            vocab = vocab
+              .select(replace(col("w"), lit(SEP + a + SEP + SEP + b + SEP),
+                lit(SEP + a + b + SEP)).as("w"), col("c"))
+              .localCheckpoint()
+            step += 1
+        }
       }
       merges.result().toDF("step", "a", "b", "n")
   }

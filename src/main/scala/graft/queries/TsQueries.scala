@@ -2376,6 +2376,80 @@ object TsQueries {
     Some(adfOracleSql),
   )
 
+  /** GENERATED oracle for `ts_adf_autolag` — extends [[adfOracleSql]]
+    * with the lag-0 candidate (FILTERed conditional sums split the
+    * common t ≥ 2 and full t ≥ 1 samples inside one GROUP BY) and the
+    * shared AIC-selection text; every double, the ln-based compare,
+    * and the selected tau run the identical op sequence in both
+    * engines.
+    */
+  private def adfAutolagOracleSql: String = {
+    val A = graft.operators.TsFeatures.Adf
+    val F = graft.operators.TsFeatures.Friedrich
+    val c = "FILTER (WHERE x1 IS NOT NULL)"
+    val sums = Seq(
+      s"sum(x1::HUGEINT * x1::HUGEINT) $c AS s11",
+      s"sum(x1::HUGEINT * x2::HUGEINT) $c AS s12",
+      s"sum(x2::HUGEINT * x2::HUGEINT) $c AS s22",
+      s"sum(x1::HUGEINT) $c AS s1", s"sum(x2::HUGEINT) $c AS s2",
+      s"sum(x1::HUGEINT * z::HUGEINT) $c AS u1",
+      s"sum(x2::HUGEINT * z::HUGEINT) $c AS u2",
+      s"sum(z::HUGEINT) $c AS u0",
+      s"sum(z::HUGEINT * z::HUGEINT) $c AS zq",
+      "sum(x0::HUGEINT * x0::HUGEINT) AS p11", "sum(x0::HUGEINT) AS p1",
+      "sum(x0::HUGEINT * z0::HUGEINT) AS q1", "sum(z0::HUGEINT) AS q0",
+      "sum(z0::HUGEINT * z0::HUGEINT) AS qq").mkString(", ")
+    val casts = (A.moments ++ A.momentsF).map { case (m, s, p) =>
+      s"($s::DOUBLE) / ${A.scaleDiv(p)} AS $m" }.mkString(", ")
+    s"""
+      WITH base AS (
+        SELECT user_id, ts, round(value * 1e6)::BIGINT AS xq FROM events),
+      sg AS (SELECT user_id, xq,
+               lead(xq, 1) OVER win AS l1, lead(xq, 2) OVER win AS l2
+             FROM base WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+      sm AS (SELECT user_id, xq AS x0, l1 - xq AS z0,
+               CASE WHEN l2 IS NOT NULL THEN l1 END AS x1,
+               CASE WHEN l2 IS NOT NULL THEN l1 - xq END AS x2,
+               CASE WHEN l2 IS NOT NULL THEN l2 - l1 END AS z
+             FROM sg WHERE l1 IS NOT NULL),
+      mo AS (SELECT user_id, count(x1) AS nobs, count(*) AS fcount, $sums
+             FROM sm GROUP BY 1),
+      mo2 AS (SELECT user_id, nobs, fcount, $casts,
+                nobs::DOUBLE AS nn, fcount::DOUBLE AS fnn FROM mo),
+      dt AS (SELECT *, ${F.det3(A.aMat)} AS det_a FROM mo2),
+      bt AS (SELECT *, ${A.beta(0)} AS b0, ${A.beta(1)} AS b1,
+               ${A.beta(2)} AS b2 FROM dt),
+      l1f AS (SELECT *, ${A.rssExpr} AS rss, ${A.inv00Expr} AS inv00 FROM bt),
+      s1f AS (SELECT *, ${A.statExpr} AS stat1, ${A.det0cExpr} AS det0c FROM l1f),
+      c0 AS (SELECT *, ${A.b0cExpr} AS b0c, ${A.b2cExpr} AS b2c FROM s1f),
+      r0 AS (SELECT *, ${A.rss0cExpr} AS rss0c FROM c0),
+      ai AS (SELECT *, ${A.aic0Expr} AS aic0, ${A.aic1Expr} AS aic1 FROM r0),
+      lg AS (SELECT *, ${A.lagSelExpr} AS lag, ${A.det0fExpr} AS det0f FROM ai),
+      f0 AS (SELECT *, ${A.b0fExpr} AS b0f, ${A.b2fExpr} AS b2f FROM lg),
+      f1 AS (SELECT *, ${A.rss0fExpr} AS rss0f, ${A.inv00fExpr} AS inv00f FROM f0),
+      f2 AS (SELECT *, ${A.stat0Expr} AS stat0 FROM f1)
+      SELECT user_id, round(${A.statSelExpr}, 6) + 0.0 AS adf_stat,
+             lag::INT AS adf_lag,
+             CASE WHEN lag IS NULL THEN NULL
+                  WHEN lag = 0 THEN fcount ELSE nobs END AS adf_nobs
+      FROM f2
+    """
+  }
+
+  /** ADF with statsmodels `autolag="AIC"` (maxLag 1) per series — the
+    * default statsmodels path next to row `ts_adf`'s fixed-lag
+    * variant (VERDICT r14 #8): common-sample AIC selection between the
+    * lag-0 and lag-1 fits, tuple-min tie-break, full-sample refit of
+    * the winner — all shared expression text, fully DuckDB-replayed.
+    */
+  val tsAdfAutolag: Q = Q(
+    "ts_adf_autolag",
+    (s, dir) => graft.operators.TsFeatures.adfAutolagDistributed(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", Seq("ts"), "value"),
+    Some(adfAutolagOracleSql),
+  )
+
   /** GENERATED oracle for `ts_matrix_profile` — shares the distance
     * and percentile expression text with
     * [[graft.operators.TsFeatures.matrixProfileBanded]] so both
@@ -2383,7 +2457,11 @@ object TsQueries {
     * struct-unnest pair scatter, and the cast syntax are the only
     * DuckDB-specific parts.
     */
-  private def matrixProfileOracleSql(m: Int, band: Int): String = {
+  /** Shared WITH-chain up to the profile CTE `prof(user_id, idx, pv)` —
+    * the trunk both matrix-profile oracles build on (mirror of
+    * [[graft.operators.TsFeatures.matrixProfileProf]]).
+    */
+  private def matrixProfileProfSql(m: Int, band: Int): String = {
     val MP = graft.operators.TsFeatures.MatrixProfileShared
     val excl = (m + 1) / 2
     val castD = (s: String) => s"($s::DOUBLE)"
@@ -2394,13 +2472,7 @@ object TsQueries {
     val scatter = (excl to band).flatMap(o => Seq(
       s"struct_pack(idx := i0, d := d$o)",
       s"struct_pack(idx := i0 + $o, d := d$o)")).mkString(", ")
-    val picks = Seq("0.25" -> "25", "0.5" -> "50", "0.75" -> "75").flatMap {
-      case (p, tag) => Seq(
-        s"${MP.pickStr(s"floor((cnt - 1) * $p)::BIGINT")} AS v${tag}lo",
-        s"${MP.pickStr(s"least(floor((cnt - 1) * $p)::BIGINT + 1, cnt - 1)")} AS v${tag}hi")
-    }.mkString(",\n               ")
-    s"""
-      WITH base AS (SELECT user_id, ts, round(value * 1e6)::BIGINT AS xq FROM events),
+    s"""WITH base AS (SELECT user_id, ts, round(value * 1e6)::BIGINT AS xq FROM events),
       w1 AS (SELECT user_id, xq,
                row_number() OVER win - 1 AS i0,
                $leads
@@ -2413,7 +2485,19 @@ object TsQueries {
              FROM w2),
       pr AS (SELECT user_id, unnest([$scatter]) AS s FROM w3),
       pp AS (SELECT user_id, s.idx AS idx, s.d AS d FROM pr WHERE s.d IS NOT NULL),
-      prof AS (SELECT user_id, idx, min(d) AS pv FROM pp GROUP BY 1, 2),
+      prof AS (SELECT user_id, idx, min(d) AS pv FROM pp GROUP BY 1, 2)"""
+  }
+
+  private def matrixProfileOracleSql(m: Int, band: Int): String = {
+    val MP = graft.operators.TsFeatures.MatrixProfileShared
+    val castD = (s: String) => s"($s::DOUBLE)"
+    val picks = Seq("0.25" -> "25", "0.5" -> "50", "0.75" -> "75").flatMap {
+      case (p, tag) => Seq(
+        s"${MP.pickStr(s"floor((cnt - 1) * $p)::BIGINT")} AS v${tag}lo",
+        s"${MP.pickStr(s"least(floor((cnt - 1) * $p)::BIGINT + 1, cnt - 1)")} AS v${tag}hi")
+    }.mkString(",\n               ")
+    s"""
+      ${matrixProfileProfSql(m, band)},
       vg AS (SELECT user_id, pv, count(*) AS c FROM prof GROUP BY 1, 2),
       vg2 AS (SELECT *, sum(c) OVER (PARTITION BY user_id) AS cnt,
                 coalesce(sum(c) OVER (PARTITION BY user_id ORDER BY pv
@@ -2446,11 +2530,37 @@ object TsQueries {
     Some(matrixProfileOracleSql(4, 20)),
   )
 
+  /** Motif/discord LOCATIONS from the banded profile (the §3
+    * "still out" matrix-profile classes — VERDICT r14 #7): argmin /
+    * argmax of (pv, idx) per series over the SAME profile trunk the
+    * summary row replays; the idx tie-break pins flat-series ties
+    * identically in both engines.
+    */
+  val tsMatrixProfileMotif: Q = Q(
+    "ts_matrix_profile_motif",
+    (s, dir) => graft.operators.TsFeatures.matrixProfileIndices(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", Seq("ts"), "value"),
+    Some(s"""
+      ${matrixProfileProfSql(4, 20)},
+      sel AS (SELECT user_id, idx, pv,
+                row_number() OVER (PARTITION BY user_id ORDER BY pv, idx) AS rmin,
+                row_number() OVER (PARTITION BY user_id ORDER BY pv DESC, idx) AS rmax
+              FROM prof)
+      SELECT user_id,
+             max(CASE WHEN rmin = 1 THEN idx END) AS motif_idx,
+             round(max(CASE WHEN rmin = 1 THEN pv END), 6) AS motif_dist,
+             max(CASE WHEN rmax = 1 THEN idx END) AS discord_idx,
+             round(max(CASE WHEN rmax = 1 THEN pv END), 6) AS discord_dist
+      FROM sel GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
     tsForecastEval, tsHurst, tsPeaks, tsSax, tsSimilarityTopk, tsCwt, tsPacf,
-    tsFriedrich, tsMatrixProfile, tsAdf)
+    tsFriedrich, tsMatrixProfile, tsMatrixProfileMotif, tsAdf, tsAdfAutolag)
 }

@@ -108,6 +108,44 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("banded matrix-profile pass keeps >1 partition once data exceeds the advisory size") {
+    // §12m: at bench SFs AQE coalesces the ~20 MB banded shuffle into
+    // ONE partition (4 jobs / 7 tasks) — fine there, but the 100 TB
+    // claim is that AQE only coalesces BELOW the advisory size. Pin it:
+    // with the advisory dropped under the fixture's shuffle bytes, the
+    // profile must execute on >1 partition (i.e. the plan's partition
+    // count comes back the moment data outgrows the advisory, so the
+    // banded pass parallelizes at scale instead of serializing).
+    // both knobs govern the coalesce floor: advisory is the target,
+    // minPartitionSize (default 1m, via parallelismFirst) the floor —
+    // at 100 TB the shuffle dwarfs both defaults, so shrinking both
+    // under the fixture's bytes simulates the data-outgrows-config case
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "65536"))
+    try {
+      val prof = graft.operators.TsFeatures.matrixProfileProf(
+        Tables.events(spark, "/root/testdata/sf0.01")
+          .select(org.apache.spark.sql.functions.col("user_id"),
+            org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("value")),
+        "user_id", Seq("ts"), "value")
+      assert(prof.rdd.getNumPartitions > 1,
+        s"banded pass coalesced to ${prof.rdd.getNumPartitions} partition(s)")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("ts_matrix_profile_motif rides the single profile Exchange trunk") {
+    val plan = TsQueries.tsMatrixProfileMotif.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // window pass + profile rollup + argmin rollup: bounded Exchanges
+    assert("Exchange (hash|range|Single)".r.findAllIn(plan).size <= 3, plan)
+  }
+
   test("q_mad keeps the groupBy shape (low group cardinality: window medians lose)") {
     val plan = PipelineQueries.qMad.run(spark, sf).queryExecution.executedPlan.toString
     // two grouped percentile passes + a broadcast back; the window

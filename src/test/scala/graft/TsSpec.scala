@@ -229,6 +229,73 @@ class TsSpec extends SparkSpec {
     }
   }
 
+  test("ADF autolag fold matches the independent numpy statsmodels replay") {
+    import spark.implicits._
+    // expected values from an independent numpy lstsq implementation
+    // of statsmodels adfuller(autolag="AIC"): common-sample AIC
+    // selection ((aic, lag) tuple-min), full-sample refit at the
+    // chosen lag. W is a white-noise-ish draw that PICKS LAG 0 at
+    // maxLag 1 (T and S both pick 1), so both selection branches run.
+    val trend = Array(1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5, 6.0)
+    val stat = Array(0.5, -0.3, 0.8, -0.6, 0.2, 0.9, -0.7, 0.1, -0.2, 0.6, -0.4, 0.3)
+    val w = Array(1.788628, 0.43651, 0.096497, -1.863493, -0.277388, -0.354759,
+      -0.082741, -0.627001, -0.043818, -0.477218, -1.313865, 0.884622)
+    val in = (trend.zipWithIndex.map { case (v, i) => ("T", i.toLong, v) } ++
+      stat.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) } ++
+      w.zipWithIndex.map { case (v, i) => ("W", i.toLong, v) }).toSeq
+      .toDF("sk", "t", "v")
+    val got = TsFeatures.adfAutolag(in, "sk", Seq("t"), "v", maxLag = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got("T")._2 == 1 && math.abs(got("T")._1 - 1.3484) < 1e-4 &&
+      got("T")._3 == 8L)
+    assert(got("S")._2 == 1 && math.abs(got("S")._1 - -3.876036) < 1e-5 &&
+      got("S")._3 == 10L)
+    assert(got("W")._2 == 0 && math.abs(got("W")._1 - -3.697984) < 1e-5 &&
+      got("W")._3 == 11L)
+    // arbitrary maxLag: T at maxLag 3 selects lag 2 (the sawtooth is
+    // EXACTLY Δy_t = 1 − Δy_{t−1}, so the lag-2 fit is perfect —
+    // ssr ≈ 1e-29 float noise — and its tau is solver-noise-dependent:
+    // only the AIC pick is assertable); S's tau stays solid
+    val got3 = TsFeatures.adfAutolag(in, "sk", Seq("t"), "v", maxLag = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got3("T")._2 == 2 && got3("T")._3 == 7L)
+    assert(got3("S")._2 == 1 && math.abs(got3("S")._1 - -3.876036) < 1e-5)
+  }
+
+  test("distributed ADF autolag matches the fold at maxLag 1") {
+    import spark.implicits._
+    val trend = Array(1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5, 6.0)
+    val w = Array(1.788628, 0.43651, 0.096497, -1.863493, -0.277388, -0.354759,
+      -0.082741, -0.627001, -0.043818, -0.477218, -1.313865, 0.884622)
+    val rnd = new scala.util.Random(11)
+    val rows = (trend.zipWithIndex.map { case (v, i) => ("T", i.toLong, v) } ++
+      w.zipWithIndex.map { case (v, i) => ("W", i.toLong, v) }) ++
+      (for (s <- 0 until 4; t <- 0 until 30) yield
+        (s"r$s", t.toLong, math.floor((rnd.nextDouble() * 20 - 10) * 1e6) / 1e6 +
+          (if (s % 2 == 0) t * 0.1 else 0.0)))
+    val in = rows.toSeq.toDF("sk", "t", "v")
+    val fold = TsFeatures.adfAutolag(in, "sk", Seq("t"), "v", maxLag = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getInt(2), r.getLong(3)))).toMap
+    val dist = TsFeatures.adfAutolagDistributed(in, "sk", Seq("t"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(fold.keySet === dist.keySet)
+    fold.foreach { case (k, (tau, lag, nobs)) =>
+      assert(dist(k)._2 == lag, s"$k lag: fold $lag vs dist ${dist(k)._2}")
+      assert(dist(k)._3 == nobs, s"$k nobs")
+      assert(math.abs(dist(k)._1 - tau) < 1e-3, s"$k tau: $tau vs ${dist(k)._1}")
+    }
+    // degenerate shapes stay null, not a crash
+    val deg = (Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0)) ++
+      (1L to 7L).map(t => ("B", t, 5.0))).toDF("sk", "t", "v")
+    val nulls = TsFeatures.adfAutolagDistributed(deg, "sk", Seq("t"), "v")
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(nulls("A") && nulls("B"))
+  }
+
   test("ADF of a too-short or constant series is null, not a crash") {
     import spark.implicits._
     val in = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
