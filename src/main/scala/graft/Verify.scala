@@ -9,20 +9,44 @@ object Verify {
     // oracle json is still written in full — it is cheap)
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-    // RocksDB state store (SPARK_GRAFT_ROCKSDB=1): off-heap streaming
-    // state — the setting a long-running 100 TB streaming job uses
-    val spark = (if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
-      builder.config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    else builder).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val builder = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+      // RocksDB state store (SPARK_GRAFT_ROCKSDB=1): off-heap streaming
+      // state — the setting a long-running 100 TB streaming job uses
+      val s = (if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+        builder.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else builder).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     new java.io.File(outDir).mkdirs()
+    // --- long-sweep hygiene (SURVEY §12l: late heavy rows degraded up
+    // to 75x vs fresh sessions inside the single-JVM 380-query sweep) —
+    // two independently-toggleable mitigations so the cause can be
+    // isolated:
+    //  * SPARK_GRAFT_UNPERSIST (default 1): after every query, drop all
+    //    RDDs still pinned in the BlockManager. Queries localCheckpoint
+    //    liberally (loop inputs, graphs, beams) and nothing unpersists
+    //    them when the query's DataFrame goes out of scope until its
+    //    JVM-GC moment — 380 queries of leaked checkpoint blocks fill
+    //    storage memory and push the old gen into collection storms.
+    //    Safe at query boundaries: nothing references a prior query's
+    //    lineage.
+    //  * SPARK_GRAFT_RECYCLE=N (default 0 = off): stop and rebuild the
+    //    session every N queries — the blunt instrument if block leaks
+    //    are not the whole story (codegen cache, UI/state accretion).
+    val unpersistEach = !sys.env.get("SPARK_GRAFT_UNPERSIST").contains("0")
+    val recycleN = sys.env.getOrElse("SPARK_GRAFT_RECYCLE", "0").toInt
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     // count per-query failures and report them on STDOUT: r7 proved the
     // stderr-only path lets broken queries silently vanish from the
     // correctness file (24 rows disappeared with no loud signal)
@@ -35,15 +59,24 @@ object Verify {
       // one query should name it without a jstack safari
       System.err.println(s"[verify] running $name")
       val t0 = System.nanoTime()
+      val gc0 = gcMillis()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         dumped += 1
         val sec = (System.nanoTime() - t0) / 1e9
-        if (sec > 30) System.err.println(f"[verify] $name took $sec%.1f s")
+        if (sec > 30) System.err.println(
+          f"[verify] $name took $sec%.1f s (gc +${(gcMillis() - gc0) / 1e3}%.1f s)")
       } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      if (unpersistEach)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      if (recycleN > 0 && dumped > 0 && dumped % recycleN == 0) {
+        spark.stop()
+        spark = newSession()
       }
     }
     println(s"[verify] dumped $dumped / failed ${failed.size}" +

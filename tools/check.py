@@ -39,6 +39,10 @@ def main():
     shared_con = new_con()
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = n_skip = 0
+    # GRAFT_CHECK_JSON=path: record a per-query verdict artifact (the
+    # big-SF gate file VERDICT r14 #4 asks for) — pass/fail/slow_skip
+    # per key plus the run parameters, so a completed sweep is citable
+    results = {}
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -46,6 +50,7 @@ def main():
         if not glob.glob(spark_glob):
             print(f"  MISSING spark output: {name}")
             n_fail += 1
+            results[name] = "missing"
             continue
         # opt-in per-oracle timeout for big-SF sweeps (GRAFT_CHECK_TIMEOUT
         # seconds): a timed-out oracle is reported as SLOW-SKIP, never a
@@ -78,11 +83,13 @@ def main():
                     print(f"  FAIL {name}: schema mismatch: "
                           f"spark={sorted(got_types)} oracle={sorted(want_types)}")
                     n_fail += 1
+                    results[name] = "fail"
                     continue
                 ok, msg = compare_types(got_types, want_types)
                 if not ok:
                     print(f"  FAIL {name}: {msg}")
                     n_fail += 1
+                    results[name] = "fail"
                     continue
                 cols = sorted(set(got_types) & set(want_types))
                 # hash a STRUCT of the VARCHAR-cast columns: field
@@ -104,9 +111,11 @@ def main():
                 w = msig(oracles[name])
                 if g == w:
                     n_pass += 1
+                    results[name] = "pass"
                     print(f"  ok   {name} ({g[0]} rows, multiset hash)")
                 else:
                     n_fail += 1
+                    results[name] = "fail"
                     print(f"  FAIL {name}: multiset hash mismatch "
                           f"spark={g} oracle={w}")
                 continue
@@ -116,9 +125,11 @@ def main():
             if timeout_s > 0 and _time.monotonic() - t0 >= timeout_s:
                 print(f"  SLOW-SKIP {name}: oracle exceeded {timeout_s}s")
                 n_skip += 1
+                results[name] = "slow_skip"
             else:
                 print(f"  ERROR {name}: {e}")
                 n_fail += 1
+                results[name] = "error"
             continue
         finally:
             if timer:
@@ -130,10 +141,20 @@ def main():
             ok, msg = compare(got, want)
         if ok:
             n_pass += 1
+            results[name] = "pass"
             print(f"  ok   {name} ({len(want)} rows)")
         else:
             n_fail += 1
+            results[name] = "fail"
             print(f"  FAIL {name}: {msg}")
+    out_json = os.environ.get("GRAFT_CHECK_JSON")
+    if out_json:
+        json.dump({"sfdir": sfdir, "outdir": outdir,
+                   "mode": ("hash" if os.environ.get("GRAFT_CHECK_HASH") == "1"
+                            else "rows"),
+                   "timeout_s": float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0")),
+                   "n_pass": n_pass, "n_fail": n_fail, "n_slow_skip": n_skip,
+                   "queries": results}, open(out_json, "w"), indent=1)
     n_py = python_smoke(sfdir, outdir) if not only else 0
     print(f"[check] pass={n_pass} fail={n_fail} slow_skip={n_skip}"
           f" survey_orphans={n_orphan} python_smoke_failures={n_py}")
