@@ -27,6 +27,18 @@ object ExactAgg {
   def decSum(e: Column): Column =
     sum(e.cast("decimal(28,6)")).cast("double")
 
+  /** [[decSum]] kept as EXACT decimal(38,6) — for published sums whose
+    * magnitude can exceed 2^53·1e-6 ≈ 9.0e9, where a 6-dp double is no
+    * longer well-defined (the 1e-6 grid falls below one ulp and the
+    * engines' round(·, 6) pick ADJACENT doubles: the r15 sf1 class —
+    * q_agg's 2.7e10 sum_disc_price differed at the 6th decimal with
+    * both engines "right"). The decimal survives any corpus size; the
+    * oracle mirrors with sum(x::DECIMAL(28,6)) and both sides print
+    * the identical scale-6 string.
+    */
+  def decSumExact(e: Column): Column =
+    sum(e.cast("decimal(28,6)"))
+
   /** Half-up mean of terms quantized to integer microunits: exact
     * int64 arithmetic end-to-end. Assumes |term|·n·1e6 fits int64.
     */

@@ -423,7 +423,13 @@ object TsFeatures {
       max(v).as(out("max_v")),
       sum(v).as(out("sum_v")),
       percentile(v, lit(0.5)).as(out("median_v")),
-      sum(v * v).as(out("abs_energy")),
+      // exact decimal(28,8) sum (terms of <=4dp inputs are 8dp-exact;
+      // cast margin 5e-9 >> double error) rounded ONCE half-up at 6dp:
+      // a plain double sum's low bits differ by engine/partition order
+      // and at sf1 the exact sum can sit ON a 6dp midpoint (sums of
+      // i^2*1e-8 perturbation residues) - the r15 sf1 abs_energy class
+      round(sum((v * v).cast("decimal(28,8)")), 6).cast("double")
+        .as(out("abs_energy")),
       microAvg(abs(v - i("prev"))).as(out("mean_abs_change")),
       // count(v - prev) == n - 1, so the micro mean IS sum/(n-1)
       microAvg(v - i("prev")).as(out("mean_change")),
@@ -2123,13 +2129,22 @@ object TsFeatures {
         case (v, _) => v
       })
 
-    /** Quantized-moment term: ⌊mx^a·(md)·1e6⌉ as exact-int text; the
-      * per-engine cast wraps this. a = 0 without md is the constant.
+    /** Moment term mx^a·(md) as left-assoc multiplication text — IEEE
+      * exact-rounded, so the per-bin term doubles are bit-identical in
+      * both engines; the engines make the per-series SUM identical by
+      * folding the ≤`bins` terms IN BIN ORDER (Spark: aggregate() over
+      * the sorted collect_list; DuckDB: sum(term ORDER BY bin), a
+      * plain sequential fold — probed). Quantizing the terms to int
+      * was the r14 design, and it BROKE at sf1: ip6 reaches 1e19,
+      * where Spark's double→decimal cast goes through the SHORTEST
+      * STRING while DuckDB's ::HUGEINT keeps the exact binary integer
+      * — two different integers from the same double (r15 find).
+      * a = 0 without md is the constant 1.
       */
-    def termInner(a: Int, withMd: Boolean): String = {
-      val pows = Seq.fill(a)("mx") ++ (if (withMd) Seq("md") else Nil)
-      if (pows.isEmpty) "1000000.0"
-      else s"${pows.mkString("*")} * 1000000.0"
+    def termInner(a: Int, withMd: Boolean, mx: String = "mx",
+                  md: String = "md"): String = {
+      val pows = Seq.fill(a)(mx) ++ (if (withMd) Seq(md) else Nil)
+      if (pows.isEmpty) "1.0" else pows.mkString("*")
     }
 
     // depressed cubic t³ + pp·t + qq, x = t + sh; disc > 0 → one real
@@ -2223,19 +2238,25 @@ object TsFeatures {
     val bn = vg.groupBy(col(seriesKey), col("bin"))
       .agg(sum(expr("xq * c")).as("sx"), sum(col("sd")).as("sdd"),
         sum(col("c")).as("cb"))
-    val pts = bn.selectExpr(seriesKey,
+    val pts = bn.selectExpr(seriesKey, "bin",
       "cast(sx as double) / (cast(cb as double) * 1000000.0) as mx",
       "cast(sdd as double) / (cast(cb as double) * 1000000.0) as md")
-    def t(a: Int, withMd: Boolean) =
-      s"cast(round(${F.termInner(a, withMd)}) as decimal(38,0))"
-    val sums =
-      (0 to 6).map(a => sum(expr(t(a, withMd = false))).as(s"ip$a")) ++
-        (0 to 3).map(a => sum(expr(t(a, withMd = true))).as(s"ir$a"))
+    // per-series moments as ORDERED left folds over the ≤bins bin
+    // means: the per-bin term doubles are engine-identical (exact-
+    // rounded products of identical mx/md), and folding IN BIN ORDER
+    // makes the sum's op sequence identical to the oracle's
+    // sum(term ORDER BY bin) — see [[Friedrich.termInner]] for why the
+    // r14 int quantization could not survive sf1 magnitudes.
+    def fold(a: Int, withMd: Boolean) = expr(
+      s"aggregate(pts, cast(0.0 as double), (acc, q) -> " +
+        s"acc + (${F.termInner(a, withMd, mx = "q.mx", md = "q.md")}))")
     val mo = pts.groupBy(col(seriesKey))
-      .agg(countDistinct(col("mx")).as("ndist"), sums: _*)
-    val mo2 = mo.selectExpr(Seq(seriesKey, "ndist") ++
-      (0 to 6).map(a => s"cast(ip$a as double) / 1000000.0 as p$a") ++
-      (0 to 3).map(a => s"cast(ir$a as double) / 1000000.0 as r$a"): _*)
+      .agg(countDistinct(col("mx")).as("ndist"),
+        sort_array(collect_list(struct(col("bin"), col("mx"), col("md"))))
+          .as("pts"))
+    val mo2 = mo.select(Seq(col(seriesKey), col("ndist")) ++
+      (0 to 6).map(a => fold(a, withMd = false).as(s"p$a")) ++
+      (0 to 3).map(a => fold(a, withMd = true).as(s"r$a")): _*)
     var cur = mo2.withColumn("det_a", expr(F.det4(F.aMat)))
     for (i <- 3 to 0 by -1)
       cur = cur.withColumn(s"b$i", expr(

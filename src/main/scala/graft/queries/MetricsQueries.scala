@@ -764,17 +764,32 @@ object MetricsQueries {
         sum(col("tot").cast("decimal(38,0)")).as("st"),
         sum(col("tot").cast("decimal(38,0)") * col("tot")).as("qt")).head()
       val n = m.getLong(0)
-      def vr(qi: java.math.BigDecimal, si: java.math.BigDecimal) = {
-        val (q, ss) = (BigDecimal(qi).toDouble, BigDecimal(si).toDouble)
-        (q - ss * ss / n) / (n - 1)
+      // variances as exact half-up 6-dp micro units from the integer
+      // moments — v = (q·n − s²)/(n(n−1)) published as decimal(38,6):
+      // at sf1 v₃ ≈ 1.4e10, where round(double, 6) is engine-ambiguous
+      // (1e-6 grid < one ulp — the r15 sf1 gate class)
+      def vrMicro(qi: java.math.BigDecimal, si: java.math.BigDecimal): BigInt = {
+        val q = BigInt(qi.toBigIntegerExact)
+        val ss = BigInt(si.toBigIntegerExact)
+        val num = (q * n - ss * ss) * 1000000
+        val den = BigInt(n) * (BigInt(n) - 1)
+        (num * 2 + den) / (den * 2) // half-up; variances are >= 0
       }
-      val v1 = vr(m.getDecimal(2), m.getDecimal(1))
-      val v2 = vr(m.getDecimal(4), m.getDecimal(3))
-      val v3 = vr(m.getDecimal(6), m.getDecimal(5))
-      val vt = vr(m.getDecimal(8), m.getDecimal(7))
-      val alpha = 3.0 / 2.0 * (1.0 - (v1 + v2 + v3) / vt)
-      Seq((n, r6(v1), r6(v2), r6(v3), r6(vt), r6(alpha)))
+      val m1 = vrMicro(m.getDecimal(2), m.getDecimal(1))
+      val m2 = vrMicro(m.getDecimal(4), m.getDecimal(3))
+      val m3 = vrMicro(m.getDecimal(6), m.getDecimal(5))
+      val mt = vrMicro(m.getDecimal(8), m.getDecimal(7))
+      // alpha from the micro integers (the 1e6 cancels in the ratio);
+      // the micros are < 2^63 so both engines' int→double is exact-
+      // rounded and the double op sequence matches the oracle verbatim
+      val alpha = 3.0 / 2.0 * (1.0 - (m1 + m2 + m3).toDouble / mt.toDouble)
+      def dec6(x: BigInt) = new java.math.BigDecimal(x.bigInteger, 6)
+      Seq((n, dec6(m1), dec6(m2), dec6(m3), dec6(mt), r6(alpha)))
         .toDF("n", "var_1", "var_2", "var_3", "var_total", "alpha")
+        .select(col("n"),
+          col("var_1").cast("decimal(38,6)"), col("var_2").cast("decimal(38,6)"),
+          col("var_3").cast("decimal(38,6)"), col("var_total").cast("decimal(38,6)"),
+          col("alpha"))
     },
     Some("""
       WITH it AS (SELECT l_orderkey, count(*)::BIGINT AS x1,
@@ -788,16 +803,19 @@ object MetricsQueries {
               sum(x3)::HUGEINT AS s3, sum(x3::HUGEINT * x3) AS q3,
               sum(tot)::HUGEINT AS st, sum(tot::HUGEINT * tot) AS qt
             FROM it2),
-      v AS (SELECT n,
-              (q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1) AS v1,
-              (q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n) / (n - 1) AS v2,
-              (q3::DOUBLE - s3::DOUBLE * s3::DOUBLE / n) / (n - 1) AS v3,
-              (qt::DOUBLE - st::DOUBLE * st::DOUBLE / n) / (n - 1) AS vt
+      mic AS (SELECT n,
+              (2*((q1*n - s1*s1)*1000000) + (n::HUGEINT*(n-1))) // (2*(n::HUGEINT*(n-1))) AS m1,
+              (2*((q2*n - s2*s2)*1000000) + (n::HUGEINT*(n-1))) // (2*(n::HUGEINT*(n-1))) AS m2,
+              (2*((q3*n - s3*s3)*1000000) + (n::HUGEINT*(n-1))) // (2*(n::HUGEINT*(n-1))) AS m3,
+              (2*((qt*n - st*st)*1000000) + (n::HUGEINT*(n-1))) // (2*(n::HUGEINT*(n-1))) AS mt
             FROM m)
-      SELECT n, round(v1, 6) AS var_1, round(v2, 6) AS var_2,
-             round(v3, 6) AS var_3, round(vt, 6) AS var_total,
-             round(3.0 / 2.0 * (1.0 - (v1 + v2 + v3) / vt), 6) AS alpha
-      FROM v
+      SELECT n,
+             ((m1 // 1000000)::VARCHAR || '.' || lpad((m1 % 1000000)::VARCHAR, 6, '0'))::DECIMAL(38,6) AS var_1,
+             ((m2 // 1000000)::VARCHAR || '.' || lpad((m2 % 1000000)::VARCHAR, 6, '0'))::DECIMAL(38,6) AS var_2,
+             ((m3 // 1000000)::VARCHAR || '.' || lpad((m3 % 1000000)::VARCHAR, 6, '0'))::DECIMAL(38,6) AS var_3,
+             ((mt // 1000000)::VARCHAR || '.' || lpad((mt % 1000000)::VARCHAR, 6, '0'))::DECIMAL(38,6) AS var_total,
+             round(3.0 / 2.0 * (1.0 - (m1 + m2 + m3)::DOUBLE / mt::DOUBLE), 6) AS alpha
+      FROM mic
     """),
   )
 

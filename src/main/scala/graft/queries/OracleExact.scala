@@ -10,6 +10,12 @@ private[queries] object OracleExact {
   /** exact decimal(28,6) sum → double (mirror of ExactAgg.decSum). */
   def decSumSql(e: String): String = s"sum(($e)::DECIMAL(28,6))::DOUBLE"
 
+  /** exact decimal sum kept decimal (mirror of ExactAgg.decSumExact —
+    * the >9e9-magnitude-safe published form; both engines' sum of
+    * DECIMAL(28,6) promotes to DECIMAL(38,6)).
+    */
+  def decSumExactSql(e: String): String = s"sum(($e)::DECIMAL(28,6))"
+
   /** half-up integer-microunit mean (mirror of ExactAgg.microAvg). */
   def microAvgSql(e: String): String =
     microQuotientSql(s"sum(round(($e) * 1000000)::BIGINT)::BIGINT", s"count($e)")

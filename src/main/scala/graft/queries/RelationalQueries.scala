@@ -11,7 +11,7 @@ import graft.{Q, Tables}
   * as headline TPC-H-style plans. These are the bench drivers.
   */
 object RelationalQueries {
-  import OracleExact.{decSumSql, microAvgSql}
+  import OracleExact.{decSumSql, decSumExactSql, microAvgSql}
 
   /** TPC-H Q1-style filtered group-agg. Scale notes: single scan,
     * partial (map-side) aggregation on 6 grouping values, filter and
@@ -24,14 +24,17 @@ object RelationalQueries {
       // sums/means ride exact decimal/micro arithmetic (ExactAgg): at
       // sf0.1+ the distributed double-sum order diverges from a
       // sequential engine in the low bits and can cross a 6-dp
-      // rounding boundary
+      // rounding boundary. The whole-table money sums PUBLISH as
+      // exact decimal(38,6), not round(double, 6): at sf1 they pass
+      // 9e9 where the 1e-6 grid drops below one double ulp and the
+      // engines' round() pick adjacent doubles (r15 sf1 gate find).
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(ExactAgg.decSum(col("l_quantity")), 6).as("sum_qty"),
-          round(ExactAgg.decSum(col("l_extendedprice")), 6).as("sum_base_price"),
-          round(ExactAgg.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          ExactAgg.decSumExact(col("l_quantity")).as("sum_qty"),
+          ExactAgg.decSumExact(col("l_extendedprice")).as("sum_base_price"),
+          ExactAgg.decSumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price"),
           round(ExactAgg.microAvg(col("l_quantity")), 6).as("avg_qty"),
           round(ExactAgg.microAvg(col("l_discount")), 6).as("avg_disc"),
@@ -40,9 +43,9 @@ object RelationalQueries {
     },
     Some(s"""
       SELECT l_returnflag, l_linestatus,
-             round(${decSumSql("l_quantity")}, 6) AS sum_qty,
-             round(${decSumSql("l_extendedprice")}, 6) AS sum_base_price,
-             round(${decSumSql("l_extendedprice * (1 - l_discount)")}, 6) AS sum_disc_price,
+             ${decSumExactSql("l_quantity")} AS sum_qty,
+             ${decSumExactSql("l_extendedprice")} AS sum_base_price,
+             ${decSumExactSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
              round(${microAvgSql("l_quantity")}, 6) AS avg_qty,
              round(${microAvgSql("l_discount")}, 6) AS avg_disc,
              count(*) AS count_order
@@ -71,14 +74,16 @@ object RelationalQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(graft.operators.ExactAgg.decSum(
-            col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+          // exact decimal publish: the per-nation revenue passes 1e10
+          // at sf1, where round(double, 6) is engine-ambiguous (q_agg)
+          graft.operators.ExactAgg.decSumExact(
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"),
         )
     },
     Some(s"""
       SELECT r_name, n_name,
-             round(${decSumSql("l_extendedprice * (1 - l_discount)")}, 6) AS revenue,
+             ${decSumExactSql("l_extendedprice * (1 - l_discount)")} AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey

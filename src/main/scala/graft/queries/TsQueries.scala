@@ -210,7 +210,7 @@ object TsQueries {
     "max_v" -> "round(max(v), 6)",
     "sum_v" -> "round(sum(v), 6)",
     "median_v" -> "round(median(v), 6)",
-    "abs_energy" -> "round(sum(v*v), 6)",
+    "abs_energy" -> "round(sum((v*v)::DECIMAL(28,8)), 6)::DOUBLE",
     "mean_abs_change" -> s"round(${microAvgSql("abs(v - prev)")}, 6)",
     "mean_change" -> s"round(${microAvgSql("v - prev")}, 6)",
     "autocorr_lag1" -> s"round($ac1Sql, 6)",
@@ -382,6 +382,17 @@ object TsQueries {
   /** every feature column the extract emits: base aggregates + derived */
   private val allFeatNames: Seq[String] = featSql.map(_._1) ++ derivedNames
 
+  /** Oracle-side feature emission with the SAME signed-zero
+    * normalization the Spark selects apply (+ 0.0 on double features):
+    * float == treats -0.0 and 0.0 as equal but the hash does not, and
+    * sf1's 3-point windows produce exact -0.0 autocorrelations (r15).
+    * `base` is the unprefixed feature name for the int lookup.
+    */
+  private def emitF(outName: String, sql: String, base: String = ""): String = {
+    val key = if (base.nonEmpty) base else outName
+    if (intFeats(key)) s"$sql AS $outName" else s"($sql) + 0.0 AS $outName"
+  }
+
   /** -Σ p·ln(p) over a 10-bin equal-width histogram, written as the
     * IDENTICAL left-associated term sum the Spark aggregation uses.
     */
@@ -444,9 +455,12 @@ object TsQueries {
   private def roundedExtract(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
     val f = TsFeatures.extract(e, "user_id", Seq("ts"), "value")
+    // + 0.0 normalizes IEEE signed zero: at sf1 a 3-point window's
+    // autocorrelation can be an exact -0.0 on one engine and +0.0 on
+    // the other — float == calls them equal, the hash does not (r15)
     f.select(col("user_id") +: allFeatNames.map { name =>
       if (intFeats(name)) col(name)
-      else round(col(name), 6).as(name)
+      else (round(col(name), 6) + lit(0.0)).as(name)
     }: _*)
   }
 
@@ -458,10 +472,10 @@ object TsQueries {
       $enrichedCte,
       f0 AS (
         SELECT user_id,
-               ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n               ")}
+               ${featSql.map { case (n, sql) => emitF(n, sql) }.mkString(",\n               ")}
         FROM e GROUP BY user_id)
       SELECT f0.*,
-             ${derivedSql("").map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
+             ${derivedSql("").map { case (n, sql) => emitF(n, sql) }.mkString(",\n             ")}
       FROM f0
     """),
   )
@@ -484,7 +498,8 @@ object TsQueries {
       // are degenerate features anyway
       f.where(col("n") >= 3)
         .select(col("user_id") +: col("bucket") +: allFeatNames.map { name =>
-          if (intFeats(name)) col(name) else round(col(name), 6).as(name)
+          if (intFeats(name)) col(name)
+          else (round(col(name), 6) + lit(0.0)).as(name)
         }: _*)
     },
     Some(s"""
@@ -493,11 +508,11 @@ object TsQueries {
         "user_id, bucket")},
       f0 AS (
         SELECT user_id, bucket,
-               ${featSql.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n               ")}
+               ${featSql.map { case (n, sql) => emitF(n, sql) }.mkString(",\n               ")}
         FROM e GROUP BY user_id, bucket
         HAVING count(v) >= 3)
       SELECT f0.*,
-             ${derivedSql("").map { case (n, sql) => s"$sql AS $n" }.mkString(",\n             ")}
+             ${derivedSql("").map { case (n, sql) => emitF(n, sql) }.mkString(",\n             ")}
       FROM f0
     """),
   )
@@ -553,12 +568,12 @@ object TsQueries {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       f0_$vc AS (
         SELECT k,
-               ${featSql.map { case (n, sql) => s"$sql AS ${vc}_$n" }
+               ${featSql.map { case (n, sql) => emitF(s"${vc}_$n", sql, n) }
                  .mkString(",\n               ")}
         FROM e_$vc GROUP BY k),
       f_$vc AS (
         SELECT f0_$vc.*,
-               ${derivedSql(s"${vc}_").map { case (n, sql) => s"$sql AS ${vc}_$n" }
+               ${derivedSql(s"${vc}_").map { case (n, sql) => emitF(s"${vc}_$n", sql, n) }
                  .mkString(",\n               ")}
         FROM f0_$vc)"""
 
@@ -580,7 +595,8 @@ object TsQueries {
       val f = TsFeatures.extractMulti(e, "user_id", Seq("ts"), multiVals)
       f.select(col("user_id") +: multiVals.flatMap(vc => allFeatNames.map { name =>
         val c = s"${vc}_$name"
-        if (intFeats(name)) col(c) else round(col(c), 6).as(c)
+        if (intFeats(name)) col(c)
+        else (round(col(c), 6) + lit(0.0)).as(c)
       }): _*)
     },
     Some(s"""
@@ -1827,12 +1843,19 @@ object TsQueries {
         round(err * 1e6).cast("long").as("am"),
         round(err * 2 / (abs(f) + abs(col("value"))) * 1e6).cast("long").as("sm"))
         .where(col("am").isNotNull)
+      // half-up integer-micro means: round(sum/1e6/n, 6) hands the
+      // engines' round() a double that often sits AT a 6dp midpoint
+      // (sum/n is small-denominator rational) where their tie paths
+      // diverge — the r15 sf1 smape class; microQuotient settles the
+      // digit in exact int64 (am/sm are >= 0, no -0 to normalize)
       scored.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_eval"),
-          round(sum(col("am")) / 1e6 / count(lit(1)), 6).as("mae"),
-          round(sum(col("sm")) / 1e6 / count(lit(1)), 6).as("smape"))
+          graft.operators.ExactAgg.microQuotient(
+            sum(col("am")), count(lit(1))).as("mae"),
+          graft.operators.ExactAgg.microQuotient(
+            sum(col("sm")), count(lit(1))).as("smape"))
     },
-    Some("""
+    Some(s"""
       WITH RECURSIVE s AS (
         SELECT user_id, epoch_ns(ts) AS ts, value,
                round(value * 1e6)::BIGINT AS xm,
@@ -1861,8 +1884,8 @@ object TsQueries {
                round(abs(f - value) * 2 / (abs(f) + abs(value)) * 1e6)::BIGINT AS sm
         FROM fc WHERE f IS NOT NULL)
       SELECT user_id, count(*)::BIGINT AS n_eval,
-             round(sum(am) / 1e6 / count(*), 6) AS mae,
-             round(sum(sm) / 1e6 / count(*), 6) AS smape
+             ${OracleExact.microQuotientSql("sum(am)::BIGINT", "count(*)")} AS mae,
+             ${OracleExact.microQuotientSql("sum(sm)::BIGINT", "count(*)")} AS smape
       FROM sc GROUP BY 1
     """),
   )
@@ -2245,11 +2268,13 @@ object TsQueries {
     */
   private def friedrichOracleSql(bins: Int): String = {
     val F = graft.operators.TsFeatures.Friedrich
-    def t(a: Int, withMd: Boolean) = s"round(${F.termInner(a, withMd)})::HUGEINT"
-    val moSums = ((0 to 6).map(a => s"sum(${t(a, withMd = false)}) AS ip$a") ++
-      (0 to 3).map(a => s"sum(${t(a, withMd = true)}) AS ir$a")).mkString(", ")
-    val moCasts = ((0 to 6).map(a => s"(ip$a::DOUBLE) / 1000000.0 AS p$a") ++
-      (0 to 3).map(a => s"(ir$a::DOUBLE) / 1000000.0 AS r$a")).mkString(", ")
+    // ordered double folds — the bin-order sequential sum DuckDB's
+    // sum(x ORDER BY bin) runs matches Spark's aggregate() over the
+    // bin-sorted list exactly (see Friedrich.termInner)
+    val moSums =
+      ((0 to 6).map(a => s"sum(${F.termInner(a, withMd = false)} ORDER BY bin) AS p$a") ++
+        (0 to 3).map(a => s"sum(${F.termInner(a, withMd = true)} ORDER BY bin) AS r$a"))
+        .mkString(", ")
     val betas = (3 to 0 by -1).map(i =>
       s"CASE WHEN ndist < 4 OR det_a = 0.0 THEN NULL " +
         s"ELSE (${F.det4(F.aWith(i))} / det_a) END AS b$i").mkString(",\n        ")
@@ -2284,13 +2309,12 @@ object TsQueries {
       bn AS (SELECT user_id, ((bef + c - 1) * $bins) // len AS bin,
                sum(xq * c) AS sx, sum(sd) AS sdd, sum(c) AS cb
              FROM vg2 GROUP BY 1, 2),
-      pts AS (SELECT user_id,
+      pts AS (SELECT user_id, bin,
                 (sx::DOUBLE) / ((cb::DOUBLE) * 1000000.0) AS mx,
                 (sdd::DOUBLE) / ((cb::DOUBLE) * 1000000.0) AS md
               FROM bn),
-      mo AS (SELECT user_id, count(DISTINCT mx) AS ndist, $moSums
+      mo2 AS (SELECT user_id, count(DISTINCT mx) AS ndist, $moSums
              FROM pts GROUP BY 1),
-      mo2 AS (SELECT user_id, ndist, $moCasts FROM mo),
       dt AS (SELECT *, ${F.det4(F.aMat)} AS det_a FROM mo2),
       bt AS (SELECT *,
         $betas

@@ -135,8 +135,9 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(alpha - 11.0 / 12) < 1e-9) // construct validity of the fixture
     val r = MetricsQueries.qCronbachAlpha.run(spark, sf).head()
     assert(r.getAs[Double]("alpha") <= 1.0 + 1e-9)
-    val a2 = 1.5 * (1.0 - (r.getAs[Double]("var_1") + r.getAs[Double]("var_2") +
-      r.getAs[Double]("var_3")) / r.getAs[Double]("var_total"))
+    // variances publish as exact decimal(38,6) micro quotients (r15)
+    def v(c: String) = r.getAs[java.math.BigDecimal](c).doubleValue
+    val a2 = 1.5 * (1.0 - (v("var_1") + v("var_2") + v("var_3")) / v("var_total"))
     assert(math.abs(r.getAs[Double]("alpha") - a2) < 2e-5)
   }
 
