@@ -52,6 +52,7 @@ object Verify {
     // correctness file (24 rows disappeared with no loud signal)
     var failed = List.empty[String]
     var dumped = 0
+    var attempted = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -71,10 +72,14 @@ object Verify {
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      attempted += 1
       if (unpersistEach)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-      if (recycleN > 0 && dumped > 0 && dumped % recycleN == 0) {
+      // recycle cadence keys on ATTEMPTS, not successes: a run of
+      // failures must not stall the recycle exactly when the JVM is
+      // most likely degraded (r15 advisory)
+      if (recycleN > 0 && attempted % recycleN == 0) {
         spark.stop()
         spark = newSession()
       }

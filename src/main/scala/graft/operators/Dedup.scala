@@ -538,14 +538,20 @@ object Dedup {
       // variant buckets stay small and candidates stay ∝ output.
       // Junk variants from degenerate (empty) names only ever ADD
       // candidates; the exact levenshtein verify removes them, so the
-      // result set is identical to the naive block join's.
+      // result set is identical to the naive block join's. The
+      // null-block filter keeps it identical under NULLs too: struct
+      // equality treats NULL fields as equal while the naive path's
+      // per-column === never matches a NULL, so rows with a NULL
+      // block column must not pair here either (r15 advisory).
       val name = col(nameCol)
       val variants = array_union(
         array(name),
         transform(sequence(lit(1), greatest(length(name), lit(1))), i =>
           concat(name.substr(lit(1), i - lit(1)),
             name.substr(i + lit(1), length(name)))))
-      val v = df.select(col(idCol).as("vid"),
+      val v = df
+        .where(blockCols.map(col(_).isNotNull).reduce(_ && _))
+        .select(col(idCol).as("vid"),
           struct(blockCols.map(col): _*).as("blk"),
           explode(variants).as("vr"))
       val cands = v.as("x").join(v.as("y"),

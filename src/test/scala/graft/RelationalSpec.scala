@@ -21,9 +21,11 @@ class RelationalSpec extends SparkSpec {
     val df = SparkEntry.queries("q_agg")(spark, sf)
     val rows = df.collect()
     assert(rows.length >= 3 && rows.length <= 6)
-    // sums publish as exact decimal(38,6) (the r15 >9e9 round-ambiguity
-    // fix); compare numerically via BigDecimal
-    assert(rows.forall(_.getAs[java.math.BigDecimal]("sum_qty").signum > 0))
+    // publish form is env-switched (double view default, exact
+    // decimal(38,6) under SPARK_GRAFT_EXACT_DECIMAL=1) — compare
+    // through Number so the spec passes under either arm
+    assert(rows.forall(
+      _.getAs[Number]("sum_qty").doubleValue > 0))
   }
 
   test("q_topk returns at most 3 per priority") {

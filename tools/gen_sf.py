@@ -46,9 +46,13 @@ def main():
     # key spans = max(source key) + 1 (keys are dense 0..N-1; the +1
     # keeps replicas disjoint even if a source ever had gaps below max)
     def span(table, col):
-        return con.execute(
+        s = con.execute(
             f"SELECT max({col}) + 1 FROM read_parquet('{src}/{table}.parquet')"
         ).fetchone()[0]
+        # max() of zero rows is NULL -> fail loudly naming the table
+        # instead of a TypeError in the f-string arithmetic later
+        assert s is not None, f"{table} is empty in {src} — bad src sfdir?"
+        return s
     CK, SK, PK, OK = (span("customer", "c_custkey"), span("supplier", "s_suppkey"),
                       span("part", "p_partkey"), span("orders", "o_orderkey"))
     EV, UV = span("events", "event_id"), span("events", "user_id")
