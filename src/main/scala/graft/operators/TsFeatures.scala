@@ -1607,6 +1607,50 @@ object TsFeatures {
       WHEN (rss / (nn - 3.0)) * inv00 <= 0.0 THEN NULL
       ELSE b0 / sqrt((rss / (nn - 3.0)) * inv00) END"""
 
+    // ---- MacKinnon regression-surface p-value (VERDICT r15 #4) ----
+    // statsmodels `mackinnonp(tau, regression='c', N=1)` — the number
+    // users actually threshold on. Constants are MacKinnon's published
+    // response-surface fits (J.G. MacKinnon, "Approximate asymptotic
+    // distribution functions for unit-root and cointegration tests",
+    // JBES 1994; as shipped in statsmodels.tsa.adfvalues): clamp bounds
+    // tau_max_c=2.74 / tau_min_c=-18.83, crossover tau_star_c=-1.61,
+    // small-tau fit p = Φ(2.1659 + 1.4412·τ + 0.038269·τ²), large-tau
+    // fit p = Φ(1.7339 + 0.93202·τ − 0.12745·τ² − 0.010368·τ³).
+    // Φ rides the SAME A&S 26.2.17 rational tail the repo's relevance
+    // tests share (normTwoSidedP / OracleExact.phiTailSql — |err| <
+    // 7.5e-8, invisible at 6 dp) as ONE expression text evaluated
+    // verbatim by both engines, so every IEEE double matches
+    // bit-for-bit. The input is the 6-dp ROUNDED tau (the published
+    // stat), keeping p a pure function of published columns; the
+    // τ-quantization moves p by < 1e-5 — parity with statsmodels'
+    // unrounded-τ p is spec-pinned at that tolerance.
+    /** 2·(1−Φ(a)) for a ≥ 0 — A&S 26.2.17, identical Horner order to
+      * [[TsFeatures.normTwoSidedP]].
+      */
+    def phiTail(a: String): String =
+      s"2.0 * (exp(-($a) * ($a) / 2) / sqrt(2 * pi())) * " +
+        s"((1.0 / (1.0 + 0.2316419 * ($a))) * (0.319381530 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($a))) * (-0.356563782 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($a))) * (1.781477937 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($a))) * (-1.821255978 + " +
+        s"(1.0 / (1.0 + 0.2316419 * ($a))) * 1.330274429)))))"
+    /** Φ(z) for any sign via the tail (Φ(z) = 1 − tail(z)/2, z ≥ 0). */
+    def phi(z: String): String =
+      s"(CASE WHEN ($z) >= 0.0 THEN 1.0 - ${phiTail(z)} / 2.0 " +
+        s"ELSE ${phiTail(s"-($z)")} / 2.0 END)"
+    /** MacKinnon p from a tau expression — null-passing, clamped. */
+    def mackinnonPExpr(tau: String): String = {
+      val zSmall = s"(2.1659 + ($tau) * (1.4412 + ($tau) * 0.038269))"
+      val zLarge = s"(1.7339 + ($tau) * (0.93202 + ($tau) * " +
+        s"(-0.12745 + ($tau) * (-0.010368))))"
+      s"""CASE
+        WHEN ($tau) IS NULL THEN NULL
+        WHEN ($tau) >= 2.74 THEN 1.0
+        WHEN ($tau) <= -18.83 THEN 0.0
+        WHEN ($tau) <= -1.61 THEN ${phi(zSmall)}
+        ELSE ${phi(zLarge)} END"""
+    }
+
     // ---- autolag (maxLag = 1) shared text — VERDICT r14 #8 ----
     // The statsmodels autolag="AIC" protocol at maxLag 1: both
     // candidate fits run on the COMMON sample t >= 2 (which for
@@ -1706,8 +1750,10 @@ object TsFeatures {
       .withColumn("b2", expr(A.beta(2)))
       .withColumn("rss", expr(A.rssExpr))
       .withColumn("inv00", expr(A.inv00Expr))
+      .withColumn("stat6", round(expr(A.statExpr), 6) + lit(0.0))
       .select(col(seriesKey),
-        (round(expr(A.statExpr), 6) + lit(0.0)).as("adf_stat"),
+        col("stat6").as("adf_stat"),
+        (round(expr(A.mackinnonPExpr("stat6")), 6) + lit(0.0)).as("adf_p"),
         col("nobs").as("adf_nobs"))
   }
 
@@ -1783,8 +1829,10 @@ object TsFeatures {
       .withColumn("rss0f", expr(A.rss0fExpr))
       .withColumn("inv00f", expr(A.inv00fExpr))
       .withColumn("stat0", expr(A.stat0Expr))
+      .withColumn("stat6", round(expr(A.statSelExpr), 6) + lit(0.0))
       .select(col(seriesKey),
-        (round(expr(A.statSelExpr), 6) + lit(0.0)).as("adf_stat"),
+        col("stat6").as("adf_stat"),
+        (round(expr(A.mackinnonPExpr("stat6")), 6) + lit(0.0)).as("adf_p"),
         col("lag").cast("int").as("adf_lag"),
         expr("CASE WHEN lag IS NULL THEN NULL " +
           "WHEN lag = 0 THEN fcount ELSE nobs END").as("adf_nobs"))

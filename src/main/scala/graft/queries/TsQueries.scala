@@ -2380,10 +2380,12 @@ object TsQueries {
       dt AS (SELECT *, ${F.det3(A.aMat)} AS det_a FROM mo2),
       bt AS (SELECT *, ${A.beta(0)} AS b0, ${A.beta(1)} AS b1,
                ${A.beta(2)} AS b2 FROM dt),
-      fin AS (SELECT *, ${A.rssExpr} AS rss, ${A.inv00Expr} AS inv00 FROM bt)
-      SELECT user_id, round(${A.statExpr}, 6) + 0.0 AS adf_stat,
+      fin AS (SELECT *, ${A.rssExpr} AS rss, ${A.inv00Expr} AS inv00 FROM bt),
+      st AS (SELECT *, round(${A.statExpr}, 6) + 0.0 AS stat6 FROM fin)
+      SELECT user_id, stat6 AS adf_stat,
+             round(${A.mackinnonPExpr("stat6")}, 6) + 0.0 AS adf_p,
              nobs AS adf_nobs
-      FROM fin
+      FROM st
     """
   }
 
@@ -2451,12 +2453,14 @@ object TsQueries {
       lg AS (SELECT *, ${A.lagSelExpr} AS lag, ${A.det0fExpr} AS det0f FROM ai),
       f0 AS (SELECT *, ${A.b0fExpr} AS b0f, ${A.b2fExpr} AS b2f FROM lg),
       f1 AS (SELECT *, ${A.rss0fExpr} AS rss0f, ${A.inv00fExpr} AS inv00f FROM f0),
-      f2 AS (SELECT *, ${A.stat0Expr} AS stat0 FROM f1)
-      SELECT user_id, round(${A.statSelExpr}, 6) + 0.0 AS adf_stat,
+      f2 AS (SELECT *, ${A.stat0Expr} AS stat0 FROM f1),
+      f3 AS (SELECT *, round(${A.statSelExpr}, 6) + 0.0 AS stat6 FROM f2)
+      SELECT user_id, stat6 AS adf_stat,
+             round(${A.mackinnonPExpr("stat6")}, 6) + 0.0 AS adf_p,
              lag::INT AS adf_lag,
              CASE WHEN lag IS NULL THEN NULL
                   WHEN lag = 0 THEN fcount ELSE nobs END AS adf_nobs
-      FROM f2
+      FROM f3
     """
   }
 

@@ -190,7 +190,8 @@ class TsSpec extends SparkSpec {
       stat.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }).toSeq
       .toDF("sk", "t", "v")
     val got = TsFeatures.adfDistributed(in, "sk", Seq("t"), "v")
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("adf_stat"), r.getAs[Long]("adf_nobs")))).toMap
     // fixture values are exact micro multiples, so quantization is
     // exact and only the solve's op order differs from the fold
     assert(math.abs(got("T")._1 - 1.3484) < 1e-4)
@@ -205,6 +206,35 @@ class TsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
     assert(nulls("A")) // 5 points -> nobs = 3 < 4 -> null
     assert(nulls("B")) // constant series: singular X'X
+  }
+
+  test("MacKinnon p-value surface matches the published critical values") {
+    import spark.implicits._
+    // non-circular anchors: MacKinnon's asymptotic critical values for
+    // regression='c' (1%/5%/10% = -3.43/-2.86/-2.57) must map to p ≈
+    // 0.01/0.05/0.10 under the response surface; plus clamp bounds and
+    // small/large-polynomial branch continuity at tau_star = -1.61
+    val A = TsFeatures.Adf
+    val taus = Seq(-3.43, -2.86, -2.57, -18.84, 2.75, -1.6099, -1.6101)
+    val got = taus.toDF("tau")
+      .selectExpr("tau", s"${A.mackinnonPExpr("tau")} as p")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(-3.43) - 0.01) < 1e-3, s"1% cv -> ${got(-3.43)}")
+    assert(math.abs(got(-2.86) - 0.05) < 2e-3, s"5% cv -> ${got(-2.86)}")
+    assert(math.abs(got(-2.57) - 0.10) < 3e-3, s"10% cv -> ${got(-2.57)}")
+    assert(got(-18.84) == 0.0 && got(2.75) == 1.0)
+    assert(math.abs(got(-1.6099) - got(-1.6101)) < 1e-3, "branch continuity")
+    // wired through adfDistributed: the stationary fixture's tau
+    // -3.876036 sits near the 1% tail, the trending one's p ~ 1
+    val trend = Array(1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5, 6.0)
+    val stat = Array(0.5, -0.3, 0.8, -0.6, 0.2, 0.9, -0.7, 0.1, -0.2, 0.6, -0.4, 0.3)
+    val in = (trend.zipWithIndex.map { case (v, i) => ("T", i.toLong, v) } ++
+      stat.zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }).toSeq
+      .toDF("sk", "t", "v")
+    val p = TsFeatures.adfDistributed(in, "sk", Seq("t"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("adf_p")).toMap
+    assert(p("S") > 0.0 && p("S") < 0.01, s"stationary p ${p("S")}")
+    assert(p("T") > 0.9, s"trending p ${p("T")}")
   }
 
   test("distributed ADF tracks the fold on seeded random series") {
@@ -222,7 +252,7 @@ class TsSpec extends SparkSpec {
     val fold = TsFeatures.adf(in, "sk", Seq("t"), "v")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val dist = TsFeatures.adfDistributed(in, "sk", Seq("t"), "v")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("adf_stat")).toMap
     assert(fold.keySet === dist.keySet)
     fold.foreach { case (k, v) =>
       assert(math.abs(dist(k) - v) < 1e-3, s"$k: fold $v vs dist ${dist(k)}")
@@ -281,7 +311,8 @@ class TsSpec extends SparkSpec {
         ((r.getDouble(1), r.getInt(2), r.getLong(3)))).toMap
     val dist = TsFeatures.adfAutolagDistributed(in, "sk", Seq("t"), "v")
       .collect().map(r => r.getString(0) ->
-        ((r.getDouble(1), r.getInt(2), r.getLong(3)))).toMap
+        ((r.getAs[Double]("adf_stat"), r.getAs[Int]("adf_lag"),
+          r.getAs[Long]("adf_nobs")))).toMap
     assert(fold.keySet === dist.keySet)
     fold.foreach { case (k, (tau, lag, nobs)) =>
       assert(dist(k)._2 == lag, s"$k lag: fold $lag vs dist ${dist(k)._2}")
