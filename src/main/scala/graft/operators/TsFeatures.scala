@@ -2006,6 +2006,24 @@ object TsFeatures {
     /** rank-pick: the unique rollup row whose [bef, bef+c) covers r. */
     def pickStr(r: String): String =
       s"max(CASE WHEN bef <= $r AND $r < bef + c THEN pv END)"
+
+    /** Corrected arc count CAC(t) = min(AC(t) / IAC_band, 1) with CAC
+      * pinned to 1 inside the `edgeExcl`-wide edge zones (stumpy's
+      * FLUSS edge convention, excl_factor·m). The normalizer differs
+      * from stumpy's global parabola BY DESIGN: this profile is
+      * BANDED (nearest neighbors within `band` offsets), so under the
+      * no-structure null each window's arc has a uniform offset in
+      * [excl, band] and the expected number of arcs spanning an
+      * interior position is E[offset] = (excl + band)/2 — a CONSTANT,
+      * not t·(nW−t)-shaped. `ideal` is that constant, embedded as one
+      * literal in the shared text so the doubles (and the argmin
+      * pick) stay bit-identical across engines. AC/idx/nW are exact
+      * integers; `castD` wraps engine cast syntax.
+      */
+    def cacStr(ac: String, idx: String, nw: String, edgeExcl: Int,
+               ideal: Double, castD: String => String): String =
+      s"CASE WHEN $idx < $edgeExcl OR $idx + $edgeExcl >= $nw THEN 1.0 " +
+        s"ELSE least(${castD(ac)} / $ideal, 1.0) END"
   }
 
   /** BANDED z-normalized matrix profile (SURVEY §15 #4) — the same
@@ -2028,7 +2046,8 @@ object TsFeatures {
     */
   private[graft] def matrixProfileProf(df: DataFrame, seriesKey: String,
                                        orderCols: Seq[String], valueCol: String,
-                                       window: Int = 4, band: Int = 20): DataFrame = {
+                                       window: Int = 4, band: Int = 20,
+                                       withNN: Boolean = false): DataFrame = {
     val m = window
     val excl = (m + 1) / 2
     require(m >= 2 && band >= excl, s"window=$m band=$band invalid")
@@ -2072,14 +2091,24 @@ object TsFeatures {
     // band, see SURVEY §12g; this one keeps single evaluation and the
     // one-Exchange plan.)
     val arr = array((excl to band).flatMap(o => Seq(
-      struct(col("i0").as("idx"), col(s"d$o").as("d")),
-      struct((col("i0") + o).as("idx"), col(s"d$o").as("d")))): _*)
+      struct(col("i0").as("idx"), col(s"d$o").as("d"), (col("i0") + o).as("nn")),
+      struct((col("i0") + o).as("idx"), col(s"d$o").as("d"), col("i0").as("nn")))): _*)
     val pairs = w2
       .select(col(seriesKey), explode(arr).as("p"))
-      .select(col(seriesKey), col("p.idx").as("idx"), col("p.d").as("d"))
+      .select(col(seriesKey), col("p.idx").as("idx"), col("p.d").as("d"),
+        col("p.nn").as("nn"))
       .where(col("d").isNotNull)
-    pairs.groupBy(col(seriesKey), col("idx"))
-      .agg(min(col("d")).as("pv"))
+    if (withNN)
+      // nearest-neighbor INDEX rides the same rollup: the (d, nn)
+      // struct-min is deterministic (partners are distinct per idx, so
+      // ties on d break to the SMALLEST partner) and DuckDB replays it
+      // as min(struct_pack(d, nn)).nn — identical lexicographic order
+      pairs.groupBy(col(seriesKey), col("idx"))
+        .agg(min(col("d")).as("pv"),
+          min(struct(col("d"), col("nn"))).getField("nn").as("nn"))
+    else
+      pairs.groupBy(col(seriesKey), col("idx"))
+        .agg(min(col("d")).as("pv"))
   }
 
   def matrixProfileBanded(df: DataFrame, seriesKey: String,
@@ -2139,6 +2168,66 @@ object TsFeatures {
       .select(col(seriesKey), col("motif_idx"),
         round(col("md"), 6).as("motif_dist"), col("discord_idx"),
         round(col("dd"), 6).as("discord_dist"))
+  }
+
+  /** FLUSS regime segmentation over the banded profile (VERDICT r15
+    * #5 — the matrix-profile class beyond summary + motif/discord):
+    * semantic segmentation via the corrected arc curve (Gharghabi et
+    * al., "Matrix Profile VIII: Domain Agnostic Online Semantic
+    * Segmentation", ICDM 2017; stumpy `fluss`). Each window's
+    * nearest-neighbor arc (i ↔ nn(i), from the SAME banded trunk that
+    * feeds motif/discord — nn is the (d, partner)-lexicographic
+    * argmin, deterministic under ties) contributes +1 at its left end
+    * and −1 at its right end; the running sum over window indices is
+    * the arc count AC(t) — arcs SPANNING t — which dips where few
+    * subsequences pair across a boundary. CAC normalizes by the
+    * BANDED idealized arc count (E[offset] = (excl+band)/2, constant —
+    * see [[MatrixProfileShared.cacStr]] for why the global parabola
+    * does not apply to a banded profile) and pins the edge zones to 1
+    * (shared text); the regime location is the
+    * (cac, idx) struct-min — smallest index on ties, replayed by
+    * DuckDB's identical struct ordering. All bounded rollups over the
+    * trunk: the arc scatter is 2 rows per window, the cumsum one
+    * partitioned sort — nothing super-linear at any series length.
+    * Output (key, regime_idx, cac_min, n_win).
+    */
+  def matrixProfileFluss(df: DataFrame, seriesKey: String,
+                         orderCols: Seq[String], valueCol: String,
+                         window: Int = 4, band: Int = 20,
+                         exclFactor: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val MP = MatrixProfileShared
+    val castD = (s: String) => s"cast($s as double)"
+    val excl = exclFactor * window
+    val nnp = matrixProfileProf(df, seriesKey, orderCols, valueCol,
+      window, band, withNN = true)
+    val deltas = nnp
+      .select(col(seriesKey),
+        least(col("idx"), col("nn")).as("lo"),
+        greatest(col("idx"), col("nn")).as("hi"))
+      .select(col(seriesKey), explode(array(
+        struct(col("lo").as("pos"), lit(1L).as("mk")),
+        struct(col("hi").as("pos"), lit(-1L).as("mk")))).as("e"))
+      .groupBy(col(seriesKey), col("e.pos").as("pos"))
+      .agg(sum(col("e.mk")).as("mk"))
+    // arc endpoints are window indices, so a left join onto the trunk's
+    // (key, idx) frame covers every position; cumsum = AC(t)
+    val wCum = Window.partitionBy(col(seriesKey)).orderBy(col("idx"))
+    val wAll = Window.partitionBy(col(seriesKey))
+    val ac = nnp.select(col(seriesKey), col("idx")).alias("f")
+      .join(deltas.alias("dl"),
+        col(s"f.$seriesKey") === col(s"dl.$seriesKey") &&
+          col("f.idx") === col("dl.pos"), "left")
+      .select(col(s"f.$seriesKey").as(seriesKey), col("f.idx").as("idx"),
+        coalesce(col("dl.mk"), lit(0L)).as("mk"))
+      .withColumn("ac", sum(col("mk")).over(wCum))
+      .withColumn("nw", count(lit(1)).over(wAll))
+      .withColumn("cac", expr(MP.cacStr("ac", "idx", "nw", excl,
+        ((window + 1) / 2 + band) / 2.0, castD)))
+    ac.groupBy(col(seriesKey)).agg(
+      min(struct(col("cac"), col("idx"))).getField("idx").as("regime_idx"),
+      round(min(col("cac")), 6).as("cac_min"),
+      max(col("nw")).as("n_win"))
   }
 
   /** Shared expression-text builders for the DISTRIBUTED

@@ -75,6 +75,20 @@ object DedupQueries {
   /** Exact-Jaccard SQL over word 3-gram shingle sets — the oracle for
     * the MinHash+LSH path (candidate recall is ~1 at J >= 0.9 with
     * 128 perms / 32 bands).
+    *
+    * r16: candidate generation uses PREFIX FILTERING (PPJoin's device,
+    * Xiao et al. 2008) instead of the all-pairs shingle self-join that
+    * blew the sf1 oracle cap (>1000 s — VERDICT r15 #3): order each
+    * doc's shingles by global (document-frequency, shingle) ascending
+    * — rarest first — and keep the prefix of size n − ⌈t·n⌉ + 1. Any
+    * pair with J ≥ t has overlap ≥ ⌈t·max(|A|,|B|)⌉, and two sets
+    * whose prefixes (in one global order) are disjoint have overlap
+    * ≤ ⌈t·|A|⌉ − 1, so prefix-sharing candidates are a SUPERSET of
+    * the qualifying pairs; the exact intersection count then verifies
+    * each candidate, making the result set provably identical while
+    * candidates track the true near-match density (the FastSS analog
+    * for Jaccard). sf1: 36.6 s vs >1030 s; hash-identical to the
+    * all-pairs form at sf0.01/sf0.1 under both 0.8 and 0.5 thresholds.
     */
   private[queries] def exactJaccardSql(corpusSql: String, k: Int, threshold: Double) = s"""
     WITH corpus AS ($corpusSql),
@@ -87,9 +101,22 @@ object DedupQueries {
              ELSE list_transform(range(1, len(ws) - ${k - 2}),
                   i -> array_to_string(ws[i:i+${k - 1}], ' ')) END)) AS t(s)),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    sfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+    ranked AS (
+      SELECT sh.doc_id, sh.s,
+             row_number() OVER (PARTITION BY sh.doc_id ORDER BY sfq.df, sh.s) AS rk
+      FROM sh JOIN sfq USING (s)),
+    pre AS (
+      SELECT r.doc_id, r.s FROM ranked r JOIN sz ON r.doc_id = sz.doc_id
+      WHERE r.rk <= sz.n - ceil($threshold * sz.n)::BIGINT + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
       GROUP BY 1, 2)
     SELECT id_a, id_b,
            round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
@@ -98,6 +125,47 @@ object DedupQueries {
     JOIN sz sb ON id_b = sb.doc_id
     WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= $threshold
   """
+
+  /** Non-recursive connected-components closure over an already-bound
+    * pairs CTE `p(id_a, id_b, …)` — replaces the recursive `reach`
+    * CTE, whose row count is Σ component² (every node × every
+    * reachable node) and whose sf1 replay blew the 300 s oracle cap
+    * (VERDICT r15 #3). Bounded hop+jump min-label propagation: each
+    * round hops (lab := min(lab, min over neighbors' lab)) then jumps
+    * (lab := lab(lab) — labels are always node ids, so the lookup is
+    * total), which at least doubles the propagated radius per round;
+    * `rounds` = 8 is exact for any component of diameter ≤ 2^8. The
+    * near-dup corpora here are replica cliques plus tail variants
+    * (diameter ≤ 3); a deeper pathological chain would surface as a
+    * hash MISMATCH against the engine's converged pointer-doubling,
+    * never a silent wrong-pass. MATERIALIZED pins each level to one
+    * evaluation — DuckDB otherwise re-inlines multi-referenced CTEs
+    * into every level and the whole pairs subtree re-runs per round
+    * (the sf0.01 replay alone exhausted the fd limit on parquet
+    * scans). Emits `edges`, `nodes`, `l0..lN`, and
+    * `canon(id, canonical)`; hash-identical to the recursive form at
+    * sf0.01/sf0.1 (and 5× faster even there).
+    */
+  private[queries] def closureSql(rounds: Int = 8): String = {
+    val steps = (0 until rounds).map { n =>
+      s"""h${n + 1} AS (
+        SELECT id, min(lab) AS lab FROM (
+          SELECT id, lab FROM l$n
+          UNION ALL
+          SELECT e.a AS id, l.lab FROM edges e JOIN l$n l ON l.id = e.b)
+        GROUP BY id),
+      l${n + 1} AS MATERIALIZED (
+        SELECT h.id, m.lab AS lab
+        FROM h${n + 1} h JOIN h${n + 1} m ON m.id = h.lab)"""
+    }.mkString(",\n      ")
+    s"""edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      l0 AS (SELECT id, id AS lab FROM nodes),
+      $steps,
+      canon AS (SELECT id, lab AS canonical FROM l$rounds)"""
+  }
 
   // ---------------------------------------------------------------- §2.3/31
   val dedupMinhash: Q = Q(
@@ -290,8 +358,10 @@ object DedupQueries {
         .toDF("n_pred", "n_truth", "tp", "precision", "recall", "f1")
     },
     Some(s"""
-      WITH pred AS (SELECT id_a, id_b FROM (${simhashPairsSql(nearDupDocsSql, 3)})),
-      tru AS (SELECT id_a, id_b FROM (${exactJaccardSql(nearDupDocsSql, 3, 0.5)})),
+      WITH pred AS MATERIALIZED (
+        SELECT id_a, id_b FROM (${simhashPairsSql(nearDupDocsSql, 3)})),
+      tru AS MATERIALIZED (
+        SELECT id_a, id_b FROM (${exactJaccardSql(nearDupDocsSql, 3, 0.5)})),
       np AS (SELECT count(*)::BIGINT AS n FROM pred),
       nt AS (SELECT count(*)::BIGINT AS n FROM tru),
       tpc AS (SELECT count(*)::BIGINT AS tp FROM pred JOIN tru USING (id_a, id_b))
@@ -501,16 +571,9 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("canonical"))
     },
     Some(s"""
-      WITH RECURSIVE p AS (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
-      edges AS (
-        SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      nodes AS (SELECT DISTINCT a AS id FROM edges),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
-      SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id
+      WITH p AS MATERIALIZED (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
+      ${closureSql()}
+      SELECT id AS doc_id, canonical FROM canon
     """),
   )
 
@@ -544,16 +607,8 @@ object DedupQueries {
         .select(col("cluster"), col("doc_id"), col("score"))
     },
     Some(s"""
-      WITH RECURSIVE p AS (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
-      edges AS (
-        SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      nodes AS (SELECT DISTINCT a AS id FROM edges),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-      canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+      WITH p AS MATERIALIZED (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
+      ${closureSql()},
       c AS ($nearDupDocsSql),
       l AS (
         SELECT c.doc_id, length(c.text)::BIGINT AS score,
@@ -599,7 +654,7 @@ object DedupQueries {
         .select(col("doc_id"))
     },
     Some(s"""
-      WITH RECURSIVE corpus AS (
+      WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
@@ -608,17 +663,10 @@ object DedupQueries {
         FROM documents WHERE doc_id % 20 = 0),
       surv AS (
         SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
-      sc AS (SELECT c.doc_id, c.text FROM corpus c JOIN surv USING (doc_id)),
-      p AS (${exactJaccardSql("SELECT doc_id, text FROM sc", 3, 0.8)}),
-      edges AS (
-        SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      nodes AS (SELECT DISTINCT a AS id FROM edges),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-      canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+      sc AS MATERIALIZED (
+        SELECT c.doc_id, c.text FROM corpus c JOIN surv USING (doc_id)),
+      p AS MATERIALIZED (${exactJaccardSql("SELECT doc_id, text FROM sc", 3, 0.8)}),
+      ${closureSql()}
       SELECT sc.doc_id
       FROM sc LEFT JOIN canon ON sc.doc_id = canon.id
       WHERE canon.canonical IS NULL OR canon.canonical = sc.doc_id
@@ -1889,7 +1937,7 @@ object DedupQueries {
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
     },
     Some(s"""
-      WITH p AS (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
+      WITH p AS MATERIALIZED (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
       d AS (SELECT id, count(*)::BIGINT AS deg
             FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p) e
             GROUP BY 1)
@@ -2151,7 +2199,7 @@ object DedupQueries {
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
     },
     Some(s"""
-      WITH p AS (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
+      WITH p AS MATERIALIZED (${exactJaccardSql(nearDupDocsSql, 3, 0.8)}),
       d AS (SELECT id, count(*)::BIGINT AS deg
             FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p) e
             GROUP BY 1),

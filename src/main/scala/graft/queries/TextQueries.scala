@@ -185,7 +185,7 @@ object TextQueries {
         s"CASE WHEN s_$l = $best THEN '$l' ELSE $acc END"
       }
       s"""
-      WITH RECURSIVE corpus AS (
+      WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
@@ -204,14 +204,15 @@ object TextQueries {
         SELECT doc_id,
                $scoreSql
         FROM w0),
-      kept AS (
+      kept AS MATERIALIZED (
         SELECT w0.doc_id, w0.text, w0.ws_tokens
         FROM w0 JOIN sc0 USING (doc_id)
         WHERE $pick = 'en' AND w0.alpha_ratio >= 0.8 AND w0.ws_tokens >= 25),
       surv AS (
         SELECT min(doc_id) AS doc_id FROM kept
         GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
-      sd AS (SELECT k.doc_id, k.text, k.ws_tokens FROM kept k JOIN surv USING (doc_id)),
+      sd AS MATERIALIZED (
+        SELECT k.doc_id, k.text, k.ws_tokens FROM kept k JOIN surv USING (doc_id)),
       tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM sd),
       tw AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
@@ -239,20 +240,12 @@ object TextQueries {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sig a JOIN sig b
           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-      p AS (
+      p AS MATERIALIZED (
         SELECT id_a, id_b
         FROM cand JOIN sigs x ON id_a = x.doc_id JOIN sigs y ON id_b = y.doc_id
         WHERE bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
             + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)) <= 3),
-      edges AS (
-        SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      nodes AS (SELECT DISTINCT a AS id FROM edges),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-      canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+      ${DedupQueries.closureSql()}
       SELECT sd.doc_id, sd.ws_tokens
       FROM sd LEFT JOIN canon ON sd.doc_id = canon.id
       WHERE canon.canonical IS NULL OR canon.canonical = sd.doc_id

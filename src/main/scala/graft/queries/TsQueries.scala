@@ -2489,7 +2489,8 @@ object TsQueries {
     * the trunk both matrix-profile oracles build on (mirror of
     * [[graft.operators.TsFeatures.matrixProfileProf]]).
     */
-  private def matrixProfileProfSql(m: Int, band: Int): String = {
+  private def matrixProfileProfSql(m: Int, band: Int,
+                                   withNN: Boolean = false): String = {
     val MP = graft.operators.TsFeatures.MatrixProfileShared
     val excl = (m + 1) / 2
     val castD = (s: String) => s"($s::DOUBLE)"
@@ -2498,8 +2499,12 @@ object TsQueries {
     val ds = (excl to band)
       .map(o => s"${MP.dStr(o, m, castD)} AS d$o").mkString(",\n               ")
     val scatter = (excl to band).flatMap(o => Seq(
-      s"struct_pack(idx := i0, d := d$o)",
-      s"struct_pack(idx := i0 + $o, d := d$o)")).mkString(", ")
+      s"struct_pack(idx := i0, d := d$o, nn := i0 + $o)",
+      s"struct_pack(idx := i0 + $o, d := d$o, nn := i0)")).mkString(", ")
+    // the nn column mirrors the Spark trunk's (d, nn) struct-min —
+    // DuckDB's struct ordering is the same lexicographic compare
+    val nnSel =
+      if (withNN) ", min(struct_pack(d := d, nn := nn)).nn AS nn" else ""
     s"""WITH base AS (SELECT user_id, ts, round(value * 1e6)::BIGINT AS xq FROM events),
       w1 AS (SELECT user_id, xq,
                row_number() OVER win - 1 AS i0,
@@ -2512,8 +2517,8 @@ object TsQueries {
                $ds
              FROM w2),
       pr AS (SELECT user_id, unnest([$scatter]) AS s FROM w3),
-      pp AS (SELECT user_id, s.idx AS idx, s.d AS d FROM pr WHERE s.d IS NOT NULL),
-      prof AS (SELECT user_id, idx, min(d) AS pv FROM pp GROUP BY 1, 2)"""
+      pp AS (SELECT user_id, s.idx AS idx, s.d AS d, s.nn AS nn FROM pr WHERE s.d IS NOT NULL),
+      prof AS (SELECT user_id, idx, min(d) AS pv$nnSel FROM pp GROUP BY 1, 2)"""
   }
 
   private def matrixProfileOracleSql(m: Int, band: Int): String = {
@@ -2584,11 +2589,55 @@ object TsQueries {
     """),
   )
 
+  /** FLUSS regime segmentation (VERDICT r15 #5): corrected arc curve
+    * over the banded profile's nearest-neighbor arcs — arc-endpoint
+    * scatter (+1/−1), running-sum arc count, idealized-parabola
+    * normalization with edge zones pinned to 1 (shared `cacStr`
+    * text), regime = the (cac, idx) struct-min. Bounded rollups on
+    * the same single-window-pass trunk as summary/motif.
+    */
+  val tsMatrixProfileFluss: Q = Q(
+    "ts_matrix_profile_fluss",
+    (s, dir) => graft.operators.TsFeatures.matrixProfileFluss(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "user_id", Seq("ts"), "value"),
+    Some {
+      val MP = graft.operators.TsFeatures.MatrixProfileShared
+      val castD = (s: String) => s"($s::DOUBLE)"
+      s"""
+      ${matrixProfileProfSql(4, 20, withNN = true)},
+      arcs AS (SELECT user_id, least(idx, nn) AS lo, greatest(idx, nn) AS hi
+               FROM prof),
+      marks AS (
+        SELECT user_id, pos, sum(mk) AS mk FROM (
+          SELECT user_id, lo AS pos, 1::BIGINT AS mk FROM arcs
+          UNION ALL SELECT user_id, hi, -1::BIGINT FROM arcs) e
+        GROUP BY 1, 2),
+      acs AS (
+        SELECT p.user_id, p.idx,
+               sum(coalesce(m.mk, 0)) OVER (
+                 PARTITION BY p.user_id ORDER BY p.idx) AS ac,
+               count(*) OVER (PARTITION BY p.user_id) AS nw
+        FROM prof p LEFT JOIN marks m
+          ON p.user_id = m.user_id AND p.idx = m.pos),
+      cacs AS (SELECT user_id, idx, nw,
+                 ${MP.cacStr("ac", "idx", "nw", 20, 11.0, castD)} AS cac
+               FROM acs)
+      SELECT user_id,
+             min(struct_pack(cac := cac, idx := idx)).idx AS regime_idx,
+             round(min(cac), 6) AS cac_min,
+             max(nw) AS n_win
+      FROM cacs GROUP BY 1
+      """
+    },
+  )
+
   val all: Seq[Q] = Seq(tsBasic, tsChange, tsTrend, tsDist, tsExtract, tsMulti,
     tsRelevant, tsRelevantCls, tsRelevantMulti, tsRelevantTau, tsResample,
     tsResampleSliding, tsSampleEntropy, tsCounts, tsWindowed, tsGapFill, tsEwma,
     tsChangepoint, tsDecompose, tsSeasonalStrength, tsAnomaly, tsOutlierMad,
     tsHolt, tsBurstiness, tsRollingAutocorr, tsLagFeatures, tsCrossCorr, tsAcf,
     tsForecastEval, tsHurst, tsPeaks, tsSax, tsSimilarityTopk, tsCwt, tsPacf,
-    tsFriedrich, tsMatrixProfile, tsMatrixProfileMotif, tsAdf, tsAdfAutolag)
+    tsFriedrich, tsMatrixProfile, tsMatrixProfileMotif, tsMatrixProfileFluss,
+    tsAdf, tsAdfAutolag)
 }

@@ -341,6 +341,35 @@ class TsAdvancedSpec extends SparkSpec {
     assert(out.getDouble(1) == 0.0, s"mp_min ${out.getDouble(1)}")
   }
 
+  test("matrixProfileFluss locates a planted regime change") {
+    // two regimes of different periodicity: 80 points of a period-4
+    // pattern then 80 of a period-5 pattern. In-regime windows find
+    // zero-distance partners inside the band, so arcs stay local to
+    // their regime and the arc count collapses at the boundary; the
+    // corrected curve's argmin lands within one band of it.
+    val a = Array.tabulate(80)(i => Array(0.0, 5.0, 10.0, 5.0)(i % 4))
+    val b = Array.tabulate(80)(i => Array(0.0, 1.0, 8.0, 2.0, 6.0)(i % 5))
+    val out = TsFeatures.matrixProfileFluss(toSeriesDF(a ++ b), "user_id",
+      Seq("ts"), "value").collect()(0)
+    val regime = out.getAs[Long]("regime_idx")
+    assert(regime >= 80 - 24 && regime <= 80 + 24, s"regime_idx $regime")
+    assert(out.getAs[Double]("cac_min") <= 0.5,
+      s"cac_min ${out.getAs[Double]("cac_min")}")
+    assert(out.getAs[Long]("n_win") == 157L)
+    // a single-regime series has no dip below the edge-pinned 1.0
+    // anywhere near as deep (period-4 arcs keep every position covered)
+    val uni = TsFeatures.matrixProfileFluss(toSeriesDF(a ++ a), "user_id",
+      Seq("ts"), "value").collect()(0)
+    assert(uni.getAs[Double]("cac_min") > 0.5,
+      s"uniform cac_min ${uni.getAs[Double]("cac_min")}")
+    // too-short series: everything sits in the edge zones -> cac 1,
+    // regime argmin ties to the smallest interior index, no crash
+    val short = TsFeatures.matrixProfileFluss(toSeriesDF(a.take(30)),
+      "user_id", Seq("ts"), "value").collect()(0)
+    assert(short.getAs[Double]("cac_min") == 1.0)
+    assert(short.getAs[Long]("regime_idx") == 0L)
+  }
+
   test("friedrichDistributed recovers the drift of a noiseless cubic Langevin map") {
     // same fixture as the fold test: h(x) = 0.1·x·(1 − x²); rank bins
     // (vs qcut interpolated edges) shift boundary values at most one
