@@ -70,3 +70,52 @@ def knn_ivf(corpus, queries, id_col, vec_col, k=5, n_cells=16, n_probe=4):
     return DataFrame(bridge(spark).knnIvf(
         corpus._jdf, queries._jdf, id_col, vec_col, int(k), int(n_cells),
         int(n_probe)), spark)
+
+
+def embedding_pairs_auto(df, id_col, vec_col, threshold=0.9, sim_grade=0.99):
+    """Embedding near-dup pairs with CORPUS-ADAPTIVE LSH sizing:
+    (tables, bits) derived from the corpus count so bucket occupancy
+    stays constant at any scale (the linear configuration); candidates
+    come from the hyperplane-bucket join only, verified by exact
+    cosine >= threshold."""
+    spark = df.sparkSession
+    return DataFrame(bridge(spark).embeddingPairsAuto(
+        df._jdf, id_col, vec_col, float(threshold), float(sim_grade)), spark)
+
+
+def knn_hnsw(corpus, queries, id_col, vec_col, k=5, route_shards=0):
+    """Shard-graph ANN top-k with corpus-adaptive shard count (linear
+    build). route_shards > 0 routes each query to only its best shards
+    by entry-point cosine — the IVF-nProbe-style serving trade
+    (recall-vs-fraction measured by the knn_hnsw_routed bench row)."""
+    spark = corpus.sparkSession
+    return DataFrame(bridge(spark).knnHnswAuto(
+        corpus._jdf, queries._jdf, id_col, vec_col, int(k),
+        int(route_shards)), spark)
+
+
+def adf_autolag(df, series_key, time_col, value_col):
+    """Augmented Dickey-Fuller per series with statsmodels-style AIC
+    lag selection (maxLag 1) and the MacKinnon regression-surface
+    p-value: (key, adf_stat, adf_p, adf_lag, adf_nobs)."""
+    spark = df.sparkSession
+    return DataFrame(bridge(spark).adfAutolag(
+        df._jdf, series_key, time_col, value_col), spark)
+
+
+def matrix_profile_motif(df, series_key, time_col, value_col,
+                         window=4, band=20):
+    """Motif/discord locations over the banded z-normalized matrix
+    profile: (key, motif_idx, motif_dist, discord_idx, discord_dist)."""
+    spark = df.sparkSession
+    return DataFrame(bridge(spark).matrixProfileMotif(
+        df._jdf, series_key, time_col, value_col, int(window), int(band)), spark)
+
+
+def matrix_profile_fluss(df, series_key, time_col, value_col,
+                         window=4, band=20):
+    """FLUSS regime segmentation over the banded matrix profile:
+    (key, regime_idx, cac_min, n_win)."""
+    spark = df.sparkSession
+    return DataFrame(bridge(spark).matrixProfileFluss(
+        df._jdf, series_key, time_col, value_col, int(window), int(band)), spark)

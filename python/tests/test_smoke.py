@@ -289,3 +289,34 @@ def test_more_operator_entry_points(spark, sf_dir):
     assert topk.where("query_id = nn_id").count() == 0
     assert all(r["count"] <= 3
                for r in topk.groupBy("query_id").count().collect())
+
+
+def test_r16_operator_entry_points(spark, sf_dir):
+    import os
+    from graft import operators
+
+    # adf_autolag: per-series tau + MacKinnon p + selected lag
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    adf = operators.adf_autolag(ev.where("user_id < 5"),
+                                "user_id", "ts", "value").collect()
+    assert len(adf) > 0
+    for r in adf:
+        if r["adf_p"] is not None:
+            assert 0.0 <= r["adf_p"] <= 1.0
+            assert r["adf_lag"] in (0, 1)
+
+    # hnsw with corpus-adaptive shards + serving-time routing: routed
+    # results are a per-query top-k, self excluded
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    routed = operators.knn_hnsw(emb, emb.where("vec_id < 2"),
+                                "vec_id", "embedding", k=3, route_shards=1)
+    assert routed.where("query_id = nn_id").count() == 0
+    assert all(r["count"] <= 3
+               for r in routed.groupBy("query_id").count().collect())
+
+    # fluss segmentation returns one regime row per series
+    fl = operators.matrix_profile_fluss(ev.where("user_id < 3"),
+                                        "user_id", "ts", "value")
+    rows = fl.collect()
+    assert {r["user_id"] for r in rows} == {0, 1, 2}
+    assert all(0.0 <= r["cac_min"] <= 1.0 for r in rows)

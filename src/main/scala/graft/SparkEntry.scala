@@ -71,6 +71,10 @@ object SparkEntry {
     // the fixed-parameter fixtures stay oracled for exact replay
     "dedup_embedding_scaled" -> (DedupQueries.dedupEmbeddingScaled(_, _)),
     "knn_hnsw_scaled" -> (DedupQueries.knnHnswScaled(_, _)),
+    // serving-time shard routing (the IVF nProbe analog on the shard
+    // graph): recall@5 vs brute-force truth per routed fraction —
+    // the 100 TB serving cost/recall trade, measured (VERDICT r15 #7)
+    "knn_hnsw_routed" -> (DedupQueries.knnHnswRouted(_, _)),
     // one giant near-dup component (40% of a 10^5-node graph) through
     // the DISTRIBUTED CC loop — the hot-component shuffle measurement
     // (r6 VERDICT #8); output is a 3-field summary, no oracle needed

@@ -626,10 +626,22 @@ object Ann {
     * cardinality is queries×beamWidth throughout, queries broadcast.
     * Output (query_id, nn_id, cosine, rank), rank ≤ k.
     */
+  /** `routeShards` (0 = off): serving-time SHARD ROUTING — the IVF
+    * nProbe analog documented on [[autoShards]], finally measured
+    * (VERDICT r15 #7). Each query ranks shards by their best
+    * entry-point cosine (entries are the shard representatives — the
+    * same role IVF centroids play) and seeds its beam ONLY in the top
+    * `routeShards` shards; edges never cross shards, so restricting
+    * the seed restricts the entire search and per-query cost drops
+    * from nShards × beam to routeShards × beam. Recall is what the
+    * routed fraction buys back — the `knn_hnsw_routed` bench row
+    * reports it against brute-force truth per routed fraction.
+    * Deterministic: shard rank = (best entry cosine desc, shard asc).
+    */
   def hnswSearch(corpus: DataFrame, queries: DataFrame, edges: DataFrame,
                  idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
                  hops1: Int = 2, hops0: Int = 3, nEntry: Int = 16,
-                 nShards: Int = 4): DataFrame = {
+                 nShards: Int = 4, routeShards: Int = 0): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("node"),
         col(vecCol).cast("array<double>").as("cv"))
@@ -675,13 +687,27 @@ object Ann {
       16, 10).cast("long"), lit(nShards))
     val ws = Window.partitionBy(col("query_id"), col("shard"))
       .orderBy(col("cs").desc, col("node"))
-    var beam = q.select(col("query_id"), col("qv"), col("qnrm"),
+    val seeded = q.select(col("query_id"), col("qv"), col("qnrm"),
         explode(entryLit).as("en"))
       .select(col("query_id"), col("en._1").as("node"),
         (dot(col("qv"), col("en._2")) / (col("qnrm") * norm(col("en._2"))))
           .as("cs"))
       .where(col("node") =!= col("query_id"))
       .withColumn("shard", seedShard)
+    // routing: keep only each query's top-routeShards shards by best
+    // entry cosine (tie -> smaller shard id) before the per-shard prune
+    val routed =
+      if (routeShards > 0 && routeShards < nShards) {
+        val wR = Window.partitionBy(col("query_id"))
+          .orderBy(col("best").desc, col("shard"))
+        val picks = seeded.groupBy(col("query_id"), col("shard"))
+          .agg(max(col("cs")).as("best"))
+          .withColumn("rs", row_number().over(wR))
+          .where(col("rs") <= routeShards)
+          .select(col("query_id"), col("shard"))
+        seeded.join(picks, Seq("query_id", "shard"))
+      } else seeded
+    var beam = routed
       .withColumn("rn", row_number().over(ws)).where(col("rn") <= perShard)
       .select(col("query_id"), col("node"))
     def hop(level: Int): Unit = {
@@ -691,7 +717,12 @@ object Ann {
           beam.join(lvlEdges, Seq("node")).select(col("query_id"),
             col("dst").as("node")))
         .where(col("node") =!= col("query_id")).distinct()
-      beam = prune(grown)
+      // pin the beam each hop: `grown` references it TWICE, so an
+      // unpinned var doubles the logical plan per hop (2^hops plan
+      // copies — a corpus-adaptive hop count hung outright at 13 hops,
+      // and even the 5-hop default re-planned 32 scans). Values are
+      // unchanged; beam cardinality is queries×beamWidth — tiny.
+      beam = prune(grown).localCheckpoint()
     }
     (1 to hops1).foreach(_ => hop(1))
     (1 to hops0).foreach(_ => hop(0))

@@ -283,4 +283,61 @@ object PyBridge {
                         labelCol: String, alpha: Double): DataFrame =
     Preprocessor.extractTsFeatures(df, labels, columnId, timeCol, valueCol,
       labelCol, alpha)
+
+  // ---- r16 additions (VERDICT r15 #8: expose the r15/r16 operators)
+
+  /** Corpus-adaptive LSH embedding near-dup pairs: (tables, bits)
+    * from [[graft.operators.Ann.autoLshParams]] — the linear-at-any-
+    * corpus-size configuration — then the bucketed pair generation of
+    * [[graft.operators.Ann.lshCosinePairs]].
+    */
+  def embeddingPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, simGrade: Double): DataFrame = {
+    val (tables, bits) = graft.operators.Ann.autoLshParams(
+      df.count(), simGrade = simGrade)
+    graft.operators.Ann.lshCosinePairs(df, idCol, vecCol,
+      threshold = threshold, tables = tables, bits = bits)
+  }
+
+  /** Corpus-adaptive shard-graph ANN top-k: nShards from
+    * [[graft.operators.Ann.autoShards]] (linear build), optional
+    * serving-time routing to the best `routeShards` shards per query
+    * (0 = search all shards — see `knn_hnsw_routed`'s recall report
+    * for the trade).
+    */
+  def knnHnswAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, routeShards: Int): DataFrame = {
+    val nShards = graft.operators.Ann.autoShards(corpus.count())
+    val edges = graft.operators.Ann.hnswBuild(corpus, idCol, vecCol,
+      m = 4, degreeCap = 8, nShards = nShards, levelMod = 8)
+    graft.operators.Ann.hnswSearch(corpus, queries, edges, idCol, vecCol,
+      k, beamWidth = 8, hops1 = 2, hops0 = 3,
+      nEntry = math.max(16, 4 * nShards), nShards = nShards,
+      routeShards = routeShards)
+  }
+
+  /** ADF with AIC lag selection at maxLag 1 plus the MacKinnon
+    * regression-surface p-value: (key, adf_stat, adf_p, adf_lag,
+    * adf_nobs) — [[graft.operators.TsFeatures.adfAutolagDistributed]].
+    */
+  def adfAutolag(df: DataFrame, seriesKey: String, timeCol: String,
+                 valueCol: String): DataFrame =
+    graft.operators.TsFeatures.adfAutolagDistributed(
+      df, seriesKey, Seq(timeCol), valueCol)
+
+  /** Motif/discord locations over the banded matrix profile:
+    * (key, motif_idx, motif_dist, discord_idx, discord_dist).
+    */
+  def matrixProfileMotif(df: DataFrame, seriesKey: String, timeCol: String,
+                         valueCol: String, window: Int, band: Int): DataFrame =
+    graft.operators.TsFeatures.matrixProfileIndices(
+      df, seriesKey, Seq(timeCol), valueCol, window, band)
+
+  /** FLUSS regime segmentation over the banded matrix profile:
+    * (key, regime_idx, cac_min, n_win).
+    */
+  def matrixProfileFluss(df: DataFrame, seriesKey: String, timeCol: String,
+                         valueCol: String, window: Int, band: Int): DataFrame =
+    graft.operators.TsFeatures.matrixProfileFluss(
+      df, seriesKey, Seq(timeCol), valueCol, window, band)
 }

@@ -1281,6 +1281,44 @@ object DedupQueries {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Serving-time HNSW shard routing, measured (VERDICT r15 #7 — the
+    * last unproven claim in the ANN 100 TB story): build the sized
+    * shard graph ONCE, then search the same queries at increasing
+    * routed fractions (1, nShards/4, nShards/2, all) and report
+    * recall@5 against brute-force truth per fraction. Routing seeds a
+    * query's beam only in its top-routeShards shards by best
+    * entry-point cosine (the IVF nProbe analog — `Ann.hnswSearch`
+    * routeShards); per-query search cost is proportional to the
+    * routed fraction, which is the 100 TB serving trade this row
+    * quantifies. Bench-only: the output IS the recall report
+    * (truth-dependent scalars); AutoSizeSpec pins routed⊆full
+    * semantics and full-route equivalence on a fixture.
+    */
+  def knnHnswRouted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val queries = e.where(col("vec_id") < 20)
+    val nShards = Ann.autoShards(e.count())
+    val edges = Ann.hnswBuild(e, "vec_id", "embedding",
+      m = 4, degreeCap = 8, nShards = nShards, levelMod = 8).localCheckpoint()
+    val truth = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("nn_id")).localCheckpoint()
+    val nTruth = truth.count() // fit boundary: queries × k rows
+    val fracs = Seq(1, math.max(1, nShards / 4), math.max(1, nShards / 2),
+      nShards).distinct.sorted
+    val rows = fracs.map { r =>
+      val routed = Ann.hnswSearch(e, queries, edges, "vec_id", "embedding",
+        k = 5, beamWidth = 8, hops1 = 2, hops0 = 3,
+        nEntry = math.max(16, 4 * nShards), nShards = nShards,
+        routeShards = if (r == nShards) 0 else r)
+      val hits = routed.join(truth, Seq("query_id", "nn_id"), "left_semi").count()
+      val rec = BigDecimal(hits.toDouble / nTruth)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r, nShards, hits, nTruth, rec)
+    }
+    rows.toDF("n_route", "n_shards", "hits", "n_truth", "recall")
+  }
+
   /** CC under ONE GIANT component (the r6 VERDICT's open measurement):
     * ~40% of the 10^5-node universe collapses into a single cluster
     * shaped as a deterministic random recursive tree — parent(i) = an

@@ -65,4 +65,33 @@ class AutoSizeSpec extends SparkSpec {
       assert(r.getInt(3) >= 1 && r.getInt(3) <= 5)
     }
   }
+
+  test("hnsw shard routing: full route equals unrouted, partial route stays ranked") {
+    import graft.operators.Ann
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, dir)
+    val queries0 = e.where(col("vec_id") < 8)
+    val nShards = 4
+    val edges = Ann.hnswBuild(e, "vec_id", "embedding",
+      m = 4, degreeCap = 8, nShards = nShards, levelMod = 8).localCheckpoint()
+    def run(route: Int) = Ann.hnswSearch(e, queries0, edges, "vec_id",
+      "embedding", k = 5, beamWidth = 8, hops1 = 2, hops0 = 3,
+      nEntry = 16, nShards = nShards, routeShards = route)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    // routeShards = nShards (and 0) must be the identical search
+    assert(run(nShards).sameElements(run(0)))
+    // a 1-shard route still returns ranked rows for every query, and
+    // nothing a query finds can come from outside its routed shard's
+    // graph — weaker recall is the traded quantity, not coverage
+    val one = run(1)
+    assert(one.map(_._1).distinct.length == 8)
+    one.foreach { case (q, nn, rk) =>
+      assert(q != nn && rk >= 1 && rk <= 5)
+    }
+    // the bench report itself: recall at full route >= recall at 1
+    val rep = queries.DedupQueries.knnHnswRouted(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    val full = rep(rep.keys.max)
+    assert(full >= rep(1), s"recall map $rep")
+  }
 }
