@@ -653,20 +653,30 @@ object Ann {
       .localCheckpoint()
     // the graph is read once per hop: materialize it once
     val ed = edges.localCheckpoint()
-    // deterministic entry points — the sampleCentroids h16 residue
-    // rule, but keeping (id, vec): a bounded nEntry-row fit boundary
-    val n = c.count()
-    val step = math.max(1L, n / nEntry)
-    val h16 = conv(substring(md5(col("node").cast("string")), 1, 4), 16, 10)
-      .cast("long")
-    val entries = c.where(pmod(h16, lit(step)) === 0)
-      .orderBy(col("node")).limit(nEntry)
-      .select(col("node"), col("cv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
     // a node's shard is a pure function of its id — recomputed where
     // needed instead of carried through the beam
     val shardOfNode = pmod(conv(substring(md5(col("node").cast("string")),
       1, 4), 16, 10).cast("long"), lit(nShards))
+    // deterministic entry points, selected PER SHARD with a hash
+    // DECORRELATED from the shard hash (md5 of "E:"||id, vs shard =
+    // md5(id)-h16 % nShards). The r15 form — h16 % (n/nEntry) == 0 on
+    // the SAME h16 that assigns shards — seeded only the shards in
+    // gcd(step, nShards) residue classes: at sf1 (n=20000, nEntry=80,
+    // 10 shards) gcd = 10 put EVERY entry in shard 0, leaving 9 shard
+    // graphs unreachable and recall@5 at 0.01 (r16 find; the 160/200
+    // missing (query,shard) cells in the diag run were exactly the
+    // unseeded shards). Per-shard rank by (entry-hash, id) guarantees
+    // ⌈nEntry/nShards⌉ representatives in every shard at any (n,
+    // nShards) — the coverage the per-shard fan-out contract assumed.
+    val he = conv(substring(md5(concat(lit("E:"), col("node").cast("string"))),
+      1, 4), 16, 10).cast("long")
+    val perShardEntries = math.max(1, (nEntry + nShards - 1) / nShards)
+    val wEnt = Window.partitionBy(col("shard")).orderBy(col("he"), col("node"))
+    val entries = c.withColumn("shard", shardOfNode).withColumn("he", he)
+      .withColumn("ern", row_number().over(wEnt))
+      .where(col("ern") <= perShardEntries)
+      .select(col("node"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
     val wqs = Window.partitionBy(col("query_id"), col("shard"))
       .orderBy(col("cs").desc, col("node"))
     def prune(cand: DataFrame): DataFrame =

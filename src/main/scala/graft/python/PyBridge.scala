@@ -309,9 +309,9 @@ object PyBridge {
                   vecCol: String, k: Int, routeShards: Int): DataFrame = {
     val nShards = graft.operators.Ann.autoShards(corpus.count())
     val edges = graft.operators.Ann.hnswBuild(corpus, idCol, vecCol,
-      m = 4, degreeCap = 8, nShards = nShards, levelMod = 8)
+      m = 8, degreeCap = 16, nShards = nShards, levelMod = 8)
     graft.operators.Ann.hnswSearch(corpus, queries, edges, idCol, vecCol,
-      k, beamWidth = 8, hops1 = 2, hops0 = 3,
+      k, beamWidth = 16, hops1 = 2, hops0 = 6,
       nEntry = math.max(16, 4 * nShards), nShards = nShards,
       routeShards = routeShards)
   }
