@@ -107,19 +107,30 @@ object TextQueries {
         TextAnalysis.winnowCount(col("text"), k = 5, w = 4).as("n_winnow"),
       ),
     Some("""
-      WITH g AS (
-        SELECT doc_id, text,
-               CASE WHEN length(text) < 5 THEN []::VARCHAR[]
-                    ELSE list_transform(range(1, length(text) - 3),
-                         i -> md5(text[i:i+4])) END AS grams
-        FROM documents)
-      SELECT doc_id, md5(text) AS fp,
-             CASE WHEN len(grams) = 0 THEN 0
-                  ELSE len(list_distinct(list_transform(
-                         range(0, greatest(len(grams) - 3, 1)),
-                         i -> list_min(grams[i+1:i+4])))) END AS n_winnow
-      FROM g
+      WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+      pos AS (
+        SELECT doc_id, L - 4 AS g, t.i AS i, md5(text[t.i:t.i+4]) AS gh
+        FROM d, unnest(range(1, greatest(L - 3, 2))) AS t(i)
+        WHERE L >= 5),
+      win AS (
+        SELECT doc_id, g, i,
+               min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM pos),
+      nw AS (
+        SELECT doc_id, count(DISTINCT wmin) AS n_winnow
+        FROM win WHERE i <= greatest(g - 3, 1)
+        GROUP BY doc_id)
+      SELECT d.doc_id, md5(d.text) AS fp,
+             coalesce(nw.n_winnow, 0) AS n_winnow
+      FROM d LEFT JOIN nw USING (doc_id)
     """),
+    // the r15 list-lambda form (md5 grams + window mins built by
+    // per-index LIST SLICES of a captured list) was O(len²) copies per
+    // document and blew the sf1 oracle cap on 15 MB of text; this
+    // row-per-gram form computes the IDENTICAL grams (same text[i:i+4]
+    // expression), window minima (frame = the same 4 grams), and
+    // distinct count — 1.4 s at sf1 vs >600 s
   )
 
   // --------------------------------------------------------------- §2.3/41b

@@ -652,9 +652,10 @@ object TsQueries {
       lab AS (
         SELECT user_id, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
         FROM events GROUP BY user_id),
-      fy AS (SELECT f.*, lab.y FROM f JOIN lab ON f.user_id = lab.user_id),
+      fy AS MATERIALIZED (
+        SELECT f.*, lab.y FROM f JOIN lab ON f.user_id = lab.user_id),
       nn AS (SELECT count(*) AS n FROM fy),
-      c AS ($corrRows),
+      c AS MATERIALIZED ($corrRows),
       pv0 AS (
         SELECT feature, r,
                abs(r * sqrt((nn.n - 2) / greatest(1.0 - r * r, 1e-300))) AS at
@@ -798,25 +799,59 @@ object TsQueries {
         SELECT *, least(kmax, greatest(((r1 + 1) * (c1 + 1)) // (n + 2), kmin))
           AS kmode
         FROM bm2),
+      -- hypergeometric weight chain, BATCHED 64 steps per recursive
+      -- iteration (r16): the one-step-per-iteration recursion paid
+      -- ~30 ms of recursive-CTE overhead per k and took 198 s for a
+      -- ~6800-wide margin at sf1. Each anchor row advances 64 ks with
+      -- one list_reduce whose fold replays the driver loop's EXACT
+      -- multiply-then-divide order (acc*num/den per step, factors
+      -- converted to double first), and the per-k expansion re-folds
+      -- the same prefix chain from the batch anchor — every weight is
+      -- the bit-identical double of the one-step recursion (probed).
       wup AS (
         SELECT f, kmode AS k, 1.0::DOUBLE AS w FROM bm3
         UNION ALL
-        SELECT wup.f, wup.k + 1,
-               wup.w * ((b.r1 - wup.k) * (b.c1 - wup.k))
-                 / ((wup.k + 1) * (b.n - b.r1 - b.c1 + wup.k + 1))
-        FROM wup JOIN bm3 b ON wup.f = b.f WHERE wup.k < b.kmax),
+        SELECT wup.f, wup.k + 64,
+               list_reduce(
+                 list_prepend(wup.w, list_transform(
+                   generate_series(wup.k + 1, wup.k + 64), x -> x::DOUBLE)),
+                 (acc, x) -> (acc * ((b.r1 - (x - 1)) * (b.c1 - (x - 1))))
+                   / (x * (b.n - b.r1 - b.c1 + x)))
+        FROM wup JOIN bm3 b ON wup.f = b.f WHERE wup.k + 64 <= b.kmax),
+      wupx AS (
+        SELECT u.f, t.j AS k,
+               CASE WHEN t.j = u.k THEN u.w
+                    ELSE list_reduce(
+                      list_prepend(u.w, list_transform(
+                        generate_series(u.k + 1, t.j), x -> x::DOUBLE)),
+                      (acc, x) -> (acc * ((b.r1 - (x - 1)) * (b.c1 - (x - 1))))
+                        / (x * (b.n - b.r1 - b.c1 + x))) END AS w
+        FROM wup u JOIN bm3 b ON u.f = b.f,
+             unnest(generate_series(u.k, least(u.k + 63, b.kmax))) AS t(j)),
       wdn AS (
         SELECT f, kmode AS k, 1.0::DOUBLE AS w FROM bm3
         UNION ALL
-        SELECT wdn.f, wdn.k - 1,
-               wdn.w * (wdn.k * (b.n - b.r1 - b.c1 + wdn.k))
-                 / ((b.r1 - wdn.k + 1) * (b.c1 - wdn.k + 1))
-        FROM wdn JOIN bm3 b ON wdn.f = b.f WHERE wdn.k > b.kmin),
+        SELECT wdn.f, wdn.k - 64,
+               list_reduce(
+                 list_prepend(wdn.w, list_transform(
+                   generate_series(wdn.k - 1, wdn.k - 64, -1), x -> x::DOUBLE)),
+                 (acc, x) -> (acc * ((x + 1) * (b.n - b.r1 - b.c1 + x + 1)))
+                   / ((b.r1 - x) * (b.c1 - x)))
+        FROM wdn JOIN bm3 b ON wdn.f = b.f WHERE wdn.k - 64 >= b.kmin),
+      wdnx AS (
+        SELECT d.f, t.j AS k,
+               list_reduce(
+                 list_prepend(d.w, list_transform(
+                   generate_series(d.k - 1, t.j, -1), x -> x::DOUBLE)),
+                 (acc, x) -> (acc * ((x + 1) * (b.n - b.r1 - b.c1 + x + 1)))
+                   / ((b.r1 - x) * (b.c1 - x))) AS w
+        FROM wdn d JOIN bm3 b ON d.f = b.f,
+             unnest(generate_series(greatest(d.k - 64, b.kmin), d.k - 1)) AS t(j)
+        WHERE d.k > b.kmin),
       wr AS (
-        SELECT * FROM wup
+        SELECT * FROM wupx
         UNION ALL
-        SELECT wdn.f, wdn.k, wdn.w FROM wdn JOIN bm3 b ON wdn.f = b.f
-        WHERE wdn.k < b.kmode),
+        SELECT * FROM wdnx),
       wobs AS (
         SELECT wr.f, wr.w AS wobs
         FROM wr JOIN bm2 b ON wr.f = b.f AND wr.k = b.n11),
