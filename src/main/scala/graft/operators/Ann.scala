@@ -92,9 +92,14 @@ object Ann {
     * external oracle can replay centroid selection exactly. Driver
     * state is bounded by nCells vectors.
     */
+  /** `knownN`: caller-supplied row count when it already holds one (a
+    * frame derived 1:1 from an already-counted frame) — skips the
+    * count job, selection unchanged.
+    */
   def sampleCentroids(c: DataFrame, idCol: String, vecCol: String,
-                      nCells: Int, rem: Long = 0L): Array[Array[Double]] = {
-    val n = c.count()
+                      nCells: Int, rem: Long = 0L,
+                      knownN: Option[Long] = None): Array[Array[Double]] = {
+    val n = knownN.getOrElse(c.count())
     val step = math.max(1L, n / nCells)
     val sel = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
     // rem selects the md5-h16 residue class — rem=0 is the historical
@@ -207,8 +212,12 @@ object Ann {
     // partial-agg rollup)
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .repartition(par, col("id")).localCheckpoint()
-    var centroids = sampleCentroids(vecs, "id", "v", nCells)
+      .repartition(par, col("id")).localCheckpoint(eager = false)
+    // the count doubles as the checkpoint's materializing job (lazy
+    // checkpoint — one job where eager + count was two)
+    val nVecs = vecs.count()
+    var centroids = sampleCentroids(vecs, "id", "v", nCells,
+      knownN = Some(nVecs))
     require(centroids.length == nCells,
       s"kmeansTrain: sampled ${centroids.length} centroids, need $nCells")
     // half-up micro-unit mean from the exact int64 sums, computed on
@@ -304,7 +313,9 @@ object Ann {
     val stored = spark.read.parquet(indexPath)
       .where(col("cell").isin(probedCells: _*))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id"))
-    stored.join(q, Seq("cell"))
+    // broadcast the bounded probe side: the stored index streams its
+    // pruned cells with no exchange (guide §3.1)
+    stored.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
       .select(col("query_id"), col("nn_id"), col("cosine"), row_number().over(w).as("rank"))
@@ -333,7 +344,10 @@ object Ann {
       .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id"))
-    assigned.join(q, Seq("cell"))
+    // broadcast the bounded probe side (queries × nProbe rows): the
+    // assigned corpus streams with no exchange — at 100 TB the corpus
+    // must never shuffle by cell for a probe batch (guide §3.1)
+    assigned.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
       .select(col("query_id"), col("nn_id"), col("cosine"), row_number().over(w).as("rank"))
@@ -374,7 +388,7 @@ object Ann {
         struct(lit(s).as("sub"),
           slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
       .select(col("id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // seed codebooks: the sampleCentroids rows, sliced per subspace
     val seeds = sampleCentroids(v, "id", "v", nCodes)
     val cb0 = seeds.zipWithIndex.flatMap { case (vec, code) =>
@@ -401,7 +415,7 @@ object Ann {
       .select(col("sub"), col("code"),
         array((0 until subDim).map(d =>
           col(s"s$d").cast("double") / col("n")): _*).as("cv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val codes = assign(cb1)
     // ADC: broadcast LUT of (query, sub, code) micro distances
     val qsub = queries.select(col(idCol).as("qid"),
@@ -452,7 +466,9 @@ object Ann {
     val par = spark.sparkContext.defaultParallelism
     val v = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")).repartition(par, col("id"))
-    val centroids = sampleCentroids(v, "id", "v", nCells)
+      .localCheckpoint(eager = false)
+    val n = v.count()
+    val centroids = sampleCentroids(v, "id", "v", nCells, knownN = Some(n))
     val centLit = typedlit(centroids.map(_.toSeq).toSeq)
     def nearestCells(vec: Column, take: Int): Column =
       graft.functions.GraftFunctions.topCells(vec, centroids, take)
@@ -468,18 +484,20 @@ object Ann {
         element_at(nearestCells(col("v"), 1), 1).getField("cell"))
       .select(col("id"), col("cell"),
         residual(col("v"), col("cell")).as("rv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // per-(vector, subspace) residual rows — the PQ training frame
     val rsub = res.select(col("id"), col("cell"),
         explode(array((0 until nSub).map(s =>
           struct(lit(s).as("sub"),
             slice(col("rv"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
       .select(col("id"), col("cell"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // seed codebooks: the h16-sampled rem=1 rows' RESIDUALS, sliced per
     // sub (rem=1: disjoint from the rem=0 coarse-centroid rows, whose
-    // residuals are exactly zero)
-    val seeds = sampleCentroids(res, "id", "rv", nCodes, rem = 1L)
+    // residuals are exactly zero). res is 1:1 with v, so its row count
+    // is the already-counted n — no second count job.
+    val seeds = sampleCentroids(res, "id", "rv", nCodes, rem = 1L,
+      knownN = Some(n))
     val cb0 = seeds.zipWithIndex.flatMap { case (vec, code) =>
       (0 until nSub).map(s =>
         (s, code, vec.slice(s * subDim, (s + 1) * subDim).toSeq))
@@ -501,7 +519,7 @@ object Ann {
       .select(col("sub"), col("code"),
         array((0 until subDim).map(d =>
           col(s"s$d").cast("double") / col("n")): _*).as("cv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // final code table keeps the cell: the ADC join is per probed cell
     val codes = assign(cb1)
       .join(res.select(col("id"), col("cell")), "id")
@@ -643,16 +661,21 @@ object Ann {
                  hops1: Int = 2, hops0: Int = 3, nEntry: Int = 16,
                  nShards: Int = 4, routeShards: Int = 0): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // LAZY checkpoints (r17): same lineage truncation + same one-time
+    // materialization, but the materializing job is the FIRST consumer
+    // instead of a dedicated job per checkpoint — at small SF the
+    // search was pure job-floor (59 jobs for knn_hnsw, §12m
+    // arithmetic), and the eager checkpoint jobs were most of them.
     val c = corpus.select(col(idCol).as("node"),
         col(vecCol).cast("array<double>").as("cv"))
       .select(col("node"), col("cv"), norm(col("cv")).as("nrm"))
-      .repartition(par, col("node")).localCheckpoint()
+      .repartition(par, col("node")).localCheckpoint(eager = false)
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"), norm(col("qv")).as("qnrm"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the graph is read once per hop: materialize it once
-    val ed = edges.localCheckpoint()
+    val ed = edges.localCheckpoint(eager = false)
     // a node's shard is a pure function of its id — recomputed where
     // needed instead of carried through the beam
     val shardOfNode = pmod(conv(substring(md5(col("node").cast("string")),
@@ -679,6 +702,10 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
     val wqs = Window.partitionBy(col("query_id"), col("shard"))
       .orderBy(col("cs").desc, col("node"))
+    // (r17 A/B note: broadcasting the bounded beam side into these
+    // joins was measured SLOWER at sf0.1 — per-hop BroadcastExchange
+    // barriers cost more than the tiny sort-merge exchanges they
+    // replace — and was reverted; see OPTIMIZATION_r17.md.)
     def prune(cand: DataFrame): DataFrame =
       cand.join(c, Seq("node"))
         .join(broadcast(q), Seq("query_id"))
@@ -720,6 +747,10 @@ object Ann {
     var beam = routed
       .withColumn("rn", row_number().over(ws)).where(col("rn") <= perShard)
       .select(col("query_id"), col("node"))
+    // (r17 A/B note: scoping AQE off for the hop loop — the
+    // kmeansTrain device — was measured ~40% SLOWER here: AQE's
+    // runtime coalescing of the beam-sized exchanges into few
+    // partitions is worth more than the stage-job overhead it adds.)
     def hop(level: Int): Unit = {
       val lvlEdges = ed.where(col("level") === level)
         .select(col("src").as("node"), col("dst"))
@@ -847,7 +878,9 @@ object Ann {
         .select(col(idAs), col(vAs), col("bk.tbl"), col("bk.bucket"))
     val c = banded(corpus, "nn_id", "cv")
     val q = banded(queries, "query_id", "qv")
-    val cands = c.join(q,
+    // broadcast the bounded banded query side (queries × tables rows):
+    // the banded corpus streams with no exchange (guide §3.1)
+    val cands = c.join(broadcast(q),
       c("tbl") === q("tbl") && c("bucket") === q("bucket") &&
         col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), col("qv"), col("cv"))

@@ -2055,7 +2055,20 @@ object TsFeatures {
     val MP = MatrixProfileShared
     val castD = (s: String) => s"cast($s as double)"
     val wOrd = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
+    // pin the window stage's parallelism with an explicit keyed
+    // repartition (same hashpartitioning(seriesKey) exchange the
+    // window would insert, with numPartitions fixed so AQE's
+    // BYTE-based coalescing cannot serialize it): the banded distance
+    // pass is the compute-dense stage of this operator — §12m measured
+    // it coalesced to single-digit tasks at sf0.1 (~20 MB of shuffle
+    // carrying ~n·band distance evaluations), wasting 30 of 32 cores.
+    // Partition count follows spark.sql.shuffle.partitions (the
+    // scale-adaptive knob), never a local constant; results are
+    // unchanged (per-series windows + order-free min rollup).
+    val nShuffle = df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+      df.sparkSession.sparkContext.defaultParallelism.toString).toInt
     var w1 = df
+      .repartition(nShuffle, col(seriesKey))
       .withColumn("xq", round(col(valueCol) * lit(1e6)).cast("long"))
       .withColumn("i0", row_number().over(wOrd).cast("long") - 1L)
     for (k <- 1 to band + m - 1)

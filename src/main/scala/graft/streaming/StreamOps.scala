@@ -451,13 +451,29 @@ object StreamOps {
     * batch's plan and may silently not apply. On failure the sink
     * view is dropped (a half-drained memory table is garbage).
     */
+  /** Default streaming STATE partition count for drains that don't
+    * pass one explicitly. State partitioning tracks state SIZE, not
+    * core count (see [[runToBatch]]'s doc): every state store pays a
+    * per-batch commit — the r16 bench attribution showed even a
+    * NO-DATA finalize batch costs ~0.8 s at 32 stores vs ~0.2 s at 8
+    * on the local drains — so the local default is the same 8 the
+    * explicitly-tuned drains (interval joins, profile updates) have
+    * used since r12. A 100 TB deployment overrides via
+    * SPARK_GRAFT_STATE_PARTITIONS to keep each store's state in
+    * executor memory; results are partitioning-independent (order-free
+    * aggregates / per-key folds), only the commit fan-out changes.
+    */
+  private[graft] def defaultStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
+
   private def drained[T](s: SparkSession, streamDf: DataFrame, mode: String,
                          statePartitions: Option[Int])(
                          f: (org.apache.spark.sql.streaming.StreamingQuery,
                              String) => T): T = {
     val name = s"graft_stream_${System.nanoTime()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    s.conf.set("spark.sql.shuffle.partitions",
+      statePartitions.getOrElse(defaultStatePartitions))
     var ok = false
     try {
       val q = streamDf.writeStream
@@ -474,7 +490,7 @@ object StreamOps {
       if (!ok) {
         try s.catalog.dropTempView(name) catch { case _: Exception => () }
       }
-      if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.shuffle.partitions", prev)
     }
   }
 
@@ -577,7 +593,8 @@ object StreamOps {
     }
     val board = scala.collection.mutable.HashMap.empty[String, Long]
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    s.conf.set("spark.sql.shuffle.partitions",
+      statePartitions.getOrElse(defaultStatePartitions))
     // conf restored only after the drain: batches plan asynchronously
     // after .start(), so an early restore races the first batch
     try {
@@ -600,7 +617,7 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally {
-      if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.shuffle.partitions", prev)
     }
     board.toSeq.sorted(ord)
   }
@@ -642,7 +659,8 @@ object StreamOps {
     val board =
       scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[String, Long]]
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    s.conf.set("spark.sql.shuffle.partitions",
+      statePartitions.getOrElse(defaultStatePartitions))
     try {
       val q = counts.writeStream
         .outputMode("update")
@@ -671,7 +689,7 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally {
-      if (statePartitions.isDefined) s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.shuffle.partitions", prev)
     }
     board.toSeq.sortBy(_._1).flatMap { case (grp, g) =>
       g.toSeq.sorted(entryOrd).map { case (w2, n) => (grp, w2, n) }
