@@ -373,7 +373,7 @@ object Dedup {
     // minhash cost end to end. Checkpoint the directed pairs once;
     // the doubled edge view then reads executor-local blocks.
     val p0 = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the count below
     val edges = p0.unionAll(p0.select(col("b").as("a"), col("a").as("b")))
     // Adaptive small-graph fast path: a dedup-pair graph is usually
     // TINY relative to the corpus (near-dup pairs, not documents). When
@@ -549,8 +549,14 @@ object Dedup {
         transform(sequence(lit(1), greatest(length(name), lit(1))), i =>
           concat(name.substr(lit(1), i - lit(1)),
             name.substr(i + lit(1), length(name)))))
+      // repartition BEFORE the variant explode (the minhashPairs
+      // discipline): the testdata tables are single-row-group parquet,
+      // so the |name|-way deletion-neighborhood expansion would
+      // otherwise run inside a 1-task scan stage
+      val par = df.sparkSession.sparkContext.defaultParallelism
       val v = df
         .where(blockCols.map(col(_).isNotNull).reduce(_ && _))
+        .repartition(par, col(idCol))
         .select(col(idCol).as("vid"),
           struct(blockCols.map(col): _*).as("blk"),
           explode(variants).as("vr"))

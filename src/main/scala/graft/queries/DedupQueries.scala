@@ -108,7 +108,12 @@ object DedupQueries {
       FROM sh JOIN sfq USING (s)),
     pre AS (
       SELECT r.doc_id, r.s FROM ranked r JOIN sz ON r.doc_id = sz.doc_id
-      WHERE r.rk <= sz.n - ceil($threshold * sz.n)::BIGINT + 1),
+      -- FP guard on the prefix bound (ADVICE r16): when t*n is
+      -- mathematically integral but the double product rounds a hair
+      -- HIGH, a bare ceil would shrink the prefix below the PPJoin
+      -- lemma's bound and silently drop qualifying pairs; the -1e-9
+      -- slack can only LENGTHEN the prefix (always safe)
+      WHERE r.rk <= sz.n - ceil($threshold * sz.n - 1e-9)::BIGINT + 1),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -342,11 +347,14 @@ object DedupQueries {
     (s, dir) => {
       import s.implicits._
       val corpus = nearDupDocs(s, dir)
+      // lazy checkpoints: the count() is the materializing job (one
+      // job each where eager + count was two); the TP join then reads
+      // both cached pair sets
       val pred = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+        .select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
       val tru = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         blockCols = Seq.empty, shingleK = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+        .select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
       val np = pred.count()
       val nt = tru.count()
       val tp = pred.join(tru, Seq("id_a", "id_b")).count()
@@ -1314,6 +1322,11 @@ object DedupQueries {
     val nTruth = truth.count() // fit boundary: queries × k rows
     val fracs = Seq(1, math.max(1, nShards / 4), math.max(1, nShards / 2),
       nShards).distinct.sorted
+    // (r17 A/B note: overlapping the four searches from a 2-thread
+    // pool — guide §2.6 — was measured SLOWER (7.6-9.1 s vs 6.6
+    // sequential): the hop loops are driver-latency-bound, not
+    // task-bound, so concurrent searches contend on the driver
+    // instead of back-filling executor idle time. Kept sequential.)
     val rows = fracs.map { r =>
       val routed = Ann.hnswSearch(e, queries, edges, "vec_id", "embedding",
         k = 5, beamWidth = 16, hops1 = 2, hops0 = 6,

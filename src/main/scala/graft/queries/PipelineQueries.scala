@@ -334,7 +334,9 @@ object PipelineQueries {
         .select(col("feature"), col("vf").cast("long").as("v"), col("isA"))
         .groupBy(col("feature"), col("v"))
         .agg(sum(col("isA")).as("na"), sum(lit(1L) - col("isA")).as("nb"))
-        .localCheckpoint()
+        // lazy: both consumers (tot, gaps) sit in ONE final action, so
+        // the cache fills during that action — no dedicated job
+        .localCheckpoint(eager = false)
       val tot = roll.groupBy(col("feature"))
         .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
       val w = Window.partitionBy(col("feature")).orderBy(col("v"))

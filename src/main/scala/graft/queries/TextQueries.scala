@@ -173,7 +173,7 @@ object TextQueries {
         .where(col("lang_pred") === "en" &&
           col("alpha_ratio") >= 0.8 && col("ws_tokens") >= 25)
         .select(col("doc_id"), col("text"), col("ws_tokens"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by the first consumer
       val surv = Dedup.exact(
         kept.select(col("doc_id"), Dedup.normalizeText(col("text")).as("ntext")),
         "doc_id", col("ntext")).select("doc_id")
@@ -528,14 +528,19 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), lower(col("text")).as("t"))
+        // (r17 A/B: a doc_id repartition here — the text_repetition
+        // fix — measured 1.9→3.4 s SLOWER: both sketch builds re-read
+        // the exchange and the grids' map-side combine already
+        // collapses the scan stage; reverted)
         // RAW whitespace tokens (no empty filter) so unigram prefixes
         // align with bigram adjacency on both engines
         val toks = docs.select(explode(split(col("t"), " ", -1)).as("w"))
         val gU = FreqSketch.countMinGrid(toks, "w", depth, wU)
-        // one materialization of the occurrence frontier (3 consumers)
+        // one materialization of the occurrence frontier (3 consumers,
+        // all inside the one final action — lazy fills the cache there)
         val bgOcc = docs.select(col("doc_id"),
             explode(graft.functions.GraftFunctions.wordNgrams(col("t"), 2)).as("bg"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val gB = FreqSketch.countMinGrid(bgOcc.select("bg"), "bg", depth, wB)
         val bgEst = FreqSketch.estimate(gB, bgOcc.select("bg").distinct(),
           "bg", depth, wB).withColumnRenamed("est", "est_b")
@@ -926,6 +931,10 @@ object TextQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("t"),
           greatest(length(col("t")), lit(1)).cast("long").as("n_chars"))
+        // spread the 10-way n-gram expansion (the minhashPairs
+        // discipline: single-row-group parquet pins the scan, and this
+        // is the operator's compute-dense stage)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val tagged = d.select(col("doc_id"), col("n_chars"),
         explode(concat((1 to 10).map(n =>
           transform(graft.functions.GraftFunctions.wordNgrams(col("t"), n),
