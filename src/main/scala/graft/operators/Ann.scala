@@ -659,7 +659,26 @@ object Ann {
   def hnswSearch(corpus: DataFrame, queries: DataFrame, edges: DataFrame,
                  idCol: String, vecCol: String, k: Int, beamWidth: Int = 8,
                  hops1: Int = 2, hops0: Int = 3, nEntry: Int = 16,
-                 nShards: Int = 4, routeShards: Int = 0): DataFrame = {
+                 nShards: Int = 4, routeShards: Int = 0): DataFrame =
+    hnswSearchPrepared(
+      hnswPrepare(corpus, queries, edges, idCol, vecCol, nEntry, nShards),
+      k, beamWidth, hops1, hops0, nEntry, nShards, routeShards)
+
+  /** The search's per-(corpus, queries, graph) setup, factored out so
+    * a caller running SEVERAL searches over the same graph (the
+    * knn_hnsw_routed recall curve: four routed fractions) prepares
+    * once — one corpus materialization and ONE entry-point collect
+    * instead of one per search (entries depend only on corpus and
+    * nShards, never on routing).
+    */
+  private[graft] final case class HnswPrepared(
+      c: DataFrame, q: DataFrame, ed: DataFrame,
+      entries: Array[(Long, Seq[Double])])
+
+  private[graft] def hnswPrepare(corpus: DataFrame, queries: DataFrame,
+                                 edges: DataFrame, idCol: String,
+                                 vecCol: String, nEntry: Int,
+                                 nShards: Int): HnswPrepared = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     // LAZY checkpoints (r17): same lineage truncation + same one-time
     // materialization, but the materializing job is the FIRST consumer
@@ -674,8 +693,12 @@ object Ann {
         col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"), norm(col("qv")).as("qnrm"))
       .localCheckpoint(eager = false)
-    // the graph is read once per hop: materialize it once
-    val ed = edges.localCheckpoint(eager = false)
+    // the graph is read once per hop: materialize it once — EAGER,
+    // because hnswBuild's symmetrize union double-references its
+    // forward-link subtree; a lazy first consumer would run the
+    // pairwise build twice concurrently (2× the one genuinely
+    // expensive pass at scale)
+    val ed = edges.localCheckpoint()
     // a node's shard is a pure function of its id — recomputed where
     // needed instead of carried through the beam
     val shardOfNode = pmod(conv(substring(md5(col("node").cast("string")),
@@ -700,6 +723,17 @@ object Ann {
       .where(col("ern") <= perShardEntries)
       .select(col("node"), col("cv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    HnswPrepared(c, q, ed, entries)
+  }
+
+  private[graft] def hnswSearchPrepared(prep: HnswPrepared, k: Int,
+                                        beamWidth: Int, hops1: Int,
+                                        hops0: Int, nEntry: Int,
+                                        nShards: Int,
+                                        routeShards: Int): DataFrame = {
+    val HnswPrepared(c, q, ed, entries) = prep
+    val shardOfNode = pmod(conv(substring(md5(col("node").cast("string")),
+      1, 4), 16, 10).cast("long"), lit(nShards))
     val wqs = Window.partitionBy(col("query_id"), col("shard"))
       .orderBy(col("cs").desc, col("node"))
     // (r17 A/B note: broadcasting the bounded beam side into these
@@ -763,6 +797,9 @@ object Ann {
       // copies — a corpus-adaptive hop count hung outright at 13 hops,
       // and even the 5-hop default re-planned 32 scans). Values are
       // unchanged; beam cardinality is queries×beamWidth — tiny.
+      // eager: a lazy per-hop checkpoint chain was A/B'd slower (the
+      // nested first-consumer materialization serializes worse than
+      // one small job per hop)
       beam = prune(grown).localCheckpoint()
     }
     (1 to hops1).foreach(_ => hop(1))

@@ -77,7 +77,7 @@ object Pca {
       .withColumn("w", lit(1) + pmod(col("j"), lit(7)))
       .groupBy("i")
       .agg(sum(col("g") * col("w")).as("y"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val norm2 = y.agg(
       sum((col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)"))
         .cast("double").as("n2"))

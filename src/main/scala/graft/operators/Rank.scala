@@ -68,7 +68,7 @@ object Rank {
     val sorted = df.repartitionByRange(par, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pidCol = shiftright(col("__mid"), 33)
     val locCol = col("__mid").bitwiseAND(lit((1L << 33) - 1))
     val counts = sorted.groupBy(pidCol.as("__pid"))

@@ -63,7 +63,7 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25 needs at least one query term")
-    val tf = termFreq(docs, idCol, textCol).localCheckpoint()
+    val tf = termFreq(docs, idCol, textCol).localCheckpoint(eager = false)
     val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
     val stats = dl.agg(sum("dl"), count(lit(1))).head()
     val (sumDl, nDocs) = (stats.getLong(0), stats.getLong(1))

@@ -58,7 +58,7 @@ object Skew {
   def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions._
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val t = counts.agg(sum(col("cnt")), count(lit(1))).head()
     val (total, nKeys) = (t.getLong(0), t.getLong(1))
     counts

@@ -787,7 +787,7 @@ object TsFeatures {
     // unpivot+aggregation that produces it
     val grouped = long.groupBy(col("__f"), col("__x"))
       .agg(count(lit(1)).as("nx"), sum(col("__y")).as("mx"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the first collect materializes
     val isReal = realCols.toSet
     // real features: per-feature cumulative counts over distinct values
     val w = Window.partitionBy(col("__f")).orderBy(col("__x"))
@@ -1043,7 +1043,8 @@ object TsFeatures {
     // the feature matrix is one row per SERIES (tiny next to the input)
     // but expensive to produce (window + agg over every event) —
     // materialize it once instead of recomputing per downstream action
-    val feats = features.localCheckpoint()
+    // (lazy: the correlation collect below is the materializing job)
+    val feats = features.localCheckpoint(eager = false)
     val featCols = feats.columns.filterNot(_ == seriesKey).toSeq
     val joined = feats.join(labels, seriesKey)
     // Pearson r as try_divide(covar_samp, sx*sy) rather than corr():

@@ -280,7 +280,7 @@ object Preprocessor {
     // per-series matrix: tiny rows, expensive plan — materialize once
     // for the relevance pass AND the final projection
     val feats = graft.operators.TsFeatures.extract(df, columnId, Seq(timeCol), valueCol)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val rel = graft.operators.TsFeatures
       .featureRelevance(feats, labels, columnId, labelCol, alpha)
     val kept = rel.where(org.apache.spark.sql.functions.col("kept"))

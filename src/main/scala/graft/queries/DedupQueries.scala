@@ -1315,10 +1315,13 @@ object DedupQueries {
     val e = Tables.embeddings(s, dir)
     val queries = e.where(col("vec_id") < 20)
     val nShards = Ann.autoShards(e.count())
+    // edges stay EAGER: hnswBuild's union double-references its
+    // forward-link subtree, so a lazy first consumer would compute the
+    // build twice concurrently
     val edges = Ann.hnswBuild(e, "vec_id", "embedding",
       m = 8, degreeCap = 16, nShards = nShards, levelMod = 8).localCheckpoint()
     val truth = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
-      .select(col("query_id"), col("nn_id")).localCheckpoint()
+      .select(col("query_id"), col("nn_id")).localCheckpoint(eager = false)
     val nTruth = truth.count() // fit boundary: queries × k rows
     val fracs = Seq(1, math.max(1, nShards / 4), math.max(1, nShards / 2),
       nShards).distinct.sorted
@@ -1327,10 +1330,16 @@ object DedupQueries {
     // sequential): the hop loops are driver-latency-bound, not
     // task-bound, so concurrent searches contend on the driver
     // instead of back-filling executor idle time. Kept sequential.)
+    // Prepare ONCE (corpus/query/graph materializations + the
+    // entry-point collect are routing-independent) — the four routed
+    // searches share it instead of redoing setup per fraction.
+    val nEntry = math.max(16, 4 * nShards)
+    val prep = Ann.hnswPrepare(e, queries, edges, "vec_id", "embedding",
+      nEntry, nShards)
     val rows = fracs.map { r =>
-      val routed = Ann.hnswSearch(e, queries, edges, "vec_id", "embedding",
+      val routed = Ann.hnswSearchPrepared(prep,
         k = 5, beamWidth = 16, hops1 = 2, hops0 = 6,
-        nEntry = math.max(16, 4 * nShards), nShards = nShards,
+        nEntry = nEntry, nShards = nShards,
         routeShards = if (r == nShards) 0 else r)
       val hits = routed.join(truth, Seq("query_id", "nn_id"), "left_semi").count()
       val rec = BigDecimal(hits.toDouble / nTruth)
@@ -1455,7 +1464,7 @@ object DedupQueries {
       val proj = e.select(col("vec_id"),
         graft.operators.Ann.dot(col("embedding").cast("array<double>"), varr)
           .as("p"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val mm = proj.agg(min(col("p")).as("mn"), max(col("p")).as("mx")).head()
       val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
       proj.groupBy(
@@ -1579,7 +1588,7 @@ object DedupQueries {
     "q_pagerank",
     (s, dir) => {
       val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nN = nodes.count()
       val dsts = (1 to 3).map { j =>
         conv(substring(md5(concat(col("vec_id").cast("string"), lit(s":$j"))), 1, 4), 16, 10)
@@ -1597,7 +1606,7 @@ object DedupQueries {
         .groupBy(col("src")).agg(collect_set(col("dst")).as("dsts"))
         .select(col("src"), size(col("dsts")).as("outdeg"),
           explode(col("dsts")).as("dst"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       pagerankLoop(nodes, adj, maxIter = 4, tolMicro = -1L)
     },
     Some(s"""

@@ -1091,7 +1091,7 @@ object RelationalQueries {
         .select(col("user_id"),
           expr(s"($maxTs - last_ts) div $dayNs").as("recency_days"),
           col("frequency"), col("cents"))
-        .localCheckpoint() // one rollup feeds three rank passes
+        .localCheckpoint(eager = false) // one rollup feeds three rank passes
       val n = u.count()
       // SQL ntile(5) from the exact 1-based rank, by the bucket rule:
       // first n mod 5 buckets take ceil(n/5) rows, the rest floor(n/5)

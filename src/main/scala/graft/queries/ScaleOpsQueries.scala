@@ -286,11 +286,18 @@ object ScaleOpsQueries {
     val wh = s"/tmp/graft_bucketed_${math.abs(dir.hashCode)}"
     s.sql("DROP TABLE IF EXISTS g_lineitem_b")
     s.sql("DROP TABLE IF EXISTS g_orders_b")
+    // repartition ON the bucket key into bucket-count partitions
+    // before the bucketed write (guide §6): one writer task per
+    // bucket producing exactly one file per bucket — without it the
+    // single-row-group scan writes all 16 buckets from 1-2 tasks
+    // (serialized sort + 16 files per task)
     Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      .repartition(16, col("l_orderkey"))
       .write.mode("overwrite").option("path", s"$wh/l")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("g_lineitem_b")
     Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .repartition(16, col("o_orderkey"))
       .write.mode("overwrite").option("path", s"$wh/o")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("g_orders_b")

@@ -67,7 +67,7 @@ object StatsQueries {
     {
       // one materialization -- totals AND the cumulative scan both read
       // the rollup (the §13 shared-subtree rule)
-      val roll = roll0.localCheckpoint()
+      val roll = roll0.localCheckpoint(eager = false)
       val t = roll.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb")).head()
       val (ta, tb) = (t.getLong(0), t.getLong(1))
       val w = Window.orderBy(col("v"))
@@ -294,7 +294,7 @@ object StatsQueries {
     val s = spans.sparkSession
     import s.implicits._
     val dayNs = 86400000000000L
-    val sp = spans.localCheckpoint()
+    val sp = spans.localCheckpoint(eager = false)
     val mx = sp.agg(max(col("l"))).head().getLong(0)
     val roll = sp
       .select(expr(s"(l - f) div $dayNs").as("day"),
@@ -508,7 +508,7 @@ object StatsQueries {
     "q_logreg_step",
     (s, dir) => {
       import s.implicits._
-      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
       val (n, va, vb, vc) = logregFit(u)
       val z2i = lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2")
       val p2 = lit(1.0) / (lit(1.0) + exp(-(z2i.cast("double") / lit(1e6))))
@@ -578,7 +578,7 @@ object StatsQueries {
     (s, dir) => {
       import s.implicits._
       val lr = trainLr
-      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
       val (n, wa0, wb0, wc0) = logregFirstStep(u, lr)
       var w = (wa0, wb0, wc0)
       val out = Seq.newBuilder[(Int, Long, Double, Double, Double, Double, Double)]
@@ -652,7 +652,7 @@ object StatsQueries {
         .select(col("x"), when(col("np") >= 14, 1L).otherwise(0L).as("y"))
       val roll = u.groupBy(col("x"))
         .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val t = roll.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0")).head()
       val (t1, t0) = (t.getLong(0), t.getLong(1))
       val n = t1 + t0
@@ -879,7 +879,7 @@ object StatsQueries {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
         .select(col("user_id"), col("x"),
           when(col("np") >= 14, 1L).otherwise(0L).as("y"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val h = conv(substring(md5(concat(col("user_id").cast("string"),
         lit(":"), col("bag").cast("string"))), 1, 4), 16, 10).cast("long")
       val wgt = when(h < 24109, 0L).when(h < 48218, 1L).when(h < 60273, 2L)
@@ -996,7 +996,7 @@ object StatsQueries {
     "q_shapley_importance",
     (s, dir) => {
       import s.implicits._
-      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
       val (n, va, vb, vc) = logregFit(u)
       def sig(zi: Column): Column =
         lit(1.0) / (lit(1.0) + exp(-(zi.cast("double") / lit(1e6))))
@@ -1054,7 +1054,7 @@ object StatsQueries {
   val qPdp: Q = Q(
     "q_pdp",
     (s, dir) => {
-      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
       val (n, va, vb, vc) = logregFit(u)
       val mm = u.agg(min(col("x1")), max(col("x1"))).head()
       val (mn, mx) = (mm.getLong(0), mm.getLong(1))
@@ -1099,7 +1099,7 @@ object StatsQueries {
   private[graft] def gainsFromUsers(users: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     {
-      val uu = users.localCheckpoint()
+      val uu = users.localCheckpoint(eager = false)
       val t = uu.agg(count(lit(1)).as("n"), sum(col("y")).as("p")).head()
       val (n, totPos) = (t.getLong(0), t.getLong(1))
       // two-level exact rank: prefix = users with a STRICTLY higher
@@ -1174,7 +1174,7 @@ object StatsQueries {
     val s = users.sparkSession
     import s.implicits._
     {
-      val uu = users.localCheckpoint()
+      val uu = users.localCheckpoint(eager = false)
       val mm = uu.agg(min(col("score")), max(col("score"))).head()
       val (mn, mx) = (mm.getLong(0), mm.getLong(1))
       val bins = uu
@@ -1485,11 +1485,11 @@ object StatsQueries {
         .where(col("event_type") === "purchase")
         .select(round(col("value") * 100).cast("long").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val n = roll.agg(sum(col("c"))).head().getLong(0)
       val w = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = roll.withColumn("cum", sum(col("c")).over(w)).localCheckpoint()
+      val cum = roll.withColumn("cum", sum(col("c")).over(w)).localCheckpoint(eager = false)
       def kth(k: Long): Long =
         cum.where(col("cum") >= k).agg(min(col("v"))).head().getLong(0)
       val (q1, q2, q3) = (kth((n + 3) / 4), kth((n + 1) / 2), kth((3 * n + 3) / 4))
@@ -1527,7 +1527,7 @@ object StatsQueries {
         .where(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val t = u.agg(count(lit(1)).as("n"), sum(col("cents")).as("sx")).head()
       val (n, sx) = (t.getLong(0), t.getLong(1))
       val wv = Window.orderBy(col("cents"))
@@ -1632,7 +1632,7 @@ object StatsQueries {
       val train = docs.where(col("b") < 8)
       val test = docs.where(col("b") >= 8)
       val toks = train.select(col("lang"), explode(col("ws")).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val tc = toks.groupBy(col("w"), col("lang")).agg(count(lit(1)).as("cnt"))
         .select(col("w").as("tw"), col("lang").as("tl"), col("cnt"))
       val vocabV = toks.select(col("w")).distinct().count()
@@ -1774,7 +1774,7 @@ object StatsQueries {
         .where(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100).cast("long")).as("x"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val t = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx")).head()
       val (nU, sx) = (t.getLong(0), t.getLong(1))
       val h = conv(substring(md5(concat(col("user_id").cast("string"),
@@ -1899,7 +1899,7 @@ object StatsQueries {
         .join(means, Seq("event_type"))
         .select(rm.as("rm"))
         .groupBy(col("rm")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nCal = roll.agg(sum(col("c"))).head().getLong(0)
       val k = math.min((9 * (nCal + 1) + 9) / 10, nCal)
       val w = Window.orderBy(col("rm"))
@@ -1954,7 +1954,7 @@ object StatsQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     {
-      val roll = roll0.localCheckpoint()
+      val roll = roll0.localCheckpoint(eager = false)
       val n = roll.agg(sum(col("c"))).head().getLong(0)
       val lo = n / 10
       val hi = n - lo
@@ -2181,7 +2181,7 @@ object StatsQueries {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.TsFeatures
     {
-      val roll = roll0.localCheckpoint()
+      val roll = roll0.localCheckpoint(eager = false)
       val w = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val r = roll
@@ -2565,7 +2565,7 @@ object StatsQueries {
     "q_calibration",
     (s, dir) => {
       import s.implicits._
-      val u = logregFrame(Tables.events(s, dir)).localCheckpoint()
+      val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
       val (n, va, vb, vc) = logregFit(u)
       val z2i = lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2")
       val p2 = lit(1.0) / (lit(1.0) + exp(-(z2i.cast("double") / lit(1e6))))
@@ -2613,14 +2613,14 @@ object StatsQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     {
-      val d = daysDf.localCheckpoint()
+      val d = daysDf.localCheckpoint(eager = false)
       val nD = d.count()
       val pairs = d.as("a").join(d.as("b"),
           col("b.d") > col("a.d"))
         .select(((col("b.v") - col("a.v")).cast("double") /
           (col("b.d") - col("a.d"))).as("s"))
       val roll = pairs.groupBy(col("s")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val m = roll.agg(sum(col("c"))).head().getLong(0)
       val w = Window.orderBy(col("s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2865,7 +2865,7 @@ object StatsQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     {
-      val d = daysDf.localCheckpoint()
+      val d = daysDf.localCheckpoint(eager = false)
       val t = d.agg(count(lit(1)).as("n"), sum(col("v")).as("s")).head()
       val (n, sTot) = (t.getLong(0), t.getLong(1))
       val w = Window.orderBy(col("d"))
@@ -3023,7 +3023,7 @@ object StatsQueries {
           sum(when(col("event_type") === "purchase",
             round(col("value") * 100).cast("long")).otherwise(0L)).as("yc"))
         .select(col("x1"), col("yc"), arm(col("user_id")).as("t"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val n = users.count()
       val w = Window.orderBy(col("x1"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -284,18 +284,42 @@ object StreamingQueries {
     import s.implicits._
     import org.apache.spark.sql.functions._
     val gap = 30L * 60 * 1000 * 1000 * 1000
+    // the three stateful drains are INDEPENDENT streaming queries over
+    // the same source — run them concurrently (guide §2.6: overlap
+    // independent jobs; unlike the driver-bound HNSW hop loop, each
+    // drain spends its time in micro-batch execution, which interleaves
+    // cleanly). All three use the same state-partition setting, so the
+    // drain-scoped conf set/restore commutes across threads; each
+    // report's rows are deterministic engine metrics, and the final
+    // order is fixed by the explicit concatenation below.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val sp = Some(StreamOps.defaultStatePartitions)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", sp.get)
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(3))
     val rows =
-      StreamOps.stateReport(s, "sessionize",
-        StreamOps.sessionize(StreamOps.eventsStream(s, dir)
-          .withColumn("ts", expr("ts div 1000 * 1000")), gap).toDF(),
-        mode = "append") ++
-      StreamOps.stateReport(s, "interval_join",
-        StreamOps.intervalSelfJoin(StreamOps.eventsStream(s, dir),
-          StreamOps.eventsStream(s, dir)),
-        mode = "append", statePartitions = Some(8)) ++
-      StreamOps.stateReport(s, "quantile_profile",
-        StreamOps.quantileProfileUpdate(StreamOps.eventsStream(s, dir)).toDF(),
-        mode = "update", statePartitions = Some(8))
+      try {
+        val fSess = Future(StreamOps.stateReport(s, "sessionize",
+          StreamOps.sessionize(StreamOps.eventsStream(s, dir)
+            .withColumn("ts", expr("ts div 1000 * 1000")), gap).toDF(),
+          mode = "append", statePartitions = sp))
+        val fJoin = Future(StreamOps.stateReport(s, "interval_join",
+          StreamOps.intervalSelfJoin(StreamOps.eventsStream(s, dir),
+            StreamOps.eventsStream(s, dir)),
+          mode = "append", statePartitions = sp))
+        val fProf = Future(StreamOps.stateReport(s, "quantile_profile",
+          StreamOps.quantileProfileUpdate(StreamOps.eventsStream(s, dir)).toDF(),
+          mode = "update", statePartitions = sp))
+        Await.result(fSess, Duration.Inf) ++
+          Await.result(fJoin, Duration.Inf) ++
+          Await.result(fProf, Duration.Inf)
+      } finally {
+        ec.shutdown()
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     rows.toDS().toDF()
   }
 

@@ -1521,7 +1521,7 @@ object TextQueries {
         .where(!col("w").contains(SEP))
         .select(concat(lit(SEP), concat_ws(SEP + SEP, split(col("w"), "")),
           lit(SEP)).as("w"), col("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val merges = Seq.newBuilder[(Int, String, String, Long)]
       var step = 1
       var exhausted = false
@@ -1549,7 +1549,7 @@ object TextQueries {
             vocab = vocab
               .select(replace(col("w"), lit(SEP + a + SEP + SEP + b + SEP),
                 lit(SEP + a + b + SEP)).as("w"), col("c"))
-              .localCheckpoint()
+              .localCheckpoint(eager = false)
             step += 1
         }
       }
@@ -1733,7 +1733,7 @@ object TextQueries {
         .where(col("w2").isNotNull)
         .groupBy(col("w").as("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val left = bi.groupBy(col("w1"))
         .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
       val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
@@ -1788,11 +1788,11 @@ object TextQueries {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(split(lower(col("text")), " ", -1)).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val counts = toks.groupBy(col("w"))
         .agg(count(lit(1)).as("cr"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
         count(lit(1)).as("v")).head()
       val (nr, nt, vocab) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
@@ -1800,7 +1800,7 @@ object TextQueries {
         ((col("cr") + 1).cast("double") / lit(nr + vocab))) * lit(1e6)).cast("long")
       val docW = toks.join(counts, Seq("w"))
         .groupBy(col("doc_id")).agg(sum(term).as("lw"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nDocs = docW.count()
       val k = (nDocs + 9) / 10
       val wDesc = Window.orderBy(col("lw").desc)

@@ -2012,7 +2012,7 @@ object TsQueries {
         .groupBy(expr(s"cast(ts as long) div $dayNs").as("day"))
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val lagged = daily.select(col("day"), col("x"),
         explode(array((-3 to 3).map(l => lit(l.toLong)): _*)).as("lag"))
       val ys = daily.select(col("day").as("yday"), col("y"))
@@ -2127,7 +2127,7 @@ object TsQueries {
         .select(col("user_id"), expr("((rn - 1) * 8) div n").as("seg"), col("value"))
         .groupBy(col("user_id"), col("seg"))
         .agg(round(ExactAgg.microAvg(col("value")) * lit(1e6)).cast("long").as("paam"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val wRank = Window.partitionBy(col("user_id")).orderBy(col("paam"), col("seg"))
       val sax = paa.withColumn("sym", ntile(4).over(wRank))
         .withColumn("ch", expr("substring('abcd', sym, 1)"))

@@ -466,11 +466,16 @@ object StreamOps {
   private[graft] def defaultStatePartitions: Int =
     sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
 
+  /** Uniquifier for concurrent drains (nanoTime alone can collide
+    * across threads when drains overlap — stateReport runs three).
+    */
+  private val drainSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def drained[T](s: SparkSession, streamDf: DataFrame, mode: String,
                          statePartitions: Option[Int])(
                          f: (org.apache.spark.sql.streaming.StreamingQuery,
                              String) => T): T = {
-    val name = s"graft_stream_${System.nanoTime()}"
+    val name = s"graft_stream_${System.nanoTime()}_${drainSeq.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       statePartitions.getOrElse(defaultStatePartitions))
