@@ -740,6 +740,11 @@ object Ann {
     // joins was measured SLOWER at sf0.1 — per-hop BroadcastExchange
     // barriers cost more than the tiny sort-merge exchanges they
     // replace — and was reverted; see OPTIMIZATION_r17.md.)
+    // (r17 A/B note: fusing the dedup into an explicit node-keyed
+    // repartition — "one exchange per hop" on paper — measured ~3×
+    // SLOWER: pinning 32 partitions per hop defeats AQE's runtime
+    // coalescing of these beam-sized exchanges, and that coalescing
+    // is the dominant local win. Same lesson as the AQE-off A/B.)
     def prune(cand: DataFrame): DataFrame =
       cand.join(c, Seq("node"))
         .join(broadcast(q), Seq("query_id"))

@@ -1329,9 +1329,10 @@ object RelationalQueries {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      // the order count rides the final plan as a broadcast scalar
-      // (the oracle's CROSS JOIN no) instead of a separate collect job
-      val no = li.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
+      // (r17 A/B: riding the order count into the final plan as a
+      // 1-row broadcast cross join trips PlanGuardSpec's no-nested-loop
+      // guard — kept as a bounded scalar collect)
+      val nOrders = li.select(col("ok")).distinct().count()
       val item = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pairs = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -1342,11 +1343,10 @@ object RelationalQueries {
       top
         .join(item.select(col("pk").as("p_a"), col("n_item").as("n_a")), "p_a")
         .join(item.select(col("pk").as("p_b"), col("n_item").as("n_b")), "p_b")
-        .crossJoin(broadcast(no))
         .select(col("p_a"), col("p_b"), col("n_ab"), col("n_a"), col("n_b"),
           round(col("n_ab") / col("n_a"), 6).as("conf_a_b"),
           round(col("n_ab") / col("n_b"), 6).as("conf_b_a"),
-          round(col("n_ab") * col("n_orders") / (col("n_a") * col("n_b")), 6)
+          round(col("n_ab") * lit(nOrders.toDouble) / (col("n_a") * col("n_b")), 6)
             .as("lift"))
     },
     Some("""
