@@ -139,9 +139,20 @@ object TsFeatures {
     * last_location_of_minimum, ratio_beyond_r_sigma(1),
     * mean_second_derivative_central.
     */
+  /** `pin`: pin the enrichment window stage's parallelism with an
+    * explicit keyed repartition (the matrixProfileProf §12m device).
+    * OPT-IN, because the right answer depends on the CONSUMER: a
+    * consumer that evaluates the full calculator battery (the
+    * relevance rows — their correlation collect needs every feature)
+    * wants the compute-dense window stage parallel; a consumer whose
+    * final action prunes the calculators (a bare count() keeps only
+    * the group keys) would pay the pinned exchange for a nearly-empty
+    * window stage — measured +0.5–0.9 s per extract-family row at
+    * sf0.1 when the pin was unconditional.
+    */
   def extract(df: DataFrame, seriesKey: String, orderCols: Seq[String],
-              valueCol: String): DataFrame = {
-    val e = enrichedFrame(df, Seq(seriesKey), orderCols, Seq(valueCol))
+              valueCol: String, pin: Boolean = false): DataFrame = {
+    val e = enrichedFrame(df, Seq(seriesKey), orderCols, Seq(valueCol), pin)
     val aggs = featureAggs(valueCol, identity)
     withDerived(e.groupBy(col(seriesKey)).agg(aggs.head, aggs.tail: _*), identity)
   }
@@ -271,12 +282,27 @@ object TsFeatures {
     * same order cols), so Spark plans ONE exchange + ONE sort no
     * matter how many value columns ride through.
     */
-  private def enrichedFrame(df: DataFrame, seriesKeys: Seq[String], orderCols: Seq[String],
-                            valueCols: Seq[String]): DataFrame = {
+  private def enrichedFrame(df0: DataFrame, seriesKeys: Seq[String], orderCols: Seq[String],
+                            valueCols: Seq[String],
+                            pin: Boolean = false): DataFrame = {
     val keys = seriesKeys.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(orderCols.map(col): _*)
     val wAll = Window.partitionBy(keys: _*)
     val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    // (r17 A/B note: an UNCONDITIONAL parallelism pin here — the
+    // matrixProfileProf/pacfDurbin §12m device — was measured SLOWER
+    // across the benched extract rows (ts_features_extract
+    // 0.62→1.49 s, _multi 2.75→3.81, _windowed 0.89→1.18 at sf0.1):
+    // their count() action PRUNES the calculator battery down to the
+    // group keys, so those plans' window stages are nearly empty and
+    // the pinned exchange is pure overhead. Consumers that evaluate
+    // every calculator (the relevance collects) opt in via `pin` —
+    // see extract's doc.)
+    val df = if (pin) {
+      val nShuffle = df0.sparkSession.conf.get("spark.sql.shuffle.partitions",
+        df0.sparkSession.sparkContext.defaultParallelism.toString).toInt
+      df0.repartition(nShuffle, keys: _*)
+    } else df0
     val shared = Seq(
       struct(orderCols.map(col): _*).as("ord"),
       row_number().over(w).as("rn"),
@@ -2467,7 +2493,19 @@ object TsFeatures {
     val wOrd = Window.partitionBy(col(seriesKey)).orderBy(orderCols.map(col): _*)
     val wAll = Window.partitionBy(col(seriesKey))
     val dec = "decimal(38,0)"
+    // pin the window stage's parallelism (the matrixProfileProf
+    // discipline, §12m): the per-row work here — nlags lead() columns
+    // plus nlags+1 decimal(38,0) product sums — is the compute-dense
+    // stage of this operator, and AQE's byte-based coalescing of the
+    // tiny window exchange serialized it onto single-digit tasks at
+    // sf0.1 (Profile r17: 7 tasks total, 2.3 s). Same
+    // hashpartitioning(seriesKey) exchange the window inserts, with
+    // numPartitions pinned to the scale-adaptive knob; results
+    // unchanged (per-series windows + per-series aggregate).
+    val nShuffle = df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+      df.sparkSession.sparkContext.defaultParallelism.toString).toInt
     val base = df
+      .repartition(nShuffle, col(seriesKey))
       .withColumn("xq", round(col(valueCol) * lit(1e6)).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("s", sum(col("xq")).over(wAll))

@@ -347,17 +347,26 @@ object DedupQueries {
     (s, dir) => {
       import s.implicits._
       val corpus = nearDupDocs(s, dir)
-      // lazy checkpoints: the count() is the materializing job (one
-      // job each where eager + count was two); the TP join then reads
-      // both cached pair sets
       val pred = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
-        .select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
+        .select(col("id_a"), col("id_b"))
       val tru = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         blockCols = Seq.empty, shingleK = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
-      val np = pred.count()
-      val nt = tru.count()
-      val tp = pred.join(tru, Seq("id_a", "id_b")).count()
+        .select(col("id_a"), col("id_b"))
+      // ONE action computes np/nt/tp (was three counts + two
+      // checkpoint materializations): both pair sets are DISTINCT on
+      // (id_a, id_b) by construction (simhashPairs dropDuplicates /
+      // ngramJaccardPairs groupBy), so a full-outer join marks each
+      // pair present-in-pred / present-in-truth exactly once and the
+      // three counts are sums over the marker columns — values
+      // identical to the separate counts.
+      val m = pred.withColumn("__p", lit(1L))
+        .join(tru.withColumn("__t", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(col("__p")).as("np"), sum(col("__t")).as("nt"),
+          count(when(col("__p").isNotNull && col("__t").isNotNull, 1)).as("tp"))
+        .head()
+      val np = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val nt = if (m.isNullAt(1)) 0L else m.getLong(1)
+      val tp = m.getLong(2)
       def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val p = tp.toDouble / np
       val r = tp.toDouble / nt
@@ -1791,8 +1800,16 @@ object DedupQueries {
         .where(col("b") =!= col("a"))
         .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
         .distinct()
+        // lazy checkpoint: und is consumed by deg (twice via the ends
+        // union), the nEdges count (the materializing job), and the
+        // orientation join — one explode+distinct pass instead of
+        // re-planning it per consumer
+        .localCheckpoint(eager = false)
       val deg = und.select(col("lo").as("v")).unionByName(und.select(col("hi").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        // lazy checkpoint: deg is read by the wedgePairs scalar (the
+        // materializing job) and twice by the orientation join
+        .localCheckpoint(eager = false)
       val nEdges = und.count()
       val wedgePairs = deg.agg(sum(expr("d * (d - 1) div 2"))).head().getLong(0)
       // orient lower (deg, id) -> higher; carry the head's order key
@@ -1807,6 +1824,11 @@ object DedupQueries {
             col("hi")).otherwise(col("lo")).as("v"),
           when(struct(col("dl.d"), col("lo")) < struct(col("dh.d"), col("hi")),
             col("dh.d")).otherwise(col("dl.d")).as("dv"))
+        // EAGER checkpoint: ore is referenced THREE times inside the
+        // single triangle-count action (x, y, z) — a lazy first
+        // consumer would run the orientation join concurrently per
+        // reference (the hnswPrepare edges lesson)
+        .localCheckpoint()
       val wedges = ore.as("x").join(ore.as("y"),
           col("x.u") === col("y.u") &&
             (struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v"))))

@@ -327,7 +327,13 @@ object PipelineQueries {
       val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
       val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val stack = feats.map(f => s"'$f', round($f * 10000)").mkString(", ")
+      // repartition BEFORE the 4-way stack (the minhashPairs/FastSS
+      // discipline, guide §2): the testdata tables are single-row-group
+      // parquet, so the explode + partial aggregation would otherwise
+      // run inside a 1-task scan stage
+      val par = s.sparkContext.defaultParallelism
       val roll = li
+        .repartition(par, col("l_orderkey"), col("l_linenumber"))
         .select(expr(s"stack(${feats.size}, $stack) AS (feature, vf)"),
           (unix_micros(col("l_shipdate").cast("timestamp")) < mid)
             .cast("long").as("isA"))

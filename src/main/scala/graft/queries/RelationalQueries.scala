@@ -1327,8 +1327,14 @@ object RelationalQueries {
   val qCopurchase: Q = Q(
     "q_copurchase",
     (s, dir) => {
+      // lazy checkpoint: li is consumed FOUR times (the order-count
+      // scalar below, item, and both self-join sides) — the count is
+      // the materializing job, and the final plan then reads
+      // executor-local blocks instead of re-planning the scan+distinct
+      // three times
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(eager = false)
       // (r17 A/B: riding the order count into the final plan as a
       // 1-row broadcast cross join trips PlanGuardSpec's no-nested-loop
       // guard — kept as a bounded scalar collect)

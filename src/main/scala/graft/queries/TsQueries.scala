@@ -452,9 +452,10 @@ object TsQueries {
 
   private val enrichedCte = enrichedCteFor("events", "user_id")
 
-  private def roundedExtract(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def roundedExtract(s: org.apache.spark.sql.SparkSession, dir: String,
+                             pin: Boolean = false) = {
     val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
-    val f = TsFeatures.extract(e, "user_id", Seq("ts"), "value")
+    val f = TsFeatures.extract(e, "user_id", Seq("ts"), "value", pin)
     // + 0.0 normalizes IEEE signed zero: at sf1 a 3-point window's
     // autocorrelation can be an exact -0.0 on one engine and +0.0 on
     // the other — float == calls them equal, the hash does not (r15)
@@ -630,7 +631,10 @@ object TsQueries {
       // derived post-agg calculators (agg_autocorr/ar4) are arithmetic
       // combinations of autocorr_lag1..4 and would only add collinear
       // rows to the correlation matrix
-      val baseFeats = roundedExtract(s, dir)
+      // pin=true: the relevance collect evaluates EVERY calculator (no
+      // count-pruning), so the enrichment window stage is genuinely
+      // compute-dense here — see TsFeatures.extract's doc
+      val baseFeats = roundedExtract(s, dir, pin = true)
         .select(col("user_id") +: featSql.map { case (n, _) => col(n) }: _*)
       val rel = TsFeatures.featureRelevance(
         baseFeats, labels, "user_id", "y", alpha = 0.05)
