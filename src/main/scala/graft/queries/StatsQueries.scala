@@ -468,15 +468,21 @@ object StatsQueries {
     * — shared by the 2-step fit and the training loop so the
     * quantization can never drift between them.
     */
+  /** Returns (n, wa, wb, wc, min x1, max x1): the x1 range rides the
+    * same aggregate row so range consumers (q_pdp's grid) need no
+    * second scalar action (§1.2 fewer actions).
+    */
   private[graft] def logregFirstStep(u: DataFrame,
-                                     lr: Double): (Long, Long, Long, Long) = {
+                                     lr: Double): (Long, Long, Long, Long, Long, Long) = {
     val g1 = u.agg(count(lit(1)).as("n"),
       sum(lit(1L) - lit(2L) * col("y")).as("g0t"),
       sum((lit(1L) - lit(2L) * col("y")) * col("x1")).as("g1t"),
-      sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2t")).head()
+      sum((lit(1L) - lit(2L) * col("y")) * col("x2")).as("g2t"),
+      min(col("x1")).as("mn1"), max(col("x1")).as("mx1")).head()
     val n = g1.getLong(0)
     def w1m(gt: Long): Long = rL(-lr * (gt.toDouble / 2 / n) * 1e6)
-    (n, w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)))
+    (n, w1m(g1.getLong(1)), w1m(g1.getLong(2)), w1m(g1.getLong(3)),
+      g1.getLong(4), g1.getLong(5))
   }
 
   /** The micro log-loss column both the step and train rows emit —
@@ -487,9 +493,12 @@ object StatsQueries {
       (lit(1L) - y) * log(greatest(lit(1.0) - p, lit(1e-12))))) * lit(1e6))
       .cast("long")
 
-  private[graft] def logregFit(u: DataFrame): (Long, Long, Long, Long) = {
+  /** Returns (n, va, vb, vc, min x1, max x1) — the range passes
+    * through from [[logregFirstStep]] for grid consumers.
+    */
+  private[graft] def logregFit(u: DataFrame): (Long, Long, Long, Long, Long, Long) = {
     val lr = 0.1
-    val (n, wa, wb, wc) = logregFirstStep(u, lr)
+    val (n, wa, wb, wc, mn1, mx1) = logregFirstStep(u, lr)
     val z1 = (lit(wa) + lit(wb) * col("x1") + lit(wc) * col("x2"))
       .cast("double") / lit(1e6)
     val p1 = lit(1.0) / (lit(1.0) + exp(-z1))
@@ -501,7 +510,8 @@ object StatsQueries {
       .head()
     def w2m(w1: Long, hm: Long): Long =
       rL((w1 / 1e6 - lr * ((hm / 1e6) / n)) * 1e6)
-    (n, w2m(wa, g2.getLong(0)), w2m(wb, g2.getLong(1)), w2m(wc, g2.getLong(2)))
+    (n, w2m(wa, g2.getLong(0)), w2m(wb, g2.getLong(1)), w2m(wc, g2.getLong(2)),
+      mn1, mx1)
   }
 
   val qLogregStep: Q = Q(
@@ -509,7 +519,7 @@ object StatsQueries {
     (s, dir) => {
       import s.implicits._
       val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
-      val (n, va, vb, vc) = logregFit(u)
+      val (n, va, vb, vc, _, _) = logregFit(u)
       val z2i = lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2")
       val p2 = lit(1.0) / (lit(1.0) + exp(-(z2i.cast("double") / lit(1e6))))
       val fin = u.select(col("y"), z2i.as("zi"), p2.as("p2"))
@@ -579,7 +589,7 @@ object StatsQueries {
       import s.implicits._
       val lr = trainLr
       val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
-      val (n, wa0, wb0, wc0) = logregFirstStep(u, lr)
+      val (n, wa0, wb0, wc0, _, _) = logregFirstStep(u, lr)
       var w = (wa0, wb0, wc0)
       val out = Seq.newBuilder[(Int, Long, Double, Double, Double, Double, Double)]
       for (t <- 1 to 4) {
@@ -652,12 +662,14 @@ object StatsQueries {
         .select(col("x"), when(col("np") >= 14, 1L).otherwise(0L).as("y"))
       val roll = u.groupBy(col("x"))
         .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
-        .localCheckpoint(eager = false)
-      val t = roll.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0")).head()
-      val (t1, t0) = (t.getLong(0), t.getLong(1))
-      val n = t1 + t0
+      // ONE action: the class totals t1/t0 ride the same
+      // single-partition window pass as the cumulative counts
+      // (full-frame sums), so the separate totals collect disappears
+      // (§1.2 fewer actions; identical long/double arithmetic)
       val w = Window.orderBy(col("x"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val nl = col("l1") + col("l0")
       val nr = col("r1") + col("r0")
       val gl = nl.cast("double") -
@@ -666,18 +678,22 @@ object StatsQueries {
       val gr = nr.cast("double") -
         (col("r1").cast("decimal(38,0)") * col("r1") +
           col("r0").cast("decimal(38,0)") * col("r0")).cast("double") / nr
-      val imp = (gl + gr) / lit(n.toDouble)
+      val imp = (gl + gr) / (col("t1") + col("t0")).cast("double")
       val best = roll
         .select(col("x"), sum(col("c1")).over(w).as("l1"),
-          sum(col("c0")).over(w).as("l0"))
-        .where(col("l1") + col("l0") < n)
+          sum(col("c0")).over(w).as("l0"),
+          sum(col("c1")).over(wAll).as("t1"), sum(col("c0")).over(wAll).as("t0"))
+        .where(col("l1") + col("l0") < col("t1") + col("t0"))
         .select(col("x"), col("l1"), col("l0"),
-          (lit(t1) - col("l1")).as("r1"), (lit(t0) - col("l0")).as("r0"))
+          (col("t1") - col("l1")).as("r1"), (col("t0") - col("l0")).as("r0"),
+          col("t1"), col("t0"))
         .select(col("x"), nl.as("n_left"), nr.as("n_right"),
           round(imp * lit(1e9)).cast("long").as("impm"), imp.as("imp"),
           (greatest(col("l1"), col("l0")) +
-            greatest(col("r1"), col("r0"))).as("okn"))
+            greatest(col("r1"), col("r0"))).as("okn"),
+          (col("t1") + col("t0")).as("n"))
         .orderBy(col("impm"), col("x")).limit(1).head()
+      val n = best.getLong(6)
       Seq((best.getLong(0), best.getLong(1), best.getLong(2),
         r6(best.getDouble(4)), r6(best.getLong(5).toDouble / n)))
         .toDF("split_x", "n_left", "n_right", "gini", "acc")
@@ -775,10 +791,17 @@ object StatsQueries {
         .groupBy(col("side"), col("x"))
         .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
         .localCheckpoint()
-      val best2 = bestSplits(roll2).collect()
+      // ONE collect for per-side totals + best splits (the oracle's
+      // `sides` left-join shape): a pure child simply has null split
+      // columns — replaces two scalar actions (§1.2 fewer actions)
+      val sides2 = roll2.groupBy(col("side"))
+        .agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+        .join(bestSplits(roll2).select(col("side"), col("x"), col("imp"),
+          col("okn")), Seq("side"), "left")
+        .collect()
+      val best2 = sides2.filter(!_.isNullAt(3))
         .map(r => r.getString(0) -> r).toMap
-      val tots2 = roll2.groupBy(col("side"))
-        .agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0")).collect()
+      val tots2 = sides2
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       val n = tots2.values.map(t => t._1 + t._2).sum
       def sideRow(sd: String): (String, Long, Option[Long], Option[Double], Double) = {
@@ -997,7 +1020,7 @@ object StatsQueries {
     (s, dir) => {
       import s.implicits._
       val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
-      val (n, va, vb, vc) = logregFit(u)
+      val (n, va, vb, vc, _, _) = logregFit(u)
       def sig(zi: Column): Column =
         lit(1.0) / (lit(1.0) + exp(-(zi.cast("double") / lit(1e6))))
       val f12 = sig(lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2"))
@@ -1055,9 +1078,9 @@ object StatsQueries {
     "q_pdp",
     (s, dir) => {
       val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
-      val (n, va, vb, vc) = logregFit(u)
-      val mm = u.agg(min(col("x1")), max(col("x1"))).head()
-      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      // the x1 range rides the fit's first-step aggregate row — no
+      // separate min/max scalar action (§1.2 fewer actions)
+      val (n, va, vb, vc, mn, mx) = logregFit(u)
       val z = (lit(va) + lit(vb) * col("g") + lit(vc) * col("x2"))
         .cast("double") / lit(1e6)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
@@ -1485,14 +1508,26 @@ object StatsQueries {
         .where(col("event_type") === "purchase")
         .select(round(col("value") * 100).cast("long").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
-      val n = roll.agg(sum(col("c"))).head().getLong(0)
+      // ONE action: the total n rides the same single-partition window
+      // pass as the cumulative counts (full-frame sum), the three
+      // rank thresholds become per-row integer exprs of n, and the
+      // three k-th-smallest lookups fuse into conditional mins —
+      // replaces four scalar actions (n + 3 kth collects) with one
+      // (§1.2 fewer actions; same exact rank arithmetic, oracle green)
       val w = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = roll.withColumn("cum", sum(col("c")).over(w)).localCheckpoint(eager = false)
-      def kth(k: Long): Long =
-        cum.where(col("cum") >= k).agg(min(col("v"))).head().getLong(0)
-      val (q1, q2, q3) = (kth((n + 3) / 4), kth((n + 1) / 2), kth((3 * n + 3) / 4))
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val r = roll
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(n + 3) div 4"), col("v"))).as("q1"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("q2"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("v"))).as("q3"))
+        .head()
+      val (n, q1, q2, q3) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val skew = (q3 + q1 - 2.0 * q2) / (q3 - q1)
       Seq((n, q1, q2, q3, r6(skew)))
         .toDF("n", "q1_cents", "q2_cents", "q3_cents", "bowley_skew")
@@ -1631,18 +1666,29 @@ object StatsQueries {
           split(lower(col("text")), " ", -1).as("ws"), b.as("b"))
       val train = docs.where(col("b") < 8)
       val test = docs.where(col("b") >= 8)
+      // checkpoint the (w, lang, cnt) rollup instead of the raw token
+      // explode: the cache shrinks from O(tokens) to O(vocab·lang) and
+      // the final action reads the counts directly instead of
+      // re-aggregating the exploded frame (§1.2, §5)
       val toks = train.select(col("lang"), explode(col("ws")).as("w"))
+      val tc0 = toks.groupBy(col("w"), col("lang")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint(eager = false)
-      val tc = toks.groupBy(col("w"), col("lang")).agg(count(lit(1)).as("cnt"))
-        .select(col("w").as("tw"), col("lang").as("tl"), col("cnt"))
-      val vocabV = toks.select(col("w")).distinct().count()
-      val ctRows = toks.groupBy(col("lang")).agg(count(lit(1)).as("totc")).collect()
-      val dcRows = train.groupBy(col("lang")).agg(count(lit(1)).as("nd")).collect()
-      val ndt = dcRows.map(_.getLong(1)).sum
-      val clsArr = array(ctRows.sortBy(_.getString(0)).map { r =>
+      val tc = tc0.select(col("w").as("tw"), col("lang").as("tl"), col("cnt"))
+      val vocabV = tc0.select(col("w")).distinct().count()
+      // ONE pass over train for doc counts AND token totals: the
+      // per-lang token count equals the sum of ws sizes (explode emits
+      // one row per element; a null ws explodes to zero rows), so the
+      // two per-lang collects fuse into one action (§1.2 fewer actions)
+      val cd = train.groupBy(col("lang"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("ws").isNotNull, size(col("ws")))
+            .otherwise(lit(0L)).cast("long")).as("totc"))
+        .collect()
+      val ndt = cd.map(_.getLong(1)).sum
+      val clsArr = array(cd.filter(_.getLong(2) > 0).sortBy(_.getString(0)).map { r =>
         val lang = r.getString(0)
-        val nd = dcRows.find(_.getString(0) == lang).get.getLong(1)
-        struct(lit(lang).as("cl"), lit(r.getLong(1)).as("totc"),
+        val nd = r.getLong(1)
+        struct(lit(lang).as("cl"), lit(r.getLong(2)).as("totc"),
           lit(rL(math.log(nd.toDouble / ndt) * 1e6)).as("priorm"))
       }.toSeq: _*)
       val pairs = test.select(col("doc_id"), explode(col("ws")).as("w"))
@@ -1895,17 +1941,26 @@ object StatsQueries {
         .agg(ExactAgg.microAvg(col("value")).as("m"))
       val rm = abs(round(col("value") * lit(1e6)).cast("long") -
         round(col("m") * lit(1e6)).cast("long"))
-      val roll = ev.where(col("b") >= 6 && col("b") < 8)
+      // ONE action for nCal + qhat: the calibration total rides the
+      // same single-partition window pass as the cumulative counts
+      // (full-frame sum), the 90%-rank k is a per-row integer expr of
+      // n, and the k-th lookup is a conditional min — replaces two
+      // scalar actions (§1.2 fewer actions; same rank arithmetic)
+      val w = Window.orderBy(col("rm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("rm"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cal = ev.where(col("b") >= 6 && col("b") < 8)
         .join(means, Seq("event_type"))
         .select(rm.as("rm"))
         .groupBy(col("rm")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
-      val nCal = roll.agg(sum(col("c"))).head().getLong(0)
-      val k = math.min((9 * (nCal + 1) + 9) / 10, nCal)
-      val w = Window.orderBy(col("rm"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val qhatM = roll.withColumn("cum", sum(col("c")).over(w))
-        .where(col("cum") >= k).agg(min(col("rm"))).head().getLong(0)
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= least(expr("(9 * (n + 1) + 9) div 10"), col("n")),
+            col("rm"))).as("qm"))
+        .head()
+      val (nCal, qhatM) = (cal.getLong(0), cal.getLong(1))
       val t = ev.where(col("b") >= 8).join(means, Seq("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(when(rm <= lit(qhatM), 1L).otherwise(0L)).as("cov")).head()
@@ -1954,19 +2009,28 @@ object StatsQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     {
-      val roll = roll0.localCheckpoint(eager = false)
-      val n = roll.agg(sum(col("c"))).head().getLong(0)
-      val lo = n / 10
-      val hi = n - lo
+      // ONE action: n rides the same single-partition window pass as
+      // cum (full-frame sum), lo/hi become per-row integer exprs of n
+      // — replaces the separate totals collect (§1.2 fewer actions;
+      // identical clamped-rank integer arithmetic)
       val w = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val lo = expr("n div 10")
+      val hi = col("n") - lo
       val take = greatest(
-        least(col("cum"), lit(hi)) - greatest(col("cum") - col("c"), lit(lo)),
+        least(col("cum"), hi) - greatest(col("cum") - col("c"), lo),
         lit(0L))
-      val t = roll.withColumn("cum", sum(col("c")).over(w))
-        .agg(sum(take.cast("decimal(38,0)") * col("v")).as("ts")).head()
+      val t = roll0
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .agg(sum(take.cast("decimal(38,0)") * col("v")).as("ts"),
+          max(col("n")).as("n")).head()
       val tsum = BigDecimal(t.getDecimal(0)).toBigInt
-      Seq((n, hi - lo, r6(tsum.toDouble / (hi - lo) / 100)))
+      val n = t.getLong(1)
+      val kept = n - n / 10 - n / 10
+      Seq((n, kept, r6(tsum.toDouble / kept / 100)))
         .toDF("n", "n_kept", "trimmed_mean")
     }
   }
@@ -2566,7 +2630,7 @@ object StatsQueries {
     (s, dir) => {
       import s.implicits._
       val u = logregFrame(Tables.events(s, dir)).localCheckpoint(eager = false)
-      val (n, va, vb, vc) = logregFit(u)
+      val (n, va, vb, vc, _, _) = logregFit(u)
       val z2i = lit(va) + lit(vb) * col("x1") + lit(vc) * col("x2")
       val p2 = lit(1.0) / (lit(1.0) + exp(-(z2i.cast("double") / lit(1e6))))
       val bins = u.select(col("y"), p2.as("p"))
@@ -2619,14 +2683,22 @@ object StatsQueries {
           col("b.d") > col("a.d"))
         .select(((col("b.v") - col("a.v")).cast("double") /
           (col("b.d") - col("a.d"))).as("s"))
-      val roll = pairs.groupBy(col("s")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
-      val m = roll.agg(sum(col("c"))).head().getLong(0)
+      // ONE action for m + median: the pair total rides the same
+      // single-partition window pass as the cumulative counts
+      // (full-frame sum), the lower-median rank is a per-row integer
+      // expr of m, and the k-th lookup is a conditional min — replaces
+      // two scalar actions (§1.2 fewer actions; same rank arithmetic)
       val w = Window.orderBy(col("s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val med = roll.withColumn("cum", sum(col("c")).over(w))
-        .where(col("cum") >= lit((m + 1) / 2))
-        .agg(min(col("s"))).head().getDouble(0)
+      val wAll = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val r = pairs.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("m", sum(col("c")).over(wAll))
+        .agg(max(col("m")).as("m"),
+          min(when(col("cum") >= expr("(m + 1) div 2"), col("s"))).as("med"))
+        .head()
+      val (m, med) = (r.getLong(0), r.getDouble(1))
       Seq((nD, m, r6(med / 100)))
         .toDF("n_days", "n_pairs", "slope_per_day")
     }
@@ -2865,24 +2937,29 @@ object StatsQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     {
-      val d = daysDf.localCheckpoint(eager = false)
-      val t = d.agg(count(lit(1)).as("n"), sum(col("v")).as("s")).head()
-      val (n, sTot) = (t.getLong(0), t.getLong(1))
+      // ONE action: the day total n and revenue total s ride the same
+      // single-partition window pass as the prefix sums (full-frame
+      // aggregates), so the separate totals collect disappears (§1.2
+      // fewer actions; identical prefix-sum gain arithmetic)
       val w = Window.orderBy(col("d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val gain = (col("sl").cast("double") * col("sl") / col("nl") +
-        (lit(sTot) - col("sl")).cast("double") * (lit(sTot) - col("sl")) /
-          (lit(n) - col("nl")) -
-        lit(sTot).cast("double") * lit(sTot) / lit(n)) / lit(10000.0) * lit(1000000.0)
-      val best = d
+        (col("st") - col("sl")).cast("double") * (col("st") - col("sl")) /
+          (col("n") - col("nl")) -
+        col("st").cast("double") * col("st") / col("n")) / lit(10000.0) * lit(1000000.0)
+      val best = daysDf
         .withColumn("nl", count(lit(1)).over(w))
         .withColumn("sl", sum(col("v")).over(w))
-        .where(col("nl") < n)
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("st", sum(col("v")).over(wAll))
+        .where(col("nl") < col("n"))
         .withColumn("gm", round(gain).cast("long"))
         .orderBy(col("gm").desc, col("d").asc)
         .limit(1).head()
-      val (sd, nl, sl, gm) = (best.getLong(0), best.getLong(2),
-        best.getLong(3), best.getLong(4))
+      val (sd, nl, sl) = (best.getLong(0), best.getLong(2), best.getLong(3))
+      val (n, sTot, gm) = (best.getLong(4), best.getLong(5), best.getLong(6))
       Seq((sd, nl, n - nl,
         r6(sl.toDouble / nl / 100),
         r6((sTot - sl).toDouble / (n - nl) / 100),
