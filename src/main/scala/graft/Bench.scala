@@ -62,7 +62,27 @@ object Bench {
     // adjudication. Rerun failures are benign: the first-pass time
     // stands and the reruns map records the -1.
     val rerunN = sys.env.getOrElse("SPARK_GRAFT_RERUN_N", "8").toInt
-    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(rerunN).map(_._1)
+    // Outlier self-adjudication (VERDICT r17 #7): any row measuring
+    // >3x its BASELINE_MEASURED_ALL spark_sec ALSO joins the
+    // fresh-session rerun set, so driver-session phantom slowdowns
+    // (r17: dedup_minhash 9.04s driver vs 0.9s everywhere else) close
+    // themselves inside the artifact instead of costing an
+    // adjudication cycle. ADDITIONS ONLY: the extra rows ride the same
+    // full-detail "reruns"/"queries_floored" maps; the stdout headline
+    // and the uniform min-of-2 "queries"/"value" are untouched.
+    val baselineSpark: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BASELINE_MEASURED_ALL.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val re = """"([A-Za-z0-9_]+)"\s*:\s*\{[^{}]*"spark_sec"\s*:\s*([0-9.Ee+-]+)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val outliers = results.filter { case (n, t, _) =>
+      t >= 0 && baselineSpark.get(n).exists(b => b > 0 && t > 3 * b)
+    }.map(_._1)
+    val worst = (results.filter(_._2 >= 0).sortBy(-_._2).take(rerunN).map(_._1)
+      ++ outliers).distinct
     val reruns: Map[String, Double] = if (worst.isEmpty) Map.empty else {
       spark.sparkContext.setLogLevel("OFF")
       spark.stop()

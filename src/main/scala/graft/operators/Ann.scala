@@ -314,7 +314,11 @@ object Ann {
       .where(col("cell").isin(probedCells: _*))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id"))
     // broadcast the bounded probe side: the stored index streams its
-    // pruned cells with no exchange (guide §3.1)
+    // pruned cells with no exchange (guide §3.1). CONTRACT (ADVICE r17
+    // #5): the query batch is serving-batch sized; a batch whose
+    // exploded probe side outgrows Spark's broadcast caps (8 GB / 512M
+    // rows) fails the broadcast LOUDLY instead of silently shuffling
+    // the corpus by cell — split the batch at the caller.
     stored.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
@@ -346,7 +350,11 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nn_id"))
     // broadcast the bounded probe side (queries × nProbe rows): the
     // assigned corpus streams with no exchange — at 100 TB the corpus
-    // must never shuffle by cell for a probe batch (guide §3.1)
+    // must never shuffle by cell for a probe batch (guide §3.1).
+    // CONTRACT (ADVICE r17 #5): the query batch is serving-batch
+    // sized; a batch past Spark's broadcast caps (8 GB / 512M rows)
+    // fails the broadcast LOUDLY instead of silently shuffling the
+    // corpus — split the batch at the caller.
     assigned.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("cosine"))
@@ -383,12 +391,16 @@ object Ann {
     val v = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")).repartition(par, col("id"))
     // per-(vector, subspace) rows; checkpointed so the two assignment
-    // passes and the mean recompute read ONE materialization
+    // passes and the mean recompute read ONE materialization. EAGER
+    // (ADVICE r17 #3): esub is referenced multiple times inside its
+    // first consuming action (assign(cb0) + the cb1 mean join + codes),
+    // so a lazy checkpoint would recompute the explode subtree per
+    // reference before its blocks cache — the edges/ore rule.
     val esub = v.select(col("id"), explode(array((0 until nSub).map(s =>
         struct(lit(s).as("sub"),
           slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
       .select(col("id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     // seed codebooks: the sampleCentroids rows, sliced per subspace
     val seeds = sampleCentroids(v, "id", "v", nCodes)
     val cb0 = seeds.zipWithIndex.flatMap { case (vec, code) =>
@@ -415,7 +427,10 @@ object Ann {
       .select(col("sub"), col("code"),
         array((0 until subDim).map(d =>
           col(s"s$d").cast("double") / col("n")): _*).as("cv"))
-      .localCheckpoint(eager = false)
+      // EAGER (ADVICE r17 #3): cb1 is read twice inside the final
+      // action (the codes assignment and the broadcast LUT) — the
+      // double-reference rule again
+      .localCheckpoint()
     val codes = assign(cb1)
     // ADC: broadcast LUT of (query, sub, code) micro distances
     val qsub = queries.select(col(idCol).as("qid"),
@@ -662,7 +677,7 @@ object Ann {
                  nShards: Int = 4, routeShards: Int = 0): DataFrame =
     hnswSearchPrepared(
       hnswPrepare(corpus, queries, edges, idCol, vecCol, nEntry, nShards),
-      k, beamWidth, hops1, hops0, nEntry, nShards, routeShards)
+      k, beamWidth, hops1, hops0, nShards, routeShards)
 
   /** The search's per-(corpus, queries, graph) setup, factored out so
     * a caller running SEVERAL searches over the same graph (the
@@ -726,9 +741,12 @@ object Ann {
     HnswPrepared(c, q, ed, entries)
   }
 
+  // nEntry is deliberately NOT a parameter here (ADVICE r17 #4): entry
+  // points are baked into HnswPrepared, so accepting one would invite
+  // callers to believe a different value changes the search.
   private[graft] def hnswSearchPrepared(prep: HnswPrepared, k: Int,
                                         beamWidth: Int, hops1: Int,
-                                        hops0: Int, nEntry: Int,
+                                        hops0: Int,
                                         nShards: Int,
                                         routeShards: Int): DataFrame = {
     val HnswPrepared(c, q, ed, entries) = prep
@@ -921,7 +939,11 @@ object Ann {
     val c = banded(corpus, "nn_id", "cv")
     val q = banded(queries, "query_id", "qv")
     // broadcast the bounded banded query side (queries × tables rows):
-    // the banded corpus streams with no exchange (guide §3.1)
+    // the banded corpus streams with no exchange (guide §3.1).
+    // CONTRACT (ADVICE r17 #5): the query batch is serving-batch
+    // sized; a batch past Spark's broadcast caps (8 GB / 512M rows)
+    // fails the broadcast LOUDLY instead of silently shuffling the
+    // corpus — split the batch at the caller.
     val cands = c.join(broadcast(q),
       c("tbl") === q("tbl") && c("bucket") === q("bucket") &&
         col("query_id") =!= col("nn_id"))

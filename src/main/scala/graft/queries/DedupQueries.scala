@@ -1348,7 +1348,7 @@ object DedupQueries {
     val rows = fracs.map { r =>
       val routed = Ann.hnswSearchPrepared(prep,
         k = 5, beamWidth = 16, hops1 = 2, hops0 = 6,
-        nEntry = nEntry, nShards = nShards,
+        nShards = nShards,
         routeShards = if (r == nShards) 0 else r)
       val hits = routed.join(truth, Seq("query_id", "nn_id"), "left_semi").count()
       val rec = BigDecimal(hits.toDouble / nTruth)

@@ -295,6 +295,12 @@ object StreamingQueries {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     val sp = Some(StreamOps.defaultStatePartitions)
+    // INVARIANT (ADVICE r17 #2): every concurrent drain below must pass
+    // THIS one statePartitions value. The drain-scoped conf set/restore
+    // inside StreamOps.drained mutates the shared session, which only
+    // commutes across threads when all drains set the same value — a
+    // future drain with a different setting must run sequentially or on
+    // its own s.newSession().
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", sp.get)
     implicit val ec: scala.concurrent.ExecutionContextExecutorService =

@@ -462,9 +462,23 @@ object StreamOps {
     * SPARK_GRAFT_STATE_PARTITIONS to keep each store's state in
     * executor memory; results are partitioning-independent (order-free
     * aggregates / per-key folds), only the commit fan-out changes.
+    * Note this default also applies to [[runToBatch]]/[[drained]]
+    * callers that pass statePartitions = None — since r17 those run at
+    * 8, not at the session default. A malformed override fails fast
+    * with a clear message instead of a bare NumberFormatException
+    * inside every drain (ADVICE r17 #1).
     */
   private[graft] def defaultStatePartitions: Int =
-    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS") match {
+      case None => 8
+      case Some(v) =>
+        require(v.nonEmpty && v.forall(_.isDigit) && v.length <= 9,
+          s"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, got '$v'")
+        val n = v.toInt
+        require(n > 0,
+          s"SPARK_GRAFT_STATE_PARTITIONS must be positive, got $n")
+        n
+    }
 
   /** Uniquifier for concurrent drains (nanoTime alone can collide
     * across threads when drains overlap — stateReport runs three).
