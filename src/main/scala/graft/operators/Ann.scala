@@ -615,6 +615,14 @@ object Ann {
         when(pmod(hl, lit(levelMod)) === 0, 1).otherwise(0).as("lvl"))
       // co-locate each shard's pairwise work (the build's only shuffle)
       .repartition(math.max(nShards, 1), col("shard"))
+    // (r18 A/B note: block-splitting the within-shard self-join — salt
+    // the left side into 32 md5 blocks, replicate the right side per
+    // block for join parallelism at nShards < cores — was measured NO
+    // faster at sf0.1 (min-of-3 3.66 s vs 2.56 s for explode-symmetrize
+    // alone): the per-src window sort of the 2M pair rows dominates and
+    // is already exchange-parallel; the single-task pair JOIN is not
+    // the bottleneck with the codegen DotProduct. Reverted; at scale
+    // nShards itself supplies the join parallelism.)
     def levelEdges(nodes: DataFrame, level: Int): DataFrame = {
       val a = nodes.select(col("id"), col("v"), col("nrm"), col("shard"))
       val pairs = a.as("a").join(a.as("b"),
@@ -625,9 +633,18 @@ object Ann {
       val fwd = pairs.withColumn("rn", row_number().over(wSrc))
         .where(col("rn") <= m).drop("rn")
       // symmetrize (fwd links point down-id, reversed links up-id — the
-      // two sets are disjoint) then cap total degree by cosine rank
-      val sym = fwd.unionAll(
-        fwd.select(col("dst").as("src"), col("src").as("dst"), col("cs")))
+      // two sets are disjoint) then cap total degree by cosine rank.
+      // EXPLODE, not unionAll (r18, guide §1.2/§4): a union of fwd with
+      // its own reversal references the pairwise-window subtree twice,
+      // and Spark re-executes it per branch — the build's one expensive
+      // pass ran 2× per level. The 1→2 explode emits both directions
+      // from a single execution of fwd; the row set is identical.
+      val sym = fwd.select(explode(array(
+          struct(col("src"), col("dst"), col("cs")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("cs"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.cs").as("cs"))
       sym.withColumn("rn", row_number().over(wSrc)).where(col("rn") <= degreeCap)
         .select(lit(level).as("level"), col("src"), col("dst"))
     }
@@ -708,11 +725,13 @@ object Ann {
         col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"), norm(col("qv")).as("qnrm"))
       .localCheckpoint(eager = false)
-    // the graph is read once per hop: materialize it once — EAGER,
-    // because hnswBuild's symmetrize union double-references its
-    // forward-link subtree; a lazy first consumer would run the
-    // pairwise build twice concurrently (2× the one genuinely
-    // expensive pass at scale)
+    // the graph is read once per hop: materialize it once — EAGER.
+    // (r18 note: the explode-symmetrize removed hnswBuild's
+    // double-reference, so lazy is now CORRECT too — but it was A/B'd:
+    // folding the whole build into hop-1's job serialized the build
+    // stages against the seed/beam stages and read slower with ~2×
+    // the per-job stage count, the same nested-first-consumer lesson
+    // as r17's per-hop lazy beam checkpoints. One dedicated job wins.)
     val ed = edges.localCheckpoint()
     // a node's shard is a pure function of its id — recomputed where
     // needed instead of carried through the beam
@@ -748,11 +767,39 @@ object Ann {
                                         beamWidth: Int, hops1: Int,
                                         hops0: Int,
                                         nShards: Int,
-                                        routeShards: Int): DataFrame = {
+                                        routeShards: Int): DataFrame =
+    hnswSearchPreparedMulti(prep, k, beamWidth, hops1, hops0, nShards,
+      Seq(routeShards)).drop("cfg")
+
+  /** MULTIPLEXED hop loop (r18, VERDICT r17 #5): run SEVERAL routed
+    * variants of the same search as ONE beam-search pass. Each beam row
+    * carries `cfg` — the routeShards value it runs under (0 = routing
+    * off) — and every window partition, dedup key and the final rank
+    * include cfg, so each variant's trajectory is row-for-row identical
+    * to a standalone [[hnswSearchPrepared]] run at that routeShards
+    * (the windows order within a cfg exactly as before; other cfgs'
+    * rows live in different partitions and can never affect a prune).
+    * The payoff is structural: the hop loop's per-hop checkpoint job —
+    * the search's serial floor — is paid ONCE for all variants instead
+    * of once per variant (knn_hnsw_routed at sf1 runs 4 fractions ×
+    * 8 hops = 32 serial checkpoint jobs today; multiplexed it is 8,
+    * with 4× the — still tiny — beam cardinality per job).
+    * The single-variant call (`cfgs = Seq(x)`) plans exactly the r17
+    * shape modulo a constant cfg column; routing is skipped entirely
+    * when no cfg routes, so the oracled knn_hnsw plan keeps its shape.
+    * Output: (cfg, query_id, nn_id, cosine, rank), rank ≤ k.
+    */
+  private[graft] def hnswSearchPreparedMulti(prep: HnswPrepared, k: Int,
+                                             beamWidth: Int, hops1: Int,
+                                             hops0: Int,
+                                             nShards: Int,
+                                             cfgs: Seq[Int]): DataFrame = {
+    require(cfgs.nonEmpty && cfgs.distinct.size == cfgs.size,
+      s"cfgs must be non-empty and distinct, got $cfgs")
     val HnswPrepared(c, q, ed, entries) = prep
     val shardOfNode = pmod(conv(substring(md5(col("node").cast("string")),
       1, 4), 16, 10).cast("long"), lit(nShards))
-    val wqs = Window.partitionBy(col("query_id"), col("shard"))
+    val wqs = Window.partitionBy(col("cfg"), col("query_id"), col("shard"))
       .orderBy(col("cs").desc, col("node"))
     // (r17 A/B note: broadcasting the bounded beam side into these
     // joins was measured SLOWER at sf0.1 — per-hop BroadcastExchange
@@ -766,20 +813,22 @@ object Ann {
     def prune(cand: DataFrame): DataFrame =
       cand.join(c, Seq("node"))
         .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("node"),
+        .select(col("cfg"), col("query_id"), col("node"),
           (dot(col("qv"), col("cv")) / (col("qnrm") * col("nrm"))).as("cs"))
         .withColumn("shard", shardOfNode)
         .withColumn("rn", row_number().over(wqs)).where(col("rn") <= beamWidth)
-        .select(col("query_id"), col("node"))
+        .select(col("cfg"), col("query_id"), col("node"))
     // seed beam with PER-SHARD fan-out: explode the bounded entry
     // literal per query (nEntry rows — a broadcast-shaped constant,
     // no cartesian plan node), score, keep the top beamWidth/nShards
-    // in EVERY shard so no shard's graph goes unprobed
+    // in EVERY shard so no shard's graph goes unprobed. The seeds are
+    // scored ONCE, then replicated per cfg (explode of the bounded cfg
+    // literal) — the entry dot products are cfg-independent.
     val perShard = math.max(1, beamWidth / nShards)
     val entryLit = typedLit(entries.toSeq) // array<struct<_1:bigint,_2:array<double>>>
     val seedShard = pmod(conv(substring(md5(col("node").cast("string")), 1, 4),
       16, 10).cast("long"), lit(nShards))
-    val ws = Window.partitionBy(col("query_id"), col("shard"))
+    val ws = Window.partitionBy(col("cfg"), col("query_id"), col("shard"))
       .orderBy(col("cs").desc, col("node"))
     val seeded = q.select(col("query_id"), col("qv"), col("qnrm"),
         explode(entryLit).as("en"))
@@ -788,22 +837,28 @@ object Ann {
           .as("cs"))
       .where(col("node") =!= col("query_id"))
       .withColumn("shard", seedShard)
-    // routing: keep only each query's top-routeShards shards by best
-    // entry cosine (tie -> smaller shard id) before the per-shard prune
+      .withColumn("cfg", explode(typedLit(cfgs)))
+    // routing: keep only each (cfg, query)'s top-cfg shards by best
+    // entry cosine (tie -> smaller shard id) before the per-shard
+    // prune. cfg = 0 (or ≥ nShards) keeps every seeded shard — the
+    // inner join against its own per-(query, shard) rollup preserves
+    // the row set exactly — but when NO cfg routes the join is skipped
+    // outright so the single-variant plan shape is unchanged.
     val routed =
-      if (routeShards > 0 && routeShards < nShards) {
-        val wR = Window.partitionBy(col("query_id"))
+      if (cfgs.exists(r => r > 0 && r < nShards)) {
+        val wR = Window.partitionBy(col("cfg"), col("query_id"))
           .orderBy(col("best").desc, col("shard"))
-        val picks = seeded.groupBy(col("query_id"), col("shard"))
+        val picks = seeded.groupBy(col("cfg"), col("query_id"), col("shard"))
           .agg(max(col("cs")).as("best"))
           .withColumn("rs", row_number().over(wR))
-          .where(col("rs") <= routeShards)
-          .select(col("query_id"), col("shard"))
-        seeded.join(picks, Seq("query_id", "shard"))
+          .where(col("rs") <= when(col("cfg") > 0, col("cfg"))
+            .otherwise(lit(nShards)))
+          .select(col("cfg"), col("query_id"), col("shard"))
+        seeded.join(picks, Seq("cfg", "query_id", "shard"))
       } else seeded
     var beam = routed
       .withColumn("rn", row_number().over(ws)).where(col("rn") <= perShard)
-      .select(col("query_id"), col("node"))
+      .select(col("cfg"), col("query_id"), col("node"))
     // (r17 A/B note: scoping AQE off for the hop loop — the
     // kmeansTrain device — was measured ~40% SLOWER here: AQE's
     // runtime coalescing of the beam-sized exchanges into few
@@ -812,14 +867,14 @@ object Ann {
       val lvlEdges = ed.where(col("level") === level)
         .select(col("src").as("node"), col("dst"))
       val grown = beam.unionAll(
-          beam.join(lvlEdges, Seq("node")).select(col("query_id"),
-            col("dst").as("node")))
+          beam.join(lvlEdges, Seq("node")).select(col("cfg"),
+            col("query_id"), col("dst").as("node")))
         .where(col("node") =!= col("query_id")).distinct()
       // pin the beam each hop: `grown` references it TWICE, so an
       // unpinned var doubles the logical plan per hop (2^hops plan
       // copies — a corpus-adaptive hop count hung outright at 13 hops,
       // and even the 5-hop default re-planned 32 scans). Values are
-      // unchanged; beam cardinality is queries×beamWidth — tiny.
+      // unchanged; beam cardinality is cfgs×queries×beamWidth — tiny.
       // eager: a lazy per-hop checkpoint chain was A/B'd slower (the
       // nested first-consumer materialization serializes worse than
       // one small job per hop)
@@ -828,10 +883,10 @@ object Ann {
     (1 to hops1).foreach(_ => hop(1))
     (1 to hops0).foreach(_ => hop(0))
     beam.join(c, Seq("node")).join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("node").as("nn_id"),
+      .select(col("cfg"), col("query_id"), col("node").as("nn_id"),
         (dot(col("qv"), col("cv")) / (col("qnrm") * col("nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
+        Window.partitionBy(col("cfg"), col("query_id"))
           .orderBy(col("cosine").desc, col("nn_id"))))
       .where(col("rank") <= k)
   }

@@ -1324,11 +1324,12 @@ object DedupQueries {
     val e = Tables.embeddings(s, dir)
     val queries = e.where(col("vec_id") < 20)
     val nShards = Ann.autoShards(e.count())
-    // edges stay EAGER: hnswBuild's union double-references its
-    // forward-link subtree, so a lazy first consumer would compute the
-    // build twice concurrently
+    // no checkpoint here: hnswPrepare eagerly checkpoints the edges
+    // itself (the r17 double-checkpoint copied the cached RDD for one
+    // extra job), and since r18's explode-symmetrize the build plan no
+    // longer double-references its forward-link subtree anyway
     val edges = Ann.hnswBuild(e, "vec_id", "embedding",
-      m = 8, degreeCap = 16, nShards = nShards, levelMod = 8).localCheckpoint()
+      m = 8, degreeCap = 16, nShards = nShards, levelMod = 8)
     val truth = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("nn_id")).localCheckpoint(eager = false)
     val nTruth = truth.count() // fit boundary: queries × k rows
@@ -1345,12 +1346,21 @@ object DedupQueries {
     val nEntry = math.max(16, 4 * nShards)
     val prep = Ann.hnswPrepare(e, queries, edges, "vec_id", "embedding",
       nEntry, nShards)
+    // MULTIPLEXED (r18, VERDICT r17 #5): all routed fractions run as
+    // ONE hop loop with a cfg column — one checkpoint job per hop
+    // instead of one per hop per fraction, and ONE hits action instead
+    // of one per fraction. Per-cfg trajectories (and therefore every
+    // recall value) are row-for-row identical to the sequential
+    // searches — AnnSpec pins the equivalence on a fixture.
+    val cfgs = fracs.map(r => if (r == nShards) 0 else r)
+    val multi = Ann.hnswSearchPreparedMulti(prep,
+      k = 5, beamWidth = 16, hops1 = 2, hops0 = 6,
+      nShards = nShards, cfgs = cfgs)
+    val hitsByCfg = multi.join(truth, Seq("query_id", "nn_id"), "left_semi")
+      .groupBy(col("cfg")).agg(count(lit(1)).as("hits")).collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
     val rows = fracs.map { r =>
-      val routed = Ann.hnswSearchPrepared(prep,
-        k = 5, beamWidth = 16, hops1 = 2, hops0 = 6,
-        nShards = nShards,
-        routeShards = if (r == nShards) 0 else r)
-      val hits = routed.join(truth, Seq("query_id", "nn_id"), "left_semi").count()
+      val hits = hitsByCfg.getOrElse(if (r == nShards) 0 else r, 0L)
       val rec = BigDecimal(hits.toDouble / nTruth)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (r, nShards, hits, nTruth, rec)

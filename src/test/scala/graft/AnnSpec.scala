@@ -77,6 +77,35 @@ class AnnSpec extends SparkSpec {
       .sameElements(1 to 5)))
   }
 
+  test("multiplexed hnsw search: each cfg equals its standalone routed search") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where($"vec_id" < 10)
+    val nShards = 2
+    val edges = Ann.hnswBuild(e, "vec_id", "embedding",
+      m = 4, degreeCap = 8, nShards = nShards, levelMod = 8)
+    val prep = Ann.hnswPrepare(e, q, edges, "vec_id", "embedding",
+      nEntry = 8, nShards = nShards)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select($"query_id", $"nn_id", $"rank").as[(Long, Long, Int)]
+        .collect().toSet
+    val multi = Ann.hnswSearchPreparedMulti(prep, k = 5, beamWidth = 8,
+      hops1 = 2, hops0 = 3, nShards = nShards, cfgs = Seq(1, 0)).cache()
+    val routedMulti = rows(multi.where($"cfg" === 1))
+    val fullMulti = rows(multi.where($"cfg" === 0))
+    val routedSolo = rows(Ann.hnswSearchPrepared(prep, k = 5, beamWidth = 8,
+      hops1 = 2, hops0 = 3, nShards = nShards, routeShards = 1))
+    val fullSolo = rows(Ann.hnswSearchPrepared(prep, k = 5, beamWidth = 8,
+      hops1 = 2, hops0 = 3, nShards = nShards, routeShards = 0))
+    assert(routedMulti == routedSolo,
+      "multiplexed cfg=1 diverged from the standalone routed search")
+    assert(fullMulti == fullSolo,
+      "multiplexed cfg=0 diverged from the standalone full search")
+    // routing at 1 of 2 shards genuinely restricts the search
+    assert(routedMulti != fullMulti || nShards == 1)
+    multi.unpersist()
+  }
+
   test("hnsw graph: degree cap holds, layer-1 is the md5 subset, edges stay in-shard") {
     val sf = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, sf)
