@@ -427,11 +427,28 @@ object StreamOps {
     * stores than the batch shuffle width, while a 100 TB deployment
     * sizes it to keep each store's state in executor memory. The conf is
     * set for the duration of the query start and restored afterwards.
+    *
+    * `noDataBatch = Some(false)` skips the trailing NO-DATA micro-batch
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, drain-scoped,
+    * restored after). That finalize batch exists to advance the
+    * watermark and flush watermark-GATED output; per-batch attribution
+    * (GRAFT_STREAM_DEBUG, r18) measured it at 0.8–1.3 s per drain —
+    * pure state-store commit fan-out — on drains whose output is
+    * already complete after the data batch. ONLY pass Some(false) when
+    * nothing the sink sees is watermark-gated: safe for stream-stream
+    * INNER joins (matches emit in the arriving batch; the no-data
+    * batch only evicts state) and watermarked dropDuplicates (first
+    * occurrence emits on arrival). NEVER for outer joins (null-padded
+    * rows emit only once the watermark passes — skipping drops them),
+    * append-mode window/session aggregations (windows emit on
+    * watermark), or EventTimeTimeout state functions (timeouts fire in
+    * the no-data batch). Default None keeps the session setting.
     */
   def runToBatch(s: SparkSession, streamDf: DataFrame,
                  mode: String = "complete",
-                 statePartitions: Option[Int] = None): DataFrame =
-    drained(s, streamDf, mode, statePartitions) { (q, name) =>
+                 statePartitions: Option[Int] = None,
+                 noDataBatch: Option[Boolean] = None): DataFrame =
+    drained(s, streamDf, mode, statePartitions, noDataBatch) { (q, name) =>
       // micro-batch accounting for bench attribution (GRAFT_STREAM_DEBUG=1)
       if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
         q.recentProgress.foreach { p =>
@@ -486,13 +503,22 @@ object StreamOps {
   private val drainSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def drained[T](s: SparkSession, streamDf: DataFrame, mode: String,
-                         statePartitions: Option[Int])(
+                         statePartitions: Option[Int],
+                         noDataBatch: Option[Boolean] = None)(
                          f: (org.apache.spark.sql.streaming.StreamingQuery,
                              String) => T): T = {
     val name = s"graft_stream_${System.nanoTime()}_${drainSeq.incrementAndGet()}"
+    val ndbConf = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // touch the no-data-batch conf ONLY when a caller opts in, so the
+    // concurrent-drain invariant (stateReport's 3 threads) stays a
+    // statePartitions-only concern
+    val prevNdb = noDataBatch.map(_ => s.conf.get(ndbConf))
     s.conf.set("spark.sql.shuffle.partitions",
       statePartitions.getOrElse(defaultStatePartitions))
+    // see runToBatch's doc: Some(false) is only legal for drains with
+    // no watermark-gated output (inner joins, watermarked dedup)
+    noDataBatch.foreach(b => s.conf.set(ndbConf, b))
     var ok = false
     try {
       val q = streamDf.writeStream
@@ -510,6 +536,7 @@ object StreamOps {
         try s.catalog.dropTempView(name) catch { case _: Exception => () }
       }
       s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNdb.foreach(v => s.conf.set(ndbConf, v))
     }
   }
 
